@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** The dedup plan — heart of the engine (SURVEY §2.4 J1/J2, §3.1).
+  *
+  * The reference folds chunk-by-chunk with one Postgres round-trip per
+  * chunk (lib/deduplicator.ex:59-119, probe at :88) plus an in-memory
+  * pending-batch scan (:89). Spark-first shape, ONE distributed plan:
+  *
+  *   chunks(pos, chunk)
+  *     → hash projection (P1, codegen'd built-in)
+  *     → LEFT OUTER join against the catalog on hash   (J1 — the probe)
+  *     → window min(pos) over partitionBy(hash)        (J2 — in-run firsts)
+  *     → derive (is_pointer, ref_line, ref_file marker)
+  *     → groupBy(hash) for insert set + refs deltas    (A1/A4)
+  *
+  * Shuffle economics: the join, the window, and both groupBys all key on
+  * `hash`, so after the join's exchange Catalyst reuses the same hash
+  * partitioning for every downstream operator — the whole plan costs one
+  * shuffle of the chunk side (plus one of the catalog side when it is too
+  * big to broadcast; AQE picks broadcast automatically when it is small).
+  * At 100 TB the catalog side is pre-partitioned by digest prefix
+  * (Catalog.writeVersion), keeping the probe a co-located join.
+  */
+object Dedup {
+
+  /** The three outputs of one dedup run, all derived from one plan:
+    * @param encoded  (pos, is_pointer, chunk, ref_line, cat_file_id) —
+    *                 the deduplicated stream; `chunk` is null on pointer
+    *                 rows; `cat_file_id` is the catalog file containing
+    *                 the referenced first occurrence (null = this run)
+    * @param newLinks (hash, line, refs_num) — hashes new to the catalog
+    * @param deltas   (hash, delta) — occurrence counts for known hashes
+    */
+  case class Plan(encoded: DataFrame, newLinks: DataFrame, deltas: DataFrame)
+
+  /** Build the plan for one run.
+    * @param chunks       DataFrame(pos: long, chunk: binary), pos = the
+    *                     reference's global `line` counter
+    *                     (deduplicator.ex:35-37,97)
+    * @param algorithm    digest algorithm (Hashing.resolve semantics)
+    * @param catalogLinks current hash_links table
+    */
+  def plan(chunks: DataFrame, algorithm: Hashing.Algorithm,
+           catalogLinks: DataFrame): Plan = {
+    val hashed = chunks.withColumn("hash", algorithm.digest(col("chunk")))
+
+    // J1 — the probe. One join replaces n point lookups (deduplicator.ex:88).
+    val probed = hashed.join(
+      catalogLinks.select(col("hash"),
+        col("line").as("cat_line"), col("file_id").as("cat_file_id")),
+      Seq("hash"), "left_outer")
+
+    // J2 — in-run first occurrence (deduplicator.ex:88-92's pending-batch
+    // scan): whole-partition window, reuses the join's hash partitioning.
+    val withFirst = probed.withColumn("first_pos",
+      min("pos").over(Window.partitionBy("hash")))
+
+    // A chunk is a pointer iff its hash was already in the catalog (any
+    // pos) or occurred earlier in this run. Pointer target = the catalog
+    // first occurrence if present, else the in-run first (always a raw
+    // record — first sight overall).
+    val isPtr = col("cat_line").isNotNull || col("pos") > col("first_pos")
+    val encoded = withFirst.select(
+      col("pos"),
+      isPtr.as("is_pointer"),
+      when(isPtr, lit(null).cast("binary")).otherwise(col("chunk")).as("chunk"),
+      when(isPtr, coalesce(col("cat_line"), col("first_pos")))
+        .otherwise(lit(null).cast("long")).as("ref_line"),
+      when(isPtr, col("cat_file_id")).otherwise(lit(null).cast("long"))
+        .as("cat_file_id"))
+
+    // A4 — insert set: first-occurrence row per catalog-miss hash, with
+    // this run's total occurrence count as its initial refs_num
+    // (reference inserts refs_num=1 then +1 per later hit; net identical).
+    val newLinks = withFirst.where(col("cat_line").isNull)
+      .groupBy("hash")
+      .agg(min("pos").as("line"), count(lit(1)).as("refs_num"))
+
+    // A1 — grouped refs_num deltas for catalog hits (hash.ex:83-89's
+    // Enum.group_by + length, as one hash aggregate).
+    val deltas = probed.where(col("cat_line").isNotNull)
+      .groupBy("hash").agg(count(lit(1)).as("delta"))
+
+    Plan(encoded, newLinks, deltas)
+  }
+}

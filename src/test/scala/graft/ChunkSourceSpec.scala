@@ -1,0 +1,49 @@
+package graft
+
+import graft.sources.{BinFormat, ChunkSource}
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+/** Chunker invariants — mirrors reference test/deduplicator_test.exs:25-47:
+  * every chunk ≤ n bytes; concatenation reproduces the input exactly.
+  */
+class ChunkSourceSpec extends SparkFunSuite {
+
+  test("split invariants hold for arbitrary inputs (ScalaCheck)") {
+    val gen = for {
+      n <- Gen.choose(1, 257)
+      len <- Gen.choose(0, 4096)
+      bytes <- Gen.containerOfN[Array, Byte](len, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (n, bytes)
+    val prop = Prop.forAll(gen) { case (n, bytes) =>
+      val chunks = ChunkSource.split(bytes, n)
+      chunks.forall(_.length <= n) &&
+        chunks.dropRight(1).forall(_.length == n) &&
+        java.util.Arrays.equals(chunks.toArray.flatten, bytes)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("chunks() yields ordered (pos, chunk) rows that reassemble the file") {
+    val dir = tempDir("chunksrc")
+    val data = Fixtures.naturalText()
+    val path = Fixtures.writeTemp(dir, "text.txt", data)
+    val df = ChunkSource.chunks(spark, path, 8)
+    val rows = df.orderBy("pos").collect()
+    assert(rows.map(_.getAs[Long]("pos")).toSeq == rows.indices.map(_.toLong))
+    val reassembled = rows.flatMap(_.getAs[Array[Byte]]("chunk"))
+    assert(java.util.Arrays.equals(reassembled, data))
+    assert(rows.forall(_.getAs[Array[Byte]]("chunk").length <= 8))
+  }
+
+  test("tagged .bin record encode/parse round-trips") {
+    val raw = BinFormat.encodeRecord(isPointer = false, "abcdefgh".getBytes, 0L)
+    val ptr = BinFormat.encodeRecord(isPointer = true, Array.emptyByteArray, 42L)
+    assert(new String(raw) == "0abcdefgh")
+    assert(new String(ptr) == "10042")
+    val parsed = BinFormat.parse(raw ++ ptr ++ raw, 8)
+    assert(parsed.map(t => (t._1, t._2, t._4)) ==
+      Seq((0L, false, None), (1L, true, Some(42L)), (2L, false, None)))
+    assert(new String(parsed(0)._3) == "abcdefgh")
+  }
+}
