@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for LLM training-data pipelines: treat
+  * image/audio/video as opaque `binary` columns with typed metadata,
+  * and run decode / feature-extract / resize / frame-sample as
+  * per-partition batch transforms (SURVEY §7.1 `ext/`, builder brief).
+  *
+  * The Spark-side architecture is the real deliverable here — schema,
+  * partitioning, batch shape, null/error channels. The actual codec call
+  * is isolated behind [[Decoder]] so a real deployment drops in
+  * libjpeg/ffmpeg bindings per executor; this container has no media
+  * libraries, so the default [[StubDecoder]] is a clearly-marked
+  * deterministic fake (it derives plausible metadata from the bytes —
+  * stable across runs, good enough to test every pipeline stage).
+  *
+  * Scale notes (100 TB): media blobs ride IN the rows (Parquet binary),
+  * so decode is a narrow map — no shuffle, no driver involvement;
+  * `spark.sql.files.maxPartitionBytes` sizes tasks. Feature extraction
+  * emits fixed-width arrays (embedding-ready). Frame sampling explodes
+  * rows but bounds output via the stride argument.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata row. `ok=false` carries the error message
+    * instead of failing the job — at 10^9 blobs some WILL be corrupt,
+    * and a poison blob must never kill the pipeline.
+    */
+  case class MediaMeta(width: Int, height: Int, channels: Int,
+                       durationMs: Long, ok: Boolean, error: String)
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
+  /** The codec boundary. Implementations must be deterministic per input
+    * and cheap to instantiate per partition (JNI handles etc. go here).
+    */
+  trait Decoder extends Serializable {
+    def decode(bytes: Array[Byte]): MediaMeta
+    /** Extract a fixed-width feature vector (embedding stand-in). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake decoder — STUB for the real codec (no media libs
+    * in this container). Metadata is a pure function of the bytes via a
+    * 64-bit mix, so tests are reproducible and the full pipeline
+    * (decode → filter ok → features → dedup/ANN) runs end-to-end.
+    */
+  object StubDecoder extends Decoder {
+    private def mix(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    private def hash(bytes: Array[Byte]): Long =
+      mix(java.util.Arrays.hashCode(bytes).toLong)
+
+    override def decode(bytes: Array[Byte]): MediaMeta =
+      if (bytes == null || bytes.isEmpty)
+        MediaMeta(0, 0, 0, 0L, ok = false, "empty blob")
+      else {
+        val h = hash(bytes)
+        MediaMeta(
+          width = 64 + (math.abs(h) % 1920).toInt,
+          height = 64 + (math.abs(h >>> 16) % 1080).toInt,
+          channels = 1 + (math.abs(h >>> 32) % 4).toInt,
+          durationMs = math.abs(h >>> 24) % 600000L,
+          ok = true, error = null)
+      }
+
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val h = hash(bytes)
+      Array.tabulate(dim)(i => (mix(h + i).toDouble / Long.MaxValue).toFloat)
+    }
+  }
+
+  /** Decode a binary column into a metadata struct — per-partition map,
+    * decoder instantiated once per task, errors captured in-row.
+    */
+  def decodeMeta(df: DataFrame, binCol: String,
+                 decoder: Decoder = StubDecoder): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("media", mediaMetaSchema, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m =
+          try decoder.decode(r.getAs[Array[Byte]](idx))
+          catch { case e: Exception =>
+            MediaMeta(0, 0, 0, 0L, ok = false, String.valueOf(e.getMessage)) }
+        Row.fromSeq(r.toSeq :+
+          Row(m.width, m.height, m.channels, m.durationMs, m.ok, m.error))
+      }
+    }(enc)
+  }
+
+  /** Feature-extract a binary column into array<float> of width `dim` —
+    * output feeds straight into [[Similarity]] ANN / near-dup ops.
+    */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int,
+                      decoder: Decoder = StubDecoder): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+
+        decoder.features(r.getAs[Array[Byte]](idx), dim).toSeq))
+    }(enc)
+  }
+
+  /** Frame/sample extraction: slice the blob into fixed-size windows and
+    * keep every `stride`-th one — the Spark-side shape of video frame
+    * sampling (posexplode ≙ frame index). Pure built-ins.
+    */
+  def sampleFrames(df: DataFrame, binCol: String,
+                   frameBytes: Int, stride: Int): DataFrame = {
+    val frames = transform(
+      sequence(lit(1), greatest(length(col(binCol)), lit(1)), lit(frameBytes * stride)),
+      s => col(binCol).substr(s, lit(frameBytes)))
+    df.select(col("*"), posexplode(frames).as(Seq("frame_idx", "frame")))
+      .drop(binCol)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — the
+  * north-star ANN surface (SURVEY §7.1 `ext/`). Two tiers:
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k. Correctness baseline and
+  *     the right plan when ONE side is small (queries broadcast; the
+  *     corpus streams — one scan, no shuffle of the corpus).
+  *   - [[lshTopK]]: random-hyperplane LSH. The 100 TB path: corpus is
+  *     bucketed by signature ONCE (write-time partitioning in a real
+  *     deployment); a query probes only its bucket(s). Recall tunable
+  *     via bits/tables: P(same bucket | angle θ) = (1 − θ/π)^bits per
+  *     table.
+  *
+  * All vector math is built-in (`zip_with` + `aggregate` over doubles,
+  * left-to-right — deterministic), no UDFs, fully codegen'd.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns, computed in double
+    * in element order (deterministic across engines).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    *
+    * @param corpus  (idCol, vecCol) — the big side; scanned once
+    * @param queries (idCol, vecCol) — the small side; broadcast
+    * @return (query_id, neighbor_id, rank, sim), rank 1..k, ties broken
+    *         by neighbor_id for determinism; self-matches excluded
+    *
+    * Plan shape: broadcast-nested-loop of |corpus| × |queries| rows —
+    * linear in the corpus for fixed query count — then a window top-k
+    * keyed by query (tiny: k·|queries| rows survive the rank filter).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, bit,
+    * dim): a sign in {−1, +1} derived from a splitmix-style avalanche of
+    * the coordinates. Sign-random-projection with ±1 components is the
+    * standard SimHash-for-vectors construction (Charikar '02); no RNG
+    * state needed, so executors regenerate planes locally — nothing is
+    * shipped.
+    */
+  private def planeSign(table: Int, bit: Int, dim: Column): Column = {
+    val h = xxhash64(lit(table), lit(bit), dim)
+    when(h.bitwiseAND(1) === 0, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** `bits`-bit random-hyperplane signature of a vector column for LSH
+    * table `table`: bit j = sign(Σ_d ±v[d]).
+    */
+  def lshSignature(vec: Column, bits: Int, table: Int): Column =
+    (0 until bits).map { j =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, d) => v.cast("double") * planeSign(table, j, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0, lit(1L) << j).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
+    * a signature bucket with the query in ANY of `tables` tables; exact
+    * cosine + window top-k over candidates only.
+    *
+    * 100 TB sizing: bucket count per table ≈ 2^bits; with bits=12 and a
+    * 10^10-vector corpus a bucket holds ~2.4M vectors → a query probes
+    * tables·bucket ≈ 10M candidates instead of 10^10 (≈1000× cut). The
+    * corpus signature pass is one scan; in a real deployment signatures
+    * are precomputed and the table is partitioned by (table, bucket) so
+    * a probe is a partition-pruned read, not a join.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              bits: Int = 8, tables: Int = 4): DataFrame = {
+    def signed(df: DataFrame, id: String, v: String): DataFrame =
+      (0 until tables).map { t =>
+        df.select(col(idCol).as(id), col(vecCol).as(v),
+          lit(t).as("tbl"), lshSignature(col(vecCol), bits, t).as("sig"))
+      }.reduce(_ unionByName _)
+    val c = signed(corpus, "neighbor_id", "cv")
+    val q = signed(queries, "query_id", "qv")
+    val cand = c.join(broadcast(q), Seq("tbl", "sig"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cv", "qv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
+    * `threshold`, found via LSH blocking (same-bucket candidates in any
+    * table) + exact verification — the vector analog of
+    * [[DocDedup.minHashPairs]]. Never all-pairs.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double,
+                         bits: Int = 8, tables: Int = 6): DataFrame = {
+    val signed = (0 until tables).map { t =>
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        lit(t).as("tbl"), lshSignature(col(vecCol), bits, t).as("sig"))
+    }.reduce(_ unionByName _)
+    val cand = signed.toDF("id_a", "va", "tbl", "sig")
+      .join(signed.toDF("id_b", "vb", "tbl", "sig"), Seq("tbl", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("sim"))
+      .where(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * surface beyond the reference — SURVEY §2.2 "absent in the reference"
+  * and §7.1 `ext/`). Everything here is a *Column* builder over built-in
+  * Spark SQL functions — no UDFs — so every operator stays inside
+  * whole-stage codegen and distributes trivially: each is a narrow
+  * per-row projection (no shuffle at all) until an aggregation is asked
+  * for. At 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization: split on single spaces, keeping empty
+    * tokens (deterministic, matches ANSI `string_split` semantics so the
+    * DuckDB oracle can reproduce it exactly).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Number of tokens that appear in `stopwords` — the integer core of a
+    * stopword-ratio quality signal (ratios are left to the caller so the
+    * correctness oracle can stay in exact integer arithmetic).
+    */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val set = stopwords.map(lit): Seq[Column]
+    size(filter(tokens(text), t => t.isin(set: _*)))
+  }
+
+  /** Lowercase, collapse whitespace runs, trim — the canonical form used
+    * for fingerprinting near-identical docs that differ only in spacing
+    * or case.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text. Two docs with the
+    * same fingerprint are duplicates up to case/whitespace.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Fixed-size character chunks of a string — the dataset-level analog
+    * of the engine's binary chunker (ChunkSource.split, SURVEY §2.1 S1),
+    * expressed entirely in built-ins: `sequence` over 1-based offsets +
+    * `transform`/`substring`. Last chunk may be short.
+    */
+  def charChunks(text: Column, n: Int): Column =
+    transform(sequence(lit(1), length(text), lit(n)),
+      s => text.substr(s, lit(n)))
+
+  /** Word bigram shingles (adjacent-token pairs), the unit for n-gram
+    * Jaccard near-dup detection. Empty for docs with < 2 tokens.
+    */
+  def wordBigrams(text: Column): Column = {
+    val t = tokens(text)
+    transform(sequence(lit(1), greatest(size(t) - 1, lit(0))),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+  }
+
+  /** Character n-gram shingles over the normalized text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = normalize(text)
+    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      s => t.substr(s, lit(n)))
+  }
+
+  /** Count of regexp matches (punctuation, digits, …) — quality-score
+    * building block.
+    */
+  def patternCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Marker-token sets for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny and deterministic: language ID at pipeline scale
+    * is a cheap prefilter, not a classifier.
+    */
+  val languageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Heuristic language ID: argmax of marker-token hits, first-listed
+    * language wins ties, "und" (undetermined) when nothing matches.
+    * Pure `CASE`/`greatest` chain — codegen-friendly, oracle-expressible.
+    */
+  def langId(text: Column): Column = {
+    val hits = languageMarkers.map { case (lang, ms) =>
+      lang -> stopwordCount(text, ms)
+    }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1] — double-valued, for filtering
+    * (non-oracle use; the integer features it is built from are exposed
+    * individually for exact checks). Components: length sweet-spot,
+    * punctuation presence, stopword ratio, mean token length sanity.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val stopRatio =
+      stopwordCount(text, languageMarkers.flatMap(_._2)).cast("double") /
+        greatest(nTok, lit(1.0))
+    val meanTokLen = nChars / greatest(nTok, lit(1.0))
+    val lenScore = least(nChars / lit(200.0), lit(1.0))
+    val tokLenScore = when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.3)
+    val punctScore =
+      when(patternCount(text, "[.,!?]") > 0, 1.0).otherwise(0.5)
+    (lenScore * 0.4 + tokLenScore * 0.3 + punctScore * 0.15 +
+      least(stopRatio * lit(5.0), lit(1.0)) * 0.15).as("quality")
+  }
+
+  /** Polynomial rolling-hash fingerprint over tokens (Rabin-Karp style):
+    * fold acc = acc*31 + xxhash64(token), in token order. A cheap
+    * order-sensitive document signature (unlike the set-based shingle
+    * ops) — built-in `aggregate`, stays in codegen.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.api.{DedupOptions, Deduplicator}
+import graft.functions.Hashing
+import graft.operators.Dedup
+import graft.sources.ChunkSource
+
+/** Incremental / streaming dedup (SURVEY §2.8).
+  *
+  * The reference is incremental by construction: it flushes every
+  * `chunk_amount` chunks (lib/deduplicator.ex:66-82) and its hash catalog
+  * persists across runs (global PK — a later file's chunks point into an
+  * earlier file's store). The Spark-native mapping, per SURVEY §2.8:
+  * a micro-batch ≙ one flush; per batch we run the exact batch dedup plan
+  * (J1+J2+A1+A2) against the persisted catalog via `foreachBatch` — the
+  * same code path as batch, so semantics cannot drift.
+  *
+  * Scale notes: each micro-batch costs what one batch run costs (one
+  * hash-keyed shuffle of the batch + a catalog probe join); catalog state
+  * lives in versioned Parquet, NOT in the streaming state store, so state
+  * size is unbounded-but-external — the right trade for dedup, where the
+  * key set grows forever and state-store checkpoints would balloon.
+  * For bounded-retention keys, [[dedupWithinWatermark]] uses the built-in
+  * `dropDuplicatesWithinWatermark` state-store path instead.
+  */
+object StreamingDedup {
+
+  /** Start a file-watching dedup stream: each new file landing under
+    * `inputDir` is chunked, deduped against (and committed into) the
+    * persistent catalog at `workDir` — the streaming twin of
+    * `Deduplicator.deduplicateFile`.
+    */
+  def start(spark: SparkSession, inputDir: String, workDir: String,
+            opts: DedupOptions = DedupOptions(),
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val dedup = new Deduplicator(spark, workDir)
+    spark.readStream
+      .format("binaryFile")
+      .load(inputDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // One catalog commit per (batch, file): per-file runs keep the
+        // reference's file-granular `files` rows and recovery semantics.
+        val paths = batch.select("path").collect().map(_.getString(0))
+        paths.sorted.foreach { p =>
+          dedup.deduplicateFile(p,
+            opts.copy(outputName = Some(nameFor(p, batchId))))
+        }
+      }
+      .start()
+  }
+
+  private def nameFor(path: String, batchId: Long): String = {
+    val base = new org.apache.hadoop.fs.Path(path).getName
+    f"b$batchId%05d-$base%s.bin"
+  }
+
+  /** Pure-streaming duplicate suppression with bounded state: first
+    * occurrence of each `keyCol` within the watermark wins, later ones
+    * are dropped by the state store (built-in
+    * `dropDuplicatesWithinWatermark` — SURVEY §2.8's bounded-retention
+    * variant). For event streams, not file archives.
+    */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String,
+                           keyCols: Seq[String],
+                           watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Streaming event-time aggregation: tumbling-window counts per key —
+    * the standard watermark + window shape over the `events` table's
+    * (ts, event_type) (SURVEY §2.8; nothing custom).
+    */
+  def windowedCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(s"window.start").as("ws"), col(keyCol), col("n"))
+}
