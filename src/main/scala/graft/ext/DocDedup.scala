@@ -156,7 +156,7 @@ object DocDedup {
         .otherwise(-1)).as(s"b_$i"))
     val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map(i =>
-      when(col(s"b_$i") > 0, lit(1L) << i).otherwise(0L))
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     sums.select(col("id"), sig.as("simhash"))
   }

@@ -80,7 +80,7 @@ object Similarity {
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (v, d) => v.cast("double") * planeSign(table, j, d)),
         lit(0.0), (acc, x) => acc + x)
-      when(s > 0, lit(1L) << j).otherwise(lit(0L))
+      when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
