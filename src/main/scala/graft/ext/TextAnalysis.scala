@@ -56,8 +56,11 @@ object TextAnalysis {
     */
   def wordBigrams(text: Column): Column = {
     val t = tokens(text)
-    transform(sequence(lit(1), greatest(size(t) - 1, lit(0))),
-      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    // Guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
+    // a <2-token doc must yield no shingles, not two out-of-bounds ones.
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
   }
 
   /** Character n-gram shingles over the normalized text. */
@@ -117,11 +120,16 @@ object TextAnalysis {
       least(stopRatio * lit(5.0), lit(1.0)) * 0.15).as("quality")
   }
 
-  /** Polynomial rolling-hash fingerprint over tokens (Rabin-Karp style):
-    * fold acc = acc*31 + xxhash64(token), in token order. A cheap
+  /** Rolling-hash fingerprint over tokens: fold
+    * acc = rotl(acc, 5) XOR xxhash64(token), in token order. A cheap
     * order-sensitive document signature (unlike the set-based shingle
-    * ops) — built-in `aggregate`, stays in codegen.
+    * ops) — built-in `aggregate`, stays in codegen. Rotate-XOR instead
+    * of the classic acc*31+h so the fold never arithmetically overflows
+    * (Spark 4 runs ANSI mode by default, where long overflow throws;
+    * bitwise ops are total).
     */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(xxhash64(t)))
 }
