@@ -97,20 +97,29 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               bits: Int = 8, tables: Int = 4): DataFrame = {
-    def signed(df: DataFrame, id: String, v: String): DataFrame =
-      (0 until tables).map { t =>
-        df.select(col(idCol).as(id), col(vecCol).as(v),
-          lit(t).as("tbl"), lshSignature(col(vecCol), bits, t).as("sig"))
-      }.reduce(_ unionByName _)
-    val c = signed(corpus, "neighbor_id", "cv")
-    val q = signed(queries, "query_id", "qv")
-    val cand = c.join(broadcast(q), Seq("tbl", "sig"))
+    // All `tables` signatures come from ONE projection per input
+    // (posexplode, pos ≙ table index) — a per-table union would scan
+    // and re-hash the corpus `tables` times.
+    def signed(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        posexplode(array((0 until tables).map(t =>
+          lshSignature(col(vecCol), bits, t)): _*)).as(Seq("tbl", "sig")))
+    // Candidate generation is ids-only — vectors are re-joined after
+    // the dedup so the (tables×) exploded rows and the dedup shuffle
+    // never carry the embedding payload.
+    val cand = signed(corpus, "neighbor_id")
+      .join(broadcast(signed(queries, "query_id")), Seq("tbl", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "cv", "qv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
         cosine(col("cv"), col("qv")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -126,17 +135,29 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double,
                          bits: Int = 8, tables: Int = 6): DataFrame = {
-    val signed = (0 until tables).map { t =>
-      df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        lit(t).as("tbl"), lshSignature(col(vecCol), bits, t).as("sig"))
-    }.reduce(_ unionByName _)
-    val cand = signed.toDF("id_a", "va", "tbl", "sig")
-      .join(signed.toDF("id_b", "vb", "tbl", "sig"), Seq("tbl", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
-        cosine(col("va"), col("vb")).as("sim"))
-      .where(col("sim") >= threshold)
-      .orderBy("id_a", "id_b")
+    // Slim signatures (id, tbl, sig) are computed ONCE and cached: the
+    // signature expression (tables × bits aggregates over the vector)
+    // is the most expensive projection here and feeds both self-join
+    // sides. Vectors are re-joined after the candidate dedup so the
+    // exploded rows never carry the embedding payload.
+    val signed = df.select(col(idCol).as("id"),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col(vecCol), bits, t)): _*)).as(Seq("tbl", "sig")))
+      .persist()
+    try {
+      val cand = signed.toDF("id_a", "tbl", "sig")
+        .join(signed.toDF("id_b", "tbl", "sig"), Seq("tbl", "sig"))
+        .where(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      cand
+        .join(vecs.toDF("id_a", "va"), "id_a")
+        .join(vecs.toDF("id_b", "vb"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          cosine(col("va"), col("vb")).as("sim"))
+        .where(col("sim") >= threshold)
+        .orderBy("id_a", "id_b")
+        .localCheckpoint() // materialize while `signed` is still cached
+    } finally { signed.unpersist() }
   }
 }
