@@ -12,15 +12,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A broken query must be VISIBLE as an error entry, never disguised
+    // as a timing (round-1 verdict item, "What's wrong" #4).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(e)
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map {
+      case (k, v, None) => s"${q(k)}:$v"
+      case (k, _, Some(e)) =>
+        s"${q(k)}:{${q("err")}:${q(String.valueOf(e.getMessage).take(300))}}"
+    }.mkString("{", ",", "}")
+    val ok = results.filter(_._3.isEmpty)
+    val total = ok.map(_._2).sum
+    val nErr = results.size - ok.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.nonEmpty && ok.isEmpty) sys.exit(1)
   }
 }

@@ -43,6 +43,11 @@ case class DedupResult(outputName: String, fileId: Long,
   *   catalog/  — versioned files + hash_links tables ([[Catalog]])
   *   encoded/<name>.parquet — encoded runs (primary representation)
   *   encoded/<name>         — optional byte-exact `.bin` parity file
+  *
+  * Failure ordering: encoded data is always written BEFORE the catalog
+  * commit — a crash between the two leaves orphaned data files (harmless,
+  * invisible to the catalog) rather than committed links pointing at a
+  * run with no data.
   */
 class Deduplicator(spark: SparkSession, workDir: String) {
 
@@ -50,32 +55,73 @@ class Deduplicator(spark: SparkSession, workDir: String) {
   private def parquetPath(name: String) = s"$workDir/encoded/$name.parquet"
   private def binPath(name: String) = s"$workDir/encoded/$name"
 
-  /** Dedupe one file: chunk → hash → probe → encode → commit catalog →
-    * write encoded table (SURVEY §3.1's translation, 2–3 Spark jobs).
+  /** Dedupe one file: chunk → hash → probe → encode → write encoded table
+    * → commit catalog last (SURVEY §3.1's translation, 2–3 Spark jobs).
     */
-  def deduplicateFile(input: String, opts: DedupOptions = DedupOptions()): DedupResult = {
+  def deduplicateFile(input: String, opts: DedupOptions = DedupOptions()): DedupResult =
+    deduplicateBatch(Seq(input), opts).head
+
+  /** Dedupe a batch of files against (and into) the catalog with ONE
+    * catalog commit — the streaming micro-batch path. Files are planned
+    * in order, each against base-catalog ∪ earlier files' pending links,
+    * so in-batch cross-file duplicates become pointers exactly as they
+    * would across sequential commits; only the version bump is batched.
+    */
+  def deduplicateBatch(inputs: Seq[String],
+                       opts: DedupOptions = DedupOptions(),
+                       outputNames: Seq[String] = Nil): Seq[DedupResult] = {
+    if (inputs.isEmpty) return Seq.empty
+    require(outputNames.isEmpty || outputNames.size == inputs.size,
+      s"outputNames (${outputNames.size}) must match inputs (${inputs.size})")
     val algo = Hashing.resolve(opts.algorithm)
-    val name = opts.outputName.getOrElse(generateName(input))
-    val chunks = ChunkSource.chunks(spark, input, opts.chunkBytes)
-      .select("pos", "chunk")
-    val plan = Dedup.plan(chunks, algo, catalog.links())
-    val encoded = plan.encoded.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val fid = catalog.commitRun(name, opts.chunkBytes, algo.name,
-        plan.newLinks, plan.deltas)
-      encoded.write.mode("overwrite").option("compression", "zstd")
-        .parquet(parquetPath(name))
-      if (opts.binParity) {
-        BinFormat.write(encoded, binPath(name))
-        if (opts.compress) { // files.ex:64-94 + deduplicator.ex:46-50
-          BinFormat.zipFile(binPath(name), binPath(name) + ".zip")
-          BinFormat.deleteFile(binPath(name))
+    val fidBase = catalog.nextFileId
+    val baseLinks = catalog.links()
+
+    var pendingLinks: Option[DataFrame] = None
+    val prepared = inputs.zipWithIndex.map { case (input, i) =>
+      requireSingleFile(input)
+      val fid = fidBase + i
+      val name =
+        if (outputNames.nonEmpty) outputNames(i)
+        else if (inputs.size == 1) opts.outputName.getOrElse(generateName(input))
+        else opts.outputName.map(n => s"$n-$i").getOrElse(generateName(input))
+      val knownLinks = pendingLinks.fold(baseLinks)(baseLinks.unionByName(_))
+      val chunks = ChunkSource.chunks(spark, input, opts.chunkBytes)
+        .select("pos", "chunk")
+      val plan = Dedup.plan(chunks, algo, knownLinks)
+      val encoded = plan.encoded.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Data first; the catalog commit happens once, after every file's
+        // data is safely down.
+        encoded.write.mode("overwrite").option("compression", "zstd")
+          .parquet(parquetPath(name))
+        if (opts.binParity) {
+          BinFormat.write(encoded, binPath(name))
+          if (opts.compress) { // files.ex:64-94 + deduplicator.ex:46-50
+            BinFormat.zipFile(binPath(name), binPath(name) + ".zip",
+              spark.sparkContext.hadoopConfiguration)
+            BinFormat.deleteFile(binPath(name),
+              spark.sparkContext.hadoopConfiguration)
+          }
         }
-      }
-      val total = encoded.count()
-      val ptrs = encoded.where(col("is_pointer")).count()
-      DedupResult(name, fid, total, ptrs)
-    } finally encoded.unpersist()
+        // Materialize the (small) catalog contribution now: it must
+        // survive past this file's unpersist, and later files' plans
+        // reference it.
+        val newLinks = plan.newLinks.localCheckpoint()
+        val deltas = plan.deltas.localCheckpoint()
+        val Array(total, ptrs) = encoded
+          .agg(count(lit(1)), sum(when(col("is_pointer"), 1L).otherwise(0L)))
+          .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long])
+          .toArray
+        val stamped = newLinks.select(col("hash"), lit(fid).as("file_id"),
+          col("line"), col("refs_num").cast("long").as("refs_num"))
+        pendingLinks = Some(pendingLinks.fold(stamped)(_ unionByName stamped))
+        (Catalog.RunSpec(fid, name, opts.chunkBytes, algo.name, newLinks, deltas),
+          DedupResult(name, fid, total, ptrs))
+      } finally encoded.unpersist()
+    }
+    catalog.commitRuns(prepared.map(_._1))
+    prepared.map(_._2)
   }
 
   /** Recover a deduplicated run to its original bytes at `outputPath`. */
@@ -93,6 +139,19 @@ class Deduplicator(spark: SparkSession, workDir: String) {
 
   /** Duplicate-frequency report (test/deduplicator_test.exs:323-330). */
   def chunkRepetition(): DataFrame = catalog.chunkRepetition()
+
+  /** A run's `pos` column is per-file; a glob matching several files
+    * would silently collide positions (ADVICE round-3 item). Multi-file
+    * corpora go through [[deduplicateBatch]] / graft.streaming instead.
+    */
+  private def requireSingleFile(input: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(input)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    require(matches.size == 1 && matches.head.isFile,
+      s"deduplicateFile needs exactly one file; '$input' matches " +
+        s"${matches.size} path(s) — use deduplicateBatch for multi-file input")
+  }
 
   /** Output-name generation ≙ P5 (deduplicator.ex:217-224 uses
     * md5(hex(now_ms))+".bin"); ours is deterministic per (input, catalog

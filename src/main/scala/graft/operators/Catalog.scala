@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
 
 /** Dedup catalog — the reference's two Postgres tables re-expressed as
   * versioned Parquet (SURVEY §1.1, §2.1 S4/S7/S8, §2.5 A2/A4).
@@ -21,15 +22,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (anti-join before append, A4 ≙ `on_conflict: :nothing`), refs_num
   * increments as a grouped delta merge (A1+A2, one job — never per-row),
   * and atomicity via versioned directories with a COMMIT marker: each run
-  * writes `v_<n+1>/{files,hash_links}` in full, then drops a `COMMIT`
-  * file; readers use the highest committed version. Failed writes leave
-  * no marker and are invisible — idempotent re-runs (SURVEY §7.4.2).
+  * writes its version in full, then drops a `COMMIT` file; readers use the
+  * highest committed version. Failed writes leave no marker and are
+  * invisible — idempotent re-runs (SURVEY §7.4.2). The COMMIT marker is
+  * created with overwrite=false, so two concurrent committers of the same
+  * version cannot both succeed — the loser fails loudly instead of
+  * silently dropping the winner's update.
   *
-  * Scale notes (100 TB): hash_links is hash-partitioned by a 2-hex-char
-  * digest prefix (256 buckets) so the dedup probe join (J1) can prune and
-  * co-locate by bucket; the full-rewrite merge becomes a per-touched-bucket
-  * rewrite on a real deployment (same layout, smaller rewrite set) or a
-  * Delta/Iceberg MERGE where available.
+  * Scale design (100 TB): hash_links is hash-partitioned by a 2-hex-char
+  * digest prefix (256 buckets), and a commit rewrites ONLY the buckets its
+  * new links / deltas touch; untouched buckets are carried forward *by
+  * reference* through a per-version MANIFEST (bucket → version that last
+  * wrote it). Commit cost is therefore proportional to the run, not to
+  * catalog history. The bucket layout also lets point reads prune to one
+  * bucket file and keeps the dedup probe join (J1) co-locatable.
   */
 class Catalog(spark: SparkSession, dir: String) {
   import Catalog._
@@ -50,31 +56,65 @@ class Catalog(spark: SparkSession, dir: String) {
       .foldLeft(0L)(math.max)
   }
 
+  /** file_id the next committed run will receive. */
+  def nextFileId: Long =
+    files().agg(coalesce(max("file_id"), lit(0L))).head().getLong(0) + 1
+
+  // ---------------------------------------------------------------- reads
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   def files(): DataFrame = {
     val v = currentVersion
-    if (v == 0) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], filesSchema)
+    if (v == 0) emptyDf(filesSchema)
     else spark.read.schema(filesSchema)
       .parquet(new Path(versionDir(v), "files").toString)
   }
 
+  /** bucket → version that last rewrote that bucket, at version `v`. */
+  private def readManifest(v: Long): Map[String, Long] =
+    if (v == 0) Map.empty
+    else {
+      val in = fs.open(new Path(versionDir(v), "MANIFEST"))
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](8192)
+        var n = in.read(b)
+        while (n >= 0) { if (n > 0) buf.write(b, 0, n); n = in.read(b) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(b, ver) = line.split(",")
+        b -> ver.toLong
+      }.toMap
+    }
+
+  private def bucketPath(bucket: String, ver: Long): Path =
+    new Path(new Path(versionDir(ver), "hash_links"), s"bucket=$bucket")
+
   def links(): DataFrame = {
-    val v = currentVersion
-    if (v == 0) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], linksSchema)
-    else spark.read
-      .parquet(new Path(versionDir(v), "hash_links").toString)
-      .select(linksSchema.fieldNames.map(col).toSeq: _*)
+    val man = readManifest(currentVersion)
+    if (man.isEmpty) emptyDf(linksSchema)
+    else spark.read.schema(linksSchema)
+      .parquet(man.map { case (b, ver) => bucketPath(b, ver).toString }.toSeq: _*)
   }
 
   /** Catalog point reads (S4; reference files.ex:20-23, hash.ex:29-45).
     * Row-at-a-time probes exist for API parity; the dedup plan itself
-    * always uses the join form (J1), never these.
+    * always uses the join form (J1), never these. The by-hash probe is
+    * bucket-pruned: it opens exactly one bucket file.
     */
   def getFile(filename: String): DataFrame =
     files().where(col("filename") === filename)
   def getHashLink(hash: String): DataFrame =
-    links().where(col("hash") === hash)
+    readManifest(currentVersion).get(bucketOf(hash)) match {
+      case None => emptyDf(linksSchema)
+      case Some(ver) => spark.read.schema(linksSchema)
+        .parquet(bucketPath(bucketOf(hash), ver).toString)
+        .where(col("hash") === hash)
+    }
   def getHashLinkByLine(line: Long): DataFrame =
     links().where(col("line") === line)
 
@@ -87,62 +127,119 @@ class Catalog(spark: SparkSession, dir: String) {
       .select("refs_num")
       .orderBy(desc("refs_num"))
 
-  /** Atomically commit one dedup run:
-    *   - register the run in `files` (S7) under a fresh file_id
-    *   - append genuinely-new hash links (A4 anti-join ≙ on_conflict-nothing)
-    *   - increment refs_num of re-seen hashes by their occurrence counts
-    *     (A1 grouped delta + A2 merge; reference hash.ex:81-103 did one
-    *     UPDATE per distinct hash — here it is one join)
-    *
-    * @param newLinks  DataFrame(hash, line, refs_num) — first-occurrence
-    *                  rows for hashes new to the catalog, refs_num = total
-    *                  occurrences within this run
-    * @param deltas    DataFrame(hash, delta) — occurrence counts for hashes
-    *                  already in the catalog
-    * @return the file_id assigned to this run
-    */
+  // -------------------------------------------------------------- commits
+
+  /** Single-run commit (S7/S8/A2/A4). Returns the run's file_id. */
   def commitRun(filename: String, chunkBytes: Int, algorithm: String,
                 newLinks: DataFrame, deltas: DataFrame): Long = {
-    val v = currentVersion
-    val oldFiles = files()
-    val oldLinks = links()
-    val fid = oldFiles.agg(coalesce(max("file_id"), lit(0L))).head().getLong(0) + 1
-
-    val newFiles = oldFiles.unionByName(
-      spark.createDataFrame(Seq((fid, filename, chunkBytes, algorithm)))
-        .toDF("file_id", "filename", "chunk_bytes", "algorithm"))
-
-    // Defensive anti-join: uniqueness of `hash` must hold by construction
-    // even if the caller's newLinks overlaps the catalog (idempotence).
-    val genuinelyNew = newLinks
-      .join(oldLinks.select("hash"), Seq("hash"), "left_anti")
-      .select(col("hash"), lit(fid).as("file_id"), col("line"),
-        col("refs_num").cast(LongType).as("refs_num"))
-
-    val merged = oldLinks
-      .join(deltas.select(col("hash"), col("delta").cast(LongType).as("delta")),
-        Seq("hash"), "left")
-      .withColumn("refs_num", col("refs_num") + coalesce(col("delta"), lit(0L)))
-      .drop("delta")
-
-    val nextLinks = merged.unionByName(genuinelyNew)
-    writeVersion(v + 1, newFiles, nextLinks)
+    val fid = nextFileId
+    commitRuns(Seq(RunSpec(fid, filename, chunkBytes, algorithm,
+      newLinks, deltas)))
     fid
   }
 
-  private def writeVersion(v: Long, filesDf: DataFrame, linksDf: DataFrame): Unit = {
+  /** Atomically commit a batch of dedup runs in ONE version bump — the
+    * streaming micro-batch path (one commit per batch, not per file).
+    *
+    * Requirements on `runs` (guaranteed by Deduplicator's planning):
+    *   - fileIds are distinct and unused (≥ [[nextFileId]] at plan time)
+    *   - newLinks hash sets are disjoint across runs (a later run that
+    *     re-sees an earlier run's new hash reports it in `deltas`, having
+    *     planned against base ∪ earlier pending links)
+    *
+    * Deltas may reference both old-catalog hashes and this batch's new
+    * hashes; both get their refs_num incremented.
+    */
+  def commitRuns(runs: Seq[RunSpec]): Unit = {
+    if (runs.isEmpty) return
+    val v = currentVersion
+    val oldManifest = readManifest(v)
+    val oldLinks = links()
+
+    val newFiles = files().unionByName(
+      spark.createDataFrame(
+        runs.map(r => (r.fileId, r.filename, r.chunkBytes, r.algorithm)))
+        .toDF("file_id", "filename", "chunk_bytes", "algorithm"))
+
+    val allNew = runs.map { r =>
+      r.newLinks.select(col("hash"), lit(r.fileId).as("file_id"),
+        col("line"), col("refs_num").cast(LongType).as("refs_num"))
+    }.reduce(_ unionByName _)
+      // Defensive anti-join: uniqueness of `hash` must hold by
+      // construction even if a caller's newLinks overlaps the catalog
+      // (idempotent re-runs).
+      .join(oldLinks.select("hash"), Seq("hash"), "left_anti")
+
+    val allDeltas = runs.map(_.deltas.select(col("hash"),
+        col("delta").cast(LongType).as("delta")))
+      .reduce(_ unionByName _)
+      .groupBy("hash").agg(sum("delta").as("delta"))
+
+    // Buckets this commit touches; everything else is carried forward by
+    // manifest reference. Tiny: ≤ 256 values.
+    val touched = allNew.select(bucketCol(col("hash")).as("b"))
+      .unionByName(allDeltas.select(bucketCol(col("hash")).as("b")))
+      .distinct().collect().map(_.getString(0)).toSet
+
+    if (touched.isEmpty) {
+      writeVersion(v + 1, newFiles, None, oldManifest)
+    } else {
+      val oldTouched = oldLinks
+        .where(bucketCol(col("hash")).isin(touched.toSeq: _*))
+      val mergedData = oldTouched.unionByName(allNew)
+        .join(allDeltas, Seq("hash"), "left")
+        .withColumn("refs_num", col("refs_num") + coalesce(col("delta"), lit(0L)))
+        .drop("delta")
+      writeVersion(v + 1, newFiles, Some(mergedData), oldManifest)
+    }
+  }
+
+  private def writeVersion(v: Long, filesDf: DataFrame,
+                           changedLinks: Option[DataFrame],
+                           oldManifest: Map[String, Long]): Unit = {
     val vd = versionDir(v)
     filesDf.write.mode("overwrite").parquet(new Path(vd, "files").toString)
-    linksDf
-      .withColumn("bucket", substring(col("hash"), 1, 2))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new Path(vd, "hash_links").toString)
-    fs.create(new Path(vd, "COMMIT"), true).close() // atomic commit marker
+    val written: Set[String] = changedLinks match {
+      case None => Set.empty
+      case Some(df) =>
+        df.withColumn("bucket", bucketCol(col("hash")))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(new Path(vd, "hash_links").toString)
+        // The buckets actually written (a touched bucket could have been
+        // computed from deltas that matched nothing).
+        fs.listStatus(new Path(vd, "hash_links")).iterator
+          .map(_.getPath.getName)
+          .collect { case BucketRe(b) => b }.toSet
+    }
+    val manifest = oldManifest ++ written.map(_ -> v)
+    val manifestBytes = manifest.toSeq.sorted
+      .map { case (b, ver) => s"$b,$ver" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val mOut = fs.create(new Path(vd, "MANIFEST"), true)
+    try mOut.write(manifestBytes) finally mOut.close()
+    // overwrite=false: concurrent committers of the same version conflict
+    // loudly here instead of silently losing one commit.
+    fs.create(new Path(vd, "COMMIT"), false).close()
   }
 }
 
 object Catalog {
   private val VersionRe = "v_(\\d+)".r
+  private val BucketRe = "bucket=(.+)".r
+
+  /** One run's catalog contribution, for batched commits.
+    * @param newLinks DataFrame(hash, line, refs_num) — first-occurrence
+    *                 rows for hashes new to the catalog (and to earlier
+    *                 runs of the same batch)
+    * @param deltas   DataFrame(hash, delta) — occurrence counts for
+    *                 already-known hashes
+    */
+  case class RunSpec(fileId: Long, filename: String, chunkBytes: Int,
+                     algorithm: String, newLinks: DataFrame, deltas: DataFrame)
+
+  private[operators] def bucketOf(hash: String): String = hash.substring(0, 2)
+  private[operators] def bucketCol(hash: org.apache.spark.sql.Column) =
+    substring(hash, 1, 2)
 
   val filesSchema: StructType = StructType(Seq(
     StructField("file_id", LongType, nullable = false),

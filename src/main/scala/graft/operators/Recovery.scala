@@ -54,12 +54,18 @@ object Recovery {
             col("chunk").as("target_chunk"))
       }.reduce(_ unionByName _)
 
+      // Single pass: the :not_chunk check rides inside the output
+      // projection (raise_error on a null target) instead of a separate
+      // validation count() that would execute the dominant join twice.
       val resolved = ptrs.join(targets, Seq("ref_file_id", "ref_line"), "left_outer")
-      val missing = resolved.where(col("target_chunk").isNull).count()
-      require(missing == 0,
-        s"$missing pointer(s) resolve to no raw record (:not_chunk; " +
-          "reference deduplicator.ex:209-215)")
-      raws.unionByName(resolved.select(col("pos"), col("target_chunk").as("chunk")))
+      val checkedChunk = when(col("target_chunk").isNull,
+        raise_error(concat(
+          lit("pointer at pos "), col("pos"),
+          lit(" resolves to no raw record (:not_chunk; reference "),
+          lit("deduplicator.ex:209-215): file_id="), col("ref_file_id"),
+          lit(" line="), col("ref_line"))).cast("binary"))
+        .otherwise(col("target_chunk"))
+      raws.unionByName(resolved.select(col("pos"), checkedChunk.as("chunk")))
     }
   }
 }

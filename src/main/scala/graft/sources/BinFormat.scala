@@ -28,10 +28,22 @@ object BinFormat {
   val PointerTag: Byte = '1'.toByte
   val PointerDigits = 4 // binary_utils.ex:7 (@hash_size 4)
 
-  /** Encode one logical record to its tagged byte form. */
+  /** Encode one logical record to its tagged byte form.
+    *
+    * The 4-digit pointer cap fails LOUDLY: the reference silently emits
+    * 5+ digits for line ≥ 10000 while its parser always consumes 4 —
+    * a silently corrupt file (SURVEY §1.4.1). We share the format cap
+    * but not the silence. (The Parquet representation has no such cap;
+    * this guard is parity-sink-only.)
+    */
   def encodeRecord(isPointer: Boolean, chunk: Array[Byte], refLine: Long): Array[Byte] =
-    if (isPointer) (PointerTag.toChar +: f"$refLine%04d".toCharArray.toSeq).map(_.toByte).toArray
-    else RawTag +: chunk
+    if (isPointer) {
+      require(refLine >= 0 && refLine < 10000,
+        s"pointer line $refLine does not fit the .bin format's 4-digit " +
+          "width (reference binary_utils.ex:7); use the Parquet form for runs " +
+          "with >=10000 first occurrences")
+      (PointerTag.toChar +: f"$refLine%04d".toCharArray.toSeq).map(_.toByte).toArray
+    } else RawTag +: chunk
 
   /** Parse a whole tagged file into (pos, isPointer, chunk, refLine) rows.
     * Mirrors the recursive splitter binary_utils.ex:26-45: a raw record
@@ -92,10 +104,12 @@ object BinFormat {
 
   /** Whole-file zip / unzip / delete (reference: lib/deduplicator/files.ex:64-94).
     * The reference zips the encoded output when `compress: true` and deletes
-    * the uncompressed original; recovery unzips first.
+    * the uncompressed original; recovery unzips first. All three take the
+    * session's Hadoop configuration — a bare `new Configuration()` would
+    * ignore spark.hadoop.* settings and break on any non-default FS.
     */
-  def zipFile(src: String, dest: String): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  def zipFile(src: String, dest: String,
+              conf: org.apache.hadoop.conf.Configuration): Unit = {
     val fs = FileSystem.get(new java.net.URI(src), conf)
     val in = new BufferedInputStream(fs.open(new Path(src)))
     val zos = new ZipOutputStream(new BufferedOutputStream(
@@ -107,8 +121,8 @@ object BinFormat {
     in.close(); zos.closeEntry(); zos.close()
   }
 
-  def unzipFile(src: String, dest: String): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  def unzipFile(src: String, dest: String,
+                conf: org.apache.hadoop.conf.Configuration): Unit = {
     val zis = new ZipInputStream(new BufferedInputStream(
       FileSystem.get(new java.net.URI(src), conf).open(new Path(src))))
     val entry = zis.getNextEntry
@@ -121,8 +135,9 @@ object BinFormat {
     out.close(); zis.close()
   }
 
-  def deleteFile(path: String): Boolean = {
-    val fs = FileSystem.get(new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+  def deleteFile(path: String,
+                 conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val fs = FileSystem.get(new java.net.URI(path), conf)
     fs.delete(new Path(path), false)
   }
 }

@@ -30,11 +30,16 @@ object OrderedBinarySink {
       .repartitionByRange(parts, col(posCol))
       .sortWithinPartitions(posCol)
       .select(bytesCol)
+    // Executors must build their FS from the SESSION Hadoop conf (a bare
+    // `new Configuration()` drops spark.hadoop.* and breaks on any
+    // non-default FS) — ship it via the serializable wrapper.
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val confBc = spark.sparkContext.broadcast(serConf)
     staged.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val fs = FileSystem.get(new java.net.URI(tmpDir),
-          new org.apache.hadoop.conf.Configuration())
+        val fs = FileSystem.get(new java.net.URI(tmpDir), confBc.value.value)
         val os = new BufferedOutputStream(fs.create(new Path(tmpDir, f"part-$idx%05d"), true))
         rows.foreach { r => if (!r.isNullAt(0)) os.write(r.getAs[Array[Byte]](0)) }
         os.close()

@@ -44,13 +44,18 @@ object StreamingDedup {
       .trigger(trigger)
       .option("checkpointLocation", s"$workDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // One catalog commit per (batch, file): per-file runs keep the
-        // reference's file-granular `files` rows and recovery semantics.
-        val paths = batch.select("path").collect().map(_.getString(0))
-        paths.sorted.foreach { p =>
-          dedup.deduplicateFile(p,
-            opts.copy(outputName = Some(nameFor(p, batchId))))
+        // Per-file runs (keeping the reference's file-granular `files`
+        // rows and recovery semantics) but ONE catalog commit per
+        // micro-batch: a 10k-file batch bumps the catalog version once,
+        // not 10k times (round-3 verdict, scale-killer #3). The
+        // collect() is of file *paths* only — the file list of one
+        // micro-batch — never data.
+        val paths = batch.select("path").collect().map(_.getString(0)).sorted
+        if (paths.nonEmpty) {
+          dedup.deduplicateBatch(paths.toSeq, opts,
+            outputNames = paths.toSeq.map(nameFor(_, batchId)))
         }
+        ()
       }
       .start()
   }

@@ -95,8 +95,9 @@ class DedupRoundTripSpec extends SparkFunSuite {
           q.getAs[Array[Byte]]("chunk")))
     }
     // zip / unzip round-trip (files.ex:64-94)
-    BinFormat.zipFile(binFile, s"$binFile.zip")
-    BinFormat.unzipFile(s"$binFile.zip", s"$binFile.unzipped")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    BinFormat.zipFile(binFile, s"$binFile.zip", hconf)
+    BinFormat.unzipFile(s"$binFile.zip", s"$binFile.unzipped", hconf)
     assert(java.util.Arrays.equals(
       Files.readAllBytes(Paths.get(binFile)),
       Files.readAllBytes(Paths.get(s"$binFile.unzipped"))))
