@@ -66,32 +66,47 @@ object ChunkSource {
     }
   }
 
-  /** Splittable scan of ONE huge file: `sc.binaryRecords` (fixed-length
-    * records, split across tasks — the lazy-stream analog of reference
-    * files.ex:45-56 at cluster scale) + zipWithIndex for `pos`. Spark's
-    * FixedLengthBinaryInputFormat silently DROPS a trailing partial
-    * record, so the short tail chunk (len % n ≠ 0) is read directly via
-    * the FS API and appended as the last row.
+  /** Bytes each huge-file task reads (rounded down to a whole number of
+    * chunks). 32 MB balances task count against per-task overhead.
+    */
+  val HugeFileSplitBytes: Long = 32L * 1024 * 1024
+
+  /** Splittable scan of ONE huge file — the cluster-scale analog of the
+    * reference's lazy stream (files.ex:45-56): the driver plans
+    * chunk-aligned byte ranges, each task seeks to its range and streams
+    * whole chunks from the FS (built from the session Hadoop conf). No
+    * 2 GB single-array ceiling, no one-task-per-file skew, and the short
+    * tail chunk is read like any other. (Spark's own `binaryRecords` is
+    * unusable here: FixedLengthBinaryRecordReader throws EOF on any file
+    * whose length is not an exact multiple of the record size.)
     */
   def chunksOfHugeFile(spark: SparkSession, path: String, len: Long,
                        chunkBytes: Int): DataFrame = {
     require(chunkBytes > 0, s"chunk size must be positive, got $chunkBytes")
     import spark.implicits._
-    val nFull = len / chunkBytes
-    val tailLen = (len % chunkBytes).toInt
-    val full = spark.sparkContext.binaryRecords(path, chunkBytes)
-      .zipWithIndex()
-      .map { case (chunk, idx) => (path, idx, chunk) }
-    val tail =
-      if (tailLen == 0) spark.sparkContext.emptyRDD[(String, Long, Array[Byte])]
-      else {
+    val totalChunks = (len + chunkBytes - 1) / chunkBytes
+    val chunksPerSplit = math.max(1L, HugeFileSplitBytes / chunkBytes)
+    val nSplits = ((totalChunks + chunksPerSplit - 1) / chunksPerSplit).toInt
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.sparkContext.parallelize(0 until nSplits, math.max(1, nSplits))
+      .flatMap { s =>
+        val startChunk = s * chunksPerSplit
+        val endChunk = math.min(totalChunks, startChunk + chunksPerSplit)
         val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fs = p.getFileSystem(confBc.value.value)
         val in = fs.open(p)
-        val buf = new Array[Byte](tailLen)
-        try { in.seek(len - tailLen); in.readFully(buf) } finally in.close()
-        spark.sparkContext.parallelize(Seq((path, nFull, buf)), 1)
+        try {
+          in.seek(startChunk * chunkBytes)
+          (startChunk until endChunk).map { pos =>
+            val size = math.min(chunkBytes.toLong, len - pos * chunkBytes).toInt
+            val buf = new Array[Byte](size)
+            in.readFully(buf)
+            (path, pos, buf)
+          }
+        } finally in.close()
       }
-    (full ++ tail).toDF("file", "pos", "chunk")
+      .toDF("file", "pos", "chunk")
   }
 }

@@ -39,6 +39,18 @@ object StreamingDedup {
     val dedup = new Deduplicator(spark, workDir)
     spark.readStream
       .format("binaryFile")
+      // streaming sources require an explicit schema; this is binaryFile's
+      // fixed one. Only `path` is ever selected — column pruning keeps the
+      // source from materializing file contents into the batch.
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
       .load(inputDir)
       .writeStream
       .trigger(trigger)

@@ -1,0 +1,95 @@
+package graft
+
+import graft.api.{DedupOptions, Deduplicator}
+import graft.operators.Catalog
+import java.nio.file.{Files, Paths}
+
+class CatalogSpec extends SparkFunSuite {
+
+  test("bucket-pruned merge: a commit rewrites only touched buckets") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-buckets")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+
+    // v1: links in buckets aa and bb
+    cat.commitRun("f1", 64, "sha",
+      Seq(("aa11", 0L, 1L), ("bb22", 1L, 2L)).toDF("hash", "line", "refs_num"), none)
+    // v2: new link in bucket cc only
+    cat.commitRun("f2", 64, "sha",
+      Seq(("cc33", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+
+    val v2Buckets = new java.io.File(s"$dir/catalog/v_000002/hash_links")
+      .listFiles().map(_.getName).filter(_.startsWith("bucket=")).sorted
+    assert(v2Buckets.sameElements(Array("bucket=cc")),
+      s"v2 must contain ONLY the touched bucket, got ${v2Buckets.mkString(",")}")
+    // untouched buckets still resolve (carried forward by manifest)
+    val all = cat.links().collect()
+      .map(r => r.getAs[String]("hash") -> r.getAs[Long]("refs_num")).toMap
+    assert(all == Map("aa11" -> 1L, "bb22" -> 2L, "cc33" -> 1L))
+    // point read prunes to one bucket and still hits
+    assert(cat.getHashLink("bb22").count() == 1)
+
+    // v3: delta on bb only → rewrites bucket bb, carries aa/cc forward
+    cat.commitRun("f3", 64, "sha",
+      Seq.empty[(String, Long, Long)].toDF("hash", "line", "refs_num"),
+      Seq(("bb22", 5L)).toDF("hash", "delta"))
+    val v3Buckets = new java.io.File(s"$dir/catalog/v_000003/hash_links")
+      .listFiles().map(_.getName).filter(_.startsWith("bucket=")).sorted
+    assert(v3Buckets.sameElements(Array("bucket=bb")))
+    assert(cat.getHashLink("bb22").head().getAs[Long]("refs_num") == 7L)
+    // the untouched aa bucket file is literally the v1 file (by reference)
+    val aaV1 = new java.io.File(s"$dir/catalog/v_000001/hash_links/bucket=aa")
+    assert(aaV1.exists())
+    assert(!new java.io.File(s"$dir/catalog/v_000003/hash_links/bucket=aa").exists())
+  }
+
+  test("batched commitRuns: one version bump; deltas hit the batch's own new links") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-batch")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    cat.commitRuns(Seq(
+      Catalog.RunSpec(1L, "r1", 64, "sha",
+        Seq(("aa11", 0L, 2L)).toDF("hash", "line", "refs_num"), none),
+      // r2 re-sees r1's brand-new hash → reports it as a delta
+      Catalog.RunSpec(2L, "r2", 64, "sha",
+        Seq(("dd44", 0L, 1L)).toDF("hash", "line", "refs_num"),
+        Seq(("aa11", 3L)).toDF("hash", "delta"))))
+    assert(cat.currentVersion == 1, "batch of two runs = ONE version")
+    val rows = cat.links().collect()
+      .map(r => r.getAs[String]("hash") ->
+        (r.getAs[Long]("file_id"), r.getAs[Long]("refs_num"))).toMap
+    assert(rows == Map("aa11" -> (1L, 5L), "dd44" -> (2L, 1L)))
+    assert(cat.files().count() == 2)
+  }
+
+  test("failed data write leaves the catalog untouched (data first, commit last)") {
+    val dir = tempDir("cat-order")
+    val data = Fixtures.alignedDuplicated(blocks = 32, distinct = 8, seed = 3)
+    val input = Fixtures.writeTemp(dir, "x.bin", data)
+    val engine = new Deduplicator(spark, s"$dir/work")
+    // Sabotage the parity sink's destination: a non-empty DIRECTORY at the
+    // target path makes the ordered sink's create() fail mid-run, after
+    // planning but before any catalog commit.
+    Files.createDirectories(Paths.get(s"$dir/work/encoded/blocked.enc"))
+    Fixtures.writeTemp(s"$dir/work/encoded/blocked.enc", "occupied", Array[Byte](1))
+    intercept[Exception] {
+      engine.deduplicateFile(input, DedupOptions(chunkBytes = 64,
+        binParity = true, outputName = Some("blocked.enc")))
+    }
+    assert(engine.catalog.currentVersion == 0, "failed write must not commit")
+    assert(engine.catalog.links().count() == 0)
+  }
+
+  test("deduplicateFile rejects multi-file globs (pos would collide)") {
+    val dir = tempDir("glob")
+    Fixtures.writeTemp(dir, "g1.bin", Array[Byte](1, 2, 3))
+    Fixtures.writeTemp(dir, "g2.bin", Array[Byte](4, 5, 6))
+    val engine = new Deduplicator(spark, s"$dir/work")
+    val e = intercept[IllegalArgumentException] {
+      engine.deduplicateFile(s"$dir/g*.bin")
+    }
+    assert(e.getMessage.contains("deduplicateBatch"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkFunSuite {
+
+  test("cosine/dot: exact on hand values") {
+    val s = spark; import s.implicits._
+    val d = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    assert(d.select(Similarity.dot(col("a"), col("b"))).head().getDouble(0) == 32.0)
+    val c = d.select(Similarity.cosine(col("a"), col("a"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: exact neighbors, self excluded, rank-tie by id") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(corpus,
+      corpus.where(col("vec_id") === 1), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    // rank 1 = the near-parallel vector; cos=0 ties broken by neighbor_id
+    assert(res.toSeq == Seq((3L, 1), (2L, 2), (4L, 3)))
+  }
+
+  /** Deterministic pseudo-random corpus (seeded) shared by the LSH tests. */
+  private def randomCorpus(n: Int, dim: Int) = {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    Seq.tabulate(n)(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("lshTopK: results are a subset of brute-force candidates with exact sims, decent recall") {
+    val corpus = randomCorpus(200, 16)
+    val queries = corpus.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // more tables / fewer bits than the defaults: recall-heavy setting
+    val approx = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5,
+        bits = 4, tables = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall collapsed: $recall (found ${approx.size})")
+    assert(approx.nonEmpty)
+  }
+
+  test("cosineNearDupPairs finds the planted near-identical pair only") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val nearDup = base.map(v => v * 1.001f + 0.0005f)
+    val rows = Seq((100L, base), (101L, nearDup)) ++
+      Seq.tabulate(50)(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((100L, 101L)))
+  }
+}

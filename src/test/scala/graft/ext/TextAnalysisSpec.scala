@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkFunSuite {
+
+  private lazy val docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox"),
+      (2L, "The  Quick   Brown Fox"), // same after normalize
+      (3L, "el perro que corre es rapido de verdad"),
+      (4L, "one"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tokens / tokenCount match single-space split semantics") {
+    val r = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // split on single spaces KEEPS empty tokens ("a  b" -> [a, "", b])
+    assert(r == Map(1L -> 4, 2L -> 7, 3L -> 8, 4L -> 1, 5L -> 1))
+  }
+
+  test("normalize collapses case and whitespace; fingerprint equates 1 and 2") {
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L).matches("[0-9a-f]{32}"))
+  }
+
+  test("charChunks reassemble to the original; last chunk short") {
+    val r = docs.where(col("doc_id") === 1)
+      .select(TextAnalysis.charChunks(col("text"), 5).as("c"))
+      .head().getSeq[String](0)
+    assert(r.mkString == "the quick brown fox")
+    assert(r.forall(_.length <= 5) && r.last.length == 4)
+  }
+
+  test("wordBigrams: n-1 shingles; none for <2-token docs") {
+    val r = docs.select(col("doc_id"),
+      TextAnalysis.wordBigrams(col("text")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(r(1L) == Seq("the quick", "quick brown", "brown fox"))
+    assert(r(4L).isEmpty && r(5L).isEmpty) // no out-of-bounds bigrams
+  }
+
+  test("langId picks the marker-dominant language, und when none") {
+    val r = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "en")
+    assert(r(3L) == "es")
+    assert(r(4L) == "und" && r(5L) == "und")
+  }
+
+  test("rollingHash is order-sensitive, stable, and total on empty docs") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma"), (4L, "")).toDF("id", "text")
+    val r = d.select(col("id"), TextAnalysis.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(1L) == r(3L)) // deterministic
+    assert(r(1L) != r(2L)) // order matters
+  }
+
+  test("patternCount and stopwordCount") {
+    val s = spark; import s.implicits._
+    val d = Seq(Tuple1("a, b! c? d. e")).toDF("text")
+    assert(d.select(TextAnalysis.patternCount(col("text"), "[.,!?]"))
+      .head().getInt(0) == 4)
+    assert(d.select(TextAnalysis.stopwordCount(col("text"), Seq("a", "e", "zz")))
+      .head().getInt(0) == 1) // "a," and "d." are not bare tokens; only "e"
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val r = docs.select(TextAnalysis.qualityScore(col("text"))).collect()
+    assert(r.forall(x => x.getDouble(0) >= 0.0 && x.getDouble(0) <= 1.0))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.{Fixtures, SparkFunSuite}
+import graft.api.DedupOptions
+import graft.operators.Catalog
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class StreamingDedupSpec extends SparkFunSuite {
+
+  test("file-stream dedup: one catalog commit per micro-batch; cross-run pointers") {
+    val dir = tempDir("sstream")
+    val inDir = s"$dir/in"
+    Files.createDirectories(Paths.get(inDir))
+    val work = s"$dir/work"
+    val cat = new Catalog(spark, s"$work/catalog")
+
+    // ---- micro-batch 1: TWO files (a2 duplicates a1's content) --------
+    val dataA = Fixtures.alignedDuplicated(blocks = 256, distinct = 16, seed = 7)
+    Fixtures.writeTemp(inDir, "a1.dat", dataA)
+    Fixtures.writeTemp(inDir, "a2.dat", dataA)
+    val q1 = StreamingDedup.start(spark, inDir, work,
+      DedupOptions(chunkBytes = 64))
+    q1.awaitTermination()
+    assert(cat.currentVersion == 1,
+      s"two files in one micro-batch must commit ONCE, got v${cat.currentVersion}")
+    val filesV1 = cat.files().collect()
+    assert(filesV1.length == 2)
+
+    // a2 deduped fully against a1 (in-batch, pre-commit): every chunk of
+    // a2 is a pointer into a1's run
+    val nameA1 = filesV1.map(_.getAs[String]("filename")).sorted.head
+    val nameA2 = filesV1.map(_.getAs[String]("filename")).sorted.last
+    val fidA1 = cat.getFile(nameA1).head().getAs[Long]("file_id")
+    val encA2 = spark.read.parquet(s"$work/encoded/$nameA2.parquet")
+    assert(encA2.where(!col("is_pointer")).count() == 0)
+    assert(encA2.where(col("cat_file_id") === fidA1).count() == encA2.count())
+
+    // ---- micro-batch 2: one new file, duplicate content again --------
+    Fixtures.writeTemp(inDir, "b.dat", dataA)
+    val q2 = StreamingDedup.start(spark, inDir, work,
+      DedupOptions(chunkBytes = 64))
+    q2.awaitTermination()
+    assert(cat.currentVersion == 2, "second micro-batch = exactly one more version")
+    val nameB = cat.files().collect().map(_.getAs[String]("filename"))
+      .filter(_.startsWith("b00001")).head
+    val encB = spark.read.parquet(s"$work/encoded/$nameB.parquet")
+    // b's chunks all point at run a1's store (cross-BATCH pointers)
+    assert(encB.where(!col("is_pointer")).count() == 0)
+    assert(encB.where(col("cat_file_id") === fidA1).count() == encB.count())
+    // refs_num accumulated across batches: 16 distinct blocks cover
+    // 3 files × 256 blocks
+    assert(cat.links().agg(sum("refs_num")).head().getLong(0) == 3L * 256)
+  }
+
+  test("dedupWithinWatermark drops in-stream duplicate keys") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamingDedup.dedupWithinWatermark(
+      mem.toDF().toDF("ts", "k"), "ts", Seq("k"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dwm")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((t0, "x"), (t0, "x"), (t0, "y"))
+    q.processAllAvailable()
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "x"))
+    q.processAllAvailable()
+    val rows = spark.table("dwm").collect().map(_.getAs[String]("k"))
+    q.stop()
+    assert(rows.sorted.toSeq == Seq("x", "y")) // later x's suppressed
+  }
+
+  test("windowedCounts: tumbling event-time windows per key") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = StreamingDedup.windowedCounts(
+      mem.toDF().toDF("ts", "k"), "ts", "k", "10 minutes", "1 hour")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "b"))
+    q.processAllAvailable()
+    val rows = spark.table("wc").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws").toString,
+        r.getAs[String]("k"), r.getAs[Long]("n"))).sorted
+    q.stop()
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "a", 2L),
+      ("2024-01-01 00:00:00.0", "b", 1L),
+      ("2024-01-01 00:10:00.0", "a", 1L)))
+  }
+}
