@@ -193,6 +193,69 @@ object SparkEntry {
         .where(col("refs_num") > 1)
         .orderBy(desc("refs_num"), col("chunk_hash"))),
 
+    // ---- J1/J2: the ENGINE's dedup-encode semantics on dataset chunks —
+    //      hash every 64-char chunk, first occurrence (by doc_id, pos)
+    //      wins, later ones become pointers to it. This is Dedup.plan's
+    //      window logic, oracle-checked.
+    "q28_dedup_encode" -> ((s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.charChunks(col("text"), 64))
+            .as(Seq("pos", "chunk")))
+        .withColumn("hash", md5(col("chunk").cast("binary")))
+      val w = Window.partitionBy("hash").orderBy(col("doc_id"), col("pos"))
+      chunks
+        .withColumn("rn", row_number().over(w))
+        .withColumn("first_doc", first("doc_id").over(w))
+        .withColumn("first_pos", first("pos").over(w))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          (col("rn") > 1).as("is_pointer"),
+          when(col("rn") > 1, col("first_doc")).as("ref_doc"),
+          when(col("rn") > 1, col("first_pos").cast("long")).as("ref_pos"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // ---- J3: recovery pointer-resolve — every pointer joins back to its
+    //      first-occurrence chunk and the fetched bytes must equal the
+    //      pointer's own chunk. One row: (n_pointers, n_resolved, n_equal).
+    "q29_recovery_resolve" -> ((s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.charChunks(col("text"), 64))
+            .as(Seq("pos", "chunk")))
+        .withColumn("hash", md5(col("chunk").cast("binary")))
+      val w = Window.partitionBy("hash").orderBy(col("doc_id"), col("pos"))
+      val enc = chunks
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ref_doc", first("doc_id").over(w))
+        .withColumn("ref_pos", first("pos").over(w))
+      val ptrs = enc.where(col("rn") > 1)
+        .select(col("chunk").as("ptr_chunk"), col("ref_doc"), col("ref_pos"))
+      val targets = chunks.select(col("doc_id").as("ref_doc"),
+        col("pos").as("ref_pos"), col("chunk").as("target_chunk"))
+      ptrs.join(targets, Seq("ref_doc", "ref_pos"), "left_outer")
+        .agg(count(lit(1)).as("n_pointers"),
+          count(col("target_chunk")).as("n_resolved"),
+          sum(when(col("ptr_chunk") === col("target_chunk"), 1L)
+            .otherwise(0L)).as("n_equal"))
+    }),
+
+    // ---- O3: ordered reassembly — chunks concatenated in pos order must
+    //      reproduce every document. One row: (n_docs, n_equal).
+    "q30_ordered_reassembly" -> ((s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          posexplode(TextAnalysis.charChunks(col("text"), 64))
+            .as(Seq("pos", "chunk")))
+      chunks.groupBy("doc_id", "text")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk")), "").as("rebuilt"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rebuilt") === col("text"), 1L).otherwise(0L))
+            .as("n_equal"))
+    }),
+
     // -------- rows-only checks below (not expressible in ANSI/DuckDB SQL:
     // xxhash64 permutations, LSH banding, stub decoder) --------
 
@@ -398,6 +461,62 @@ object SparkEntry {
         |         s -> substr(text, s, 64))) AS chunk
         |  FROM documents)
         |GROUP BY 1 HAVING count(*) > 1
-        |ORDER BY refs_num DESC, chunk_hash""".stripMargin
+        |ORDER BY refs_num DESC, chunk_hash""".stripMargin,
+
+    "q28_dedup_encode" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> {'pos': CAST((s - 1) // 64 AS BIGINT),
+        |            'chunk': substr(text, s, 64)})) AS rec
+        |  FROM documents),
+        |c AS (SELECT doc_id, rec.pos AS pos, rec.chunk AS chunk,
+        |             md5(rec.chunk) AS hash FROM chunks),
+        |e AS (SELECT doc_id, pos,
+        |        row_number() OVER w AS rn,
+        |        first_value(doc_id) OVER w AS first_doc,
+        |        first_value(pos) OVER w AS first_pos
+        |      FROM c WINDOW w AS (PARTITION BY hash ORDER BY doc_id, pos))
+        |SELECT doc_id, pos, rn > 1 AS is_pointer,
+        |       CASE WHEN rn > 1 THEN first_doc END AS ref_doc,
+        |       CASE WHEN rn > 1 THEN first_pos END AS ref_pos
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
+
+    "q29_recovery_resolve" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> {'pos': CAST((s - 1) // 64 AS BIGINT),
+        |            'chunk': substr(text, s, 64)})) AS rec
+        |  FROM documents),
+        |c AS (SELECT doc_id, rec.pos AS pos, rec.chunk AS chunk,
+        |             md5(rec.chunk) AS hash FROM chunks),
+        |e AS (SELECT doc_id, pos, chunk,
+        |        row_number() OVER w AS rn,
+        |        first_value(doc_id) OVER w AS ref_doc,
+        |        first_value(pos) OVER w AS ref_pos
+        |      FROM c WINDOW w AS (PARTITION BY hash ORDER BY doc_id, pos)),
+        |p AS (SELECT chunk AS ptr_chunk, ref_doc, ref_pos FROM e WHERE rn > 1)
+        |SELECT count(*) AS n_pointers, count(t.target_chunk) AS n_resolved,
+        |       CAST(sum(CASE WHEN p.ptr_chunk = t.target_chunk
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_equal
+        |FROM p LEFT JOIN (SELECT doc_id AS ref_doc, pos AS ref_pos,
+        |                         chunk AS target_chunk FROM c) t
+        |  USING (ref_doc, ref_pos)""".stripMargin,
+
+    "q30_ordered_reassembly" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, text,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> {'pos': CAST((s - 1) // 64 AS BIGINT),
+        |            'chunk': substr(text, s, 64)})) AS rec
+        |  FROM documents),
+        |r AS (SELECT doc_id, text,
+        |        string_agg(rec.chunk, '' ORDER BY rec.pos) AS rebuilt
+        |      FROM chunks GROUP BY doc_id, text)
+        |SELECT count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN rebuilt = text THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_equal
+        |FROM r""".stripMargin
   )
 }
