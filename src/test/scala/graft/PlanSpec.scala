@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the queries must not just be correct — they must
+  * produce the plan you'd want at scale (builder brief: pushdown, pruning,
+  * broadcast). Asserted on the real sf0.001 testdata.
+  */
+class PlanSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("driver smoke: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("filter and projection reach the parquet scan (pushdown + pruning)") {
+    val df = SparkEntry.queries("q02_filter_sort_part")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(p_size,40"),
+      s"p_size > 40 must be pushed to the scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no ReadSchema in plan"))
+    assert(readSchema.contains("p_partkey") && !readSchema.contains("p_name"),
+      s"scan must prune to the 3 selected columns: $readSchema")
+  }
+
+  test("join chain broadcasts the small dimension sides (AQE)") {
+    val df = SparkEntry.queries("q03_join_agg_segment")(spark, sf)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim joins at this scale must be broadcast, got:\n$plan")
+  }
+
+  test("group-aggregates are partial (map-side combine before the shuffle)") {
+    val df = SparkEntry.queries("q01_agg_lineitem")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial_sum/partial_count markers = two-phase hash aggregation
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      s"aggregation must be map-side partial:\n$plan")
+  }
+
+  test("text projections stay in whole-stage codegen") {
+    val df = SparkEntry.queries("q10_text_stats")(spark, sf)
+    df.collect() // AQE prints codegen stage markers only in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes = operators fused into a whole-stage-codegen stage
+    assert(plan.contains("*("),
+      s"scan-speed projections must be codegen'd:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Eval UDF"),
+      "no interpreted UDFs in the text-analysis path")
+  }
+}
