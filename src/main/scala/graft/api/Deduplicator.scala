@@ -115,7 +115,12 @@ class Deduplicator(spark: SparkSession, workDir: String) {
           .toArray
         val stamped = newLinks.select(col("hash"), lit(fid).as("file_id"),
           col("line"), col("refs_num").cast("long").as("refs_num"))
-        pendingLinks = Some(pendingLinks.fold(stamped)(_ unionByName stamped))
+        val grown = pendingLinks.fold(stamped)(_ unionByName stamped)
+        // Flatten the accumulating union periodically: without this a
+        // 10k-file micro-batch would build an O(N)-deep union plan and
+        // pay O(N²) analysis across the batch.
+        pendingLinks = Some(
+          if ((i + 1) % 32 == 0) grown.localCheckpoint() else grown)
         (Catalog.RunSpec(fid, name, opts.chunkBytes, algo.name, newLinks, deltas),
           DedupResult(name, fid, total, ptrs))
       } finally encoded.unpersist()
