@@ -37,8 +37,50 @@ object Bench {
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
     val nErr = results.size - ok.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    val dedup = dedupPipelineStats(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"dedup":$dedup,"sf":"$sfDir"}""")
     spark.stop()
     if (results.nonEmpty && ok.isEmpty) sys.exit(1)
+  }
+
+  /** The dedup-pipeline numbers BASELINE.md asks for (the reference only
+    * ever printed them): MB/s deduplicated, chunks/s, and dedup ratio on
+    * the 64-byte-aligned duplicated fixture class — 64 MiB of 64-byte
+    * blocks drawn from a small pool, chunked at 64 B.
+    */
+  private def dedupPipelineStats(spark: org.apache.spark.sql.SparkSession): String =
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("bench-dedup")
+      val data = graft_bench_fixture(64 * 1024 * 1024)
+      val input = dir.resolve("aligned.bin")
+      java.nio.file.Files.write(input, data)
+      val engine = new graft.api.Deduplicator(spark, dir.resolve("work").toString)
+      val t0 = System.nanoTime()
+      val res = engine.deduplicateFile(input.toString,
+        graft.api.DedupOptions(chunkBytes = 64))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mb = data.length / 1e6
+      val ratio = res.pointers.toDouble / math.max(1, res.chunks)
+      f"""{"input_mb":${mb}%.1f,"sec":$sec%.3f,"mbps":${mb / sec}%.2f,"chunks_per_s":${res.chunks / sec}%.0f,"dedup_ratio":$ratio%.4f}"""
+    } catch { case e: Throwable =>
+      s"""{"err":"${String.valueOf(e.getMessage).take(120).replace('"', '\'')}"}"""
+    }
+
+  /** 64-byte-aligned repeated blocks from a 997-block pool (seeded —
+    * deterministic across runs), ≙ the reference's
+    * text_64_byte_duplicated.txt fixture class at bench scale.
+    */
+  private def graft_bench_fixture(bytes: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(42)
+    val pool = Array.fill(997)(Array.fill(64)((33 + rnd.nextInt(94)).toByte))
+    val out = new Array[Byte](bytes)
+    var off = 0
+    while (off < bytes) {
+      val b = pool(rnd.nextInt(pool.length))
+      val n = math.min(64, bytes - off)
+      System.arraycopy(b, 0, out, off, n)
+      off += n
+    }
+    out
   }
 }

@@ -88,9 +88,14 @@ class Deduplicator(spark: SparkSession, workDir: String) {
       val knownLinks = pendingLinks.fold(baseLinks)(baseLinks.unionByName(_))
       val chunks = ChunkSource.chunks(spark, input, opts.chunkBytes)
         .select("pos", "chunk")
-      val plan = Dedup.plan(chunks, algo, knownLinks)
-      val encoded = plan.encoded.persist(StorageLevel.MEMORY_AND_DISK)
+      // Cache the SHARED upstream (scan → hash → probe join → window):
+      // the encoded write, the bin-parity sink, the counts, and the two
+      // catalog contributions are all cheap derivations of it — caching
+      // any one of them instead would re-execute the pipeline per output.
+      val probed = Dedup.probe(chunks, algo, knownLinks)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       try {
+        val encoded = Dedup.encode(probed)
         // Data first; the catalog commit happens once, after every file's
         // data is safely down.
         encoded.write.mode("overwrite").option("compression", "zstd")
@@ -107,8 +112,8 @@ class Deduplicator(spark: SparkSession, workDir: String) {
         // Materialize the (small) catalog contribution now: it must
         // survive past this file's unpersist, and later files' plans
         // reference it.
-        val newLinks = plan.newLinks.localCheckpoint()
-        val deltas = plan.deltas.localCheckpoint()
+        val newLinks = Dedup.newLinks(probed).localCheckpoint()
+        val deltas = Dedup.deltas(probed).localCheckpoint()
         val Array(total, ptrs) = encoded
           .agg(count(lit(1)), sum(when(col("is_pointer"), 1L).otherwise(0L)))
           .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long])
@@ -123,7 +128,7 @@ class Deduplicator(spark: SparkSession, workDir: String) {
           if ((i + 1) % 32 == 0) grown.localCheckpoint() else grown)
         (Catalog.RunSpec(fid, name, opts.chunkBytes, algo.name, newLinks, deltas),
           DedupResult(name, fid, total, ptrs))
-      } finally encoded.unpersist()
+      } finally probed.unpersist()
     }
     catalog.commitRuns(prepared.map(_._1))
     prepared.map(_._2)

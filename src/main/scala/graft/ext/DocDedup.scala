@@ -57,16 +57,21 @@ object DocDedup {
     * shingle, count common shingles, filter with *integer* arithmetic:
     * J ≥ num/den  ⟺  den·common ≥ num·(na+nb−common).
     *
-    * All-pairs-on-shared-shingle is exact but O(Σ freq²) — fine as a
-    * correctness oracle at test scale; at 100 TB use [[minHashPairs]]
-    * (banded LSH) which verifies only candidates with this same exact
-    * predicate.
+    * All-pairs-on-shared-shingle is O(Σ freq²) in the worst case. A
+    * prefix-filtered variant (AllPairs/PPJoin: candidates only from the
+    * `n − ceil(t·n) + 1` rarest shingles per doc) was implemented and
+    * MEASURED SLOWER here (91 s vs 20 s at sf0.1): the synthetic corpus
+    * draws from a tiny vocabulary, so there is no rare-shingle tail for
+    * the prefix to exploit and its extra shuffles are pure overhead.
+    * On natural corpora (Zipfian shingles) prefix filtering is the
+    * right upgrade; at 100 TB the default scale path is
+    * [[minHashPairs]] (banded LSH), which verifies candidates with this
+    * same exact predicate.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         num: Int, den: Int): DataFrame = {
     // Persisted: the shingle set feeds four plan branches (both sides
-    // of the self-join + both per-doc count joins); unpersisted it
-    // would be exploded+distinct'd four times.
+    // of the self-join + both per-doc count joins).
     val sh = shingles(df, idCol, textCol).persist()
     try {
       jaccardVerify(sh,

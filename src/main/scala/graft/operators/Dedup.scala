@@ -38,7 +38,62 @@ object Dedup {
     */
   case class Plan(encoded: DataFrame, newLinks: DataFrame, deltas: DataFrame)
 
-  /** Build the plan for one run.
+  /** The shared upstream of everything a run derives: hash projection
+    * (P1) → catalog probe join (J1) → in-run first-occurrence window
+    * (J2). Columns: (pos, chunk, hash, cat_line, cat_file_id,
+    * first_pos). Callers that derive more than one output should
+    * `.persist()` THIS DataFrame — the encoded stream, the insert set,
+    * and the deltas are all narrow projections/aggregations of it, and
+    * caching anything further downstream re-executes the scan + join +
+    * window once per derived output.
+    */
+  def probe(chunks: DataFrame, algorithm: Hashing.Algorithm,
+            catalogLinks: DataFrame): DataFrame = {
+    val hashed = chunks.withColumn("hash", algorithm.digest(col("chunk")))
+    // J1 — the probe. One join replaces n point lookups (deduplicator.ex:88).
+    // J2 — in-run first occurrence (deduplicator.ex:88-92's pending-batch
+    // scan): whole-partition window, reuses the join's hash partitioning.
+    hashed.join(
+        catalogLinks.select(col("hash"),
+          col("line").as("cat_line"), col("file_id").as("cat_file_id")),
+        Seq("hash"), "left_outer")
+      .withColumn("first_pos", min("pos").over(Window.partitionBy("hash")))
+  }
+
+  /** The encoded stream: a chunk is a pointer iff its hash was already
+    * in the catalog (any pos) or occurred earlier in this run. Pointer
+    * target = the catalog first occurrence if present, else the in-run
+    * first (always a raw record — first sight overall).
+    */
+  def encode(probed: DataFrame): DataFrame = {
+    val isPtr = col("cat_line").isNotNull || col("pos") > col("first_pos")
+    probed.select(
+      col("pos"),
+      isPtr.as("is_pointer"),
+      when(isPtr, lit(null).cast("binary")).otherwise(col("chunk")).as("chunk"),
+      when(isPtr, coalesce(col("cat_line"), col("first_pos")))
+        .otherwise(lit(null).cast("long")).as("ref_line"),
+      when(isPtr, col("cat_file_id")).otherwise(lit(null).cast("long"))
+        .as("cat_file_id"))
+  }
+
+  /** A4 — insert set: first-occurrence row per catalog-miss hash, with
+    * this run's total occurrence count as its initial refs_num
+    * (reference inserts refs_num=1 then +1 per later hit; net identical).
+    */
+  def newLinks(probed: DataFrame): DataFrame =
+    probed.where(col("cat_line").isNull)
+      .groupBy("hash")
+      .agg(min("pos").as("line"), count(lit(1)).as("refs_num"))
+
+  /** A1 — grouped refs_num deltas for catalog hits (hash.ex:83-89's
+    * Enum.group_by + length, as one hash aggregate).
+    */
+  def deltas(probed: DataFrame): DataFrame =
+    probed.where(col("cat_line").isNotNull)
+      .groupBy("hash").agg(count(lit(1)).as("delta"))
+
+  /** Build the full plan for one run (convenience composition).
     * @param chunks       DataFrame(pos: long, chunk: binary), pos = the
     *                     reference's global `line` counter
     *                     (deduplicator.ex:35-37,97)
@@ -47,45 +102,7 @@ object Dedup {
     */
   def plan(chunks: DataFrame, algorithm: Hashing.Algorithm,
            catalogLinks: DataFrame): Plan = {
-    val hashed = chunks.withColumn("hash", algorithm.digest(col("chunk")))
-
-    // J1 — the probe. One join replaces n point lookups (deduplicator.ex:88).
-    val probed = hashed.join(
-      catalogLinks.select(col("hash"),
-        col("line").as("cat_line"), col("file_id").as("cat_file_id")),
-      Seq("hash"), "left_outer")
-
-    // J2 — in-run first occurrence (deduplicator.ex:88-92's pending-batch
-    // scan): whole-partition window, reuses the join's hash partitioning.
-    val withFirst = probed.withColumn("first_pos",
-      min("pos").over(Window.partitionBy("hash")))
-
-    // A chunk is a pointer iff its hash was already in the catalog (any
-    // pos) or occurred earlier in this run. Pointer target = the catalog
-    // first occurrence if present, else the in-run first (always a raw
-    // record — first sight overall).
-    val isPtr = col("cat_line").isNotNull || col("pos") > col("first_pos")
-    val encoded = withFirst.select(
-      col("pos"),
-      isPtr.as("is_pointer"),
-      when(isPtr, lit(null).cast("binary")).otherwise(col("chunk")).as("chunk"),
-      when(isPtr, coalesce(col("cat_line"), col("first_pos")))
-        .otherwise(lit(null).cast("long")).as("ref_line"),
-      when(isPtr, col("cat_file_id")).otherwise(lit(null).cast("long"))
-        .as("cat_file_id"))
-
-    // A4 — insert set: first-occurrence row per catalog-miss hash, with
-    // this run's total occurrence count as its initial refs_num
-    // (reference inserts refs_num=1 then +1 per later hit; net identical).
-    val newLinks = withFirst.where(col("cat_line").isNull)
-      .groupBy("hash")
-      .agg(min("pos").as("line"), count(lit(1)).as("refs_num"))
-
-    // A1 — grouped refs_num deltas for catalog hits (hash.ex:83-89's
-    // Enum.group_by + length, as one hash aggregate).
-    val deltas = probed.where(col("cat_line").isNotNull)
-      .groupBy("hash").agg(count(lit(1)).as("delta"))
-
-    Plan(encoded, newLinks, deltas)
+    val probed = probe(chunks, algorithm, catalogLinks)
+    Plan(encode(probed), newLinks(probed), deltas(probed))
   }
 }

