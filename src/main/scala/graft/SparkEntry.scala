@@ -256,6 +256,25 @@ object SparkEntry {
             .as("n_equal"))
     }),
 
+    // ---- §2.7/A4: set difference — nations with customers but no
+    //      high-balance ones (EXCEPT keeps SQL-set semantics: distinct)
+    "q31_set_except" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      cust.select(col("c_nationkey").cast("int").as("nk"))
+        .except(cust.where(col("c_acctbal") > 9650)
+          .select(col("c_nationkey").cast("int").as("nk")))
+        .orderBy("nk")
+    }),
+
+    // ---- A4/§2.5: exact distinct-count of chunk hashes (the catalog's
+    //      cardinality measure; HLL approx_count_distinct is the 100 TB
+    //      variant but is not oracle-comparable across engines)
+    "q32_distinct_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.charChunks(col("text"), 64)).as("chunk"))
+        .agg(countDistinct(md5(col("chunk").cast("binary"))).as("n_distinct"),
+          count(lit(1)).as("n_total"))),
+
     // -------- rows-only checks below (not expressible in ANSI/DuckDB SQL:
     // xxhash64 permutations, LSH banding, stub decoder) --------
 
@@ -503,6 +522,19 @@ object SparkEntry {
         |FROM p LEFT JOIN (SELECT doc_id AS ref_doc, pos AS ref_pos,
         |                         chunk AS target_chunk FROM c) t
         |  USING (ref_doc, ref_pos)""".stripMargin,
+
+    "q31_set_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9650
+        |ORDER BY nk""".stripMargin,
+
+    "q32_distinct_chunks" ->
+      """SELECT count(DISTINCT md5(chunk)) AS n_distinct,
+        |       count(*) AS n_total FROM (
+        |  SELECT unnest(list_transform(range(1, length(text) + 1, 64),
+        |         s -> substr(text, s, 64))) AS chunk
+        |  FROM documents)""".stripMargin,
 
     "q30_ordered_reassembly" ->
       """WITH chunks AS (

@@ -36,6 +36,42 @@ class ChunkSourceSpec extends SparkFunSuite {
     assert(rows.forall(_.getAs[Array[Byte]]("chunk").length <= 8))
   }
 
+  test("tagged .bin stream encode/parse round-trips for arbitrary record mixes (ScalaCheck)") {
+    val recGen = for {
+      isPtr <- Gen.oneOf(true, false)
+      line <- Gen.choose(0L, 9999L)
+      chunk <- Gen.nonEmptyContainerOf[Array, Byte](
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (isPtr, chunk.take(8), line)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(recGen)) { recs =>
+      // a trailing short RAW record is legal (last chunk of a file);
+      // mid-stream short records are not — pad all but the last raw rec
+      val normalized = recs.zipWithIndex.map {
+        case ((false, c, l), i) if i < recs.size - 1 =>
+          (false, c.padTo(8, 0.toByte), l)
+        case (r, _) => r
+      }
+      val bytes = normalized.flatMap { case (p, c, l) =>
+        BinFormat.encodeRecord(p, c, l)
+      }.toArray
+      val parsed = BinFormat.parse(bytes, 8)
+      parsed.size == normalized.size &&
+        parsed.zip(normalized).forall { case ((pos, isPtr, chunk, ref), (p, c, l)) =>
+          isPtr == p &&
+            (if (p) ref.contains(l)
+             else java.util.Arrays.equals(chunk, c))
+        }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pointer lines beyond the 4-digit cap fail loudly") {
+    intercept[IllegalArgumentException] {
+      BinFormat.encodeRecord(isPointer = true, Array.emptyByteArray, 10000L)
+    }
+  }
+
   test("tagged .bin record encode/parse round-trips") {
     val raw = BinFormat.encodeRecord(isPointer = false, "abcdefgh".getBytes, 0L)
     val ptr = BinFormat.encodeRecord(isPointer = true, Array.emptyByteArray, 42L)
