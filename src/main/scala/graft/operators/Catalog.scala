@@ -194,6 +194,26 @@ class Catalog(spark: SparkSession, dir: String) {
     }
   }
 
+  /** Delete version directories that the CURRENT manifest no longer
+    * references (bucket-pruned commits keep old versions partially
+    * alive — a bucket last written at v3 lives in v_000003 until some
+    * later commit rewrites it). Safe to run any time; never touches the
+    * current version or any directory holding a still-referenced
+    * bucket. Returns the versions deleted.
+    */
+  def vacuum(): Seq[Long] = {
+    val current = currentVersion
+    if (current == 0) return Seq.empty
+    val referenced = readManifest(current).values.toSet + current
+    val deletable = fs.listStatus(new Path(dir)).iterator
+      .map(_.getPath.getName)
+      .collect { case VersionRe(n) => n.toLong }
+      .filter(v => v < current && !referenced.contains(v))
+      .toSeq.sorted
+    deletable.foreach(v => fs.delete(versionDir(v), true))
+    deletable
+  }
+
   private def writeVersion(v: Long, filesDf: DataFrame,
                            changedLinks: Option[DataFrame],
                            oldManifest: Map[String, Long]): Unit = {

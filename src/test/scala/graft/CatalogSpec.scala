@@ -44,6 +44,27 @@ class CatalogSpec extends SparkFunSuite {
     assert(!new java.io.File(s"$dir/catalog/v_000003/hash_links/bucket=aa").exists())
   }
 
+  test("vacuum deletes only unreferenced versions, keeps live buckets") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-vacuum")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    // v1 writes buckets aa+bb; v2 rewrites bb only; v3 rewrites bb again
+    cat.commitRun("f1", 64, "sha",
+      Seq(("aa11", 0L, 1L), ("bb22", 1L, 1L)).toDF("hash", "line", "refs_num"), none)
+    cat.commitRun("f2", 64, "sha",
+      Seq(("bb33", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    cat.commitRun("f3", 64, "sha",
+      Seq(("bb44", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    // manifest: aa→1, bb→3. v2 is fully unreferenced; v1 still holds aa.
+    assert(cat.vacuum() == Seq(2L))
+    assert(new java.io.File(s"$dir/catalog/v_000001").exists(), "v1 holds live bucket aa")
+    assert(!new java.io.File(s"$dir/catalog/v_000002").exists(), "v2 must be gone")
+    val all = cat.links().collect().map(_.getAs[String]("hash")).sorted
+    assert(all.sameElements(Array("aa11", "bb22", "bb33", "bb44")))
+    assert(cat.vacuum().isEmpty) // idempotent
+  }
+
   test("batched commitRuns: one version bump; deltas hit the batch's own new links") {
     val s = spark; import s.implicits._
     val dir = tempDir("cat-batch")
