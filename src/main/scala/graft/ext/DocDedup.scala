@@ -25,12 +25,19 @@ object DocDedup {
   // ---------------------------------------------------------------- exact
 
   /** First-wins exact dedup: keep the lowest-`idCol` row per distinct
-    * `textCol` value — the dataset analog of the engine's in-run window
-    * (Dedup.scala J2). One shuffle on the text digest.
+    * `textCol` value — the dataset analog of the engine's in-run
+    * first-occurrence logic (Dedup.scala J2). groupBy(min) + semi-join
+    * rather than a row_number window: the aggregate partial-combines
+    * and the semi-join keys on the UNIQUE id column, so a text
+    * duplicated a billion times cannot serialize one task the way a
+    * partitionBy(digest) window would.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
-    df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val keepers = df
+      .select(col(idCol).as("__gid"), md5(col(textCol).cast("binary")).as("__h"))
+      .groupBy("__h").agg(min("__gid").as("__keep"))
+      .select("__keep")
+    df.join(keepers, col(idCol) === col("__keep"), "left_semi")
   }
 
   /** Duplicate-frequency report over documents — `chunk_repetition`

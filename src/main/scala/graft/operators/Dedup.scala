@@ -39,25 +39,39 @@ object Dedup {
   case class Plan(encoded: DataFrame, newLinks: DataFrame, deltas: DataFrame)
 
   /** The shared upstream of everything a run derives: hash projection
-    * (P1) → catalog probe join (J1) → in-run first-occurrence window
+    * (P1) → catalog probe join (J1) → in-run first-occurrence stats
     * (J2). Columns: (pos, chunk, hash, cat_line, cat_file_id,
-    * first_pos). Callers that derive more than one output should
+    * first_pos, occ). Callers that derive more than one output should
     * `.persist()` THIS DataFrame — the encoded stream, the insert set,
-    * and the deltas are all narrow projections/aggregations of it, and
-    * caching anything further downstream re-executes the scan + join +
-    * window once per derived output.
+    * and the deltas are all narrow projections/filters of it, and
+    * caching anything further downstream re-executes the scan + joins
+    * once per derived output.
+    *
+    * J2 is a groupBy(min, count) + join, NOT a window over
+    * partitionBy(hash): the aggregate partial-combines map-side and
+    * AQE can split a skewed join partition, while a window puts every
+    * row of a hot hash into one task with no mitigation — a single
+    * pathologically-duplicated chunk (zero-filled files at 100 TB)
+    * would serialize the whole stage. Carrying `occ` (per-hash
+    * occurrence count) here also makes newLinks/deltas plain filters —
+    * no second aggregation pass over the run.
     */
   def probe(chunks: DataFrame, algorithm: Hashing.Algorithm,
             catalogLinks: DataFrame): DataFrame = {
     val hashed = chunks.withColumn("hash", algorithm.digest(col("chunk")))
+    // In-run first occurrence + occurrence count, one combiner-friendly
+    // aggregate (deduplicator.ex:88-92's pending-batch scan, and
+    // hash.ex:83-89's grouped counts, fused).
+    val stats = hashed.groupBy("hash")
+      .agg(min("pos").as("first_pos"), count(lit(1)).as("occ"))
     // J1 — the probe. One join replaces n point lookups (deduplicator.ex:88).
-    // J2 — in-run first occurrence (deduplicator.ex:88-92's pending-batch
-    // scan): whole-partition window, reuses the join's hash partitioning.
+    // Both joins key on `hash`; Catalyst reuses one exchange of the
+    // chunk side across them.
     hashed.join(
         catalogLinks.select(col("hash"),
           col("line").as("cat_line"), col("file_id").as("cat_file_id")),
         Seq("hash"), "left_outer")
-      .withColumn("first_pos", min("pos").over(Window.partitionBy("hash")))
+      .join(stats, Seq("hash"))
   }
 
   /** The encoded stream: a chunk is a pointer iff its hash was already
@@ -80,18 +94,21 @@ object Dedup {
   /** A4 — insert set: first-occurrence row per catalog-miss hash, with
     * this run's total occurrence count as its initial refs_num
     * (reference inserts refs_num=1 then +1 per later hit; net identical).
+    * A filter on the probed stage — the per-hash stats already ride on
+    * every row, so the first row of each new hash IS the link row.
     */
   def newLinks(probed: DataFrame): DataFrame =
-    probed.where(col("cat_line").isNull)
-      .groupBy("hash")
-      .agg(min("pos").as("line"), count(lit(1)).as("refs_num"))
+    probed.where(col("cat_line").isNull && col("pos") === col("first_pos"))
+      .select(col("hash"), col("first_pos").as("line"),
+        col("occ").as("refs_num"))
 
   /** A1 — grouped refs_num deltas for catalog hits (hash.ex:83-89's
-    * Enum.group_by + length, as one hash aggregate).
+    * Enum.group_by + length; the count already rides on the probed
+    * rows, so the first row of each hit hash carries its delta).
     */
   def deltas(probed: DataFrame): DataFrame =
-    probed.where(col("cat_line").isNotNull)
-      .groupBy("hash").agg(count(lit(1)).as("delta"))
+    probed.where(col("cat_line").isNotNull && col("pos") === col("first_pos"))
+      .select(col("hash"), col("occ").as("delta"))
 
   /** Build the full plan for one run (convenience composition).
     * @param chunks       DataFrame(pos: long, chunk: binary), pos = the
