@@ -14,6 +14,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // A broken query must be VISIBLE as an error entry, never disguised
     // as a timing (round-1 verdict item, "What's wrong" #4).
+    // (jsonStr escapes all JSON-hostile chars; exception messages are
+    // routinely multi-line.)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
@@ -24,15 +26,10 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
     val qs = results.map {
-      case (k, v, None) => s"${q(k)}:$v"
+      case (k, v, None) => s"${jsonStr(k)}:$v"
       case (k, _, Some(e)) =>
-        s"${q(k)}:{${q("err")}:${q(String.valueOf(e.getMessage).take(300))}}"
+        s"${jsonStr(k)}:{${jsonStr("err")}:${jsonStr(String.valueOf(e.getMessage).take(300))}}"
     }.mkString("{", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
@@ -51,7 +48,7 @@ object Bench {
   private def dedupPipelineStats(spark: org.apache.spark.sql.SparkSession): String =
     try {
       val dir = java.nio.file.Files.createTempDirectory("bench-dedup")
-      val data = graft_bench_fixture(64 * 1024 * 1024)
+      val data = benchFixture(64 * 1024 * 1024)
       val input = dir.resolve("aligned.bin")
       java.nio.file.Files.write(input, data)
       val engine = new graft.api.Deduplicator(spark, dir.resolve("work").toString)
@@ -63,14 +60,21 @@ object Bench {
       val ratio = res.pointers.toDouble / math.max(1, res.chunks)
       f"""{"input_mb":${mb}%.1f,"sec":$sec%.3f,"mbps":${mb / sec}%.2f,"chunks_per_s":${res.chunks / sec}%.0f,"dedup_ratio":$ratio%.4f}"""
     } catch { case e: Throwable =>
-      s"""{"err":"${String.valueOf(e.getMessage).take(120).replace('"', '\'')}"}"""
+      s"""{"err":${jsonStr(String.valueOf(e.getMessage).take(300))}}"""
     }
+
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
 
   /** 64-byte-aligned repeated blocks from a 997-block pool (seeded —
     * deterministic across runs), ≙ the reference's
-    * text_64_byte_duplicated.txt fixture class at bench scale.
+    * text_64_byte_duplicated.txt fixture class at bench scale. Shared
+    * with ProfileApp so profile and bench numbers stay comparable.
     */
-  private def graft_bench_fixture(bytes: Int): Array[Byte] = {
+  private[graft] def benchFixture(bytes: Int): Array[Byte] = {
     val rnd = new scala.util.Random(42)
     val pool = Array.fill(997)(Array.fill(64)((33 + rnd.nextInt(94)).toByte))
     val out = new Array[Byte](bytes)

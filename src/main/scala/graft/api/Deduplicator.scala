@@ -79,14 +79,15 @@ class Deduplicator(spark: SparkSession, workDir: String) {
 
     var pendingLinks: Option[DataFrame] = None
     val prepared = inputs.zipWithIndex.map { case (input, i) =>
-      requireSingleFile(input)
+      val status = requireSingleFile(input)
       val fid = fidBase + i
       val name =
         if (outputNames.nonEmpty) outputNames(i)
         else if (inputs.size == 1) opts.outputName.getOrElse(generateName(input))
         else opts.outputName.map(n => s"$n-$i").getOrElse(generateName(input))
       val knownLinks = pendingLinks.fold(baseLinks)(baseLinks.unionByName(_))
-      val chunks = ChunkSource.chunks(spark, input, opts.chunkBytes)
+      // Reuse the guard's FileStatus — no second driver-side glob per file.
+      val chunks = ChunkSource.chunksOfFile(spark, status, opts.chunkBytes)
         .select("pos", "chunk")
       // Cache the SHARED upstream (scan → hash → probe join → window):
       // the encoded write, the bin-parity sink, the counts, and the two
@@ -153,14 +154,16 @@ class Deduplicator(spark: SparkSession, workDir: String) {
   /** A run's `pos` column is per-file; a glob matching several files
     * would silently collide positions (ADVICE round-3 item). Multi-file
     * corpora go through [[deduplicateBatch]] / graft.streaming instead.
+    * Returns the resolved FileStatus so the scan needn't re-glob.
     */
-  private def requireSingleFile(input: String): Unit = {
+  private def requireSingleFile(input: String): org.apache.hadoop.fs.FileStatus = {
     val p = new org.apache.hadoop.fs.Path(input)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     require(matches.size == 1 && matches.head.isFile,
       s"deduplicateFile needs exactly one file; '$input' matches " +
         s"${matches.size} path(s) — use deduplicateBatch for multi-file input")
+    matches.head
   }
 
   /** Output-name generation ≙ P5 (deduplicator.ex:217-224 uses

@@ -48,8 +48,11 @@ object TextAnalysis {
     * `transform`/`substring`. Last chunk may be short.
     */
   def charChunks(text: Column, n: Int): Column =
-    transform(sequence(lit(1), length(text), lit(n)),
-      s => text.substr(s, lit(n)))
+    // Guard: sequence(1, 0, n) with an explicit positive step THROWS on
+    // empty text (same Spark edge as wordBigrams' descending sequence).
+    when(length(text) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text), lit(n)),
+        s => text.substr(s, lit(n))))
 
   /** Word bigram shingles (adjacent-token pairs), the unit for n-gram
     * Jaccard near-dup detection. Empty for docs with < 2 tokens.

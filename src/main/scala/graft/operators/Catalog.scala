@@ -73,10 +73,20 @@ class Catalog(spark: SparkSession, dir: String) {
       .parquet(new Path(versionDir(v), "files").toString)
   }
 
-  /** bucket → version that last rewrote that bucket, at version `v`. */
+  /** bucket → version that last rewrote that bucket, at version `v`.
+    * A committed version without a MANIFEST (written by a pre-manifest
+    * layout) degrades gracefully: every bucket directory physically
+    * present under that version is treated as written there.
+    */
   private def readManifest(v: Long): Map[String, Long] =
     if (v == 0) Map.empty
-    else {
+    else if (!fs.exists(new Path(versionDir(v), "MANIFEST"))) {
+      val linksDir = new Path(versionDir(v), "hash_links")
+      if (!fs.exists(linksDir)) Map.empty
+      else fs.listStatus(linksDir).iterator
+        .map(_.getPath.getName)
+        .collect { case BucketRe(b) => b -> v }.toMap
+    } else {
       val in = fs.open(new Path(versionDir(v), "MANIFEST"))
       val text = try {
         val buf = new java.io.ByteArrayOutputStream()
@@ -161,6 +171,11 @@ class Catalog(spark: SparkSession, dir: String) {
         runs.map(r => (r.fileId, r.filename, r.chunkBytes, r.algorithm)))
         .toDF("file_id", "filename", "chunk_bytes", "algorithm"))
 
+    // Materialized once: these plans execute twice below (the touched-
+    // bucket collect AND the merged write). Without pinning, a caller's
+    // non-deterministic input could yield different buckets in the two
+    // executions — and a bucket written but absent from `touched` would
+    // silently drop its pre-existing rows.
     val allNew = runs.map { r =>
       r.newLinks.select(col("hash"), lit(r.fileId).as("file_id"),
         col("line"), col("refs_num").cast(LongType).as("refs_num"))
@@ -169,11 +184,13 @@ class Catalog(spark: SparkSession, dir: String) {
       // construction even if a caller's newLinks overlaps the catalog
       // (idempotent re-runs).
       .join(oldLinks.select("hash"), Seq("hash"), "left_anti")
+      .localCheckpoint()
 
     val allDeltas = runs.map(_.deltas.select(col("hash"),
         col("delta").cast(LongType).as("delta")))
       .reduce(_ unionByName _)
       .groupBy("hash").agg(sum("delta").as("delta"))
+      .localCheckpoint()
 
     // Buckets this commit touches; everything else is carried forward by
     // manifest reference. Tiny: ≤ 256 values.

@@ -52,10 +52,8 @@ object ChunkSource {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    if (matches.size == 1 && matches.head.isFile
-        && matches.head.getLen >= HugeFileThreshold)
-      chunksOfHugeFile(spark, matches.head.getPath.toString,
-        matches.head.getLen, chunkBytes)
+    if (matches.size == 1 && matches.head.isFile)
+      chunksOfFile(spark, matches.head, chunkBytes)
     else {
       val splitUdf = udf((content: Array[Byte]) => split(content, chunkBytes))
       spark.read
@@ -71,6 +69,25 @@ object ChunkSource {
     * chunks). 32 MB balances task count against per-task overhead.
     */
   val HugeFileSplitBytes: Long = 32L * 1024 * 1024
+
+  /** Chunk one already-resolved file — callers that have a FileStatus in
+    * hand (Deduplicator's single-file guard) use this to avoid a second
+    * driver-side glob round-trip per file.
+    */
+  def chunksOfFile(spark: SparkSession,
+                   status: org.apache.hadoop.fs.FileStatus,
+                   chunkBytes: Int): DataFrame =
+    if (status.getLen >= HugeFileThreshold)
+      chunksOfHugeFile(spark, status.getPath.toString, status.getLen, chunkBytes)
+    else {
+      val splitUdf = udf((content: Array[Byte]) => split(content, chunkBytes))
+      spark.read
+        .format("binaryFile")
+        .load(status.getPath.toString)
+        .select(col("path").as("file"), splitUdf(col("content")).as("parts"))
+        .select(col("file"), posexplode(col("parts")))
+        .select(col("file"), col("pos").cast("long").as("pos"), col("col").as("chunk"))
+    }
 
   /** Splittable scan of ONE huge file — the cluster-scale analog of the
     * reference's lazy stream (files.ex:45-56): the driver plans

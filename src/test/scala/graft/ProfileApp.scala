@@ -16,14 +16,9 @@ object ProfileApp {
       println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    // 67 MB aligned fixture, like Bench's dedup pipeline stat
-    val rnd = new scala.util.Random(42)
-    val pool = Array.fill(997)(Array.fill(64)((33 + rnd.nextInt(94)).toByte))
-    val data = new Array[Byte](64 * 1024 * 1024)
-    var off = 0
-    while (off < data.length) {
-      System.arraycopy(pool(rnd.nextInt(pool.length)), 0, data, off, 64); off += 64
-    }
+    // the same aligned fixture Bench's dedup pipeline stat uses, so the
+    // stage timings here are comparable to the bench numbers
+    val data = Bench.benchFixture(64 * 1024 * 1024)
     val dir = java.nio.file.Files.createTempDirectory("prof")
     val input = dir.resolve("aligned.bin")
     java.nio.file.Files.write(input, data)

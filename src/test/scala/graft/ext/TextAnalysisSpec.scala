@@ -39,6 +39,11 @@ class TextAnalysisSpec extends SparkFunSuite {
       .head().getSeq[String](0)
     assert(r.mkString == "the quick brown fox")
     assert(r.forall(_.length <= 5) && r.last.length == 4)
+    // empty text must yield no chunks, not an Illegal-sequence error
+    val empty = docs.where(col("doc_id") === 5)
+      .select(TextAnalysis.charChunks(col("text"), 5).as("c"))
+      .head().getSeq[String](0)
+    assert(empty.isEmpty)
   }
 
   test("wordBigrams: n-1 shingles; none for <2-token docs") {
