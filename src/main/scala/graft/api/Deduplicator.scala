@@ -62,10 +62,14 @@ class Deduplicator(spark: SparkSession, workDir: String) {
     deduplicateBatch(Seq(input), opts).head
 
   /** Dedupe a batch of files against (and into) the catalog with ONE
-    * catalog commit — the streaming micro-batch path. Files are planned
-    * in order, each against base-catalog ∪ earlier files' pending links,
-    * so in-batch cross-file duplicates become pointers exactly as they
-    * would across sequential commits; only the version bump is batched.
+    * distributed plan and ONE catalog commit — the streaming micro-batch
+    * path. All files are scanned together; the first occurrence of each
+    * hash across the whole batch is the minimum (file-index, pos) under
+    * the caller's input order, so in-batch cross-file duplicates become
+    * pointers exactly as they would across sequential per-file runs —
+    * but a 10k-file batch costs one job chain, not 10k sequential ones.
+    * Encoded outputs land as one partitioned write renamed into the
+    * per-file directories.
     */
   def deduplicateBatch(inputs: Seq[String],
                        opts: DedupOptions = DedupOptions(),
@@ -73,66 +77,125 @@ class Deduplicator(spark: SparkSession, workDir: String) {
     if (inputs.isEmpty) return Seq.empty
     require(outputNames.isEmpty || outputNames.size == inputs.size,
       s"outputNames (${outputNames.size}) must match inputs (${inputs.size})")
+    require(inputs.distinct.size == inputs.size,
+      "duplicate input paths in one batch would collide on output names")
     val algo = Hashing.resolve(opts.algorithm)
     val fidBase = catalog.nextFileId
-    val baseLinks = catalog.links()
-
-    var pendingLinks: Option[DataFrame] = None
-    val prepared = inputs.zipWithIndex.map { case (input, i) =>
-      val status = requireSingleFile(input)
-      val fid = fidBase + i
-      val name =
-        if (outputNames.nonEmpty) outputNames(i)
-        else if (inputs.size == 1) opts.outputName.getOrElse(generateName(input))
-        else opts.outputName.map(n => s"$n-$i").getOrElse(generateName(input))
-      val knownLinks = pendingLinks.fold(baseLinks)(baseLinks.unionByName(_))
-      // Reuse the guard's FileStatus — no second driver-side glob per file.
-      val chunks = ChunkSource.chunksOfFile(spark, status, opts.chunkBytes)
-        .select("pos", "chunk")
-      // Cache the SHARED upstream (scan → hash → probe join → window):
-      // the encoded write, the bin-parity sink, the counts, and the two
-      // catalog contributions are all cheap derivations of it — caching
-      // any one of them instead would re-execute the pipeline per output.
-      val probed = Dedup.probe(chunks, algo, knownLinks)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val encoded = Dedup.encode(probed)
-        // Data first; the catalog commit happens once, after every file's
-        // data is safely down.
-        encoded.write.mode("overwrite").option("compression", "zstd")
-          .parquet(parquetPath(name))
-        if (opts.binParity) {
-          BinFormat.write(encoded, binPath(name))
-          if (opts.compress) { // files.ex:64-94 + deduplicator.ex:46-50
-            BinFormat.zipFile(binPath(name), binPath(name) + ".zip",
-              spark.sparkContext.hadoopConfiguration)
-            BinFormat.deleteFile(binPath(name),
-              spark.sparkContext.hadoopConfiguration)
-          }
-        }
-        // Materialize the (small) catalog contribution now: it must
-        // survive past this file's unpersist, and later files' plans
-        // reference it.
-        val newLinks = Dedup.newLinks(probed).localCheckpoint()
-        val deltas = Dedup.deltas(probed).localCheckpoint()
-        val Array(total, ptrs) = encoded
-          .agg(count(lit(1)), sum(when(col("is_pointer"), 1L).otherwise(0L)))
-          .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long])
-          .toArray
-        val stamped = newLinks.select(col("hash"), lit(fid).as("file_id"),
-          col("line"), col("refs_num").cast("long").as("refs_num"))
-        val grown = pendingLinks.fold(stamped)(_ unionByName stamped)
-        // Flatten the accumulating union periodically: without this a
-        // 10k-file micro-batch would build an O(N)-deep union plan and
-        // pay O(N²) analysis across the batch.
-        pendingLinks = Some(
-          if ((i + 1) % 32 == 0) grown.localCheckpoint() else grown)
-        (Catalog.RunSpec(fid, name, opts.chunkBytes, algo.name, newLinks, deltas),
-          DedupResult(name, fid, total, ptrs))
-      } finally probed.unpersist()
+    val statuses = inputs.map(requireSingleFile)
+    val names = inputs.zipWithIndex.map { case (input, i) =>
+      if (outputNames.nonEmpty) outputNames(i)
+      else if (inputs.size == 1) opts.outputName.getOrElse(generateName(input))
+      else opts.outputName.map(n => s"$n-$i").getOrElse(generateName(input))
     }
-    catalog.commitRuns(prepared.map(_._1))
-    prepared.map(_._2)
+
+    // ---- one scan of the whole batch → (fidx, pos, chunk) ----
+    val chunked =
+      if (inputs.size == 1)
+        // single file keeps the ranged huge-file path
+        ChunkSource.chunksOfFile(spark, statuses.head, opts.chunkBytes)
+          .select(lit(0).as("fidx"), col("pos"), col("chunk"))
+      else {
+        val pathToIdx = spark.createDataFrame(
+          statuses.map(_.getPath.toString).zipWithIndex)
+          .toDF("file", "fidx")
+        ChunkSource.chunksOfFiles(spark,
+            statuses.map(_.getPath.toString), opts.chunkBytes)
+          .join(broadcast(pathToIdx), "file")
+          .select("fidx", "pos", "chunk")
+      }
+
+    // ---- one probe: hash → batch-global first occurrence → catalog ----
+    val hashed = chunked.withColumn("hash", algo.digest(col("chunk")))
+    val stats = hashed.groupBy("hash")
+      .agg(min(struct(col("fidx"), col("pos"))).as("first"),
+        count(lit(1)).as("occ"))
+    val probed = hashed
+      .join(catalog.links().select(col("hash"),
+          col("line").as("cat_line"), col("file_id").as("cat_file_id")),
+        Seq("hash"), "left_outer")
+      .join(stats, Seq("hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val isPtr = col("cat_line").isNotNull ||
+        struct(col("fidx"), col("pos")) > col("first")
+      // Pointer target: the catalog row if the hash predates the batch;
+      // else the batch-first occurrence — cross-FILE references carry the
+      // (pre-assigned) file_id of the owning run, in-file ones stay null.
+      val refLine = when(col("cat_line").isNotNull, col("cat_line"))
+        .otherwise(col("first.pos"))
+      val refFile = when(col("cat_line").isNotNull, col("cat_file_id"))
+        .otherwise(when(col("first.fidx") =!= col("fidx"),
+          col("first.fidx").cast("long") + fidBase))
+      val encodedAll = probed.select(
+        col("fidx"), col("pos"),
+        isPtr.as("is_pointer"),
+        when(isPtr, lit(null).cast("binary")).otherwise(col("chunk")).as("chunk"),
+        when(isPtr, refLine).otherwise(lit(null).cast("long")).as("ref_line"),
+        when(isPtr, refFile).otherwise(lit(null).cast("long")).as("cat_file_id"))
+
+      // ---- data first: one partitioned write, renamed per file ----
+      val staging = s"$workDir/encoded/.staging-${java.util.UUID.randomUUID()}"
+      encodedAll.write.option("compression", "zstd")
+        .partitionBy("fidx").parquet(staging)
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val emptyEncoded = Dedup.encode(
+        Dedup.probe(hashed.where(lit(false)).select("pos", "chunk"),
+          algo, catalog.links()))
+      names.zipWithIndex.foreach { case (name, i) =>
+        val src = new org.apache.hadoop.fs.Path(staging, s"fidx=$i")
+        val dst = new org.apache.hadoop.fs.Path(parquetPath(name))
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+        else // a zero-chunk (empty) input still needs a readable table
+          emptyEncoded.write.mode("overwrite").parquet(dst.toString)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      if (opts.binParity) names.zipWithIndex.foreach { case (name, i) =>
+        BinFormat.write(
+          encodedAll.where(col("fidx") === i).drop("fidx"), binPath(name))
+        if (opts.compress) { // files.ex:64-94 + deduplicator.ex:46-50
+          BinFormat.zipFile(binPath(name), binPath(name) + ".zip",
+            spark.sparkContext.hadoopConfiguration)
+          BinFormat.deleteFile(binPath(name),
+            spark.sparkContext.hadoopConfiguration)
+        }
+      }
+
+      // ---- catalog contributions (small) + per-file counts, then the
+      //      single commit, LAST ----
+      val newLinksAll = probed
+        .where(col("cat_line").isNull &&
+          struct(col("fidx"), col("pos")) === col("first"))
+        .select(col("fidx"), col("hash"), col("pos").as("line"),
+          col("occ").as("refs_num"))
+        .localCheckpoint()
+      val deltasAll = probed
+        .where(col("cat_line").isNotNull &&
+          struct(col("fidx"), col("pos")) === col("first"))
+        .select(col("hash"), col("occ").as("delta"))
+        .localCheckpoint()
+      val countRows = probed.groupBy("fidx")
+        .agg(count(lit(1)).as("n"),
+          sum(when(isPtr, 1L).otherwise(0L)).as("ptrs"))
+        .collect()
+        .map(r => r.getAs[Int]("fidx") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("ptrs"))).toMap
+      val emptyDeltas = deltasAll.where(lit(false))
+      val specs = names.zipWithIndex.map { case (name, i) =>
+        Catalog.RunSpec(fidBase + i, name, opts.chunkBytes, algo.name,
+          newLinksAll.where(col("fidx") === i).select("hash", "line", "refs_num"),
+          // refs_num of in-batch new links already counts the whole
+          // batch, so catalog deltas exist only for pre-batch hashes;
+          // they are attached to the first run (commitRuns merges all)
+          if (i == 0) deltasAll else emptyDeltas)
+      }
+      catalog.commitRuns(specs)
+      names.zipWithIndex.map { case (name, i) =>
+        val (n, p) = countRows.getOrElse(i, (0L, 0L))
+        DedupResult(name, fidBase + i, n, p)
+      }
+    } finally probed.unpersist()
   }
 
   /** Recover a deduplicated run to its original bytes at `outputPath`. */

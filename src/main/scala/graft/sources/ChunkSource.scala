@@ -70,6 +70,22 @@ object ChunkSource {
     */
   val HugeFileSplitBytes: Long = 32L * 1024 * 1024
 
+  /** Chunk MANY already-resolved files in one scan — one binaryFile load
+    * of the whole list (the batch path; one task per file). Files above
+    * the whole-file comfort zone should go through [[chunksOfHugeFile]]
+    * individually.
+    */
+  def chunksOfFiles(spark: SparkSession, paths: Seq[String],
+                    chunkBytes: Int): DataFrame = {
+    val splitUdf = udf((content: Array[Byte]) => split(content, chunkBytes))
+    spark.read
+      .format("binaryFile")
+      .load(paths: _*)
+      .select(col("path").as("file"), splitUdf(col("content")).as("parts"))
+      .select(col("file"), posexplode(col("parts")))
+      .select(col("file"), col("pos").cast("long").as("pos"), col("col").as("chunk"))
+  }
+
   /** Chunk one already-resolved file — callers that have a FileStatus in
     * hand (Deduplicator's single-file guard) use this to avoid a second
     * driver-side glob round-trip per file.
