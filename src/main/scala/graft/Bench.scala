@@ -16,7 +16,7 @@ object Bench {
     // as a timing (round-1 verdict item, "What's wrong" #4).
     // (jsonStr escapes all JSON-hostile chars; exception messages are
     // routinely multi-line.)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
@@ -24,7 +24,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Some(e)
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Reset session state between queries: localCheckpoint()ed RDDs
+      // from pair/ANN operators stay pinned in executor storage until
+      // GC'd, and 30+ queries of accumulated blocks + broadcasts skew
+      // later measurements badly (observed 8s -> 99s for the same query).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      (name, sec, err)
     }
     val qs = results.map {
       case (k, v, None) => s"${jsonStr(k)}:$v"

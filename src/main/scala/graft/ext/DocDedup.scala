@@ -141,11 +141,13 @@ object DocDedup {
     val sh = shingles(df, idCol, textCol).persist()
     // Band signature = one hash over the band's `rows` minima, emitted
     // for all bands from ONE pass over the signature matrix
-    // (posexplode of an array, pos ≙ band index). A per-band
-    // union would replicate the whole minhash aggregation `bands`
-    // times into each side of the self-join below — 32 redundant
-    // executions of the heaviest stage (measured 19 s vs 4 s on 500
-    // docs; at 100 TB it would be 32 corpus scans instead of 1).
+    // (posexplode of an array, pos ≙ band index). Two measured
+    // alternatives are slower: a per-band union replicates the whole
+    // minhash aggregation into each self-join side (32 executions,
+    // 19 s vs 4 s on 500 docs), and an explode-the-permutation-index
+    // narrow aggregation shuffles |shingles|×128 rows (62 s vs 22 s at
+    // sf0.1) — the 128-wide aggregate's one-time codegen cost is the
+    // cheaper trade.
     val sig = minHashSignatures(sh, bands * rows)
     val bandSigs = (0 until bands).map { b =>
       xxhash64((0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)

@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float|double> columns, computed in double
-    * in element order (deterministic across engines).
+  /** Dot product of two array<float> columns, computed in double in
+    * element order (deterministic across engines) — the native
+    * codegen'd expression (graft.functions.VecExpressions.VecDot); the
+    * interpreted `aggregate(zip_with(...))` built-in formulation it
+    * replaces is bit-identical but pays a lambda dispatch per element.
+    * Callers outside the operators below must
+    * `VecExpressions.register(spark)` first (the operators do it
+    * themselves).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -45,6 +50,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VecExpressions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
@@ -59,29 +65,17 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit,
-    * dim): a sign in {−1, +1} derived from a splitmix-style avalanche of
-    * the coordinates. Sign-random-projection with ±1 components is the
-    * standard SimHash-for-vectors construction (Charikar '02); no RNG
-    * state needed, so executors regenerate planes locally — nothing is
-    * shipped.
-    */
-  private def planeSign(table: Int, bit: Int, dim: Column): Column = {
-    val h = xxhash64(lit(table), lit(bit), dim)
-    when(h.bitwiseAND(1) === 0, lit(1.0)).otherwise(lit(-1.0))
-  }
-
   /** `bits`-bit random-hyperplane signature of a vector column for LSH
-    * table `table`: bit j = sign(Σ_d ±v[d]).
+    * table `table`: bit j = sign(Σ_d ±v[d]), the ± signs drawn from
+    * xxhash64(table, j, d) — sign-random-projection with ±1 components
+    * (Charikar '02). Native expression
+    * (graft.functions.VecExpressions.VecLshSignature): the hyperplane
+    * sign matrix is row-independent, so it is hashed once per executor
+    * and cached, where the built-in `zip_with`+`aggregate` formulation
+    * re-hashed every (bit, dim) per ROW, interpreted.
     */
   def lshSignature(vec: Column, bits: Int, table: Int): Column =
-    (0 until bits).map { j =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, d) => v.cast("double") * planeSign(table, j, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    call_function("graft_vec_lsh_sig", vec, lit(bits), lit(table))
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * a signature bucket with the query in ANY of `tables` tables; exact
@@ -97,6 +91,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               bits: Int = 8, tables: Int = 4): DataFrame = {
+    graft.functions.VecExpressions.register(corpus.sparkSession)
     // All `tables` signatures come from ONE projection per input
     // (posexplode, pos ≙ table index) — a per-table union would scan
     // and re-hash the corpus `tables` times.
@@ -135,6 +130,7 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double,
                          bits: Int = 8, tables: Int = 6): DataFrame = {
+    graft.functions.VecExpressions.register(df.sparkSession)
     // Slim signatures (id, tbl, sig) are computed ONCE and cached: the
     // signature expression (tables × bits aggregates over the vector)
     // is the most expensive projection here and feeds both self-join

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path (SURVEY §2.9;
+  * builder brief: "a native Catalyst `Expression` (with doGenCode)
+  * beats a Scala UDF beats anything else").
+  *
+  * Spark's built-in route for vector math is higher-order functions
+  * (`zip_with` + `aggregate`), which evaluate INTERPRETED — one lambda
+  * dispatch and boxed accumulator per element per row. For ANN over
+  * `array<float>` embeddings that overhead dominates the actual FLOPs,
+  * and for LSH signatures the built-in formulation must also rehash the
+  * (table, bit, dim) hyperplane per element per ROW even though it is
+  * row-independent. These two expressions close exactly that gap and
+  * nothing more; everything else in the engine stays on built-ins.
+  */
+object VecExpressions {
+
+  private def checkFloatArray(dt: DataType, side: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$side must be array<float>, got ${other.simpleString}")
+    }
+
+  /** Dot product of two float vectors, accumulated left-to-right in
+    * double — bit-identical to the `aggregate(zip_with(...))` built-in
+    * formulation it replaces (±1·x and f2d conversions are exact), but
+    * fully inside whole-stage codegen. Null elements count as 0;
+    * length mismatch uses the shorter vector.
+    */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArray(left.dataType, "left") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          checkFloatArray(right.dataType, "right")
+        case f => f
+      }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i))
+          s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double acc = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
+           |    acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+           |  }
+           |}
+           |${ev.value} = acc;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `bits`-bit random-hyperplane LSH signature of a float vector for
+    * table `table` (Charikar '02 sign-random-projection): bit j =
+    * sign(Σ_d ±v[d]), the ± drawn from xxhash64(table, j, d) — the SAME
+    * chained-int hash the Column formulation used, so signatures are
+    * bit-identical to it. The hyperplane sign matrix depends only on
+    * (table, bits, dim), so it is computed once per executor per dim
+    * and cached — the built-in formulation rehashed it per element per
+    * row. Codegen emits one virtual call into [[computeSig]]'s tight
+    * primitive loop (via addReferenceObj), keeping the projection
+    * inside the whole-stage pipeline.
+    */
+  case class VecLshSignature(child: Expression, bits: Int, table: Int)
+      extends UnaryExpression {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArray(child.dataType, "input")
+
+    @transient private lazy val signCache =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Float]]]()
+
+    private def signs(dim: Int): Array[Array[Float]] =
+      signCache.computeIfAbsent(dim, _ => {
+        val tableSeed = XXH64.hashInt(table, 42L)
+        Array.tabulate(bits, dim) { (j, d) =>
+          val h = XXH64.hashInt(d, XXH64.hashInt(j, tableSeed))
+          if ((h & 1L) == 0L) 1.0f else -1.0f
+        }
+      })
+
+    def computeSig(arr: ArrayData): Long = {
+      val n = arr.numElements()
+      val sg = signs(n)
+      var result = 0L
+      var j = 0
+      while (j < bits) {
+        val row = sg(j)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) s += (arr.getFloat(i) * row(i)).toDouble
+          i += 1
+        }
+        if (s > 0) result |= 1L << j
+        j += 1
+      }
+      result
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      computeSig(input.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftLsh", this,
+        classOf[VecLshSignature].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeSig($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → (info, builder), the shape SparkSessionExtensions.injectFunction
+    * and FunctionRegistry.registerFunction share.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))),
+    (FunctionIdentifier("graft_vec_lsh_sig"),
+      new ExpressionInfo(classOf[VecLshSignature].getName, "graft_vec_lsh_sig"),
+      (es: Seq[Expression]) => VecLshSignature(es(0),
+        litInt(es(1), "bits"), litInt(es(2), "table"))))
+
+  /** Idempotently register the functions in an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
+  }
+}
+
+/** Config-time injection: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * makes the vector functions available in every session of the app.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VecExpressions.functions.foreach(ext.injectFunction)
+}

@@ -15,6 +15,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.VecExpressions.register(s)
     s
   }
 }
