@@ -29,8 +29,11 @@ object Bench {
       // from pair/ANN operators stay pinned in executor storage until
       // GC'd, and 30+ queries of accumulated blocks + broadcasts skew
       // later measurements badly (observed 8s -> 99s for the same query).
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // BLOCKING unpersist + explicit GC so cleanup lands between
+      // measurements, not inside the next one.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
+      System.gc()
       (name, sec, err)
     }
     val qs = results.map {
