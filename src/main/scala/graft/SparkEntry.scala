@@ -275,6 +275,16 @@ object SparkEntry {
         .agg(countDistinct(md5(col("chunk").cast("binary"))).as("n_distinct"),
           count(lit(1)).as("n_total"))),
 
+    // ---- ext/TextAnalysis: BPE-ish regex pre-tokenization (token count
+    //      + order-sensitive digest of the token stream)
+    "q33_text_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          md5(array_join(TextAnalysis.bpeTokens(col("text")), "\u0001")
+            .cast("binary")).as("tok_md5"))
+        .orderBy("doc_id")),
+
     // -------- rows-only checks below (not expressible in ANSI/DuckDB SQL:
     // xxhash64 permutations, LSH banding, stub decoder) --------
 
@@ -535,6 +545,16 @@ object SparkEntry {
         |  SELECT unnest(list_transform(range(1, length(text) + 1, 64),
         |         s -> substr(text, s, 64))) AS chunk
         |  FROM documents)""".stripMargin,
+
+    "q33_text_bpe_tokens" -> {
+      // the pattern contains an apostrophe → double it for the SQL literal
+      val pat = TextAnalysis.BpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '$pat')) AS n_bpe,
+         |       md5(array_to_string(regexp_extract_all(text, '$pat'),
+         |           chr(1))) AS tok_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q30_ordered_reassembly" ->
       """WITH chunks AS (

@@ -47,6 +47,10 @@ object Multimodal {
     def decode(bytes: Array[Byte]): MediaMeta
     /** Extract a fixed-width feature vector (embedding stand-in). */
     def features(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Re-encode the blob at (w × h); real impls call the codec's
+      * scaler, the stub emits a deterministic w·h·3 RGB-shaped buffer.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
   /** Deterministic fake decoder — STUB for the real codec (no media libs
@@ -80,6 +84,11 @@ object Multimodal {
     override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val h = hash(bytes)
       Array.tabulate(dim)(i => (mix(h + i).toDouble / Long.MaxValue).toFloat)
+    }
+
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val seed = hash(bytes)
+      Array.tabulate(w * h * 3)(i => (mix(seed + i) & 0xFF).toByte)
     }
   }
 
@@ -116,6 +125,27 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map(r => Row.fromSeq(r.toSeq :+
         decoder.features(r.getAs[Array[Byte]](idx), dim).toSeq))
+    }(enc)
+  }
+
+  /** Resize/transcode a binary media column to (w × h) — per-partition
+    * map, same shape as [[decodeMeta]]; the resized bytes replace the
+    * original column (schema unchanged, so downstream stages are
+    * oblivious). Poison blobs yield an empty output rather than killing
+    * the job.
+    */
+  def resizeMedia(df: DataFrame, binCol: String, w: Int, h: Int,
+                  decoder: Decoder = StubDecoder): DataFrame = {
+    require(w > 0 && h > 0, s"target size must be positive, got ${w}x$h")
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val resized =
+          try decoder.resize(r.getAs[Array[Byte]](idx), w, h)
+          catch { case _: Exception => Array.emptyByteArray }
+        Row.fromSeq(r.toSeq.updated(idx, resized))
+      }
     }(enc)
   }
 

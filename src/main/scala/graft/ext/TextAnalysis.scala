@@ -21,6 +21,20 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword pre-tokenization: the GPT-2-style split (leading-
+    * space word/number/punctuation runs + English contractions),
+    * restricted to the regex subset BOTH java.util.regex and RE2
+    * support (no lookahead), so the DuckDB oracle can reproduce it
+    * exactly. One codegen'd `regexp_extract_all` — no UDF.
+    */
+  val BpePattern: String =
+    "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Number of tokens that appear in `stopwords` — the integer core of a
     * stopword-ratio quality signal (ratios are left to the caller so the
     * correctness oracle can stay in exact integer arithmetic).

@@ -46,6 +46,20 @@ class MultimodalSpec extends SparkFunSuite {
     assert(sim.length == 1 && sim.head.getAs[Long]("query_id") == 1L)
   }
 
+  test("resizeMedia: deterministic w*h*3 output in place; poison blob -> empty") {
+    val out = Multimodal.resizeMedia(blobs, "blob", 8, 6)
+      .select("id", "blob").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Array[Byte]]("blob")).toMap
+    assert(out(1L).length == 8 * 6 * 3 && out(3L).length == 8 * 6 * 3)
+    assert(!java.util.Arrays.equals(out(1L), out(3L))) // distinct inputs differ
+    // schema unchanged → composes with the rest of the pipeline
+    assert(Multimodal.resizeMedia(blobs, "blob", 8, 6).schema == blobs.schema)
+    val again = Multimodal.resizeMedia(blobs, "blob", 8, 6)
+      .select("id", "blob").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Array[Byte]]("blob")).toMap
+    assert(java.util.Arrays.equals(out(1L), again(1L)))
+  }
+
   test("sampleFrames: stride-sampled fixed windows with frame indexes") {
     val s = spark; import s.implicits._
     val ten = Seq((1L, "0123456789".getBytes("UTF-8"))).toDF("id", "blob")

@@ -82,6 +82,18 @@ class TextAnalysisSpec extends SparkFunSuite {
       .head().getInt(0) == 1) // "a," and "d." are not bare tokens; only "e"
   }
 
+  test("bpeTokens: GPT-2-style splits incl. contractions, lossless concat") {
+    val s = spark; import s.implicits._
+    val d = Seq(Tuple1("it's a test-case, 42 tokens!")).toDF("text")
+    val toks = d.select(TextAnalysis.bpeTokens(col("text"))).head().getSeq[String](0)
+    assert(toks == Seq("it", "'s", " a", " test", "-", "case", ",", " 42",
+      " tokens", "!"))
+    assert(toks.mkString == "it's a test-case, 42 tokens!") // lossless
+    // total on degenerate docs
+    val e = Seq(Tuple1("")).toDF("text")
+    assert(e.select(TextAnalysis.bpeTokenCount(col("text"))).head().getInt(0) == 0)
+  }
+
   test("qualityScore stays in [0,1]") {
     val r = docs.select(TextAnalysis.qualityScore(col("text"))).collect()
     assert(r.forall(x => x.getDouble(0) >= 0.0 && x.getDouble(0) <= 1.0))
