@@ -275,6 +275,31 @@ object SparkEntry {
         .agg(countDistinct(md5(col("chunk").cast("binary"))).as("n_distinct"),
           count(lit(1)).as("n_total"))),
 
+    // ---- §2.8: SLIDING event-time windows (10 min window, 5 min slide —
+    //      every event lands in exactly two windows); ns → µs precision
+    //      is irrelevant at 5-minute granularity
+    "q34_events_sliding" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          window(expr("timestamp_micros(ts div 1000)"),
+            "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")),
+
+    // ---- O-level OLAP: ROLLUP over (year, status) with grouping ids
+    "q35_rollup_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .rollup(col("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(coalesce(col("yr").cast("string"), lit("ALL")).as("yr_s"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          col("n"), col("gid").cast("long").as("gid"))
+        .orderBy("gid", "yr_s", "st")),
+
     // ---- ext/TextAnalysis: BPE-ish regex pre-tokenization (token count
     //      + order-sensitive digest of the token stream)
     "q33_text_bpe_tokens" -> ((s, dir) =>
@@ -545,6 +570,27 @@ object SparkEntry {
         |  SELECT unnest(list_transform(range(1, length(text) + 1, 64),
         |         s -> substr(text, s, 64))) AS chunk
         |  FROM documents)""".stripMargin,
+
+    "q34_events_sliding" ->
+      """SELECT w_start, event_type, count(*) AS n FROM (
+        |  SELECT CAST(make_timestamp(w_start_ms * 1000) AS VARCHAR) AS w_start,
+        |         event_type
+        |  FROM (
+        |    SELECT unnest([
+        |             (epoch_ms(ts) // 300000) * 300000 - 300000,
+        |             (epoch_ms(ts) // 300000) * 300000]) AS w_start_ms,
+        |           event_type
+        |    FROM events))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q35_rollup_orders" ->
+      """SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr_s,
+        |       coalesce(o_orderstatus, 'ALL') AS st,
+        |       count(*) AS n,
+        |       GROUPING(yr, o_orderstatus) AS gid
+        |FROM (SELECT year(o_orderdate) AS yr, o_orderstatus FROM orders)
+        |GROUP BY ROLLUP (yr, o_orderstatus)
+        |ORDER BY gid, yr_s, st""".stripMargin,
 
     "q33_text_bpe_tokens" -> {
       // the pattern contains an apostrophe → double it for the SQL literal
