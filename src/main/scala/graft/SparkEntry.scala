@@ -275,6 +275,17 @@ object SparkEntry {
         .agg(countDistinct(md5(col("chunk").cast("binary"))).as("n_distinct"),
           count(lit(1)).as("n_total"))),
 
+    // ---- A-level: exact interpolated percentiles (linear-interpolation
+    //      percentile_cont in both engines; l_quantity is whole-valued
+    //      so interpolation stays exactly representable)
+    "q36_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.99)").as("p99"))
+        .orderBy("l_returnflag")),
+
     // ---- §2.8: SLIDING event-time windows (10 min window, 5 min slide —
     //      every event lands in exactly two windows); ns → µs precision
     //      is irrelevant at 5-minute granularity
@@ -570,6 +581,13 @@ object SparkEntry {
         |  SELECT unnest(list_transform(range(1, length(text) + 1, 64),
         |         s -> substr(text, s, 64))) AS chunk
         |  FROM documents)""".stripMargin,
+
+    "q36_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90,
+        |       quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_events_sliding" ->
       """SELECT w_start, event_type, count(*) AS n FROM (
