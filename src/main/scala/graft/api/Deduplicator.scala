@@ -87,22 +87,30 @@ class Deduplicator(spark: SparkSession, workDir: String) {
       else if (inputs.size == 1) opts.outputName.getOrElse(generateName(input))
       else opts.outputName.map(n => s"$n-$i").getOrElse(generateName(input))
     }
+    // e.g. same basename from two dirs: the second rename would destroy
+    // the first file's encoded output and corrupt cross-file pointers
+    require(names.distinct.size == names.size,
+      s"duplicate output names in one batch: ${names.diff(names.distinct).distinct}")
 
-    // ---- one scan of the whole batch → (fidx, pos, chunk) ----
-    val chunked =
-      if (inputs.size == 1)
-        // single file keeps the ranged huge-file path
-        ChunkSource.chunksOfFile(spark, statuses.head, opts.chunkBytes)
-          .select(lit(0).as("fidx"), col("pos"), col("chunk"))
-      else {
-        val pathToIdx = spark.createDataFrame(
-          statuses.map(_.getPath.toString).zipWithIndex)
-          .toDF("file", "fidx")
-        ChunkSource.chunksOfFiles(spark,
-            statuses.map(_.getPath.toString), opts.chunkBytes)
-          .join(broadcast(pathToIdx), "file")
-          .select("fidx", "pos", "chunk")
-      }
+    // ---- one scan of the whole batch → (fidx, pos, chunk). Small files
+    // share one binaryFile load; each huge file keeps its own ranged
+    // splittable scan (no 2 GB ceiling, no one-task-per-file skew) ----
+    val chunked = {
+      val pathToIdx = spark.createDataFrame(
+        statuses.map(_.getPath.toString).zipWithIndex)
+        .toDF("file", "fidx")
+      val (huge, small) = statuses.partition(
+        _.getLen >= ChunkSource.HugeFileThreshold)
+      val parts =
+        (if (small.isEmpty) Nil
+         else Seq(ChunkSource.chunksOfFiles(spark,
+           small.map(_.getPath.toString), opts.chunkBytes))) ++
+          huge.map(st => ChunkSource.chunksOfHugeFile(spark,
+            st.getPath.toString, st.getLen, opts.chunkBytes))
+      parts.reduce(_ unionByName _)
+        .join(broadcast(pathToIdx), "file")
+        .select("fidx", "pos", "chunk")
+    }
 
     // ---- one probe: hash → batch-global first occurrence → catalog ----
     val hashed = chunked.withColumn("hash", algo.digest(col("chunk")))
@@ -146,9 +154,18 @@ class Deduplicator(spark: SparkSession, workDir: String) {
         val src = new org.apache.hadoop.fs.Path(staging, s"fidx=$i")
         val dst = new org.apache.hadoop.fs.Path(parquetPath(name))
         if (fs.exists(dst)) fs.delete(dst, true)
-        if (fs.exists(src)) fs.rename(src, dst)
-        else // a zero-chunk (empty) input still needs a readable table
+        if (fs.exists(src)) {
+          // Hadoop rename signals failure by RETURN VALUE; ignoring it
+          // would delete dst above, drop the staged data below, and
+          // still commit the catalog — silent data loss.
+          require(fs.rename(src, dst), s"rename $src -> $dst failed")
+        } else {
+          // Only a genuinely empty input may produce no staged
+          // partition; anything else means its chunks were lost.
+          require(statuses(i).getLen == 0,
+            s"no staged output for non-empty input ${inputs(i)}")
           emptyEncoded.write.mode("overwrite").parquet(dst.toString)
+        }
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       if (opts.binParity) names.zipWithIndex.foreach { case (name, i) =>

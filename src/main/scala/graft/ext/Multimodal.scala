@@ -87,6 +87,9 @@ object Multimodal {
     }
 
     override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // a real codec cannot scale a blob it cannot decode — mirror that,
+      // so resizeMedia's poison→empty error channel is exercised
+      require(bytes != null && bytes.nonEmpty, "undecodable blob")
       val seed = hash(bytes)
       Array.tabulate(w * h * 3)(i => (mix(seed + i) & 0xFF).toByte)
     }

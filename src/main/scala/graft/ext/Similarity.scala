@@ -30,8 +30,13 @@ object Similarity {
     * `VecExpressions.register(spark)` first (the operators do it
     * themselves).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = {
+    // best-effort: make standalone Column use work without an explicit
+    // VecExpressions.register call (operators register their own session)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VecExpressions.register)
     call_function("graft_vec_dot", a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -74,8 +79,11 @@ object Similarity {
     * and cached, where the built-in `zip_with`+`aggregate` formulation
     * re-hashed every (bit, dim) per ROW, interpreted.
     */
-  def lshSignature(vec: Column, bits: Int, table: Int): Column =
+  def lshSignature(vec: Column, bits: Int, table: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VecExpressions.register)
     call_function("graft_vec_lsh_sig", vec, lit(bits), lit(table))
+  }
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * a signature bucket with the query in ANY of `tables` tables; exact

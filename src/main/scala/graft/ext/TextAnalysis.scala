@@ -24,11 +24,15 @@ object TextAnalysis {
   /** BPE-ish subword pre-tokenization: the GPT-2-style split (leading-
     * space word/number/punctuation runs + English contractions),
     * restricted to the regex subset BOTH java.util.regex and RE2
-    * support (no lookahead), so the DuckDB oracle can reproduce it
-    * exactly. One codegen'd `regexp_extract_all` — no UDF.
+    * support — no lookahead, and whitespace spelled as an explicit
+    * class because the `\s` SHORTHAND diverges between the dialects
+    * (Java includes \x0B, RE2 does not). One codegen'd
+    * `regexp_extract_all` — no UDF.
     */
-  val BpePattern: String =
-    "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  val BpePattern: String = {
+    val ws = " \\t\\n\\x0B\\f\\r"
+    s"'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"
+  }
 
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))

@@ -23,54 +23,76 @@ import org.apache.spark.sql.types._
   */
 object VecExpressions {
 
-  private def checkFloatArray(dt: DataType, side: String): TypeCheckResult =
+  private def checkNumericArray(dt: DataType, side: String): TypeCheckResult =
     dt match {
-      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"$side must be array<float>, got ${other.simpleString}")
+        s"$side must be array<float> or array<double>, got ${other.simpleString}")
     }
 
-  /** Dot product of two float vectors, accumulated left-to-right in
-    * double — bit-identical to the `aggregate(zip_with(...))` built-in
-    * formulation it replaces (±1·x and f2d conversions are exact), but
-    * fully inside whole-stage codegen. Null elements count as 0;
-    * length mismatch uses the shorter vector.
+  private def getter(dt: DataType): String = dt match {
+    case ArrayType(DoubleType, _) => "getDouble"
+    case _ => "getFloat"
+  }
+
+  /** Dot product of two float/double vectors, accumulated left-to-right
+    * in double — bit-identical to the `aggregate(zip_with(...))` built-in
+    * formulation it replaces, INCLUDING its null semantics: a length
+    * mismatch or any null element yields NULL (zip_with null-pads and
+    * null poisons the fold), so corrupt/ragged embeddings are excluded
+    * from similarity results rather than silently truncated.
     */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
-      checkFloatArray(left.dataType, "left") match {
+      checkNumericArray(left.dataType, "left") match {
         case TypeCheckResult.TypeCheckSuccess =>
-          checkFloatArray(right.dataType, "right")
+          checkNumericArray(right.dataType, "right")
         case f => f
       }
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      val xd = left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+      val yd = right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
       var s = 0.0
       var i = 0
       while (i < n) {
-        if (!x.isNullAt(i) && !y.isNullAt(i))
-          s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+        val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+        s += xv * yv
         i += 1
       }
       s
     }
-    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val gx = getter(left.dataType)
+      val gy = getter(right.dataType)
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // fresh names: several VecDots (cosine = 3) can share one
+        // codegen scope; fixed locals would collide and kick the whole
+        // stage back to interpreted execution
+        val n = ctx.freshName("vdN")
+        val acc = ctx.freshName("vdAcc")
+        val i = ctx.freshName("vdI")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double acc = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-           |    acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
-           |  }
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |double $acc = 0.0;
+           |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+           |  else { $acc += (double) $a.$gx($i) * (double) $b.$gy($i); }
            |}
-           |${ev.value} = acc;
+           |${ev.value} = $acc;
            |""".stripMargin
       })
+    }
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -92,7 +114,7 @@ object VecExpressions {
     require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
-      checkFloatArray(child.dataType, "input")
+      checkNumericArray(child.dataType, "input")
 
     @transient private lazy val signCache =
       new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Float]]]()
@@ -106,6 +128,9 @@ object VecExpressions {
         }
       })
 
+    @transient private lazy val isDouble =
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
     def computeSig(arr: ArrayData): Long = {
       val n = arr.numElements()
       val sg = signs(n)
@@ -116,7 +141,10 @@ object VecExpressions {
         var s = 0.0
         var i = 0
         while (i < n) {
-          if (!arr.isNullAt(i)) s += (arr.getFloat(i) * row(i)).toDouble
+          if (!arr.isNullAt(i)) {
+            val v = if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
+            s += v * row(i)
+          }
           i += 1
         }
         if (s > 0) result |= 1L << j

@@ -74,7 +74,12 @@ object StreamingDedup {
 
   private def nameFor(path: String, batchId: Long): String = {
     val base = new org.apache.hadoop.fs.Path(path).getName
-    f"b$batchId%05d-$base%s.bin"
+    // full-path digest prefix: two files with the same basename in
+    // different dirs of one micro-batch must not collide on output name
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tag = md.digest(path.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    f"b$batchId%05d-$tag-$base%s.bin"
   }
 
   /** Pure-streaming duplicate suppression with bounded state: first

@@ -52,6 +52,7 @@ class MultimodalSpec extends SparkFunSuite {
       .map(r => r.getAs[Long]("id") -> r.getAs[Array[Byte]]("blob")).toMap
     assert(out(1L).length == 8 * 6 * 3 && out(3L).length == 8 * 6 * 3)
     assert(!java.util.Arrays.equals(out(1L), out(3L))) // distinct inputs differ
+    assert(out(2L).isEmpty, "undecodable blob must degrade to empty, not fail")
     // schema unchanged → composes with the rest of the pipeline
     assert(Multimodal.resizeMedia(blobs, "blob", 8, 6).schema == blobs.schema)
     val again = Multimodal.resizeMedia(blobs, "blob", 8, 6)

@@ -19,6 +19,24 @@ class VecExpressionsSpec extends SparkFunSuite {
     assert(rows(1).isNullAt(1)) // null input → null, not a crash
   }
 
+  test("graft_vec_dot: length mismatch and null elements yield NULL (HOF parity)") {
+    VecExpressions.register(spark)
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f), Array(1f, 1f)),                      // ragged
+      (2L, Array(1f, 2f), Array(1f, 1f))
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+        call_function("graft_vec_dot", col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L).isEmpty, "ragged vectors must yield NULL, not a truncated dot")
+    assert(rows(2L).contains(3.0))
+    // double arrays accepted too
+    val dd = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(dd.select(call_function("graft_vec_dot", col("a"), col("b")))
+      .head().getDouble(0) == 11.0)
+  }
+
   test("graft_vec_dot matches the interpreted HOF formulation bit-for-bit") {
     VecExpressions.register(spark)
     val s = spark; import s.implicits._
