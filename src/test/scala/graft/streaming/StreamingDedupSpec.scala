@@ -29,9 +29,11 @@ class StreamingDedupSpec extends SparkFunSuite {
     assert(filesV1.length == 2)
 
     // a2 deduped fully against a1 (in-batch, pre-commit): every chunk of
-    // a2 is a pointer into a1's run
-    val nameA1 = filesV1.map(_.getAs[String]("filename")).sorted.head
-    val nameA2 = filesV1.map(_.getAs[String]("filename")).sorted.last
+    // a2 is a pointer into a1's run. Output names embed a path-digest
+    // tag, so resolve by the basename suffix, not by sort order.
+    val allNames = filesV1.map(_.getAs[String]("filename"))
+    val nameA1 = allNames.find(_.endsWith("-a1.dat.bin")).get
+    val nameA2 = allNames.find(_.endsWith("-a2.dat.bin")).get
     val fidA1 = cat.getFile(nameA1).head().getAs[Long]("file_id")
     val encA2 = spark.read.parquet(s"$work/encoded/$nameA2.parquet")
     assert(encA2.where(!col("is_pointer")).count() == 0)
