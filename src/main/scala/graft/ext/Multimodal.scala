@@ -95,6 +95,92 @@ object Multimodal {
     }
   }
 
+  /** Real image decoder on the JDK's built-in `javax.imageio` readers
+    * (PNG/JPEG/BMP/GIF/WBMP) — zero external dependencies, so "no media
+    * libraries in this container" stops applying to images. All three
+    * operations are deterministic: decode reads the header-declared
+    * geometry, resize renders through a bilinear `Graphics2D` scale and
+    * re-encodes as PNG, features are a luminance-grid signature.
+    *
+    * [[StubDecoder]] stays the default parameter everywhere: the oracle
+    * queries feed arbitrary text bytes through the decode path and need
+    * a metadata row for EVERY blob; pipelines over real image corpora
+    * pass this decoder explicitly.
+    */
+  object ImageIoDecoder extends Decoder {
+    // Executors have no display; BufferedImage/Graphics2D are fine
+    // headless but the first AWT touch must not try to connect to one.
+    private lazy val imageIo: Unit = {
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
+    }
+
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      require(bytes != null && bytes.nonEmpty, "empty blob")
+      imageIo
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "unrecognized image format")
+      img
+    }
+
+    override def decode(bytes: Array[Byte]): MediaMeta =
+      if (bytes == null || bytes.isEmpty)
+        MediaMeta(0, 0, 0, 0L, ok = false, "empty blob")
+      else {
+        imageIo
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) match {
+          case null =>
+            MediaMeta(0, 0, 0, 0L, ok = false, "unrecognized image format")
+          case img => MediaMeta(img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, 0L, ok = true, null)
+        }
+      }
+
+    /** Luminance means over a near-square `dim`-cell grid — a cheap,
+      * deterministic visual signature whose output feeds [[Similarity]]
+      * exactly like any other embedding column.
+      */
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      require(dim > 0, s"feature dim must be positive, got $dim")
+      val img = read(bytes)
+      val cols = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val rows = math.ceil(dim.toDouble / cols).toInt
+      val acc = new Array[Double](dim)
+      val cnt = new Array[Long](dim)
+      var y = 0
+      while (y < img.getHeight) {
+        val cellRow = y * rows / img.getHeight
+        var x = 0
+        while (x < img.getWidth) {
+          val cell = math.min(dim - 1, cellRow * cols + x * cols / img.getWidth)
+          val rgb = img.getRGB(x, y)
+          acc(cell) += (((rgb >> 16) & 0xFF) * 299L +
+            ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L) / 1000.0
+          cnt(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (cnt(i) == 0) 0f else (acc(i) / cnt(i) / 255.0).toFloat)
+    }
+
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = read(bytes)
+      val scaled = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", out)
+      out.toByteArray
+    }
+  }
+
   /** Decode a binary column into a metadata struct — per-partition map,
     * decoder instantiated once per task, errors captured in-row.
     */

@@ -98,6 +98,65 @@ object VecExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Popcount of the bitwise AND of two `array<bigint>` bitmaps — the
+    * set-intersection cardinality for dense bitmap-encoded sets (the
+    * exact-Jaccard verify kernel in [[graft.ext.DocDedup]]). Null
+    * semantics mirror [[VecDot]]: a length mismatch or null element
+    * yields NULL. As a codegen'd primitive loop over `ArrayData` it
+    * avoids the per-row Seq[Long] boxing a Scala UDF pays — at 10⁷
+    * candidate pairs that conversion dominates the actual popcounts.
+    */
+  case class BitmapAndCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    private def checkLongArray(dt: DataType, side: String): TypeCheckResult =
+      dt match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$side must be array<bigint>, got ${other.simpleString}")
+      }
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArray(left.dataType, "left") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          checkLongArray(right.dataType, "right")
+        case f => f
+      }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var c = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        c += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+        i += 1
+      }
+      c
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("bcN")
+        val acc = ctx.freshName("bcAcc")
+        val i = ctx.freshName("bcI")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |long $acc = 0L;
+           |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+           |  else { $acc += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i)); }
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** `bits`-bit random-hyperplane LSH signature of a float vector for
     * table `table` (Charikar '02 sign-random-projection): bit j =
     * sign(Σ_d ±v[d]), the ± drawn from xxhash64(table, j, d) — the SAME
@@ -113,6 +172,7 @@ object VecExpressions {
       extends UnaryExpression {
     require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
     override def dataType: DataType = LongType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       checkNumericArray(child.dataType, "input")
 
@@ -131,20 +191,30 @@ object VecExpressions {
     @transient private lazy val isDouble =
       child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
-    def computeSig(arr: ArrayData): Long = {
+    /** Boxed so a null ELEMENT can poison the whole signature to NULL —
+      * the same semantics as the `aggregate(zip_with(...))` Column
+      * formulation this expression replaced (a corrupt/ragged embedding
+      * must drop out of LSH bucketing, exactly as it drops out of
+      * [[VecDot]]-based verification — never hash as if its nulls were
+      * zeros).
+      */
+    def computeSig(arr: ArrayData): java.lang.Long = {
       val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        i += 1
+      }
       val sg = signs(n)
       var result = 0L
       var j = 0
       while (j < bits) {
         val row = sg(j)
         var s = 0.0
-        var i = 0
+        i = 0
         while (i < n) {
-          if (!arr.isNullAt(i)) {
-            val v = if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
-            s += v * row(i)
-          }
+          val v = if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
+          s += v * row(i)
           i += 1
         }
         if (s > 0) result |= 1L << j
@@ -158,7 +228,14 @@ object VecExpressions {
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("graftLsh", this,
         classOf[VecLshSignature].getName)
-      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeSig($c);")
+      nullSafeCodeGen(ctx, ev, c => {
+        val sig = ctx.freshName("lshSig")
+        s"""
+           |java.lang.Long $sig = $ref.computeSig($c);
+           |if ($sig == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $sig.longValue(); }
+           |""".stripMargin
+      })
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -180,7 +257,10 @@ object VecExpressions {
     (FunctionIdentifier("graft_vec_lsh_sig"),
       new ExpressionInfo(classOf[VecLshSignature].getName, "graft_vec_lsh_sig"),
       (es: Seq[Expression]) => VecLshSignature(es(0),
-        litInt(es(1), "bits"), litInt(es(2), "table"))))
+        litInt(es(1), "bits"), litInt(es(2), "table"))),
+    (FunctionIdentifier("graft_bitmap_and_count"),
+      new ExpressionInfo(classOf[BitmapAndCount].getName, "graft_bitmap_and_count"),
+      (es: Seq[Expression]) => BitmapAndCount(es(0), es(1))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -45,6 +45,69 @@ class DocDedupSpec extends SparkFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  /** Reference implementation: the unfiltered all-shared-shingle join
+    * (round-4's plan) — the semantic definition the two-tier candidate
+    * generation must reproduce exactly.
+    */
+  private def naivePairs(corpus: org.apache.spark.sql.DataFrame,
+                         num: Int, den: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val sh = DocDedup.shingles(corpus, "doc_id", "text")
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    sh.toDF("id_a", "shingle").join(sh.toDF("id_b", "shingle"), "shingle")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(counts.toDF("id_a", "na"), "id_a")
+      .join(counts.toDF("id_b", "nb"), "id_b")
+      .where(lit(den) * col("common") >=
+        lit(num) * (col("na") + col("nb") - col("common")))
+      .select("id_a", "id_b", "common", "na", "nb")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("common"), r.getAs[Long]("na"), r.getAs[Long]("nb")))
+      .toSet
+  }
+
+  test("ngramJaccardPairs two-tier candidates are complete: equals the naive " +
+    "join for every τ, on both verify paths (bitmap + fallback)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val hotW = Vector("alpha", "beta", "gamma", "delta")
+    val rareW = Vector.tabulate(300)(i => s"w$i")
+    // hot-dominated cluster: near-identical docs of hot words ONLY — their
+    // pairs share no rare shingle and exist solely via tier 2
+    val base = Array.fill(30)(hotW(rnd.nextInt(hotW.size)))
+    val cluster = (0 until 6).map { i =>
+      val a = base.clone()
+      (0 until i).foreach(_ => a(rnd.nextInt(a.length)) = hotW(rnd.nextInt(hotW.size)))
+      (100L + i, a.mkString(" "))
+    }
+    // background docs mixing hot and rare words
+    val bg = (0 until 40).map { i =>
+      val words = Seq.fill(20)(
+        if (rnd.nextInt(10) < 3) hotW(rnd.nextInt(hotW.size))
+        else rareW(rnd.nextInt(rareW.size)))
+      (200L + i, words.mkString(" "))
+    }
+    // a planted rare-shingle near-dup pair (tier 1)
+    val r = Seq.fill(25)(rareW(rnd.nextInt(rareW.size))).mkString(" ")
+    val corpus = (cluster ++ bg ++ Seq((300L, r), (301L, r + " extra")))
+      .toDF("doc_id", "text")
+    val expected = naivePairs(corpus, 7, 10)
+    assert(expected.exists(p => p._1 >= 100L && p._2 < 200L),
+      "fixture must exercise tier 2 (hot-only pairs)")
+    assert(expected.exists(p => p._1 == 300L && p._2 == 301L),
+      "fixture must exercise tier 1 (rare-shingle pair)")
+    for (tau <- Seq(1, 5, 1000); denseMax <- Seq(0, 65536)) {
+      val got = DocDedup
+        .ngramJaccardPairsImpl(corpus, "doc_id", "text", 7, 10, tau, denseMax)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("common"), r.getAs[Long]("na"), r.getAs[Long]("nb")))
+        .toSet
+      assert(got == expected, s"mismatch at tau=$tau denseMaxBits=$denseMax")
+    }
+  }
+
   test("minHashPairs recovers the planted near-dups (banded LSH + verify)") {
     val pairs = DocDedup.minHashPairs(docs, "doc_id", "text", 7, 10)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))

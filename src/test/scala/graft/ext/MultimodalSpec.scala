@@ -61,6 +61,66 @@ class MultimodalSpec extends SparkFunSuite {
     assert(java.util.Arrays.equals(out(1L), again(1L)))
   }
 
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 2654435 + y * 40503 + seed * 7919) & 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoDecoder: real PNG geometry; resize round-trips through the codec") {
+    val png = pngBytes(32, 20, 7)
+    val m = Multimodal.ImageIoDecoder.decode(png)
+    assert(m.ok && m.width == 32 && m.height == 20 && m.channels == 3)
+    // non-image bytes are flagged in the meta, not thrown
+    val bad = Multimodal.ImageIoDecoder.decode("not an image".getBytes("UTF-8"))
+    assert(!bad.ok && bad.error == "unrecognized image format")
+    assert(!Multimodal.ImageIoDecoder.decode(Array.emptyByteArray).ok)
+    // resize emits a real, decodable PNG at the target geometry —
+    // deterministically
+    val resized = Multimodal.ImageIoDecoder.resize(png, 8, 6)
+    val m2 = Multimodal.ImageIoDecoder.decode(resized)
+    assert(m2.ok && m2.width == 8 && m2.height == 6)
+    assert(java.util.Arrays.equals(resized,
+      Multimodal.ImageIoDecoder.resize(png, 8, 6)))
+    // features: fixed width, [0,1], deterministic, discriminative
+    val fa = Multimodal.ImageIoDecoder.features(png, 8)
+    val fb = Multimodal.ImageIoDecoder.features(pngBytes(16, 16, 99), 8)
+    assert(fa.length == 8 && fb.length == 8)
+    assert(fa.forall(v => v >= 0f && v <= 1f))
+    assert(!java.util.Arrays.equals(fa, fb))
+    assert(java.util.Arrays.equals(fa, Multimodal.ImageIoDecoder.features(png, 8)))
+  }
+
+  test("ImageIoDecoder: through decodeMeta/extractFeatures/resizeMedia on executors") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, pngBytes(32, 20, 7)), (2L, pngBytes(16, 16, 99)),
+      (3L, "poison, not an image".getBytes("UTF-8"))).toDF("id", "blob")
+    val meta = Multimodal.decodeMeta(df, "blob", Multimodal.ImageIoDecoder)
+      .select(col("id"), col("media.*")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Boolean]("ok"))).toMap
+    assert(meta(1L) == ((32, 20, true)) && meta(2L) == ((16, 16, true)))
+    assert(!meta(3L)._3, "poison blob must flag in-row, not kill the job")
+    // resize in place: images become 8x6 PNGs, poison degrades to empty
+    val rs = Multimodal.resizeMedia(df, "blob", 8, 6, Multimodal.ImageIoDecoder)
+      .select("id", "blob").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Array[Byte]]("blob")).toMap
+    assert(Multimodal.ImageIoDecoder.decode(rs(1L)).width == 8)
+    assert(Multimodal.ImageIoDecoder.decode(rs(2L)).height == 6)
+    assert(rs(3L).isEmpty)
+    // feature extraction over the image rows feeds Similarity directly
+    val f = Multimodal.extractFeatures(
+      df.where(col("id") < 3), "blob", 8, Multimodal.ImageIoDecoder)
+    val rows = f.select("id", "features").collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Float](1)).toMap
+    assert(rows(1L).length == 8 && rows(1L) != rows(2L))
+  }
+
   test("sampleFrames: stride-sampled fixed windows with frame indexes") {
     val s = spark; import s.implicits._
     val ten = Seq((1L, "0123456789".getBytes("UTF-8"))).toDF("id", "blob")
