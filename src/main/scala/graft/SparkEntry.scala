@@ -375,7 +375,137 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.rollingHash(col("text")).as("rh"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- ext/DocDedup: PLANTED exact dedup — the sf corpora contain no
+    //      duplicate documents, so q12/q13 never exercise the dedup
+    //      branch at the gate (round-4 verdict, "What's missing" #1).
+    //      UNION ALL an id-shifted copy: 1000 rows in, 500 keepers out,
+    //      every keeper the ORIGINAL (lower) id.
+    "q37_dedup_planted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      DocDedup.exactDedup(planted, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ext/DocDedup: planted duplicate-frequency report — every
+    //      group has refs_num = 2 and first_id = the original doc_id.
+    "q38_dedup_planted_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      DocDedup.exactDupReport(planted, "doc_id", "text")
+    }),
+
+    // ---- A2/A4/J4/S7/S8 as an oracle row: two-run catalog commit with
+    //      refs_num accumulation, through the REAL versioned-parquet
+    //      Catalog (not a SQL simulation on the Spark side). Run 1
+    //      inserts the even-doc chunk links; run 2 inserts the odd-doc
+    //      links — new hashes as inserts, already-known hashes as
+    //      refs_num deltas (the reference's on_conflict/update flow).
+    "q39_catalog_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q39-catalog").toString
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.charChunks(col("text"), 64))
+            .as(Seq("pos", "chunk")))
+        .select(col("doc_id"),
+          md5(col("chunk").cast("binary")).as("hash"),
+          (col("doc_id") * 1000000L + col("pos")).as("gl"))
+      val r1 = chunks.where(col("doc_id") % 2 === 0)
+      val r2 = chunks.where(col("doc_id") % 2 === 1)
+      val cat = new graft.operators.Catalog(s, tmp)
+      val noDeltas = r1.where(lit(false))
+        .select(col("hash"), lit(0L).as("delta"))
+      cat.commitRun("run1", 64, "md5",
+        r1.groupBy("hash").agg(min("gl").as("line"),
+          count(lit(1)).as("refs_num")),
+        noDeltas)
+      val known = cat.links().select("hash")
+      cat.commitRun("run2", 64, "md5",
+        r2.join(known, Seq("hash"), "left_anti")
+          .groupBy("hash").agg(min("gl").as("line"),
+            count(lit(1)).as("refs_num")),
+        r2.join(known, Seq("hash"), "left_semi")
+          .groupBy("hash").agg(count(lit(1)).as("delta")))
+      val out = cat.links()
+        .select("hash", "file_id", "line", "refs_num")
+        .orderBy("hash")
+        .localCheckpoint() // materialize before the temp catalog is deleted
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+      out
+    }),
+
+    // ---- RECALL GATE for the MinHash LSH tier (round-4 verdict,
+    //      "What's missing" #2): exact n-gram Jaccard pairs vs banded-LSH
+    //      pairs over the same corpus slice. A green hash-match asserts
+    //      recall = 100% AND zero extras — the oracle row is
+    //      (n_exact, n_exact, 0), so any miss or spurious pair breaks it.
+    //      Sliced to doc_id < 1000 so the bench does not re-pay the full
+    //      q15+q19 cost (at the sf0.01 gate the slice IS the full corpus).
+    "q40_lsh_recall_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+      val exact = DocDedup.ngramJaccardPairs(docs, "doc_id", "text", 7, 10)
+        .select(col("id_a"), col("id_b"), lit(1L).as("e"))
+      val approx = DocDedup.minHashPairs(docs, "doc_id", "text", 7, 10)
+        .select(col("id_a"), col("id_b"), lit(1L).as("a"))
+      exact.join(approx, Seq("id_a", "id_b"), "full_outer")
+        .agg(coalesce(sum("e"), lit(0L)).as("n_exact"),
+          coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
+            lit(0L)).as("n_found"),
+          coalesce(sum(when(col("e").isNull, 1L)), lit(0L)).as("n_extra"))
+    }),
+
+    // ---- RECALL GATE for the vector-LSH tier: plant an exact-duplicate
+    //      copy of every embedding; identical vectors get identical
+    //      signatures in EVERY hyperplane table, so LSH blocking finds
+    //      each (v, copy) pair with probability 1 — recall on planted
+    //      near-dups is a guarantee, not luck. Threshold 0.9 sits far
+    //      above the corpus's max cross-pair cosine (~0.6) and far below
+    //      the planted 1.0, so float-kernel ulps cannot flip membership.
+    "q41_ann_planted_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.unionByName(
+        emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding")))
+      Similarity.cosineNearDupPairs(planted, "vec_id", "embedding", 0.9)
+        .select("id_a", "id_b") // ids only: sim doubles are float-sensitive
+    }),
+
+    // ---- J1/A3 over the one previously-untouched driver table:
+    //      supplier ⋈ nation roll-up.
+    "q42_supplier_nation" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_supp"),
+          min("s_acctbal").as("min_bal"), max("s_acctbal").as("max_bal"))
+        .orderBy("n_name")),
+
+    // ---- measured recall@10 of the bucketed ANN tier vs brute force
+    //      (rows-only: the approximate side is not DuckDB-expressible,
+    //      and on this corpus's isotropic random vectors bucketed LSH
+    //      recall is genuinely partial — the measurement, not a 100%
+    //      claim, is the evidence; q41 carries the hard guarantee).
+    "q43_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("e"))
+      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("a"))
+      bf.join(lsh, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(coalesce(sum("e"), lit(0L)).as("n_exact"),
+          coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
+            lit(0L)).as("n_found"))
+        .orderBy("query_id")
+    })
   )
 
   /** DuckDB-equivalent SQL per oracle-checked query key. Table names map
@@ -633,6 +763,84 @@ object SparkEntry {
         |SELECT count(*) AS n_docs,
         |       CAST(sum(CASE WHEN rebuilt = text THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_equal
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "q37_dedup_planted" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT doc_id, md5(text) AS text_hash FROM planted
+        |WHERE doc_id IN (SELECT min(doc_id) FROM planted GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q38_dedup_planted_report" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT md5(text) AS text_hash, count(*) AS refs_num,
+        |       min(doc_id) AS first_id
+        |FROM planted GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY refs_num DESC, text_hash""".stripMargin,
+
+    "q39_catalog_merge" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> {'pos': CAST((s - 1) // 64 AS BIGINT),
+        |            'chunk': substr(text, s, 64)})) AS rec
+        |  FROM documents),
+        |c AS (SELECT doc_id, md5(rec.chunk) AS hash,
+        |             doc_id * 1000000 + rec.pos AS gl FROM chunks),
+        |r1 AS (SELECT hash, min(gl) AS line, count(*) AS refs FROM c
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |r2 AS (SELECT hash, min(gl) AS line, count(*) AS refs FROM c
+        |       WHERE doc_id % 2 = 1 GROUP BY 1)
+        |SELECT coalesce(r1.hash, r2.hash) AS hash,
+        |       CAST(CASE WHEN r1.hash IS NOT NULL THEN 1 ELSE 2 END AS BIGINT)
+        |         AS file_id,
+        |       CASE WHEN r1.hash IS NOT NULL THEN r1.line ELSE r2.line END
+        |         AS line,
+        |       coalesce(r1.refs, 0) + coalesce(r2.refs, 0) AS refs_num
+        |FROM r1 FULL OUTER JOIN r2 ON r1.hash = r2.hash
+        |ORDER BY hash""".stripMargin,
+
+    "q40_lsh_recall_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |           i -> t[i] || ' ' || t[i + 1])) AS shingle
+        |  FROM toks),
+        |cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT c.id_a FROM cand c
+        |  JOIN cnt ca ON ca.id = c.id_a
+        |  JOIN cnt cb ON cb.id = c.id_b
+        |  WHERE 10 * c.common >= 7 * (ca.n + cb.n - c.common))
+        |SELECT count(*) AS n_exact, count(*) AS n_found,
+        |       CAST(0 AS BIGINT) AS n_extra
+        |FROM pairs""".stripMargin,
+
+    "q41_ann_planted_neardup" ->
+      """WITH av AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding
+        |            FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM av a JOIN av b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q42_supplier_nation" ->
+      """SELECT n_name, count(*) AS n_supp,
+        |       min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
