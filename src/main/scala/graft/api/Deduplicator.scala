@@ -82,6 +82,15 @@ class Deduplicator(spark: SparkSession, workDir: String) {
     val algo = Hashing.resolve(opts.algorithm)
     val fidBase = catalog.nextFileId
     val statuses = inputs.map(requireSingleFile)
+    // Raw-string distinctness above is not enough: two aliases of one
+    // file ('dir//a' vs 'dir/a', relative vs absolute) resolve to the
+    // SAME qualified path, and duplicate keys in the pathToIdx join
+    // below would double-count every chunk (corrupting occ/refs_num)
+    // and scan huge files twice.
+    require(statuses.map(_.getPath.toString).distinct.size == inputs.size,
+      "two inputs resolve to the same file: " +
+        statuses.map(_.getPath.toString).diff(
+          statuses.map(_.getPath.toString).distinct).distinct.mkString(", "))
     val names = inputs.zipWithIndex.map { case (input, i) =>
       if (outputNames.nonEmpty) outputNames(i)
       else if (inputs.size == 1) opts.outputName.getOrElse(generateName(input))
@@ -226,6 +235,34 @@ class Deduplicator(spark: SparkSession, workDir: String) {
     val resolved = Recovery.resolve(enc, fid,
       id => spark.read.parquet(parquetPath(names(id))))
     OrderedBinarySink.write(resolved, "pos", "chunk", outputPath)
+  }
+
+  /** Recover original bytes directly from a tagged `.bin` file — the
+    * reference's recovery entry point takes the tagged file itself
+    * (deduplicator.ex:149 `recovery_file/3`), so a user holding only a
+    * reference-produced `.bin` can recover through this API without the
+    * Parquet twin or a catalog. Sound because `.bin` pointers are
+    * in-file line numbers BY FORMAT ([[graft.sources.BinFormat.write]]
+    * refuses cross-file pointers), making the file self-contained.
+    * A `.zip` input (compress=true output) is unzipped first, like the
+    * reference's recovery flow (files.ex:74-86).
+    */
+  def recoverBinFile(binFile: String, chunkBytes: Int,
+                     outputPath: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (path, cleanup) =
+      if (binFile.endsWith(".zip")) {
+        val tmp = binFile.stripSuffix(".zip") +
+          s".unzip-${java.util.UUID.randomUUID.toString.take(8)}"
+        BinFormat.unzipFile(binFile, tmp, hconf)
+        (tmp, () => { BinFormat.deleteFile(tmp, hconf); () })
+      } else (binFile, () => ())
+    try {
+      val enc = BinFormat.read(spark, path, chunkBytes)
+        .withColumn("cat_file_id", lit(null).cast("long"))
+      val resolved = Recovery.resolve(enc, 0L, _ => enc)
+      OrderedBinarySink.write(resolved, "pos", "chunk", outputPath)
+    } finally cleanup()
   }
 
   /** Duplicate-frequency report (test/deduplicator_test.exs:323-330). */

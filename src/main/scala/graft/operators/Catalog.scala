@@ -22,12 +22,13 @@ import java.nio.charset.StandardCharsets
   * (anti-join before append, A4 ≙ `on_conflict: :nothing`), refs_num
   * increments as a grouped delta merge (A1+A2, one job — never per-row),
   * and atomicity via versioned directories with a COMMIT marker: each run
-  * writes its version in full, then drops a `COMMIT` file; readers use the
-  * highest committed version. Failed writes leave no marker and are
-  * invisible — idempotent re-runs (SURVEY §7.4.2). The COMMIT marker is
-  * created with overwrite=false, so two concurrent committers of the same
-  * version cannot both succeed — the loser fails loudly instead of
-  * silently dropping the winner's update.
+  * stages its version in full into a hidden temp dir, then publishes it
+  * with one atomic rename; readers use the highest committed version.
+  * Failed writes leave only an orphaned temp dir and are invisible —
+  * idempotent re-runs (SURVEY §7.4.2). The rename is the commit point:
+  * of two concurrent committers of the same version, exactly one rename
+  * lands — the loser fails loudly BEFORE any of its bytes are visible,
+  * so it can never overwrite a winner's committed data.
   *
   * Scale design (100 TB): hash_links is hash-partitioned by a 2-hex-char
   * digest prefix (256 buckets), and a commit rewrites ONLY the buckets its
@@ -214,16 +215,27 @@ class Catalog(spark: SparkSession, dir: String) {
   /** Delete version directories that the CURRENT manifest no longer
     * references (bucket-pruned commits keep old versions partially
     * alive — a bucket last written at v3 lives in v_000003 until some
-    * later commit rewrites it). Safe to run any time; never touches the
-    * current version or any directory holding a still-referenced
-    * bucket. Returns the versions deleted.
+    * later commit rewrites it), plus orphaned `.tmp_*` staging dirs
+    * left by crashed commits. Never touches the current version or any
+    * directory holding a still-referenced bucket. Returns the versions
+    * deleted.
+    *
+    * NOT safe concurrently with everything: a lazily-evaluated DataFrame
+    * planned from [[links]]/[[getHashLink]] under an OLDER manifest still
+    * references version dirs this may delete (FileNotFound at its next
+    * action), and an in-flight commit's staging dir would be swept. Run
+    * it when no queries planned against earlier versions are still
+    * pending and no commit is in flight.
     */
   def vacuum(): Seq[Long] = {
     val current = currentVersion
     if (current == 0) return Seq.empty
     val referenced = readManifest(current).values.toSet + current
-    val deletable = fs.listStatus(new Path(dir)).iterator
-      .map(_.getPath.getName)
+    val entries = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    entries.iterator
+      .filter(_.startsWith(".tmp_"))
+      .foreach(n => fs.delete(new Path(dir, n), true))
+    val deletable = entries.iterator
       .collect { case VersionRe(n) => n.toLong }
       .filter(v => v < current && !referenced.contains(v))
       .toSeq.sorted
@@ -231,20 +243,56 @@ class Catalog(spark: SparkSession, dir: String) {
     deletable
   }
 
+  /** Compact the catalog: rewrite EVERY currently-referenced bucket into
+    * one fresh version — one task and therefore one parquet file per
+    * bucket — then [[vacuum]]. Repeated bucket-pruned commits fragment
+    * the physical layout two ways: each touched-bucket rewrite carries
+    * its shuffle partitioning into many small part-files, and untouched
+    * buckets pin ever-older version dirs alive through the manifest.
+    * After compact the manifest references a single version, every
+    * bucket is a single file, and vacuum can reclaim all history.
+    * Retention: run it when small-file count hurts read fan-out (e.g.
+    * after N streaming micro-batch commits), not on every commit — it
+    * rewrites the whole links table (one full scan + one shuffle on the
+    * bucket key; at 100 TB that is the same cost class as one big
+    * commit, amortized over the N commits it cleans up after).
+    * Returns the new current version.
+    */
+  def compact(): Long = {
+    val v = currentVersion
+    if (v == 0) return 0L
+    val allLinks = links().repartition(bucketCol(col("hash")))
+    writeVersion(v + 1, files(), Some(allLinks), Map.empty)
+    vacuum()
+    v + 1
+  }
+
+  /** Stage the whole version (data + MANIFEST + COMMIT) into a unique
+    * hidden temp dir, then publish it with ONE atomic rename to
+    * `v_NNNNNN`. The rename is the commit point: a losing concurrent
+    * committer of the same version fails loudly at the rename — BEFORE
+    * any of its bytes become visible — so it cannot overwrite a winner's
+    * already-committed files/hash_links/MANIFEST the way in-place writes
+    * could. A crashed commit leaves only an orphaned `.tmp_*` dir
+    * (never matched by VersionRe, so invisible to readers and
+    * idempotently retryable); [[vacuum]] sweeps those up.
+    */
   private def writeVersion(v: Long, filesDf: DataFrame,
                            changedLinks: Option[DataFrame],
                            oldManifest: Map[String, Long]): Unit = {
     val vd = versionDir(v)
-    filesDf.write.mode("overwrite").parquet(new Path(vd, "files").toString)
+    val tmp = new Path(dir,
+      s".tmp_v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    filesDf.write.mode("overwrite").parquet(new Path(tmp, "files").toString)
     val written: Set[String] = changedLinks match {
       case None => Set.empty
       case Some(df) =>
         df.withColumn("bucket", bucketCol(col("hash")))
           .write.mode("overwrite").partitionBy("bucket")
-          .parquet(new Path(vd, "hash_links").toString)
+          .parquet(new Path(tmp, "hash_links").toString)
         // The buckets actually written (a touched bucket could have been
         // computed from deltas that matched nothing).
-        fs.listStatus(new Path(vd, "hash_links")).iterator
+        fs.listStatus(new Path(tmp, "hash_links")).iterator
           .map(_.getPath.getName)
           .collect { case BucketRe(b) => b }.toSet
     }
@@ -252,11 +300,23 @@ class Catalog(spark: SparkSession, dir: String) {
     val manifestBytes = manifest.toSeq.sorted
       .map { case (b, ver) => s"$b,$ver" }.mkString("\n")
       .getBytes(StandardCharsets.UTF_8)
-    val mOut = fs.create(new Path(vd, "MANIFEST"), true)
+    val mOut = fs.create(new Path(tmp, "MANIFEST"), true)
     try mOut.write(manifestBytes) finally mOut.close()
-    // overwrite=false: concurrent committers of the same version conflict
-    // loudly here instead of silently losing one commit.
-    fs.create(new Path(vd, "COMMIT"), false).close()
+    val cOut = fs.create(new Path(tmp, "COMMIT"), false)
+    cOut.close()
+    def loseRace(): Nothing = {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"concurrent commit: version $v already exists at $vd; " +
+          "re-read the catalog and retry on the new base")
+    }
+    if (fs.exists(vd)) loseRace()
+    if (!fs.rename(tmp, vd)) loseRace()
+    // Hadoop rename semantics: if `vd` appeared between the exists check
+    // and the rename, some implementations move `tmp` INSIDE it instead
+    // of failing. Detect and undo.
+    val nested = new Path(vd, tmp.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); loseRace() }
   }
 }
 

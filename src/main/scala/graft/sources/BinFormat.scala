@@ -91,14 +91,34 @@ object BinFormat {
   /** Write an encoded DataFrame(pos, is_pointer, chunk, ref_line) as a
     * byte-exact tagged file at `dest` (single logical file) via the
     * ordered-concat sink (O3).
+    *
+    * Cross-file pointers fail LOUDLY: the tagged format's 4-digit
+    * pointer is an IN-FILE line number (reference binary_utils.ex:7) —
+    * it has no way to name another catalog file, so a row carrying a
+    * non-null `cat_file_id` (routine in deduplicateBatch/streaming
+    * output, which encodes in-batch cross-file duplicates) would
+    * serialize ambiguously and the `.bin` could not round-trip
+    * standalone. Same policy as the 4-digit cap: the Parquet form is
+    * the lossless representation; `.bin` parity refuses what it cannot
+    * express.
     */
   def write(df: DataFrame, dest: String): Unit = {
-    val encodeUdf = udf((isPtr: Boolean, chunk: Array[Byte], refLine: java.lang.Long) =>
+    val encodeUdf = udf((isPtr: Boolean, chunk: Array[Byte],
+                         refLine: java.lang.Long, catFid: java.lang.Long) => {
+      require(catFid == null,
+        s"cross-file pointer (cat_file_id=$catFid) cannot be represented " +
+          "in the .bin tagged format: pointers are in-file line numbers " +
+          "(reference binary_utils.ex:7); use the Parquet form for " +
+          "batch/streaming runs with cross-file duplicates")
       encodeRecord(isPtr,
         if (chunk == null) Array.emptyByteArray else chunk,
-        if (refLine == null) 0L else refLine.longValue()))
+        if (refLine == null) 0L else refLine.longValue())
+    })
+    val catFid = if (df.columns.contains("cat_file_id")) col("cat_file_id")
+      else lit(null).cast("long")
     val recs = df.select(col("pos"),
-      encodeUdf(col("is_pointer"), col("chunk"), col("ref_line")).as("rec"))
+      encodeUdf(col("is_pointer"), col("chunk"), col("ref_line"), catFid)
+        .as("rec"))
     OrderedBinarySink.write(recs, "pos", "rec", dest)
   }
 

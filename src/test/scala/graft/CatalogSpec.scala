@@ -113,4 +113,97 @@ class CatalogSpec extends SparkFunSuite {
     }
     assert(e.getMessage.contains("deduplicateBatch"))
   }
+
+  test("deduplicateBatch rejects two aliases of the same resolved file") {
+    val dir = tempDir("alias")
+    val p = Fixtures.writeTemp(dir, "a.bin", Array[Byte](1, 2, 3, 4))
+    val engine = new Deduplicator(spark, s"$dir/work")
+    // same file through a redundant-slash alias: raw strings differ,
+    // qualified paths collide — must fail before any scan
+    val e = intercept[IllegalArgumentException] {
+      engine.deduplicateBatch(Seq(p, p.replace("/a.bin", "//a.bin")))
+    }
+    assert(e.getMessage.contains("same file"))
+    assert(engine.catalog.currentVersion == 0)
+  }
+
+  test("losing concurrent committer fails loudly and cannot clobber the winner") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-race")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    cat.commitRun("w", 64, "sha",
+      Seq(("aa11", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    // Emulate a concurrent winner whose staged rename to v_000002 lands
+    // between this writer's base read and its own rename: the version
+    // dir exists (uncommitted, so reads still resolve v1), and the
+    // loser's publish must fail WITHOUT touching it.
+    new java.io.File(s"$dir/catalog/v_000002").mkdirs()
+    val e = intercept[IllegalStateException] {
+      cat.commitRun("l", 64, "sha",
+        Seq(("bb22", 0L, 9L)).toDF("hash", "line", "refs_num"), none)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the winner's state is intact; the loser's bytes are nowhere
+    val rows = cat.links().collect()
+      .map(r => r.getAs[String]("hash") -> r.getAs[Long]("refs_num")).toMap
+    assert(rows == Map("aa11" -> 1L))
+    assert(new java.io.File(s"$dir/catalog/v_000002").listFiles().isEmpty,
+      "loser must not write into the winner's version dir")
+    // no stray staging dirs survive a lost race
+    val strays = new java.io.File(s"$dir/catalog").listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp_"))
+    assert(strays.isEmpty, s"orphaned staging dirs: ${strays.mkString(",")}")
+    // after the conflicting dir is gone (real winner would have COMMIT;
+    // here we clear the emulation), a re-planned retry lands cleanly
+    new java.io.File(s"$dir/catalog/v_000002").delete()
+    cat.commitRun("l", 64, "sha",
+      Seq(("bb22", 0L, 9L)).toDF("hash", "line", "refs_num"), none)
+    assert(cat.currentVersion == 2L)
+    assert(cat.getHashLink("bb22").head().getAs[Long]("refs_num") == 9L)
+  }
+
+  test("compact collapses buckets to one file each and frees history") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-compact")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    // Three commits fragmenting bucket bb across versions + multi-file
+    // writes (32 shuffle partitions → several part files per bucket).
+    cat.commitRun("f1", 64, "sha",
+      (0 until 40).map(i => (f"aa$i%02d", i.toLong, 1L))
+        .toDF("hash", "line", "refs_num"), none)
+    cat.commitRun("f2", 64, "sha",
+      (0 until 40).map(i => (f"bb$i%02d", i.toLong, 1L))
+        .toDF("hash", "line", "refs_num"), none)
+    cat.commitRun("f3", 64, "sha",
+      Seq.empty[(String, Long, Long)].toDF("hash", "line", "refs_num"),
+      Seq(("bb07", 4L)).toDF("hash", "delta"))
+    val before = cat.links().orderBy("hash").collect().toSeq
+    def partFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$dir/catalog"))
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getPath.contains("hash_links"))
+    }
+    val nBefore = partFiles().size
+    val newV = cat.compact()
+    assert(newV == 4L)
+    assert(cat.currentVersion == 4L)
+    // one parquet file per bucket, all under the compacted version
+    val after = partFiles()
+    assert(after.size == 2, s"expected 1 file per bucket, got ${after.size}")
+    assert(after.forall(_.getPath.contains("v_000004")))
+    assert(after.size < nBefore)
+    // reads are row-identical
+    assert(cat.links().orderBy("hash").collect().toSeq == before)
+    // history fully reclaimed: only the compacted version remains
+    val versions = new java.io.File(s"$dir/catalog").listFiles()
+      .map(_.getName).filter(_.startsWith("v_")).sorted
+    assert(versions.sameElements(Array("v_000004")))
+    // point reads still prune correctly post-compaction
+    assert(cat.getHashLink("bb07").head().getAs[Long]("refs_num") == 5L)
+  }
 }

@@ -103,6 +103,51 @@ class DedupRoundTripSpec extends SparkFunSuite {
       Files.readAllBytes(Paths.get(s"$binFile.unzipped"))))
   }
 
+  test(".bin-input recovery: recover from the tagged file alone, no parquet") {
+    val dir = tempDir("rt-binrec")
+    val data = Fixtures.alignedDuplicated(blocks = 256, distinct = 10, seed = 4)
+    val input = Fixtures.writeTemp(dir, "d.bin", data)
+    val engine = new Deduplicator(spark, s"$dir/work")
+    val res = engine.deduplicateFile(input,
+      DedupOptions(chunkBytes = 64, binParity = true, outputName = Some("d.enc")))
+    assert(res.pointers > 0, "fixture must produce pointers")
+    // destroy the parquet twin AND the catalog: the tagged file must be
+    // self-contained (reference recovery_file/3 takes the .bin itself)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(s"$dir/work/encoded/d.enc.parquet"))
+    rmTree(new java.io.File(s"$dir/work/catalog"))
+    val out = s"$dir/recovered-from-bin"
+    engine.recoverBinFile(s"$dir/work/encoded/d.enc", 64, out)
+    assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(out)), data))
+    // zipped variant resolves through the unzip path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    BinFormat.zipFile(s"$dir/work/encoded/d.enc",
+      s"$dir/work/encoded/d.enc.zip", hconf)
+    val out2 = s"$dir/recovered-from-zip"
+    engine.recoverBinFile(s"$dir/work/encoded/d.enc.zip", 64, out2)
+    assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(out2)), data))
+    assert(!new java.io.File(s"$dir/work/encoded")
+      .listFiles().exists(_.getName.contains(".unzip-")),
+      "temp unzip file must be cleaned up")
+  }
+
+  test("BinFormat.write refuses cross-file pointers (cat_file_id non-null)") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("rt-binxfile")
+    val df = Seq(
+      (0L, false, "abcd".getBytes("UTF-8"), None: Option[Long], None: Option[Long]),
+      (1L, true, Array.emptyByteArray, Some(0L), Some(7L)))
+      .toDF("pos", "is_pointer", "chunk", "ref_line", "cat_file_id")
+    val e = intercept[Exception] { BinFormat.write(df, s"$dir/bad.bin") }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("cat_file_id")),
+      s"expected loud cat_file_id failure, got: ${messages.mkString(" | ")}")
+  }
+
   test("catalog commit is idempotent under overlapping newLinks") {
     val dir = tempDir("cat-idem")
     val engine = new Deduplicator(spark, s"$dir/work")

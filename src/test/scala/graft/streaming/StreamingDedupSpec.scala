@@ -56,6 +56,50 @@ class StreamingDedupSpec extends SparkFunSuite {
     assert(cat.links().agg(sum("refs_num")).head().getLong(0) == 3L * 256)
   }
 
+  test("exactly-once: crash between data write and catalog commit replays idempotently") {
+    val dir = tempDir("sxonce")
+    val inDir = s"$dir/in"
+    Files.createDirectories(Paths.get(inDir))
+    val work = s"$dir/work"
+    val cat = new Catalog(spark, s"$work/catalog")
+    val data = Fixtures.alignedDuplicated(blocks = 128, distinct = 8, seed = 11)
+    Fixtures.writeTemp(inDir, "x.dat", data)
+    // Inject a crash at the exactly-once-critical point: a bare
+    // v_000001 dir makes the catalog publish lose its race AFTER the
+    // encoded parquet is written and renamed into place — the
+    // micro-batch dies between data write and commit.
+    Files.createDirectories(Paths.get(s"$work/catalog/v_000001"))
+    val q1 = StreamingDedup.start(spark, inDir, work,
+      DedupOptions(chunkBytes = 64))
+    intercept[Exception] { q1.awaitTermination() }
+    assert(cat.currentVersion == 0,
+      "crashed batch must leave the catalog uncommitted")
+
+    // Restart after the "crash" (same checkpoint): the batch was never
+    // recorded as complete, so it replays — deterministic output names
+    // (batchId + path digest) make the data write idempotent, and the
+    // single commit lands exactly once.
+    Files.delete(Paths.get(s"$work/catalog/v_000001"))
+    val q2 = StreamingDedup.start(spark, inDir, work,
+      DedupOptions(chunkBytes = 64))
+    q2.awaitTermination()
+    assert(cat.currentVersion == 1,
+      s"replay must commit exactly one version, got v${cat.currentVersion}")
+    val filesRows = cat.files().collect()
+    assert(filesRows.length == 1)
+    // and the replayed run recovers byte-equal
+    val engine = new graft.api.Deduplicator(spark, work)
+    val out = s"$dir/recovered"
+    engine.recoverFile(filesRows.head.getAs[String]("filename"), out)
+    assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(out)), data))
+
+    // a further restart with no new input re-commits nothing
+    val q3 = StreamingDedup.start(spark, inDir, work,
+      DedupOptions(chunkBytes = 64))
+    q3.awaitTermination()
+    assert(cat.currentVersion == 1)
+  }
+
   test("dedupWithinWatermark drops in-stream duplicate keys") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
