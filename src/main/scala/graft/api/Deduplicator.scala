@@ -258,8 +258,13 @@ class Deduplicator(spark: SparkSession, workDir: String) {
         (tmp, () => { BinFormat.deleteFile(tmp, hconf); () })
       } else (binFile, () => ())
     try {
+      // localCheckpoint: Recovery.resolve evaluates its input three
+      // times (pointer-id collect + the raws and targets branches);
+      // without pinning, each evaluation re-reads and re-parses the
+      // whole tagged file.
       val enc = BinFormat.read(spark, path, chunkBytes)
         .withColumn("cat_file_id", lit(null).cast("long"))
+        .localCheckpoint()
       val resolved = Recovery.resolve(enc, 0L, _ => enc)
       OrderedBinarySink.write(resolved, "pos", "chunk", outputPath)
     } finally cleanup()

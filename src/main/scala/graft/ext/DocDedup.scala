@@ -57,13 +57,22 @@ object DocDedup {
     * parquet file scans as ONE partition (files.maxPartitionBytes), and
     * `wordBigrams` + hashing then run single-task — measured 7 s of
     * single-thread work per pass at sf0.1, serialized per broadcast
-    * branch. Only fires when the scan is far below the cluster's
+    * branch. Only fires when the input is far below the cluster's
     * parallelism: a 100 TB input already arrives in thousands of
     * partitions and must NOT eat a blanket full-data reshuffle.
+    *
+    * The decision uses optimizer SIZE STATS, never `df.rdd`: under AQE,
+    * materializing `.rdd` of a derived DataFrame executes every
+    * upstream shuffle stage just to read its partition count — work
+    * that the actual query would then redo.
     */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    val ss = df.sparkSession
+    val target = ss.sparkContext.defaultParallelism
+    val maxPart = ss.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(maxPart) * math.max(1, target / 2)) df.repartition(target)
+    else df
   }
 
   /** Distinct word-bigram shingles, one row per (id, shingle). The
@@ -134,7 +143,20 @@ object DocDedup {
     val dfq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).persist()
     var docStatsCache: Option[DataFrame] = None
     try {
-      val rare = sh.join(dfq.where(col("df") <= maxShingleDf), "shingle")
+      // τ is a FLOOR, not the effective cap: "hot" must mean hot
+      // relative to the corpus, or tier 2 degenerates. On a natural
+      // 10M-doc corpus with τ fixed at 100, nearly every common bigram
+      // is "hot", nearly every doc becomes hot-dominated, and the
+      // tier-2 enumeration is quadratic in the corpus — not in the
+      // boilerplate cluster. df > 1% of docs is the stop-shingle
+      // regime; exactness holds for EVERY τ (τ only partitions work
+      // between the tiers), so scaling it with the corpus is always
+      // safe. The distinct-count also doubles as the eager cache
+      // materialization (concurrent first-compute of a persisted block
+      // from several broadcast threads serializes on block locks).
+      val nDocs = sh.select("id").distinct().count()
+      val tau = math.max(maxShingleDf.toLong, nDocs / 100)
+      val rare = sh.join(dfq.where(col("df") <= tau), "shingle")
         .select("id", "shingle")
       // Tier-1 pairs share a rare shingle; duplicates (several shared
       // rare shingles) collapse in a distinct that is SMALL by the τ cap.
@@ -161,7 +183,7 @@ object DocDedup {
         val docStats = sh.join(broadcast(vocabIdx), "shingle")
           .groupBy("id")
           .agg(count(lit(1)).as("n"),
-            sum(when(col("df") > maxShingleDf, 1L).otherwise(0L)).as("hot"),
+            sum(when(col("df") > tau, 1L).otherwise(0L)).as("hot"),
             collect_list("sid").as("sids"))
           .select(col("id"), col("n"), toBitmap(col("sids")).as("bm"),
             col("hot"))
@@ -219,7 +241,7 @@ object DocDedup {
         val hotDominated = sh.join(dfq, "shingle")
           .groupBy("id")
           .agg(count(lit(1)).as("n"),
-            sum(when(col("df") > maxShingleDf, 1L).otherwise(0L)).as("hot"))
+            sum(when(col("df") > tau, 1L).otherwise(0L)).as("hot"))
           .where(lit(den) * col("hot") >= lit(num) * col("n"))
           .select("id")
         val cand2 = hotDominated.toDF("id_a")

@@ -123,17 +123,42 @@ object Multimodal {
       img
     }
 
+    /** Header-only: finds a format reader and asks it for the declared
+      * geometry without decoding pixels — metadata extraction over a
+      * large corpus must not pay a full per-blob pixel decode and
+      * BufferedImage allocation (that cost belongs to resize/features,
+      * which genuinely need the pixels).
+      */
     override def decode(bytes: Array[Byte]): MediaMeta =
       if (bytes == null || bytes.isEmpty)
         MediaMeta(0, 0, 0, 0L, ok = false, "empty blob")
       else {
         imageIo
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) match {
-          case null =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
             MediaMeta(0, 0, 0, 0L, ok = false, "unrecognized image format")
-          case img => MediaMeta(img.getWidth, img.getHeight,
-            img.getColorModel.getNumComponents, 0L, ok = true, null)
-        }
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val channels = {
+                val specs = r.getImageTypes(0)
+                if (specs.hasNext)
+                  specs.next().getColorModel.getNumComponents
+                else 0
+              }
+              MediaMeta(r.getWidth(0), r.getHeight(0), channels, 0L,
+                ok = true, null)
+            } finally r.dispose()
+          }
+        } catch {
+          case e: Exception =>
+            MediaMeta(0, 0, 0, 0L, ok = false,
+              s"corrupt image header: ${e.getMessage}")
+        } finally iis.close()
       }
 
     /** Luminance means over a near-square `dim`-cell grid — a cheap,

@@ -231,11 +231,18 @@ class Catalog(spark: SparkSession, dir: String) {
     val current = currentVersion
     if (current == 0) return Seq.empty
     val referenced = readManifest(current).values.toSet + current
-    val entries = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    val entries = fs.listStatus(new Path(dir))
+    // Orphan sweep with a grace window: a fresh .tmp_* dir is most
+    // likely an IN-FLIGHT commit's staging area — deleting it would
+    // kill that commit mid-write. Only dirs untouched for an hour are
+    // treated as crash debris.
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     entries.iterator
-      .filter(_.startsWith(".tmp_"))
-      .foreach(n => fs.delete(new Path(dir, n), true))
+      .filter(s => s.getPath.getName.startsWith(".tmp_") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
     val deletable = entries.iterator
+      .map(_.getPath.getName)
       .collect { case VersionRe(n) => n.toLong }
       .filter(v => v < current && !referenced.contains(v))
       .toSeq.sorted
@@ -256,7 +263,11 @@ class Catalog(spark: SparkSession, dir: String) {
     * rewrites the whole links table (one full scan + one shuffle on the
     * bucket key; at 100 TB that is the same cost class as one big
     * commit, amortized over the N commits it cleans up after).
-    * Returns the new current version.
+    * Inherits [[vacuum]]'s concurrency contract: it both COMMITS (can
+    * lose a race with a concurrent writer, failing loudly) and vacuums
+    * (invalidates DataFrames planned against older manifests), so run
+    * it from the maintenance window, not alongside live writers or
+    * long-running readers. Returns the new current version.
     */
   def compact(): Long = {
     val v = currentVersion
