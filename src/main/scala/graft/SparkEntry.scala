@@ -513,6 +513,24 @@ object SparkEntry {
           coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
             lit(0L)).as("n_found"))
         .orderBy("query_id")
+    }),
+
+    // ---- ext/Similarity: IVF coarse-quantizer ANN (third tier; scans
+    //      nprobe/nlist of the corpus per query) with measured recall@10
+    //      vs brute force — rows-only like q43, and for the same reason.
+    "q44_ann_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("e"))
+      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("a"))
+      bf.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(coalesce(sum("e"), lit(0L)).as("n_exact"),
+          coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
+            lit(0L)).as("n_found"))
+        .orderBy("query_id")
     })
   )
 

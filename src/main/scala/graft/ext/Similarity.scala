@@ -130,6 +130,78 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the third ANN tier and the
+    * classic coarse-quantizer scale path: the corpus is partitioned into
+    * `nlist` cells by nearest centroid; a query scans only its `nprobe`
+    * nearest cells, i.e. ~nprobe/nlist of the corpus.
+    *
+    * The coarse quantizer is SAMPLED-CENTROIDS IVF-flat: centroids are
+    * the `nlist` corpus vectors with the smallest xxhash64(id) — a
+    * deterministic uniform sample (no iterative k-means: its
+    * order-dependent float averaging would make cell assignment — and
+    * thus results — nondeterministic across runs, breaking the oracle/
+    * test contract; with a trained quantizer only cell QUALITY changes,
+    * not the operator's shape).
+    *
+    * Scale shape (100 TB): assignment is one broadcast(centroids)
+    * cross-join emitting (id, cell-sim) ids only — |corpus|·nlist slim
+    * rows, partial-aggregated max_by — then the probe is an equi-join
+    * on cell id. In a real deployment the corpus is WRITTEN partitioned
+    * by cell (like the LSH buckets), making a probe a partition-pruned
+    * read; here the join form stands in. No all-pairs stage exists.
+    *
+    * @return (query_id, neighbor_id, rank, sim) — rank 1..k within the
+    *         probed cells; ties broken by neighbor_id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
+    graft.functions.VecExpressions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Deterministic uniform sample of nlist centroids (ids re-keyed to
+    // dense 0..nlist-1 by hash order).
+    val centroids = broadcast(
+      c.select(col("id"), col("v"), xxhash64(col("id")).as("h"))
+        .orderBy("h", "id").limit(nlist)
+        .select((row_number().over(Window.orderBy("h", "id")) - 1).as("cid"),
+          col("v").as("cvec")))
+    // Cell assignment: argmax-cosine centroid per vector. Slim rows
+    // (id, cid, sim) only; the max_by partial-aggregates map-side.
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val sims = df.crossJoin(centroids)
+        .select(col(id), col("cid"),
+          cosine(col("v"), col("cvec")).as("csim"))
+      if (keep == 1)
+        sims.groupBy(id)
+          .agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
+      else {
+        val w = Window.partitionBy(id).orderBy(desc("csim"), col("cid"))
+        sims.withColumn("r", row_number().over(w)).where(col("r") <= keep)
+          .select(col(id), col("cid"))
+      }
+    }
+    val cells = assign(c, "id", 1)
+    val qCells = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
+      "query_id", nprobe)
+    // Probe: candidates = corpus of the probed cells; vectors re-joined
+    // by id so the assignment rows never carry payloads.
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    qCells.join(cells.toDF("neighbor_id", "cid"), "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(c.toDF("neighbor_id", "cv"), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
     * `threshold`, found via LSH blocking (same-bucket candidates in any
     * table) + exact verification — the vector analog of

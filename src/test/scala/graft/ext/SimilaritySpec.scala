@@ -50,6 +50,42 @@ class SimilaritySpec extends SparkFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("ivfTopK: planted duplicate found at rank 1; subset of exact sims; deterministic") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val rows = Seq((500L, base), (501L, base.clone())) ++ // exact duplicate pair
+      Seq.tabulate(200)(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 500L)
+    val res = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 10)
+      .collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("sim")))
+    // the identical copy lands in the SAME cell (same argmax centroid),
+    // so IVF finds it by construction, at rank 1 with sim == 1.0
+    assert(res.head._1 == 501L && res.head._2 == 1)
+    assert(math.abs(res.head._3 - 1.0) < 1e-12)
+    assert(res.length <= 10 && res.map(_._2).toSeq == (1 to res.length))
+    // sims are exact: every returned (neighbor, sim) appears in the
+    // brute-force ranking with the same sim
+    val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 201)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("sim"))
+      .toMap
+    res.foreach { case (n, _, sim) => assert(bf(n) == sim) }
+    // deterministic across runs
+    val again = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(again.toSeq == res.map(t => (t._1, t._2)).toSeq)
+    // nprobe = nlist degenerates to exact search over all cells
+    val full = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 8)
+      .collect().map(r => r.getAs[Long]("neighbor_id")).toSeq
+    val exactTop = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 10)
+      .collect().map(r => r.getAs[Long]("neighbor_id")).toSeq
+    assert(full == exactTop)
+  }
+
   test("cosineNearDupPairs finds the planted near-identical pair only") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)
