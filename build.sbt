@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pressure under 8g (measured 2x per-query inflation); the machine
   // has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Whole-stage codegen emits a fresh class per stage; a 44-query
+  // bench (x2 runs each) overflows the JDK's default 240 MB code
+  // cache mid-run, and the resulting flush/recompile churn showed as
+  // queries running 2x slower inside the bench than isolated.
+  "-XX:ReservedCodeCacheSize=1g",
 )
