@@ -409,13 +409,18 @@ object SparkEntry {
     "q39_catalog_merge" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q39-catalog").toString
+      // localCheckpoint: the chunk relation feeds both runs' newLinks
+      // AND deltas (4+ plan branches), and the single-file scan would
+      // otherwise chunk+hash the corpus single-task once per branch.
       val chunks = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           posexplode(TextAnalysis.charChunks(col("text"), 64))
             .as(Seq("pos", "chunk")))
         .select(col("doc_id"),
           md5(col("chunk").cast("binary")).as("hash"),
           (col("doc_id") * 1000000L + col("pos")).as("gl"))
+        .localCheckpoint()
       val r1 = chunks.where(col("doc_id") % 2 === 0)
       val r2 = chunks.where(col("doc_id") % 2 === 1)
       val cat = new graft.operators.Catalog(s, tmp)

