@@ -97,9 +97,11 @@ object DocDedup {
     *
     *   - tier 1 (rare): the inverted-index self-join runs ONLY over
     *     shingles with document frequency ≤ τ, so its output is bounded
-    *     by τ · |rare rows| — a single hot "of the" stop-shingle can no
+    *     by τ · |rare rows| — a stop-shingle ("of the", df > τ) can no
     *     longer make one join key quadratic (round-4 verdict, "What's
-    *     wrong" #2).
+    *     wrong" #2). A mid-frequency shingle (df ≲ τ) still costs up to
+    *     df·τ rows on its key — the inherent exact-Jaccard candidate
+    *     cost in that band; see the adaptive-τ note in the body.
     *   - tier 2 (hot-dominated): a pair with J ≥ t sharing NO rare
     *     shingle has all its common shingles hot, and
     *     common ≥ t·(na+nb−common) with nb ≥ common gives
@@ -122,9 +124,16 @@ object DocDedup {
     * uniform vocabulary has no rare tail for the prefix to exploit.
     * At 100 TB the probabilistic scale path remains [[minHashPairs]].)
     */
+  /** @param maxShingleDf -1 (default) = adaptive: the rare/hot cutoff is
+    *        max(100, 1% of docs), so "hot" tracks the corpus and tier 2
+    *        stays the boilerplate cluster. An explicit positive value is
+    *        used AS GIVEN — a caller who tuned the cap low to bound
+    *        tier-1's per-key join cost keeps that bound (an explicit cap
+    *        is never silently raised).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         num: Int, den: Int,
-                        maxShingleDf: Int = 100): DataFrame =
+                        maxShingleDf: Int = -1): DataFrame =
     ngramJaccardPairsImpl(df, idCol, textCol, num, den, maxShingleDf,
       DenseVocabMaxBits)
 
@@ -136,26 +145,33 @@ object DocDedup {
       num: Int, den: Int, maxShingleDf: Int,
       denseMaxBits: Int): DataFrame = {
     require(num > 0 && den >= num, s"threshold must be in (0,1]: $num/$den")
-    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1: $maxShingleDf")
+    require(maxShingleDf == -1 || maxShingleDf >= 1,
+      s"maxShingleDf must be -1 (adaptive) or >= 1: $maxShingleDf")
     // Persisted: the shingle set feeds the df aggregate, both candidate
     // tiers, and (in the fallback path) the recount join.
     val sh = shingles(df, idCol, textCol).persist()
     val dfq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).persist()
     var docStatsCache: Option[DataFrame] = None
     try {
-      // τ is a FLOOR, not the effective cap: "hot" must mean hot
-      // relative to the corpus, or tier 2 degenerates. On a natural
-      // 10M-doc corpus with τ fixed at 100, nearly every common bigram
-      // is "hot", nearly every doc becomes hot-dominated, and the
-      // tier-2 enumeration is quadratic in the corpus — not in the
-      // boilerplate cluster. df > 1% of docs is the stop-shingle
-      // regime; exactness holds for EVERY τ (τ only partitions work
-      // between the tiers), so scaling it with the corpus is always
-      // safe. The distinct-count also doubles as the eager cache
-      // materialization (concurrent first-compute of a persisted block
-      // from several broadcast threads serializes on block locks).
-      val nDocs = sh.select("id").distinct().count()
-      val tau = math.max(maxShingleDf.toLong, nDocs / 100)
+      // Adaptive τ: "hot" must mean hot relative to the corpus, or
+      // tier 2 degenerates — on a natural 10M-doc corpus with τ fixed
+      // at 100, nearly every common bigram is "hot", nearly every doc
+      // becomes hot-dominated, and tier 2 is quadratic in the corpus,
+      // not in the boilerplate cluster. The trade is explicit: with
+      // τ = 1% of docs, a MID-frequency shingle (df just under τ)
+      // costs up to df·τ candidate rows in tier 1 — the inherent
+      // candidate cost of exact Jaccard in that band (AllPairs/PPJoin
+      // are equally quadratic there); true stop-shingles (df > 1%)
+      // still cannot blow up any single join key. Exactness holds for
+      // EVERY τ (τ only partitions work between the tiers); a caller
+      // needing a hard per-key bound passes an explicit cap, and the
+      // probabilistic scale path remains minHashPairs. The
+      // distinct-count also doubles as the eager cache materialization
+      // (concurrent first-compute of a persisted block from several
+      // broadcast threads serializes on block locks).
+      val tau =
+        if (maxShingleDf > 0) maxShingleDf.toLong
+        else math.max(100L, sh.select("id").distinct().count() / 100)
       val rare = sh.join(dfq.where(col("df") <= tau), "shingle")
         .select("id", "shingle")
       // Tier-1 pairs share a rare shingle; duplicates (several shared

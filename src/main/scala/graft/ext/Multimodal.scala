@@ -134,31 +134,42 @@ object Multimodal {
         MediaMeta(0, 0, 0, 0L, ok = false, "empty blob")
       else {
         imageIo
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        var iis: javax.imageio.stream.ImageInputStream = null
         try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          // inside the try, with a null guard: the stream factory is
+          // documented to return null (no wrapping provider) and to
+          // throw IOException — both must land in the in-row error
+          // channel, never escape decode (the Decoder contract).
+          iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers =
+            if (iis == null)
+              java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
+            else javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext)
             MediaMeta(0, 0, 0, 0L, ok = false, "unrecognized image format")
           else {
             val r = readers.next()
             try {
               r.setInput(iis)
-              val channels = {
-                val specs = r.getImageTypes(0)
-                if (specs.hasNext)
-                  specs.next().getColorModel.getNumComponents
-                else 0
-              }
-              MediaMeta(r.getWidth(0), r.getHeight(0), channels, 0L,
-                ok = true, null)
+              // A reader that recognizes the header but advertises no
+              // decodable image type yields an impossible "valid"
+              // 0-channel row — flag it instead.
+              val specs = r.getImageTypes(0)
+              if (!specs.hasNext)
+                MediaMeta(r.getWidth(0), r.getHeight(0), 0, 0L,
+                  ok = false, "no decodable image type")
+              else
+                MediaMeta(r.getWidth(0), r.getHeight(0),
+                  specs.next().getColorModel.getNumComponents, 0L,
+                  ok = true, null)
             } finally r.dispose()
           }
         } catch {
           case e: Exception =>
             MediaMeta(0, 0, 0, 0L, ok = false,
               s"corrupt image header: ${e.getMessage}")
-        } finally iis.close()
+        } finally if (iis != null) iis.close()
       }
 
     /** Luminance means over a near-square `dim`-cell grid — a cheap,

@@ -115,6 +115,18 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    scoreCandidates(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Shared exact-scoring tail of the approximate tiers: candidate
+    * (query_id, neighbor_id) pairs → vectors re-joined by id → cosine →
+    * per-query rank ≤ k, ties broken by neighbor_id. One definition so
+    * a scoring fix (tie-breaks, degenerate-norm handling) cannot drift
+    * between tiers.
+    */
+  private def scoreCandidates(cand: DataFrame, corpus: DataFrame,
+                              queries: DataFrame, idCol: String,
+                              vecCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), col("neighbor_id"))
     cand
@@ -159,47 +171,49 @@ object Similarity {
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
     graft.functions.VecExpressions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // Deterministic uniform sample of nlist centroids (ids re-keyed to
-    // dense 0..nlist-1 by hash order).
-    val centroids = broadcast(
-      c.select(col("id"), col("v"), xxhash64(col("id")).as("h"))
-        .orderBy("h", "id").limit(nlist)
-        .select((row_number().over(Window.orderBy("h", "id")) - 1).as("cid"),
-          col("v").as("cvec")))
-    // Cell assignment: argmax-cosine centroid per vector. Slim rows
-    // (id, cid, sim) only; the max_by partial-aggregates map-side.
-    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val sims = df.crossJoin(centroids)
-        .select(col(id), col("cid"),
-          cosine(col("v"), col("cvec")).as("csim"))
-      if (keep == 1)
-        sims.groupBy(id)
-          .agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
-      else {
-        val w = Window.partitionBy(id).orderBy(desc("csim"), col("cid"))
-        sims.withColumn("r", row_number().over(w)).where(col("r") <= keep)
-          .select(col(id), col("cid"))
+    // Persisted: the corpus projection feeds three plan branches (the
+    // centroid sample, the assignment cross-join, the payload rejoin),
+    // and concurrent first-compute of a shared branch from broadcast
+    // threads serializes on block locks (see minHashPairs).
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
+    try {
+      c.count() // materialize before the multi-branch plan executes
+      // Deterministic uniform sample of nlist centroids (ids re-keyed
+      // to dense 0..nlist-1 by hash order).
+      val centroids = broadcast(
+        c.select(col("id"), col("v"), xxhash64(col("id")).as("h"))
+          .orderBy("h", "id").limit(nlist)
+          .select((row_number().over(Window.orderBy("h", "id")) - 1).as("cid"),
+            col("v").as("cvec")))
+      // Cell assignment: argmax-cosine centroid per vector. Slim rows
+      // (id, cid, sim) only; the max_by partial-aggregates map-side.
+      def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+        val sims = df.crossJoin(centroids)
+          .select(col(id), col("cid"),
+            cosine(col("v"), col("cvec")).as("csim"))
+        if (keep == 1)
+          sims.groupBy(id)
+            .agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
+        else {
+          val w = Window.partitionBy(id).orderBy(desc("csim"), col("cid"))
+          sims.withColumn("r", row_number().over(w)).where(col("r") <= keep)
+            .select(col(id), col("cid"))
+        }
       }
-    }
-    val cells = assign(c, "id", 1)
-    val qCells = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
-      "query_id", nprobe)
-    // Probe: candidates = corpus of the probed cells; vectors re-joined
-    // by id so the assignment rows never carry payloads.
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    qCells.join(cells.toDF("neighbor_id", "cid"), "cid")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .join(c.toDF("neighbor_id", "cv"), "neighbor_id")
-      .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qv"))), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("cv"), col("qv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
-      .orderBy("query_id", "rank")
+      val cells = assign(c, "id", 1)
+      val qCells = assign(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
+        "query_id", nprobe)
+      // Probe: candidates = corpus of the probed cells; vectors
+      // re-joined by id so the assignment rows never carry payloads.
+      val cand = qCells.join(cells.toDF("neighbor_id", "cid"), "cid")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      scoreCandidates(cand, corpus, queries, idCol, vecCol, k)
+        // materialize (tiny: ≤ k·|queries| rows) while `c` is cached —
+        // the unpersist in `finally` runs before any caller action
+        .localCheckpoint()
+    } finally c.unpersist()
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥

@@ -234,12 +234,19 @@ class Catalog(spark: SparkSession, dir: String) {
     val entries = fs.listStatus(new Path(dir))
     // Orphan sweep with a grace window: a fresh .tmp_* dir is most
     // likely an IN-FLIGHT commit's staging area — deleting it would
-    // kill that commit mid-write. Only dirs untouched for an hour are
-    // treated as crash debris.
+    // kill that commit mid-write. "Fresh" is judged by the NEWEST
+    // mtime anywhere under the dir (a long parquet write mutates files
+    // deep inside bucket=* without touching the top-level dir's mtime),
+    // with early exit on the first recent file.
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    def activeSince(p: Path, t: Long): Boolean = {
+      val st = fs.getFileStatus(p)
+      st.getModificationTime >= t ||
+        (st.isDirectory && fs.listStatus(p).exists(c => activeSince(c.getPath, t)))
+    }
     entries.iterator
       .filter(s => s.getPath.getName.startsWith(".tmp_") &&
-        s.getModificationTime < cutoff)
+        !activeSince(s.getPath, cutoff))
       .foreach(s => fs.delete(s.getPath, true))
     val deletable = entries.iterator
       .map(_.getPath.getName)
