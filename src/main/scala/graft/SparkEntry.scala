@@ -536,6 +536,31 @@ object SparkEntry {
           coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
             lit(0L)).as("n_found"))
         .orderBy("query_id")
+    }),
+
+    // ---- ext/DocDedup: near-dup CLUSTERING (pairs → connected
+    //      components → canonical min-id label) — the step after pair
+    //      generation in a real pipeline. Two planted copies per doc,
+    //      linked as a CHAIN (x ↔ x+1M ↔ x+2M, no direct x ↔ x+2M
+    //      edge), so the x+2M nodes can only learn their cluster id
+    //      transitively — the gate exercises multi-hop propagation,
+    //      not just direct edges. Oracle: DuckDB recursive CTE.
+    "q45_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 200).select("doc_id", "text")
+      val planted = docs
+        .unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text")))
+        .unionByName(docs.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          col("text")))
+      val h = planted.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      val pairs = h.toDF("id_a", "h")
+        .join(h.toDF("id_b", "h"), "h")
+        .where(col("id_a") < col("id_b") &&
+          col("id_b") - col("id_a") === 1000000L)
+        .select("id_a", "id_b")
+      DocDedup.nearDupClusters(pairs)
     })
   )
 
@@ -872,6 +897,26 @@ object SparkEntry {
       """SELECT n_name, count(*) AS n_supp,
         |       min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_dedup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |planted AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM base),
+        |h AS (SELECT doc_id, md5(text) AS h FROM planted),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+        |      WHERE b.doc_id - a.doc_id = 1000000),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
+        |SELECT id AS doc_id, min(r) AS cluster
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -368,6 +368,51 @@ object DocDedup {
     } finally { banded.unpersist(); sh.unpersist() }
   }
 
+  // ------------------------------------------------------- clustering
+
+  /** Connected components over near-dup pairs → (id, cluster), where
+    * `cluster` is the MINIMUM id reachable through the pair graph — the
+    * step a real training-data pipeline runs after pair generation:
+    * transitively-linked near-dups form one group, from which the
+    * canonical (min-id) document is kept. Covers exactly the ids that
+    * appear in some pair; untouched docs need no cluster row.
+    *
+    * Shape: iterative min-label propagation — per round, every node
+    * takes the min of its own and its neighbors' labels (one join +
+    * one groupBy per round), converging in O(component diameter)
+    * rounds. Each round localCheckpoints: labels stay tiny (two longs
+    * per node) while lineage would otherwise grow per iteration.
+    * Near-dup components are short chains/cliques in practice, so
+    * diameter is small; the convergence test costs one short-circuit
+    * `isEmpty` on the changed set.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.toDF("id_b", "nl"), "id_b")
+        .groupBy(col("id_a").as("id")).agg(min("nl").as("nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.toDF("id", "new")
+        .join(labels, "id")
+        .where(col("new") =!= col("label"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over token hashes: bit i of the signature is the

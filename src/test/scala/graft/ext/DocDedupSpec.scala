@@ -108,6 +108,23 @@ class DocDedupSpec extends SparkFunSuite {
     }
   }
 
+  test("nearDupClusters: multi-hop chains, cliques, and disjoint pairs " +
+    "all resolve to min-reachable-id labels") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3-4 (diameter 3: node 4 learns label 1 only after
+    // several propagation rounds), clique 10-11-12, disjoint pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = DocDedup.nearDupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // only pair members get cluster rows
+    assert(got.size == 9)
+  }
+
   test("minHashPairs recovers the planted near-dups (banded LSH + verify)") {
     val pairs = DocDedup.minHashPairs(docs, "doc_id", "text", 7, 10)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
