@@ -387,30 +387,50 @@ object DocDedup {
     * `isEmpty` on the changed set.
     */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val neighborMin = edges
-        .join(labels.toDF("id_b", "nl"), "id_b")
-        .groupBy(col("id_a").as("id")).agg(min("nl").as("nl"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.toDF("id", "new")
-        .join(labels, "id")
-        .where(col("new") =!= col("label"))
-        .isEmpty
-      labels = next
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint pins blocks behind an INTERNAL RDD the returned
+    // DataFrame does not expose (`df.rdd` is a fresh deserialization
+    // wrapper — unpersisting it frees nothing). Capture the backing
+    // RDD through the persistent-RDD registry delta so superseded
+    // rounds can actually be freed; without this every iteration pins
+    // another copy of the label table for the caller's whole session.
+    def checkpointPinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val pinned = (sc.getPersistentRDDs -- before).values.toSeq
+      (out, pinned)
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
-      .orderBy("doc_id")
+    val (edges, edgesPinned) = checkpointPinned(
+      pairs.select(col("id_a"), col("id_b"))
+        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .distinct())
+    try {
+      var (labels, labelsPinned) = checkpointPinned(
+        edges.select(col("id_a").as("id")).distinct()
+          .withColumn("label", col("id")))
+      var converged = false
+      while (!converged) {
+        val neighborMin = edges
+          .join(labels.toDF("id_b", "nl"), "id_b")
+          .groupBy(col("id_a").as("id")).agg(min("nl").as("nl"))
+        val (next, nextPinned) = checkpointPinned(
+          labels.join(neighborMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+        converged = next.toDF("id", "new")
+          .join(labels, "id")
+          .where(col("new") =!= col("label"))
+          .isEmpty
+        // next is materialized and the convergence check has run — the
+        // superseded round's blocks can go. (The FINAL labels stay
+        // pinned: they back the returned DataFrame.)
+        labelsPinned.foreach(_.unpersist(false))
+        labels = next
+        labelsPinned = nextPinned
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+        .orderBy("doc_id")
+    } finally edgesPinned.foreach(_.unpersist(false))
   }
 
   // ------------------------------------------------------------- SimHash

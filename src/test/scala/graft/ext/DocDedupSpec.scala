@@ -117,12 +117,17 @@ class DocDedupSpec extends SparkFunSuite {
       (1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (10L, 12L), (11L, 12L),
       (20L, 21L)).toDF("id_a", "id_b")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val got = DocDedup.nearDupClusters(pairs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
     // only pair members get cluster rows
     assert(got.size == 9)
+    // superseded per-iteration checkpoints are freed; only the final
+    // labels (backing the returned DataFrame) stay pinned
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.size <= 1, s"leaked checkpoint blocks: $leaked")
   }
 
   test("minHashPairs recovers the planted near-dups (banded LSH + verify)") {
