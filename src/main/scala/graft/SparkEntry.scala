@@ -561,6 +561,25 @@ object SparkEntry {
           col("id_b") - col("id_a") === 1000000L)
         .select("id_a", "id_b")
       DocDedup.nearDupClusters(pairs)
+    }),
+
+    // ---- ext/Multimodal: REAL-codec decode gate. Deterministic PNGs
+    //      with id-derived geometry are built in-query (UDF at the
+    //      codec boundary, per SURVEY §2.9) and decoded by the real
+    //      javax.imageio path on executors; the oracle predicts the
+    //      decoded metadata arithmetically. q23 keeps covering the
+    //      arbitrary-bytes/stub path; this row proves the real one.
+    "q46_multimodal_real_decode" -> ((s, dir) => {
+      val png = udf((id: Long) => Multimodal.syntheticPng(
+        16 + (id % 8).toInt, 9 + (id % 5).toInt, id))
+      val blobs = t(s, dir, "documents")
+        .where(col("doc_id") < 100).select("doc_id")
+        .withColumn("blob", png(col("doc_id")))
+      Multimodal.decodeMeta(blobs, "blob", Multimodal.ImageIoDecoder)
+        .select(col("doc_id"), col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.channels").as("channels"), col("media.ok").as("ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -917,6 +936,14 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
         |SELECT id AS doc_id, min(r) AS cluster
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q46_multimodal_real_decode" ->
+      """SELECT doc_id,
+        |       CAST(16 + doc_id % 8 AS INT) AS width,
+        |       CAST(9 + doc_id % 5 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       TRUE AS ok
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
   )
 }

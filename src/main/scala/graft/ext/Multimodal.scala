@@ -95,6 +95,33 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic PNG: a `w`×`h` RGB image whose pixels are a
+    * fixed arithmetic pattern of (x, y, seed), encoded through the real
+    * PNG codec. The image corpus the driver tables lack: oracle queries
+    * generate blobs with id-derived geometry, push them through
+    * [[ImageIoDecoder]] on executors, and DuckDB predicts the decoded
+    * metadata arithmetically — a hash-checked end-to-end gate on the
+    * real codec path.
+    */
+  def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad geometry ${w}x$h")
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 2654435 + y * 40503 + seed * 7919) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Real image decoder on the JDK's built-in `javax.imageio` readers
     * (PNG/JPEG/BMP/GIF/WBMP) — zero external dependencies, so "no media
     * libraries in this container" stops applying to images. All three
