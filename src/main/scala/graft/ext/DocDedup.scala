@@ -385,6 +385,15 @@ object DocDedup {
     * Near-dup components are short chains/cliques in practice, so
     * diameter is small; the convergence test costs one short-circuit
     * `isEmpty` on the changed set.
+    *
+    * Storage contract: superseded rounds are freed as the loop runs
+    * (via the persistent-RDD registry delta — like every
+    * persist-managing operator here this assumes no CONCURRENT
+    * persists/checkpoints on the same session during the call, or the
+    * delta could capture a neighbor's blocks). The FINAL label table
+    * stays pinned because it backs the returned DataFrame — a
+    * long-lived session that calls this repeatedly should write the
+    * result out and clear session caches between datasets.
     */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     val sc = pairs.sparkSession.sparkContext

@@ -95,6 +95,17 @@ object Multimodal {
     }
   }
 
+  /** One-time AWT/ImageIO setup shared by the codec paths: executors
+    * have no display (headless must be set before the first AWT touch),
+    * and the default ImageIO stream cache is FILE-backed — a temp file
+    * per encode/decode in java.io.tmpdir, which an executor may not
+    * even be able to write.
+    */
+  private[ext] lazy val imageIoInit: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
+  }
+
   /** Deterministic synthetic PNG: a `w`×`h` RGB image whose pixels are a
     * fixed arithmetic pattern of (x, y, seed), encoded through the real
     * PNG codec. The image corpus the driver tables lack: oracle queries
@@ -105,7 +116,7 @@ object Multimodal {
     */
   def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
     require(w > 0 && h > 0, s"bad geometry ${w}x$h")
-    System.setProperty("java.awt.headless", "true")
+    imageIoInit
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -135,16 +146,10 @@ object Multimodal {
     * pass this decoder explicitly.
     */
   object ImageIoDecoder extends Decoder {
-    // Executors have no display; BufferedImage/Graphics2D are fine
-    // headless but the first AWT touch must not try to connect to one.
-    private lazy val imageIo: Unit = {
-      System.setProperty("java.awt.headless", "true")
-      javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
-    }
 
     private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       require(bytes != null && bytes.nonEmpty, "empty blob")
-      imageIo
+      imageIoInit
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, "unrecognized image format")
       img
@@ -160,7 +165,7 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty)
         MediaMeta(0, 0, 0, 0L, ok = false, "empty blob")
       else {
-        imageIo
+        imageIoInit
         var iis: javax.imageio.stream.ImageInputStream = null
         try {
           // inside the try, with a null guard: the stream factory is

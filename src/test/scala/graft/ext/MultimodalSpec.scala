@@ -61,15 +61,8 @@ class MultimodalSpec extends SparkFunSuite {
     assert(java.util.Arrays.equals(out(1L), again(1L)))
   }
 
-  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w)
-      img.setRGB(x, y, (x * 2654435 + y * 40503 + seed * 7919) & 0xFFFFFF)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
-  }
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] =
+    Multimodal.syntheticPng(w, h, seed.toLong)
 
   test("ImageIoDecoder: real PNG geometry; resize round-trips through the codec") {
     val png = pngBytes(32, 20, 7)
