@@ -50,8 +50,10 @@ object Similarity {
     *         by neighbor_id for determinism; self-matches excluded
     *
     * Plan shape: broadcast-nested-loop of |corpus| × |queries| rows —
-    * linear in the corpus for fixed query count — then a window top-k
-    * keyed by query (tiny: k·|queries| rows survive the rank filter).
+    * linear in the corpus for fixed query count — then the shared
+    * two-level top-k tail ([[topKPerQuery]]): map-side group-limit
+    * prunes each partition to ≤ k rows per query BEFORE the shuffle, so
+    * the per-query window never sees the corpus.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -62,9 +64,43 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("cv"), col("qv")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Exact per-query top-k over scored (query_id, neighbor_id, sim) rows
+    * — the ranking tail every ANN tier shares. Ties broken by
+    * neighbor_id for determinism.
+    *
+    * Scale shape: this is a TWO-LEVEL top-k, not a one-task-per-query
+    * sort. Spark's `InferWindowGroupLimit` (3.5+) plans the
+    * `row_number() ≤ k` filter as WindowGroupLimit(Partial) BELOW the
+    * query_id exchange — each map task locally prunes to ≤ k rows per
+    * query — so the shuffle and the final per-query window see at most
+    * k·partitions rows per query, never the scored corpus
+    * (PlanSpec asserts the executed shape). The rule fires only for
+    * k ≤ spark.sql.optimizer.windowGroupLimitThreshold (default 1000);
+    * above that we pre-prune explicitly with a salted window — each
+    * (query, salt) slice keeps its own top-k in its own task, a strict
+    * superset of the global top-k — so no single task ever sorts a
+    * whole query's candidate set at ANY k.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val ss = scored.sparkSession
+    val threshold =
+      ss.conf.get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
+    val pre = if (k > threshold) {
+      val salts = math.max(2, ss.sparkContext.defaultParallelism)
+      val ws = Window.partitionBy("query_id", "__salt")
+        .orderBy(desc("sim"), col("neighbor_id"))
+      scored
+        .withColumn("__salt", pmod(xxhash64(col("neighbor_id")), lit(salts)))
+        .withColumn("__r", row_number().over(ws))
+        .where(col("__r") <= k)
+        .drop("__salt", "__r")
+    } else scored
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    pre.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
       .orderBy("query_id", "rank")
@@ -126,21 +162,16 @@ object Similarity {
     */
   private def scoreCandidates(cand: DataFrame, corpus: DataFrame,
                               queries: DataFrame, idCol: String,
-                              vecCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("sim"), col("neighbor_id"))
-    cand
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-        "neighbor_id")
-      .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qv"))), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("cv"), col("qv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
-      .orderBy("query_id", "rank")
-  }
+                              vecCol: String, k: Int): DataFrame =
+    topKPerQuery(
+      cand
+        .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+          "neighbor_id")
+        .join(broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("qv"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("cv"), col("qv")).as("sim")),
+      k)
 
   /** IVF (inverted-file) approximate top-k — the third ANN tier and the
     * classic coarse-quantizer scale path: the corpus is partitioned into

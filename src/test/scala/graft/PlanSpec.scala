@@ -73,6 +73,31 @@ class PlanSpec extends SparkFunSuite {
       s"a one-partition scan must be spread across the cluster:\n$shPlan")
   }
 
+  test("ANN scoring tail is a two-level top-k: partial group-limit " +
+    "below the query_id exchange, for every tier") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 3)
+    // The full scored set must never cross the query_id shuffle or flow
+    // into the one-partition-per-query WindowExec: InferWindowGroupLimit
+    // plans the rank<=k filter as WindowGroupLimit(Partial) on the map
+    // side, pruning each partition to <= k rows per query pre-shuffle.
+    def assertTwoLevel(df: org.apache.spark.sql.DataFrame, tier: String): Unit = {
+      df.collect() // AQE: inspect the final plan
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+      val exch = lines.indexWhere(_.contains("Exchange hashpartitioning(query_id"))
+      val partial = lines.indexWhere(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial"))
+      assert(exch >= 0, s"$tier: no query_id exchange found:\n${lines.mkString("\n")}")
+      assert(partial > exch, // plan prints top-down: below = later line
+        s"$tier: map-side WindowGroupLimit(Partial) must sit below the " +
+          s"query_id exchange (got exchange@$exch, partial@$partial):\n${lines.mkString("\n")}")
+    }
+    assertTwoLevel(graft.ext.Similarity.bruteForceTopK(
+      emb, q, "vec_id", "embedding", 5), "brute-force")
+    assertTwoLevel(graft.ext.Similarity.lshTopK(
+      emb, q, "vec_id", "embedding", 5), "lsh-scoreCandidates")
+  }
+
   test("exact-Jaccard tier 2 filters inside a broadcast join; verify is " +
     "the codegen'd popcount, not a Scala UDF") {
     val df = SparkEntry.queries("q15_dedup_ngram_jaccard")(spark, sf)

@@ -86,6 +86,25 @@ class SimilaritySpec extends SparkFunSuite {
     assert(full == exactTop)
   }
 
+  test("topKPerQuery salted pre-prune (k above windowGroupLimitThreshold) " +
+    "returns the exact ranking") {
+    val corpus = randomCorpus(300, 16)
+    val queries = corpus.where(col("vec_id") < 4)
+    def run() = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 20)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank")))
+      .toSeq
+    val expected = run() // default threshold (1000): group-limit path
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "4") // k=20 > 4: forces the salted pre-prune
+      assert(run() == expected,
+        "salted two-level top-k must be rank-identical to the exact window")
+    } finally spark.conf.set(key, old)
+  }
+
   test("cosineNearDupPairs finds the planted near-identical pair only") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)
