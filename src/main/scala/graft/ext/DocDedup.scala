@@ -89,6 +89,17 @@ object DocDedup {
     */
   private val DenseVocabMaxBits = 65536
 
+  /** Broadcast budget for tier-2's hot-dominated docs (bitmaps ride
+    * along, up to ~8 KB each). A tiny-vocabulary corpus can classify
+    * MOST docs hot-dominated — hot-dominated does not imply pairwise
+    * similar, so the candidate cost can be quadratic while the output
+    * stays small — and broadcasting them all would blow the driver
+    * before the join even starts. Past the budget, tier 2 keeps the
+    * same exact semantics through a shuffled ids-only pair stream with
+    * the bitmaps re-joined by key (see the fallback in the body).
+    */
+  private val MaxHotBroadcastBytes = 128L * 1024 * 1024
+
   /** Exact n-gram Jaccard pairs, J ≥ num/den, verified with *integer*
     * arithmetic: J ≥ num/den ⟺ den·common ≥ num·(na+nb−common).
     *
@@ -135,15 +146,17 @@ object DocDedup {
                         num: Int, den: Int,
                         maxShingleDf: Int = -1): DataFrame =
     ngramJaccardPairsImpl(df, idCol, textCol, num, den, maxShingleDf,
-      DenseVocabMaxBits)
+      DenseVocabMaxBits, MaxHotBroadcastBytes)
 
-  /** [[ngramJaccardPairs]] with the dense-bitmap cutoff exposed, so tests
-    * can force the inverted-index fallback path on small corpora.
+  /** [[ngramJaccardPairs]] with the dense-bitmap cutoff and tier-2
+    * broadcast budget exposed, so tests can force the inverted-index
+    * and shuffled-tier-2 fallback paths on small corpora.
     */
   private[ext] def ngramJaccardPairsImpl(
       df: DataFrame, idCol: String, textCol: String,
       num: Int, den: Int, maxShingleDf: Int,
-      denseMaxBits: Int): DataFrame = {
+      denseMaxBits: Int,
+      maxHotBroadcastBytes: Long = MaxHotBroadcastBytes): DataFrame = {
     require(num > 0 && den >= num, s"threshold must be in (0,1]: $num/$den")
     require(maxShingleDf == -1 || maxShingleDf >= 1,
       s"maxShingleDf must be -1 (adaptive) or >= 1: $maxShingleDf")
@@ -227,16 +240,30 @@ object DocDedup {
         // docs (bitmaps riding along) meet in one broadcast nested-loop
         // join whose condition already applies the exact predicate, so
         // the quadratic pair stream is filtered where it is produced —
-        // never shuffled, never materialized. Broadcasting tier-2 docs is
-        // sound at scale: if the boilerplate cluster outgrows a
-        // broadcast, its exact pair OUTPUT is already quadratically
-        // beyond reach.
+        // never shuffled, never materialized. The broadcast is budgeted:
+        // hot-dominated does NOT imply pairwise similar, so a
+        // tiny-vocabulary corpus can make most docs hot-dominated while
+        // the verified output stays small — past the budget the same
+        // exact predicate runs over a shuffled ids-only pair stream
+        // (16 B/row) with bitmaps re-joined by key, trading the inline
+        // filter for bounded driver/executor memory.
         val hotA = asA.where(lit(den) * col("hot_a") >= lit(num) * col("na"))
         val hotB = asB.where(lit(den) * col("hot_b") >= lit(num) * col("nb"))
-        val tier2 = broadcast(hotA)
-          .join(hotB, col("id_a") < col("id_b") && sizeOk)
-          .withColumn("common", common(col("bm_a"), col("bm_b")))
-          .where(jOk)
+        val hotCount = hotA.count() // cheap: docStats is cached
+        val hotBytes = hotCount * (nLongs * 8L + 64L)
+        val tier2 = if (hotBytes <= maxHotBroadcastBytes) {
+          broadcast(hotA)
+            .join(hotB, col("id_a") < col("id_b") && sizeOk)
+            .withColumn("common", common(col("bm_a"), col("bm_b")))
+            .where(jOk)
+        } else {
+          hotA.select("id_a")
+            .join(hotB.select("id_b"), col("id_a") < col("id_b"))
+            .join(hotA, "id_a").join(hotB, "id_b")
+            .where(sizeOk)
+            .withColumn("common", common(col("bm_a"), col("bm_b")))
+            .where(jOk)
+        }
         // Tier-1 pairs where both docs are hot-dominated are tier-2
         // pairs by definition — excluded here so the union needs no
         // pair-level distinct.

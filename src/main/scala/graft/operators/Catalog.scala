@@ -216,9 +216,11 @@ class Catalog(spark: SparkSession, dir: String) {
     * references (bucket-pruned commits keep old versions partially
     * alive — a bucket last written at v3 lives in v_000003 until some
     * later commit rewrites it), plus orphaned `.tmp_*` staging dirs
-    * left by crashed commits. Never touches the current version or any
-    * directory holding a still-referenced bucket. Returns the versions
-    * deleted.
+    * left by crashed commits, plus bare version dirs lacking a COMMIT
+    * marker (stray artifacts that would otherwise block their version
+    * number forever). Never touches the current version or any
+    * directory holding a still-referenced bucket. Returns the
+    * committed versions deleted (orphan sweeps are not reported).
     *
     * NOT safe concurrently with everything: a lazily-evaluated DataFrame
     * planned from [[links]]/[[getHashLink]] under an OLDER manifest still
@@ -239,19 +241,42 @@ class Catalog(spark: SparkSession, dir: String) {
     // deep inside bucket=* without touching the top-level dir's mtime),
     // with early exit on the first recent file.
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-    def activeSince(p: Path, t: Long): Boolean = {
-      val st = fs.getFileStatus(p)
-      st.getModificationTime >= t ||
-        (st.isDirectory && fs.listStatus(p).exists(c => activeSince(c.getPath, t)))
-    }
+    def activeSince(p: Path, t: Long): Boolean =
+      try {
+        val st = fs.getFileStatus(p)
+        st.getModificationTime >= t ||
+          (st.isDirectory && fs.listStatus(p).exists(c => activeSince(c.getPath, t)))
+      } catch {
+        // A concurrent commit can rename its staging dir away mid-walk;
+        // a vanished entry is treated as active (skipped this pass)
+        // rather than crashing the sweep.
+        case _: java.io.FileNotFoundException => true
+      }
     entries.iterator
       .filter(s => s.getPath.getName.startsWith(".tmp_") &&
         !activeSince(s.getPath, cutoff))
       .foreach(s => fs.delete(s.getPath, true))
+    // A bare version dir without a COMMIT marker (stray artifact, or the
+    // debris of a non-atomic-rename store) is invisible to readers by
+    // construction but permanently blocks every future committer of that
+    // version number — reclaim it under the same grace window. (A
+    // healthy in-flight commit never produces one: data + COMMIT appear
+    // together in the atomic publish rename.)
+    entries.iterator
+      .filter { s =>
+        s.getPath.getName match {
+          case VersionRe(_) =>
+            !fs.exists(new Path(s.getPath, "COMMIT")) &&
+              !activeSince(s.getPath, cutoff)
+          case _ => false
+        }
+      }
+      .foreach(s => fs.delete(s.getPath, true))
     val deletable = entries.iterator
       .map(_.getPath.getName)
       .collect { case VersionRe(n) => n.toLong }
-      .filter(v => v < current && !referenced.contains(v))
+      .filter(v => v < current && !referenced.contains(v) &&
+        fs.exists(new Path(versionDir(v), "COMMIT")))
       .toSeq.sorted
     deletable.foreach(v => fs.delete(versionDir(v), true))
     deletable

@@ -65,6 +65,38 @@ class CatalogSpec extends SparkFunSuite {
     assert(cat.vacuum().isEmpty) // idempotent
   }
 
+  test("vacuum reclaims a stale bare version dir that would block its " +
+    "version number; a fresh one survives the grace window") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-bare")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    cat.commitRun("f1", 64, "sha",
+      Seq(("aa11", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    // A bare v_000002 (no COMMIT marker — e.g. debris of a non-atomic
+    // rename store) blocks every future committer of version 2.
+    val bare = Paths.get(s"$dir/catalog/v_000002")
+    Files.createDirectories(bare)
+    intercept[IllegalStateException] {
+      cat.commitRun("f2", 64, "sha",
+        Seq(("bb22", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    }
+    // Fresh (mtime within the grace window): vacuum must NOT touch it.
+    cat.vacuum()
+    assert(Files.exists(bare), "a fresh bare dir could be mid-publish on " +
+      "a non-atomic store; the grace window must protect it")
+    // Stale: age it past the window — vacuum reclaims, commits unblock.
+    Files.setLastModifiedTime(bare,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    cat.vacuum()
+    assert(!Files.exists(bare), "stale bare version dir must be reclaimed")
+    cat.commitRun("f2", 64, "sha",
+      Seq(("bb22", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    assert(cat.currentVersion == 2L)
+    assert(cat.links().count() == 2)
+  }
+
   test("batched commitRuns: one version bump; deltas hit the batch's own new links") {
     val s = spark; import s.implicits._
     val dir = tempDir("cat-batch")

@@ -97,14 +97,19 @@ class DocDedupSpec extends SparkFunSuite {
       "fixture must exercise tier 2 (hot-only pairs)")
     assert(expected.exists(p => p._1 == 300L && p._2 == 301L),
       "fixture must exercise tier 1 (rare-shingle pair)")
-    for (tau <- Seq(1, 5, 1000); denseMax <- Seq(0, 65536)) {
+    // hotBudget 0 forces tier 2's shuffled ids-only fallback (the
+    // broadcast-overflow path); MaxValue keeps the broadcast join.
+    for (tau <- Seq(1, 5, 1000); denseMax <- Seq(0, 65536);
+         hotBudget <- Seq(0L, Long.MaxValue)) {
       val got = DocDedup
-        .ngramJaccardPairsImpl(corpus, "doc_id", "text", 7, 10, tau, denseMax)
+        .ngramJaccardPairsImpl(corpus, "doc_id", "text", 7, 10, tau, denseMax,
+          hotBudget)
         .collect()
         .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
           r.getAs[Long]("common"), r.getAs[Long]("na"), r.getAs[Long]("nb")))
         .toSet
-      assert(got == expected, s"mismatch at tau=$tau denseMaxBits=$denseMax")
+      assert(got == expected,
+        s"mismatch at tau=$tau denseMaxBits=$denseMax hotBudget=$hotBudget")
     }
   }
 
