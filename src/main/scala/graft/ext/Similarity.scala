@@ -72,17 +72,22 @@ object Similarity {
     * neighbor_id for determinism.
     *
     * Scale shape: this is a TWO-LEVEL top-k, not a one-task-per-query
-    * sort. Spark's `InferWindowGroupLimit` (3.5+) plans the
+    * sort. For k ≤ spark.sql.optimizer.windowGroupLimitThreshold
+    * (default 1000), Spark's `InferWindowGroupLimit` (3.5+) plans the
     * `row_number() ≤ k` filter as WindowGroupLimit(Partial) BELOW the
     * query_id exchange — each map task locally prunes to ≤ k rows per
     * query — so the shuffle and the final per-query window see at most
     * k·partitions rows per query, never the scored corpus
-    * (PlanSpec asserts the executed shape). The rule fires only for
-    * k ≤ spark.sql.optimizer.windowGroupLimitThreshold (default 1000);
-    * above that we pre-prune explicitly with a salted window — each
-    * (query, salt) slice keeps its own top-k in its own task, a strict
-    * superset of the global top-k — so no single task ever sorts a
-    * whole query's candidate set at ANY k.
+    * (PlanSpec asserts the executed shape). Above the threshold (where
+    * the rule cannot fire) we pre-prune with a salted window: the
+    * scored set still crosses the (query_id, __salt) exchange ONCE at
+    * full size — only the per-task sort is bounded, to one (query,
+    * salt) slice's rows — and the second, per-query exchange then sees
+    * ≤ k·salts rows per query. So the group-limit path bounds shuffle
+    * INPUT; the salted path bounds per-task sort size but not the
+    * first shuffle — size shuffles accordingly when k > threshold. In
+    * neither path does a single task ever sort a whole query's
+    * candidate set.
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val ss = scored.sparkSession

@@ -230,10 +230,10 @@ class Catalog(spark: SparkSession, dir: String) {
     * pending and no commit is in flight.
     */
   def vacuum(): Seq[Long] = {
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Seq.empty
     val current = currentVersion
-    if (current == 0) return Seq.empty
-    val referenced = readManifest(current).values.toSet + current
-    val entries = fs.listStatus(new Path(dir))
+    val entries = fs.listStatus(base)
     // Orphan sweep with a grace window: a fresh .tmp_* dir is most
     // likely an IN-FLIGHT commit's staging area — deleting it would
     // kill that commit mid-write. "Fresh" is judged by the NEWEST
@@ -272,6 +272,13 @@ class Catalog(spark: SparkSession, dir: String) {
         }
       }
       .foreach(s => fs.delete(s.getPath, true))
+    // Only the committed-version deletion stage needs a committed version
+    // to anchor `referenced` — the orphan sweeps above must run even on
+    // an otherwise-empty catalog, where a stale bare v_000001 would
+    // permanently block the FIRST commit and this method is the
+    // designated remediation.
+    if (current == 0) return Seq.empty
+    val referenced = readManifest(current).values.toSet + current
     val deletable = entries.iterator
       .map(_.getPath.getName)
       .collect { case VersionRe(n) => n.toLong }

@@ -97,6 +97,31 @@ class CatalogSpec extends SparkFunSuite {
     assert(cat.links().count() == 2)
   }
 
+  test("vacuum sweeps a stale bare version dir even in an EMPTY catalog " +
+    "(currentVersion == 0), unblocking the first commit") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-bare-empty")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    // A stale bare v_000001 in an otherwise-empty catalog: the FIRST
+    // commit is blocked, and vacuum is the designated remediation — it
+    // must not early-return on currentVersion == 0.
+    val bare = Paths.get(s"$dir/catalog/v_000001")
+    Files.createDirectories(bare)
+    Files.setLastModifiedTime(bare,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    intercept[IllegalStateException] {
+      cat.commitRun("f1", 64, "sha",
+        Seq(("aa11", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    }
+    assert(cat.vacuum().isEmpty) // no committed versions to report
+    assert(!Files.exists(bare), "stale bare dir must be reclaimed at v0")
+    cat.commitRun("f1", 64, "sha",
+      Seq(("aa11", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    assert(cat.currentVersion == 1L)
+  }
+
   test("batched commitRuns: one version bump; deltas hit the batch's own new links") {
     val s = spark; import s.implicits._
     val dir = tempDir("cat-batch")
