@@ -404,69 +404,108 @@ object DocDedup {
     * canonical (min-id) document is kept. Covers exactly the ids that
     * appear in some pair; untouched docs need no cluster row.
     *
-    * Shape: iterative min-label propagation — per round, every node
-    * takes the min of its own and its neighbors' labels (one join +
-    * one groupBy per round), converging in O(component diameter)
-    * rounds. Each round localCheckpoints: labels stay tiny (two longs
-    * per node) while lineage would otherwise grow per iteration.
-    * Near-dup components are short chains/cliques in practice, so
-    * diameter is small; the convergence test costs one short-circuit
-    * `isEmpty` on the changed set.
+    * Shape: alternating large-star / small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", 2014) —
+    * per round, large-star hangs every node's strictly-larger neighbors
+    * off its neighborhood minimum, small-star hangs the smaller ones;
+    * each is one groupBy(min) + one join over (long, long) edge rows.
+    * The edge set converges to the star graph rooted at each
+    * component's minimum in **O(log n) rounds regardless of diameter**
+    * — where the r6 min-label propagation needed O(diameter) rounds
+    * (and therefore O(diameter) Spark jobs: a boilerplate mega-cluster
+    * chained through thousands of near-dup hops meant thousands of
+    * jobs; round-6 verdict #3). DocDedupSpec pins the round count
+    * logarithmic on a deep chain.
     *
-    * Storage contract: superseded rounds are freed as the loop runs
-    * (via the persistent-RDD registry delta — like every
-    * persist-managing operator here this assumes no CONCURRENT
-    * persists/checkpoints on the same session during the call, or the
-    * delta could capture a neighbor's blocks). The FINAL label table
-    * stays pinned because it backs the returned DataFrame — a
-    * long-lived session that calls this repeatedly should write the
-    * result out and clear session caches between datasets.
+    * Storage contract: each round localCheckpoints the edge set (edges
+    * stay two longs per row while lineage would otherwise grow per
+    * iteration), and superseded rounds are freed as the loop runs via
+    * the persistent-RDD registry delta — like every persist-managing
+    * operator here this assumes no CONCURRENT persists/checkpoints on
+    * the same session during the call. The FINAL label table stays
+    * pinned because it backs the returned DataFrame — a long-lived
+    * session that calls this repeatedly should write the result out
+    * and clear session caches between datasets.
     */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
+  def nearDupClusters(pairs: DataFrame): DataFrame =
+    nearDupClustersImpl(pairs)._1
+
+  /** [[nearDupClusters]] plus the contraction round count, so tests can
+    * pin the O(log n) convergence (a regression to O(diameter) shows up
+    * as a round count ~linear in the longest planted chain).
+    */
+  private[ext] def nearDupClustersImpl(pairs: DataFrame): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     // localCheckpoint pins blocks behind an INTERNAL RDD the returned
     // DataFrame does not expose (`df.rdd` is a fresh deserialization
     // wrapper — unpersisting it frees nothing). Capture the backing
     // RDD through the persistent-RDD registry delta so superseded
     // rounds can actually be freed; without this every iteration pins
-    // another copy of the label table for the caller's whole session.
+    // another copy of the edge table for the caller's whole session.
     def checkpointPinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
       val pinned = (sc.getPersistentRDDs -- before).values.toSeq
       (out, pinned)
     }
-    val (edges, edgesPinned) = checkpointPinned(
-      pairs.select(col("id_a"), col("id_b"))
-        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .distinct())
+    // Every id that appears in a pair (the output cover) — pinned once,
+    // up front: component minima lose all their edges at the star
+    // fixpoint's left side, so the final labels must re-join the cover.
+    val (ids, idsPinned) = checkpointPinned(
+      pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct())
+    // Working edge set, oriented big→small (u > v) — both star steps
+    // preserve the orientation, so only large-star symmetrizes.
+    var (edges, edgesPinned) = checkpointPinned(
+      pairs.select(greatest(col("id_a"), col("id_b")).as("u"),
+          least(col("id_a"), col("id_b")).as("v"))
+        .where(col("u") =!= col("v")).distinct())
+    var rounds = 0
     try {
-      var (labels, labelsPinned) = checkpointPinned(
-        edges.select(col("id_a").as("id")).distinct()
-          .withColumn("label", col("id")))
       var converged = false
       while (!converged) {
-        val neighborMin = edges
-          .join(labels.toDF("id_b", "nl"), "id_b")
-          .groupBy(col("id_a").as("id")).agg(min("nl").as("nl"))
-        val (next, nextPinned) = checkpointPinned(
-          labels.join(neighborMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
-        converged = next.toDF("id", "new")
-          .join(labels, "id")
-          .where(col("new") =!= col("label"))
-          .isEmpty
+        rounds += 1
+        // ---- large-star: m(u) = min(Γ(u) ∪ {u}); hang every neighbor
+        // v > u off m(u). Output edges (v, m) keep v > m.
+        val adj = edges.unionByName(
+          edges.select(col("v").as("u"), col("u").as("v")))
+        val lmin = adj.groupBy("u").agg(min("v").as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m"))
+        val ls = adj.join(lmin, "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")).distinct()
+        // ---- small-star: on big→small edges, m(u) = min of u's
+        // (all-smaller) neighbors; hang u and every neighbor ≠ m off m.
+        val smin = ls.groupBy("u").agg(min("v").as("m"))
+        val ss = ls.join(smin, "u")
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(smin.select(col("u"), col("m").as("v")))
+          .distinct()
+        val (next, nextPinned) = checkpointPinned(ss)
+        // Fixpoint test: both sets are distinct, so equal counts plus
+        // an empty one-sided except ⟺ set equality. At the fixpoint
+        // the edges ARE the star graph (u, component-min).
+        converged = next.count() == edges.count() &&
+          next.except(edges).isEmpty
         // next is materialized and the convergence check has run — the
-        // superseded round's blocks can go. (The FINAL labels stay
+        // superseded round's blocks can go. (The FINAL edges stay
         // pinned: they back the returned DataFrame.)
-        labelsPinned.foreach(_.unpersist(false))
-        labels = next
-        labelsPinned = nextPinned
+        edgesPinned.foreach(_.unpersist(false))
+        edges = next
+        edgesPinned = nextPinned
       }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster"))
-        .orderBy("doc_id")
-    } finally edgesPinned.foreach(_.unpersist(false))
+      // Materialize the labels while the ids + final-edges blocks are
+      // still alive (the unpersists below run before any caller action
+      // would), then free everything except the final label table —
+      // which stays pinned because it backs the returned DataFrame.
+      val (labels, _) = checkpointPinned(ids
+        .join(edges.select(col("u").as("id"), col("v").as("cluster")),
+          Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("cluster"), col("id")).as("cluster")))
+      edgesPinned.foreach(_.unpersist(false))
+      (labels.orderBy("doc_id"), rounds)
+    } finally idsPinned.foreach(_.unpersist(false))
   }
 
   // ------------------------------------------------------------- SimHash

@@ -135,6 +135,54 @@ class DocDedupSpec extends SparkFunSuite {
     assert(leaked.size <= 1, s"leaked checkpoint blocks: $leaked")
   }
 
+  test("nearDupClusters closes a deep chain in O(log n) contraction rounds, " +
+    "not O(diameter)") {
+    val s = spark; import s.implicits._
+    // a single 129-node chain (diameter 128): min-label propagation
+    // would need ~128 rounds / Spark jobs; alternating large-star /
+    // small-star must close it in O(log n).
+    val n = 128
+    val pairs = (0 until n).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = DocDedup.nearDupClustersImpl(pairs)
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    assert(got.length == n + 1)
+    assert(got.forall(_._2 == 0L),
+      s"all chain nodes must label 0, got ${got.filter(_._2 != 0L).take(5).toSeq}")
+    val bound = 2 * (math.log(n + 1) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound,
+      s"contraction took $rounds rounds on a diameter-$n chain " +
+        s"(O(log n) bound: $bound) — did clustering regress to " +
+        "per-hop propagation?")
+  }
+
+  test("nearDupClusters matches brute-force components on a random graph") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = DocDedup.nearDupClusters(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(got == expected)
+  }
+
   test("minHashPairs recovers the planted near-dups (banded LSH + verify)") {
     val pairs = DocDedup.minHashPairs(docs, "doc_id", "text", 7, 10)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
