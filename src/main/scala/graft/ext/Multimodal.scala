@@ -51,6 +51,12 @@ object Multimodal {
       * scaler, the stub emits a deterministic w·h·3 RGB-shaped buffer.
       */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Decode a multi-frame blob into its frames, each re-encoded as a
+      * standalone image; real impls read the container's frame sequence
+      * (animated GIF via ImageIO, video via ffmpeg bindings), the stub
+      * derives a deterministic fake sequence from the bytes.
+      */
+    def frames(bytes: Array[Byte]): Seq[Array[Byte]]
   }
 
   /** Deterministic fake decoder — STUB for the real codec (no media libs
@@ -93,6 +99,14 @@ object Multimodal {
       val seed = hash(bytes)
       Array.tabulate(w * h * 3)(i => (mix(seed + i) & 0xFF).toByte)
     }
+
+    override def frames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      require(bytes != null && bytes.nonEmpty, "undecodable blob")
+      val h = hash(bytes)
+      val n = 1 + (math.abs(h) % 8).toInt // deterministic fake frame count
+      Seq.tabulate(n)(f =>
+        Array.tabulate(32)(j => (mix(h + f * 131L + j) & 0xFF).toByte))
+    }
   }
 
   /** One-time AWT/ImageIO setup shared by the codec paths: executors
@@ -130,6 +144,50 @@ object Multimodal {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic multi-frame GIF: `nFrames` frames of a
+    * `w`×`h` arithmetic pixel pattern of (x, y, frame, seed), written
+    * through the real GIF sequence writer
+    * (`ImageWriter.prepareWriteSequence`/`writeToSequence`). The
+    * multi-frame corpus the driver tables lack — gate queries generate
+    * blobs with id-derived frame counts and geometry, decode them with
+    * [[ImageIoDecoder.frames]] on executors, and DuckDB predicts the
+    * frame inventory arithmetically.
+    */
+  def syntheticGif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0,
+      s"bad geometry ${w}x$h x$nFrames frames")
+    imageIoInit
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              ((x * 2654435 + y * 40503 + f * 104729 + seed * 7919)
+                & 0xFFFFFF).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     out.toByteArray
   }
 
@@ -247,6 +305,38 @@ object Multimodal {
       javax.imageio.ImageIO.write(scaled, "png", out)
       out.toByteArray
     }
+
+    /** REAL multi-frame decode (was byte-window slicing until r7 —
+      * round-6 verdict #4): `ImageReader.getNumImages(true)` counts the
+      * container's frames, `read(i)` decodes each, and every frame is
+      * re-encoded as a standalone PNG so downstream stages
+      * ([[decodeMeta]], [[extractFeatures]], [[Similarity]]) consume
+      * frames exactly like single images. Animated GIF is the format
+      * the JDK readers support with >1 frame; single-frame formats
+      * (PNG/JPEG/BMP) yield one frame.
+      */
+    override def frames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      require(bytes != null && bytes.nonEmpty, "empty blob")
+      imageIoInit
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      require(iis != null, "no image input stream provider")
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "unrecognized image format")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true) // forward-scan the whole sequence
+          (0 until n).map { i =>
+            val img = r.read(i)
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", buf)
+            buf.toByteArray
+          }
+        } finally r.dispose()
+      } finally iis.close()
+    }
   }
 
   /** Decode a binary column into a metadata struct — per-partition map,
@@ -306,9 +396,12 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame/sample extraction: slice the blob into fixed-size windows and
-    * keep every `stride`-th one — the Spark-side shape of video frame
-    * sampling (posexplode ≙ frame index). Pure built-ins.
+  /** Frame/sample extraction over OPAQUE blobs: slice the blob into
+    * fixed-size windows and keep every `stride`-th one — the Spark-side
+    * shape of video frame sampling (posexplode ≙ frame index) for
+    * containers no in-JVM codec can open. Pure built-ins. For formats
+    * the codec CAN open (animated GIF via [[ImageIoDecoder]]), use
+    * [[sampleMediaFrames]], which decodes real frames.
     */
   def sampleFrames(df: DataFrame, binCol: String,
                    frameBytes: Int, stride: Int): DataFrame = {
@@ -317,5 +410,38 @@ object Multimodal {
       s => col(binCol).substr(s, lit(frameBytes)))
     df.select(col("*"), posexplode(frames).as(Seq("frame_idx", "frame")))
       .drop(binCol)
+  }
+
+  /** REAL frame sampling through the codec boundary: decode the blob's
+    * frame sequence ([[Decoder.frames]]) and keep every `stride`-th
+    * frame, each emitted as a standalone image in a new `frame` column
+    * with its ORIGINAL sequence index in `frame_idx` (same output shape
+    * as [[sampleFrames]]; the blob column is dropped so exploded rows
+    * never carry the full container). Per-partition map — no shuffle,
+    * no driver involvement; a poison blob yields zero frames rather
+    * than killing the job (the [[decodeMeta]] error-channel convention,
+    * minus the row: a frame row with no frame has no meaning).
+    */
+  def sampleMediaFrames(df: DataFrame, binCol: String, stride: Int,
+                        decoder: Decoder = StubDecoder): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val keep = df.schema.fields.zipWithIndex.filter(_._1.name != binCol)
+    val schema = StructType(keep.map(_._1) ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = keep.map(_._2)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fs =
+          try decoder.frames(r.getAs[Array[Byte]](idx))
+          catch { case _: Exception => Seq.empty[Array[Byte]] }
+        fs.iterator.zipWithIndex.collect {
+          case (f, i) if i % stride == 0 =>
+            Row.fromSeq(keepIdx.toSeq.map(r.get) ++ Seq(i, f))
+        }
+      }
+    }(enc)
   }
 }

@@ -124,4 +124,49 @@ class MultimodalSpec extends SparkFunSuite {
         new String(r.getAs[Array[Byte]]("frame"), "UTF-8")))
     assert(frames.toSeq == Seq((0, "0123"), (1, "89")))
   }
+
+  test("ImageIoDecoder.frames: a real 8-frame GIF decodes to 8 real frames") {
+    val gif = Multimodal.syntheticGif(12, 7, 8, seed = 42L)
+    val fs = Multimodal.ImageIoDecoder.frames(gif)
+    assert(fs.length == 8, s"expected 8 frames, got ${fs.length}")
+    // every frame is a standalone, decodable image at the GIF's geometry
+    fs.foreach { f =>
+      val m = Multimodal.ImageIoDecoder.decode(f)
+      assert(m.ok && m.width == 12 && m.height == 7)
+    }
+    // frames differ (the pixel pattern varies per frame index)
+    assert(!java.util.Arrays.equals(fs(0), fs(1)))
+    // deterministic across encode+decode runs
+    val again = Multimodal.ImageIoDecoder
+      .frames(Multimodal.syntheticGif(12, 7, 8, seed = 42L))
+    assert(fs.zip(again).forall(p => java.util.Arrays.equals(p._1, p._2)))
+    // a single-frame format yields exactly one frame
+    assert(Multimodal.ImageIoDecoder.frames(pngBytes(10, 10, 3)).length == 1)
+  }
+
+  test("sampleMediaFrames: real codec on executors, stride sampling, " +
+    "poison blob yields zero frames") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticGif(12, 7, 8, 42L)),
+      (2L, Multimodal.syntheticGif(9, 5, 3, 7L)),
+      (3L, "poison, not a gif".getBytes("UTF-8"))).toDF("id", "blob")
+    val out = Multimodal.sampleMediaFrames(df, "blob", 3,
+        Multimodal.ImageIoDecoder)
+      .select("id", "frame_idx", "frame").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Array[Byte]]("frame")))
+    // stride 3 keeps ORIGINAL indices 0,3,6 of the 8-frame gif; 0 of the
+    // 3-frame one; nothing for the poison blob
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, 0), (1L, 3), (1L, 6), (2L, 0)))
+    // each sampled frame re-decodes at its source geometry
+    assert(out.filter(_._1 == 1L).forall { t =>
+      val m = Multimodal.ImageIoDecoder.decode(t._3)
+      m.ok && m.width == 12 && m.height == 7
+    })
+    // blob column dropped from the exploded rows
+    assert(!Multimodal.sampleMediaFrames(df, "blob", 3,
+      Multimodal.ImageIoDecoder).schema.fieldNames.contains("blob"))
+  }
 }
