@@ -500,17 +500,31 @@ object SparkEntry {
           min("s_acctbal").as("min_bal"), max("s_acctbal").as("max_bal"))
         .orderBy("n_name")),
 
-    // ---- measured recall@10 of the bucketed ANN tier vs brute force
-    //      (rows-only: the approximate side is not DuckDB-expressible,
-    //      and on this corpus's isotropic random vectors bucketed LSH
-    //      recall is genuinely partial — the measurement, not a 100%
-    //      claim, is the evidence; q41 carries the hard guarantee).
+    // ---- RECALL GATE for the hyperplane-LSH top-k tier. Until r6 this
+    //      was an honest-but-unfloored measurement on isotropic random
+    //      vectors (rows-only: a regression to 0% recall stayed green —
+    //      round-6 verdict #1). Now a planted-CLUSTER gate with provable
+    //      recall: the corpus is 10 exact copies of each base vector
+    //      (ids x + j·1M). For a query (a j=0 copy), its 9 twins score
+    //      cosine exactly 1.0 — strictly above every cross-base sim
+    //      (~0.6 max on this corpus) — so the true top-9 IS the twin
+    //      set; and identical vectors get identical signatures in every
+    //      hyperplane table, so all 9 twins are LSH candidates with
+    //      probability 1. Both tiers provably return the same 9 rows
+    //      (same cosine expression, same neighbor_id tie-break), making
+    //      the oracle row per query the constant (9, 9): any signature,
+    //      banding, candidate or scoring regression loses twins and
+    //      breaks the hash match.
     "q43_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") < 5)
-      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
+        .select("vec_id", "embedding")
+      val corpus = (0 until 10).map(j =>
+        base.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+      val q = corpus.where(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("e"))
-      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)
+      val lsh = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 9)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("a"))
       bf.join(lsh, Seq("query_id", "neighbor_id"), "full_outer")
         .groupBy("query_id")
@@ -520,15 +534,23 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
-    // ---- ext/Similarity: IVF coarse-quantizer ANN (third tier; scans
-    //      nprobe/nlist of the corpus per query) with measured recall@10
-    //      vs brute force — rows-only like q43, and for the same reason.
+    // ---- RECALL GATE for the IVF coarse-quantizer tier — same planted
+    //      clusters as q43, same provability: a twin (identical vector)
+    //      is assigned to the query's own argmax-cosine cell (identical
+    //      csim per centroid, identical tie-break), and the query's
+    //      nprobe cells always include its argmax cell — so all 9 twins
+    //      are candidates with probability 1 and the exact-scoring tail
+    //      ranks them 1..9. Oracle row per query: the constant (9, 9).
     "q44_ann_ivf_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") < 5)
-      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
+        .select("vec_id", "embedding")
+      val corpus = (0 until 10).map(j =>
+        base.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+      val q = corpus.where(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("e"))
-      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10)
+      val ivf = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 9)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("a"))
       bf.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
         .groupBy("query_id")
@@ -540,27 +562,117 @@ object SparkEntry {
 
     // ---- ext/DocDedup: near-dup CLUSTERING (pairs → connected
     //      components → canonical min-id label) — the step after pair
-    //      generation in a real pipeline. Two planted copies per doc,
-    //      linked as a CHAIN (x ↔ x+1M ↔ x+2M, no direct x ↔ x+2M
-    //      edge), so the x+2M nodes can only learn their cluster id
-    //      transitively — the gate exercises multi-hop propagation,
-    //      not just direct edges. Oracle: DuckDB recursive CTE.
+    //      generation in a real pipeline. SEVENTEEN planted copies per
+    //      doc, linked as a CHAIN (x ↔ x+1M ↔ … ↔ x+16M, consecutive
+    //      edges only), so the far nodes are 16 hops from the canonical
+    //      id — the gate exercises deep multi-hop propagation, which
+    //      the star-contraction implementation must close in O(log n)
+    //      rounds, and which would take 16 rounds (and at a planted
+    //      depth of thousands, thousands of Spark jobs) under plain
+    //      min-label propagation. Oracle: DuckDB recursive CTE.
     "q45_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .where(col("doc_id") < 200).select("doc_id", "text")
-      val planted = docs
-        .unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          col("text")))
-        .unionByName(docs.select((col("doc_id") + lit(2000000L)).as("doc_id"),
-          col("text")))
+        .where(col("doc_id") < 40).select("doc_id", "text")
+      val planted = (0 until 17).map(j =>
+        docs.select((col("doc_id") + lit(j * 1000000L)).as("doc_id"),
+          col("text"))).reduce(_ unionByName _)
       val h = planted.select(col("doc_id"),
         md5(col("text").cast("binary")).as("h"))
       val pairs = h.toDF("id_a", "h")
         .join(h.toDF("id_b", "h"), "h")
-        .where(col("id_a") < col("id_b") &&
-          col("id_b") - col("id_a") === 1000000L)
+        .where(col("id_b") - col("id_a") === 1000000L)
         .select("id_a", "id_b")
       DocDedup.nearDupClusters(pairs)
+    }),
+
+    // ---- O1/F5 through the REAL catalog: `chunkRepetition()` — the
+    //      reference's only pure relational query (test/deduplicator_
+    //      test.exs:323-330) — run against a Catalog populated in-query
+    //      (q39's temp-catalog pattern, one commit over a 200-doc
+    //      slice). Moves the committed-catalog READ path (manifest
+    //      resolution → bucket scan → filter/project/sort) under the
+    //      oracle, where before only CatalogSpec exercised it.
+    "q48_catalog_repetition" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q48-catalog").toString
+      val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.charChunks(col("text"), 64))
+            .as(Seq("pos", "chunk")))
+        .select(col("doc_id"),
+          md5(col("chunk").cast("binary")).as("hash"),
+          (col("doc_id") * 1000000L + col("pos")).as("gl"))
+      val cat = new graft.operators.Catalog(s, tmp)
+      cat.commitRun("run1", 64, "md5",
+        chunks.groupBy("hash").agg(min("gl").as("line"),
+          count(lit(1)).as("refs_num")),
+        chunks.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
+      val out = cat.chunkRepetition()
+        .localCheckpoint() // materialize before the temp catalog is deleted
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+      out
+    }),
+
+    // ---- F1/F2/S4 through the REAL catalog: the by-hash point read
+    //      (bucket-pruned: opens exactly one bucket file) and the
+    //      by-line point read, both against a committed catalog, both
+    //      predicted arithmetically by DuckDB. The probe key is ONE
+    //      collected scalar — a point read is driver-initiated by
+    //      definition. Both probes must return the SAME link row: doc
+    //      0's first chunk holds global line 0, so by_hash(h₀) and
+    //      by_line(0) meet at it.
+    "q49_catalog_point_reads" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q49-catalog").toString
+      val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.charChunks(col("text"), 64))
+            .as(Seq("pos", "chunk")))
+        .select(col("doc_id"),
+          md5(col("chunk").cast("binary")).as("hash"),
+          (col("doc_id") * 1000000L + col("pos")).as("gl"))
+      val cat = new graft.operators.Catalog(s, tmp)
+      cat.commitRun("run1", 64, "md5",
+        chunks.groupBy("hash").agg(min("gl").as("line"),
+          count(lit(1)).as("refs_num")),
+        chunks.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
+      val h0 = chunks.where(col("gl") === 0L).select("hash")
+        .head().getString(0)
+      val byHash = cat.getHashLink(h0)
+        .select(lit("by_hash").as("probe"), col("hash"), col("file_id"),
+          col("line"), col("refs_num"))
+      val byLine = cat.getHashLinkByLine(0L)
+        .select(lit("by_line").as("probe"), col("hash"), col("file_id"),
+          col("line"), col("refs_num"))
+      val out = byHash.unionByName(byLine).orderBy("probe")
+        .localCheckpoint() // materialize before the temp catalog is deleted
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+      out
+    }),
+
+    // ---- RECALL GATE for the SimHash tier (the q41 trick ported):
+    //      UNION ALL an id-shifted copy of the corpus. Identical docs
+    //      have IDENTICAL SimHash signatures — Hamming distance 0 —
+    //      so every (x, x+1M) pair agrees on all four 16-bit quarters
+    //      and is found with probability 1 (quarter blocking needs any
+    //      ONE quarter to collide). The output is filtered to the
+    //      planted id offset: original ids are < 1M apart, shifted ids
+    //      are < 1M apart, and a cross pair (x, y+1M) differs by
+    //      exactly 1M only when y = x — so the filter keeps precisely
+    //      the planted pairs, whose DuckDB side is a trivial
+    //      enumeration. Any blocking/signature regression loses pairs
+    //      and breaks the hash match.
+    "q47_simhash_planted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      DocDedup.simHashPairs(planted, "doc_id", "text", 3)
+        .where(col("id_b") - col("id_a") === 1000000L)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a")
     }),
 
     // ---- ext/Multimodal: REAL-codec decode gate. Deterministic PNGs
@@ -580,6 +692,32 @@ object SparkEntry {
           col("media.height").as("height"),
           col("media.channels").as("channels"), col("media.ok").as("ok"))
         .orderBy("doc_id")
+    }),
+
+    // ---- ext/Multimodal: REAL multi-frame decode gate. Animated GIFs
+    //      with id-derived frame counts and geometry are built in-query
+    //      through the real GIF sequence writer, pulled apart by
+    //      ImageIoDecoder.frames (getNumImages/read(i)) on executors,
+    //      and every sampled frame is re-decoded by the real codec —
+    //      the oracle predicts the full (doc, frame) inventory and
+    //      per-frame geometry arithmetically. q24 keeps covering the
+    //      opaque-blob byte-window path; this row proves frames are
+    //      REAL (round-6 verdict #4). channels is deliberately not
+    //      compared: GIF palettes round-trip to PNG color models whose
+    //      component count is a codec detail, not a frame property.
+    "q50_multimodal_gif_frames" -> ((s, dir) => {
+      val gif = udf((id: Long) => Multimodal.syntheticGif(
+        8 + (id % 5).toInt, 5 + (id % 3).toInt, 2 + (id % 7).toInt, id))
+      val blobs = t(s, dir, "documents")
+        .where(col("doc_id") < 100).select("doc_id")
+        .withColumn("blob", gif(col("doc_id")))
+      val frames = Multimodal.sampleMediaFrames(blobs, "blob", 1,
+        Multimodal.ImageIoDecoder)
+      Multimodal.decodeMeta(frames, "frame", Multimodal.ImageIoDecoder)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("media.width").as("width"), col("media.height").as("height"),
+          col("media.ok").as("ok"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -912,6 +1050,19 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // q43/q44: the planted-cluster construction makes per-query recall
+    // provably 9/9 (see the query comments) — DuckDB predicts the
+    // constant row per query, the q46 arithmetic-prediction pattern.
+    "q43_ann_recall" ->
+      """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
+        |       CAST(9 AS BIGINT) AS n_found
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "q44_ann_ivf_recall" ->
+      """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
+        |       CAST(9 AS BIGINT) AS n_found
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
     "q42_supplier_nation" ->
       """SELECT n_name, count(*) AS n_supp,
         |       min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
@@ -920,14 +1071,13 @@ object SparkEntry {
 
     "q45_dedup_clusters" ->
       """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 40),
         |planted AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base
-        |  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM base),
+        |  SELECT doc_id + 1000000 * t.j AS doc_id, text
+        |  FROM base, generate_series(0, 16) AS t(j)),
         |h AS (SELECT doc_id, md5(text) AS h FROM planted),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |      FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+        |      FROM h a JOIN h b ON a.h = b.h
         |      WHERE b.doc_id - a.doc_id = 1000000),
         |e AS (SELECT id_a AS s, id_b AS d FROM p
         |      UNION SELECT id_b, id_a FROM p),
@@ -938,12 +1088,58 @@ object SparkEntry {
         |SELECT id AS doc_id, min(r) AS cluster
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q47_simhash_planted" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |       CAST(0 AS BIGINT) AS hamming
+        |FROM documents ORDER BY id_a""".stripMargin,
+
+    "q48_catalog_repetition" ->
+      """SELECT CAST(cnt AS BIGINT) AS refs_num FROM (
+        |  SELECT count(*) AS cnt FROM (
+        |    SELECT md5(chunk) AS h FROM (
+        |      SELECT unnest(list_transform(range(1, length(text) + 1, 64),
+        |             s -> substr(text, s, 64))) AS chunk
+        |      FROM documents WHERE doc_id < 200))
+        |  GROUP BY h HAVING count(*) > 1)
+        |ORDER BY refs_num DESC""".stripMargin,
+
+    "q49_catalog_point_reads" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> {'pos': CAST((s - 1) // 64 AS BIGINT),
+        |            'chunk': substr(text, s, 64)})) AS rec
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (SELECT doc_id, md5(rec.chunk) AS hash,
+        |             doc_id * 1000000 + rec.pos AS gl FROM chunks),
+        |l AS (SELECT hash, min(gl) AS line, count(*) AS refs_num
+        |      FROM c GROUP BY 1),
+        |h0 AS (SELECT md5(substr(text, 1, 64)) AS h FROM documents
+        |       WHERE doc_id = 0)
+        |SELECT probe, hash, CAST(1 AS BIGINT) AS file_id, line, refs_num
+        |FROM (
+        |  SELECT 'by_hash' AS probe, hash, line, refs_num FROM l
+        |  WHERE hash = (SELECT h FROM h0)
+        |  UNION ALL
+        |  SELECT 'by_line' AS probe, hash, line, refs_num FROM l
+        |  WHERE line = 0)
+        |ORDER BY probe""".stripMargin,
+
     "q46_multimodal_real_decode" ->
       """SELECT doc_id,
         |       CAST(16 + doc_id % 8 AS INT) AS width,
         |       CAST(9 + doc_id % 5 AS INT) AS height,
         |       CAST(3 AS INT) AS channels,
         |       TRUE AS ok
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q50_multimodal_gif_frames" ->
+      """SELECT doc_id, CAST(t.j AS BIGINT) AS frame_idx,
+        |       CAST(8 + doc_id % 5 AS INT) AS width,
+        |       CAST(5 + doc_id % 3 AS INT) AS height,
+        |       TRUE AS ok
+        |FROM documents CROSS JOIN generate_series(0, 7) AS t(j)
+        |WHERE doc_id < 100 AND t.j < 2 + doc_id % 7
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
