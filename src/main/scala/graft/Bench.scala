@@ -82,13 +82,17 @@ object Bench {
 
   /** The dedup-pipeline numbers BASELINE.md asks for (the reference only
     * ever printed them): MB/s deduplicated, chunks/s, and dedup ratio on
-    * the 64-byte-aligned duplicated fixture class — 64 MiB of 64-byte
-    * blocks drawn from a small pool, chunked at 64 B.
+    * the aligned duplicated fixture class, at TWO chunk widths — 64 B
+    * (the reference's parity operating point, test/deduplicator_test
+    * .exs:146) and 4 KiB (the width a real content-addressed store
+    * would run: per-chunk overhead amortized over 64× more bytes).
+    * Both widths dedup a 64 MiB corpus of pool-drawn blocks ALIGNED TO
+    * THAT WIDTH, so the dedup ratio stays comparable across widths.
     */
-  private def dedupPipelineStats(spark: org.apache.spark.sql.SparkSession): String =
-    try {
-      val dir = java.nio.file.Files.createTempDirectory("bench-dedup")
-      val data = benchFixture(64 * 1024 * 1024)
+  private def dedupPipelineStats(spark: org.apache.spark.sql.SparkSession): String = {
+    def one(width: Int): String = try {
+      val dir = java.nio.file.Files.createTempDirectory(s"bench-dedup-$width")
+      val data = benchFixture(64 * 1024 * 1024, width)
       val input = dir.resolve("aligned.bin")
       java.nio.file.Files.write(input, data)
       // Same min-of-2 protocol as the queries (the first run eats the
@@ -101,7 +105,7 @@ object Bench {
             dir.resolve(s"work$i").toString)
           val t0 = System.nanoTime()
           val r = engine.deduplicateFile(input.toString,
-            graft.api.DedupOptions(chunkBytes = 64))
+            graft.api.DedupOptions(chunkBytes = width))
           ((System.nanoTime() - t0) / 1e9, r)
         }
       }
@@ -115,6 +119,8 @@ object Bench {
     } catch { case e: Throwable =>
       s"""{"err":${jsonStr(String.valueOf(e.getMessage).take(300))}}"""
     }
+    s"""{"w64":${one(64)},"w4096":${one(4096)}}"""
+  }
 
   private def jsonStr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -122,19 +128,21 @@ object Bench {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   } + "\""
 
-  /** 64-byte-aligned repeated blocks from a 997-block pool (seeded —
+  /** `blockSize`-aligned repeated blocks from a 997-block pool (seeded —
     * deterministic across runs), ≙ the reference's
-    * text_64_byte_duplicated.txt fixture class at bench scale. Shared
-    * with ProfileApp so profile and bench numbers stay comparable.
+    * text_64_byte_duplicated.txt fixture class at bench scale, at the
+    * requested alignment width. Shared with ProfileApp so profile and
+    * bench numbers stay comparable.
     */
-  private[graft] def benchFixture(bytes: Int): Array[Byte] = {
+  private[graft] def benchFixture(bytes: Int, blockSize: Int = 64): Array[Byte] = {
     val rnd = new scala.util.Random(42)
-    val pool = Array.fill(997)(Array.fill(64)((33 + rnd.nextInt(94)).toByte))
+    val pool = Array.fill(997)(
+      Array.fill(blockSize)((33 + rnd.nextInt(94)).toByte))
     val out = new Array[Byte](bytes)
     var off = 0
     while (off < bytes) {
       val b = pool(rnd.nextInt(pool.length))
-      val n = math.min(64, bytes - off)
+      val n = math.min(blockSize, bytes - off)
       System.arraycopy(b, 0, out, off, n)
       off += n
     }

@@ -100,6 +100,58 @@ class StreamingDedupSpec extends SparkFunSuite {
     assert(cat.currentVersion == 1)
   }
 
+  test("compact() after N micro-batches: fewer files, single live version, " +
+    "recovery stays byte-equal") {
+    val dir = tempDir("scompact")
+    val inDir = s"$dir/in"
+    Files.createDirectories(Paths.get(inDir))
+    val work = s"$dir/work"
+    val cat = new Catalog(spark, s"$work/catalog")
+    // three micro-batches of the SAME content: batch 1 inserts the
+    // links, batches 2/3 are pure refs_num delta commits that rewrite
+    // the SAME buckets again — the fragmenting steady-state workload
+    // compaction exists for (each live bucket accumulates one file per
+    // version that touched it)
+    val data = Fixtures.alignedDuplicated(blocks = 96, distinct = 12, seed = 5)
+    val datas = Seq(data, data, data)
+    datas.zipWithIndex.foreach { case (d, i) =>
+      Fixtures.writeTemp(inDir, s"f$i.dat", d)
+      val q = StreamingDedup.start(spark, inDir, work,
+        DedupOptions(chunkBytes = 64))
+      q.awaitTermination()
+    }
+    assert(cat.currentVersion == 3, "three micro-batches = three commits")
+    def linkFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$work/catalog"))
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getPath.contains("hash_links"))
+    }
+    val linksBefore = cat.links().orderBy("hash").collect().toSeq
+    val nBefore = linkFiles().size
+    val newV = cat.compact()
+    assert(newV == 4L && cat.currentVersion == 4L)
+    // fragmentation actually dropped, and all files live in one version
+    val after = linkFiles()
+    assert(after.size < nBefore,
+      s"compact must shrink file count: $nBefore -> ${after.size}")
+    assert(after.forall(_.getPath.contains("v_000004")))
+    // catalog content is row-identical
+    assert(cat.links().orderBy("hash").collect().toSeq == linksBefore)
+    // and every streamed file still recovers byte-equal THROUGH the
+    // compacted catalog (cross-batch pointers resolve via file_id)
+    val engine = new graft.api.Deduplicator(spark, work)
+    val names = cat.files().collect().map(_.getAs[String]("filename")).sorted
+    names.zip(datas).foreach { case (name, data) =>
+      val out = s"$dir/rec-$name"
+      engine.recoverFile(name, out)
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(out)), data),
+        s"post-compact recovery must stay byte-equal for $name")
+    }
+  }
+
   test("dedupWithinWatermark drops in-stream duplicate keys") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
