@@ -100,7 +100,7 @@ object Bench {
       // including keeping a clean run-1 measurement when run 2 hits one
       // of the sporadic stalls/failures this protocol exists to absorb.
       val attempts = (1 to 2).map { i =>
-        scala.util.Try {
+        val res = scala.util.Try {
           val engine = new graft.api.Deduplicator(spark,
             dir.resolve(s"work$i").toString)
           val t0 = System.nanoTime()
@@ -108,6 +108,14 @@ object Bench {
             graft.api.DedupOptions(chunkBytes = width))
           ((System.nanoTime() - t0) / 1e9, r)
         }
+        // Same between-measurement reset as the query loop: each run's
+        // localCheckpointed catalog-contribution RDDs stay pinned until
+        // GC, and by this point the JVM carries 50 queries' debris —
+        // measured 2-4x slowdown on the LAST measurement without it.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
+        System.gc()
+        res
       }
       val ok = attempts.flatMap(_.toOption)
       if (ok.isEmpty) throw attempts.head.failed.get

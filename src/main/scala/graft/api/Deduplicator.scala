@@ -132,6 +132,7 @@ class Deduplicator(spark: SparkSession, workDir: String) {
         Seq("hash"), "left_outer")
       .join(stats, Seq("hash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var cpPinned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     try {
       val isPtr = col("cat_line").isNotNull ||
         struct(col("fidx"), col("pos")) > col("first")
@@ -189,7 +190,11 @@ class Deduplicator(spark: SparkSession, workDir: String) {
       }
 
       // ---- catalog contributions (small) + per-file counts, then the
-      //      single commit, LAST ----
+      //      single commit, LAST. The checkpoint blocks are freed after
+      //      the commit (registry delta — localCheckpoint pins internal
+      //      RDDs): a streaming session runs this once per micro-batch,
+      //      and leaked per-run blocks would accumulate forever. ----
+      val beforeCp = spark.sparkContext.getPersistentRDDs.keySet
       val newLinksAll = probed
         .where(col("cat_line").isNull &&
           struct(col("fidx"), col("pos")) === col("first"))
@@ -201,6 +206,8 @@ class Deduplicator(spark: SparkSession, workDir: String) {
           struct(col("fidx"), col("pos")) === col("first"))
         .select(col("hash"), col("occ").as("delta"))
         .localCheckpoint()
+      cpPinned =
+        (spark.sparkContext.getPersistentRDDs -- beforeCp).values.toSeq
       val countRows = probed.groupBy("fidx")
         .agg(count(lit(1)).as("n"),
           sum(when(isPtr, 1L).otherwise(0L)).as("ptrs"))
@@ -221,7 +228,10 @@ class Deduplicator(spark: SparkSession, workDir: String) {
         val (n, p) = countRows.getOrElse(i, (0L, 0L))
         DedupResult(name, fidBase + i, n, p)
       }
-    } finally probed.unpersist()
+    } finally {
+      probed.unpersist()
+      cpPinned.foreach(_.unpersist(false))
+    }
   }
 
   /** Recover a deduplicated run to its original bytes at `outputPath`. */

@@ -176,7 +176,12 @@ class Catalog(spark: SparkSession, dir: String) {
     // bucket collect AND the merged write). Without pinning, a caller's
     // non-deterministic input could yield different buckets in the two
     // executions — and a bucket written but absent from `touched` would
-    // silently drop its pre-existing rows.
+    // silently drop its pre-existing rows. The checkpoint blocks are
+    // freed on exit (registry delta: localCheckpoint pins an internal
+    // RDD the DataFrame does not expose) — a streaming session commits
+    // hundreds of micro-batches, and leaked per-commit blocks would
+    // accumulate for its whole lifetime.
+    val beforeCp = spark.sparkContext.getPersistentRDDs.keySet
     val allNew = runs.map { r =>
       r.newLinks.select(col("hash"), lit(r.fileId).as("file_id"),
         col("line"), col("refs_num").cast(LongType).as("refs_num"))
@@ -192,24 +197,28 @@ class Catalog(spark: SparkSession, dir: String) {
       .reduce(_ unionByName _)
       .groupBy("hash").agg(sum("delta").as("delta"))
       .localCheckpoint()
+    val cpPinned =
+      (spark.sparkContext.getPersistentRDDs -- beforeCp).values.toSeq
 
-    // Buckets this commit touches; everything else is carried forward by
-    // manifest reference. Tiny: ≤ 256 values.
-    val touched = allNew.select(bucketCol(col("hash")).as("b"))
-      .unionByName(allDeltas.select(bucketCol(col("hash")).as("b")))
-      .distinct().collect().map(_.getString(0)).toSet
+    try {
+      // Buckets this commit touches; everything else is carried forward
+      // by manifest reference. Tiny: ≤ 256 values.
+      val touched = allNew.select(bucketCol(col("hash")).as("b"))
+        .unionByName(allDeltas.select(bucketCol(col("hash")).as("b")))
+        .distinct().collect().map(_.getString(0)).toSet
 
-    if (touched.isEmpty) {
-      writeVersion(v + 1, newFiles, None, oldManifest)
-    } else {
-      val oldTouched = oldLinks
-        .where(bucketCol(col("hash")).isin(touched.toSeq: _*))
-      val mergedData = oldTouched.unionByName(allNew)
-        .join(allDeltas, Seq("hash"), "left")
-        .withColumn("refs_num", col("refs_num") + coalesce(col("delta"), lit(0L)))
-        .drop("delta")
-      writeVersion(v + 1, newFiles, Some(mergedData), oldManifest)
-    }
+      if (touched.isEmpty) {
+        writeVersion(v + 1, newFiles, None, oldManifest)
+      } else {
+        val oldTouched = oldLinks
+          .where(bucketCol(col("hash")).isin(touched.toSeq: _*))
+        val mergedData = oldTouched.unionByName(allNew)
+          .join(allDeltas, Seq("hash"), "left")
+          .withColumn("refs_num", col("refs_num") + coalesce(col("delta"), lit(0L)))
+          .drop("delta")
+        writeVersion(v + 1, newFiles, Some(mergedData), oldManifest)
+      }
+    } finally cpPinned.foreach(_.unpersist(false))
   }
 
   /** Delete version directories that the CURRENT manifest no longer
