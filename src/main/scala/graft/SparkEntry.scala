@@ -364,7 +364,11 @@ object SparkEntry {
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("doc_id")),
 
-    // ---- ext/TextAnalysis: composite quality score
+    // ---- ext/TextAnalysis: composite quality score. Oracle-checked
+    //      since r7: every component is IEEE-754 binary64 arithmetic
+    //      with a DuckDB transliteration in the SAME evaluation order,
+    //      so the doubles are bit-identical across engines (validated
+    //      exact at sf0.01 and sf0.1 — maxdiff 0.0).
     "q25_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")))
@@ -694,6 +698,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- RECALL GATE for the WRITE-partitioned LSH index (the fourth
+    //      ANN access path): q43's planted-cluster corpus is INDEXED —
+    //      persisted partitioned by (tbl, sig) — and probed through
+    //      partition pruning instead of a join. Twins share every
+    //      bucket (identical signatures), so the probe reads them with
+    //      probability 1 and the oracle row per query stays the
+    //      constant (9, 9). Breaks if the index layout, the sidecar
+    //      (bits, tables) plumbing, bucket pruning, or the shared
+    //      scoring tail regresses.
+    "q51_ann_index_planted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q51-lshidx").toString
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
+        .select("vec_id", "embedding")
+      val corpus = (0 until 10).map(j =>
+        base.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+      val q = corpus.where(col("vec_id") < 5)
+      // bits=4: the twin guarantee is bits-independent (identical
+      // vectors share buckets at ANY width), and 16 buckets/table keeps
+      // the gate's index-write file count small.
+      Similarity.buildLshIndex(corpus, "vec_id", "embedding",
+        s"$tmp/index", bits = 4, tables = 4)
+      val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("e"))
+      val idx = Similarity
+        .probeLshIndex(q, "vec_id", "embedding", s"$tmp/index", 9)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("a"))
+      val out = bf.join(idx, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(coalesce(sum("e"), lit(0L)).as("n_exact"),
+          coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
+            lit(0L)).as("n_found"))
+        .orderBy("query_id")
+        .localCheckpoint() // materialize before the temp index is deleted
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+      out
+    }),
+
     // ---- ext/Multimodal: REAL multi-frame decode gate. Animated GIFs
     //      with id-derived frame counts and geometry are built in-query
     //      through the real GIF sequence writer, pulled apart by
@@ -862,6 +906,27 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q25_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','is','el','la','de','que',
+        |                 'es','der','die','das','und','ist','le','la',
+        |                 'les','et','est'))) AS DOUBLE) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[.,!?]')) AS DOUBLE)
+        |      AS n_punct
+        |  FROM documents)
+        |SELECT doc_id,
+        |  least(n_chars / 200.0, 1.0) * 0.4
+        |  + (CASE WHEN n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 12.0
+        |          THEN 1.0 ELSE 0.3 END) * 0.3
+        |  + (CASE WHEN n_punct > 0 THEN 1.0 ELSE 0.5 END) * 0.15
+        |  + least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.15
+        |    AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q26_chunk_repetition" ->
       """SELECT md5(chunk) AS chunk_hash, count(*) AS refs_num FROM (
@@ -1059,6 +1124,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     "q44_ann_ivf_recall" ->
+      """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
+        |       CAST(9 AS BIGINT) AS n_found
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
         |       CAST(9 AS BIGINT) AS n_found
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

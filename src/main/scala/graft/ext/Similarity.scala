@@ -178,6 +178,100 @@ object Similarity {
           cosine(col("cv"), col("qv")).as("sim")),
       k)
 
+  /** WRITE-time LSH index — the deployment shape [[lshTopK]]'s scaladoc
+    * describes, made real: the corpus is persisted as a parquet table
+    * PARTITIONED BY (tbl, sig), one directory per signature bucket,
+    * with ids AND vectors stored per bucket. A probe then reads ONLY
+    * its buckets via partition pruning — tables·|queries| directories
+    * out of tables·2^bits — instead of scanning or joining the corpus.
+    *
+    * 100 TB sizing: the index stores each vector `tables` times (the
+    * classic space-for-pruning trade); build cost is one corpus scan +
+    * one partitioned shuffle write. With bits=12, tables=4 and a
+    * 10^10-vector corpus, a probe reads 4 buckets ≈ 10M vectors —
+    * a partition-pruned scan of ~0.1% of the index, with NO join
+    * against the corpus at query time. (bits, tables) ride in a
+    * `_graft_lsh_meta` sidecar so probes cannot mix hash parameters.
+    */
+  def buildLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, bits: Int = 8, tables: Int = 4): Unit = {
+    require(bits >= 1 && bits <= 30 && tables >= 1,
+      s"need 1 <= bits <= 30 and tables >= 1, got bits=$bits tables=$tables")
+    val ss = corpus.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(array((0 until tables).map(t =>
+          lshSignature(col(vecCol), bits, t)): _*)).as(Seq("tbl", "sig")))
+      .select("tbl", "sig", "id", "vec")
+      // Cluster rows by bucket before the partitioned write: without
+      // this EVERY write task opens a file in EVERY bucket it sees —
+      // up to tasks × tables·2^bits tiny files (the classic partitioned-
+      // write small-files explosion). After it, each bucket is written
+      // by one task: total files ≈ max(buckets, shuffle partitions).
+      .repartition(col("tbl"), col("sig"))
+      .write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
+    // Underscore-prefixed sidecar: invisible to parquet file discovery.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_lsh_meta"), true)
+    try out.write(s"$bits,$tables".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Approximate top-k against a [[buildLshIndex]] index: compute the
+    * queries' bucket coordinates with the index's own (bits, tables),
+    * read ONLY those partitions (the bucket filter is a literal
+    * disjunction, so Catalyst prunes at file-listing time — asserted by
+    * SimilaritySpec), score candidates with the exact cosine, and rank
+    * through the shared two-level top-k tail. Query signatures are
+    * collected driver-side: queries are the SMALL side by contract
+    * (tables·|queries| pairs of ints), exactly like the broadcast the
+    * join-form tiers already do.
+    *
+    * Returns the same rows [[lshTopK]] returns for the same
+    * (bits, tables) — the index changes the ACCESS PATH, not the
+    * result; SimilaritySpec pins the equivalence.
+    */
+  def probeLshIndex(queries: DataFrame, idCol: String, vecCol: String,
+                    path: String, k: Int): DataFrame = {
+    val ss = queries.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_lsh_meta"))
+    val Array(bits, tables) =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
+        .trim.split(",").map(_.toInt)
+      finally metaIn.close()
+    val qsig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(array((0 until tables).map(t =>
+          lshSignature(col(vecCol), bits, t)): _*)).as(Seq("tbl", "sig")))
+    val probes = qsig.select("tbl", "sig").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    if (probes.isEmpty) return qsig
+      .select(col("query_id"), col("query_id").as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("sim")).where(lit(false))
+    // Int literals on purpose: partition-value inference types tbl/sig
+    // as INT (bits <= 30 keeps every signature in int range), and a
+    // same-type literal comparison is the form partition pruning
+    // recognizes without a cast in the way.
+    val bucketFilter = probes.map { case (t, s) =>
+      col("tbl") === t && col("sig") === s.toInt }.reduce(_ || _)
+    val cand = ss.read.parquet(path).where(bucketFilter)
+      .join(broadcast(qsig.drop("qv")), Seq("tbl", "sig"))
+      .where(col("query_id") =!= col("id"))
+      // the index carries the vector, so scoring needs no corpus join;
+      // same-pair rows from several tables are identical — dedup keeps one
+      .select(col("query_id"), col("id").as("neighbor_id"), col("vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(
+      cand.join(broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("qv"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("vec"), col("qv")).as("sim")),
+      k)
+  }
+
   /** IVF (inverted-file) approximate top-k — the third ANN tier and the
     * classic coarse-quantizer scale path: the corpus is partitioned into
     * `nlist` cells by nearest centroid; a query scans only its `nprobe`

@@ -105,6 +105,48 @@ class SimilaritySpec extends SparkFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("buildLshIndex/probeLshIndex: result-identical to lshTopK; the probe " +
+    "reads only the queries' bucket partitions") {
+    val corpus = randomCorpus(200, 16)
+    val queries = corpus.where(col("vec_id") < 5)
+    val path = s"${tempDir("lshidx")}/index"
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", path,
+      bits = 4, tables = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank")))
+      .toSeq
+    val viaJoin = rows(Similarity.lshTopK(corpus, queries,
+      "vec_id", "embedding", 5, bits = 4, tables = 8))
+    val viaIndex = Similarity.probeLshIndex(queries,
+      "vec_id", "embedding", path, 5)
+    // the index changes the ACCESS PATH, not the result
+    assert(rows(viaIndex) == viaJoin)
+    // partition pruning actually happened: the scan touched at most the
+    // probed (tbl, sig) buckets, strictly fewer than the index total
+    val total = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("tbl=")).flatMap(_.listFiles())
+      .count(_.getName.startsWith("sig="))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan) // AQE wrapper is a leaf; unwrap explicitly
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan) // materialized stages are leaves too
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(viaIndex.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount)
+    assert(scanned.nonEmpty, "probe must read the index via a file scan")
+    assert(scanned.min <= 8 * 5 && scanned.min < total,
+      s"probe scanned ${scanned.min} of $total buckets — pruning lost")
+    // mixed-parameter probes are impossible: the sidecar pins (bits,
+    // tables), so a fresh probe of the same index stays deterministic
+    assert(rows(Similarity.probeLshIndex(queries,
+      "vec_id", "embedding", path, 5)) == viaJoin)
+  }
+
   test("cosineNearDupPairs finds the planted near-identical pair only") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)
