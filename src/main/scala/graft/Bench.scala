@@ -40,15 +40,7 @@ object Bench {
             Some(e)
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        // Reset session state between measurements: localCheckpoint()ed
-        // RDDs from pair/ANN operators stay pinned in executor storage
-        // until GC'd, and 40+ queries of accumulated blocks + broadcasts
-        // skew later measurements badly (observed 8s -> 99s for the same
-        // query). BLOCKING unpersist + explicit GC so cleanup lands
-        // between measurements, not inside the next one.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        spark.catalog.clearCache()
-        System.gc()
+        resetSessionState(spark)
         (sec, err)
       }
       val (s1, e1) = once()
@@ -108,13 +100,7 @@ object Bench {
             graft.api.DedupOptions(chunkBytes = width))
           ((System.nanoTime() - t0) / 1e9, r)
         }
-        // Same between-measurement reset as the query loop: each run's
-        // localCheckpointed catalog-contribution RDDs stay pinned until
-        // GC, and by this point the JVM carries 50 queries' debris —
-        // measured 2-4x slowdown on the LAST measurement without it.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        spark.catalog.clearCache()
-        System.gc()
+        resetSessionState(spark)
         res
       }
       val ok = attempts.flatMap(_.toOption)
@@ -128,6 +114,21 @@ object Bench {
       s"""{"err":${jsonStr(String.valueOf(e.getMessage).take(300))}}"""
     }
     s"""{"w64":${one(64)},"w4096":${one(4096)}}"""
+  }
+
+  /** Reset session state between measurements — ONE definition for the
+    * query loop and the dedup-pipeline widths, because its tuning is
+    * measurement-critical: localCheckpoint()ed RDDs from pair/ANN
+    * operators stay pinned in executor storage until GC'd, and a full
+    * bench's accumulated blocks + broadcasts skew later measurements
+    * badly (observed 8s → 99s for the same query, and 2-4x on the last
+    * dedup width). BLOCKING unpersist + explicit GC so cleanup lands
+    * between measurements, not inside the next one.
+    */
+  private def resetSessionState(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+    System.gc()
   }
 
   private def jsonStr(s: String): String = "\"" + s.flatMap {

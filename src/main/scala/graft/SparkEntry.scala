@@ -29,6 +29,67 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The planted-cluster ANN gate corpus shared by q43/q44/q51 (their
+    * DuckDB oracles share one constant row shape, so the construction
+    * must stay in lockstep): 10 exact copies of each of the first 50
+    * embedding vectors (ids x + j·1M), queries = 5 of the j=0 copies.
+    * Each query's 9 twins score cosine exactly 1.0 — strictly above
+    * every cross-base sim — so the true top-9 IS the twin set, and
+    * identical vectors collide in every signature/cell construction.
+    */
+  private def plantedAnnCorpus(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
+      .select("vec_id", "embedding")
+    val corpus = (0 until 10).map(j =>
+      base.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+        col("embedding"))).reduce(_ unionByName _)
+    (corpus, corpus.where(col("vec_id") < 5))
+  }
+
+  /** The twin-set recall row shared by q43/q44/q51: full-outer join the
+    * exact and approximate top-9, count per query — the constant (9, 9)
+    * iff the approximate tier found every twin.
+    */
+  private def annRecallRows(bf: DataFrame, approx: DataFrame): DataFrame =
+    bf.select(col("query_id"), col("neighbor_id"), lit(1L).as("e"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("a")), Seq("query_id", "neighbor_id"), "full_outer")
+      .groupBy("query_id")
+      .agg(coalesce(sum("e"), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
+          lit(0L)).as("n_found"))
+      .orderBy("query_id")
+
+  /** Temp-catalog gate plumbing shared by q48/q49: chunk the first 200
+    * docs, commit them as ONE run into a fresh Catalog, hand (catalog,
+    * chunks) to the probe body, materialize its result, delete the
+    * catalog. The chunk relation is (doc_id, hash, gl) with gl the
+    * q39-convention global line (doc_id·1M + pos).
+    */
+  private def withTempCatalog(s: SparkSession, dir: String)
+      (body: (graft.operators.Catalog, DataFrame) => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-gate-catalog").toString
+    val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.charChunks(col("text"), 64))
+          .as(Seq("pos", "chunk")))
+      .select(col("doc_id"),
+        md5(col("chunk").cast("binary")).as("hash"),
+        (col("doc_id") * 1000000L + col("pos")).as("gl"))
+    val cat = new graft.operators.Catalog(s, tmp)
+    cat.commitRun("run1", 64, "md5",
+      chunks.groupBy("hash").agg(min("gl").as("line"),
+        count(lit(1)).as("refs_num")),
+      chunks.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
+    val out = body(cat, chunks)
+      .localCheckpoint() // materialize before the temp catalog is deleted
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+    out
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q03_join_agg_segment")(spark, "/root/testdata/sf0.001")
@@ -520,22 +581,10 @@ object SparkEntry {
     //      banding, candidate or scoring regression loses twins and
     //      breaks the hash match.
     "q43_ann_recall" -> ((s, dir) => {
-      val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
-        .select("vec_id", "embedding")
-      val corpus = (0 until 10).map(j =>
-        base.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
-          col("embedding"))).reduce(_ unionByName _)
-      val q = corpus.where(col("vec_id") < 5)
-      val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("e"))
-      val lsh = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 9)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("a"))
-      bf.join(lsh, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(coalesce(sum("e"), lit(0L)).as("n_exact"),
-          coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
-            lit(0L)).as("n_found"))
-        .orderBy("query_id")
+      val (corpus, q) = plantedAnnCorpus(s, dir)
+      annRecallRows(
+        Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9),
+        Similarity.lshTopK(corpus, q, "vec_id", "embedding", 9))
     }),
 
     // ---- RECALL GATE for the IVF coarse-quantizer tier — same planted
@@ -546,22 +595,10 @@ object SparkEntry {
     //      are candidates with probability 1 and the exact-scoring tail
     //      ranks them 1..9. Oracle row per query: the constant (9, 9).
     "q44_ann_ivf_recall" -> ((s, dir) => {
-      val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
-        .select("vec_id", "embedding")
-      val corpus = (0 until 10).map(j =>
-        base.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
-          col("embedding"))).reduce(_ unionByName _)
-      val q = corpus.where(col("vec_id") < 5)
-      val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("e"))
-      val ivf = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 9)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("a"))
-      bf.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(coalesce(sum("e"), lit(0L)).as("n_exact"),
-          coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
-            lit(0L)).as("n_found"))
-        .orderBy("query_id")
+      val (corpus, q) = plantedAnnCorpus(s, dir)
+      annRecallRows(
+        Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9),
+        Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 9))
     }),
 
     // ---- ext/DocDedup: near-dup CLUSTERING (pairs → connected
@@ -596,27 +633,8 @@ object SparkEntry {
     //      slice). Moves the committed-catalog READ path (manifest
     //      resolution → bucket scan → filter/project/sort) under the
     //      oracle, where before only CatalogSpec exercised it.
-    "q48_catalog_repetition" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q48-catalog").toString
-      val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
-        .select(col("doc_id"),
-          posexplode(TextAnalysis.charChunks(col("text"), 64))
-            .as(Seq("pos", "chunk")))
-        .select(col("doc_id"),
-          md5(col("chunk").cast("binary")).as("hash"),
-          (col("doc_id") * 1000000L + col("pos")).as("gl"))
-      val cat = new graft.operators.Catalog(s, tmp)
-      cat.commitRun("run1", 64, "md5",
-        chunks.groupBy("hash").agg(min("gl").as("line"),
-          count(lit(1)).as("refs_num")),
-        chunks.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
-      val out = cat.chunkRepetition()
-        .localCheckpoint() // materialize before the temp catalog is deleted
-      org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(tmp))
-      out
-    }),
+    "q48_catalog_repetition" -> ((s, dir) =>
+      withTempCatalog(s, dir)((cat, _) => cat.chunkRepetition())),
 
     // ---- F1/F2/S4 through the REAL catalog: the by-hash point read
     //      (bucket-pruned: opens exactly one bucket file) and the
@@ -626,35 +644,18 @@ object SparkEntry {
     //      definition. Both probes must return the SAME link row: doc
     //      0's first chunk holds global line 0, so by_hash(h₀) and
     //      by_line(0) meet at it.
-    "q49_catalog_point_reads" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q49-catalog").toString
-      val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
-        .select(col("doc_id"),
-          posexplode(TextAnalysis.charChunks(col("text"), 64))
-            .as(Seq("pos", "chunk")))
-        .select(col("doc_id"),
-          md5(col("chunk").cast("binary")).as("hash"),
-          (col("doc_id") * 1000000L + col("pos")).as("gl"))
-      val cat = new graft.operators.Catalog(s, tmp)
-      cat.commitRun("run1", 64, "md5",
-        chunks.groupBy("hash").agg(min("gl").as("line"),
-          count(lit(1)).as("refs_num")),
-        chunks.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
-      val h0 = chunks.where(col("gl") === 0L).select("hash")
-        .head().getString(0)
-      val byHash = cat.getHashLink(h0)
-        .select(lit("by_hash").as("probe"), col("hash"), col("file_id"),
-          col("line"), col("refs_num"))
-      val byLine = cat.getHashLinkByLine(0L)
-        .select(lit("by_line").as("probe"), col("hash"), col("file_id"),
-          col("line"), col("refs_num"))
-      val out = byHash.unionByName(byLine).orderBy("probe")
-        .localCheckpoint() // materialize before the temp catalog is deleted
-      org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(tmp))
-      out
-    }),
+    "q49_catalog_point_reads" -> ((s, dir) =>
+      withTempCatalog(s, dir) { (cat, chunks) =>
+        val h0 = chunks.where(col("gl") === 0L).select("hash")
+          .head().getString(0)
+        val byHash = cat.getHashLink(h0)
+          .select(lit("by_hash").as("probe"), col("hash"), col("file_id"),
+            col("line"), col("refs_num"))
+        val byLine = cat.getHashLinkByLine(0L)
+          .select(lit("by_line").as("probe"), col("hash"), col("file_id"),
+            col("line"), col("refs_num"))
+        byHash.unionByName(byLine).orderBy("probe")
+      }),
 
     // ---- RECALL GATE for the SimHash tier (the q41 trick ported):
     //      UNION ALL an id-shifted copy of the corpus. Identical docs
@@ -669,7 +670,13 @@ object SparkEntry {
     //      enumeration. Any blocking/signature regression loses pairs
     //      and breaks the hash match.
     "q47_simhash_planted" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // Sliced to doc_id < 1000 (q40's gate-slice convention): the
+      // guarantee is purely id-structural — every doc pairs with its
+      // own shifted twin — so a cap preserves the proof while keeping
+      // the bench from paying a full-corpus SimHash self-join twice.
+      // (At the sf0.01 gate the slice IS the full corpus.)
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+        .select("doc_id", "text")
       val planted = docs.unionByName(
         docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
       DocDedup.simHashPairs(planted, "doc_id", "text", 3)
@@ -710,28 +717,15 @@ object SparkEntry {
     "q51_ann_index_planted" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q51-lshidx").toString
-      val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
-        .select("vec_id", "embedding")
-      val corpus = (0 until 10).map(j =>
-        base.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
-          col("embedding"))).reduce(_ unionByName _)
-      val q = corpus.where(col("vec_id") < 5)
+      val (corpus, q) = plantedAnnCorpus(s, dir)
       // bits=4: the twin guarantee is bits-independent (identical
       // vectors share buckets at ANY width), and 16 buckets/table keeps
       // the gate's index-write file count small.
       Similarity.buildLshIndex(corpus, "vec_id", "embedding",
         s"$tmp/index", bits = 4, tables = 4)
-      val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("e"))
-      val idx = Similarity
-        .probeLshIndex(q, "vec_id", "embedding", s"$tmp/index", 9)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("a"))
-      val out = bf.join(idx, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(coalesce(sum("e"), lit(0L)).as("n_exact"),
-          coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)),
-            lit(0L)).as("n_found"))
-        .orderBy("query_id")
+      val out = annRecallRows(
+        Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9),
+        Similarity.probeLshIndex(q, "vec_id", "embedding", s"$tmp/index", 9))
         .localCheckpoint() // materialize before the temp index is deleted
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(tmp))
@@ -1161,7 +1155,7 @@ object SparkEntry {
     "q47_simhash_planted" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |       CAST(0 AS BIGINT) AS hamming
-        |FROM documents ORDER BY id_a""".stripMargin,
+        |FROM documents WHERE doc_id < 1000 ORDER BY id_a""".stripMargin,
 
     "q48_catalog_repetition" ->
       """SELECT CAST(cnt AS BIGINT) AS refs_num FROM (

@@ -462,6 +462,11 @@ object DocDedup {
         .where(col("u") =!= col("v")).distinct())
     var rounds = 0
     try {
+      // The loop-var blocks need their own exception cover: a mid-round
+      // failure would otherwise leak the in-flight round's checkpoint
+      // blocks for the session's lifetime (edgesPinned is reassigned
+      // each round, so the outer finally can't see superseded rounds —
+      // those are freed inline below).
       var converged = false
       while (!converged) {
         rounds += 1
@@ -503,9 +508,13 @@ object DocDedup {
           Seq("id"), "left")
         .select(col("id").as("doc_id"),
           coalesce(col("cluster"), col("id")).as("cluster")))
-      edgesPinned.foreach(_.unpersist(false))
       (labels.orderBy("doc_id"), rounds)
-    } finally idsPinned.foreach(_.unpersist(false))
+    } finally {
+      // Success path: the final edge set, superseded by the label
+      // checkpoint above. Exception path: the in-flight round's blocks.
+      edgesPinned.foreach(_.unpersist(false))
+      idsPinned.foreach(_.unpersist(false))
+    }
   }
 
   // ------------------------------------------------------------- SimHash

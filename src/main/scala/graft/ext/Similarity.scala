@@ -246,11 +246,18 @@ object Similarity {
     val qsig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         posexplode(array((0 until tables).map(t =>
           lshSignature(col(vecCol), bits, t)): _*)).as(Seq("tbl", "sig")))
-    val probes = qsig.select("tbl", "sig").distinct().collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-    if (probes.isEmpty) return qsig
+    def emptyResult = qsig
       .select(col("query_id"), col("query_id").as("neighbor_id"),
         lit(1).as("rank"), lit(0.0).as("sim")).where(lit(false))
+    val probes = qsig.select("tbl", "sig").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    if (probes.isEmpty) return emptyResult
+    // An index built from an EMPTY corpus has the sidecar but no data
+    // files (zero rows → zero part files); read.parquet would fail
+    // schema inference where lshTopK — whose results this contracts to
+    // match — returns empty.
+    if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .exists(_.getPath.getName.startsWith("tbl="))) return emptyResult
     // Int literals on purpose: partition-value inference types tbl/sig
     // as INT (bits <= 30 keeps every signature in int range), and a
     // same-type literal comparison is the form partition pruning

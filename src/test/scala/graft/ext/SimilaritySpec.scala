@@ -145,6 +145,14 @@ class SimilaritySpec extends SparkFunSuite {
     // tables), so a fresh probe of the same index stays deterministic
     assert(rows(Similarity.probeLshIndex(queries,
       "vec_id", "embedding", path, 5)) == viaJoin)
+    // an index built from an EMPTY corpus (sidecar, zero data files)
+    // must probe to empty — like lshTopK would — not crash on schema
+    // inference
+    val emptyPath = s"${tempDir("lshidx-empty")}/index"
+    Similarity.buildLshIndex(corpus.where(col("vec_id") < 0),
+      "vec_id", "embedding", emptyPath, bits = 4, tables = 8)
+    assert(Similarity.probeLshIndex(queries,
+      "vec_id", "embedding", emptyPath, 5).isEmpty)
   }
 
   test("cosineNearDupPairs finds the planted near-identical pair only") {
