@@ -732,6 +732,41 @@ object SparkEntry {
       out
     }),
 
+    // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
+    //      operator — the one remaining rows-only op without a
+    //      falsifiable twin; xxhash64 keeps the raw values out of
+    //      DuckDB's reach, but the operator's two defining properties
+    //      are id-structural): an identical planted copy MUST hash
+    //      equal (determinism), and a token-REVERSED copy must hash
+    //      differently exactly when the token sequence is not a
+    //      palindrome (order sensitivity — the property a commutative
+    //      fold would silently lose). DuckDB predicts palindromy from
+    //      the text alone, never touching the hash.
+    "q52_rolling_hash_planted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+        .select("doc_id", "text")
+      val rev = docs.select(col("doc_id"),
+        array_join(reverse(TextAnalysis.tokens(col("text"))), " ").as("text"))
+      val planted = docs
+        .unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text")))
+        .unionByName(rev.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          col("text")))
+      val rh = planted.select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rh"))
+      rh.where(col("doc_id") < 1000000L)
+        .join(rh.where(col("doc_id").between(1000000L, 1999999L))
+          .select((col("doc_id") - 1000000L).as("doc_id"),
+            col("rh").as("rh_copy")), "doc_id")
+        .join(rh.where(col("doc_id") >= 2000000L)
+          .select((col("doc_id") - 2000000L).as("doc_id"),
+            col("rh").as("rh_rev")), "doc_id")
+        .select(col("doc_id"),
+          (col("rh") === col("rh_copy")).as("same_hash"),
+          (col("rh") =!= col("rh_rev")).as("order_sensitive"))
+        .orderBy("doc_id")
+    }),
+
     // ---- ext/Multimodal: REAL multi-frame decode gate. Animated GIFs
     //      with id-derived frame counts and geometry are built in-query
     //      through the real GIF sequence writer, pulled apart by
@@ -1156,6 +1191,12 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |       CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id < 1000 ORDER BY id_a""".stripMargin,
+
+    "q52_rolling_hash_planted" ->
+      """SELECT doc_id, TRUE AS same_hash,
+        |  text != array_to_string(list_reverse(string_split(text, ' ')),
+        |                          ' ') AS order_sensitive
+        |FROM documents WHERE doc_id < 1000 ORDER BY doc_id""".stripMargin,
 
     "q48_catalog_repetition" ->
       """SELECT CAST(cnt AS BIGINT) AS refs_num FROM (
