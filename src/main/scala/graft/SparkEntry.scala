@@ -78,16 +78,18 @@ object SparkEntry {
       .select(col("doc_id"),
         md5(col("chunk").cast("binary")).as("hash"),
         (col("doc_id") * 1000000L + col("pos")).as("gl"))
-    val cat = new graft.operators.Catalog(s, tmp)
-    cat.commitRun("run1", 64, "md5",
-      chunks.groupBy("hash").agg(min("gl").as("line"),
-        count(lit(1)).as("refs_num")),
-      chunks.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
-    val out = body(cat, chunks)
-      .localCheckpoint() // materialize before the temp catalog is deleted
-    org.apache.commons.io.FileUtils
+    // try/finally so an exception in the probe body or the materialize
+    // can't leak the temp catalog directory on disk.
+    try {
+      val cat = new graft.operators.Catalog(s, tmp)
+      cat.commitRun("run1", 64, "md5",
+        chunks.groupBy("hash").agg(min("gl").as("line"),
+          count(lit(1)).as("refs_num")),
+        chunks.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
+      body(cat, chunks)
+        .localCheckpoint() // materialize before the temp catalog is deleted
+    } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
-    out
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -718,18 +720,20 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q51-lshidx").toString
       val (corpus, q) = plantedAnnCorpus(s, dir)
-      // bits=4: the twin guarantee is bits-independent (identical
-      // vectors share buckets at ANY width), and 16 buckets/table keeps
-      // the gate's index-write file count small.
-      Similarity.buildLshIndex(corpus, "vec_id", "embedding",
-        s"$tmp/index", bits = 4, tables = 4)
-      val out = annRecallRows(
-        Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9),
-        Similarity.probeLshIndex(q, "vec_id", "embedding", s"$tmp/index", 9))
-        .localCheckpoint() // materialize before the temp index is deleted
-      org.apache.commons.io.FileUtils
+      // try/finally so an exception mid-probe can't leak the temp
+      // index directory on disk.
+      try {
+        // bits=4: the twin guarantee is bits-independent (identical
+        // vectors share buckets at ANY width), and 16 buckets/table keeps
+        // the gate's index-write file count small.
+        Similarity.buildLshIndex(corpus, "vec_id", "embedding",
+          s"$tmp/index", bits = 4, tables = 4)
+        annRecallRows(
+          Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9),
+          Similarity.probeLshIndex(q, "vec_id", "embedding", s"$tmp/index", 9))
+          .localCheckpoint() // materialize before the temp index is deleted
+      } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(tmp))
-      out
     }),
 
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
@@ -742,6 +746,14 @@ object SparkEntry {
     //      palindrome (order sensitivity — the property a commutative
     //      fold would silently lose). DuckDB predicts palindromy from
     //      the text alone, never touching the hash.
+    //      PROBABILISTIC ASSUMPTION (documented per round-7 advice):
+    //      the oracle equates order_sensitive with a pure string
+    //      inequality, so the gate holds only if no non-palindromic
+    //      token sequence collides with its reverse under the 64-bit
+    //      rotate-XOR fold — P ≈ 1000·2⁻⁶⁴ per corpus refresh. If a
+    //      refresh ever plants such a collision, the gate fails on
+    //      exactly one doc_id row (a diagnosable false alarm, not a
+    //      code regression); regenerate or exclude that doc.
     "q52_rolling_hash_planted" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
         .select("doc_id", "text")

@@ -489,9 +489,14 @@ object DocDedup {
         val (next, nextPinned) = checkpointPinned(ss)
         // Fixpoint test: both sets are distinct, so equal counts plus
         // an empty one-sided except ⟺ set equality. At the fixpoint
-        // the edges ARE the star graph (u, component-min).
-        converged = next.count() == edges.count() &&
-          next.except(edges).isEmpty
+        // the edges ARE the star graph (u, component-min). If the check
+        // itself throws, nextPinned is not yet in edgesPinned and the
+        // outer finally can't see it — free it here before rethrowing.
+        converged =
+          try next.count() == edges.count() && next.except(edges).isEmpty
+          catch { case e: Throwable =>
+            nextPinned.foreach(_.unpersist(false)); throw e
+          }
         // next is materialized and the convergence check has run — the
         // superseded round's blocks can go. (The FINAL edges stay
         // pinned: they back the returned DataFrame.)

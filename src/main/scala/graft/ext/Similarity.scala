@@ -258,12 +258,23 @@ object Similarity {
     // match — returns empty.
     if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .exists(_.getPath.getName.startsWith("tbl="))) return emptyResult
-    // Int literals on purpose: partition-value inference types tbl/sig
-    // as INT (bits <= 30 keeps every signature in int range), and a
-    // same-type literal comparison is the form partition pruning
-    // recognizes without a cast in the way.
-    val bucketFilter = probes.map { case (t, s) =>
-      col("tbl") === t && col("sig") === s.toInt }.reduce(_ || _)
+    // The small-side contract made explicit (round-7 advice): the
+    // bucket filter is driver-built from tables·|queries| coordinates,
+    // so an oversized query batch must fail loudly, not produce a
+    // megabyte Catalyst predicate.
+    require(probes.length <= 65536,
+      s"probeLshIndex: ${probes.length} distinct (tbl, sig) buckets " +
+        "exceed the small-query-side contract (<= 65536); batch the " +
+        "query set or use lshTopK's join form")
+    // ONE In-expression over a combined (tbl, sig) key instead of an
+    // OR-chain of per-bucket conjuncts: linear-size predicate, and it
+    // still references only partition columns, so Catalyst evaluates it
+    // against partition values at file-listing time (the pruned-scan
+    // file count is asserted by SimilaritySpec). bits <= 30 keeps sig
+    // in int range; 2^31 separates the tbl and sig halves losslessly.
+    val bucketFilter = (col("tbl").cast("long") * 2147483648L +
+      col("sig").cast("long")).isin(
+      probes.map { case (t, s) => t.toLong * 2147483648L + s }.toSeq: _*)
     val cand = ss.read.parquet(path).where(bucketFilter)
       .join(broadcast(qsig.drop("qv")), Seq("tbl", "sig"))
       .where(col("query_id") =!= col("id"))
