@@ -39,7 +39,11 @@ object Bench {
     // its wall-time varies ONLY with the epoch, so a reader can
     // normalize every query time by the nearest calibration sample.
     // Raw per-sample values are reported (NOT min-of-2): the spread
-    // across the three points IS the stall signal.
+    // across the three points IS the stall signal. One unrecorded
+    // warmup precedes the start sample so all three samples measure
+    // the epoch, not JIT state (cold-vs-warm measured 5.4 s vs 0.5 s
+    // for the same workload).
+    calibrate(spark)
     val calStart = calibrate(spark)
     val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val mid = allQueries.size / 2

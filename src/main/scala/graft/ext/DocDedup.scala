@@ -178,13 +178,17 @@ object DocDedup {
       // still cannot blow up any single join key. Exactness holds for
       // EVERY τ (τ only partitions work between the tiers); a caller
       // needing a hard per-key bound passes an explicit cap, and the
-      // probabilistic scale path remains minHashPairs. The
-      // distinct-count also doubles as the eager cache materialization
-      // (concurrent first-compute of a persisted block from several
-      // broadcast threads serializes on block locks).
+      // probabilistic scale path remains minHashPairs.
+      // τ's corpus size is the INPUT row count, not a distinct-count
+      // over the exploded shingle set: count() on a parquet scan is
+      // metadata-only, while the old `sh.select("id").distinct()
+      // .count()` paid a full explode+shuffle pass — the single
+      // largest stage of the op's wall-time (round-8 profile: ~2.3 s
+      // of a ~8 s warm run at sf0.1). Any τ is exact; rows ≈ docs is
+      // the same 1%-of-corpus heat proxy.
       val tau =
         if (maxShingleDf > 0) maxShingleDf.toLong
-        else math.max(100L, sh.select("id").distinct().count() / 100)
+        else math.max(100L, df.count() / 100)
       val rare = sh.join(dfq.where(col("df") <= tau), "shingle")
         .select("id", "shingle")
       // Tier-1 pairs share a rare shingle; duplicates (several shared
@@ -194,6 +198,10 @@ object DocDedup {
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
 
+      // Also the eager cache materialization, ONE action for both
+      // persists (sh feeds dfq): concurrent first-compute of a
+      // persisted block from several broadcast threads serializes on
+      // block locks.
       val vocabSize = dfq.count()
       val verified = if (vocabSize <= denseMaxBits) {
         // ---- dense path: per-doc shingle-set bitmaps; `common` is a

@@ -1,7 +1,11 @@
 package graft
-// Scratch profiler for q15 (exact n-gram Jaccard) plan variants at sf0.1
-// (test scope only — not part of the library surface).
-import org.apache.spark.sql.{DataFrame, SparkSession}
+// Scratch profiler for q15 (exact n-gram Jaccard) at sf0.1 — dissects
+// the SHIPPED dense-bitmap two-tier path (test scope only — not part
+// of the library surface). Rewritten round 8: the old dissection
+// profiled the superseded sparse path (12.5M-pair shuffled distinct +
+// recount join), which is NOT what ngramJaccardPairs executes on this
+// corpus.
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{DocDedup, TextAnalysis}
@@ -24,34 +28,27 @@ object Q15Profile {
       spark.catalog.clearCache(); System.gc()
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val (num, den, tau) = (7, 10, 100)
+    val (num, den) = (7, 10)
 
-    // ---- dissect the two-tier plan
-    {
+    // ---- dissect the shipped dense two-tier path, twice (run 1 pays
+    // JIT/codegen; run 2 is the steady state the bench min-of-2 sees)
+    for (round <- 1 to 2) {
+      println(s"== shipped-path dissection, round $round ==")
       val sh = DocDedup.shingles(docs, "doc_id", "text").persist()
       val dfq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).persist()
-      time("t_vocab_count")(println(s"  vocab=${dfq.count()}"))
+      val nDocs = time("t_docs_count")(sh.select("id").distinct().count())
+      val tau = math.max(100L, nDocs / 100)
+      val vocabSize = time("t_vocab_count")(dfq.count())
+      println(s"  docs=$nDocs tau=$tau vocab=$vocabSize")
       val rare = sh.join(dfq.where(col("df") <= tau), "shingle")
         .select("id", "shingle")
       val cand1 = rare.toDF("id_a", "shingle")
         .join(rare.toDF("id_b", "shingle"), "shingle")
         .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").distinct()
       time("t_cand1")(println(s"  cand1=${cand1.count()}"))
-      val hotDominated = sh.join(dfq, "shingle")
-        .groupBy("id")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("df") > tau, 1L).otherwise(0L)).as("hot"))
-        .where(lit(den) * col("hot") >= lit(num) * col("n"))
-        .select("id")
-      time("t_hotdocs")(println(s"  hot=${hotDominated.count()}"))
-      val cand2 = hotDominated.toDF("id_a")
-        .join(hotDominated.toDF("id_b"), col("id_a") < col("id_b"))
-      time("t_cand2")(println(s"  cand2=${cand2.count()}"))
-      val cand = cand1.unionByName(cand2).distinct().persist()
-      time("t_cand_distinct")(println(s"  cand=${cand.count()}"))
-      val vocabSize = dfq.count()
-      val vocabIdx = dfq.select(col("shingle"),
+
+      val vocabIdx = dfq.select(col("shingle"), col("df"),
         (row_number().over(Window.orderBy("shingle")) - 1).as("sid"))
       val nLongs = ((vocabSize + 63) / 64).toInt
       val toBitmap = udf((sids: Seq[Int]) => {
@@ -59,28 +56,44 @@ object Q15Profile {
         sids.foreach(s => arr(s >> 6) |= (1L << (s & 63)))
         arr
       })
-      val bitmaps = sh.join(vocabIdx, "shingle")
+      val docStats = sh.join(broadcast(vocabIdx), "shingle")
         .groupBy("id")
-        .agg(collect_list("sid").as("sids"), count(lit(1)).as("n"))
-        .select(col("id"), col("n"), toBitmap(col("sids")).as("bm"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("df") > tau, 1L).otherwise(0L)).as("hot"),
+          collect_list("sid").as("sids"))
+        .select(col("id"), col("n"), toBitmap(col("sids")).as("bm"),
+          col("hot"))
         .persist()
-      time("t_bitmaps")(println(s"  bitmaps=${bitmaps.count()}"))
-      val common = udf((a: Seq[Long], b: Seq[Long]) => {
-        var i = 0; var c = 0
-        while (i < a.length) { c += java.lang.Long.bitCount(a(i) & b(i)); i += 1 }
-        c.toLong
-      })
-      val verified = cand
-        .join(bitmaps.select(col("id").as("id_a"), col("n").as("na"),
-          col("bm").as("bm_a")), "id_a")
-        .join(bitmaps.select(col("id").as("id_b"), col("n").as("nb"),
-          col("bm").as("bm_b")), "id_b")
+      time("t_docstats")(println(s"  docStats=${docStats.count()}"))
+
+      graft.functions.VecExpressions.register(spark)
+      def common(a: Column, b: Column): Column =
+        call_function("graft_bitmap_and_count", a, b)
+      val jOk = lit(den) * col("common") >=
+        lit(num) * (col("na") + col("nb") - col("common"))
+      val sizeOk = lit(den) * col("na") >= lit(num) * col("nb") &&
+        lit(den) * col("nb") >= lit(num) * col("na")
+      val asA = docStats.select(col("id").as("id_a"), col("n").as("na"),
+        col("bm").as("bm_a"), col("hot").as("hot_a"))
+      val asB = docStats.select(col("id").as("id_b"), col("n").as("nb"),
+        col("bm").as("bm_b"), col("hot").as("hot_b"))
+      val hotA = asA.where(lit(den) * col("hot_a") >= lit(num) * col("na"))
+      val hotB = asB.where(lit(den) * col("hot_b") >= lit(num) * col("nb"))
+      val hotCount = time("t_hotcount")(hotA.count())
+      println(s"  hot=$hotCount hotBytes=${hotCount * (nLongs * 8L + 64L)}")
+      val tier2 = broadcast(hotA)
+        .join(hotB, col("id_a") < col("id_b") && sizeOk)
         .withColumn("common", common(col("bm_a"), col("bm_b")))
-        .where(lit(den) * col("common") >=
-          lit(num) * (col("na") + col("nb") - col("common")))
-        .select("id_a", "id_b", "common", "na", "nb")
-      time("t_verify")(println(s"  pairs=${verified.count()}"))
-      cand.unpersist(); bitmaps.unpersist(); dfq.unpersist(); sh.unpersist()
+        .where(jOk)
+      time("t_tier2_bnlj_verify")(println(s"  tier2=${tier2.count()}"))
+      val tier1 = cand1
+        .join(asA, "id_a").join(asB, "id_b")
+        .where(!(lit(den) * col("hot_a") >= lit(num) * col("na") &&
+          lit(den) * col("hot_b") >= lit(num) * col("nb")) && sizeOk)
+        .withColumn("common", common(col("bm_a"), col("bm_b")))
+        .where(jOk)
+      time("t_tier1_verify")(println(s"  tier1=${tier1.count()}"))
+      docStats.unpersist(); dfq.unpersist(); sh.unpersist()
       cleanup()
     }
 
