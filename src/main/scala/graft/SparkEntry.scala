@@ -338,6 +338,25 @@ object SparkEntry {
         .agg(countDistinct(md5(col("chunk").cast("binary"))).as("n_distinct"),
           count(lit(1)).as("n_total"))),
 
+    // ---- SURVEY §2.5 north star: the HLL distinct-chunk estimate a
+    //      100 TB catalog sizing pass would run — approx_count_distinct
+    //      is one scan at constant memory where q32's exact
+    //      countDistinct pays a full distinct shuffle. Cross-engine HLL
+    //      sketches don't hash-match, so the gate emits the exact count
+    //      (oracle-predictable) plus the falsifiable CLAIM: the
+    //      estimate (rsd = 1%) lands within 2% of exact. Spark's HLL++
+    //      is deterministic for fixed data, so the boolean is stable —
+    //      a drift past 2% flips it and the row hash-mismatches.
+    "q54_distinct_chunks_hll" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.charChunks(col("text"), 64)).as("chunk"))
+        .select(md5(col("chunk").cast("binary")).as("h"))
+        .agg(countDistinct(col("h")).as("n_distinct"),
+          approx_count_distinct(col("h"), 0.01).as("n_approx"))
+        .select(col("n_distinct"),
+          (abs(col("n_approx") - col("n_distinct")) <=
+            col("n_distinct").cast("double") * lit(0.02)).as("within_2pct"))),
+
     // ---- A-level: exact interpolated percentiles (linear-interpolation
     //      percentile_cont in both engines; l_quantity is whole-valued
     //      so interpolation stays exactly representable)
@@ -736,6 +755,34 @@ object SparkEntry {
         .deleteDirectory(new java.io.File(tmp))
     }),
 
+    // ---- RECALL GATE for the WRITE-partitioned IVF index (the fifth
+    //      ANN access path, round-7 verdict "Missing" #1): q43's
+    //      planted-cluster corpus is INDEXED — persisted partitioned by
+    //      coarse-quantizer cell with bit-exact centroids in the
+    //      sidecar — and probed through partition pruning instead of a
+    //      corpus join. Twins share the query's vector exactly, so they
+    //      land in its argmax cell with probability 1, the probe's
+    //      nprobe cells include that cell by construction, and the
+    //      oracle row per query stays the constant (9, 9). Breaks if
+    //      the cell layout, centroid persistence (a float round-trip
+    //      drift changes assignment), pruning, or the scoring tail
+    //      regresses.
+    "q53_ann_ivf_index_planted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q53-ivfidx").toString
+      val (corpus, q) = plantedAnnCorpus(s, dir)
+      try {
+        Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+          s"$tmp/index", nlist = 16)
+        annRecallRows(
+          Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9),
+          Similarity.probeIvfIndex(q, "vec_id", "embedding",
+            s"$tmp/index", 9, nprobe = 4))
+          .localCheckpoint() // materialize before the temp index is deleted
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }),
+
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
     //      operator — the one remaining rows-only op without a
     //      falsifiable twin; xxhash64 keeps the raw values out of
@@ -1031,6 +1078,13 @@ object SparkEntry {
         |         s -> substr(text, s, 64))) AS chunk
         |  FROM documents)""".stripMargin,
 
+    "q54_distinct_chunks_hll" ->
+      """SELECT count(DISTINCT md5(chunk)) AS n_distinct,
+        |       TRUE AS within_2pct FROM (
+        |  SELECT unnest(list_transform(range(1, length(text) + 1, 64),
+        |         s -> substr(text, s, 64))) AS chunk
+        |  FROM documents)""".stripMargin,
+
     "q36_percentiles" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS p50,
@@ -1170,6 +1224,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     "q51_ann_index_planted" ->
+      """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
+        |       CAST(9 AS BIGINT) AS n_found
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "q53_ann_ivf_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
         |       CAST(9 AS BIGINT) AS n_found
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

@@ -306,9 +306,10 @@ object Similarity {
     * Scale shape (100 TB): assignment is one broadcast(centroids)
     * cross-join emitting (id, cell-sim) ids only — |corpus|·nlist slim
     * rows, partial-aggregated max_by — then the probe is an equi-join
-    * on cell id. In a real deployment the corpus is WRITTEN partitioned
-    * by cell (like the LSH buckets), making a probe a partition-pruned
-    * read; here the join form stands in. No all-pairs stage exists.
+    * on cell id. The deployment shape — corpus WRITTEN partitioned by
+    * cell, probe = partition-pruned read — is [[buildIvfIndex]] /
+    * [[probeIvfIndex]]; this join form is the ad-hoc (no prebuilt
+    * index) path. No all-pairs stage exists in either.
     *
     * @return (query_id, neighbor_id, rank, sim) — rank 1..k within the
     *         probed cells; ties broken by neighbor_id.
@@ -362,6 +363,146 @@ object Similarity {
         // the unpersist in `finally` runs before any caller action
         .localCheckpoint()
     } finally c.unpersist()
+  }
+
+  /** WRITE-time IVF index — the deployment shape [[ivfTopK]]'s scaladoc
+    * describes, made real (the IVF twin of [[buildLshIndex]]): the
+    * corpus is persisted as a parquet table PARTITIONED BY cell id,
+    * one directory per coarse-quantizer cell, ids and vectors stored
+    * per cell. A probe reads ONLY its `nprobe` cells via partition
+    * pruning — no corpus join at query time.
+    *
+    * The quantizer is the SAME deterministic sampled-centroids
+    * construction as [[ivfTopK]] (nlist corpus vectors with the
+    * smallest xxhash64(id), re-keyed 0..nlist-1 in hash order), and
+    * the centroids are persisted BIT-EXACT (raw float bits) in a
+    * `_graft_ivf_meta` sidecar: the probe must reproduce build-time
+    * cell geometry exactly or assignment drifts — and a float
+    * text-round-trip would be exactly such a drift. Unlike LSH, each
+    * vector is stored ONCE (cells partition the corpus; buckets
+    * overlay it `tables`×).
+    *
+    * 100 TB sizing: build is one corpus scan + an ids-only assignment
+    * cross-join (|corpus|·nlist slim rows, map-side max_by) + one
+    * clustered partitioned write. With nlist=4096 and a 10^10-vector
+    * corpus, a probe at nprobe=64 reads ~1.6% of the index as a
+    * partition-pruned scan.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nlist: Int = 16): Unit = {
+    require(nlist >= 1 && nlist <= (1 << 20),
+      s"need 1 <= nlist <= 2^20, got nlist=$nlist")
+    val ss = corpus.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec")).persist()
+    try {
+      c.count() // materialize before the multi-branch plan executes
+      // nlist rows by construction — driver-small; they go to the
+      // sidecar anyway (the probe needs them without the corpus).
+      val cents: Array[Array[Float]] = c
+        .select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
+        .orderBy("h", "id").limit(nlist)
+        .select("vec").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val cdf = centroidsDf(ss, cents)
+      // Cell assignment (ids-only, map-side max_by), vectors re-joined
+      // by id, then clustered by cell before the partitioned write —
+      // same small-files discipline as buildLshIndex.
+      val cells = c.crossJoin(cdf)
+        .select(col("id"), col("cid"),
+          cosine(col("vec"), col("cvec")).as("csim"))
+        .groupBy("id")
+        .agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
+      c.join(cells, "id")
+        .select("cid", "id", "vec")
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      // Underscore-prefixed sidecar: nlist + bit-exact centroids,
+      // invisible to parquet file discovery.
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(ss.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta"), true)
+      val body = new StringBuilder(s"$nlist\n")
+      cents.foreach { v =>
+        body.append(v.map(java.lang.Float.floatToRawIntBits)
+          .mkString(",")).append('\n')
+      }
+      try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    } finally c.unpersist()
+  }
+
+  /** Approximate top-k against a [[buildIvfIndex]] index: assign each
+    * query to its `nprobe` nearest persisted centroids, read ONLY
+    * those cell partitions (an `isin` over the cell id — pruned at
+    * file-listing time, like [[probeLshIndex]]), and rank through the
+    * shared scoring tail. Cell ids are collected driver-side: bounded
+    * by nlist by construction.
+    *
+    * Returns the same rows [[ivfTopK]] returns for the same
+    * (nlist, nprobe) — the index changes the ACCESS PATH, not the
+    * result; SimilaritySpec pins the equivalence.
+    */
+  def probeIvfIndex(queries: DataFrame, idCol: String, vecCol: String,
+                    path: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val ss = queries.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta"))
+    val lines =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").getLines().toArray
+      finally metaIn.close()
+    val nlist = lines.head.trim.toInt
+    val cents: Array[Array[Float]] = lines.drop(1).filter(_.nonEmpty)
+      .map(_.split(",").map(b =>
+        java.lang.Float.intBitsToFloat(b.trim.toInt)))
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist=$nlist, got nprobe=$nprobe")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    def emptyResult = q
+      .select(col("query_id"), col("query_id").as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("sim")).where(lit(false))
+    // An index built from an EMPTY corpus has the sidecar but no cid=
+    // partition dirs; read.parquet would fail schema inference where
+    // ivfTopK — whose results this contracts to match — returns empty.
+    if (cents.isEmpty ||
+      !fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(_.getPath.getName.startsWith("cid="))) return emptyResult
+    // Query → nprobe nearest cells (queries are the small side by
+    // contract; the window is per-query over nlist rows).
+    val w = Window.partitionBy("query_id").orderBy(desc("csim"), col("cid"))
+    val qCells = q.crossJoin(centroidsDf(ss, cents))
+      .select(col("query_id"), col("cid"),
+        cosine(col("qv"), col("cvec")).as("csim"))
+      .withColumn("r", row_number().over(w)).where(col("r") <= nprobe)
+      .select("query_id", "cid")
+    val cids = qCells.select("cid").distinct().collect().map(_.getInt(0))
+    if (cids.isEmpty) return emptyResult
+    // ≤ nlist literals; references only the partition column, so
+    // Catalyst prunes at file-listing time (asserted by SimilaritySpec).
+    val cand = ss.read.parquet(path).where(col("cid").isin(cids.toSeq: _*))
+      .join(broadcast(qCells), "cid")
+      .where(col("query_id") =!= col("id"))
+      // a corpus vector lives in exactly ONE cell, so (query, id) pairs
+      // are already distinct — no dedup stage needed (unlike LSH)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("vec"))
+    topKPerQuery(
+      cand.join(broadcast(q), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("vec"), col("qv")).as("sim")),
+      k)
+  }
+
+  /** Broadcast-ready (cid, cvec) relation from driver-held centroids —
+    * shared by the IVF index build and probe so cell geometry cannot
+    * drift between them.
+    */
+  private def centroidsDf(ss: org.apache.spark.sql.SparkSession,
+                          cents: Array[Array[Float]]): DataFrame = {
+    import ss.implicits._
+    broadcast(cents.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cid", "cvec"))
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥

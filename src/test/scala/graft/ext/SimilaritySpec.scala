@@ -155,6 +155,54 @@ class SimilaritySpec extends SparkFunSuite {
       "vec_id", "embedding", emptyPath, 5).isEmpty)
   }
 
+  test("buildIvfIndex/probeIvfIndex: result-identical to ivfTopK; the probe " +
+    "reads only the queries' nprobe cell partitions") {
+    val corpus = randomCorpus(200, 16)
+    val queries = corpus.where(col("vec_id") < 5)
+    val path = s"${tempDir("ivfidx")}/index"
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", path, nlist = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank")))
+      .toSeq
+    val viaJoin = rows(Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", 5, nlist = 16, nprobe = 4))
+    val viaIndex = Similarity.probeIvfIndex(queries,
+      "vec_id", "embedding", path, 5, nprobe = 4)
+    // the index changes the ACCESS PATH, not the result
+    assert(rows(viaIndex) == viaJoin)
+    // partition pruning actually happened: the scan touched at most the
+    // probed cells, strictly fewer than the index's cell count
+    val total = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("cid="))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(viaIndex.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount)
+    assert(scanned.nonEmpty, "probe must read the index via a file scan")
+    assert(scanned.min <= 4 * 5 && scanned.min < total,
+      s"probe scanned ${scanned.min} of $total cells — pruning lost")
+    // the sidecar pins nlist + bit-exact centroids, so a fresh probe of
+    // the same index stays deterministic
+    assert(rows(Similarity.probeIvfIndex(queries,
+      "vec_id", "embedding", path, 5, nprobe = 4)) == viaJoin)
+    // an index built from an EMPTY corpus (sidecar, zero cells) must
+    // probe to empty — like ivfTopK would — not crash on schema
+    // inference
+    val emptyPath = s"${tempDir("ivfidx-empty")}/index"
+    Similarity.buildIvfIndex(corpus.where(col("vec_id") < 0),
+      "vec_id", "embedding", emptyPath, nlist = 16)
+    assert(Similarity.probeIvfIndex(queries,
+      "vec_id", "embedding", emptyPath, 5).isEmpty)
+  }
+
   test("cosineNearDupPairs finds the planted near-identical pair only") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)
