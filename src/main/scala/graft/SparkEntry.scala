@@ -67,10 +67,22 @@ object SparkEntry {
     * catalog. The chunk relation is (doc_id, hash, gl) with gl the
     * q39-convention global line (doc_id·1M + pos).
     */
+  /** One committed gate catalog per (session, sf-dir), built on first
+    * use and reused by every later q48/q49 invocation in the same JVM
+    * (round-7 verdict #7: the two gates — times two bench runs each —
+    * were paying the same 200-doc commit machinery four times). The
+    * reuse is sound: both gates only READ after the single run-1
+    * commit, and a reused catalog is exactly the deployment shape a
+    * point read runs against. Keyed by session identity so a stopped-
+    * and-recreated session can never serve a Catalog bound to a dead
+    * context; the directory lives until JVM exit (shutdown hook).
+    */
+  private val gateCatalogCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String),
+      graft.operators.Catalog]
+
   private def withTempCatalog(s: SparkSession, dir: String)
       (body: (graft.operators.Catalog, DataFrame) => DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-gate-catalog").toString
     val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
       .select(col("doc_id"),
         posexplode(TextAnalysis.charChunks(col("text"), 64))
@@ -78,18 +90,28 @@ object SparkEntry {
       .select(col("doc_id"),
         md5(col("chunk").cast("binary")).as("hash"),
         (col("doc_id") * 1000000L + col("pos")).as("gl"))
-    // try/finally so an exception in the probe body or the materialize
-    // can't leak the temp catalog directory on disk.
-    try {
-      val cat = new graft.operators.Catalog(s, tmp)
-      cat.commitRun("run1", 64, "md5",
-        chunks.groupBy("hash").agg(min("gl").as("line"),
-          count(lit(1)).as("refs_num")),
-        chunks.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
-      body(cat, chunks)
-        .localCheckpoint() // materialize before the temp catalog is deleted
-    } finally org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(tmp))
+    val cat = gateCatalogCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir), {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-gate-catalog").toString
+        // Delete at JVM exit, and in the failure branch below: the
+        // cache entry must never point at a half-committed catalog.
+        sys.addShutdownHook(org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(tmp)))
+        try {
+          val c = new graft.operators.Catalog(s, tmp)
+          c.commitRun("run1", 64, "md5",
+            chunks.groupBy("hash").agg(min("gl").as("line"),
+              count(lit(1)).as("refs_num")),
+            chunks.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
+          c
+        } catch { case e: Throwable =>
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(tmp)); throw e
+        }
+      })
+    body(cat, chunks)
+      .localCheckpoint() // materialize: callers expect an action-safe result
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
