@@ -400,7 +400,11 @@ object VecExpressions {
     (FunctionIdentifier("graft_minhash_band_sigs"),
       new ExpressionInfo(classOf[MinHashBandSigs].getName, "graft_minhash_band_sigs"),
       (es: Seq[Expression]) => MinHashBandSigs(es(0),
-        litInt(es(1), "bands"), litInt(es(2), "rows"))))
+        litInt(es(1), "bands"), litInt(es(2), "rows"))),
+    (FunctionIdentifier("graft_chunk_explode"),
+      new ExpressionInfo(classOf[graft.sources.ChunkExplode].getName,
+        "graft_chunk_explode"),
+      (es: Seq[Expression]) => graft.sources.ChunkExplode(es(0), es(1))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -54,15 +54,22 @@ object ChunkSource {
     val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     if (matches.size == 1 && matches.head.isFile)
       chunksOfFile(spark, matches.head, chunkBytes)
-    else {
-      val splitUdf = udf((content: Array[Byte]) => split(content, chunkBytes))
-      spark.read
-        .format("binaryFile")
-        .load(path)
-        .select(col("path").as("file"), splitUdf(col("content")).as("parts"))
-        .select(col("file"), posexplode(col("parts")))
-        .select(col("file"), col("pos").cast("long").as("pos"), col("col").as("chunk"))
-    }
+    else
+      explodeChunks(spark.read.format("binaryFile").load(path), chunkBytes)
+  }
+
+  /** binaryFile rows → (file, pos, chunk) through the [[ChunkExplode]]
+    * Generator: GenerateExec pulls (pos, chunk) rows straight off the
+    * file bytes — no intermediate chunk-array materialization, no UDF
+    * boundary (the former `udf(split) + posexplode` shape allocated a
+    * second full copy of every file as ArrayData before exploding it).
+    */
+  private def explodeChunks(df: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, s"chunk size must be positive, got $chunkBytes")
+    graft.functions.VecExpressions.register(df.sparkSession)
+    df.select(col("path").as("file"),
+        call_function("graft_chunk_explode", col("content"), lit(chunkBytes)))
+      .select(col("file"), col("pos"), col("chunk"))
   }
 
   /** Bytes each huge-file task reads (rounded down to a whole number of
@@ -76,15 +83,8 @@ object ChunkSource {
     * individually.
     */
   def chunksOfFiles(spark: SparkSession, paths: Seq[String],
-                    chunkBytes: Int): DataFrame = {
-    val splitUdf = udf((content: Array[Byte]) => split(content, chunkBytes))
-    spark.read
-      .format("binaryFile")
-      .load(paths: _*)
-      .select(col("path").as("file"), splitUdf(col("content")).as("parts"))
-      .select(col("file"), posexplode(col("parts")))
-      .select(col("file"), col("pos").cast("long").as("pos"), col("col").as("chunk"))
-  }
+                    chunkBytes: Int): DataFrame =
+    explodeChunks(spark.read.format("binaryFile").load(paths: _*), chunkBytes)
 
   /** Chunk one already-resolved file — callers that have a FileStatus in
     * hand (Deduplicator's single-file guard) use this to avoid a second
@@ -95,15 +95,9 @@ object ChunkSource {
                    chunkBytes: Int): DataFrame =
     if (status.getLen >= HugeFileThreshold)
       chunksOfHugeFile(spark, status.getPath.toString, status.getLen, chunkBytes)
-    else {
-      val splitUdf = udf((content: Array[Byte]) => split(content, chunkBytes))
-      spark.read
-        .format("binaryFile")
-        .load(status.getPath.toString)
-        .select(col("path").as("file"), splitUdf(col("content")).as("parts"))
-        .select(col("file"), posexplode(col("parts")))
-        .select(col("file"), col("pos").cast("long").as("pos"), col("col").as("chunk"))
-    }
+    else
+      explodeChunks(spark.read.format("binaryFile")
+        .load(status.getPath.toString), chunkBytes)
 
   /** Splittable scan of ONE huge file — the cluster-scale analog of the
     * reference's lazy stream (files.ex:45-56): the driver plans

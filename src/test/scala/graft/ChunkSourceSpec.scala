@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.{BinFormat, ChunkSource}
 import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.apache.spark.sql.functions.col
 
 /** Chunker invariants — mirrors reference test/deduplicator_test.exs:25-47:
   * every chunk ≤ n bytes; concatenation reproduces the input exactly.
@@ -34,6 +35,41 @@ class ChunkSourceSpec extends SparkFunSuite {
     val reassembled = rows.flatMap(_.getAs[Array[Byte]]("chunk"))
     assert(java.util.Arrays.equals(reassembled, data))
     assert(rows.forall(_.getAs[Array[Byte]]("chunk").length <= 8))
+  }
+
+  test("many-files chunking runs through the ChunkExplode Generator " +
+    "(no UDF, no intermediate array) and matches split() exactly") {
+    val dir = tempDir("chunkgen")
+    val rnd = new scala.util.Random(11)
+    val files = (0 until 3).map { i =>
+      val data = Array.fill(100 + 13 * i)(rnd.nextInt(256).toByte)
+      (Fixtures.writeTemp(dir, s"f$i.bin", data), data)
+    }
+    val df = ChunkSource.chunksOfFiles(spark, files.map(_._1), 16)
+    // plan shape: a Generate node driving ChunkExplode, and NO
+    // ScalaUDF anywhere — the generator replaced the udf+posexplode
+    val plan = df.queryExecution.optimizedPlan
+    val nodes = plan.collect { case p => p }
+    assert(nodes.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[graft.sources.ChunkExplode]))),
+      s"expected ChunkExplode in the plan:\n$plan")
+    assert(!nodes.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))),
+      s"UDF survived in the plan:\n$plan")
+    // row-level parity with the pure splitter, per file
+    files.foreach { case (path, data) =>
+      val got = df.where(col("file").endsWith(
+          new java.io.File(path).getName))
+        .orderBy("pos").collect()
+        .map(_.getAs[Array[Byte]]("chunk"))
+      val want = ChunkSource.split(data, 16)
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) =>
+        assert(java.util.Arrays.equals(g, w)) }
+    }
+    // empty file yields zero rows (split() parity)
+    val empty = Fixtures.writeTemp(dir, "empty.bin", Array.emptyByteArray)
+    assert(ChunkSource.chunksOfFiles(spark, Seq(empty), 16).isEmpty)
   }
 
   test("tagged .bin stream encode/parse round-trips for arbitrary record mixes (ScalaCheck)") {
