@@ -94,6 +94,72 @@ object StreamingDedup {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** One chunk arriving on a stream: its content hash plus where it sits
+    * (file, position) — the row shape the reference's fold consumes
+    * (lib/deduplicator.ex:84-100).
+    */
+  case class ChunkEvent(hash: String, file: String, pos: Long)
+
+  /** First occurrence of a hash, as remembered by the state store. */
+  case class FirstOcc(file: String, pos: Long)
+
+  /** [[firstOccurrenceResolve]]'s output: the chunk, whether it
+    * deduplicated to a pointer, and the occurrence it points at
+    * (itself, when it IS the first occurrence).
+    */
+  case class ResolvedChunk(hash: String, file: String, pos: Long,
+                           is_pointer: Boolean,
+                           target_file: String, target_pos: Long)
+
+  /** PURE-streaming dedup resolve — SURVEY §2.8's third mapping option,
+    * the catalog-in-the-state-store variant: `groupByKey(hash)` +
+    * `flatMapGroupsWithState`, state = the hash's first occurrence.
+    * Within a micro-batch the group's rows resolve in deterministic
+    * (file, pos) order (streaming J2); across batches the state store
+    * replays the catalog role (streaming J1), so a later batch's chunk
+    * points into an earlier batch's store — the reference's cross-run
+    * pointer semantics without any external table.
+    *
+    * The trade vs the `foreachBatch` + parquet-catalog path ([[start]]):
+    * state lives in the checkpoint's state store, one small record per
+    * DISTINCT hash — exactly-once and low-latency, but the store grows
+    * with the key domain and every checkpoint snapshots it. Right for
+    * bounded key domains (session keys, rolling corpora); for a
+    * grow-forever chunk catalog the external-table path remains the
+    * scale shape (see the scaladoc up top).
+    */
+  def firstOccurrenceResolve(
+      chunks: org.apache.spark.sql.Dataset[ChunkEvent])
+      : org.apache.spark.sql.Dataset[ResolvedChunk] = {
+    val ss = chunks.sparkSession
+    import ss.implicits._
+    chunks.groupByKey(_.hash)
+      .flatMapGroupsWithState[FirstOcc, ResolvedChunk](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          // The group iterator carries THIS batch's rows in no defined
+          // order; (file, pos) sort makes in-batch resolution
+          // deterministic. One batch's group fits in memory by the
+          // micro-batch contract (a batch's duplicates of one hash).
+          val sorted = rows.toSeq.sortBy(r => (r.file, r.pos))
+          var first = state.getOption
+          val out = sorted.map { r =>
+            first match {
+              case None =>
+                first = Some(FirstOcc(r.file, r.pos))
+                ResolvedChunk(r.hash, r.file, r.pos, is_pointer = false,
+                  r.file, r.pos)
+              case Some(f) =>
+                ResolvedChunk(r.hash, r.file, r.pos, is_pointer = true,
+                  f.file, f.pos)
+            }
+          }
+          first.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming event-time aggregation: tumbling-window counts per key —
     * the standard watermark + window shape over the `events` table's
     * (ts, event_type) (SURVEY §2.8; nothing custom).

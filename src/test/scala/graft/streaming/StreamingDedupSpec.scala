@@ -170,6 +170,35 @@ class StreamingDedupSpec extends SparkFunSuite {
     assert(rows.sorted.toSeq == Seq("x", "y")) // later x's suppressed
   }
 
+  test("firstOccurrenceResolve: flatMapGroupsWithState dedups within and " +
+    "ACROSS micro-batches (state store = the catalog)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDedup.{ChunkEvent, ResolvedChunk}
+    val mem = MemoryStream[ChunkEvent]
+    val resolved = StreamingDedup.firstOccurrenceResolve(mem.toDS())
+    val q = resolved.writeStream.format("memory").queryName("for")
+      .outputMode("append").start()
+    // batch 1: hash A twice in one file (in-batch dup), hash B once
+    mem.addData(
+      ChunkEvent("A", "f1", 0), ChunkEvent("A", "f1", 2),
+      ChunkEvent("B", "f1", 1))
+    q.processAllAvailable()
+    // batch 2: hash A again from a LATER file — must point at batch 1's
+    // first occurrence (cross-batch catalog-in-state), plus a fresh C
+    mem.addData(ChunkEvent("A", "f2", 0), ChunkEvent("C", "f2", 1))
+    q.processAllAvailable()
+    val rows = spark.table("for").as[ResolvedChunk].collect()
+      .sortBy(r => (r.file, r.pos))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      ResolvedChunk("A", "f1", 0, is_pointer = false, "f1", 0),
+      ResolvedChunk("B", "f1", 1, is_pointer = false, "f1", 1),
+      ResolvedChunk("A", "f1", 2, is_pointer = true, "f1", 0),
+      ResolvedChunk("A", "f2", 0, is_pointer = true, "f1", 0),
+      ResolvedChunk("C", "f2", 1, is_pointer = false, "f2", 1)))
+  }
+
   test("windowedCounts: tumbling event-time windows per key") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
