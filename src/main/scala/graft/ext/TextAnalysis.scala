@@ -79,17 +79,33 @@ object TextAnalysis {
     val t = tokens(text)
     // Guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
     // a <2-token doc must yield no shingles, not two out-of-bounds ones.
+    //
+    // zip_with over two slices, NOT transform over an index sequence
+    // with `element_at(t, i)` in the lambda: higher-order functions
+    // never codegen (CodegenFallback), and interpreted lambda eval
+    // re-evaluates every enclosing-scope expression PER ELEMENT — the
+    // index form re-ran the full regex split twice per bigram,
+    // O(tokens²) splits per document (round-8 find: one 5000-doc
+    // partition spent 600+ s of CPU in String.split under exactly this
+    // shape). zip_with binds both slices to evaluated values; the
+    // lambda touches only its own variables.
     when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
   }
 
   /** Character n-gram shingles over the normalized text. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = normalize(text)
-    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-      s => t.substr(s, lit(n)))
-  }
+  def charNgrams(text: Column, n: Int): Column =
+    // Let-binding idiom (single-element array + transform): the outer
+    // lambda binds the EVALUATED normalize(text) — inner references to
+    // `t` are lambda-variable reads, so the regexp_replace runs once
+    // per row, not once per n-gram position (same interpreted-HOF
+    // re-evaluation trap as wordBigrams; see the comment there).
+    flatten(transform(array(normalize(text)), t =>
+      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+        s => t.substr(s, lit(n)))))
 
   /** Count of regexp matches (punctuation, digits, …) — quality-score
     * building block.
