@@ -78,10 +78,12 @@ object DocDedup {
   /** Distinct word-bigram shingles, one row per (id, shingle). The
     * inverted-index form all near-dup ops share.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VecExpressions.register(df.sparkSession)
     spread(df).select(col(idCol).as("id"),
         explode(TextAnalysis.wordBigrams(col(textCol))).as("shingle"))
       .distinct()
+  }
 
   /** Bitmap columns fit comfortably only while the dense vocabulary id
     * assignment stays a driver-light single window; past this the exact

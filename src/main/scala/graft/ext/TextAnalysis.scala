@@ -74,27 +74,20 @@ object TextAnalysis {
 
   /** Word bigram shingles (adjacent-token pairs), the unit for n-gram
     * Jaccard near-dup detection. Empty for docs with < 2 tokens.
+    *
+    * Native codegen'd expression ([[graft.functions.TextExpressions
+    * .WordBigrams]], register [[graft.functions.VecExpressions]] first),
+    * bit-identical to the `zip_with(slice, slice, concat)` Column
+    * formulation it replaced. The HOF form never codegens, and its
+    * interpreted-eval call sites are JVM-shared — megamorphic dispatch
+    * after enough distinct lambdas run in the session (the round-8 JIT
+    * finding; see TextExpressions' scaladoc). This is the hottest
+    * projection of the whole text pipeline (every shingle consumer —
+    * exact Jaccard, MinHash banding, their recall gates — scans it), so
+    * it gets the native treatment.
     */
-  def wordBigrams(text: Column): Column = {
-    val t = tokens(text)
-    // Guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
-    // a <2-token doc must yield no shingles, not two out-of-bounds ones.
-    //
-    // zip_with over two slices, NOT transform over an index sequence
-    // with `element_at(t, i)` in the lambda: higher-order functions
-    // never codegen (CodegenFallback), and interpreted lambda eval
-    // re-evaluates every enclosing-scope expression PER ELEMENT — the
-    // index form re-ran the full regex split twice per bigram,
-    // O(tokens²) splits per document (round-8 find: one 5000-doc
-    // partition spent 600+ s of CPU in String.split under exactly this
-    // shape). zip_with binds both slices to evaluated values; the
-    // lambda touches only its own variables.
-    when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(zip_with(
-        slice(t, lit(1), size(t) - 1),
-        slice(t, lit(2), size(t) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-  }
+  def wordBigrams(text: Column): Column =
+    call_function("graft_word_bigrams", text)
 
   /** Character n-gram shingles over the normalized text. */
   def charNgrams(text: Column, n: Int): Column =

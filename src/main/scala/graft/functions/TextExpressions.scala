@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-shingling expressions (SURVEY §2.9). Companion to
+  * [[VecExpressions]]: the shingle PRODUCER for the near-dup family
+  * (exact Jaccard, MinHash LSH — [[graft.ext.DocDedup]]).
+  *
+  * Why native: the Column formulation of word bigrams is a higher-order
+  * function (`zip_with` over two `slice`s), and Spark HOFs never
+  * participate in codegen — every consumer stage falls back to
+  * interpreted `InvokeLike` eval at exactly the hottest projection of
+  * the text pipeline. Worse, the interpreted-eval call sites are shared
+  * JVM-wide, so a long-lived session running many DIFFERENT lambdas
+  * (a benchmark, a notebook, a multi-tenant cluster) degrades them to
+  * megamorphic dispatch — the same query measurably slows down as
+  * unrelated queries run (round-8 finding; see NOTES_r08). A dedicated
+  * expression with `doGenCode` is immune on both counts: one
+  * monomorphic call into a primitive byte loop, inside the whole-stage
+  * pipeline.
+  */
+object TextExpressions {
+
+  /** Word-bigram shingles, bit-identical to the Column formulation
+    * `zip_with(slice(t,1,n-1), slice(t,2,n-1), (a,b) => concat(a," ",b))`
+    * with `t = split(text, " ")` (trailing empties kept, Java
+    * `split(..., -1)` semantics). Key observation making one byte scan
+    * sufficient: with a single-space delimiter, `token(i) + " " +
+    * token(i+1)` is exactly the SUBSTRING of the original text from the
+    * start of token i to the end of token i+1 — so bigram j is the span
+    * between the spaces bracketing space j, and the result views share
+    * the input's byte array (zero per-shingle copies; the consumer's
+    * UnsafeProjection does the one copy it always does). A space byte
+    * (0x20) never occurs inside a UTF-8 multibyte sequence, so the byte
+    * scan is multibyte-safe.
+    */
+  case class WordBigrams(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"input must be string, got ${other.simpleString}")
+    }
+
+    def compute(s: UTF8String): ArrayData = {
+      val bytes = s.getBytes
+      val len = bytes.length
+      var m = 0
+      var i = 0
+      while (i < len) {
+        if (bytes(i) == 0x20) m += 1
+        i += 1
+      }
+      if (m == 0) return new GenericArrayData(Array.empty[Any])
+      val spaces = new Array[Int](m)
+      var k = 0
+      i = 0
+      while (i < len) {
+        if (bytes(i) == 0x20) { spaces(k) = i; k += 1 }
+        i += 1
+      }
+      val out = new Array[Any](m)
+      var j = 0
+      while (j < m) {
+        val start = if (j == 0) 0 else spaces(j - 1) + 1
+        val end = if (j + 1 < m) spaces(j + 1) else len
+        out(j) = UTF8String.fromBytes(bytes, start, end - start)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftBigrams", this,
+        classOf[WordBigrams].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+}

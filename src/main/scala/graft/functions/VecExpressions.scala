@@ -404,7 +404,11 @@ object VecExpressions {
     (FunctionIdentifier("graft_chunk_explode"),
       new ExpressionInfo(classOf[graft.sources.ChunkExplode].getName,
         "graft_chunk_explode"),
-      (es: Seq[Expression]) => graft.sources.ChunkExplode(es(0), es(1))))
+      (es: Seq[Expression]) => graft.sources.ChunkExplode(es(0), es(1))),
+    (FunctionIdentifier("graft_word_bigrams"),
+      new ExpressionInfo(classOf[TextExpressions.WordBigrams].getName,
+        "graft_word_bigrams"),
+      (es: Seq[Expression]) => TextExpressions.WordBigrams(es(0))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

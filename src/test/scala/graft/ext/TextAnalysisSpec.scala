@@ -54,6 +54,38 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(r(4L).isEmpty && r(5L).isEmpty) // no out-of-bounds bigrams
   }
 
+  test("wordBigrams: native kernel matches split/sliding reference on edge shapes") {
+    val s = spark; import s.implicits._
+    // Reference semantics: split(" ", -1) keeps empty tokens (incl.
+    // trailing), bigram = adjacent pair joined by one space.
+    def ref(text: String): Seq[String] =
+      text.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+    val cases = Seq(
+      "a b c",
+      "a  b",          // consecutive spaces -> empty middle token
+      " leading",      // leading space -> empty first token
+      "trailing ",     // trailing space -> empty last token kept
+      " ",             // one space, two empty tokens -> one " " bigram
+      "   ",           // all spaces
+      "single",
+      "",
+      "байт данные спарк", // multibyte UTF-8 spans survive the byte scan
+      "tab\tis not a delimiter",
+      "a b c d e f g h")
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.wordBigrams(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"case '$t'")
+    }
+    // null text -> null result (not a crash, not an empty array)
+    val n = Seq((0L, Option.empty[String])).toDF("id", "text")
+      .select(TextAnalysis.wordBigrams(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("langId picks the marker-dominant language, und when none") {
     val r = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("l")).collect()
