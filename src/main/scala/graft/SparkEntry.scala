@@ -99,7 +99,9 @@ object SparkEntry {
         sys.addShutdownHook(org.apache.commons.io.FileUtils
           .deleteQuietly(new java.io.File(tmp)))
         try {
-          val c = new graft.operators.Catalog(s, tmp)
+          // width 1 (16 buckets): gate-scale catalogs pay a fixed
+          // per-bucket-directory commit cost; see Catalog's scaladoc.
+          val c = new graft.operators.Catalog(s, tmp, bucketChars = 1)
           c.commitRun("run1", 64, "md5",
             chunks.groupBy("hash").agg(min("gl").as("line"),
               count(lit(1)).as("refs_num")),
@@ -531,7 +533,10 @@ object SparkEntry {
         .localCheckpoint()
       val r1 = chunks.where(col("doc_id") % 2 === 0)
       val r2 = chunks.where(col("doc_id") % 2 === 1)
-      val cat = new graft.operators.Catalog(s, tmp)
+      // width 1 (16 buckets): the gate's corpus is ~45k links; the
+      // default 256 bucket dirs × 2 commits paid ~6 s of pure
+      // partitioned-write commit overhead (see Catalog's scaladoc).
+      val cat = new graft.operators.Catalog(s, tmp, bucketChars = 1)
       val noDeltas = r1.where(lit(false))
         .select(col("hash"), lit(0L).as("delta"))
       cat.commitRun("run1", 64, "md5",

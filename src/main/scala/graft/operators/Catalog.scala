@@ -30,19 +30,60 @@ import java.nio.charset.StandardCharsets
   * lands — the loser fails loudly BEFORE any of its bytes are visible,
   * so it can never overwrite a winner's committed data.
   *
-  * Scale design (100 TB): hash_links is hash-partitioned by a 2-hex-char
-  * digest prefix (256 buckets), and a commit rewrites ONLY the buckets its
-  * new links / deltas touch; untouched buckets are carried forward *by
-  * reference* through a per-version MANIFEST (bucket → version that last
-  * wrote it). Commit cost is therefore proportional to the run, not to
-  * catalog history. The bucket layout also lets point reads prune to one
-  * bucket file and keeps the dedup probe join (J1) co-locatable.
+  * Scale design (100 TB): hash_links is hash-partitioned by a hex digest
+  * prefix of `bucketChars` chars (16^bucketChars buckets, default 256),
+  * and a commit rewrites ONLY the buckets its new links / deltas touch;
+  * untouched buckets are carried forward *by reference* through a
+  * per-version MANIFEST (bucket → version that last wrote it). Commit
+  * cost is therefore proportional to the run, not to catalog history.
+  * The bucket layout also lets point reads prune to one bucket file and
+  * keeps the dedup probe join (J1) co-locatable.
+  *
+  * Bucket width is a LAYOUT knob, sized to the expected catalog: every
+  * commit pays a fixed per-bucket-directory cost in the partitioned
+  * write (measured ~11 ms/dir on a local FS — commit-protocol renames
+  * and writer setup, independent of row count), so a small catalog
+  * wants 16 buckets (width 1) while a 100 TB one wants 256+ (width 2+,
+  * keeping per-bucket rewrite units bounded). The width chosen at
+  * creation is persisted in a root `_graft_catalog_meta` sidecar and
+  * adopted on every reopen — mixing widths within one catalog would
+  * scatter a hash's links across buckets and break manifest carry-
+  * forward, so the constructor argument only applies to an EMPTY dir.
   */
-class Catalog(spark: SparkSession, dir: String) {
+class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
   import Catalog._
+  require(bucketChars >= 1 && bucketChars <= 8,
+    s"bucketChars must be in [1,8], got $bucketChars")
 
   private val fs = FileSystem.get(new java.net.URI(dir),
     spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath = new Path(dir, "_graft_catalog_meta")
+
+  /** Effective bucket width: the persisted value if the catalog exists,
+    * else the constructor's (persisted by the first commit). Read once —
+    * the width of an existing catalog never changes.
+    */
+  private lazy val bucketWidth: Int =
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](256)
+        var n = in.read(b)
+        while (n >= 0) { if (n > 0) buf.write(b, 0, n); n = in.read(b) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      text.linesIterator.collectFirst {
+        case l if l.startsWith("bucket_chars=") =>
+          l.stripPrefix("bucket_chars=").trim.toInt
+      }.getOrElse(2)
+    } else if (currentVersion > 0) 2 // pre-meta layout: the historic constant
+    else bucketChars
+
+  private def bucketOf(hash: String): String = hash.substring(0, bucketWidth)
+  private def bucketCol(hash: org.apache.spark.sql.Column) =
+    substring(hash, 1, bucketWidth)
 
   private def versionDir(v: Long) = new Path(dir, f"v_$v%06d")
 
@@ -339,6 +380,26 @@ class Catalog(spark: SparkSession, dir: String) {
   private def writeVersion(v: Long, filesDf: DataFrame,
                            changedLinks: Option[DataFrame],
                            oldManifest: Map[String, Long]): Unit = {
+    // Pin the bucket width before the first version becomes visible; an
+    // existing meta is never rewritten (the width of a catalog is
+    // immutable — see the class scaladoc).
+    if (!fs.exists(metaPath)) {
+      try {
+        val out = fs.create(metaPath, false)
+        try out.write(s"bucket_chars=$bucketWidth\n"
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      } catch {
+        // Lost the meta race to a concurrent first committer. Safe iff
+        // it pinned the SAME width this commit's data was staged with;
+        // otherwise fail before publishing mixed-width buckets.
+        case _: java.io.IOException =>
+          val other = new Catalog(spark, dir).bucketWidth
+          require(other == bucketWidth,
+            s"concurrent catalog creation with different bucket widths: " +
+              s"this commit staged width $bucketWidth, meta pinned $other")
+      }
+    }
     val vd = versionDir(v)
     val tmp = new Path(dir,
       s".tmp_v$v-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -347,6 +408,13 @@ class Catalog(spark: SparkSession, dir: String) {
       case None => Set.empty
       case Some(df) =>
         df.withColumn("bucket", bucketCol(col("hash")))
+          // Cluster by bucket before the partitioned write (the same
+          // idiom as compact() and the LSH index build): without it
+          // every shuffle-partitioned task opens a file in every bucket
+          // it sees — tasks × touched-buckets tiny files PER COMMIT,
+          // the fragmentation compact() exists to clean up. After it a
+          // bucket is written by one task: files ≈ touched buckets.
+          .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(new Path(tmp, "hash_links").toString)
         // The buckets actually written (a touched bucket could have been
@@ -393,9 +461,6 @@ object Catalog {
   case class RunSpec(fileId: Long, filename: String, chunkBytes: Int,
                      algorithm: String, newLinks: DataFrame, deltas: DataFrame)
 
-  private[operators] def bucketOf(hash: String): String = hash.substring(0, 2)
-  private[operators] def bucketCol(hash: org.apache.spark.sql.Column) =
-    substring(hash, 1, 2)
 
   val filesSchema: StructType = StructType(Seq(
     StructField("file_id", LongType, nullable = false),

@@ -44,6 +44,37 @@ class CatalogSpec extends SparkFunSuite {
     assert(!new java.io.File(s"$dir/catalog/v_000003/hash_links/bucket=aa").exists())
   }
 
+  test("bucket width is a creation knob, persisted and adopted on reopen") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-width")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    val cat = new Catalog(spark, s"$dir/catalog", bucketChars = 1)
+    cat.commitRun("f1", 64, "sha",
+      Seq(("aa11", 0L, 1L), ("ab22", 1L, 2L), ("b033", 2L, 1L))
+        .toDF("hash", "line", "refs_num"), none)
+    // width-1 layout: aa11 and ab22 share bucket=a, b033 lives in bucket=b
+    val v1Buckets = new java.io.File(s"$dir/catalog/v_000001/hash_links")
+      .listFiles().map(_.getName).filter(_.startsWith("bucket=")).sorted
+    assert(v1Buckets.sameElements(Array("bucket=a", "bucket=b")),
+      s"got ${v1Buckets.mkString(",")}")
+    // meta pinned at first commit
+    assert(Files.readAllLines(
+      Paths.get(s"$dir/catalog/_graft_catalog_meta")).get(0)
+      == "bucket_chars=1")
+    // reopen WITHOUT the knob: persisted width wins — the delta must
+    // rewrite bucket=a (width 1), not look for bucket=aa (width 2)
+    val reopened = new Catalog(spark, s"$dir/catalog")
+    reopened.commitRun("f2", 64, "sha",
+      Seq.empty[(String, Long, Long)].toDF("hash", "line", "refs_num"),
+      Seq(("aa11", 4L)).toDF("hash", "delta"))
+    assert(reopened.getHashLink("aa11").head().getAs[Long]("refs_num") == 5L)
+    val v2Buckets = new java.io.File(s"$dir/catalog/v_000002/hash_links")
+      .listFiles().map(_.getName).filter(_.startsWith("bucket="))
+    assert(v2Buckets.sameElements(Array("bucket=a")))
+    // carried-forward bucket=b still resolves through the manifest
+    assert(reopened.getHashLink("b033").count() == 1)
+  }
+
   test("vacuum deletes only unreferenced versions, keeps live buckets") {
     val s = spark; import s.implicits._
     val dir = tempDir("cat-vacuum")
