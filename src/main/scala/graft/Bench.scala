@@ -144,8 +144,12 @@ object Bench {
       // of the sporadic stalls/failures this protocol exists to absorb.
       val attempts = (1 to 2).map { i =>
         val res = scala.util.Try {
+          // width 1: the fixture's ~0.1% unique-chunk rate leaves a
+          // catalog of ~1k links — 16 buckets is its honest layout;
+          // the default 256 dirs cost ~2.5 s of pure commit overhead
+          // per run at this size (Catalog scaladoc, CommitDissect).
           val engine = new graft.api.Deduplicator(spark,
-            dir.resolve(s"work$i").toString)
+            dir.resolve(s"work$i").toString, bucketChars = 1)
           val t0 = System.nanoTime()
           val r = engine.deduplicateFile(input.toString,
             graft.api.DedupOptions(chunkBytes = width))

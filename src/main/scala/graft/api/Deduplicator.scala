@@ -49,9 +49,14 @@ case class DedupResult(outputName: String, fileId: Long,
   * invisible to the catalog) rather than committed links pointing at a
   * run with no data.
   */
-class Deduplicator(spark: SparkSession, workDir: String) {
+class Deduplicator(spark: SparkSession, workDir: String,
+                   bucketChars: Int = 2) {
 
-  val catalog = new Catalog(spark, s"$workDir/catalog")
+  // Bucket width sizes the catalog's physical layout to the deployment
+  // (16^bucketChars buckets; every commit pays a fixed per-bucket-dir
+  // write cost — see Catalog's scaladoc). Persisted at first commit;
+  // reopening an existing store adopts its pinned width.
+  val catalog = new Catalog(spark, s"$workDir/catalog", bucketChars)
   private def parquetPath(name: String) = s"$workDir/encoded/$name.parquet"
   private def binPath(name: String) = s"$workDir/encoded/$name"
 
