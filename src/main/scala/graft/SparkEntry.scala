@@ -26,8 +26,14 @@ import graft.ext.{DocDedup, Multimodal, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Idempotent (registry lookup when already present): every query
+    // reads at least one table, so the session is guaranteed to have
+    // the native graft_* expressions before any plan that uses one is
+    // analyzed.
+    graft.functions.VecExpressions.register(s)
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** The planted-cluster ANN gate corpus shared by q43/q44/q51 (their
     * DuckDB oracles share one constant row shape, so the construction

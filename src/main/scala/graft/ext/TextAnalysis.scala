@@ -61,16 +61,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
   /** Fixed-size character chunks of a string — the dataset-level analog
-    * of the engine's binary chunker (ChunkSource.split, SURVEY §2.1 S1),
-    * expressed entirely in built-ins: `sequence` over 1-based offsets +
-    * `transform`/`substring`. Last chunk may be short.
+    * of the engine's binary chunker (ChunkSource.split, SURVEY §2.1 S1).
+    * Last chunk may be short; empty text yields no chunks.
+    *
+    * Native codegen'd expression ([[graft.functions.TextExpressions
+    * .CharChunks]], register [[graft.functions.VecExpressions]] first).
+    * The built-in `transform(sequence(...), s => substr(s, n))` form it
+    * replaced was QUADRATIC in document length: `substr` by char index
+    * re-walks the UTF-8 bytes from the start on every call, so a 1 MB
+    * doc paid ~16G byte-steps at n=64 — fatal for the long documents a
+    * 100 TB corpus certainly contains.
     */
   def charChunks(text: Column, n: Int): Column =
-    // Guard: sequence(1, 0, n) with an explicit positive step THROWS on
-    // empty text (same Spark edge as wordBigrams' descending sequence).
-    when(length(text) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(text), lit(n)),
-        s => text.substr(s, lit(n))))
+    call_function("graft_char_chunks", text, lit(n))
 
   /** Word bigram shingles (adjacent-token pairs), the unit for n-gram
     * Jaccard near-dup detection. Empty for docs with < 2 tokens.

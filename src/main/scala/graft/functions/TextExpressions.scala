@@ -87,4 +87,70 @@ object TextExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** Fixed-size CHARACTER chunks of a string, bit-identical to the
+    * Column formulation `transform(sequence(1, length(text), n),
+    * s => text.substr(s, n))` (with its empty-text guard) — but LINEAR
+    * in the text length. The built-in form is quadratic: `substr` by
+    * char index re-walks the string from byte 0 on every call (UTF-8
+    * offsets aren't random-access), so a 1 MB document pays
+    * O(L²/n) byte steps across its chunks — ~16G for 64-char chunks.
+    * One walk here collects the chunk-boundary byte offsets; each chunk
+    * is a zero-copy view of its byte range.
+    */
+  case class CharChunks(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"chunk size must be positive, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"input must be string, got ${other.simpleString}")
+    }
+
+    def compute(s: UTF8String): ArrayData = {
+      val bytes = s.getBytes
+      val len = bytes.length
+      if (len == 0) return new GenericArrayData(Array.empty[Any])
+      // First pass: byte offsets where a chunk starts (char index ≡ 0
+      // mod n). Walk char-by-char; multibyte sequences advance by their
+      // UTF-8 width.
+      var count = 0
+      var i = 0
+      var c = 0
+      while (i < len) {
+        if (c % n == 0) count += 1
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      val starts = new Array[Int](count)
+      var k = 0
+      i = 0
+      c = 0
+      while (i < len) {
+        if (c % n == 0) { starts(k) = i; k += 1 }
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      val out = new Array[Any](count)
+      var j = 0
+      while (j < count) {
+        val end = if (j + 1 < count) starts(j + 1) else len
+        out(j) = UTF8String.fromBytes(bytes, starts(j), end - starts(j))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftCharChunks", this,
+        classOf[CharChunks].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }

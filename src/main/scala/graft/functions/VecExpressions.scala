@@ -408,7 +408,12 @@ object VecExpressions {
     (FunctionIdentifier("graft_word_bigrams"),
       new ExpressionInfo(classOf[TextExpressions.WordBigrams].getName,
         "graft_word_bigrams"),
-      (es: Seq[Expression]) => TextExpressions.WordBigrams(es(0))))
+      (es: Seq[Expression]) => TextExpressions.WordBigrams(es(0))),
+    (FunctionIdentifier("graft_char_chunks"),
+      new ExpressionInfo(classOf[TextExpressions.CharChunks].getName,
+        "graft_char_chunks"),
+      (es: Seq[Expression]) => TextExpressions.CharChunks(es(0),
+        litInt(es(1), "n"))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

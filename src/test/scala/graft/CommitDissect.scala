@@ -17,6 +17,7 @@ object CommitDissect {
         sys.env.getOrElse("COMMIT_ALGO", "1"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VecExpressions.register(spark)
     def timed[T](what: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f

@@ -16,6 +16,7 @@ object Q39Dissect {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VecExpressions.register(spark)
     def timed[T](what: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f

@@ -54,6 +54,39 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(r(4L).isEmpty && r(5L).isEmpty) // no out-of-bounds bigrams
   }
 
+  test("charChunks: native kernel matches code-point grouped reference, " +
+    "multibyte included") {
+    val s = spark; import s.implicits._
+    def ref(text: String, n: Int): Seq[String] =
+      if (text.isEmpty) Seq.empty
+      else text.grouped(n).toSeq // BPM-only inputs: grouped == code points
+    val cases = Seq("hello world", "ab", "a", "", "байт данные спарк",
+      "exactly8!", "x" * 130)
+    for (n <- Seq(1, 3, 8, 64)) {
+      val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), TextAnalysis.charChunks(col("text"), n).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      cases.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == ref(t, n), s"case '$t' n=$n")
+        assert(got(i.toLong).mkString == t, s"lossless concat '$t' n=$n")
+      }
+    }
+    val nul = Seq((0L, Option.empty[String])).toDF("id", "text")
+      .select(TextAnalysis.charChunks(col("text"), 4)).head()
+    assert(nul.isNullAt(0))
+  }
+
+  test("charNgrams: sliding char windows over normalized text") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "AB cd"), (2L, "a"), (3L, "")).toDF("id", "text")
+    val r = d.select(col("id"), TextAnalysis.charNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(r(1L) == Seq("ab ", "b c", " cd")) // normalized: lowercase
+    assert(r(2L) == Seq("a")) // shorter than n: one truncated gram
+    assert(r(3L) == Seq(""))  // empty normalizes to "" -> single empty gram
+  }
+
   test("wordBigrams: native kernel matches split/sliding reference on edge shapes") {
     val s = spark; import s.implicits._
     // Reference semantics: split(" ", -1) keeps empty tokens (incl.
