@@ -92,16 +92,13 @@ object TextAnalysis {
   def wordBigrams(text: Column): Column =
     call_function("graft_word_bigrams", text)
 
-  /** Character n-gram shingles over the normalized text. */
+  /** Character n-gram shingles over the normalized text. Native
+    * codegen'd kernel ([[graft.functions.TextExpressions.CharNgrams]]) —
+    * the substr-per-gram Column form was quadratic in document length,
+    * like [[charChunks]]' (see there).
+    */
   def charNgrams(text: Column, n: Int): Column =
-    // Let-binding idiom (single-element array + transform): the outer
-    // lambda binds the EVALUATED normalize(text) — inner references to
-    // `t` are lambda-variable reads, so the regexp_replace runs once
-    // per row, not once per n-gram position (same interpreted-HOF
-    // re-evaluation trap as wordBigrams; see the comment there).
-    flatten(transform(array(normalize(text)), t =>
-      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-        s => t.substr(s, lit(n)))))
+    call_function("graft_char_ngrams", normalize(text), lit(n))
 
   /** Count of regexp matches (punctuation, digits, …) — quality-score
     * building block.

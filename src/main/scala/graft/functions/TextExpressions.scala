@@ -153,4 +153,64 @@ object TextExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** Sliding character n-gram windows, bit-identical to the Column
+    * formulation `transform(sequence(1, greatest(L-(n-1), 1)),
+    * s => substr(s, n))` — max(L-n+1, 1) grams, the final ones
+    * truncated, a single empty gram for empty input. Same linearity
+    * argument as [[CharChunks]]: the substr form re-walks the string
+    * per gram (O(L²) per doc); one offset-collecting walk here, each
+    * gram a zero-copy view.
+    */
+  case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"input must be string, got ${other.simpleString}")
+    }
+
+    def compute(s: UTF8String): ArrayData = {
+      val bytes = s.getBytes
+      val len = bytes.length
+      // char-start byte offsets, with the end sentinel at offs(chars)
+      var chars = 0
+      var i = 0
+      while (i < len) {
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        chars += 1
+      }
+      val offs = new Array[Int](chars + 1)
+      i = 0
+      var c = 0
+      while (i < len) {
+        offs(c) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      offs(chars) = len
+      val count = math.max(chars - (n - 1), 1)
+      val out = new Array[Any](count)
+      var j = 0
+      while (j < count) {
+        val end = offs(math.min(j + n, chars))
+        out(j) = UTF8String.fromBytes(bytes, offs(j), end - offs(j))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftCharNgrams", this,
+        classOf[CharNgrams].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }

@@ -413,6 +413,11 @@ object VecExpressions {
       new ExpressionInfo(classOf[TextExpressions.CharChunks].getName,
         "graft_char_chunks"),
       (es: Seq[Expression]) => TextExpressions.CharChunks(es(0),
+        litInt(es(1), "n"))),
+    (FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[TextExpressions.CharNgrams].getName,
+        "graft_char_ngrams"),
+      (es: Seq[Expression]) => TextExpressions.CharNgrams(es(0),
         litInt(es(1), "n"))))
 
   /** Idempotently register the functions in an existing session. */
