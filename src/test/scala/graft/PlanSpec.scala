@@ -53,6 +53,31 @@ class PlanSpec extends SparkFunSuite {
       "no interpreted UDFs in the text-analysis path")
   }
 
+  test("text shingle/chunk producers are native expressions inside " +
+    "whole-stage codegen — no interpreted HOF fallback") {
+    graft.functions.VecExpressions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((name, c) <- Seq(
+        "wordBigrams" -> graft.ext.TextAnalysis.wordBigrams(col("text")),
+        "charChunks" -> graft.ext.TextAnalysis.charChunks(col("text"), 64),
+        "charNgrams" -> graft.ext.TextAnalysis.charNgrams(col("text"), 3))) {
+      val df = docs.select(col("doc_id"), c.as("x"))
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      // the native expression is in the plan...
+      assert(s.toLowerCase.contains(name.toLowerCase) ||
+        s.contains("graft_"), s"$name: native expression missing:\n$s")
+      // ...and the projection stage is whole-stage-codegen'd ("*(n)"),
+      // which an ArrayTransform/ZipWith formulation can never be
+      assert(s.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("Project")),
+        s"$name: projection fell out of whole-stage codegen:\n$s")
+      assert(!s.contains("ArrayTransform") && !s.contains("ZipWith"),
+        s"$name: interpreted HOF leaked back into the plan:\n$s")
+      df.collect() // and it executes
+    }
+  }
+
   test("MinHash banding is a native projection — no wide min-aggregate, " +
     "degenerate-parallelism scan is spread") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
