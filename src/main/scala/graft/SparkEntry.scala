@@ -398,6 +398,40 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.99)").as("p99"))
         .orderBy("l_returnflag")),
 
+    // ---- RECALL GATE for the persisted TEXT MinHash index (the
+    //      incremental near-dup access path StreamingNearDup folds
+    //      batches into): the first 500 docs are indexed partitioned by
+    //      (band, signature bucket); probes are identical twin copies
+    //      (doc_id + 1M). Identical text → identical band signatures in
+    //      EVERY band → the pruned probe reads the twin's bucket and
+    //      the exact verify sees J = 1, so `found` is a probability-1
+    //      constant. Breaks if the index layout, the (bands, rows,
+    //      sigBuckets) sidecar plumbing, bucket pruning, probe banding,
+    //      or the Jaccard verify tail regresses.
+    "q55_neardup_index_planted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q55-mhidx").toString
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select("doc_id", "text")
+      try {
+        DocDedup.buildMinHashIndex(docs, "doc_id", "text", s"$tmp/index",
+          bands = 8, rows = 4, sigBuckets = 8)
+        val probes = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text"))
+        val pairs = DocDedup.probeMinHashIndex(probes, docs,
+          "doc_id", "text", s"$tmp/index", 7, 10)
+        docs.select(col("doc_id"))
+          .join(pairs.where(col("id_a") === col("id_b") + 1000000L)
+              .select(col("id_b").as("doc_id"), lit(true).as("found"))
+              .distinct(),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("found"), lit(false)).as("found"))
+          .orderBy("doc_id")
+          .localCheckpoint() // materialize before the temp index is deleted
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }),
+
     // ---- §2.8: SLIDING event-time windows (10 min window, 5 min slide —
     //      every event lands in exactly two windows); ns → µs precision
     //      is irrelevant at 5-minute granularity
@@ -1170,6 +1204,12 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN rebuilt = text THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_equal
         |FROM r""".stripMargin,
+
+    // probability-1 constant (see the query comment): every indexed doc's
+    // identical twin probe must find it
+    "q55_neardup_index_planted" ->
+      """SELECT doc_id, CAST(1 AS BOOLEAN) AS found FROM documents
+        |WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
 
     "q37_dedup_planted" ->
       """WITH planted AS (

@@ -405,6 +405,148 @@ object DocDedup {
     } finally { banded.unpersist(); sh.unpersist() }
   }
 
+  // ------------------------------------------- persisted MinHash index
+
+  /** Write-partitioned MinHash LSH index over a document corpus — the
+    * text twin of [[graft.ext.Similarity.buildLshIndex]] (the 100 TB
+    * deployment shape): instead of re-banding the whole corpus per run,
+    * the banded signatures are PERSISTED partitioned by (band,
+    * signature bucket), and a probe batch reads only its own buckets.
+    *
+    * Index rows are ids-only — (band, sb, bsig, id) — ~`bands` small
+    * rows per document: the payload (text) stays in the caller's corpus
+    * table and is re-joined for verification of candidates only, so the
+    * index grows with ids, not with corpus bytes. The 64-bit band
+    * signature is bucketed modulo `sigBuckets` for the partition layout
+    * (a raw 64-bit partition value would create one directory per
+    * distinct signature — millions of dirs; the same per-directory
+    * commit tax the Catalog's bucket width exists to manage), and the
+    * exact `bsig` is carried as a data column: pruning happens at
+    * file-listing time on (band, sb), the residual equi-join on bsig
+    * inside the pruned read.
+    *
+    * A `_graft_minhash_meta` sidecar pins (bands, rows, sigBuckets) so
+    * probes can never band with different parameters than the index.
+    */
+  def buildMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        path: String, bands: Int = 16, rows: Int = 8,
+                        sigBuckets: Int = 8): Unit = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= 4096,
+      s"bands*rows must be in [1,4096], got $bands*$rows")
+    require(sigBuckets >= 1 && sigBuckets <= 4096,
+      s"sigBuckets must be in [1,4096], got $sigBuckets")
+    val ss = corpus.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    spread(corpus).select(col(idCol).as("id"),
+        call_function("graft_minhash_band_sigs",
+          TextAnalysis.wordBigrams(col(textCol)),
+          lit(bands), lit(rows)).as("bs"))
+      .where(col("bs").isNotNull) // shingle-less docs have no buckets
+      .select(col("id"), posexplode(col("bs")).as(Seq("band", "bsig")))
+      .withColumn("sb", pmod(col("bsig"), lit(sigBuckets.toLong)).cast("int"))
+      // cluster by partition cols before the partitioned write: files ≈
+      // max(bands·sigBuckets, shuffle partitions), not tasks × dirs
+      .repartition(col("band"), col("sb"))
+      .write.mode("overwrite").partitionBy("band", "sb").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_minhash_meta"), true)
+    try out.write(s"$bands,$rows,$sigBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Near-dup pairs of a PROBE batch against a [[buildMinHashIndex]]
+    * corpus: band the probes with the index's own (bands, rows), read
+    * only the probes' (band, sb) partitions, equi-join on the exact
+    * band signature for candidates, then verify exact n-gram Jaccard
+    * ≥ num/den — re-shingling only the candidate corpus documents
+    * (semi-joined out of `corpus` by candidate id). Returns
+    * (id_a = probe id, id_b = corpus id, common, na, nb), the
+    * [[minHashPairs]] row shape; self-pairs (same id both sides) are
+    * dropped so a corpus member can be probed against its own index.
+    *
+    * The probe batch is the SMALL side by contract — its distinct
+    * (band, sb) coordinates are collected driver-side to build the
+    * partition-pruning filter, exactly like
+    * [[graft.ext.Similarity.probeLshIndex]] (bounded, fails loudly
+    * past 65536 coordinates).
+    */
+  def probeMinHashIndex(probes: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String, path: String,
+                        num: Int, den: Int): DataFrame = {
+    val ss = probes.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(
+      new org.apache.hadoop.fs.Path(path, "_graft_minhash_meta"))
+    val Array(bands, rows, sigBuckets) =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
+        .trim.split(",").map(_.toInt)
+      finally metaIn.close()
+    val pBanded = spread(probes).select(col(idCol).as("id_a"),
+        call_function("graft_minhash_band_sigs",
+          TextAnalysis.wordBigrams(col(textCol)),
+          lit(bands), lit(rows)).as("bs"))
+      .where(col("bs").isNotNull)
+      .select(col("id_a"), posexplode(col("bs")).as(Seq("band", "bsig")))
+      .withColumn("sb", pmod(col("bsig"), lit(sigBuckets.toLong)).cast("int"))
+      .persist()
+    try {
+      pBanded.count() // materialize once: coords collect + candidate join
+      def emptyResult = probes.select(col(idCol).as("id_a"),
+          col(idCol).as("id_b"), lit(0L).as("common"),
+          lit(0L).as("na"), lit(0L).as("nb"))
+        .where(lit(false))
+      val coords = pBanded.select("band", "sb").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      if (coords.isEmpty) return emptyResult
+      // An index built from a shingle-less corpus has the sidecar but
+      // zero part files; read.parquet would fail schema inference.
+      if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(_.getPath.getName.startsWith("band="))) return emptyResult
+      require(coords.length <= 65536,
+        s"probeMinHashIndex: ${coords.length} distinct (band, sb) " +
+          "coordinates exceed the small-probe-side contract (<= 65536); " +
+          "batch the probe set or use minHashPairs' join form")
+      // one In-expression over a combined key, partition columns only →
+      // evaluated against partition values at file-listing time
+      val bucketFilter = (col("band").cast("long") * 4096L +
+        col("sb").cast("long")).isin(
+        coords.map { case (b, s) => b.toLong * 4096L + s }.toSeq: _*)
+      val cand = ss.read.parquet(path).where(bucketFilter)
+        .join(broadcast(pBanded), Seq("band", "bsig", "sb"))
+        .where(col("id_a") =!= col("id"))
+        .select(col("id_a"), col("id").as("id_b")).distinct()
+        .persist()
+      try {
+        val shA = shingles(probes, idCol, textCol).persist()
+        val corpusCand = corpus.select(col(idCol), col(textCol))
+          .join(cand.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
+            "left_semi")
+        val shB = shingles(corpusCand, idCol, textCol).persist()
+        try {
+          shA.count(); shB.count()
+          val common = shA.toDF("id_a", "shingle")
+            .join(cand, "id_a")
+            .join(shB.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
+            .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+          val na = shA.groupBy("id").agg(count(lit(1)).as("na"))
+            .toDF("id_a", "na")
+          val nb = shB.groupBy("id").agg(count(lit(1)).as("nb"))
+            .toDF("id_b", "nb")
+          common.join(na, "id_a").join(nb, "id_b")
+            .where(lit(den) * col("common") >=
+              lit(num) * (col("na") + col("nb") - col("common")))
+            .select("id_a", "id_b", "common", "na", "nb")
+            .orderBy("id_a", "id_b")
+            .localCheckpoint() // materialize while the caches are alive
+        } finally { shB.unpersist(); shA.unpersist() }
+      } finally cand.unpersist()
+    } finally pBanded.unpersist()
+  }
+
   // ------------------------------------------------------- clustering
 
   /** Connected components over near-dup pairs → (id, cluster), where

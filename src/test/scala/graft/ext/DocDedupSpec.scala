@@ -207,4 +207,112 @@ class DocDedupSpec extends SparkFunSuite {
       .map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(sig(1L) == sig(2L))
   }
+
+  test("persisted MinHash index: probe equals the join form, the scan is " +
+    "partition-pruned, parameters come from the sidecar") {
+    val dir = tempDir("mh-index")
+    val path = s"$dir/index"
+    val corpus = docs
+    DocDedup.buildMinHashIndex(corpus, "doc_id", "text", path,
+      bands = 16, rows = 8, sigBuckets = 4)
+    // capture the probe's internal executions (the public API returns a
+    // localCheckpoint, so the file scan is not in the RESULT's plan)
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = captured.add(qe)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // probing the corpus against its own index (all ordered pairs,
+      // self-pairs dropped) must agree with the join form's unordered
+      // pairs, with identical (common, na, nb) — same banding, same
+      // verify predicate, different access path
+      val viaIndex = DocDedup.probeMinHashIndex(corpus, corpus,
+        "doc_id", "text", path, 7, 10)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)),
+          r.getAs[Long]("common"), r.getAs[Long]("na"), r.getAs[Long]("nb")))
+        .toSet
+      val viaJoin = DocDedup.minHashPairs(corpus, "doc_id", "text", 7, 10,
+        bands = 16, rows = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("common"),
+          r.getAs[Long]("na"), r.getAs[Long]("nb")))
+        .toSet
+      assert(viaIndex.nonEmpty && {
+        // via-index na/nb may swap vs the canonical a<b orientation
+        val norm = viaIndex.map { case (a, b, c, na, nb) =>
+          (a, b, c, math.min(na, nb), math.max(na, nb)) }
+        val normJ = viaJoin.map { case (a, b, c, na, nb) =>
+          (a, b, c, math.min(na, nb), math.max(na, nb)) }
+        norm == normJ
+      }, s"index form $viaIndex != join form $viaJoin")
+      // the index read is partition-pruned to the PROBES' buckets: a
+      // single-doc probe (16 band coordinates) must scan strictly fewer
+      // partitions than the index holds. (The full self-probe above
+      // legitimately touches every occupied bucket.) The probe doc must
+      // HAVE a match: an empty candidate set lets AQE's empty-relation
+      // propagation erase the index scan from the executed plan.
+      captured.clear()
+      DocDedup.probeMinHashIndex(
+        corpus.where(col("doc_id") === 1), corpus, "doc_id", "text",
+        path, 7, 10).collect()
+      val total = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("band=")).flatMap(_.listFiles())
+        .count(_.getName.startsWith("sb="))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        // the probe caches its candidate relation; the index scan sits
+        // under the cached plan, not in `children`
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          scans(m.relation.cachedPlan)
+        case other => other.children.flatMap(scans)
+      }
+      val deadline = System.currentTimeMillis() + 15000
+      var pruned = Seq.empty[Int]
+      while (pruned.isEmpty && System.currentTimeMillis() < deadline) {
+        import scala.jdk.CollectionConverters._
+        pruned = captured.asScala.toSeq
+          .flatMap(qe => scans(qe.executedPlan))
+          .filter(_.relation.location.rootPaths.exists(_.toString.contains("mh-index")))
+          .map(_.selectedPartitions.partitionCount)
+        if (pruned.isEmpty) Thread.sleep(100)
+      }
+      assert(pruned.nonEmpty, "no index file scan captured by the listener")
+      assert(pruned.min < total,
+        s"probe scanned ${pruned.min} of $total buckets — pruning lost")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("persisted MinHash index: shingle-less probes and twin recall") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("mh-index2")
+    val path = s"$dir/index"
+    DocDedup.buildMinHashIndex(docs, "doc_id", "text", path,
+      bands = 8, rows = 4, sigBuckets = 4)
+    // identical twin probes: found with probability 1 (every band collides)
+    val twins = docs.where(col("doc_id") === 1 || col("doc_id") === 4)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val found = DocDedup.probeMinHashIndex(twins, docs, "doc_id", "text",
+      path, 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((101L, 1L)) && found.contains((101L, 2L)) &&
+      found.contains((104L, 4L)), s"twin recall failed: $found")
+    // shingle-less probes (<2 tokens) have no buckets: empty, no crash
+    val degenerate = Seq((200L, "one"), (201L, "")).toDF("doc_id", "text")
+    assert(DocDedup.probeMinHashIndex(degenerate, docs, "doc_id", "text",
+      path, 7, 10).count() == 0)
+  }
 }
