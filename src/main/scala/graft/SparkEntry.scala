@@ -126,6 +126,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q03_join_agg_segment")(spark, "/root/testdata/sf0.001")
 
+  /** Corpus-prep gate constants, shared by the Spark query and its
+    * generated oracle SQL so the two sides can never drift (q56/q57).
+    */
+  private val splitFractions =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val mixWeights: Map[String, Double] =
+    (0 until 20).map(i =>
+      s"src$i" -> Seq(1.0, 0.5, 0.25, 0.125)(i % 4)).toMap
+  /** DuckDB rendering of [[graft.ext.CorpusPrep.hashUnit16]]. */
+  private def sqlHashUnit16(key: String, seed: String, pos: Int): String =
+    s"('0x' || substr(md5($key || ':$seed'), $pos, 4))::INT"
+
   /** One entry per implemented operator family from SURVEY.md §2 plus the
     * ext/ (LLM-pipeline) surface.
     */
@@ -431,6 +443,58 @@ object SparkEntry {
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(tmp))
     }),
+
+    // ---- corpus prep: deterministic train/val/test split (pure md5
+    //      projection — content-stable under corpus growth, exact in
+    //      DuckDB via the same hex-substring unit)
+    "q56_corpus_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ext.CorpusPrep.splitAssign(col("doc_id"), "graft",
+            splitFractions).as("split"))
+        .orderBy("doc_id")),
+
+    // ---- corpus prep: weighted source mixing (hash-threshold Bernoulli
+    //      per source; nested samples — see CorpusPrep.weightedMix)
+    "q57_corpus_mix" -> ((s, dir) =>
+      graft.ext.CorpusPrep.weightedMix(
+          t(s, dir, "documents"), col("doc_id"), col("source"),
+          mixWeights, "mix")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // ---- corpus prep: benchmark decontamination. Planted oracle: the
+    //      "benchmark" is 32 normalized chars lifted from every doc with
+    //      doc_id % 50 == 7, so a doc is flagged iff its normalized text
+    //      CONTAINS a snippet — which DuckDB checks directly, while the
+    //      engine path runs the real n-gram explode + broadcast semi-join
+    //      (exactly equivalent because each snippet is a full 32-gram).
+    //      The corpus' planted exact dups make the flag non-trivially
+    //      transitive: a snippet source's duplicates are contaminated too.
+    "q58_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val norm = TextAnalysis.normalize(col("text"))
+      val snippets = docs
+        .where(col("doc_id") % 50 === 7 && length(norm) >= 41)
+        .select(substring(norm, 10, 32).as("snippet"))
+      graft.ext.CorpusPrep.decontaminate(docs, "doc_id", "text",
+          snippets, 32)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus prep: sequence packing (docs laid end-to-end in id
+    //      order, sliced into 512-token training windows) via the
+    //      two-level distributed prefix sum — the naive global-window
+    //      cumsum is a single task; see CorpusPrep.packSequences.
+    //      bucketSize 100 forces multiple buckets at sf0.01 so the
+    //      bucket-offset join is genuinely exercised.
+    "q59_pack_sequences" -> ((s, dir) =>
+      graft.ext.CorpusPrep.packSequences(
+          t(s, dir, "documents"), "doc_id",
+          TextAnalysis.tokenCount(col("text")),
+          windowTokens = 512, bucketSize = 100)
+        .orderBy("doc_id")),
 
     // ---- §2.8: SLIDING event-time windows (10 min window, 5 min slide —
     //      every event lands in exactly two windows); ns → µs precision
@@ -1210,6 +1274,57 @@ object SparkEntry {
     "q55_neardup_index_planted" ->
       """SELECT doc_id, CAST(1 AS BOOLEAN) AS found FROM documents
         |WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+
+    "q56_corpus_split" -> {
+      val Seq(c1, c2) = graft.ext.CorpusPrep.splitCuts(splitFractions)
+      val u = sqlHashUnit16("doc_id", "graft", 1)
+      s"""SELECT doc_id,
+         |  CASE WHEN u < $c1 THEN 'train'
+         |       WHEN u < $c2 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $u AS u FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q57_corpus_mix" -> {
+      val cases = mixWeights.toSeq.sortBy(_._1).map { case (src, w) =>
+        s"WHEN '$src' THEN ${graft.ext.CorpusPrep.threshold16(w)}"
+      }.mkString(" ")
+      val u = sqlHashUnit16("doc_id", "mix", 5)
+      s"""SELECT doc_id, source FROM documents
+         |WHERE $u < CASE source $cases ELSE 0 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // "shares a 32-gram of normalized text" == "normalized text contains
+    // the snippet" because every snippet IS a full 32-gram (see the
+    // query comment); DuckDB checks the containment form directly.
+    "q58_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |           AS nt
+        |  FROM documents),
+        |snips AS (
+        |  SELECT substr(nt, 10, 32) AS snippet FROM norm
+        |  WHERE doc_id % 50 = 7 AND length(nt) >= 41)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM snips
+        |                         WHERE contains(nt, snippet))
+        |       THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "q59_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    coalesce(sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM t)
+        |SELECT doc_id, tok, s // 512 AS first_window,
+        |       (s + tok - 1) // 512 AS last_window
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q37_dedup_planted" ->
       """WITH planted AS (

@@ -1,0 +1,178 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators — the dataset-assembly half of
+  * an LLM data pipeline (SURVEY §7.1 `ext/`, beyond the reference's
+  * scope like TextAnalysis/DocDedup): deterministic train/val/test
+  * splitting, weighted source mixing, benchmark decontamination, and
+  * sequence packing.
+  *
+  * Design rules shared by everything here:
+  *   - **Deterministic by content, not by RNG.** Every sampling decision
+  *     is a pure function of (key, seed) via md5, so re-running the
+  *     pipeline — on any cluster, at any partitioning, after any retry —
+  *     reproduces the same corpus bit-for-bit. (Spark's `sample()` is
+  *     seed-deterministic only per partition layout; a repartition
+  *     changes the sample. That is unacceptable for a corpus a model
+  *     was trained on.)
+  *   - **Oracle-portable.** The hash unit is a hex substring of md5,
+  *     which DuckDB computes identically (`('0x' || substr(md5(k), p,
+  *     4))::INT`), so every operator has an exact cross-engine
+  *     correctness gate — no "approximately 80%" assertions.
+  *   - **Narrow plans.** Split/mix are pure per-row projections (scan
+  *     speed at 100 TB, no shuffle); decontamination shuffles only the
+  *     contaminated doc ids; packing is a two-level distributed prefix
+  *     sum whose only sequential piece is over buckets, not rows.
+  */
+object CorpusPrep {
+
+  /** Uniform 16-bit hash unit in [0, 65536): 4 hex chars of
+    * md5(key || ":" || seed), starting at 1-based hex position `pos`.
+    * Different `pos` values give independent-enough units (md5 output
+    * bytes are independent), so split and mix decisions on the same key
+    * do not correlate. DuckDB-exact:
+    * `('0x' || substr(md5(key || ':seed'), pos, 4))::INT`.
+    */
+  def hashUnit16(key: Column, seed: String, pos: Int = 1): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + seed))
+      .cast("binary")), pos, 4), 16, 10).cast("int")
+
+  /** The 16-bit threshold for a keep-fraction `w` — shared by the Spark
+    * side and the SQL-oracle side so both compare against the same
+    * integer literal. `w >= 1.0` maps to 65536 (keeps every unit).
+    */
+  def threshold16(w: Double): Int = {
+    require(w >= 0.0, s"weight must be >= 0, got $w")
+    math.min(math.floor(w * 65536.0).toLong, 65536L).toInt
+  }
+
+  /** Deterministic dataset split: assign each key a label from
+    * `fractions` (ordered `(label, fraction)`, fractions summing to 1;
+    * the last label absorbs rounding remainder). The assignment is a
+    * pure projection — at 100 TB this is a free column on the scan, and
+    * because it depends only on (key, seed) a doc keeps its split
+    * forever: growing the corpus never migrates old docs across the
+    * train/test boundary (the property that makes held-out sets valid).
+    */
+  def splitAssign(key: Column, seed: String,
+      fractions: Seq[(String, Double)]): Column = {
+    require(fractions.size >= 2, "need at least two split labels")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val u = hashUnit16(key, seed)
+    val cuts = splitCuts(fractions)
+    fractions.init.zip(cuts).foldRight(lit(fractions.last._1): Column) {
+      case (((label, _), cut), acc) => when(u < cut, label).otherwise(acc)
+    }
+  }
+
+  /** Cumulative 16-bit cut points for `fractions` (one per non-last
+    * label) — exposed so oracle SQL can embed the same literals.
+    */
+  def splitCuts(fractions: Seq[(String, Double)]): Seq[Int] =
+    fractions.init
+      .scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(threshold16)
+
+  /** Weighted source mixing: keep a row iff its hash unit falls under
+    * its source's weight threshold. `weights` maps source → keep
+    * fraction (>= 1 keeps all); sources absent from the map are DROPPED
+    * (a mixing recipe is an allowlist — silently passing an unlisted
+    * source through would un-curate the corpus).
+    *
+    * Hash-threshold sampling is *nested*: the rows kept at w=0.25 are a
+    * subset of those kept at w=0.5 (same unit, lower cut), so tuning a
+    * source's weight down never introduces unseen docs — ablation runs
+    * stay comparable. Pure projection + filter; no shuffle.
+    */
+  def weightedMix(df: DataFrame, key: Column, source: Column,
+      weights: Map[String, Double], seed: String): DataFrame = {
+    val thr = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(0): Column) { case ((s, w), acc) =>
+        when(source === s, threshold16(w)).otherwise(acc)
+      }
+    df.where(hashUnit16(key, seed, pos = 5) < thr)
+  }
+
+  /** Benchmark decontamination: flag every doc whose normalized text
+    * shares at least one `n`-character gram with a benchmark snippet —
+    * the standard guard against test-set leakage into training data
+    * (GPT-3 appendix C / PaLM-style n-gram overlap, re-expressed
+    * relationally). Returns `docs` plus an integer `contaminated`
+    * column (1 = overlaps a snippet).
+    *
+    * `snippets` must have a `snippet` string column; every snippet must
+    * be exactly `n` chars of *normalized* text ([[TextAnalysis
+    * .normalize]]), so "shares an n-gram" is exactly "normalized text
+    * contains the snippet" — which is what the DuckDB oracle checks
+    * with `contains()`.
+    *
+    * Scale shape: the benchmark suite is small by nature → broadcast;
+    * doc n-grams are a generator at scan (never a shuffled relation);
+    * the left-semi broadcast join reduces map-side, so the only shuffle
+    * is the distinct over *contaminated* doc ids — a vanishing fraction
+    * of the corpus. Memory: the per-row gram array is O(n·len) chars
+    * transient; if profiling ever shows it, the native-kernel treatment
+    * (a CharNgramHashes emitting packed longs, joined on hashed
+    * snippets) drops it to O(8·len) — same plan, smaller rows.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      snippets: DataFrame, n: Int): DataFrame = {
+    val hit = docs
+      .select(col(idCol), explode(
+        TextAnalysis.charNgrams(col(textCol), n)).as("g"))
+      .join(broadcast(snippets.select(col("snippet").as("g")).distinct()),
+        Seq("g"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("contaminated", lit(1))
+    docs.join(hit, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(0)))
+  }
+
+  /** Sequence packing: lay all docs end-to-end in `id` order as one
+    * token stream and slice it into fixed `windowTokens` training
+    * windows — the GPT-style pretraining pack. Returns one row per doc:
+    * `(id, tok, first_window, last_window)`, where the doc's tokens
+    * occupy stream positions `[start, start+tok)` and windows
+    * `floor(start/W) .. floor((start+tok-1)/W)`.
+    *
+    * The naive formulation — `sum(tok) OVER (ORDER BY id)` with no
+    * PARTITION BY — is a SINGLE TASK over the whole corpus (Spark puts
+    * an unpartitioned window in one partition): instant death at scale.
+    * This is the standard two-level distributed prefix sum instead:
+    *   1. bucket ids into ranges of `bucketSize`;
+    *   2. within-bucket running sums (hash-partitioned window — fully
+    *      parallel);
+    *   3. bucket totals (one tiny agg: |ids|/bucketSize rows) get THEIR
+    *      prefix sum — the only sequential window, over buckets not
+    *      rows — and are broadcast back.
+    * At 10^12 docs / bucketSize 10^6, level 2 is a 10^6-row window —
+    * still driver-trivial; nest a third level if ever needed.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokCol: Column,
+      windowTokens: Int, bucketSize: Long = 1 << 20): DataFrame = {
+    require(windowTokens > 0 && bucketSize > 0)
+    val local = df
+      .select(col(idCol), tokCol.cast("long").as("tok"),
+        floor(col(idCol) / bucketSize).as("b"))
+      .withColumn("local_before",
+        coalesce(sum("tok").over(Window.partitionBy("b").orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = local.groupBy("b").agg(sum("tok").as("bt"))
+      .withColumn("off",
+        coalesce(sum("bt").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off")
+    // integer `div`, not `/`+floor: `/` promotes to double, which stops
+    // being exact past 2^53 stream positions — a bound a 100 TB token
+    // stream actually approaches.
+    local.join(broadcast(offsets), Seq("b"))
+      .withColumn("start", col("off") + col("local_before"))
+      .select(col(idCol), col("tok"),
+        expr(s"start div ${windowTokens}L").as("first_window"),
+        expr(s"(start + tok - 1) div ${windowTokens}L").as("last_window"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkFunSuite
+
+/** CorpusPrep operator contracts: determinism, exact parity with
+  * brute-force formulations, and the sampling-theory properties
+  * (nestedness, content-stability) the scaladocs promise.
+  */
+class CorpusPrepSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def keys(n: Int) = (0L until n.toLong).toDF("id")
+
+  test("splitAssign is deterministic and roughly proportional") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = keys(4000)
+      .select(col("id"), CorpusPrep.splitAssign(col("id"), "s1", fr).as("sp"))
+    val counts = assigned.groupBy("sp").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    // 16-bit uniform: binomial sd for p=0.1 over 4000 keys is ~19; a
+    // ±10% relative band is > 2 sd for every label.
+    assert(math.abs(counts("train") - 3200) < 320)
+    assert(math.abs(counts("val") - 400) < 100)
+    assert(math.abs(counts("test") - 400) < 100)
+    // bit-for-bit rerun determinism
+    val again = keys(4000)
+      .select(col("id"), CorpusPrep.splitAssign(col("id"), "s1", fr).as("sp"))
+    assert(assigned.except(again).isEmpty && again.except(assigned).isEmpty)
+  }
+
+  test("splitAssign is content-stable: a key's label ignores corpus size") {
+    val fr = Seq("a" -> 0.5, "b" -> 0.5)
+    val small = keys(100)
+      .select(col("id"), CorpusPrep.splitAssign(col("id"), "s2", fr).as("sp"))
+    val large = keys(10000)
+      .select(col("id"), CorpusPrep.splitAssign(col("id"), "s2", fr).as("sp"))
+    assert(small.join(large, Seq("id"))
+      .where(small("sp") =!= large("sp")).isEmpty)
+  }
+
+  test("weightedMix keeps all at w>=1, none at w=0, and nests by weight") {
+    val df = keys(2000).withColumn("src",
+      concat(lit("s"), col("id") % 2))
+    def kept(w0: Double, w1: Double): Set[Long] =
+      CorpusPrep.weightedMix(df, col("id"), col("src"),
+        Map("s0" -> w0, "s1" -> w1), "m1")
+        .select("id").as[Long].collect().toSet
+    assert(kept(1.0, 0.0) === (0L until 2000L by 2).toSet)
+    val half = kept(0.5, 0.5)
+    val quarter = kept(0.25, 0.25)
+    assert(quarter.subsetOf(half), "hash-threshold samples must nest")
+    assert(math.abs(half.size - 1000) < 150)
+    assert(math.abs(quarter.size - 500) < 120)
+    // unlisted sources are dropped (allowlist semantics)
+    assert(CorpusPrep.weightedMix(df, col("id"), col("src"),
+      Map("s0" -> 1.0), "m1").where(col("src") === "s1").isEmpty)
+  }
+
+  test("split and mix hash units are independent (different md5 span)") {
+    // If both read the same 4 hex chars, w=0.8 mix would keep exactly
+    // the train split of an 80/20 split; with pos 1 vs pos 5 the
+    // overlap is ~64% of the 80% — check it is strictly between.
+    val fr = Seq("train" -> 0.8, "rest" -> 0.2)
+    val df = keys(4000).withColumn("src", lit("s"))
+    val train = df.select(col("id"),
+        CorpusPrep.splitAssign(col("id"), "x", fr).as("sp"))
+      .where(col("sp") === "train").select("id").as[Long].collect().toSet
+    val mixed = CorpusPrep.weightedMix(df, col("id"), col("src"),
+      Map("s" -> 0.8), "x").select("id").as[Long].collect().toSet
+    val overlap = (train & mixed).size.toDouble
+    assert(overlap < 0.95 * math.min(train.size, mixed.size),
+      "mix must not replay the split decision")
+    assert(overlap > 0.4 * math.min(train.size, mixed.size))
+  }
+
+  test("decontaminate flags exactly the docs sharing a full n-gram") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "THE  QUICK   Brown fox jumps over the lazy dog tonight"), // = 0 normalized
+      (2L, "completely unrelated content with no overlap whatsoever"),
+      (3L, "prefix text then quick brown fox jumps over then suffix"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    // snippet = 26 normalized chars from doc 0
+    val snippets = Seq("quick brown fox jumps over").toDF("snippet")
+    val out = CorpusPrep.decontaminate(docs, "doc_id", "text", snippets, 26)
+      .select("doc_id", "contaminated").as[(Long, Int)].collect().toMap
+    assert(out === Map(0L -> 1, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0))
+  }
+
+  test("decontaminate snippet join broadcasts (no shuffle of doc grams)") {
+    val docs = (0L until 50L).map(i => (i, s"doc number $i body " * 5))
+      .toDF("doc_id", "text")
+    val snippets = Seq("doc number 7 body").toDF("snippet")
+    val plan = CorpusPrep.decontaminate(docs, "doc_id", "text", snippets, 17)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"snippet join must broadcast, got:\n$plan")
+  }
+
+  test("packSequences matches the single-window brute force") {
+    val rnd = new scala.util.Random(7)
+    // sparse, shuffled-ish ids so bucket boundaries and empty buckets
+    // are exercised; token counts 1..40
+    val rows = (0 until 500).map(i =>
+      (i.toLong * 13 % 1000 * 7, rnd.nextInt(40) + 1))
+      .distinct.map { case (id, tok) => (id, tok) }
+    val df = rows.toDF("id", "tok")
+    val got = CorpusPrep.packSequences(df, "id", col("tok"),
+        windowTokens = 64, bucketSize = 32)
+      .select("id", "tok", "first_window", "last_window")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // brute force on the driver
+    var start = 0L
+    val want = rows.sortBy(_._1).map { case (id, tok) =>
+      val r = (id, tok.toLong, start / 64, (start + tok - 1) / 64)
+      start += tok
+      r
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("packSequences is invariant to bucketSize") {
+    val df = (0L until 300L).map(i => (i * 3, (i % 17 + 1).toInt))
+      .toDF("id", "tok")
+    def run(b: Long) =
+      CorpusPrep.packSequences(df, "id", col("tok"), 128, b)
+        .select("id", "first_window", "last_window")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(7) === run(1 << 20))
+  }
+
+  test("packSequences windows tile the stream with no token gaps") {
+    val df = (0L until 200L).map(i => (i, (i % 29 + 1).toInt))
+      .toDF("id", "tok")
+    val out = CorpusPrep.packSequences(df, "id", col("tok"), 100, 64)
+    val total = df.agg(sum("tok")).as[Long].head()
+    // the last doc's last_window must be the stream's last window
+    val lastWin = out.agg(max("last_window")).as[Long].head()
+    assert(lastWin === (total - 1) / 100)
+    // consecutive docs: next.first_window ∈ {prev.last_window, +1 range}
+    val seq = out.orderBy("id")
+      .select("first_window", "last_window").as[(Long, Long)].collect()
+    seq.sliding(2).foreach { case Array((_, aLast), (bFirst, _)) =>
+      assert(bFirst === aLast || bFirst === aLast + 1 ||
+        (bFirst >= aLast && bFirst <= aLast + 1))
+    case _ => ()
+    }
+  }
+}
