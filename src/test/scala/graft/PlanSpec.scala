@@ -141,4 +141,44 @@ class PlanSpec extends SparkFunSuite {
       s"verify kernel must be the native popcount expression:\n$plan")
     assert(df.count() >= 0) // and the full operator still executes
   }
+
+  test("corpus split/mix are shuffle-free projections (scan speed)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val split = docs.select(col("doc_id"),
+      graft.ext.CorpusPrep.splitAssign(col("doc_id"), "g",
+        Seq("train" -> 0.9, "test" -> 0.1)))
+    val mix = graft.ext.CorpusPrep.weightedMix(docs, col("doc_id"),
+      col("source"), Map("src0" -> 0.5), "m")
+    for ((name, df) <- Seq("splitAssign" -> split, "weightedMix" -> mix)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name must not shuffle (pure projection/filter):\n$plan")
+      assert(plan.contains("*("), s"$name must stay in codegen:\n$plan")
+    }
+  }
+
+  test("packSequences: the per-row window is bucket-partitioned; only " +
+    "the bucket-offset relation sees a single-partition window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.CorpusPrep.packSequences(docs, "doc_id",
+      graft.ext.TextAnalysis.tokenCount(col("text")), 512, 100)
+    df.collect() // finalize AQE
+    // audit the final plan only — AQE's printout appends the pre-AQE
+    // "Initial Plan" section, which would double-count markers
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the row-level running sum must be hash-partitioned by bucket …
+    assert(plan.contains("hashpartitioning(b#") ||
+      plan.contains("hashpartitioning(b,"),
+      s"row-level window must partition by bucket:\n$plan")
+    // … and the offsets side must come back as a broadcast, not a
+    // row-level sort-merge join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back:\n$plan")
+    // exactly one SinglePartition exchange (the tiny bucket-totals
+    // window) — a second one would mean the row stream got globalized
+    val singles = "SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1,
+      s"row stream must never collapse to one partition ($singles):\n$plan")
+  }
 }
