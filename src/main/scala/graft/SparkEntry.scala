@@ -496,6 +496,49 @@ object SparkEntry {
           windowTokens = 512, bucketSize = 100)
         .orderBy("doc_id")),
 
+    // ---- THE CURATION PIPELINE: every corpus-assembly stage composed
+    //      into one declarative plan — quality filter → exact dedup →
+    //      benchmark decontamination → weighted source mixing → split
+    //      assignment — the end-to-end shape a real training-data run
+    //      executes, hash-matched stage-for-stage against DuckDB. Each
+    //      stage is separately gated (q25/q12/q58/q57/q56); this gate
+    //      proves they COMPOSE: one Catalyst plan, no materialization
+    //      barriers between stages.
+    "q60_curation_pipeline" -> ((s, dir) => {
+      // planted corpus (the q37 construction): the sf corpora hold no
+      // exact duplicates, so the raw table would make the dedup stage
+      // a no-op; the id-shifted copy gives it 500 real drops. 1M is a
+      // multiple of 50, so a copy inherits its original's doc_id%50
+      // cohort (keeps the snippet-source arithmetic aligned).
+      val base = t(s, dir, "documents")
+        .select("doc_id", "source", "text")
+      val docs = base.unionByName(base.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        col("text")))
+      // quality: ≥ 20 tokens and ≥ 150 chars (integer-exact members of
+      // the q25 feature family; the synthetic corpus has no [.,!?]
+      // punctuation, so the punct feature would filter everything)
+      val quality = docs.where(
+        TextAnalysis.tokenCount(col("text")) >= 20 &&
+          length(col("text")) >= 150)
+      val deduped = DocDedup.exactDedup(quality, "doc_id", "text")
+      // snippets come from the UNFILTERED base corpus: a benchmark set
+      // does not shrink because training docs were filtered out
+      val norm = TextAnalysis.normalize(col("text"))
+      val snippets = base
+        .where(col("doc_id") % 50 === 7 && length(norm) >= 41)
+        .select(substring(norm, 10, 32).as("snippet"))
+      val clean = graft.ext.CorpusPrep
+        .decontaminate(deduped, "doc_id", "text", snippets, 32)
+        .where(col("contaminated") === 0)
+      graft.ext.CorpusPrep.weightedMix(clean, col("doc_id"),
+          col("source"), mixWeights, "mix")
+        .select(col("doc_id"), col("source"),
+          graft.ext.CorpusPrep.splitAssign(col("doc_id"), "graft",
+            splitFractions).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // ---- §2.8: SLIDING event-time windows (10 min window, 5 min slide —
     //      every event lands in exactly two windows); ns → µs precision
     //      is irrelevant at 5-minute granularity
@@ -1312,6 +1355,48 @@ object SparkEntry {
         |                         WHERE contains(nt, snippet))
         |       THEN 1 ELSE 0 END AS INT) AS contaminated
         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "q60_curation_pipeline" -> {
+      val cases = mixWeights.toSeq.sortBy(_._1).map { case (src, w) =>
+        s"WHEN '$src' THEN ${graft.ext.CorpusPrep.threshold16(w)}"
+      }.mkString(" ")
+      val Seq(c1, c2) = graft.ext.CorpusPrep.splitCuts(splitFractions)
+      val uMix = sqlHashUnit16("doc_id", "mix", 5)
+      val uSplit = sqlHashUnit16("doc_id", "graft", 1)
+      s"""WITH planted AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents),
+         |norm AS (
+         |  SELECT doc_id, source, text,
+         |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM planted),
+         |snips AS (
+         |  SELECT substr(trim(regexp_replace(lower(text), '\\s+', ' ',
+         |                     'g')), 10, 32) AS snippet
+         |  FROM documents
+         |  WHERE doc_id % 50 = 7
+         |    AND length(trim(regexp_replace(lower(text), '\\s+', ' ',
+         |                    'g'))) >= 41),
+         |q AS (
+         |  SELECT * FROM norm
+         |  WHERE len(string_split(text, ' ')) >= 20
+         |    AND length(text) >= 150),
+         |d AS (
+         |  SELECT * FROM q
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+         |c AS (
+         |  SELECT * FROM d
+         |  WHERE NOT EXISTS (SELECT 1 FROM snips
+         |                    WHERE contains(nt, snippet))),
+         |m AS (SELECT doc_id, source FROM c
+         |      WHERE $uMix < CASE source $cases ELSE 0 END)
+         |SELECT doc_id, source,
+         |  CASE WHEN $uSplit < $c1 THEN 'train'
+         |       WHEN $uSplit < $c2 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "q59_pack_sequences" ->
       """WITH t AS (
