@@ -639,13 +639,21 @@ object DocDedup {
           .unionByName(smin.select(col("u"), col("m").as("v")))
           .distinct()
         val (next, nextPinned) = checkpointPinned(ss)
-        // Fixpoint test: both sets are distinct, so equal counts plus
-        // an empty one-sided except ⟺ set equality. At the fixpoint
-        // the edges ARE the star graph (u, component-min). If the check
-        // itself throws, nextPinned is not yet in edgesPinned and the
-        // outer finally can't see it — free it here before rethrowing.
+        // Fixpoint test: both sets are distinct, so set equality ⟺ the
+        // symmetric difference is empty — computed as ONE job (tagged
+        // union, groupBy, keep keys missing a side, take(1)) instead of
+        // the count+count+except trio: both inputs are checkpointed
+        // in-memory scans, so per-round cost here is job-scheduling
+        // overhead, and this is the only check job the round pays. At
+        // the fixpoint the edges ARE the star graph (u, component-min).
+        // If the check itself throws, nextPinned is not yet in
+        // edgesPinned and the outer finally can't see it — free it here
+        // before rethrowing.
         converged =
-          try next.count() == edges.count() && next.except(edges).isEmpty
+          try next.select(col("u"), col("v"), lit(1).as("s"))
+            .unionByName(edges.select(col("u"), col("v"), lit(2).as("s")))
+            .groupBy("u", "v").agg(sum("s").as("t"))
+            .where(col("t") =!= 3).isEmpty
           catch { case e: Throwable =>
             nextPinned.foreach(_.unpersist(false)); throw e
           }
