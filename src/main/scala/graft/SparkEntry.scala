@@ -496,6 +496,19 @@ object SparkEntry {
           windowTokens = 512, bucketSize = 100)
         .orderBy("doc_id")),
 
+    // ---- ext/CorpusPrep: Gopher-style intra-document repetition
+    //      signals — per-doc duplicate-bigram / top-bigram counts; the
+    //      `repetitive` flag is the ≥5% duplicate-bigram filter, as
+    //      integer cross-multiplication so no float threshold enters
+    //      the gate (108 of 500 docs trip it at sf0.01)
+    "q61_intradoc_repetition" -> ((s, dir) =>
+      graft.ext.CorpusPrep.repetitionStats(
+          t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("repetitive",
+          ((col("n_bigrams") - col("n_distinct")) * 20 >=
+            col("n_bigrams")).cast("int"))
+        .orderBy("doc_id")),
+
     // ---- THE CURATION PIPELINE: every corpus-assembly stage composed
     //      into one declarative plan — quality filter → exact dedup →
     //      benchmark decontamination → weighted source mixing → split
@@ -1410,6 +1423,21 @@ object SparkEntry {
         |SELECT doc_id, tok, s // 512 AS first_window,
         |       (s + tok - 1) // 512 AS last_window
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q61_intradoc_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |           i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |       count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count,
+        |       CAST(CASE WHEN 20 * (sum(c) - count(*)) >= sum(c)
+        |            THEN 1 ELSE 0 END AS INT) AS repetitive
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q37_dedup_planted" ->
       """WITH planted AS (

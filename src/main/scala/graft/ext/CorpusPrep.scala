@@ -175,4 +175,36 @@ object CorpusPrep {
         expr(s"start div ${windowTokens}L").as("first_window"),
         expr(s"(start + tok - 1) div ${windowTokens}L").as("last_window"))
   }
+
+  /** Intra-document repetition signals — the Gopher-style repetition
+    * filters (Rae et al. 2021, appendix A1.1: "fraction of duplicate
+    * n-grams" / "fraction of characters in the most common n-gram")
+    * over word bigrams. Emits per document the bigram multiset's total
+    * count, distinct count, and most-frequent-bigram count; the
+    * filters derive directly (duplicate fraction =
+    * (n_bigrams − n_distinct) / n_bigrams, top fraction =
+    * top_count / n_bigrams) and callers should threshold with integer
+    * cross-multiplication so the decision stays float-free and
+    * cross-engine exact.
+    *
+    * Shape: explode bigrams → two-level hash aggregate. The per
+    * (doc, bigram) level partial-aggregates map-side, so a document
+    * with a billion copies of one bigram arrives at the shuffle as one
+    * row per partition — explode + aggregate handles documents of any
+    * length where a per-row array pass would need the whole multiset
+    * in memory, and a per-element HOF count would be interpreted
+    * O(distinct²) (the round-8 finding). Documents with fewer than two
+    * tokens have no bigrams and emit no row.
+    */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.VecExpressions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.wordBigrams(col(textCol))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"))
+  }
 }

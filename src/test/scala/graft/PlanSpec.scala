@@ -181,4 +181,21 @@ class PlanSpec extends SparkFunSuite {
     assert(singles <= 1,
       s"row stream must never collapse to one partition ($singles):\n$plan")
   }
+
+  test("repetitionStats is a two-level hash aggregate with map-side " +
+    "partials — no window, no single-partition collapse") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.CorpusPrep.repetitionStats(docs, "doc_id", "text")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // both levels must be hash aggregates with a partial_ pass (a doc
+    // with a billion copies of one bigram reaches the shuffle as one
+    // row per partition)…
+    assert(plan.contains("HashAggregate") && plan.contains("partial_"),
+      s"repetitionStats must partial-aggregate map-side:\n$plan")
+    // …and nothing may run as a global window / single partition
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
+      s"repetitionStats must never globalize the row stream:\n$plan")
+  }
 }

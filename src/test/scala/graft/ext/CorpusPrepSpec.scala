@@ -150,4 +150,18 @@ class CorpusPrepSpec extends SparkFunSuite {
     case _ => ()
     }
   }
+
+  test("repetitionStats counts the bigram multiset exactly") {
+    val docs = Seq(
+      (1L, "a b a b a"),        // bigrams: a b, b a, a b, b a → 4 total, 2 distinct, top 2
+      (2L, "x y z"),            // x y, y z → 2 total, 2 distinct, top 1
+      (3L, "w w w w"),          // w w ×3 → 3 total, 1 distinct, top 3
+      (4L, "solo"),             // no bigrams → no row
+      (5L, "")                  // no bigrams → no row
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 4L, 2L, 2L), (2L, 2L, 2L, 1L), (3L, 3L, 1L, 3L)))
+  }
 }
