@@ -509,6 +509,31 @@ object SparkEntry {
             col("n_bigrams")).cast("int"))
         .orderBy("doc_id")),
 
+    // ---- ext/TextAnalysis: PII-style redaction — the corpus holds no
+    //      PII, so plant deterministic spans (email + URL per doc, a
+    //      long id every third doc) and hash-match the redacted TEXT
+    //      char-for-char, plus per-pattern match counts on the raw text
+    "q62_pii_redaction" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org see https://ex.org/p/"),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" alt id "),
+              (col("doc_id") * 1234567L + 7654321L).cast("string")))
+            .otherwise(lit(""))).as("pt"))
+      planted.select(col("doc_id"),
+          TextAnalysis.redact(col("pt")).as("red"),
+          TextAnalysis.patternCount(col("pt"),
+            TextAnalysis.UrlPattern).as("n_url"),
+          TextAnalysis.patternCount(col("pt"),
+            TextAnalysis.EmailPattern).as("n_email"),
+          TextAnalysis.patternCount(col("pt"),
+            TextAnalysis.LongNumberPattern).as("n_num"))
+        .orderBy("doc_id")
+    }),
+
     // ---- THE CURATION PIPELINE: every corpus-assembly stage composed
     //      into one declarative plan — quality filter → exact dedup →
     //      benchmark decontamination → weighted source mixing → split
@@ -1438,6 +1463,31 @@ object SparkEntry {
         |       CAST(CASE WHEN 20 * (sum(c) - count(*)) >= sum(c)
         |            THEN 1 ELSE 0 END AS INT) AS repetitive
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q62_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.org see https://ex.org/p/'
+        |      || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0
+        |           THEN ' alt id '
+        |             || CAST(doc_id * 1234567 + 7654321 AS VARCHAR)
+        |           ELSE '' END AS pt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(pt,
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS red,
+        |  CAST(len(regexp_extract_all(pt, 'https?://[^ ]+')) AS INT)
+        |    AS n_url,
+        |  CAST(len(regexp_extract_all(pt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(pt, '[0-9]{7,}')) AS INT) AS n_num
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q37_dedup_planted" ->
       """WITH planted AS (

@@ -106,6 +106,29 @@ object TextAnalysis {
   def patternCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))
 
+  /** PII-style redaction patterns, restricted (like [[BpePattern]]) to
+    * the regex subset java.util.regex and RE2 share, so the DuckDB
+    * oracle applies the identical patterns: URLs first (they may embed
+    * digit runs and @s), then emails (the local part may embed digit
+    * runs), then standalone long digit runs (phone-number/id-shaped).
+    */
+  val UrlPattern: String = "https?://[^ ]+"
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern: String = "[0-9]{7,}"
+
+  /** Mask URL / email / long-number spans with typed placeholder
+    * tokens — the standard pre-training redaction pass. A chain of
+    * three codegen'd `regexp_replace`es: narrow, scan-speed, order
+    * fixed by the pattern-containment argument on [[UrlPattern]].
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
   /** Marker-token sets for the n-gram/stopword language-ID heuristic.
     * Deliberately tiny and deterministic: language ID at pipeline scale
     * is a cheap prefilter, not a classifier.

@@ -163,4 +163,20 @@ class TextAnalysisSpec extends SparkFunSuite {
     val r = docs.select(TextAnalysis.qualityScore(col("text"))).collect()
     assert(r.forall(x => x.getDouble(0) >= 0.0 && x.getDouble(0) <= 1.0))
   }
+
+  test("redact masks URL/email/number spans in containment order") {
+    val s = spark; import s.implicits._
+    def red(t: String): String =
+      Seq(Tuple1(t)).toDF("text")
+        .select(TextAnalysis.redact(col("text"))).head().getString(0)
+    // a URL embedding digits and an @ must become ONE <URL> token, not
+    // leak an <EMAIL>/<NUM> out of its span
+    assert(red("see http://u:p@ex.org/12345678x ok") === "see <URL> ok")
+    assert(red("mail bob.smith+1@ex.co.uk now") === "mail <EMAIL> now")
+    // digit runs inside an email's local part stay inside the mask
+    assert(red("a 12345678@ex.org b") === "a <EMAIL> b")
+    assert(red("id 123456789") === "id <NUM>")
+    assert(red("short 123456 stays") === "short 123456 stays") // < 7 digits
+    assert(red("clean text") === "clean text")
+  }
 }
