@@ -628,8 +628,13 @@ object DocDedup {
           edges.select(col("v").as("u"), col("u").as("v")))
         val lmin = adj.groupBy("u").agg(min("v").as("mv"))
           .select(col("u"), least(col("mv"), col("u")).as("m"))
+        // No distinct here: duplicate (v, m) rows collapse map-side in
+        // small-star's partial aggregates, and both small-star
+        // consumers need an exchange-by-u of this relation anyway
+        // (reused under AQE) — a (u, v) dedup shuffle would be a third
+        // full exchange per round that saves nothing downstream.
         val ls = adj.join(lmin, "u").where(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v")).distinct()
+          .select(col("v").as("u"), col("m").as("v"))
         // ---- small-star: on big→small edges, m(u) = min of u's
         // (all-smaller) neighbors; hang u and every neighbor ≠ m off m.
         val smin = ls.groupBy("u").agg(min("v").as("m"))
