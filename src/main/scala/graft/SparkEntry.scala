@@ -557,6 +557,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ext/CorpusPrep: exact substring-dedup detection (Lee et al.
+    //      2022) — 8-token windows shared across documents; the corpus
+    //      generator plants boilerplate spans in ~10% of docs, so the
+    //      dup counts are naturally non-trivial (47 carrier docs at
+    //      sf0.01). md5-of-window keeps the hash engine-portable, so
+    //      the gate is exact computation, not a planted constant
+    "q63_duplicate_windows" -> ((s, dir) =>
+      graft.ext.CorpusPrep.duplicateWindows(
+          t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")),
+
     // ---- THE CURATION PIPELINE: every corpus-assembly stage composed
     //      into one declarative plan — quality filter → exact dedup →
     //      benchmark decontamination → weighted source mixing → split
@@ -1499,6 +1510,22 @@ object SparkEntry {
         |    AS n_email,
         |  CAST(len(regexp_extract_all(pt, '[0-9]{7,}')) AS INT) AS n_num
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q63_duplicate_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+        |           i -> md5(array_to_string(t[i:i+7], ' ')))) AS wh
+        |  FROM toks),
+        |dup AS (
+        |  SELECT wh FROM win GROUP BY wh
+        |  HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(coalesce(sum(CASE WHEN wh IN (SELECT wh FROM dup)
+        |       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_windows
+        |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q37_dedup_planted" ->
       """WITH planted AS (

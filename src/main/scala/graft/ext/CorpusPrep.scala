@@ -196,6 +196,58 @@ object CorpusPrep {
     * O(distinct²) (the round-8 finding). Documents with fewer than two
     * tokens have no bigrams and emit no row.
     */
+  /** md5 of every w-token sliding window, as one array column. The
+    * outer single-element `transform` is the let-binding idiom (see
+    * TextAnalysis' round-8 HOF note): it binds the token array to a
+    * LAMBDA variable so the inner per-window lambda touches only its
+    * own variables — referencing `split(text)` directly from the inner
+    * lambda would re-run the full split once per window (the
+    * interpreted-HOF O(tokens²) bug). Cost is the inherent O(n·w).
+    * md5 of the space-joined window makes the hash engine-portable
+    * (DuckDB computes the identical digest), unlike xxhash64.
+    */
+  private def windowHashes(text: Column, w: Int): Column = {
+    val wins = transform(array(TextAnalysis.tokens(text)), t =>
+      transform(sequence(lit(1), size(t) - (w - 1)),
+        i => md5(concat_ws(" ", slice(t, i, lit(w))).cast("binary"))))
+    // guard BEFORE building sequence(1, n-w+1): for n < w Spark's
+    // two-arg sequence would count DOWNWARD (step −1) instead of
+    // producing an empty range
+    when(TextAnalysis.tokenCount(text) >= w, flatten(wins))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Cross-document duplicate-window detection — the detection phase
+    * of exact substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated w-token
+    * spans shared across documents, the boilerplate/licence-block
+    * signal document-level dedup cannot see). Per document: the total
+    * window count and how many of its windows also occur in at least
+    * one OTHER document.
+    *
+    * Shape: explode window hashes → one groupBy over (16-byte hash,
+    * partial-aggregated count-distinct of doc ids) for the duplicate
+    * set → semi-join windows against it (co-partitioned on the hash,
+    * exchange reused) → per-doc counts. Never all-pairs; total cost
+    * ∝ corpus window count. Documents with fewer than `w` tokens have
+    * no windows and emit no row.
+    */
+  def duplicateWindows(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val win = df.select(col(idCol).as("doc_id"),
+      explode(windowHashes(col(textCol), w)).as("wh"))
+    val dup = win.groupBy("wh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") > 1).select("wh")
+    val perDoc = win.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = win.join(dup, Seq("wh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     graft.functions.VecExpressions.register(df.sparkSession)

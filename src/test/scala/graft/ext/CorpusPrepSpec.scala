@@ -151,6 +151,19 @@ class CorpusPrepSpec extends SparkFunSuite {
     }
   }
 
+  test("duplicateWindows finds cross-doc spans, ignores within-doc ones") {
+    val docs = Seq(
+      (1L, "p q r s t u v w x"),   // shares window p..w (8 toks) with doc 2
+      (2L, "z p q r s t u v w"),   // → both have 2 windows, 1 duplicated
+      (3L, "a b c d e f g h a b c d e f g h"), // within-doc repeat only:
+                                   // windows distinct-doc count stays 1
+      (4L, "too short")            // < 8 tokens → no row
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.duplicateWindows(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 9L, 0L)))
+  }
+
   test("repetitionStats counts the bigram multiset exactly") {
     val docs = Seq(
       (1L, "a b a b a"),        // bigrams: a b, b a, a b, b a → 4 total, 2 distinct, top 2
