@@ -142,14 +142,17 @@ class PlanSpec extends SparkFunSuite {
     assert(df.count() >= 0) // and the full operator still executes
   }
 
-  test("corpus split/mix are shuffle-free projections (scan speed)") {
+  test("corpus split/mix/redact are shuffle-free projections (scan speed)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val split = docs.select(col("doc_id"),
       graft.ext.CorpusPrep.splitAssign(col("doc_id"), "g",
         Seq("train" -> 0.9, "test" -> 0.1)))
     val mix = graft.ext.CorpusPrep.weightedMix(docs, col("doc_id"),
       col("source"), Map("src0" -> 0.5), "m")
-    for ((name, df) <- Seq("splitAssign" -> split, "weightedMix" -> mix)) {
+    val red = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.redact(col("text")))
+    for ((name, df) <- Seq("splitAssign" -> split, "weightedMix" -> mix,
+      "redact" -> red)) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"$name must not shuffle (pure projection/filter):\n$plan")
@@ -197,5 +200,21 @@ class PlanSpec extends SparkFunSuite {
     // …and nothing may run as a global window / single partition
     assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
       s"repetitionStats must never globalize the row stream:\n$plan")
+  }
+
+  test("duplicateWindows: aggregates partial, never all-pairs, never " +
+    "single-partition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.CorpusPrep
+      .duplicateWindows(docs, "doc_id", "text", 8)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("HashAggregate") && plan.contains("partial_"),
+      s"duplicateWindows must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"duplicateWindows must never go all-pairs:\n$plan")
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
+      s"duplicateWindows must never globalize the row stream:\n$plan")
   }
 }
