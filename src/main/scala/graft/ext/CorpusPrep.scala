@@ -196,26 +196,17 @@ object CorpusPrep {
     * O(distinct²) (the round-8 finding). Documents with fewer than two
     * tokens have no bigrams and emit no row.
     */
-  /** md5 of every w-token sliding window, as one array column. The
-    * outer single-element `transform` is the let-binding idiom (see
-    * TextAnalysis' round-8 HOF note): it binds the token array to a
-    * LAMBDA variable so the inner per-window lambda touches only its
-    * own variables — referencing `split(text)` directly from the inner
-    * lambda would re-run the full split once per window (the
-    * interpreted-HOF O(tokens²) bug). Cost is the inherent O(n·w).
-    * md5 of the space-joined window makes the hash engine-portable
-    * (DuckDB computes the identical digest), unlike xxhash64.
+  /** md5 of every w-token sliding window, as one array column — the
+    * native codegen'd kernel
+    * [[graft.functions.TextExpressions.WindowHashes]] (each window
+    * digests a byte RANGE of the input; see its scaladoc for the
+    * span argument and the bit-parity Column formulation it
+    * replaces). md5 — not xxhash64 — keeps the hash engine-portable
+    * (DuckDB computes the identical digest), which is what makes
+    * [[duplicateWindows]] exactly oracle-checkable.
     */
-  private def windowHashes(text: Column, w: Int): Column = {
-    val wins = transform(array(TextAnalysis.tokens(text)), t =>
-      transform(sequence(lit(1), size(t) - (w - 1)),
-        i => md5(concat_ws(" ", slice(t, i, lit(w))).cast("binary"))))
-    // guard BEFORE building sequence(1, n-w+1): for n < w Spark's
-    // two-arg sequence would count DOWNWARD (step −1) instead of
-    // producing an empty range
-    when(TextAnalysis.tokenCount(text) >= w, flatten(wins))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def windowHashes(text: Column, w: Int): Column =
+    call_function("graft_window_hashes", text, lit(w))
 
   /** Cross-document duplicate-window detection — the detection phase
     * of exact substring deduplication (Lee et al. 2022, "Deduplicating
@@ -235,6 +226,7 @@ object CorpusPrep {
   def duplicateWindows(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     require(w >= 2, s"window width must be >= 2, got $w")
+    graft.functions.VecExpressions.register(df.sparkSession)
     val win = df.select(col(idCol).as("doc_id"),
       explode(windowHashes(col(textCol), w)).as("wh"))
     val dup = win.groupBy("wh")

@@ -213,4 +213,91 @@ object TextExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  private val HexDigits = "0123456789abcdef".getBytes("US-ASCII")
+
+  private val Md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private def md5Hex(bytes: Array[Byte], start: Int, len: Int): UTF8String = {
+    val md = Md5Local.get()
+    md.reset()
+    md.update(bytes, start, len)
+    val d = md.digest()
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** md5 hex of every `w`-token sliding window, bit-identical to the
+    * Column formulation `transform(sequence(1, n-w+1), i ->
+    * md5(concat_ws(" ", slice(t, i, w))))` over `t = split(text, " ")`
+    * (empties kept) with the n ≥ w guard. The [[WordBigrams]] span
+    * argument generalizes to any width: with a single-space delimiter
+    * the space-joined window IS the substring from the start of token
+    * j to the end of token j+w−1 — so each window digests a byte RANGE
+    * of the input directly (no token materialization, no join, no
+    * per-window string allocation beyond the 32-byte digest). md5 —
+    * not xxhash64 — keeps the hash engine-portable: DuckDB computes
+    * the identical hex digest, which is what lets the duplicate-window
+    * detector (CorpusPrep.duplicateWindows) carry an exact
+    * cross-engine oracle.
+    */
+  case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+    require(w >= 1, s"window width must be positive, got $w")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"input must be string, got ${other.simpleString}")
+    }
+
+    def compute(s: UTF8String): ArrayData = {
+      val bytes = s.getBytes
+      val len = bytes.length
+      var m = 0
+      var i = 0
+      while (i < len) {
+        if (bytes(i) == 0x20) m += 1
+        i += 1
+      }
+      val count = (m + 1) - w + 1 // tokens − w + 1
+      if (count <= 0) return new GenericArrayData(Array.empty[Any])
+      val spaces = new Array[Int](m)
+      var k = 0
+      i = 0
+      while (i < len) {
+        if (bytes(i) == 0x20) { spaces(k) = i; k += 1 }
+        i += 1
+      }
+      val out = new Array[Any](count)
+      var j = 0
+      while (j < count) {
+        val start = if (j == 0) 0 else spaces(j - 1) + 1
+        val endTok = j + w - 1
+        val end = if (endTok == m) len else spaces(endTok)
+        out(j) = md5Hex(bytes, start, end - start)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftWindowHashes", this,
+        classOf[WindowHashes].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }

@@ -418,7 +418,12 @@ object VecExpressions {
       new ExpressionInfo(classOf[TextExpressions.CharNgrams].getName,
         "graft_char_ngrams"),
       (es: Seq[Expression]) => TextExpressions.CharNgrams(es(0),
-        litInt(es(1), "n"))))
+        litInt(es(1), "n"))),
+    (FunctionIdentifier("graft_window_hashes"),
+      new ExpressionInfo(classOf[TextExpressions.WindowHashes].getName,
+        "graft_window_hashes"),
+      (es: Seq[Expression]) => TextExpressions.WindowHashes(es(0),
+        litInt(es(1), "w"))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

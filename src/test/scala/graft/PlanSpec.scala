@@ -60,7 +60,9 @@ class PlanSpec extends SparkFunSuite {
     for ((name, c) <- Seq(
         "wordBigrams" -> graft.ext.TextAnalysis.wordBigrams(col("text")),
         "charChunks" -> graft.ext.TextAnalysis.charChunks(col("text"), 64),
-        "charNgrams" -> graft.ext.TextAnalysis.charNgrams(col("text"), 3))) {
+        "charNgrams" -> graft.ext.TextAnalysis.charNgrams(col("text"), 3),
+        "windowHashes" -> call_function("graft_window_hashes",
+          col("text"), lit(8)))) {
       val df = docs.select(col("doc_id"), c.as("x"))
       val plan = df.queryExecution.executedPlan
       val s = plan.toString

@@ -151,6 +151,42 @@ class CorpusPrepSpec extends SparkFunSuite {
     }
   }
 
+  test("window hashes: native kernel matches the HOF md5 formulation " +
+    "on edge shapes") {
+    graft.functions.VecExpressions.register(spark)
+    val cases = Seq(
+      "a b c d",           // count = tokens − w + 1
+      "a  b c",            // consecutive spaces → empty tokens kept
+      " lead", "trail ",   // leading/trailing empties
+      "   ",               // all spaces (4 empty tokens)
+      "one", "",           // fewer than w tokens → empty array
+      "байт данные спарк два", // multibyte spans survive the byte scan
+      "a b c")             // exactly w tokens → one window
+    for (w <- Seq(2, 3)) {
+      // the let-binding HOF reference: bind t once, md5 each joined slice
+      val ref = flatten(transform(array(split(col("text"), " ")), t =>
+        transform(sequence(lit(1), size(t) - (w - 1)),
+          i => md5(concat_ws(" ", slice(t, i, lit(w))).cast("binary")))))
+      val refGuarded = when(size(split(col("text"), " ")) >= w, ref)
+        .otherwise(array().cast("array<string>"))
+      val both = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"),
+          call_function("graft_window_hashes", col("text"), lit(w)).as("n"),
+          refGuarded.as("r"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"case '${cases(r.getLong(0).toInt)}' w=$w")
+      }
+    }
+    // null text → null result
+    val n = Seq((0L, Option.empty[String])).toDF("id", "text")
+      .select(call_function("graft_window_hashes", col("text"), lit(2)))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("duplicateWindows finds cross-doc spans, ignores within-doc ones") {
     val docs = Seq(
       (1L, "p q r s t u v w x"),   // shares window p..w (8 toks) with doc 2
