@@ -568,6 +568,14 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", 8)
         .orderBy("doc_id")),
 
+    // ---- ext/CorpusPrep: the REMOVAL half of exact substring dedup —
+    //      non-canonical duplicated 8-token spans are cut and the text
+    //      reassembled; clean_text hash-matches DuckDB char-for-char
+    "q64_strip_dup_windows" -> ((s, dir) =>
+      graft.ext.CorpusPrep.stripDuplicateWindows(
+          t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")),
+
     // ---- THE CURATION PIPELINE: every corpus-assembly stage composed
     //      into one declarative plan — quality filter → exact dedup →
     //      benchmark decontamination → weighted source mixing → split
@@ -1526,6 +1534,36 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN wh IN (SELECT wh FROM dup)
         |       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_windows
         |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q64_strip_dup_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, greatest(len(t) - 7, 0) + 1)) - 1 AS wpos,
+        |    unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+        |           i -> md5(array_to_string(t[i:i+7], ' ')))) AS wh
+        |  FROM toks),
+        |own AS (
+        |  SELECT wh, min(doc_id) AS keeper FROM win GROUP BY wh
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |cut AS (
+        |  SELECT DISTINCT doc_id, ti FROM (
+        |    SELECT win.doc_id, unnest(range(wpos, wpos + 8)) AS ti
+        |    FROM win JOIN own USING (wh) WHERE doc_id <> keeper)),
+        |tk AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |         unnest(range(0, len(t))) AS ti FROM toks),
+        |kept AS (
+        |  SELECT tk.doc_id, string_agg(tok, ' ' ORDER BY ti) AS kept_text,
+        |         count(*) AS n_kept
+        |  FROM tk ANTI JOIN cut
+        |    ON tk.doc_id = cut.doc_id AND tk.ti = cut.ti
+        |  GROUP BY tk.doc_id)
+        |SELECT t.doc_id, coalesce(kept_text, '') AS clean_text,
+        |  CAST(len(t.t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q37_dedup_planted" ->
       """WITH planted AS (

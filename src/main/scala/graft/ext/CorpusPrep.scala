@@ -240,6 +240,53 @@ object CorpusPrep {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
+  /** The removal half of exact substring deduplication (Lee et al.
+    * 2022): delete every token covered by a duplicated w-token window
+    * from every document EXCEPT the canonical (min-id) owner of that
+    * window, and reassemble the cleaned text. Cross-document only —
+    * the canonical owner keeps all its occurrences (within-doc repeats
+    * are [[repetitionStats]]' concern). Returns every input row as
+    * (doc_id, clean_text, n_removed); a fully-covered document comes
+    * back with empty text, not a dropped row.
+    *
+    * Shape: window hashes (native kernel) → duplicated hashes +
+    * min-id owner (one partial-aggregated groupBy) → covered token
+    * indices (explode factor w, deduplicated) → anti-join against the
+    * exploded token stream → per-doc ordered reassembly via
+    * array_sort(collect_list(struct(pos, tok))) — an O(n log n)
+    * per-document sort, NOT a global window, so the row stream never
+    * collapses to one partition. Everything is bounded by corpus
+    * token count × w; no all-pairs stage exists.
+    */
+  def stripDuplicateWindows(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    graft.functions.VecExpressions.register(df.sparkSession)
+    val win = df.select(col(idCol).as("doc_id"),
+      posexplode(windowHashes(col(textCol), w)).as(Seq("wpos", "wh")))
+    val own = win.groupBy("wh")
+      .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("keeper"))
+      .where(col("nd") > 1).select("wh", "keeper")
+    val cut = win.join(own, "wh").where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("wpos"), col("wpos") + (w - 1))).as("ti"))
+      .distinct()
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("ti", "tok")))
+    val kept = toks.join(cut, Seq("doc_id", "ti"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ti"), col("tok")))),
+          s => s.getField("tok")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("clean_text"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     graft.functions.VecExpressions.register(df.sparkSession)

@@ -200,6 +200,22 @@ class CorpusPrepSpec extends SparkFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 9L, 0L)))
   }
 
+  test("stripDuplicateWindows cuts only non-canonical covered spans") {
+    val docs = Seq(
+      (1L, "p q r s t u v w x"),  // canonical owner of the shared span
+      (2L, "z p q r s t u v w"),  // cuts ti 1..8 → keeps "z"
+      (3L, "a b c d e f g h a b c d e f g h"), // within-doc repeat: kept
+      (4L, "too short")           // no windows → untouched
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.stripDuplicateWindows(docs, "doc_id", "text", 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "p q r s t u v w x", 0L),
+      (2L, "z", 8L),
+      (3L, "a b c d e f g h a b c d e f g h", 0L),
+      (4L, "too short", 0L)))
+  }
+
   test("repetitionStats counts the bigram multiset exactly") {
     val docs = Seq(
       (1L, "a b a b a"),        // bigrams: a b, b a, a b, b a → 4 total, 2 distinct, top 2
