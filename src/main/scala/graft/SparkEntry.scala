@@ -576,6 +576,15 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", 8)
         .orderBy("doc_id")),
 
+    // ---- ext/CorpusPrep: deterministic per-source cap — exactly k
+    //      lowest-hash docs per source (the downsampling half of
+    //      corpus rebalancing; 20 sources × 25 docs → 200 rows)
+    "q65_source_cap" -> ((s, dir) =>
+      graft.ext.CorpusPrep.capPerSource(
+          t(s, dir, "documents").select("doc_id", "source"),
+          col("doc_id"), col("source"), 10, "cap")
+        .orderBy("doc_id")),
+
     // ---- THE CURATION PIPELINE: every corpus-assembly stage composed
     //      into one declarative plan — quality filter → exact dedup →
     //      benchmark decontamination → weighted source mixing → split
@@ -1564,6 +1573,17 @@ object SparkEntry {
         |  CAST(len(t.t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed
         |FROM toks t LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q65_source_cap" -> {
+      val u = sqlHashUnit16("doc_id", "cap", 9)
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY $u, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rk <= 10
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q37_dedup_planted" ->
       """WITH planted AS (

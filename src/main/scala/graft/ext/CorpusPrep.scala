@@ -240,6 +240,32 @@ object CorpusPrep {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
+  /** Deterministic per-source cap: keep exactly the `k` lowest-hash
+    * documents of each source (ties broken by key) — the downsampling
+    * half of corpus rebalancing, where [[weightedMix]] is the
+    * fractional half. Content-determined like everything here: a doc's
+    * keep/drop decision depends only on (key, seed) and which
+    * competitors exist, never on partitioning — `df.limit(k)` per
+    * group or `sample()` can't promise either. With ≥ k docs per
+    * source the output is EXACTLY k·|sources| rows.
+    *
+    * Scale shape: the rank ≤ k filter over a per-source window is
+    * planned by InferWindowGroupLimit as a map-side
+    * WindowGroupLimit(Partial) — each partition forwards at most k
+    * rows per source to the shuffle, the same two-level top-k the ANN
+    * scoring tail uses, so a source with a billion docs never
+    * concentrates them into one task's sort.
+    */
+  def capPerSource(df: DataFrame, key: Column, srcCol: Column, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    // hash position 9: decorrelated from splitAssign (1) and
+    // weightedMix (5) decisions on the same key
+    val w = Window.partitionBy(srcCol).orderBy(hashUnit16(key, seed, 9), key)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+  }
+
   /** The removal half of exact substring deduplication (Lee et al.
     * 2022): delete every token covered by a duplicated w-token window
     * from every document EXCEPT the canonical (min-id) owner of that

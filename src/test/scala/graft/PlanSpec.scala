@@ -125,6 +125,22 @@ class PlanSpec extends SparkFunSuite {
       emb, q, "vec_id", "embedding", 5), "lsh-scoreCandidates")
   }
 
+  test("capPerSource plans as a two-level group limit, not a full " +
+    "per-source sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.CorpusPrep.capPerSource(docs, col("doc_id"),
+      col("source"), 5, "s")
+    df.collect() // finalize AQE
+    val lines = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head.linesIterator.toSeq
+    val exch = lines.indexWhere(_.contains("Exchange hashpartitioning(source"))
+    val partial = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(exch >= 0 && partial > exch,
+      "map-side WindowGroupLimit(Partial) must sit below the source " +
+        s"exchange (exchange@$exch, partial@$partial):\n${lines.mkString("\n")}")
+  }
+
   test("exact-Jaccard tier 2 filters inside a broadcast join; verify is " +
     "the codegen'd popcount, not a Scala UDF") {
     val df = SparkEntry.queries("q15_dedup_ngram_jaccard")(spark, sf)

@@ -200,6 +200,24 @@ class CorpusPrepSpec extends SparkFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 9L, 0L)))
   }
 
+  test("capPerSource keeps exactly k per source, partition-independent") {
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}"))
+      .toDF("id", "src")
+    val capped = CorpusPrep.capPerSource(docs, col("id"), col("src"),
+      7, "s")
+    val counts = capped.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts === Map("src0" -> 7L, "src1" -> 7L, "src2" -> 7L))
+    // the SAME ids survive regardless of input partitioning
+    val again = CorpusPrep.capPerSource(docs.repartition(13), col("id"),
+      col("src"), 7, "s")
+    assert(capped.except(again).isEmpty && again.except(capped).isEmpty)
+    // a source with fewer than k docs keeps everything
+    val tiny = Seq((1L, "a"), (2L, "a")).toDF("id", "src")
+    assert(CorpusPrep.capPerSource(tiny, col("id"), col("src"), 7, "s")
+      .count() === 2L)
+  }
+
   test("stripDuplicateWindows cuts only non-canonical covered spans") {
     val docs = Seq(
       (1L, "p q r s t u v w x"),  // canonical owner of the shared span
