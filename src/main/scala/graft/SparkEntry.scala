@@ -585,6 +585,22 @@ object SparkEntry {
           col("doc_id"), col("source"), 10, "cap")
         .orderBy("doc_id")),
 
+    // ---- ext/DocDedup: paragraph-level exact dedup (the CCNet/Dolma
+    //      boilerplate-stripping pass). The sf corpora are single-line,
+    //      so the gate plants a three-paragraph structure per doc:
+    //      a global header (one doc keeps it), the doc's own text
+    //      (everyone keeps it — the corpora hold no exact text dups),
+    //      and a per-source footer (first doc of each source keeps it).
+    //      clean_text hash-matches DuckDB char-for-char, newlines and
+    //      all.
+    "q66_paragraph_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", lit("common header boilerplate"), col("text"),
+          concat(lit("footer "), col("source"))).as("ptext"))
+      DocDedup.paragraphDedup(planted, "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+
     // ---- THE CURATION PIPELINE: every corpus-assembly stage composed
     //      into one declarative plan — quality filter → exact dedup →
     //      benchmark decontamination → weighted source mixing → split
@@ -1584,6 +1600,29 @@ object SparkEntry {
          |SELECT doc_id, source FROM r WHERE rk <= 10
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q66_paragraph_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, concat('common header boilerplate', chr(10),
+        |    text, chr(10), 'footer ', source) AS text FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM p),
+        |para AS (
+        |  SELECT doc_id, unnest(range(0, len(t))) AS pos,
+        |         unnest(t) AS para FROM tok),
+        |k AS (
+        |  SELECT doc_id, pos, para, row_number() OVER (
+        |    PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        |  FROM para),
+        |kept AS (
+        |  SELECT doc_id,
+        |    string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT tok.doc_id, coalesce(kept.clean_text, '') AS clean_text,
+        |  CAST(len(tok.t) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM tok LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q37_dedup_planted" ->
       """WITH planted AS (

@@ -50,6 +50,52 @@ object DocDedup {
       .where(col("refs_num") > 1)
       .orderBy(desc("refs_num"), col("text_hash"))
 
+  /** Paragraph-level exact dedup (the CCNet/Dolma shape): split each
+    * document on `sep`, drop every paragraph occurrence that is not the
+    * globally-first occurrence of its content — ordered by (doc id,
+    * position) — and reassemble the survivors in document order. This
+    * is the standard pass that strips boilerplate (headers, footers,
+    * nav bars, license blurbs) repeated across a crawl: the first
+    * carrier keeps the paragraph, every later copy loses it, and
+    * within-document repeats collapse too.
+    *
+    * Scale shape: posexplode (narrow) → groupBy(paragraph hash) with a
+    * STRUCT min — partial-combines map-side, so a paragraph repeated a
+    * billion times reaches the shuffle as one row per partition, never
+    * a partitionBy(hash) window — → an equi-join back on the hash (the
+    * two consumers share one exchange under AQE) → groupBy(doc) to
+    * reassemble. The keeper key is min(struct(doc, pos)), exact at any
+    * paragraph count (no doc·C+pos arithmetic to overflow).
+    *
+    * @return (doc_id, clean_text, n_paras, n_kept) — one row per input
+    *         row; `clean_text` is empty iff the doc lost everything.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), quoted)).as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos"), col("para"),
+        md5(col("para").cast("binary")).as("ph"))
+    val keepers = paras.groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val kept = paras.join(keepers, "ph")
+      .where(struct(col("doc_id"), col("pos")) === col("keeper"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), quoted)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // ------------------------------------------------------- shingle common
 
   /** Spread a degenerate-parallelism input across the cluster before the

@@ -235,4 +235,24 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
       s"duplicateWindows must never globalize the row stream:\n$plan")
   }
+
+  test("paragraphDedup: partial aggregates, no window, no " +
+    "single-partition collapse") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.DocDedup.paragraphDedup(docs, "doc_id", "text")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // keeper selection must be a partial-combining aggregate (a
+    // paragraph repeated a billion times reaches the shuffle as one
+    // row per partition), never a partitionBy(hash) window
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"paragraphDedup keeper must be an aggregate:\n$plan")
+    assert(plan.contains("partial_"),
+      s"paragraphDedup must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
+      s"paragraphDedup must never globalize the row stream:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"paragraphDedup must never go all-pairs:\n$plan")
+  }
 }

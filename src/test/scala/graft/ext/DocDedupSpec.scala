@@ -32,6 +32,39 @@ class DocDedupSpec extends SparkFunSuite {
     assert(rep.head.getAs[Long]("first_id") == 1)
   }
 
+  test("paragraphDedup: first occurrence wins globally, within-doc " +
+      "repeats collapse, full-loser docs go empty") {
+    val s = spark; import s.implicits._
+    val in = Seq(
+      (1L, "header\nalpha beta\nheader"), // within-doc repeat of "header"
+      (2L, "header\ngamma delta"),        // loses "header" to doc 1
+      (3L, "alpha beta"),                 // loses everything to doc 1
+      (4L, ""),                           // one empty paragraph
+      (5L, "unique last")
+    ).toDF("doc_id", "text")
+    val out = DocDedup.paragraphDedup(in, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("clean_text"), r.getAs[Long]("n_paras"),
+        r.getAs[Long]("n_kept")))).toMap
+    assert(byId(1L) == (("header\nalpha beta", 3L, 2L)))
+    assert(byId(2L) == (("gamma delta", 2L, 1L)))
+    assert(byId(3L) == (("", 1L, 0L)))
+    // doc 4's single empty paragraph is the first "" occurrence → kept
+    assert(byId(4L) == (("", 1L, 1L)))
+    assert(byId(5L) == (("unique last", 1L, 1L)))
+    assert(out.length == 5)
+  }
+
+  test("paragraphDedup honors a custom separator (regex-quoted)") {
+    val s = spark; import s.implicits._
+    val in = Seq((1L, "a||b"), (2L, "b||c")).toDF("doc_id", "text")
+    val out = DocDedup.paragraphDedup(in, "doc_id", "text", sep = "||")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "a||b")
+    assert(out(1).getAs[String]("clean_text") == "c")
+  }
+
   test("ngramJaccardPairs at J>=0.7: exactly the planted trio") {
     val pairs = DocDedup.ngramJaccardPairs(docs, "doc_id", "text", 7, 10)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
