@@ -601,6 +601,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- functions/BloomMembership: the sketch prefilter a 100 TB
+    //      incremental dedup runs before the catalog join. Seen set =
+    //      fingerprints of the even-id half; probes = every doc. The
+    //      gate is falsifiable on both error sides: a false NEGATIVE
+    //      (impossible for a correct bloom) flips members_all_flagged,
+    //      a wild false-positive rate (e.g. a build/probe hash
+    //      misalignment flags ~100%) flips fpr_within_bound, and
+    //      n_members is exact cross-engine arithmetic. The 5% bound vs
+    //      fpp=1% keeps the gate deterministic-in-practice (binomial
+    //      tail ~1e-6) while a broken filter still trips it.
+    "q67_bloom_membership" -> ((s, dir) => {
+      import graft.functions.BloomMembership
+      val docs = t(s, dir, "documents")
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val evens = docs.where(col("doc_id") % 2 === 0)
+      val bloom = BloomMembership.buildBloom(evens, fp,
+        expectedItems = 10000, fpp = 0.01)
+      val probed = docs.select(col("doc_id"), fp.as("f"),
+        BloomMembership.mightContain(bloom, fp).as("hit"))
+      probed
+        .join(evens.select(fp.as("f")).distinct()
+          .withColumn("m", lit(1)), Seq("f"), "left")
+        .agg(
+          sum(when(col("m").isNotNull, 1L).otherwise(0L))
+            .as("n_members"),
+          coalesce(bool_and(when(col("m").isNotNull, col("hit"))),
+            lit(true)).as("members_all_flagged"),
+          (coalesce(sum(when(col("m").isNull && col("hit"), 1L)
+              .otherwise(0L)), lit(0L)) * 20L <=
+            coalesce(sum(when(col("m").isNull, 1L).otherwise(0L)),
+              lit(0L))).as("fpr_within_bound"))
+    }),
+
     // ---- THE CURATION PIPELINE: every corpus-assembly stage composed
     //      into one declarative plan — quality filter → exact dedup →
     //      benchmark decontamination → weighted source mixing → split
@@ -1623,6 +1656,18 @@ object SparkEntry {
         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
         |FROM tok LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q67_bloom_membership" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |  FROM documents),
+        |seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0)
+        |SELECT
+        |  CAST((SELECT count(*) FROM fp
+        |        WHERE f IN (SELECT f FROM seen)) AS BIGINT) AS n_members,
+        |  TRUE AS members_all_flagged,
+        |  TRUE AS fpr_within_bound""".stripMargin,
 
     "q37_dedup_planted" ->
       """WITH planted AS (

@@ -423,7 +423,25 @@ object VecExpressions {
       new ExpressionInfo(classOf[TextExpressions.WindowHashes].getName,
         "graft_window_hashes"),
       (es: Seq[Expression]) => TextExpressions.WindowHashes(es(0),
-        litInt(es(1), "w"))))
+        litInt(es(1), "w"))),
+    // Spark's own runtime-filter sketch pair, surfaced as callable
+    // functions (BloomMembership wraps them): the aggregate builds a
+    // partial/merge-combining sketch over pre-hashed (xxhash64, long)
+    // keys; the probe tests a serialized sketch literal, codegen'd.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1), es(2))),
+    (FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_might_contain"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(es(0), es(1))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {
