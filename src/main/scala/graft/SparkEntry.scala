@@ -601,6 +601,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ext/Similarity: SemDeDup (semantic dedup over embeddings) on
+    //      the planted ANN corpus — every twin group (10 copies, cosine
+    //      exactly 1.0 ≥ eps) collapses to its lowest id; eps = 0.9 sits
+    //      far above the measured 0.385 cross-base ceiling, so the
+    //      survivor set is EXACTLY the 50 base vectors, a constant the
+    //      DuckDB oracle states directly (the q43/q44 planted-gate
+    //      argument applied to dedup rather than recall).
+    "q68_semdedup_planted" -> ((s, dir) => {
+      val (corpus, _) = plantedAnnCorpus(s, dir)
+      Similarity.semDedup(corpus, "vec_id", "embedding",
+          eps = 0.9, nlist = 8)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // ---- functions/BloomMembership: the sketch prefilter a 100 TB
     //      incremental dedup runs before the catalog join. Seen set =
     //      fingerprints of the even-id half; probes = every doc. The
@@ -1656,6 +1670,10 @@ object SparkEntry {
         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
         |FROM tok LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q68_semdedup_planted" ->
+      """SELECT vec_id FROM embeddings WHERE vec_id < 50
+        |ORDER BY vec_id""".stripMargin,
 
     "q67_bloom_membership" ->
       """WITH fp AS (

@@ -539,4 +539,53 @@ object Similarity {
         .localCheckpoint() // materialize while `signed` is still cached
     } finally { signed.unpersist() }
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedded corpus — cluster with a coarse
+    * quantizer, then inside each cluster drop every vector that has a
+    * LOWER-id neighbor at cosine ≥ `eps`. One deterministic canonical
+    * survivor per semantic-duplicate group (the paper picks the copy
+    * farthest from the centroid; id-canonical is the oracle-friendly
+    * deterministic variant — same set sizes, stable across runs).
+    *
+    * Scale shape: the quantizer is [[ivfTopK]]'s deterministic sampled
+    * centroids (broadcast, ids-only argmax assignment, map-side
+    * max_by); the only quadratic stage is the within-cell self-join,
+    * bounded by cell size like every blocked near-dup tier here (the
+    * whole point of clustering first — nlist scales with the corpus so
+    * cells stay bounded). Dropped ids materialize once (ids only);
+    * survivors are an anti-join, so payload columns never ride through
+    * the pair stage.
+    *
+    * @return the surviving rows of `df`, schema unchanged.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               eps: Double, nlist: Int = 16): DataFrame = {
+    require(eps > 0.0 && eps <= 1.0, s"eps must be in (0,1], got $eps")
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    graft.functions.VecExpressions.register(df.sparkSession)
+    val c = df.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
+    try {
+      c.count() // materialize before the multi-branch plan executes
+      val centroids = broadcast(
+        c.select(col("id"), col("v"), xxhash64(col("id")).as("h"))
+          .orderBy("h", "id").limit(nlist)
+          .select((row_number().over(Window.orderBy("h", "id")) - 1).as("cid"),
+            col("v").as("cvec")))
+      // ids-only argmax-cosine cell assignment (ties → lowest cid),
+      // vectors re-joined by id for the verify stage
+      val cells = c.crossJoin(centroids)
+        .select(col("id"), col("cid"), cosine(col("v"), col("cvec")).as("csim"))
+        .groupBy("id").agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
+        .join(c, "id")
+      val dropped = cells.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
+        .join(cells.select(col("cid"), col("id").as("id_b"), col("v").as("vb")),
+          "cid")
+        .where(col("id_a") < col("id_b") &&
+          cosine(col("va"), col("vb")) >= eps)
+        .select(col("id_b").as("__drop")).distinct()
+        .localCheckpoint() // ids only; materialize while `c` is cached
+      df.join(dropped, col(idCol) === col("__drop"), "left_anti")
+    } finally c.unpersist()
+  }
 }

@@ -215,4 +215,51 @@ class SimilaritySpec extends SparkFunSuite {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(pairs.toSeq == Seq((100L, 101L)))
   }
+
+  test("semDedup at nlist=1 equals the brute-force lower-id-neighbor " +
+      "rule; schema survives") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // 40 random vectors + planted twins of ids 3 and 7 at high ids
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1), s"tag$i"))
+    val rows = base ++ Seq(
+      (200L, base(3)._2, "twin3"), (201L, base(7)._2, "twin7"))
+    val df = rows.toDF("vec_id", "embedding", "tag")
+    val eps = 0.95
+    val out = Similarity.semDedup(df, "vec_id", "embedding", eps, nlist = 1)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding", "tag"))
+    val got = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    // brute-force expectation: drop x iff some lower-id y has cos >= eps
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val all = rows.map(r => (r._1, r._2))
+    val expect = all.filter { case (id, v) =>
+      !all.exists { case (id2, v2) => id2 < id && cos(v2, v) >= eps }
+    }.map(_._1).toSet
+    assert(got == expect, s"got $got expected $expect")
+    assert(Set(200L, 201L).intersect(got).isEmpty,
+      "planted twins must be dropped")
+    assert(got.contains(3L) && got.contains(7L),
+      "canonical (lowest-id) twin survives")
+  }
+
+  test("semDedup cell blocking: twins collapse at any nlist; " +
+      "dissimilar vectors all survive") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val base = Seq.tabulate(30)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val rows = base ++ base.map { case (id, v) => (id + 1000L, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+        eps = 0.9999, nlist = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // identical copies always share the argmax cell → every group
+    // collapses to its lowest id, regardless of cell layout
+    assert(out == base.map(_._1).toSet, s"got $out")
+  }
 }
