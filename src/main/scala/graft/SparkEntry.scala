@@ -601,6 +601,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ext/TextAnalysis: corpus vocabulary — top-50 tokens with
+    //      occurrence + document counts, ties broken by token
+    "q69_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"),
+        "doc_id", "text", 50)),
+
     // ---- ext/Similarity: SemDeDup (semantic dedup over embeddings) on
     //      the planted ANN corpus — every twin group (10 copies, cosine
     //      exactly 1.0 ≥ eps) collapses to its lowest id; eps = 0.9 sits
@@ -1670,6 +1676,13 @@ object SparkEntry {
         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
         |FROM tok LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q69_vocabulary" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 50""".stripMargin,
 
     "q68_semdedup_planted" ->
       """SELECT vec_id FROM embeddings WHERE vec_id < 50

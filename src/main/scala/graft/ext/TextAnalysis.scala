@@ -173,6 +173,27 @@ object TextAnalysis {
       least(stopRatio * lit(5.0), lit(1.0)) * 0.15).as("quality")
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with occurrence
+    * and document counts — the aggregate a tokenizer-training or
+    * Zipf-audit pass runs first. Shape: explode (narrow) → two-level
+    * hash aggregate keyed by token (a token occurring a billion times
+    * partial-combines map-side) → global top-k as orderBy+limit, which
+    * Spark executes as TakeOrderedAndProject (per-partition heaps, no
+    * full sort, no single-partition shuffle of the vocabulary). Ties
+    * break by token so the result is total-ordered and oracle-exact.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("__id")).as("n_docs"))
+      .orderBy(desc("n_occ"), col("tok"))
+      .limit(k)
+  }
+
   /** Rolling-hash fingerprint over tokens: fold
     * acc = rotl(acc, 5) XOR xxhash64(token), in token order. A cheap
     * order-sensitive document signature (unlike the set-based shingle

@@ -236,6 +236,19 @@ class PlanSpec extends SparkFunSuite {
       s"duplicateWindows must never globalize the row stream:\n$plan")
   }
 
+  test("vocabulary top-k runs as TakeOrderedAndProject (per-partition " +
+    "heaps), never a global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.TextAnalysis.vocabulary(docs, "doc_id", "text", 50)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not a full sort:\n$plan")
+    assert(plan.contains("partial_"),
+      s"vocabulary counts must partial-aggregate map-side:\n$plan")
+  }
+
   test("paragraphDedup: partial aggregates, no window, no " +
     "single-partition collapse") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -179,4 +179,16 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(red("short 123456 stays") === "short 123456 stays") // < 7 digits
     assert(red("clean text") === "clean text")
   }
+
+  test("vocabulary: counts exact, doc frequency distinct, ties by token") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b c"), (3L, "c b")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.vocabulary(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // b: 3 occ / 3 docs; a and c tie at 2 occ, "a" wins the tie; a has
+    // 2 occurrences in ONE doc → n_docs must be distinct-counted
+    assert(top.toSeq == Seq(("b", 3L, 3L), ("a", 2L, 1L)))
+  }
 }
