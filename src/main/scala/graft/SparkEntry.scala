@@ -601,6 +601,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- operators/Catalog + functions/BloomMembership: the catalog's
+    //      ROLLING bloom sidecar, probed through the real committed
+    //      store (the q48/q49 temp catalog — its commit built the
+    //      filter). Every chunk hash of the committed 200 docs must be
+    //      flagged (a miss is a sidecar false negative — impossible
+    //      when the merge chain is correct, so any failure here is a
+    //      real bug), the uncommitted docs' hashes bound the FPR, and
+    //      n_probe/n_member are exact cross-engine chunk arithmetic.
+    //      `.get` is deliberate: a missing sidecar must fail the gate,
+    //      not quietly skip it.
+    "q70_catalog_bloom" -> ((s, dir) =>
+      withTempCatalog(s, dir) { (cat, chunks) =>
+        import graft.functions.BloomMembership
+        val bloom = cat.seenBloom().get
+        val probe = t(s, dir, "documents")
+          .select(explode(TextAnalysis.charChunks(col("text"), 64))
+            .as("chunk"))
+          .select(md5(col("chunk").cast("binary")).as("hash")).distinct()
+        probe
+          .select(col("hash"),
+            BloomMembership.mightContain(bloom, col("hash")).as("hit"))
+          .join(chunks.select("hash").distinct().withColumn("m", lit(1)),
+            Seq("hash"), "left")
+          .agg(
+            count(lit(1)).as("n_probe"),
+            sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_member"),
+            coalesce(bool_and(when(col("m").isNotNull, col("hit"))),
+              lit(true)).as("members_all_flagged"),
+            (coalesce(sum(when(col("m").isNull && col("hit"), 1L)
+                .otherwise(0L)), lit(0L)) * 20L <=
+              coalesce(sum(when(col("m").isNull, 1L).otherwise(0L)),
+                lit(0L))).as("fpr_within_bound"))
+      }),
+
     // ---- ext/TextAnalysis: corpus vocabulary — top-50 tokens with
     //      occurrence + document counts, ties broken by token
     "q69_vocabulary" -> ((s, dir) =>
@@ -1676,6 +1710,22 @@ object SparkEntry {
         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
         |FROM tok LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q70_catalog_bloom" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> md5(substr(text, s, 64)))) AS hash
+        |  FROM documents),
+        |probe AS (SELECT DISTINCT hash FROM chunks),
+        |member AS (SELECT DISTINCT hash FROM chunks WHERE doc_id < 200)
+        |SELECT
+        |  CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe,
+        |  CAST((SELECT count(*) FROM probe
+        |        WHERE hash IN (SELECT hash FROM member)) AS BIGINT)
+        |    AS n_member,
+        |  TRUE AS members_all_flagged,
+        |  TRUE AS fpr_within_bound""".stripMargin,
 
     "q69_vocabulary" ->
       """SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,

@@ -50,13 +50,14 @@ case class DedupResult(outputName: String, fileId: Long,
   * run with no data.
   */
 class Deduplicator(spark: SparkSession, workDir: String,
-                   bucketChars: Int = 2) {
+                   bucketChars: Int = 2, bloomItems: Long = 1000000L) {
 
   // Bucket width sizes the catalog's physical layout to the deployment
   // (16^bucketChars buckets; every commit pays a fixed per-bucket-dir
-  // write cost — see Catalog's scaladoc). Persisted at first commit;
-  // reopening an existing store adopts its pinned width.
-  val catalog = new Catalog(spark, s"$workDir/catalog", bucketChars)
+  // write cost — see Catalog's scaladoc), bloomItems its probe-prefilter
+  // sketch (0 disables). Both persisted at first commit; reopening an
+  // existing store adopts its pinned knobs.
+  val catalog = new Catalog(spark, s"$workDir/catalog", bucketChars, bloomItems)
   private def parquetPath(name: String) = s"$workDir/encoded/$name.parquet"
   private def binPath(name: String) = s"$workDir/encoded/$name"
 
@@ -131,10 +132,29 @@ class Deduplicator(spark: SparkSession, workDir: String,
     val stats = hashed.groupBy("hash")
       .agg(min(struct(col("fidx"), col("pos"))).as("first"),
         count(lit(1)).as("occ"))
-    val probed = hashed
-      .join(catalog.links().select(col("hash"),
-          col("line").as("cat_line"), col("file_id").as("cat_file_id")),
-        Seq("hash"), "left_outer")
+    val catLinks = catalog.links().select(col("hash"),
+      col("line").as("cat_line"), col("file_id").as("cat_file_id"))
+    // Bloom prefilter (when the catalog maintains its sidecar): rows
+    // whose hash is certainly novel — no false negatives at any fill
+    // level — skip the catalog join entirely and take the no-match
+    // columns directly; only the possibly-seen slice (~fpp of the new
+    // plus all true repeats) pays the join shuffle. At 100 TB the
+    // common case is a mostly-novel batch, so this turns the probe's
+    // dominant cost from "shuffle everything" into "shuffle the few".
+    // A saturated or absent filter degrades to the plain join — the
+    // result is identical either way, only the split ratio moves.
+    val catJoined = catalog.seenBloom() match {
+      case Some(bloom) =>
+        graft.functions.VecExpressions.register(spark) // graft_bloom_might_contain
+        val mc = graft.functions.BloomMembership.mightContain(bloom, col("hash"))
+        hashed.where(mc).join(catLinks, Seq("hash"), "left_outer")
+          .unionByName(hashed.where(!mc)
+            .withColumn("cat_line", lit(null).cast("long"))
+            .withColumn("cat_file_id", lit(null).cast("long")))
+      case None =>
+        hashed.join(catLinks, Seq("hash"), "left_outer")
+    }
+    val probed = catJoined
       .join(stats, Seq("hash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cpPinned: Seq[org.apache.spark.rdd.RDD[_]] = Nil

@@ -49,11 +49,23 @@ import java.nio.charset.StandardCharsets
   * adopted on every reopen — mixing widths within one catalog would
   * scatter a hash's links across buckets and break manifest carry-
   * forward, so the constructor argument only applies to an EMPTY dir.
+  *
+  * Each version additionally carries a BLOOM sidecar — a rolling bloom
+  * filter over every hash ever committed (capacity `bloomItems`, pinned
+  * in the meta like the bucket width; 0 disables). Commits extend it
+  * with a distributed delta sketch over just their new hashes (cost ∝
+  * run), and [[seenBloom]] hands it to the dedup probe as the skip-the-
+  * join prefilter ([[graft.functions.BloomMembership]]): certainly-novel
+  * chunks — the common case in a growing store — never pay the links
+  * join. Correct at any fill level (no false negatives); past capacity
+  * it only degrades toward the plain join-everything path.
   */
-class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
+class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
+              bloomItems: Long = 1000000L) {
   import Catalog._
   require(bucketChars >= 1 && bucketChars <= 8,
     s"bucketChars must be in [1,8], got $bucketChars")
+  require(bloomItems >= 0, s"bloomItems must be >= 0, got $bloomItems")
 
   private val fs = FileSystem.get(new java.net.URI(dir),
     spark.sparkContext.hadoopConfiguration)
@@ -64,22 +76,75 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
     * else the constructor's (persisted by the first commit). Read once —
     * the width of an existing catalog never changes.
     */
-  private lazy val bucketWidth: Int =
-    if (fs.exists(metaPath)) {
+  private def readMetaText(): Option[String] =
+    if (!fs.exists(metaPath)) None
+    else {
       val in = fs.open(metaPath)
-      val text = try {
+      try {
         val buf = new java.io.ByteArrayOutputStream()
         val b = new Array[Byte](256)
         var n = in.read(b)
         while (n >= 0) { if (n > 0) buf.write(b, 0, n); n = in.read(b) }
-        new String(buf.toByteArray, StandardCharsets.UTF_8)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
       } finally in.close()
-      text.linesIterator.collectFirst {
-        case l if l.startsWith("bucket_chars=") =>
-          l.stripPrefix("bucket_chars=").trim.toInt
-      }.getOrElse(2)
-    } else if (currentVersion > 0) 2 // pre-meta layout: the historic constant
-    else bucketChars
+    }
+
+  private lazy val bucketWidth: Int =
+    readMetaText() match {
+      case Some(text) =>
+        text.linesIterator.collectFirst {
+          case l if l.startsWith("bucket_chars=") =>
+            l.stripPrefix("bucket_chars=").trim.toInt
+        }.getOrElse(2)
+      case None =>
+        if (currentVersion > 0) 2 // pre-meta layout: the historic constant
+        else bucketChars
+    }
+
+  /** Effective bloom capacity: the persisted value on reopen (a missing
+    * line or a pre-meta catalog → 0 = bloom disabled), else the
+    * constructor's. Immutable like the bucket width — every commit's
+    * delta sketch must stay bit-compatible with the carried filter, and
+    * (capacity, numBits) IS that compatibility contract.
+    */
+  private lazy val bloomCapacity: Long =
+    readMetaText() match {
+      case Some(text) =>
+        text.linesIterator.collectFirst {
+          case l if l.startsWith("bloom_items=") =>
+            l.stripPrefix("bloom_items=").trim.toLong
+        }.getOrElse(0L)
+      case None => if (currentVersion > 0) 0L else bloomItems
+    }
+
+  private def bloomNumBits: Long = org.apache.spark.util.sketch
+    .BloomFilter.optimalNumOfBits(bloomCapacity, BloomFpp)
+
+  private def readBloom(v: Long): Option[Array[Byte]] = {
+    val p = new Path(versionDir(v), "BLOOM")
+    if (v == 0 || !fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](1 << 16)
+        var n = in.read(b)
+        while (n >= 0) { if (n > 0) buf.write(b, 0, n); n = in.read(b) }
+        Some(buf.toByteArray)
+      } finally in.close()
+    }
+  }
+
+  /** Serialized bloom filter over EVERY hash ever committed (None when
+    * the catalog is empty, was created with `bloomItems = 0`, or
+    * predates the sidecar). A bloom filter has no false negatives at
+    * ANY fill level, so "not in filter" always proves "never
+    * cataloged" — the probe prefilter
+    * ([[graft.functions.BloomMembership.certainlyNovel]]) stays exact
+    * even long past capacity; saturation only degrades it toward
+    * flagging everything, which is the plain join-everything path.
+    */
+  def seenBloom(): Option[Array[Byte]] = readBloom(currentVersion)
 
   private def bucketOf(hash: String): String = hash.substring(0, bucketWidth)
   private def bucketCol(hash: org.apache.spark.sql.Column) =
@@ -242,6 +307,34 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
       (spark.sparkContext.getPersistentRDDs -- beforeCp).values.toSeq
 
     try {
+      // Rolling bloom sidecar: a distributed delta sketch over ONLY this
+      // commit's new hashes (cost ∝ run; deltas touch pre-bloomed
+      // hashes), OR-merged into the carried filter. (capacity, numBits)
+      // come from the pinned meta, so every delta is bit-compatible
+      // with every predecessor by construction.
+      val newBloom: Option[Array[Byte]] =
+        if (bloomCapacity <= 0L) None
+        else {
+          import org.apache.spark.util.sketch.BloomFilter
+          graft.functions.VecExpressions.register(spark)
+          val deltaBytes = Option(
+            allNew.select(call_function("graft_bloom_agg",
+                xxhash64(col("hash")), lit(bloomCapacity), lit(bloomNumBits))
+              .as("bf")).head().getAs[Array[Byte]]("bf"))
+          val merged = (readBloom(v).map(BloomFilter.readFrom),
+              deltaBytes.map(BloomFilter.readFrom)) match {
+            case (Some(o), Some(d)) => o.mergeInPlace(d)
+            case (Some(o), None)    => o
+            case (None, Some(d))    => d
+            // bloom-enabled catalog, empty first commit: write the
+            // empty filter so the sidecar exists from version 1 on
+            case (None, None) => BloomFilter.create(bloomCapacity, bloomNumBits)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          merged.writeTo(bos)
+          Some(bos.toByteArray)
+        }
+
       // Buckets this commit touches; everything else is carried forward
       // by manifest reference. Tiny: ≤ 256 values.
       val touched = allNew.select(bucketCol(col("hash")).as("b"))
@@ -249,7 +342,7 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
         .distinct().collect().map(_.getString(0)).toSet
 
       if (touched.isEmpty) {
-        writeVersion(v + 1, newFiles, None, oldManifest)
+        writeVersion(v + 1, newFiles, None, oldManifest, newBloom)
       } else {
         val oldTouched = oldLinks
           .where(bucketCol(col("hash")).isin(touched.toSeq: _*))
@@ -257,7 +350,7 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
           .join(allDeltas, Seq("hash"), "left")
           .withColumn("refs_num", col("refs_num") + coalesce(col("delta"), lit(0L)))
           .drop("delta")
-        writeVersion(v + 1, newFiles, Some(mergedData), oldManifest)
+        writeVersion(v + 1, newFiles, Some(mergedData), oldManifest, newBloom)
       }
     } finally cpPinned.foreach(_.unpersist(false))
   }
@@ -362,7 +455,9 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
     val v = currentVersion
     if (v == 0) return 0L
     val allLinks = links().repartition(bucketCol(col("hash")))
-    writeVersion(v + 1, files(), Some(allLinks), Map.empty)
+    // the bloom is append-only truth (links are never deleted), so the
+    // compacted version carries the current filter forward unchanged
+    writeVersion(v + 1, files(), Some(allLinks), Map.empty, readBloom(v))
     vacuum()
     v + 1
   }
@@ -379,25 +474,32 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
     */
   private def writeVersion(v: Long, filesDf: DataFrame,
                            changedLinks: Option[DataFrame],
-                           oldManifest: Map[String, Long]): Unit = {
-    // Pin the bucket width before the first version becomes visible; an
-    // existing meta is never rewritten (the width of a catalog is
-    // immutable — see the class scaladoc).
+                           oldManifest: Map[String, Long],
+                           bloom: Option[Array[Byte]]): Unit = {
+    // Pin the layout knobs before the first version becomes visible; an
+    // existing meta is never rewritten (width and bloom sizing of a
+    // catalog are immutable — see the class scaladoc).
     if (!fs.exists(metaPath)) {
       try {
         val out = fs.create(metaPath, false)
-        try out.write(s"bucket_chars=$bucketWidth\n"
-          .getBytes(StandardCharsets.UTF_8))
+        try out.write(
+          s"bucket_chars=$bucketWidth\nbloom_items=$bloomCapacity\n"
+            .getBytes(StandardCharsets.UTF_8))
         finally out.close()
       } catch {
         // Lost the meta race to a concurrent first committer. Safe iff
-        // it pinned the SAME width this commit's data was staged with;
-        // otherwise fail before publishing mixed-width buckets.
+        // it pinned the SAME knobs this commit's data was staged with;
+        // otherwise fail before publishing mixed-layout data.
         case _: java.io.IOException =>
-          val other = new Catalog(spark, dir).bucketWidth
-          require(other == bucketWidth,
+          val other = new Catalog(spark, dir)
+          require(other.bucketWidth == bucketWidth,
             s"concurrent catalog creation with different bucket widths: " +
-              s"this commit staged width $bucketWidth, meta pinned $other")
+              s"this commit staged width $bucketWidth, meta pinned " +
+              s"${other.bucketWidth}")
+          require(other.bloomCapacity == bloomCapacity,
+            s"concurrent catalog creation with different bloom sizing: " +
+              s"this commit staged $bloomCapacity, meta pinned " +
+              s"${other.bloomCapacity}")
       }
     }
     val vd = versionDir(v)
@@ -429,6 +531,13 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
       .getBytes(StandardCharsets.UTF_8)
     val mOut = fs.create(new Path(tmp, "MANIFEST"), true)
     try mOut.write(manifestBytes) finally mOut.close()
+    // BLOOM is staged with everything else so the sidecar is atomic
+    // with the commit it describes (no version can be visible with a
+    // filter missing its hashes).
+    bloom.foreach { bytes =>
+      val bOut = fs.create(new Path(tmp, "BLOOM"), true)
+      try bOut.write(bytes) finally bOut.close()
+    }
     val cOut = fs.create(new Path(tmp, "COMMIT"), false)
     cOut.close()
     def loseRace(): Nothing = {
@@ -449,6 +558,10 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2) {
 
 object Catalog {
   private val VersionRe = "v_(\\d+)".r
+  /** Target false-positive rate the bloom sidecar is sized for at its
+    * pinned capacity (optimalNumOfBits(bloomItems, BloomFpp) bits).
+    */
+  private val BloomFpp = 0.01
   private val BucketRe = "bucket=(.+)".r
 
   /** One run's catalog contribution, for batched commits.

@@ -75,6 +75,59 @@ class CatalogSpec extends SparkFunSuite {
     assert(reopened.getHashLink("b033").count() == 1)
   }
 
+  test("bloom sidecar: rolls forward across commits with no false " +
+      "negatives; capacity pinned; 0 disables") {
+    val s = spark; import s.implicits._
+    import graft.functions.BloomMembership
+    import org.apache.spark.sql.functions.col
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    val dir = tempDir("cat-bloom")
+    val cat = new Catalog(spark, s"$dir/catalog", bloomItems = 1000L)
+    cat.commitRun("f1", 64, "sha",
+      Seq(("aa11", 0L, 1L), ("bb22", 1L, 2L))
+        .toDF("hash", "line", "refs_num"), none)
+    val b1 = cat.seenBloom()
+    assert(b1.isDefined, "bloom sidecar must exist from version 1")
+    // meta pins both knobs
+    val meta = Files.readAllLines(
+      Paths.get(s"$dir/catalog/_graft_catalog_meta"))
+    assert(meta.contains("bloom_items=1000"))
+    // second commit MERGES: both old and new hashes flagged afterwards
+    cat.commitRun("f2", 64, "sha",
+      Seq(("cc33", 0L, 1L)).toDF("hash", "line", "refs_num"),
+      Seq(("aa11", 2L)).toDF("hash", "delta"))
+    val b2 = cat.seenBloom().get
+    val flags = Seq("aa11", "bb22", "cc33", "zz99").toDF("h")
+      .select(col("h"), BloomMembership.mightContain(b2, col("h")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(flags("aa11") && flags("bb22") && flags("cc33"),
+      s"committed hashes must all be flagged: $flags")
+    // (zz99 is *allowed* to be a false positive; no assertion)
+    // a delta-only commit must not lose the filter
+    cat.commitRun("f3", 64, "sha",
+      Seq.empty[(String, Long, Long)].toDF("hash", "line", "refs_num"),
+      Seq(("bb22", 1L)).toDF("hash", "delta"))
+    assert(cat.seenBloom().isDefined)
+    // compact carries the filter forward
+    cat.compact()
+    val bc = cat.seenBloom()
+    assert(bc.isDefined, "compact must carry the bloom forward")
+    // reopen WITHOUT the knob: pinned capacity wins, commits still merge
+    val reopened = new Catalog(spark, s"$dir/catalog")
+    reopened.commitRun("f4", 64, "sha",
+      Seq(("dd44", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    val b4 = reopened.seenBloom().get
+    val f4 = Seq("aa11", "dd44").toDF("h")
+      .select(BloomMembership.mightContain(b4, col("h"))).collect()
+    assert(f4.forall(_.getBoolean(0)))
+    // bloomItems = 0 disables the sidecar entirely
+    val off = new Catalog(spark, s"$dir/off", bloomItems = 0L)
+    off.commitRun("g1", 64, "sha",
+      Seq(("aa11", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    assert(off.seenBloom().isEmpty)
+    assert(!new java.io.File(s"$dir/off/v_000001/BLOOM").exists())
+  }
+
   test("vacuum deletes only unreferenced versions, keeps live buckets") {
     val s = spark; import s.implicits._
     val dir = tempDir("cat-vacuum")
