@@ -601,6 +601,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ext/TextAnalysis: corpus-wide TF-IDF scores per (doc, token)
+    //      — raw tf × ln(N/df), each value a single ln product (no
+    //      float summation), so the full score table hash-matches
+    //      cross-engine; top-k consumers order downstream
+    "q71_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "tok")),
+
     // ---- operators/Catalog + functions/BloomMembership: the catalog's
     //      ROLLING bloom sidecar, probed through the real committed
     //      store (the q48/q49 temp catalog — its commit built the
@@ -1710,6 +1718,21 @@ object SparkEntry {
         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
         |FROM tok LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q71_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, tok, tf, df,
+        |  CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |    AS tfidf
+        |FROM tf JOIN df USING (tok), n
+        |ORDER BY doc_id, tok""".stripMargin,
 
     "q70_catalog_bloom" ->
       """WITH chunks AS (

@@ -194,6 +194,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-(document, token) TF-IDF scores — tf(d,t) · ln(N / df(t)) with
+    * raw counts, the classic corpus-wide keyword/quality weighting a
+    * curation pipeline feeds into salient-term extraction. Shape: two
+    * hash aggregates (both map-side partial) + one vocabulary-keyed
+    * equi-join; the corpus size N enters as a one-row broadcast cross
+    * join so the whole thing is ONE plan with no driver action. The
+    * df side is vocabulary-sized, not corpus-sized, and nothing here
+    * orders by the float score: each emitted value is a single ln
+    * product (no float summation whose accumulation order could
+    * differ across engines), so the score table is exactly
+    * cross-engine comparable; top-k consumers order downstream.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfCounts, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+  }
+
   /** Rolling-hash fingerprint over tokens: fold
     * acc = rotl(acc, 5) XOR xxhash64(token), in token order. A cheap
     * order-sensitive document signature (unlike the set-based shingle

@@ -249,6 +249,22 @@ class PlanSpec extends SparkFunSuite {
       s"vocabulary counts must partial-aggregate map-side:\n$plan")
   }
 
+  test("tfIdf: partial aggregates, broadcast scalar N, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.TextAnalysis.tfIdf(docs, "doc_id", "text")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"),
+      s"tf/df counts must partial-aggregate map-side:\n$plan")
+    // the corpus-size scalar enters as a broadcast of ONE row — the
+    // only nested-loop allowed in this plan
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"scalar N must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"tfIdf must never window or go all-pairs:\n$plan")
+  }
+
   test("paragraphDedup: partial aggregates, no window, no " +
     "single-partition collapse") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -191,4 +191,25 @@ class TextAnalysisSpec extends SparkFunSuite {
     // 2 occurrences in ONE doc → n_docs must be distinct-counted
     assert(top.toSeq == Seq(("b", 3L, 3L), ("a", 2L, 1L)))
   }
+
+  test("tfIdf: raw-count tf, distinct-doc df, ln(N/df) weighting") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "a a b"), (2L, "b c"), (3L, "b")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfIdf(corpus, "doc_id", "text")
+      .orderBy("doc_id", "tok")
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // N=3; df: a→1, b→3, c→1. Engine log implementations may differ in
+    // the last ulp, so scores compare with tolerance (the cross-engine
+    // gate rounds to 6 decimals for the same reason).
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(rows((1L, "a"))._1 == 2L && rows((1L, "a"))._2 == 1L &&
+      close(rows((1L, "a"))._3, 2.0 * math.log(3.0)))
+    assert(rows((1L, "b")) == (1L, 3L, 0.0)) // ln(N/N) exactly 0
+    assert(close(rows((2L, "c"))._3, math.log(3.0)))
+    assert(rows((3L, "b"))._3 == 0.0) // corpus-universal token scores 0
+    assert(rows.size == 5) // one row per distinct (doc, token)
+  }
 }
