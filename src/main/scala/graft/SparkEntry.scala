@@ -601,6 +601,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ext/CorpusPrep: cross-source contamination matrix — distinct
+    //      chunk hashes shared per source pair (diagonal = each
+    //      source's own distinct-chunk total), exact cross-engine
+    "q72_source_overlap" -> ((s, dir) =>
+      graft.ext.CorpusPrep
+        .sourceOverlap(t(s, dir, "documents"), "source", "text", 64)
+        .orderBy("src_a", "src_b")),
+
     // ---- ext/TextAnalysis: corpus-wide TF-IDF scores per (doc, token)
     //      — raw tf × ln(N/df), each value a single ln product (no
     //      float summation), so the full score table hash-matches
@@ -1718,6 +1726,20 @@ object SparkEntry {
         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
         |FROM tok LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q72_source_overlap" ->
+      """WITH ch AS (
+        |  SELECT DISTINCT source, hash FROM (
+        |    SELECT source,
+        |      unnest(list_transform(range(1, length(text) + 1, 64),
+        |        s -> md5(substr(text, s, 64)))) AS hash
+        |    FROM documents))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM ch a JOIN ch b USING (hash)
+        |WHERE a.source <= b.source
+        |GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q71_tfidf" ->
       """WITH tf AS (

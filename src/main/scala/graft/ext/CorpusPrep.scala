@@ -324,4 +324,31 @@ object CorpusPrep {
         count(lit(1)).as("n_distinct"),
         max("c").as("top_count"))
   }
+
+  /** Cross-source contamination matrix: for every source pair with
+    * src_a ≤ src_b, the number of DISTINCT chunk hashes both sources
+    * contain — the "how much of A also appears in B" audit a corpus
+    * build runs before committing to mixing weights. The diagonal
+    * (s, s) carries each source's own distinct-chunk total, so
+    * shared / diagonal yields containment ratios with no second
+    * pass. Shape: distinct (source, hash) — map-side partial — then
+    * a hash-keyed self-join whose per-hash fan-out is bounded by the
+    * source count squared (never by corpus size; there are dozens of
+    * sources, not millions), then a pair-keyed count over at most
+    * |sources|² groups. Every corpus-sized shuffle keys on the chunk
+    * hash — uniform by construction, no skew path.
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      width: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val ch = df.select(col(srcCol).as("source"),
+        explode(TextAnalysis.charChunks(col(textCol), width)).as("chunk"))
+      .select(col("source"), md5(col("chunk").cast("binary")).as("hash"))
+      .distinct()
+    ch.select(col("source").as("src_a"), col("hash"))
+      .join(ch.select(col("source").as("src_b"), col("hash")), Seq("hash"))
+      .where(col("src_a") <= col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

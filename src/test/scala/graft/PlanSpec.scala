@@ -265,6 +265,20 @@ class PlanSpec extends SparkFunSuite {
       s"tfIdf must never window or go all-pairs:\n$plan")
   }
 
+  test("sourceOverlap: partial distinct, hash-keyed join, no all-pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.CorpusPrep.sourceOverlap(docs, "source", "text", 64)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_") || plan.contains("HashAggregate"),
+      s"distinct (source, hash) must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"the self-join must stay hash-keyed, never all-pairs:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"),
+      s"sourceOverlap must never globalize the row stream:\n$plan")
+  }
+
   test("paragraphDedup: partial aggregates, no window, no " +
     "single-partition collapse") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -247,4 +247,19 @@ class CorpusPrepSpec extends SparkFunSuite {
     assert(out.toSeq === Seq(
       (1L, 4L, 2L, 2L), (2L, 2L, 2L, 1L), (3L, 3L, 1L, 3L)))
   }
+
+  test("sourceOverlap: distinct shared chunks per pair, diagonal = totals") {
+    // width 4 → chunks: "aaaa","bbbb","cccc","dddd"; repeats within a
+    // source must NOT inflate counts (distinct per (source, hash))
+    val docs = Seq(
+      ("A", "aaaabbbb"), ("A", "aaaacccc"), // A: {aaaa, bbbb, cccc}
+      ("B", "bbbbcccc"),                    // B: {bbbb, cccc}
+      ("C", "dddd"), ("C", "dddd")          // C: {dddd}, repeated doc
+    ).toDF("source", "text")
+    val out = CorpusPrep.sourceOverlap(docs, "source", "text", 4)
+      .as[(String, String, Long)].collect().sortBy(p => (p._1, p._2))
+    // pairs with zero overlap (A-C, B-C) must be ABSENT, not zero rows
+    assert(out.toSeq === Seq(
+      ("A", "A", 3L), ("A", "B", 2L), ("B", "B", 2L), ("C", "C", 1L)))
+  }
 }
