@@ -601,6 +601,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ext/CorpusPrep: corpus version diff — two snapshots derived
+    //      deterministically from `documents` (drop %10 ids from old,
+    //      drop %7 from new, rewrite %5 texts), every id classified by
+    //      content hash; ids absent from both snapshots emit NO row
+    "q73_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val neu = docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.ext.CorpusPrep.corpusDiff(old, neu, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- ext/CorpusPrep: cross-source contamination matrix — distinct
     //      chunk hashes shared per source pair (diagonal = each
     //      source's own distinct-chunk total), exact cross-engine
@@ -1725,6 +1741,22 @@ object SparkEntry {
         |  CAST(len(tok.t) AS BIGINT) AS n_paras,
         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
         |FROM tok LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q73_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |new_v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q72_source_overlap" ->

@@ -338,6 +338,28 @@ object CorpusPrep {
     * |sources|² groups. Every corpus-sized shuffle keys on the chunk
     * hash — uniform by construction, no skew path.
     */
+  /** Corpus version diff: classify every doc id across two corpus
+    * snapshots as added / removed / changed / unchanged, comparing
+    * CONTENT (md5 of text), not timestamps — the audit an incremental
+    * refresh runs to bound re-training cost and to verify an ingest
+    * did what it claimed. One full-outer equi-join on the id with
+    * per-side content hashes computed in the scan projection; no
+    * corpus-sized state besides the join itself, and the join keys on
+    * the doc id — unique by construction, no skew path.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(idCol).as("doc_id"), md5(col(textCol)).as(h))
+    hashed(oldDf, "old_hash")
+      .join(hashed(newDf, "new_hash"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
       width: Int): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")

@@ -262,4 +262,15 @@ class CorpusPrepSpec extends SparkFunSuite {
     assert(out.toSeq === Seq(
       ("A", "A", 3L), ("A", "B", 2L), ("B", "B", 2L), ("C", "C", 1L)))
   }
+
+  test("corpusDiff classifies by content, ids absent from both emit no row") {
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.corpusDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
 }
