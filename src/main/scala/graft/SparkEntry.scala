@@ -601,6 +601,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ext/DocDedup: MinHash Jaccard-ESTIMATOR accuracy — docs
+    //      paired (2i, 2i+1), exact bigram-set intersection/union as
+    //      cross-engine integers, and the in-query claim that the
+    //      128-hash signature estimate sits within 0.25 of exact
+    //      (≈5.7σ — a mis-seeded or mis-banded estimator trips it,
+    //      a correct one never does). The estimate itself is not
+    //      DuckDB-computable, so the CLAIM is the oracle row.
+    "q74_minhash_estimate" -> ((s, dir) => {
+      graft.functions.VecExpressions.register(s)
+      val base = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(expr("doc_id div 2").as("pair"),
+          (col("doc_id") % 2).as("side"), col("text"))
+      val sh = base.select(col("pair"), col("side"),
+        explode(TextAnalysis.wordBigrams(col("text"))).as("sh")).distinct()
+      val both = sh.groupBy("pair")
+        .agg(count_distinct(col("side")).as("ns"))
+        .where(col("ns") === 2).select("pair")
+      val exact = sh.groupBy("pair", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("pair").agg(
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_inter"),
+          count(lit(1)).as("n_union"))
+      val sig = base.select(col("pair"), col("side"),
+        call_function("graft_minhash_sig",
+          TextAnalysis.wordBigrams(col("text")), lit(128)).as("sig"))
+      val est = sig.where(col("side") === 0)
+        .select(col("pair"), col("sig").as("sa"))
+        .join(sig.where(col("side") === 1)
+          .select(col("pair"), col("sig").as("sb")), Seq("pair"))
+        .select(col("pair"),
+          DocDedup.minHashEstimate(col("sa"), col("sb")).as("est"))
+      exact.join(est, Seq("pair")).join(both, Seq("pair"), "left_semi")
+        .select(col("pair"), col("n_inter"), col("n_union"),
+          (abs(col("est") -
+            col("n_inter").cast("double") / col("n_union").cast("double"))
+            <= 0.25).as("within_bound"))
+        .orderBy("pair")
+    }),
+
     // ---- ext/CorpusPrep: corpus version diff — two snapshots derived
     //      deterministically from `documents` (drop %10 ids from old,
     //      drop %7 from new, rewrite %5 texts), every id classified by
@@ -1742,6 +1780,29 @@ object SparkEntry {
         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
         |FROM tok LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q74_minhash_estimate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT DISTINCT doc_id // 2 AS pair, doc_id % 2 AS side,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |           i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM toks),
+        |both_sides AS (
+        |  SELECT pair FROM (SELECT DISTINCT pair, side FROM sh)
+        |  GROUP BY pair HAVING count(*) = 2),
+        |agg AS (
+        |  SELECT pair,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_inter,
+        |    CAST(count(*) AS BIGINT) AS n_union
+        |  FROM (SELECT pair, sh, count(*) AS c FROM sh GROUP BY pair, sh)
+        |  GROUP BY pair)
+        |SELECT pair, n_inter, n_union, TRUE AS within_bound
+        |FROM agg JOIN both_sides USING (pair)
+        |ORDER BY pair""".stripMargin,
 
     "q73_corpus_diff" ->
       """WITH old AS (

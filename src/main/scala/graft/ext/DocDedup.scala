@@ -392,6 +392,21 @@ object DocDedup {
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Fraction of equal MinHash signature components — the unbiased
+    * Jaccard estimator the banded-LSH tier is built on (Broder 1997:
+    * P[min-hash collision] = J). Pure array arithmetic over two
+    * k-element signatures; with k components the estimate's std dev is
+    * √(J(1−J)/k), which is what a correctness gate bounds against the
+    * exact set Jaccard. The lambdas touch only their own variables
+    * (the interpreted-HOF rule), and the match count ≤ k never
+    * overflows under ANSI.
+    */
+  def minHashEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) =>
+        when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") /
+      size(sigA).cast("double")
+
   /** Banded-LSH near-dup pairs with exact verification:
     * shingle array → minhash(bands·rows) → groupBy(band, band-signature)
     * → candidate pairs where any band collides → exact Jaccard ≥ num/den

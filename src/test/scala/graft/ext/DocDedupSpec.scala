@@ -348,4 +348,26 @@ class DocDedupSpec extends SparkFunSuite {
     assert(DocDedup.probeMinHashIndex(degenerate, docs, "doc_id", "text",
       path, 7, 10).count() == 0)
   }
+
+  test("minHashEstimate: 1.0 on identical signatures, tracks exact Jaccard") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VecExpressions.register(spark)
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h"),       // identical to 0 → est exactly 1.0
+      (2L, "q r s t u v w x y z")    // bigram-disjoint from 0
+    ).toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      call_function("graft_minhash_sig",
+        graft.ext.TextAnalysis.wordBigrams(col("text")), lit(128)).as("s"))
+    def est(a: Long, b: Long): Double =
+      sig.where(col("doc_id") === a).select(col("s").as("sa"))
+        .crossJoin(sig.where(col("doc_id") === b).select(col("s").as("sb")))
+        .select(DocDedup.minHashEstimate(col("sa"), col("sb")))
+        .head().getDouble(0)
+    assert(est(0L, 1L) == 1.0)
+    // exact J = 0; k=128 → a correct estimator stays far below 0.25
+    assert(est(0L, 2L) <= 0.25)
+  }
 }
