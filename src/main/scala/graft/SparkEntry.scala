@@ -35,6 +35,24 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** `events.ts` as epoch microseconds, robust to BOTH encodings the
+    * driver's generator has produced across rounds: TIMESTAMP(NANOS)
+    * (which Spark 4 reads as long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS)
+    * (read as timestamp_ntz; the UTC session pins the naive wall time
+    * to the instant DuckDB's `epoch_us` sees, so the two engines agree
+    * bit-for-bit). Every event query derives its time arithmetic from
+    * this one column so a generator re-encoding can never break the
+    * surface again (round 8 learned this the hard way: the sf dirs
+    * silently moved from nanos to micros and the two long-arithmetic
+    * queries stopped analyzing).
+    */
+  private def eventTsUs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   /** The planted-cluster ANN gate corpus shared by q43/q44/q51 (their
     * DuckDB oracles share one constant row shape, so the construction
     * must stay in lockstep): 10 exact copies of each of the first 50
@@ -236,18 +254,21 @@ object SparkEntry {
         .limit(10)),
 
     // ---- §2.8: event-time tumbling window (batch form of the stream agg).
-    //      `ts` is parquet TIMESTAMP(NANOS) → read as long nanos
-    //      (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench);
-    //      hour-floor in exact long arithmetic, then render as a UTC
+    //      Hour-floor in exact long (epoch-µs) arithmetic via eventTsUs
+    //      (schema-adaptive — see its scaladoc), then render as a UTC
     //      timestamp string so both engines compare text, not precision.
-    "q09_events_hourly" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(
-          expr("cast(timestamp_seconds((ts - ts % 3600000000000) div 1000000000) as string)")
+    "q09_events_hourly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = eventTsUs(ev)
+      // `us - us % hour` stays in exact long arithmetic (no float
+      // division anywhere — the packSequences rule)
+      ev.groupBy(
+          timestamp_micros(us - us % lit(3600000000L)).cast("string")
             .as("w_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("w_start", "event_type")),
+        .orderBy("w_start", "event_type")
+    }),
 
     // ---- ext/TextAnalysis: token + char counts (scan-speed projections)
     "q10_text_stats" -> ((s, dir) =>
@@ -804,16 +825,17 @@ object SparkEntry {
     // ---- §2.8: SLIDING event-time windows (10 min window, 5 min slide —
     //      every event lands in exactly two windows); ns → µs precision
     //      is irrelevant at 5-minute granularity
-    "q34_events_sliding" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(
-          window(expr("timestamp_micros(ts div 1000)"),
+    "q34_events_sliding" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(
+          window(timestamp_micros(eventTsUs(ev)),
             "10 minutes", "5 minutes"),
           col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").cast("string").as("w_start"),
           col("event_type"), col("n"))
-        .orderBy("w_start", "event_type")),
+        .orderBy("w_start", "event_type")
+    }),
 
     // ---- O-level OLAP: ROLLUP over (year, status) with grouping ids
     "q35_rollup_orders" -> ((s, dir) =>
