@@ -660,6 +660,143 @@ object SparkEntry {
         .orderBy("pair")
     }),
 
+    // ---- operators/TemporalOps: as-of join — each click matched to
+    //      the user's most recent prior-or-equal purchase (left outer).
+    //      One (key, ts) exchange + running last; no range predicate
+    //      ever reaches a join operator (the theta formulation would
+    //      plan a BroadcastNestedLoopJoin). DuckDB's native ASOF JOIN
+    //      is the independent oracle. The purchase stream is unique per
+    //      (user, ts) in the generated data at every SF (checked) —
+    //      the operator's state-table contract.
+    "q75_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.withColumn("ts", timestamp_micros(eventTsUs(ev)))
+      val clicks = base.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = base.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.operators.TemporalOps.asOfJoin(clicks, purchases,
+          Seq("user_id"), "ts", "ts", Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"),
+          col("ts_matched_us").as("purchase_us"),
+          col("purchase_id"), col("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- operators/TemporalOps: gap-based sessionization (30 min) +
+    //      per-session summary — all integer-exact (counts + epoch-µs
+    //      bounds), mirrored by DuckDB window SQL
+    "q76_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.withColumn("ts", timestamp_micros(eventTsUs(ev)))
+        .select("user_id", "event_id", "ts")
+      graft.operators.TemporalOps.sessionSummary(base, Seq("user_id"),
+          "ts", 1800L, Seq("event_id"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // ---- operators/RangeJoin: point-in-interval join via bucketing —
+    //      overlapping value bands (a point can match several), the
+    //      plan is a plain equi-join on the bucket id (PlanSpec pins
+    //      no-BNLJ/no-cartesian); DuckDB runs the theta-join directly
+    "q77_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val bands = Seq(
+        (0.0, 50.0, "b00"), (40.0, 120.0, "b01"), (100.0, 250.0, "b02"),
+        (200.0, 480.0, "b03"), (450.0, 500.1, "b04"))
+        .toDF("lo", "hi", "band")
+      graft.operators.RangeJoin.pointInInterval(
+          ev.select("event_id", "value"), "value", bands, "lo", "hi", 50.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("min_event"), max("event_id").as("max_event"))
+        .orderBy("band")
+    }),
+
+    // ---- ext/CorpusPrep: deterministic global training order — exact
+    //      permutation rank by salted content hash, computed with the
+    //      two-level (bucket offset + in-bucket row_number) idiom, no
+    //      global window; DuckDB states the same order as ONE global
+    //      row_number, so the gate proves the decomposition exact
+    "q78_shuffle_order" -> ((s, dir) =>
+      graft.ext.CorpusPrep.shuffleOrder(
+          t(s, dir, "documents").select("doc_id"), col("doc_id"), "r8")
+        .select(col("doc_id"), col("rank").as("ord"))
+        .orderBy("doc_id")),
+
+    // ---- A-level: exact vs approximate percentiles of doc length per
+    //      source — exact `percentile` is cross-engine (same (n-1)·p
+    //      interpolation as DuckDB quantile_cont), and the
+    //      `percentile_approx` sketch value is asserted in-query to sit
+    //      inside the [p−0.05, p+0.05] exact-quantile band (the q54
+    //      falsifiability pattern: DuckDB states the flag TRUE)
+    "q79_length_percentiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          expr("percentile(n_chars, array(0.5D, 0.9D))").as("ex"),
+          expr("percentile(n_chars, array(0.45D, 0.55D, 0.85D, 0.95D))")
+            .as("nb"),
+          expr("percentile_approx(n_chars, array(0.5D, 0.9D), 1000)")
+            .as("ap"))
+        .select(col("source"),
+          element_at(col("ex"), 1).as("p50"),
+          element_at(col("ex"), 2).as("p90"),
+          (element_at(col("ap"), 1) >= element_at(col("nb"), 1) &&
+            element_at(col("ap"), 1) <= element_at(col("nb"), 2))
+            .as("p50_ok"),
+          (element_at(col("ap"), 2) >= element_at(col("nb"), 3) &&
+            element_at(col("ap"), 2) <= element_at(col("nb"), 4))
+            .as("p90_ok"))
+        .orderBy("source")),
+
+    // ---- functions/CountMinFrequency: count-min-sketch frequency
+    //      estimates for the exact top-20 tokens. Both sides of the CMS
+    //      error model are falsifiable: estimates can NEVER undercount
+    //      (any FALSE in never_under = broken sketch), and the
+    //      overcount is asserted at 10× the sketch's ε·N (margin makes
+    //      the deterministic-seed outcome stable); exact counts are
+    //      cross-engine, DuckDB states the flags TRUE
+    "q80_cms_heavyhitters" -> ((s, dir) => {
+      import graft.functions.CountMinFrequency
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sketch = CountMinFrequency.buildSketch(toks, col("tok"),
+        eps = 0.0005, confidence = 0.99, seed = 42)
+      val totals = toks.agg(count(lit(1)).as("n_total"))
+      val est = CountMinFrequency.estimate(sketch, col("tok"))
+      toks.groupBy("tok").agg(count(lit(1)).as("n_occ"))
+        .orderBy(desc("n_occ"), col("tok")).limit(20)
+        .crossJoin(broadcast(totals))
+        .select(col("tok"), col("n_occ"),
+          (est >= col("n_occ")).as("never_under"),
+          (est <= col("n_occ") +
+            ceil(col("n_total") * lit(0.005)).cast("long"))
+            .as("within_bound"))
+        .orderBy("tok")
+    }),
+
+    // ---- ext/CorpusPrep: temperature-balanced source sampling at
+    //      α = 0.5 — per-source keep threshold ⌊√(n_min/n_s)·65536⌋ is
+    //      bit-identical cross-engine (sqrt/÷ are IEEE correctly
+    //      rounded, ×2^16 is exact — see temperatureSample's scaladoc),
+    //      so DuckDB reproduces the EXACT kept set, not a tolerance
+    "q81_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = graft.ext.CorpusPrep.temperatureSample(docs,
+        col("doc_id"), col("source"), "r8t")
+      docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // ---- ext/CorpusPrep: corpus version diff — two snapshots derived
     //      deterministically from `documents` (drop %10 ids from old,
     //      drop %7 from new, rewrite %5 texts), every id classified by
@@ -1825,6 +1962,98 @@ object SparkEntry {
         |SELECT pair, n_inter, n_union, TRUE AS within_bound
         |FROM agg JOIN both_sides USING (pair)
         |ORDER BY pair""".stripMargin,
+
+    "q75_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |       epoch_us(p.ts) AS purchase_us,
+        |       p.purchase_id, p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q76_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |x AS (
+        |  SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us,
+        |       max(us) - min(us) AS span_us
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q77_interval_join" ->
+      """WITH bands(lo, hi, band) AS (
+        |  VALUES (0.0, 50.0, 'b00'), (40.0, 120.0, 'b01'),
+        |         (100.0, 250.0, 'b02'), (200.0, 480.0, 'b03'),
+        |         (450.0, 500.1, 'b04'))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(e.event_id) AS min_event, max(e.event_id) AS max_event
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q78_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(doc_id || ':r8:shuffle'), doc_id) - 1 AS BIGINT)
+        |    AS ord
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q79_length_percentiles" ->
+      """SELECT source,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q80_cms_heavyhitters" ->
+      """SELECT tok, n_occ, TRUE AS never_under, TRUE AS within_bound
+        |FROM (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 20)
+        |ORDER BY tok""".stripMargin,
+
+    "q81_temperature_mix" -> {
+      val u = sqlHashUnit16("d.doc_id", "r8t", 13)
+      s"""WITH c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_total
+         |  FROM documents GROUP BY source),
+         |m AS (SELECT min(n_total) AS n_min FROM c),
+         |t AS (
+         |  SELECT source, n_total,
+         |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |      * 65536.0) AS INT) AS thr
+         |  FROM c, m),
+         |k AS (
+         |  SELECT d.source, count(*) AS n_kept
+         |  FROM documents d JOIN t USING (source)
+         |  WHERE $u < t.thr
+         |  GROUP BY d.source)
+         |SELECT t.source, t.n_total,
+         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM t LEFT JOIN k USING (source) ORDER BY source""".stripMargin
+    },
 
     "q73_corpus_diff" ->
       """WITH old AS (

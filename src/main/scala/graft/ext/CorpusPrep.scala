@@ -360,6 +360,88 @@ object CorpusPrep {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Deterministic global training order: a total permutation rank by
+    * salted content hash — the "shuffle the corpus once before
+    * training" pass. Same determinism contract as [[splitAssign]]: the
+    * rank is a pure function of (key, seed), so any cluster, any
+    * partitioning, any retry reproduces the same order (Spark's
+    * `orderBy(rand(seed))` is partitioning-dependent and therefore
+    * unacceptable for an order a model's data loader must replay).
+    *
+    * Shape: NOT a global `row_number()` window (which collapses the
+    * corpus to one partition). The digest's first byte buckets rows
+    * into 256 groups whose numeric order equals the digest's
+    * lexicographic order, so global rank = (broadcast per-bucket
+    * offset) + (per-bucket row_number) — the packSequences two-level
+    * idiom; the only unpartitioned window runs over 256 bucket-count
+    * rows. At 100 TB the equivalent is a range-partitioned sort by
+    * the digest; this formulation additionally hands every row its
+    * exact ordinal, which the data loader wants for resumable epochs.
+    *
+    * The digest is salted with ":shuffle" so the order decorrelates
+    * from the [[splitAssign]] / [[weightedMix]] units on the same key
+    * and seed (otherwise rank order would group split labels
+    * together — the digest PREFIX is exactly splitAssign's unit).
+    *
+    * @return input plus `rank` (0-based dense global ordinal)
+    */
+  def shuffleOrder(df: DataFrame, key: Column, seed: String): DataFrame = {
+    val h = md5(concat(key.cast("string"), lit(":" + seed + ":shuffle"))
+      .cast("binary"))
+    val withB = df.withColumn("_graft_h", h)
+      .withColumn("_graft_b",
+        conv(substring(col("_graft_h"), 1, 2), 16, 10).cast("int"))
+    val inBucket = row_number().over(
+      Window.partitionBy("_graft_b").orderBy(col("_graft_h"), key))
+    val offsets = withB.groupBy("_graft_b").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum("n").over(Window.orderBy("_graft_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_graft_b", "off")
+    withB.join(broadcast(offsets), Seq("_graft_b"))
+      .withColumn("rank", col("off") + inBucket.cast("long") - 1L)
+      .drop("_graft_h", "_graft_b")
+  }
+
+  /** Temperature-balanced source sampling at α = 0.5: keep each doc of
+    * source s with probability √(n_min / n_s) — the standard
+    * "temperature" reweighting that upsamples small sources toward
+    * uniform (α = 1 keeps natural proportions, α = 0 is uniform; 0.5
+    * is the common middle used for multilingual corpora). The smallest
+    * source keeps everything; a source 100× larger keeps 10%.
+    *
+    * α is FIXED at 0.5 on purpose: `sqrt` is the one power IEEE 754
+    * requires to be correctly rounded (general `pow` is
+    * implementation-defined in the last ulp), and the bigint→double
+    * cast, the division, and the ×2^16 scaling are all exact or
+    * correctly rounded too — so the keep threshold
+    * ⌊√(n_min/n_s)·65536⌋ is bit-identical in ANY engine and the
+    * sample is exactly oracle-checkable, the same property
+    * [[threshold16]] gives [[weightedMix]]'s static weights. A free-α
+    * variant would trade that for a ±1-unit cross-engine wobble on
+    * threshold boundaries.
+    *
+    * Decision unit is [[hashUnit16]] at hex position 13 —
+    * decorrelated from split (1), mix (5), and cap (9) decisions on
+    * the same key. Per-source counts ride a broadcast join; the keep
+    * decision is a pure per-row projection, so the whole operator is
+    * one small aggregate + one scan at any corpus size.
+    */
+  def temperatureSample(df: DataFrame, key: Column, srcCol: Column,
+      seed: String): DataFrame = {
+    val counts = df.groupBy(srcCol.as("_graft_src"))
+      .agg(count(lit(1)).as("_graft_n"))
+    val nMin = counts.agg(min("_graft_n").as("_graft_nmin"))
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .withColumn("_graft_thr",
+        floor(sqrt(col("_graft_nmin").cast("double") /
+          col("_graft_n").cast("double")) * 65536.0).cast("int"))
+      .select("_graft_src", "_graft_thr")
+    df.join(broadcast(thresholds), srcCol === col("_graft_src"))
+      .where(hashUnit16(key, seed, 13) < col("_graft_thr"))
+      .drop("_graft_src", "_graft_thr")
+  }
+
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
       width: Int): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")

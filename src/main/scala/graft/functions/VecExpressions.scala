@@ -441,7 +441,11 @@ object VecExpressions {
         "graft_bloom_might_contain"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(es(0), es(1))))
+          .BloomFilterMightContain(es(0), es(1))),
+    (FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(
+        classOf[CountMinFrequency.CmsEstimate].getName, "graft_cms_estimate"),
+      (es: Seq[Expression]) => CountMinFrequency.CmsEstimate(es(0), es(1))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -298,4 +298,54 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
       s"paragraphDedup must never go all-pairs:\n$plan")
   }
+
+  test("asOfJoin and sessionize: one hash exchange by key, no nested " +
+    "loop, no single-partition collapse") {
+    for (q <- Seq("q75_asof_join", "q76_sessionize")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the window must partition by the key — never "No Partition
+      // Defined" (which collapses every event to one task)
+      assert(plan.contains("hashpartitioning(user_id"),
+        s"$q window must hash-partition by user_id:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"$q must never globalize the event stream:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"$q must not plan a nested loop (the theta formulation " +
+          s"would):\n$plan")
+    }
+  }
+
+  test("interval join runs as a hash join on the bucket id — the theta " +
+    "formulation Spark would otherwise BNLJ") {
+    val df = SparkEntry.queries("q77_interval_join")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"q77 must stay an equi-join on the bucket id:\n$plan")
+    assert(plan.contains("HashJoin"),
+      s"q77 expected a (broadcast) hash join:\n$plan")
+  }
+
+  test("shuffleOrder: in-bucket window is hash-partitioned, offsets " +
+    "broadcast back, row stream never single-partition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id")
+    val df = graft.ext.CorpusPrep.shuffleOrder(docs, col("doc_id"), "p")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("hashpartitioning(_graft_b"),
+      s"in-bucket ranks must hash-partition by the digest bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back:\n$plan")
+    // ≤1 SinglePartition: the 256-row offsets window only (the
+    // packSequences idiom)
+    val singles = "SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1,
+      s"row stream must never collapse to one partition ($singles):\n$plan")
+  }
 }

@@ -273,4 +273,47 @@ class CorpusPrepSpec extends SparkFunSuite {
     assert(out.toSeq === Seq((1L, "unchanged"), (2L, "changed"),
       (3L, "removed"), (4L, "added")))
   }
+
+  test("shuffleOrder equals one global row_number over the salted " +
+    "hash, is a dense 0..n-1 permutation, and is partition-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 3000
+    val ks = keys(n)
+    val fast = CorpusPrep.shuffleOrder(ks, col("id"), "t1")
+    // the single-window reference formulation (fine at test scale)
+    val h = md5(concat(col("id").cast("string"), lit(":t1:shuffle"))
+      .cast("binary"))
+    val slow = ks.withColumn("ref",
+      row_number().over(Window.orderBy(h, col("id"))).cast("long") - 1L)
+    assert(fast.join(slow, "id").where(col("rank") =!= col("ref"))
+      .count() === 0L)
+    val Seq(mn, mx, nd) = fast
+      .agg(min("rank"), max("rank"), count_distinct(col("rank")))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    assert((mn, mx, nd) === (0L, n - 1L, n.toLong))
+    // physical layout must not change the order
+    val repart = CorpusPrep.shuffleOrder(ks.repartition(7), col("id"), "t1")
+    assert(fast.join(repart.withColumnRenamed("rank", "r2"), "id")
+      .where(col("rank") =!= col("r2")).count() === 0L)
+  }
+
+  test("temperatureSample keeps ALL of the smallest source, downsamples " +
+    "large ones toward sqrt proportions, and nests in the input") {
+    val docs = (0 until 100).map(i => (i.toLong, "small")) ++
+      (100 until 1700).map(i => (i.toLong, "big"))
+    val df = docs.toDF("id", "src")
+    val kept = CorpusPrep.temperatureSample(df, col("id"), col("src"), "s")
+    val counts = kept.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    // smallest source: threshold is exactly 65536 → every row kept
+    assert(counts("small") === 100L)
+    // big source: keep prob = sqrt(100/1600) = 0.25 exactly; 16-bit
+    // binomial sd over 1600 rows is ~17, allow 5 sd
+    assert(math.abs(counts("big") - 400L) <= 87L,
+      s"big kept ${counts("big")}, expected ~400")
+    // sample nests: kept ⊆ input, and rerun is bit-identical
+    assert(kept.join(df, Seq("id"), "left_anti").count() === 0L)
+    val again = CorpusPrep.temperatureSample(df, col("id"), col("src"), "s")
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+  }
 }
