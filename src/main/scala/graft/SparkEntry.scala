@@ -780,6 +780,26 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- ext/Similarity: semantic decontamination — planted gate.
+    //      Corpus = embeddings (<500) ∪ exact copies of the 5 benchmark
+    //      vectors at ids base+1M; the copies (cosine exactly 1.0) and
+    //      the benchmark's own in-corpus rows must drop, and NOTHING
+    //      else may (measured cross-base cosine ceiling ≈ 0.40 at every
+    //      SF vs ε = 0.9), so the survivor set is the exact constant
+    //      DuckDB states: ids 5..499.
+    "q82_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.where(col("vec_id") < 5)
+        .select("vec_id", "embedding")
+      val planted = bench.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"))
+      val corpus = emb.where(col("vec_id") < 500)
+        .select("vec_id", "embedding").unionByName(planted)
+      Similarity.semanticDecontaminate(corpus, bench,
+          "vec_id", "embedding", 0.9)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // ---- ext/CorpusPrep: temperature-balanced source sampling at
     //      α = 0.5 — per-source keep threshold ⌊√(n_min/n_s)·65536⌋ is
     //      bit-identical cross-engine (sqrt/÷ are IEEE correctly
@@ -2033,6 +2053,11 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 20)
         |ORDER BY tok""".stripMargin,
+
+    "q82_semantic_decon" ->
+      """SELECT vec_id FROM embeddings
+        |WHERE vec_id >= 5 AND vec_id < 500
+        |ORDER BY vec_id""".stripMargin,
 
     "q81_temperature_mix" -> {
       val u = sqlHashUnit16("d.doc_id", "r8t", 13)

@@ -588,4 +588,40 @@ object Similarity {
       df.join(dropped, col(idCol) === col("__drop"), "left_anti")
     } finally c.unpersist()
   }
+
+  /** Semantic decontamination: drop every corpus row whose embedding
+    * has cosine ≥ `eps` to ANY benchmark embedding — the semantic twin
+    * of [[graft.ext.CorpusPrep.decontaminate]]'s n-gram overlap (a
+    * paraphrased eval answer shares no 32-gram but sits right next to
+    * the original in embedding space; both filters run before
+    * training, Brown et al. 2020 appendix C / Touvron et al. 2023 use
+    * exactly this shape).
+    *
+    * Scale shape mirrors [[bruteForceTopK]]'s small-side contract:
+    * benchmark sets are tiny (thousands of rows) and BROADCAST with
+    * precomputed norms; the corpus streams through ONE scan with no
+    * shuffle of the payload — the comparison is `dot ≥ eps·|a|·|b|`
+    * (no division), codegen'd end to end. Contaminated ids
+    * materialize ids-only; survivors are an anti-join (broadcast
+    * under AQE when the contaminated set is small — the common case).
+    * For benchmark sets too big to broadcast, pre-filter with
+    * [[lshTopK]]'s bucketing and feed the candidate slice here.
+    *
+    * @return the surviving rows of `corpus`, schema unchanged
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, eps: Double): DataFrame = {
+    graft.functions.VecExpressions.register(corpus.sparkSession)
+    val b = broadcast(bench.select(col(vecCol).as("_graft_bv"),
+      norm(col(vecCol)).as("_graft_bn")))
+    val contaminated = corpus
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("_graft_cn"))
+      .crossJoin(b)
+      .where(dot(col(vecCol), col("_graft_bv")) >=
+        lit(eps) * col("_graft_cn") * col("_graft_bn"))
+      .select(col(idCol)).distinct()
+      .withColumnRenamed(idCol, "_graft_contaminated")
+    corpus.join(contaminated,
+      col(idCol) === col("_graft_contaminated"), "left_anti")
+  }
 }

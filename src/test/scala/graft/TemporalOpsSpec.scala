@@ -96,6 +96,30 @@ class TemporalOpsSpec extends SparkFunSuite {
     assert(out(4L) === 1L) // per-key numbering restarts
   }
 
+  test("sessionize agrees with Spark's own session_window on starts " +
+    "and sizes (independent implementation cross-check)") {
+    val ev = spark.range(200).select(
+      col("id"),
+      (col("id") % 7).cast("string").as("u"),
+      // irregular but deterministic inter-arrival times, some > gap
+      timestamp_micros(col("id") * 400000000L +
+        (col("id") % 5) * 1300000000L).as("ts"))
+    // gap 1750 s: inter-arrival diffs in this data are multiples of
+    // 100 s, so diff == gap cannot occur — session_window splits at
+    // diff >= gap, sessionize at diff > gap, and the boundary case
+    // must not be exercised for the two definitions to coincide
+    val mine = TemporalOps
+      .sessionSummary(ev, Seq("u"), "ts", 1750L, Seq("id"))
+      .select("u", "n_events", "start_us")
+    val sparks = ev
+      .groupBy(col("u"), session_window(col("ts"), "1750 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("u"), col("n_events"),
+        unix_micros(col("session_window.start")).as("start_us"))
+    assert(mine.except(sparks).isEmpty && sparks.except(mine).isEmpty,
+      "gap sessions must match session_window's grouping")
+  }
+
   test("sessionSummary bounds and span are exact epoch-µs arithmetic") {
     val ev = Seq(
       (1L, "u1", 100L), (2L, "u1", 250L), (3L, "u1", 5000000000L))

@@ -262,4 +262,34 @@ class SimilaritySpec extends SparkFunSuite {
     // collapses to its lowest id, regardless of cell layout
     assert(out == base.map(_._1).toSet, s"got $out")
   }
+
+  test("semanticDecontaminate drops exactly the rows the brute-force " +
+    "cosine filter drops, keeps schema, and kills planted twins") {
+    val s = spark; import s.implicits._
+    val corpus = randomCorpus(120, 16)
+    val bench = randomCorpus(120, 16).where(col("vec_id") < 4)
+    // plant exact copies of two benchmark vectors into the corpus
+    val planted = bench.where(col("vec_id") < 2)
+      .select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+    val full = corpus.unionByName(planted)
+    val eps = 0.8
+    val kept = Similarity.semanticDecontaminate(full, bench,
+      "vec_id", "embedding", eps)
+    assert(kept.columns.toSeq === full.columns.toSeq)
+    // reference: per-row max cosine vs the benchmark, driver-side
+    val bvecs = bench.select("embedding").as[Array[Float]].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map(p => p._1.toDouble * p._2).sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expectKept = full.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .filter { case (_, v) => bvecs.forall(b => cos(v, b) < eps) }
+      .map(_._1).toSet
+    val got = kept.select("vec_id").as[Long].collect().toSet
+    assert(got === expectKept)
+    // the planted exact copies must be gone
+    assert(!got.contains(500L) && !got.contains(501L))
+  }
 }
