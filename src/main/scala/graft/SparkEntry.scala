@@ -780,6 +780,37 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- §2.5 north star: CUBE over (event_type, hour-of-day) —
+    //      all four grouping-set combinations in one pass (rollup's
+    //      sibling q35 covers the hierarchy form)
+    "q83_cube_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = eventTsUs(ev)
+      // hour-of-day in exact integer arithmetic: numerator < 8.64e10 is
+      // exactly representable, the quotient's fractional part is ≥
+      // 2.8e-10 when nonzero — far above double rounding error — so
+      // the truncating cast is an exact floor
+      ev.withColumn("hr",
+          ((us % lit(86400000000L)) / lit(3600000000L)).cast("long"))
+        .cube(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+          coalesce(col("hr").cast("string"), lit("ALL")).as("hr_s"),
+          col("n"), col("gid").cast("long").as("gid"))
+        .orderBy("gid", "et", "hr_s")
+    }),
+
+    // ---- P-level: pivot (long → wide) — per-user event-type counts as
+    //      columns; DuckDB states the same table with FILTER aggregates
+    "q84_pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
     // ---- ext/Similarity: semantic decontamination — planted gate.
     //      Corpus = embeddings (<500) ∪ exact copies of the 5 benchmark
     //      vectors at ids base+1M; the copies (cosine exactly 1.0) and
@@ -2058,6 +2089,33 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q83_cube_events" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT)
+        |      AS hr
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS et,
+        |       coalesce(CAST(hr AS VARCHAR), 'ALL') AS hr_s,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       GROUPING(event_type, hr) AS gid
+        |FROM e GROUP BY CUBE (event_type, hr)
+        |ORDER BY gid, et, hr_s""".stripMargin,
+
+    "q84_pivot_events" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+        |    AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+        |    AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |    AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+        |    AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+        |    AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q81_temperature_mix" -> {
       val u = sqlHashUnit16("d.doc_id", "r8t", 13)
