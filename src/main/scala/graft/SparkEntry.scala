@@ -780,6 +780,81 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- operators/Catalog: TIME-TRAVEL read — after two commits,
+    //      linksAt(v1) must still be exactly the post-run-1 state
+    //      (bucket-pruned commits leave old bucket files in place;
+    //      every manifest stays readable until vacuum). The oracle
+    //      recomputes both snapshots from the raw data: n_links =
+    //      distinct hashes, sum_refs = total chunk occurrences seen by
+    //      that version.
+    "q85_catalog_time_travel" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q85-catalog").toString
+      try {
+        val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.charChunks(col("text"), 64))
+              .as(Seq("pos", "chunk")))
+          .select(col("doc_id"),
+            md5(col("chunk").cast("binary")).as("hash"),
+            (col("doc_id") * 1000000L + col("pos")).as("gl"))
+          .localCheckpoint()
+        val r1 = chunks.where(col("doc_id") % 2 === 0)
+        val r2 = chunks.where(col("doc_id") % 2 === 1)
+        val cat = new graft.operators.Catalog(s, tmp, bucketChars = 1)
+        cat.commitRun("run1", 64, "md5",
+          r1.groupBy("hash").agg(min("gl").as("line"),
+            count(lit(1)).as("refs_num")),
+          r1.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
+        val known = cat.links().select("hash")
+        cat.commitRun("run2", 64, "md5",
+          r2.join(known, Seq("hash"), "left_anti")
+            .groupBy("hash").agg(min("gl").as("line"),
+              count(lit(1)).as("refs_num")),
+          r2.join(known, Seq("hash"), "left_semi")
+            .groupBy("hash").agg(count(lit(1)).as("delta")))
+        val v2 = cat.currentVersion
+        def snap(v: Long, tag: Int) = cat.linksAt(v)
+          .agg(count(lit(1)).as("n_links"),
+            sum("refs_num").as("sum_refs"))
+          .select(lit(tag.toLong).as("ver"), col("n_links"),
+            col("sum_refs"))
+        snap(v2 - 1, 1).unionByName(snap(v2, 2))
+          .orderBy("ver").localCheckpoint()
+      } finally {
+        // localCheckpoint above materialized the result; safe to drop
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
+    }),
+
+    // ---- ext/Multimodal: REAL resize path — solid-gray PNGs scaled
+    //      5×4 through the bilinear Graphics2D kernel. Constant-field
+    //      resampling is kernel-independent (weights sum to 1), so the
+    //      resized mean luminance must round back to the exact source
+    //      gray, and the resized geometry is a constant — all stated
+    //      arithmetically by DuckDB.
+    "q86_multimodal_resize" -> ((s, dir) => {
+      val png = udf((id: Long) => Multimodal.solidPng(
+        12 + (id % 5).toInt, 7 + (id % 3).toInt, ((id * 37) % 256).toInt))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select("doc_id").withColumn("blob", png(col("doc_id")))
+      val resized = Multimodal.resizeMedia(blobs, "blob", 5, 4,
+        Multimodal.ImageIoDecoder)
+      val meta = Multimodal.decodeMeta(resized, "blob",
+        Multimodal.ImageIoDecoder)
+      Multimodal.extractFeatures(meta, "blob", 1,
+          Multimodal.ImageIoDecoder)
+        .select(col("doc_id"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.ok").as("ok"),
+          (round(element_at(col("features"), 1) * 255.0) ===
+            (col("doc_id") * 37) % 256).as("gray_ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- §2.5 north star: CUBE over (event_type, hour-of-day) —
     //      all four grouping-set combinations in one pass (rollup's
     //      sibling q35 covers the hierarchy form)
@@ -2089,6 +2164,29 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q85_catalog_time_travel" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> md5(substr(text, s, 64)))) AS hash
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT * FROM chunks WHERE doc_id % 2 = 0)
+        |SELECT CAST(1 AS BIGINT) AS ver,
+        |       CAST(count(DISTINCT hash) AS BIGINT) AS n_links,
+        |       CAST(count(*) AS BIGINT) AS sum_refs
+        |FROM e
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |       CAST(count(DISTINCT hash) AS BIGINT),
+        |       CAST(count(*) AS BIGINT)
+        |FROM chunks
+        |ORDER BY ver""".stripMargin,
+
+    "q86_multimodal_resize" ->
+      """SELECT doc_id, CAST(5 AS INT) AS width, CAST(4 AS INT) AS height,
+        |       TRUE AS ok, TRUE AS gray_ok
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "q83_cube_events" ->
       """WITH e AS (

@@ -147,6 +147,30 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Solid-gray PNG — the resize gate's fixture. Resampling a constant
+    * field yields the constant under ANY correct interpolation kernel
+    * (bilinear weights sum to 1), so the resized image's mean luminance
+    * must equal the source gray exactly — an arithmetic oracle for the
+    * real scaling path that is independent of kernel choice, unlike a
+    * pixel-pattern fixture whose resampled values are
+    * implementation-defined.
+    */
+  def solidPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad geometry ${w}x$h")
+    require(gray >= 0 && gray <= 255, s"gray out of range: $gray")
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, w, h)
+    } finally g2.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic multi-frame GIF: `nFrames` frames of a
     * `w`×`h` arithmetic pixel pattern of (x, y, frame, seed), written
     * through the real GIF sequence writer

@@ -211,8 +211,20 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
   private def bucketPath(bucket: String, ver: Long): Path =
     new Path(new Path(versionDir(ver), "hash_links"), s"bucket=$bucket")
 
-  def links(): DataFrame = {
-    val man = readManifest(currentVersion)
+  def links(): DataFrame = linksAt(currentVersion)
+
+  /** Time-travel read: `hash_links` exactly as committed at `version`.
+    * Every version's manifest maps bucket → the version that last wrote
+    * it, and bucket-pruned commits leave untouched bucket files in
+    * place — so ANY un-vacuumed version stays readable forever at zero
+    * storage cost beyond the buckets it actually rewrote (the
+    * versioned-parquet form of the reference's never-delete catalog,
+    * and the read side a reproducible-corpus audit needs: "which
+    * chunks did the store know when THIS corpus snapshot was built?").
+    * [[vacuum]] is the explicit, logged end of that guarantee.
+    */
+  def linksAt(version: Long): DataFrame = {
+    val man = readManifest(version)
     if (man.isEmpty) emptyDf(linksSchema)
     else spark.read.schema(linksSchema)
       .parquet(man.map { case (b, ver) => bucketPath(b, ver).toString }.toSeq: _*)

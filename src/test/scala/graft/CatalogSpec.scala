@@ -44,6 +44,31 @@ class CatalogSpec extends SparkFunSuite {
     assert(!new java.io.File(s"$dir/catalog/v_000003/hash_links/bucket=aa").exists())
   }
 
+  test("linksAt time travel: old versions stay exactly readable after " +
+    "later commits and deltas") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-timetravel")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    cat.commitRun("f1", 64, "sha",
+      Seq(("aa11", 0L, 1L), ("bb22", 1L, 2L)).toDF("hash", "line", "refs_num"), none)
+    val v1 = cat.currentVersion
+    val v1Snapshot = cat.links().collect()
+      .map(r => r.getAs[String]("hash") -> r.getAs[Long]("refs_num")).toMap
+    // commit 2 adds a link AND bumps bb's refs — the bb bucket is
+    // rewritten, so v1 must be served from the OLD bucket file
+    cat.commitRun("f2", 64, "sha",
+      Seq(("cc33", 0L, 1L)).toDF("hash", "line", "refs_num"),
+      Seq(("bb22", 5L)).toDF("hash", "delta"))
+    val atV1 = cat.linksAt(v1).collect()
+      .map(r => r.getAs[String]("hash") -> r.getAs[Long]("refs_num")).toMap
+    assert(atV1 === v1Snapshot)
+    assert(atV1("bb22") === 2L) // NOT the merged 7
+    // current view unchanged by the time-travel read
+    assert(cat.linksAt(cat.currentVersion).collect().toSet
+      === cat.links().collect().toSet)
+  }
+
   test("bucket width is a creation knob, persisted and adopted on reopen") {
     val s = spark; import s.implicits._
     val dir = tempDir("cat-width")

@@ -169,4 +169,22 @@ class MultimodalSpec extends SparkFunSuite {
     assert(!Multimodal.sampleMediaFrames(df, "blob", 3,
       Multimodal.ImageIoDecoder).schema.fieldNames.contains("blob"))
   }
+
+  test("real resize preserves a constant field exactly (any correct " +
+    "kernel must) and emits the target geometry") {
+    for (gray <- Seq(0, 7, 128, 255); (w, h) <- Seq((12, 7), (3, 3))) {
+      val src = Multimodal.solidPng(w, h, gray)
+      val out = Multimodal.ImageIoDecoder.resize(src, 5, 4)
+      val m = Multimodal.ImageIoDecoder.decode(out)
+      assert(m.ok && m.width == 5 && m.height == 4, s"gray=$gray ${w}x$h")
+      val lum = Multimodal.ImageIoDecoder.features(out, 1)(0)
+      assert(math.round(lum * 255.0) == gray,
+        s"solid $gray resized to mean ${lum * 255.0}")
+      // upscale too (interpolation reads past the edge clamp)
+      val up = Multimodal.ImageIoDecoder.resize(src, 31, 17)
+      val lumUp = Multimodal.ImageIoDecoder.features(up, 1)(0)
+      assert(math.round(lumUp * 255.0) == gray,
+        s"solid $gray upscaled to mean ${lumUp * 255.0}")
+    }
+  }
 }
