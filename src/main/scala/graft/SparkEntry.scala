@@ -780,6 +780,52 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- operators/SkewJoin: salted equi-join — 10k probe rows over 5
+    //      HOT keys spread 8 ways; the result must be EXACTLY the
+    //      plain join (each probe row meets the one build replica
+    //      carrying its salt), which DuckDB states by running the
+    //      unsalted join
+    "q87_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("click", 1L), ("error", 10L), ("purchase", 5L),
+        ("signup", 2L), ("view", 1L)).toDF("event_type", "wt")
+      val ev = t(s, dir, "events").select("event_id", "event_type")
+      graft.operators.SkewJoin
+        .saltedJoin(ev, dim, Seq("event_type"), 8, col("event_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("wt").as("sum_wt"),
+          min("event_id").as("min_id"))
+        .orderBy("event_type")
+    }),
+
+    // ---- composition gate #2 (q60's sibling for the NEW corpus ops):
+    //      exact dedup → temperature mix → split assignment → global
+    //      shuffle order, ONE Catalyst plan, each stage individually
+    //      gated (q12/q81/q56/q78), hash-matched end-to-end by a
+    //      four-CTE DuckDB oracle. Every stage does REAL work: 100
+    //      planted copies for dedup to drop, a 1:3 skewed source
+    //      relabel so temperature sampling actually thins the big
+    //      source, and the ord column proves the ranks stay a dense
+    //      permutation THROUGH the composition.
+    "q88_pipeline_mix_order" -> ((s, dir) => {
+      import graft.ext.CorpusPrep
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val copies = base.where(col("doc_id") < 100)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val corpus = base.unionByName(copies)
+        .withColumn("source", when(col("doc_id") % 4 === 0, lit("rare"))
+          .otherwise(lit("common")))
+      val deduped = DocDedup.exactDedup(corpus, "doc_id", "text")
+      val mixed = CorpusPrep.temperatureSample(deduped,
+        col("doc_id"), col("source"), "p2")
+      val split = mixed.withColumn("split",
+        CorpusPrep.splitAssign(col("doc_id"), "p2", splitFractions))
+      CorpusPrep.shuffleOrder(split, col("doc_id"), "p2")
+        .select(col("doc_id"), col("source"), col("split"),
+          col("rank").as("ord"))
+        .orderBy("doc_id")
+    }),
+
     // ---- operators/Catalog: TIME-TRAVEL read — after two commits,
     //      linksAt(v1) must still be exactly the post-run-1 state
     //      (bucket-pruned commits leave old bucket files in place;
@@ -2164,6 +2210,55 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q87_salted_join" ->
+      """WITH dim(event_type, wt) AS (
+        |  VALUES ('click', 1), ('error', 10), ('purchase', 5),
+        |         ('signup', 2), ('view', 1))
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(d.wt) AS BIGINT) AS sum_wt,
+        |       min(e.event_id) AS min_id
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q88_pipeline_mix_order" -> {
+      val Seq(c1, c2) = graft.ext.CorpusPrep.splitCuts(splitFractions)
+      val u13 = sqlHashUnit16("d.doc_id", "p2", 13)
+      val u1 = sqlHashUnit16("doc_id", "p2", 1)
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'rare' ELSE 'common' END
+         |      AS source
+         |  FROM (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 10000, text FROM documents
+         |        WHERE doc_id < 100)),
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+         |deduped AS (
+         |  SELECT d.doc_id, d.source FROM corpus d JOIN keep USING (doc_id)),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |      FROM deduped GROUP BY source),
+         |m AS (SELECT min(n) AS n_min FROM c),
+         |t AS (SELECT source,
+         |        CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * 65536.0) AS INT) AS thr
+         |      FROM c, m),
+         |sampled AS (
+         |  SELECT d.doc_id, d.source FROM deduped d JOIN t USING (source)
+         |  WHERE $u13 < t.thr),
+         |final AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN $u1 < $c1 THEN 'train'
+         |         WHEN $u1 < $c2 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM sampled)
+         |SELECT doc_id, source, split,
+         |  CAST(row_number() OVER (
+         |    ORDER BY md5(doc_id || ':p2:shuffle'), doc_id) - 1 AS BIGINT)
+         |    AS ord
+         |FROM final ORDER BY doc_id""".stripMargin
+    },
 
     "q85_catalog_time_travel" ->
       """WITH chunks AS (
