@@ -170,4 +170,19 @@ object StreamingDedup {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col(s"window.start").as("ws"), col(keyCol), col("n"))
+
+  /** Streaming gap-based sessions: `session_window` + watermark — the
+    * streaming twin of [[graft.operators.TemporalOps.sessionize]] (the
+    * batch spec cross-checks that the two groupings agree on data
+    * where the boundary convention difference cannot fire). State per
+    * key is one open session; the watermark closes and emits sessions
+    * whose end has passed — per-batch cost ∝ batch, state ∝ open keys.
+    */
+  def sessionCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col(keyCol), col("n"))
 }

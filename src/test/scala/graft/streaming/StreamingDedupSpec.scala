@@ -199,6 +199,33 @@ class StreamingDedupSpec extends SparkFunSuite {
       ResolvedChunk("C", "f2", 1, is_pointer = false, "f2", 1)))
   }
 
+  test("sessionCounts: streaming gap sessions merge within the gap and " +
+    "split past it") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = StreamingDedup.sessionCounts(
+      mem.toDF().toDF("ts", "k"), "ts", "k", "10 minutes", "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sc")
+      .outputMode("complete").start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), "a"), // merges
+      (java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), "a"), // splits
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "b"))
+    q.processAllAvailable()
+    val rows = spark.table("sc").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ss").toString,
+        r.getAs[java.sql.Timestamp]("se").toString,
+        r.getAs[String]("k"), r.getAs[Long]("n"))).sorted
+    q.stop()
+    assert(rows.toSeq == Seq(
+      // a's first session spans both events; end = last event + gap
+      ("2024-01-01 00:00:00.0", "2024-01-01 00:15:00.0", "a", 2L),
+      ("2024-01-01 00:02:00.0", "2024-01-01 00:12:00.0", "b", 1L),
+      ("2024-01-01 00:30:00.0", "2024-01-01 00:40:00.0", "a", 1L)))
+  }
+
   test("windowedCounts: tumbling event-time windows per key") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
