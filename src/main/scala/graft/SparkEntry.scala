@@ -780,6 +780,27 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- sources/ZOrderLayout: two-dimensional data skipping — events
+    //      written z-ordered by (user, hour-of-day), the box query read
+    //      through driver-planned partition pruning (ZOrderSpec pins
+    //      the pruned partition count); the result must equal DuckDB's
+    //      full-scan filter exactly. Layout build memoized per
+    //      (session, sf-dir) like the other index gates: run 1 pays
+    //      and gates the write, min-of-2 measures the probe.
+    "q89_zorder_box" -> ((s, dir) => {
+      import graft.sources.ZOrderLayout
+      val ev = t(s, dir, "events")
+      val us = eventTsUs(ev)
+      val cells = ev.select(col("event_id"), col("user_id"),
+        ((us % lit(86400000000L)) / lit(3600000000L)).cast("long")
+          .as("hr"))
+      val path = withGateIndex(s, dir, "zorder")(p =>
+        ZOrderLayout.writeZOrdered(cells, p, "user_id", "hr",
+          bits = 8, prefixBits = 6))
+      ZOrderLayout.readBox(s, path, 30, 60, 5, 15)
+        .select("event_id", "user_id", "hr").orderBy("event_id")
+    }),
+
     // ---- operators/SkewJoin: salted equi-join — 10k probe rows over 5
     //      HOT keys spread 8 ways; the result must be EXACTLY the
     //      plain join (each probe row meets the one build replica
@@ -2210,6 +2231,15 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q89_zorder_box" ->
+      """SELECT event_id, user_id,
+        |  CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT)
+        |    AS hr
+        |FROM events
+        |WHERE user_id BETWEEN 30 AND 60
+        |  AND (epoch_us(ts) % 86400000000) // 3600000000 BETWEEN 5 AND 15
+        |ORDER BY event_id""".stripMargin,
 
     "q87_salted_join" ->
       """WITH dim(event_type, wt) AS (
