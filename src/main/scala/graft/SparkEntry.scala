@@ -780,6 +780,19 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- ext/TextAnalysis.nfc: Unicode NFC normalization — planted
+    //      encoding twins (composed U+00E9 on even ids, decomposed
+    //      e + U+0301 on odd ids) must fingerprint identically after
+    //      normalization; DuckDB's independent nfc_normalize (same
+    //      UAX #15 spec as java.text.Normalizer) states the md5s.
+    "q90_nfc_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          md5(TextAnalysis.nfc(concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit("\u00e9"))
+              .otherwise(lit("e\u0301")))).cast("binary")).as("fp"))
+        .orderBy("doc_id")),
+
     // ---- sources/ZOrderLayout: two-dimensional data skipping — events
     //      written z-ordered by (user, hour-of-day), the box query read
     //      through driver-planned partition pruning (ZOrderSpec pins
@@ -2231,6 +2244,13 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q90_nfc_normalize" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(233)
+        |         ELSE 'e' || chr(769) END)) AS fp
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q89_zorder_box" ->
       """SELECT event_id, user_id,

@@ -55,6 +55,19 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unicode NFC normalization — canonical composition so
+    * encoding-level twins ("é" vs "e" + combining acute) hash alike;
+    * the native expression
+    * [[graft.functions.TextExpressions.NfcNormalize]] (ASCII fast
+    * path, codegen'd). Run BEFORE [[fingerprint]]/dedup on corpora
+    * with mixed encoders.
+    */
+  def nfc(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VecExpressions.register)
+    call_function("graft_nfc", text)
+  }
+
   /** Document fingerprint: md5 of the normalized text. Two docs with the
     * same fingerprint are duplicates up to case/whitespace.
     */

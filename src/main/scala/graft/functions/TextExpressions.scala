@@ -300,4 +300,50 @@ object TextExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** Unicode NFC normalization (UAX #15 canonical composition) — the
+    * corpus-prep step that makes exact dedup robust to encoding-level
+    * twins: "é" as U+00E9 and as "e" + U+0301 are different byte
+    * strings with identical rendering, so un-normalized hashing treats
+    * a re-encoded document as new. Wraps `java.text.Normalizer`
+    * (the JDK's ICU-derived implementation of the same spec DuckDB's
+    * `nfc_normalize` follows, which is what makes q90 an exact
+    * cross-engine gate). The common case — pure-ASCII input — is
+    * detected with a byte scan and returns the input UTF8String
+    * untouched (ASCII is NFC-invariant), so corpus-scale cost is one
+    * branch per row; only rows with non-ASCII bytes pay the
+    * String round-trip.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"input must be string, got ${other.simpleString}")
+    }
+    override def nullSafeEval(input: Any): Any =
+      NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextExpressions.NfcNormalize$$.MODULE$$.normalize($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object NfcNormalize {
+    /** Shared by interpreted eval and generated code. */
+    def normalize(s: UTF8String): UTF8String = {
+      val bytes = s.getBytes
+      var i = 0
+      var ascii = true
+      while (ascii && i < bytes.length) {
+        if (bytes(i) < 0) ascii = false
+        i += 1
+      }
+      if (ascii) s
+      else UTF8String.fromString(java.text.Normalizer.normalize(
+        s.toString, java.text.Normalizer.Form.NFC))
+    }
+  }
 }

@@ -445,7 +445,11 @@ object VecExpressions {
     (FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(
         classOf[CountMinFrequency.CmsEstimate].getName, "graft_cms_estimate"),
-      (es: Seq[Expression]) => CountMinFrequency.CmsEstimate(es(0), es(1))))
+      (es: Seq[Expression]) => CountMinFrequency.CmsEstimate(es(0), es(1))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(
+        classOf[TextExpressions.NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => TextExpressions.NfcNormalize(es(0))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

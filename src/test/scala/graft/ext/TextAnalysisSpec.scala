@@ -212,4 +212,28 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(rows((3L, "b"))._3 == 0.0) // corpus-universal token scores 0
     assert(rows.size == 5) // one row per distinct (doc, token)
   }
+
+  test("nfc composes decomposed sequences, is idempotent, and leaves " +
+    "ASCII untouched (fast path returns the same value)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "café"),        // composed
+      (2L, "café"),       // decomposed — must compose to row 1
+      (3L, "plain ascii"),      // fast path
+      (4L, "ṩ"),           // s + dot below + dot above, composed
+      (5L, "ṩ")     // same, fully decomposed
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.nfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L) === "café")
+    assert(out(3L) === "plain ascii")
+    assert(out(4L) === out(5L))
+    // idempotent: nfc(nfc(x)) == nfc(x)
+    val twice = df.select(TextAnalysis.nfc(TextAnalysis.nfc(col("t")))
+      .as("n")).collect().map(_.getString(0))
+    val once = df.select(TextAnalysis.nfc(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq === once.toSeq)
+  }
 }
