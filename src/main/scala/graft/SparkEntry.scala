@@ -780,6 +780,25 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- O-level: per-source quality-quartile curriculum buckets via
+    //      ntile over a SOURCE-partitioned window (skew-safe: per-key
+    //      sort, never global). Cross-engine exact because the q25
+    //      quality formula uses only correctly-rounded IEEE ops (no
+    //      transcendentals), so both engines order identically; ties
+    //      break by doc_id.
+    "q91_quality_quartiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("q"), col("doc_id"))
+      scored.withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("source", "quartile")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("source", "quartile")
+    }),
+
     // ---- ext/TextAnalysis.nfc: Unicode NFC normalization — planted
     //      encoding twins (composed U+00E9 on even ids, decomposed
     //      e + U+0301 on odd ids) must fingerprint identically after
@@ -2244,6 +2263,39 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q91_quality_quartiles" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','is','el','la','de','que',
+        |                 'es','der','die','das','und','ist','le','la',
+        |                 'les','et','est'))) AS DOUBLE) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[.,!?]')) AS DOUBLE)
+        |      AS n_punct
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    least(n_chars / 200.0, 1.0) * 0.4
+        |    + (CASE WHEN n_chars / greatest(n_tok, 1.0)
+        |              BETWEEN 3.0 AND 12.0
+        |            THEN 1.0 ELSE 0.3 END) * 0.3
+        |    + (CASE WHEN n_punct > 0 THEN 1.0 ELSE 0.5 END) * 0.15
+        |    + least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.15
+        |      AS q
+        |  FROM f),
+        |b AS (
+        |  SELECT source,
+        |    CAST(ntile(4) OVER (PARTITION BY source ORDER BY q, doc_id)
+        |      AS BIGINT) AS quartile,
+        |    doc_id
+        |  FROM scored)
+        |SELECT source, quartile, CAST(count(*) AS BIGINT) AS n,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY source, quartile
+        |ORDER BY source, quartile""".stripMargin,
 
     "q90_nfc_normalize" ->
       """SELECT doc_id,
