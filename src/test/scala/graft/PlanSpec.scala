@@ -330,6 +330,18 @@ class PlanSpec extends SparkFunSuite {
       s"q77 expected a (broadcast) hash join:\n$plan")
   }
 
+  test("quality quartiles: the ntile window is source-partitioned, " +
+    "never global") {
+    val df = SparkEntry.queries("q91_quality_quartiles")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("hashpartitioning(source"),
+      s"q91's window must hash-partition by source:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"q91 must never collapse the doc stream to one partition:\n$plan")
+  }
+
   test("shuffleOrder: in-bucket window is hash-partitioned, offsets " +
     "broadcast back, row stream never single-partition") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
