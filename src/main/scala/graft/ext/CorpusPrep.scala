@@ -386,6 +386,7 @@ object CorpusPrep {
     * @return input plus `rank` (0-based dense global ordinal)
     */
   def shuffleOrder(df: DataFrame, key: Column, seed: String): DataFrame = {
+    graft.operators.Reserved.assertNone(df, "shuffleOrder")
     val h = md5(concat(key.cast("string"), lit(":" + seed + ":shuffle"))
       .cast("binary"))
     val withB = df.withColumn("_graft_h", h)
@@ -429,6 +430,7 @@ object CorpusPrep {
     */
   def temperatureSample(df: DataFrame, key: Column, srcCol: Column,
       seed: String): DataFrame = {
+    graft.operators.Reserved.assertNone(df, "temperatureSample")
     val counts = df.groupBy(srcCol.as("_graft_src"))
       .agg(count(lit(1)).as("_graft_n"))
     val nMin = counts.agg(min("_graft_n").as("_graft_nmin"))

@@ -611,6 +611,7 @@ object Similarity {
     */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, eps: Double): DataFrame = {
+    graft.operators.Reserved.assertNone(corpus, "semanticDecontaminate")
     graft.functions.VecExpressions.register(corpus.sparkSession)
     val b = broadcast(bench.select(col(vecCol).as("_graft_bv"),
       norm(col(vecCol)).as("_graft_bn")))

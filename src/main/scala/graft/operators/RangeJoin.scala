@@ -38,6 +38,8 @@ object RangeJoin {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    Reserved.assertNone(points, "pointInInterval(points)")
+    Reserved.assertNone(intervals, "pointInInterval(intervals)")
     val w = lit(bucketWidth)
     // The ⌊hi/w⌋ endpoint bucket is included even when hi is an exact
     // multiple of w (where the interval, being hi-exclusive, does not

@@ -36,6 +36,8 @@ object SkewJoin {
                  factor: Int, probeSalt: Column): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
     require(keys.nonEmpty, "salted join needs at least one key column")
+    Reserved.assertNone(probe, "saltedJoin(probe)")
+    Reserved.assertNone(build, "saltedJoin(build)")
     val b = build.withColumn("_graft_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     val p = probe.withColumn("_graft_salt",

@@ -50,9 +50,9 @@ object TemporalOps {
                rightPayload: Seq[String],
                toleranceUs: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
+    Reserved.assertNone(left, "asOfJoin(left)")
+    Reserved.assertNone(right, "asOfJoin(right)")
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("_graft_tag"),
-      "left side may not contain the reserved column _graft_tag")
     // Tagged union: right rows carry their payload in one struct column
     // (nullable on left rows); tag orders right BEFORE left at equal ts
     // so `<=` semantics hold on ties.
@@ -112,6 +112,7 @@ object TemporalOps {
   def sessionize(events: DataFrame, keys: Seq[String], tsCol: String,
                  gapSeconds: Long, tiebreak: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "sessionize needs at least one key column")
+    Reserved.assertNone(events, "sessionize")
     val order = col(tsCol) +: tiebreak.map(col)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val prevUs = lag(unix_micros(col(tsCol)), 1).over(w)

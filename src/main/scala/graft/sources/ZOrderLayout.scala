@@ -86,6 +86,7 @@ object ZOrderLayout {
                     bCell: String, bits: Int, prefixBits: Int): Unit = {
     require(prefixBits >= 1 && prefixBits <= 2 * bits && prefixBits <= 20,
       s"need 1 <= prefixBits <= min(2*bits, 20), got $prefixBits")
+    graft.operators.Reserved.assertNone(df, "writeZOrdered")
     val z = zValue(col(aCell).cast("long"), col(bCell).cast("long"), bits)
     df.withColumn("_graft_z", z)
       .withColumn("_graft_zp", zPrefix(col("_graft_z"), bits, prefixBits))
