@@ -780,6 +780,17 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- ext/CorpusPrep: the per-(doc, window) slice table q59's pack
+    //      implies — the attention-boundary input a trainer consumes;
+    //      exact bigint arithmetic end to end, same two-level prefix
+    //      sum, explode factor = the doc's window count
+    "q92_pack_slices" -> ((s, dir) =>
+      graft.ext.CorpusPrep.packWindowSlices(
+          t(s, dir, "documents"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), windowTokens = 512,
+          bucketSize = 100)
+        .orderBy("doc_id", "win")),
+
     // ---- O-level: per-source quality-quartile curriculum buckets via
     //      ntile over a SOURCE-partitioned window (skew-safe: per-key
     //      sort, never global). Cross-engine exact because the q25
@@ -2263,6 +2274,28 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q92_pack_slices" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, tok, s,
+        |    unnest(range(s // 512, (s + tok - 1) // 512 + 1)) AS win
+        |  FROM c WHERE tok > 0)
+        |SELECT doc_id, win,
+        |  greatest(s, win * 512) - s AS off_in_doc,
+        |  greatest(s, win * 512) - win * 512 AS off_in_window,
+        |  least(s + tok, (win + 1) * 512) - greatest(s, win * 512)
+        |    AS n_toks
+        |FROM x ORDER BY doc_id, win""".stripMargin,
 
     "q91_quality_quartiles" ->
       """WITH f AS (

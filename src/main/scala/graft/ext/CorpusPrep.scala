@@ -155,6 +155,21 @@ object CorpusPrep {
   def packSequences(df: DataFrame, idCol: String, tokCol: Column,
       windowTokens: Int, bucketSize: Long = 1 << 20): DataFrame = {
     require(windowTokens > 0 && bucketSize > 0)
+    // integer `div`, not `/`+floor: `/` promotes to double, which stops
+    // being exact past 2^53 stream positions — a bound a 100 TB token
+    // stream actually approaches.
+    streamStarts(df, idCol, tokCol, bucketSize)
+      .select(col(idCol), col("tok"),
+        expr(s"start div ${windowTokens}L").as("first_window"),
+        expr(s"(start + tok - 1) div ${windowTokens}L").as("last_window"))
+  }
+
+  /** The two-level distributed prefix sum under [[packSequences]] and
+    * [[packWindowSlices]]: each doc's absolute start position in the
+    * id-ordered token stream, as `(idCol, tok, start)`.
+    */
+  private def streamStarts(df: DataFrame, idCol: String, tokCol: Column,
+      bucketSize: Long): DataFrame = {
     val local = df
       .select(col(idCol), tokCol.cast("long").as("tok"),
         floor(col(idCol) / bucketSize).as("b"))
@@ -166,14 +181,44 @@ object CorpusPrep {
         coalesce(sum("bt").over(Window.orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("b", "off")
-    // integer `div`, not `/`+floor: `/` promotes to double, which stops
-    // being exact past 2^53 stream positions — a bound a 100 TB token
-    // stream actually approaches.
     local.join(broadcast(offsets), Seq("b"))
       .withColumn("start", col("off") + col("local_before"))
-      .select(col(idCol), col("tok"),
-        expr(s"start div ${windowTokens}L").as("first_window"),
-        expr(s"(start + tok - 1) div ${windowTokens}L").as("last_window"))
+      .select(col(idCol), col("tok"), col("start"))
+  }
+
+  /** The per-(doc, window) slice table [[packSequences]] implies — the
+    * attention-boundary input a trainer actually consumes: for every
+    * training window a document overlaps, one row
+    * `(idCol, win, off_in_doc, off_in_window, n_toks)` saying the
+    * doc contributes its tokens `[off_in_doc, off_in_doc + n_toks)` at
+    * window-local positions `[off_in_window, off_in_window + n_toks)`.
+    * Within a window, slices at ascending `off_in_window` reconstruct
+    * it exactly; document boundaries (where attention masks reset) are
+    * the slice boundaries.
+    *
+    * All arithmetic is exact bigint (same `div` discipline as
+    * [[packSequences]]); the explode factor per doc is its window
+    * count ⌈tok/W⌉ + 1 at most, so output size ∝ corpus tokens / W +
+    * corpus docs — never quadratic. Zero-token docs contribute no
+    * slice.
+    */
+  def packWindowSlices(df: DataFrame, idCol: String, tokCol: Column,
+      windowTokens: Int, bucketSize: Long = 1 << 20): DataFrame = {
+    require(windowTokens > 0 && bucketSize > 0)
+    val w = windowTokens.toLong
+    streamStarts(df, idCol, tokCol, bucketSize)
+      .where(col("tok") > 0)
+      .withColumn("win", explode(sequence(
+        expr(s"start div ${w}L"),
+        expr(s"(start + tok - 1) div ${w}L"))))
+      .withColumn("lo",
+        greatest(col("start"), col("win") * w))
+      .withColumn("hi",
+        least(col("start") + col("tok"), (col("win") + 1L) * w))
+      .select(col(idCol), col("win"),
+        (col("lo") - col("start")).as("off_in_doc"),
+        (col("lo") - col("win") * w).as("off_in_window"),
+        (col("hi") - col("lo")).as("n_toks"))
   }
 
   /** Intra-document repetition signals — the Gopher-style repetition

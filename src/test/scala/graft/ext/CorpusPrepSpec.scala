@@ -274,6 +274,47 @@ class CorpusPrepSpec extends SparkFunSuite {
       (3L, "removed"), (4L, "added")))
   }
 
+  test("packWindowSlices tiles every doc and fills every window " +
+    "except the last exactly") {
+    val docs = (0L until 100L).map(i => (i, (i % 7 + 1) * 3))
+      .toDF("id", "tok")
+    val w = 16
+    val slices = CorpusPrep.packWindowSlices(docs, "id", col("tok"),
+      w, bucketSize = 10)
+    val rows = slices.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("win"), r.getAs[Long]("off_in_doc"),
+      r.getAs[Long]("off_in_window"), r.getAs[Long]("n_toks")))
+    // per-doc: slices cover [0, tok) contiguously
+    val byDoc = rows.groupBy(_._1)
+    docs.collect().foreach { d =>
+      val (id, tok) = (d.getAs[Long]("id"), d.getAs[Long]("tok"))
+      val ss = byDoc(id).sortBy(_._3)
+      assert(ss.map(_._5).sum === tok, s"doc $id token sum")
+      assert(ss.head._3 === 0L, s"doc $id must start at offset 0")
+      ss.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 === b._3, s"doc $id gap")
+        case _ =>
+      }
+    }
+    // per-window: contiguous window offsets from 0; every window but
+    // the last holds exactly w tokens
+    val byWin = rows.groupBy(_._2)
+    val lastWin = byWin.keys.max
+    byWin.foreach { case (win, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"window $win starts at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 + a._5 === b._4, s"window $win gap")
+        case _ =>
+      }
+      if (win != lastWin)
+        assert(sorted.map(_._5).sum === w.toLong, s"window $win fill")
+    }
+    // global: slice tokens sum to the corpus token count
+    assert(rows.map(_._5).sum === docs.agg(sum("tok")).head().getLong(0))
+  }
+
   test("shuffleOrder equals one global row_number over the salted " +
     "hash, is a dense 0..n-1 permutation, and is partition-independent") {
     import org.apache.spark.sql.expressions.Window
