@@ -780,6 +780,58 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- J-level: event funnel — per user, first signup and first
+    //      subsequent purchase, with a 7-day conversion flag; one
+    //      aggregate + one equi-join + one conditional aggregate, all
+    //      epoch-µs integer arithmetic
+    "q94_event_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_type"),
+        eventTsUs(ev).as("us"))
+      val signup = base.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("signup_us"))
+      val purch = base.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("pus"))
+      signup.join(purch, Seq("user_id"), "left")
+        .groupBy("user_id", "signup_us")
+        .agg(min(when(col("pus") >= col("signup_us"), col("pus")))
+          .as("first_purchase_us"))
+        .select(col("user_id"), col("signup_us"),
+          col("first_purchase_us"),
+          (col("first_purchase_us").isNotNull &&
+            col("first_purchase_us") <=
+              col("signup_us") + lit(604800000000L)).as("converted_7d"))
+        .orderBy("user_id")
+    }),
+
+    // ---- ext/DocDedup + TextAnalysis.nfc: CANONICAL dedup — dedupe by
+    //      md5(nfc(normalize(text))). Planted twins are byte-DIFFERENT
+    //      (decomposed marks + case/whitespace noise) so exact dedup
+    //      would keep them; canonical dedup must drop all 100 copies
+    //      and keep every original — the survivor set is the exact
+    //      constant DuckDB states via its own nfc_normalize.
+    "q93_canonical_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      // copies: decomposed 'e'+U+0301 suffix, uppercased first word,
+      // doubled inner whitespace — all canonical-equal to original+é
+      val copies = base.where(col("doc_id") < 100)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(upper(substring(col("text"), 1, 1)),
+            regexp_replace(substring(col("text"), 2, 1000000), " ", "  "),
+            lit("é")).as("text"))
+      val originals = base
+        .select(col("doc_id"),
+          when(col("doc_id") < 100, concat(col("text"), lit("é")))
+            .otherwise(col("text")).as("text"))
+      val corpus = originals.unionByName(copies)
+      val canon = md5(TextAnalysis.nfc(
+        TextAnalysis.normalize(col("text"))).cast("binary"))
+      val keep = corpus.select(col("doc_id"), canon.as("ck"))
+        .groupBy("ck").agg(min("doc_id").as("doc_id"))
+      corpus.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- ext/CorpusPrep: the per-(doc, window) slice table q59's pack
     //      implies — the attention-boundary input a trainer consumes;
     //      exact bigint arithmetic end to end, same two-level prefix
@@ -2274,6 +2326,45 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q94_event_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.signup_us,
+        |  min(CASE WHEN p.pus >= s.signup_us THEN p.pus END)
+        |    AS first_purchase_us,
+        |  coalesce(min(CASE WHEN p.pus >= s.signup_us THEN p.pus END)
+        |    <= s.signup_us + 604800000000, FALSE) AS converted_7d
+        |FROM s LEFT JOIN p USING (user_id)
+        |GROUP BY s.user_id, s.signup_us
+        |ORDER BY s.user_id""".stripMargin,
+
+    "q93_canonical_dedup" ->
+      """WITH originals AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 100 THEN text || chr(233) ELSE text END
+        |      AS text
+        |  FROM documents),
+        |copies AS (
+        |  SELECT doc_id + 20000 AS doc_id,
+        |    upper(substr(text, 1, 1)) ||
+        |      replace(substr(text, 2), ' ', '  ') ||
+        |      'e' || chr(769) AS text
+        |  FROM documents WHERE doc_id < 100),
+        |corpus AS (
+        |  SELECT * FROM originals UNION ALL SELECT * FROM copies),
+        |k AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id,
+        |          md5(nfc_normalize(trim(regexp_replace(lower(text),
+        |            '\s+', ' ', 'g')))) AS ck
+        |        FROM corpus)
+        |  GROUP BY ck)
+        |SELECT doc_id FROM k ORDER BY doc_id""".stripMargin,
 
     "q92_pack_slices" ->
       """WITH t AS (
