@@ -160,6 +160,66 @@ object StreamingDedup {
       }
   }
 
+  /** One side of a streaming as-of enrichment: either a state update
+    * (`isState = true`, carrying `value`) or a query event to enrich.
+    * `us` is event time in epoch micros.
+    */
+  case class AsOfEvent(key: String, us: Long, isState: Boolean,
+                       id: Long, value: Double)
+
+  /** [[streamAsOf]]'s output: the query event plus the latest
+    * at-or-before state (null-signaled by `matched = false`).
+    */
+  case class AsOfMatch(key: String, id: Long, us: Long, matched: Boolean,
+                       state_us: Long, state_value: Double)
+
+  /** Streaming as-of enrichment — the streaming twin of
+    * [[graft.operators.TemporalOps.asOfJoin]]: each query event is
+    * matched to the LATEST state event with `state.us <= query.us` on
+    * its key, where state accumulates ACROSS micro-batches in the
+    * checkpointed group state (one record per key: the newest state
+    * seen). Within a batch, events apply in (us, id) order, so a state
+    * and a query arriving in the same batch resolve exactly like the
+    * batch operator.
+    *
+    * Caveat inherent to low-latency streaming (not a bug): a state
+    * event that ARRIVES in a later batch than a query it would have
+    * matched cannot retroactively enrich it — use the batch asOfJoin
+    * for reprocessing; this operator is the "decorate events with the
+    * freshest known state now" online shape. State per key is O(1)
+    * (the single newest record), unlike a buffered-join formulation.
+    */
+  def streamAsOf(events: org.apache.spark.sql.Dataset[AsOfEvent])
+      : org.apache.spark.sql.Dataset[AsOfMatch] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfEvent, AsOfMatch](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r.us, r.id))
+          var latest = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfMatch]
+          sorted.foreach { e =>
+            if (e.isState) {
+              if (latest.forall(s =>
+                s.us < e.us || (s.us == e.us && s.id <= e.id)))
+                latest = Some(e)
+            } else {
+              latest.filter(_.us <= e.us) match {
+                case Some(s) => out += AsOfMatch(key, e.id, e.us,
+                  matched = true, s.us, s.value)
+                case None => out += AsOfMatch(key, e.id, e.us,
+                  matched = false, 0L, 0.0)
+              }
+            }
+          }
+          latest.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming event-time aggregation: tumbling-window counts per key —
     * the standard watermark + window shape over the `events` table's
     * (ts, event_type) (SURVEY §2.8; nothing custom).

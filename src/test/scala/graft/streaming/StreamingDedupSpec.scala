@@ -199,6 +199,46 @@ class StreamingDedupSpec extends SparkFunSuite {
       ResolvedChunk("C", "f2", 1, is_pointer = false, "f2", 1)))
   }
 
+  test("streamAsOf: queries match the latest at-or-before state, " +
+    "state carries ACROSS micro-batches, per-key O(1) state") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDedup.{AsOfEvent, AsOfMatch}
+    val mem = MemoryStream[AsOfEvent]
+    val q = StreamingDedup.streamAsOf(mem.toDS())
+      .writeStream.format("memory").queryName("sao")
+      .outputMode("append").start()
+    // batch 1: state@100 then query@150 (same batch resolve), and a
+    // query@50 BEFORE any state (unmatched)
+    mem.addData(
+      AsOfEvent("u", 100L, isState = true, 1L, 10.0),
+      AsOfEvent("u", 150L, isState = false, 2L, 0),
+      AsOfEvent("u", 50L, isState = false, 3L, 0))
+    q.processAllAvailable()
+    // batch 2: query@200 must see batch 1's state (cross-batch carry);
+    // a NEWER state@250 then a query@300 picks the newer one; an OLDER
+    // state@10 must NOT displace the newest state
+    mem.addData(
+      AsOfEvent("u", 200L, isState = false, 4L, 0),
+      AsOfEvent("u", 250L, isState = true, 5L, 20.0),
+      AsOfEvent("u", 300L, isState = false, 6L, 0),
+      AsOfEvent("u", 10L, isState = true, 7L, 5.0))
+    q.processAllAvailable()
+    // batch 3: the stale state@10 from batch 2 must not have overwritten
+    // state@250
+    mem.addData(AsOfEvent("u", 400L, isState = false, 8L, 0))
+    q.processAllAvailable()
+    val rows = spark.table("sao").as[AsOfMatch].collect()
+      .map(m => m.id -> m).toMap
+    q.stop()
+    assert(!rows(3L).matched)
+    assert(rows(2L).matched && rows(2L).state_value === 10.0)
+    assert(rows(4L).matched && rows(4L).state_us === 100L)
+    assert(rows(6L).matched && rows(6L).state_us === 250L)
+    assert(rows(8L).matched && rows(8L).state_us === 250L &&
+      rows(8L).state_value === 20.0)
+  }
+
   test("sessionCounts: streaming gap sessions merge within the gap and " +
     "split past it") {
     val s = spark; import s.implicits._
