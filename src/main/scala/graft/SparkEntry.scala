@@ -1558,7 +1558,17 @@ object SparkEntry {
         val byLine = cat.getHashLinkByLine(0L)
           .select(lit("by_line").as("probe"), col("hash"), col("file_id"),
             col("line"), col("refs_num"))
-        byHash.unionByName(byLine).orderBy("probe")
+        // F3 (filename = ?) through the real committed files table —
+        // the files row's fields ride the shared output shape: hash
+        // carries the filename, line carries chunk_bytes (both exact
+        // commit-time constants the oracle states)
+        val byFilename = cat.getFile("run1")
+          .select(lit("by_filename").as("probe"),
+            col("filename").as("hash"), col("file_id"),
+            col("chunk_bytes").cast("long").as("line"),
+            lit(1L).as("refs_num"))
+        byHash.unionByName(byLine).unionByName(byFilename)
+          .orderBy("probe")
       }),
 
     // ---- RECALL GATE for the SimHash tier (the q41 trick ported):
@@ -2801,7 +2811,10 @@ object SparkEntry {
         |  WHERE hash = (SELECT h FROM h0)
         |  UNION ALL
         |  SELECT 'by_line' AS probe, hash, line, refs_num FROM l
-        |  WHERE line = 0)
+        |  WHERE line = 0
+        |  UNION ALL
+        |  SELECT 'by_filename', 'run1', CAST(64 AS BIGINT),
+        |         CAST(1 AS BIGINT))
         |ORDER BY probe""".stripMargin,
 
     "q46_multimodal_real_decode" ->
