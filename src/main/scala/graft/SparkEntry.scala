@@ -780,6 +780,15 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- operators/Catalog.stats: the SHOW-STATS surface over the
+    //      real committed gate catalog — every value an exact count
+    //      DuckDB recomputes from the raw chunk arithmetic
+    "q95_catalog_stats" -> ((s, dir) =>
+      withTempCatalog(s, dir) { (cat, _) =>
+        cat.stats().select("version", "n_files", "n_links", "sum_refs",
+          "n_dup_links")
+      }),
+
     // ---- J-level: event funnel — per user, first signup and first
     //      subsequent purchase, with a 7-day conversion flag; one
     //      aggregate + one equi-join + one conditional aggregate, all
@@ -2336,6 +2345,20 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q95_catalog_stats" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> md5(substr(text, s, 64)))) AS hash
+        |  FROM documents WHERE doc_id < 200),
+        |l AS (SELECT hash, count(*) AS refs FROM chunks GROUP BY hash)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
+        |       CAST(count(*) AS BIGINT) AS n_links,
+        |       CAST(sum(refs) AS BIGINT) AS sum_refs,
+        |       CAST(sum(CASE WHEN refs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_links
+        |FROM l""".stripMargin,
 
     "q94_event_funnel" ->
       """WITH s AS (

@@ -247,6 +247,24 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
   def getHashLinkByLine(line: Long): DataFrame =
     links().where(col("line") === line)
 
+  /** Catalog-level operational stats — the SHOW-STATS surface a store
+    * admin or capacity-planning pass reads: distinct-link count, total
+    * reference count (= every chunk occurrence ever committed),
+    * duplicated-link count, committed file count, and the current
+    * version. One bucket-pruned links scan + the files table; every
+    * value exact (counts, not sketches — [[seenBloom]] is the
+    * approximate tier).
+    */
+  def stats(): DataFrame = {
+    val l = links().agg(
+      count(lit(1)).as("n_links"),
+      coalesce(sum("refs_num"), lit(0L)).as("sum_refs"),
+      coalesce(sum(when(col("refs_num") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_dup_links"))
+    val f = files().agg(count(lit(1)).as("n_files"))
+    l.crossJoin(f).withColumn("version", lit(currentVersion))
+  }
+
   /** The reference's only pure relational query: duplicate-frequency
     * report (test/deduplicator_test.exs:323-330) —
     * `refs_num > 1`, projected, sorted descending.

@@ -172,6 +172,16 @@ class CatalogSpec extends SparkFunSuite {
     val all = cat.links().collect().map(_.getAs[String]("hash")).sorted
     assert(all.sameElements(Array("aa11", "bb22", "bb33", "bb44")))
     assert(cat.vacuum().isEmpty) // idempotent
+    // vacuum is the documented END of the time-travel guarantee: the
+    // reclaimed v2's own snapshot is no longer servable as committed
+    // (its bb bucket file is gone), while the CURRENT version remains
+    // exactly readable through linksAt
+    assert(cat.linksAt(cat.currentVersion).collect().toSet
+      === cat.links().collect().toSet)
+    val v2Hashes = cat.linksAt(2L).collect()
+      .map(_.getAs[String]("hash")).toSet
+    assert(!v2Hashes.contains("bb33"),
+      "vacuumed v2 must not still serve its reclaimed bucket")
   }
 
   test("vacuum reclaims a stale bare version dir that would block its " +
