@@ -780,6 +780,24 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ---- ext/TextAnalysis.byteStats: scan-speed junk detection — the
+    //      one-scan native byte-distribution kernel. The corpus is
+    //      pure ASCII, so char stats == byte stats and DuckDB states
+    //      all four fields: counts exactly, entropy via its own
+    //      log2 entropy() aggregate rounded to 6 decimals (summation
+    //      order and libm differences sit ~1e-14, far below the
+    //      rounding grain)
+    "q96_byte_entropy" -> ((s, dir) =>
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.byteStats(col("text")).as("bs"))
+        .select(col("doc_id"),
+          col("bs.n_bytes").as("n_bytes"),
+          col("bs.n_distinct").as("n_distinct"),
+          col("bs.top_count").as("top_count"),
+          round(col("bs.entropy"), 6).as("entropy_r"))
+        .orderBy("doc_id")),
+
     // ---- operators/Catalog.stats: the SHOW-STATS surface over the
     //      real committed gate catalog — every value an exact count
     //      DuckDB recomputes from the raw chunk arithmetic
@@ -2345,6 +2363,24 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+
+    "q96_byte_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, c
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, ''))
+        |          AS c
+        |        FROM documents WHERE doc_id < 200)
+        |  WHERE c <> '')
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bytes,
+        |  CAST(count(DISTINCT c) AS BIGINT) AS n_distinct,
+        |  CAST(max(cnt) AS BIGINT) AS top_count,
+        |  round(entropy, 6) AS entropy_r
+        |FROM (
+        |  SELECT doc_id, c, count(*) OVER (PARTITION BY doc_id, c)
+        |    AS cnt, entropy(c) OVER (PARTITION BY doc_id) AS entropy
+        |  FROM chars)
+        |GROUP BY doc_id, entropy ORDER BY doc_id""".stripMargin,
 
     "q95_catalog_stats" ->
       """WITH chunks AS (

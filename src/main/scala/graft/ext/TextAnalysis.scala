@@ -68,6 +68,18 @@ object TextAnalysis {
     call_function("graft_nfc", text)
   }
 
+  /** Byte-distribution stats `(n_bytes, n_distinct, top_count,
+    * entropy)` in one native scan — the scan-speed junk detector
+    * (compressed/encrypted blobs sit near 8 bits/byte, natural text
+    * near 4–5, padding near 0); see
+    * [[graft.functions.TextExpressions.ByteStats]].
+    */
+  def byteStats(textOrBinary: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VecExpressions.register)
+    call_function("graft_byte_stats", textOrBinary)
+  }
+
   /** Document fingerprint: md5 of the normalized text. Two docs with the
     * same fingerprint are duplicates up to case/whitespace.
     */

@@ -346,4 +346,73 @@ object TextExpressions {
         s.toString, java.text.Normalizer.Form.NFC))
     }
   }
+
+  /** Byte-level distribution stats in ONE scan — the junk detector's
+    * inputs: `(n_bytes, n_distinct, top_count, entropy)`. Shannon
+    * entropy (log₂, in bits/byte) separates text (~4–5) from
+    * compressed/encrypted junk (~8) and from degenerate padding (~0) —
+    * the standard scan-speed filter before paying tokenization for a
+    * blob. A 256-cell histogram on the stack, summation in ascending
+    * byte order (deterministic), no allocation beyond the output row.
+    */
+  case class ByteStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ByteStats.schema
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"input must be string or binary, got ${other.simpleString}")
+    }
+    @transient private lazy val isString = child.dataType == StringType
+    def compute(input: Any): org.apache.spark.sql.catalyst.InternalRow = {
+      val bytes =
+        if (isString) input.asInstanceOf[UTF8String].getBytes
+        else input.asInstanceOf[Array[Byte]]
+      ByteStats.stats(bytes)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("byteStats", this,
+        classOf[ByteStats].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object ByteStats {
+    val schema: StructType = StructType(Seq(
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("top_count", LongType, nullable = false),
+      StructField("entropy", DoubleType, nullable = false)))
+
+    private val LOG2 = math.log(2.0)
+
+    def stats(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+      val hist = new Array[Long](256)
+      var i = 0
+      while (i < bytes.length) {
+        hist(bytes(i) & 0xFF) += 1
+        i += 1
+      }
+      val n = bytes.length.toLong
+      var distinct = 0L
+      var top = 0L
+      var entropy = 0.0
+      var b = 0
+      while (b < 256) {
+        val c = hist(b)
+        if (c > 0) {
+          distinct += 1
+          if (c > top) top = c
+          val p = c.toDouble / n
+          entropy -= p * (math.log(p) / LOG2)
+        }
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, distinct, top, if (n == 0) 0.0 else entropy))
+    }
+  }
 }

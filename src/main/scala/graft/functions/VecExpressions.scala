@@ -449,7 +449,11 @@ object VecExpressions {
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(
         classOf[TextExpressions.NfcNormalize].getName, "graft_nfc"),
-      (es: Seq[Expression]) => TextExpressions.NfcNormalize(es(0))))
+      (es: Seq[Expression]) => TextExpressions.NfcNormalize(es(0))),
+    (FunctionIdentifier("graft_byte_stats"),
+      new ExpressionInfo(
+        classOf[TextExpressions.ByteStats].getName, "graft_byte_stats"),
+      (es: Seq[Expression]) => TextExpressions.ByteStats(es(0))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

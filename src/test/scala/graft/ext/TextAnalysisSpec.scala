@@ -213,6 +213,38 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(rows.size == 5) // one row per distinct (doc, token)
   }
 
+  test("byteStats: hand-checked entropy, degenerate and empty inputs, " +
+    "binary input, codegen") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "aabb"),   // two symbols, equal: H = 1 bit
+      (2L, "aaaa"),   // degenerate: H = 0
+      (3L, ""),       // empty
+      (4L, "abcd"))   // four distinct: H = 2 bits
+      .toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.byteStats(col("t")).as("b"))
+      .select(col("id"), col("b.n_bytes"), col("b.n_distinct"),
+        col("b.top_count"), col("b.entropy"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((4L, 2L, 2L, 1.0)))
+    assert(out(2L) === ((4L, 1L, 4L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0L, 0.0)))
+    assert(out(4L) === ((4L, 4L, 1L, 2.0)))
+    // binary input takes the same kernel
+    val bin = Seq((1L, Array[Byte](0, 0, 1, 1))).toDF("id", "blob")
+      .select(TextAnalysis.byteStats(col("blob")).as("b"))
+      .select(col("b.entropy")).head().getDouble(0)
+    assert(bin === 1.0)
+    // whole-stage codegen holds through the native kernel
+    val src = spark.range(100).select(
+      concat(lit("x"), col("id") % 7).as("t"))
+    val plan = src.select(TextAnalysis.byteStats(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("),
+      s"byteStats must stay inside whole-stage codegen:\n$plan")
+  }
+
   test("nfc composes decomposed sequences, is idempotent, and leaves " +
     "ASCII untouched (fast path returns the same value)") {
     val s = spark; import s.implicits._
