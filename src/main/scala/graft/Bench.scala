@@ -100,6 +100,14 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; stdout already has it
     spark.stop()
+    // Print the line AGAIN after shutdown, as the absolute last stdout
+    // bytes, then give the pipe a moment to drain: r7 AND r8 driver
+    // captures both clipped the tail mid-JSON (`"parsed": null`), so the
+    // artifact now carries the line at both ends of the shutdown window —
+    // whichever side of a truncation survives has the full JSON.
+    println(line)
+    System.out.flush()
+    Thread.sleep(250)
     if (results.nonEmpty && ok.isEmpty) sys.exit(1)
   }
 

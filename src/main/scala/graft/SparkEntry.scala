@@ -332,7 +332,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", 10)
-        .select("query_id", "neighbor_id", "rank")
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1701,14 +1702,20 @@ object SparkEntry {
     //      palindrome (order sensitivity — the property a commutative
     //      fold would silently lose). DuckDB predicts palindromy from
     //      the text alone, never touching the hash.
-    //      PROBABILISTIC ASSUMPTION (documented per round-7 advice):
-    //      the oracle equates order_sensitive with a pure string
-    //      inequality, so the gate holds only if no non-palindromic
-    //      token sequence collides with its reverse under the 64-bit
-    //      rotate-XOR fold — P ≈ 1000·2⁻⁶⁴ per corpus refresh. If a
-    //      refresh ever plants such a collision, the gate fails on
-    //      exactly one doc_id row (a diagnosable false alarm, not a
-    //      code regression); regenerate or exclude that doc.
+    //      PROBABILISTIC ASSUMPTION (documented per round-7 advice,
+    //      hardened per round-8): the oracle predicts `fwd_ne_rev`
+    //      (hashes differ) as a pure string inequality, so the gate
+    //      holds only if no non-palindromic token sequence collides
+    //      with its reverse under the 64-bit rotate-XOR fold —
+    //      P ≈ 1000·2⁻⁶⁴ per corpus refresh. The output now carries
+    //      `palindrome` (text-derived on BOTH engines, assumption-free)
+    //      NEXT TO the hash-derived `fwd_ne_rev`: a refresh-planted
+    //      collision mismatches only fwd_ne_rev on exactly one row
+    //      while palindrome still agrees, so the verify diff names the
+    //      colliding doc_id and the failing property directly — a
+    //      diagnosable false alarm, not a silent gate break. A real
+    //      commutative-fold regression flips fwd_ne_rev on ~every
+    //      non-palindromic row, an unmistakably different signature.
     "q52_rolling_hash_planted" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
         .select("doc_id", "text")
@@ -1721,6 +1728,9 @@ object SparkEntry {
           col("text")))
       val rh = planted.select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rh"))
+      val pal = docs.select(col("doc_id"),
+        (col("text") === array_join(
+          reverse(TextAnalysis.tokens(col("text"))), " ")).as("palindrome"))
       rh.where(col("doc_id") < 1000000L)
         .join(rh.where(col("doc_id").between(1000000L, 1999999L))
           .select((col("doc_id") - 1000000L).as("doc_id"),
@@ -1728,9 +1738,11 @@ object SparkEntry {
         .join(rh.where(col("doc_id") >= 2000000L)
           .select((col("doc_id") - 2000000L).as("doc_id"),
             col("rh").as("rh_rev")), "doc_id")
+        .join(pal, "doc_id")
         .select(col("doc_id"),
           (col("rh") === col("rh_copy")).as("same_hash"),
-          (col("rh") =!= col("rh_rev")).as("order_sensitive"))
+          col("palindrome"),
+          (col("rh") =!= col("rh_rev")).as("fwd_ne_rev"))
         .orderBy("doc_id")
     }),
 
@@ -1758,6 +1770,59 @@ object SparkEntry {
           col("media.width").as("width"), col("media.height").as("height"),
           col("media.ok").as("ok"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- §2.8 STREAMING batch-equivalence gate (round-8 verdict,
+    //      Missing #1): the q48 catalog-repetition result, produced by
+    //      the REAL Structured Streaming path instead of the batch API.
+    //      The 200 gate docs land as 10 files of 20 concatenated docs,
+    //      each doc space-padded to a 64-byte multiple so every doc
+    //      stays chunk-aligned in every file, and doc 0's padded text
+    //      is PLANTED as a prefix of all 10 files — so batches 2 and 3
+    //      MUST resolve those chunks against the catalog state batch 1
+    //      committed (the cross-batch delta path), and the planted
+    //      refs land in the report with refs_num ≥ 10 (ASCII corpus:
+    //      byte offsets ≡ char offsets); StreamingDedup.start
+    //      (binaryFile source → foreachBatch → deduplicateBatch → one
+    //      catalog commit per micro-batch, reference deduplicator.ex:
+    //      66-82 flush ≙ micro-batch) drains them under AvailableNow
+    //      with maxFilesPerTrigger=4 — so the run is FORCED through 3
+    //      incremental commits (4+4+2), with batches 2 and 3 probing
+    //      the catalog state batch 1 committed. The output is the final
+    //      catalog's chunkRepetition() — which must equal the batch
+    //      plan's oracle EXACTLY (refs_num is an occurrence count,
+    //      invariant to file/batch order) — plus n_batches (the catalog
+    //      version counter) pinned to 3, so "it was really incremental"
+    //      is itself part of the hash gate, not a log claim.
+    "q97_streaming_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          expr("rpad(text, ((length(text)+63) div 64)*64, ' ')").as("pt"))
+        .orderBy("doc_id")
+        .collect() // 200 fixture rows, driver-side by design
+      val pad0 = docs.head.getString(1)
+      val files = (0 until 10).map(g =>
+        g -> (pad0 + docs.slice(g * 20, (g + 1) * 20)
+          .map(_.getString(1)).mkString))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(tmp.toFile))
+      val inDir = tmp.resolve("in"); val work = tmp.resolve("work")
+      java.nio.file.Files.createDirectories(inDir)
+      files.foreach { case (g, content) =>
+        java.nio.file.Files.write(inDir.resolve(f"part$g%02d.txt"),
+          content.getBytes("UTF-8"))
+      }
+      // bloomItems = 0: the probe prefilter has its own gate (q70); here
+      // it would only add a sketch-build job to each of the 3 commits.
+      graft.streaming.StreamingDedup.start(s, inDir.toString, work.toString,
+        graft.api.DedupOptions(chunkBytes = 64, algorithm = "md5"),
+        maxFilesPerTrigger = Some(4), bucketChars = 1, bloomItems = 0L)
+        .awaitTermination()
+      val cat = new graft.operators.Catalog(s, s"$work/catalog", 1)
+      cat.chunkRepetition()
+        .select(col("refs_num"), lit(cat.currentVersion).as("n_batches"))
+        .orderBy(col("refs_num").desc)
     })
   )
 
@@ -2141,8 +2206,8 @@ object SparkEntry {
         |    coalesce(sum(tok) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
         |  FROM t)
-        |SELECT doc_id, tok, s // 512 AS first_window,
-        |       (s + tok - 1) // 512 AS last_window
+        |SELECT doc_id, tok, CAST(s // 512 AS BIGINT) AS first_window,
+        |       CAST((s + tok - 1) // 512 AS BIGINT) AS last_window
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q61_intradoc_repetition" ->
@@ -2364,23 +2429,36 @@ object SparkEntry {
         |WHERE vec_id >= 5 AND vec_id < 500
         |ORDER BY vec_id""".stripMargin,
 
+    // Left-join the char stats back onto the doc universe so a
+    // zero-length document compares as (0,0,0,0.0) — matching the
+    // Spark ByteStats kernel — instead of dropping the oracle row.
     "q96_byte_entropy" ->
-      """WITH chars AS (
+      """WITH docs AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 200),
+        |chars AS (
         |  SELECT doc_id, c
         |  FROM (SELECT doc_id, unnest(string_split_regex(text, ''))
         |          AS c
         |        FROM documents WHERE doc_id < 200)
-        |  WHERE c <> '')
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_bytes,
-        |  CAST(count(DISTINCT c) AS BIGINT) AS n_distinct,
-        |  CAST(max(cnt) AS BIGINT) AS top_count,
-        |  round(entropy, 6) AS entropy_r
-        |FROM (
-        |  SELECT doc_id, c, count(*) OVER (PARTITION BY doc_id, c)
-        |    AS cnt, entropy(c) OVER (PARTITION BY doc_id) AS entropy
-        |  FROM chars)
-        |GROUP BY doc_id, entropy ORDER BY doc_id""".stripMargin,
+        |  WHERE c <> ''),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_bytes,
+        |    CAST(count(DISTINCT c) AS BIGINT) AS n_distinct,
+        |    CAST(max(cnt) AS BIGINT) AS top_count,
+        |    round(entropy, 6) AS entropy_r
+        |  FROM (
+        |    SELECT doc_id, c, count(*) OVER (PARTITION BY doc_id, c)
+        |      AS cnt, entropy(c) OVER (PARTITION BY doc_id) AS entropy
+        |    FROM chars)
+        |  GROUP BY doc_id, entropy)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_bytes, 0) AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(s.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CAST(coalesce(s.top_count, 0) AS BIGINT) AS top_count,
+        |  CAST(coalesce(s.entropy_r, 0.0) AS DOUBLE) AS entropy_r
+        |FROM docs d LEFT JOIN stats s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q95_catalog_stats" ->
       """WITH chunks AS (
@@ -2837,9 +2915,36 @@ object SparkEntry {
 
     "q52_rolling_hash_planted" ->
       """SELECT doc_id, TRUE AS same_hash,
+        |  text = array_to_string(list_reverse(string_split(text, ' ')),
+        |                         ' ') AS palindrome,
         |  text != array_to_string(list_reverse(string_split(text, ' ')),
-        |                          ' ') AS order_sensitive
+        |                          ' ') AS fwd_ne_rev
         |FROM documents WHERE doc_id < 1000 ORDER BY doc_id""".stripMargin,
+
+    // The batch-plan prediction of the streaming run: 10 files, each =
+    // doc 0's padded text (planted cross-batch duplicate) + 20 docs
+    // padded to 64-byte multiples, chunked at 64 chars from each FILE's
+    // start; refs_num per repeated chunk hash (order-invariant), plus
+    // the pinned incremental-commit count.
+    "q97_streaming_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    rpad(text, CAST(((length(text)+63)//64)*64 AS INTEGER), ' ') AS pt
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (
+        |  SELECT doc_id // 20 AS g,
+        |         (SELECT pt FROM p WHERE doc_id = 0) ||
+        |           string_agg(pt, '' ORDER BY doc_id) AS content
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(cnt AS BIGINT) AS refs_num,
+        |       CAST(3 AS BIGINT) AS n_batches FROM (
+        |  SELECT count(*) AS cnt FROM (
+        |    SELECT md5(chunk) AS h FROM (
+        |      SELECT unnest(list_transform(range(1, length(content) + 1, 64),
+        |             s -> substr(content, s, 64))) AS chunk
+        |      FROM f))
+        |  GROUP BY h HAVING count(*) > 1)
+        |ORDER BY refs_num DESC""".stripMargin,
 
     "q48_catalog_repetition" ->
       """SELECT CAST(cnt AS BIGINT) AS refs_num FROM (

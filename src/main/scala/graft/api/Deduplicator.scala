@@ -220,17 +220,20 @@ class Deduplicator(spark: SparkSession, workDir: String,
       //      RDDs): a streaming session runs this once per micro-batch,
       //      and leaked per-run blocks would accumulate forever. ----
       val beforeCp = spark.sparkContext.getPersistentRDDs.keySet
-      val newLinksAll = probed
-        .where(col("cat_line").isNull &&
-          struct(col("fidx"), col("pos")) === col("first"))
+      // ONE checkpointed pass for both catalog contributions: new links
+      // and deltas are complementary slices of the same batch-first-
+      // occurrence rows, so materializing them separately would run the
+      // probe lineage twice (per micro-batch, forever, in streaming).
+      val contrib = probed
+        .where(struct(col("fidx"), col("pos")) === col("first"))
+        .select(col("fidx"), col("hash"), col("pos"), col("occ"),
+          col("cat_line").isNotNull.as("known"))
+        .localCheckpoint()
+      val newLinksAll = contrib.where(!col("known"))
         .select(col("fidx"), col("hash"), col("pos").as("line"),
           col("occ").as("refs_num"))
-        .localCheckpoint()
-      val deltasAll = probed
-        .where(col("cat_line").isNotNull &&
-          struct(col("fidx"), col("pos")) === col("first"))
+      val deltasAll = contrib.where(col("known"))
         .select(col("hash"), col("occ").as("delta"))
-        .localCheckpoint()
       cpPinned =
         (spark.sparkContext.getPersistentRDDs -- beforeCp).values.toSeq
       val countRows = probed.groupBy("fidx")
@@ -239,16 +242,21 @@ class Deduplicator(spark: SparkSession, workDir: String,
         .collect()
         .map(r => r.getAs[Int]("fidx") ->
           (r.getAs[Long]("n"), r.getAs[Long]("ptrs"))).toMap
-      val emptyDeltas = deltasAll.where(lit(false))
-      val specs = names.zipWithIndex.map { case (name, i) =>
-        Catalog.RunSpec(fidBase + i, name, opts.chunkBytes, algo.name,
-          newLinksAll.where(col("fidx") === i).select("hash", "line", "refs_num"),
-          // refs_num of in-batch new links already counts the whole
-          // batch, so catalog deltas exist only for pre-batch hashes;
-          // they are attached to the first run (commitRuns merges all)
-          if (i == 0) deltasAll else emptyDeltas)
-      }
-      catalog.commitRuns(specs)
+      // Commit the batch-wide links AS ONE DataFrame (file_id = fidx +
+      // fidBase), never split per file and re-unioned: an N-way union
+      // here makes the commit plan O(files × partitions) tasks — ~3× the
+      // whole run's cost at 70 files, catastrophic at the 10k-file
+      // micro-batch this method documents. refs_num of in-batch new
+      // links already counts the whole batch, so catalog deltas exist
+      // only for pre-batch hashes.
+      catalog.commitRunsPrelinked(
+        names.zipWithIndex.map { case (name, i) =>
+          Catalog.RunMeta(fidBase + i, name, opts.chunkBytes, algo.name)
+        },
+        newLinksAll.select(col("hash"),
+          (col("fidx").cast("long") + fidBase).as("file_id"),
+          col("line"), col("refs_num")),
+        deltasAll)
       names.zipWithIndex.map { case (name, i) =>
         val (n, p) = countRows.getOrElse(i, (0L, 0L))
         DedupResult(name, fidBase + i, n, p)

@@ -299,13 +299,39 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     */
   def commitRuns(runs: Seq[RunSpec]): Unit = {
     if (runs.isEmpty) return
+    commitRunsPrelinked(
+      runs.map(r => RunMeta(r.fileId, r.filename, r.chunkBytes, r.algorithm)),
+      runs.map { r =>
+        r.newLinks.select(col("hash"), lit(r.fileId).as("file_id"),
+          col("line"), col("refs_num"))
+      }.reduce(_ unionByName _),
+      runs.map(_.deltas.select(col("hash"), col("delta")))
+        .reduce(_ unionByName _))
+  }
+
+  /** [[commitRuns]] with the links already combined: `newLinks` carries
+    * its own `file_id` column instead of one DataFrame per run. This is
+    * the path a WIDE micro-batch must use: building the per-run split
+    * only to re-union it makes the commit plan an N-way union whose
+    * task count is O(files × partitions) — measured 3× the whole gate
+    * cost at 70 files, and a non-starter at the 10k-file micro-batch
+    * this API documents. Here the plan stays O(partitions) no matter
+    * how many files the batch carried.
+    *
+    * Same requirements as [[commitRuns]]: fileIds distinct and unused,
+    * newLinks hashes disjoint from each other; deltas may reference old
+    * and new hashes.
+    */
+  def commitRunsPrelinked(metas: Seq[RunMeta], newLinks: DataFrame,
+                          deltas: DataFrame): Unit = {
+    if (metas.isEmpty) return
     val v = currentVersion
     val oldManifest = readManifest(v)
     val oldLinks = links()
 
     val newFiles = files().unionByName(
       spark.createDataFrame(
-        runs.map(r => (r.fileId, r.filename, r.chunkBytes, r.algorithm)))
+        metas.map(r => (r.fileId, r.filename, r.chunkBytes, r.algorithm)))
         .toDF("file_id", "filename", "chunk_bytes", "algorithm"))
 
     // Materialized once: these plans execute twice below (the touched-
@@ -318,19 +344,17 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     // hundreds of micro-batches, and leaked per-commit blocks would
     // accumulate for its whole lifetime.
     val beforeCp = spark.sparkContext.getPersistentRDDs.keySet
-    val allNew = runs.map { r =>
-      r.newLinks.select(col("hash"), lit(r.fileId).as("file_id"),
+    val allNew = newLinks
+      .select(col("hash"), col("file_id").cast(LongType).as("file_id"),
         col("line"), col("refs_num").cast(LongType).as("refs_num"))
-    }.reduce(_ unionByName _)
       // Defensive anti-join: uniqueness of `hash` must hold by
       // construction even if a caller's newLinks overlaps the catalog
       // (idempotent re-runs).
       .join(oldLinks.select("hash"), Seq("hash"), "left_anti")
       .localCheckpoint()
 
-    val allDeltas = runs.map(_.deltas.select(col("hash"),
-        col("delta").cast(LongType).as("delta")))
-      .reduce(_ unionByName _)
+    val allDeltas = deltas
+      .select(col("hash"), col("delta").cast(LongType).as("delta"))
       .groupBy("hash").agg(sum("delta").as("delta"))
       .localCheckpoint()
     val cpPinned =
@@ -603,6 +627,13 @@ object Catalog {
     */
   case class RunSpec(fileId: Long, filename: String, chunkBytes: Int,
                      algorithm: String, newLinks: DataFrame, deltas: DataFrame)
+
+  /** Per-run metadata for [[Catalog.commitRunsPrelinked]] — [[RunSpec]]
+    * without the per-run DataFrames (the links arrive combined, carrying
+    * their own file_id column).
+    */
+  case class RunMeta(fileId: Long, filename: String, chunkBytes: Int,
+                     algorithm: String)
 
 
   val filesSchema: StructType = StructType(Seq(

@@ -53,6 +53,15 @@ object TemporalOps {
     Reserved.assertNone(left, "asOfJoin(left)")
     Reserved.assertNone(right, "asOfJoin(right)")
     val leftCols = left.columns.toSeq
+    // Output-name collisions outside the _graft_ prefix: a left column
+    // named exactly "<leftTs>_matched_us" or matching any payload name
+    // would silently duplicate in the output — fail loudly instead.
+    val outNames = s"${leftTs}_matched_us" +: rightPayload
+    val clash = leftCols.filter(outNames.contains)
+    require(clash.isEmpty,
+      s"asOfJoin: left column(s) ${clash.mkString(", ")} collide with " +
+        s"output columns (${leftTs}_matched_us / rightPayload); rename " +
+        "them first")
     // Tagged union: right rows carry their payload in one struct column
     // (nullable on left rows); tag orders right BEFORE left at equal ts
     // so `<=` semantics hold on ties.

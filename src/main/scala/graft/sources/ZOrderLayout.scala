@@ -87,7 +87,16 @@ object ZOrderLayout {
     require(prefixBits >= 1 && prefixBits <= 2 * bits && prefixBits <= 20,
       s"need 1 <= prefixBits <= min(2*bits, 20), got $prefixBits")
     graft.operators.Reserved.assertNone(df, "writeZOrdered")
-    val z = zValue(col(aCell).cast("long"), col(bCell).cast("long"), bits)
+    // Cells outside [0, 2^bits) would silently alias via bit truncation
+    // (negative cells corrupt the layout and readBox can miss rows), so
+    // fail loudly per-row: two codegen'd comparisons, no extra scan.
+    val aL = col(aCell).cast("long"); val bL = col(bCell).cast("long")
+    val lim = lit(1L << bits)
+    val zRaw = zValue(aL, bL, bits)
+    val z = when(aL >= 0 && aL < lim && bL >= 0 && bL < lim, zRaw)
+      .otherwise(raise_error(concat(
+        lit(s"writeZOrdered: cell out of [0, ${1L << bits}) for " +
+          s"($aCell,$bCell): ("), aL, lit(","), bL, lit(")"))))
     df.withColumn("_graft_z", z)
       .withColumn("_graft_zp", zPrefix(col("_graft_z"), bits, prefixBits))
       .repartition(col("_graft_zp"))

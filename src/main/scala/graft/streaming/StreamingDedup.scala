@@ -35,9 +35,13 @@ object StreamingDedup {
     */
   def start(spark: SparkSession, inputDir: String, workDir: String,
             opts: DedupOptions = DedupOptions(),
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val dedup = new Deduplicator(spark, workDir)
-    spark.readStream
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Option[Int] = None,
+            bucketChars: Int = 2,
+            bloomItems: Long = 1000000L): StreamingQuery = {
+    val dedup = new Deduplicator(spark, workDir, bucketChars = bucketChars,
+      bloomItems = bloomItems)
+    val reader = spark.readStream
       .format("binaryFile")
       // streaming sources require an explicit schema; this is binaryFile's
       // fixed one. Only `path` is ever selected — column pruning keeps the
@@ -51,6 +55,14 @@ object StreamingDedup {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
+    // maxFilesPerTrigger bounds each micro-batch's file count; under
+    // AvailableNow the backlog drains in MULTIPLE batches of that size
+    // (one catalog commit each) instead of one giant batch — the knob
+    // that makes incremental behavior testable and, in production,
+    // keeps a huge backlog from becoming one huge first batch.
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .load(inputDir)
       .writeStream
       .trigger(trigger)

@@ -382,4 +382,57 @@ class CatalogSpec extends SparkFunSuite {
     // point reads still prune correctly post-compaction
     assert(cat.getHashLink("bb07").head().getAs[Long]("refs_num") == 5L)
   }
+
+  test("vacuum/GC safety: cross-run pointers survive vacuum AND " +
+    "compact+vacuum — recovery still byte-matches (SURVEY risk #3)") {
+    // Adversarial shape: run-2's encoded file is MOSTLY pointers into
+    // run-1's chunk store, then version churn makes run-1's catalog
+    // version reclaimable. The property under test: vacuum may delete
+    // old catalog VERSIONS (manifest-carried buckets keep the links
+    // alive) but must never break pointer resolution — the encoded
+    // chunk store is not vacuum's to touch, and every refs_num-bearing
+    // link must still resolve identically afterwards.
+    val dir = tempDir("cat-vacuum-safety")
+    val a = Fixtures.alignedDuplicated(blocks = 512, distinct = 20, seed = 7)
+    val b = Fixtures.alignedDuplicated(blocks = 512, distinct = 20, seed = 7) ++
+      Fixtures.alignedDuplicated(blocks = 64, distinct = 8, seed = 8)
+    val c = Fixtures.alignedDuplicated(blocks = 64, distinct = 8, seed = 9)
+    val pa = Fixtures.writeTemp(dir, "a.bin", a)
+    val pb = Fixtures.writeTemp(dir, "b.bin", b)
+    val pc = Fixtures.writeTemp(dir, "c.bin", c)
+    val engine = new Deduplicator(spark, s"$dir/work", bucketChars = 1)
+    val ra = engine.deduplicateFile(pa, DedupOptions(chunkBytes = 64))
+    val rb = engine.deduplicateFile(pb, DedupOptions(chunkBytes = 64))
+    val rc = engine.deduplicateFile(pc, DedupOptions(chunkBytes = 64))
+    assert(rb.pointers >= 512, s"expected cross-run pointers into run 1, got $rb")
+    val cat = engine.catalog
+    def snapshot() = cat.links().collect().map(r =>
+      (r.getAs[String]("hash"), r.getAs[Long]("line"),
+        r.getAs[Long]("refs_num"))).toSet
+    val before = snapshot()
+
+    // run 2 bumped refs on EVERY run-1 hash, so every v1 bucket was
+    // rewritten at v2 and v1 must actually be reclaimable — a vacuum
+    // that deletes nothing here would vacuously "preserve" recovery.
+    val deleted = cat.vacuum()
+    assert(deleted.nonEmpty, "vacuum reclaimed nothing — scenario is not adversarial")
+    assert(!deleted.contains(cat.currentVersion))
+
+    // links identical, and recovery of ALL THREE runs still byte-matches
+    assert(snapshot() == before, "vacuum changed link resolution")
+    def checkRecovery(): Unit =
+      Seq((ra, a, "a"), (rb, b, "b"), (rc, c, "c")).foreach { case (r, data, n) =>
+        val out = s"$dir/rec-$n-${System.nanoTime()}"
+        engine.recoverFile(r.outputName, out)
+        assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(out)), data),
+          s"recovery of run $n diverged after vacuum/compact")
+      }
+    checkRecovery()
+
+    // compact (rewrite + vacuum all history): the strongest reclaim the
+    // API offers — pointer resolution and byte recovery must still hold
+    cat.compact()
+    assert(snapshot() == before, "compact changed link resolution")
+    checkRecovery()
+  }
 }
