@@ -1878,6 +1878,70 @@ object SparkEntry {
           col("audio.peak").as("peak"),
           col("audio.ok").as("ok"))
         .orderBy("doc_id")
+    }),
+
+    // ---- CROSS-IMPLEMENTATION GATE for URL canonicalization (the
+    //      dedup identity of every web corpus): both engines derive the
+    //      SAME messy raw URL from doc_id (8 variants per base page —
+    //      case, default port, trailing slash, fragment, tracking
+    //      params, param-order permutation), then each normalizes with
+    //      ITS OWN implementation — Spark the native codegen'd
+    //      NormalizeUrl kernel, DuckDB an independent regexp +
+    //      list_filter/list_sort restatement — and the per-row
+    //      normalized URL plus its dedup-group size must hash-match.
+    //      Variants 0–4 collapse to one page, 5–6 to a second, 7 is
+    //      its own (https ≠ http).
+    "q100_url_normalize" -> ((s, dir) => {
+      val g = expr("doc_id div 8")
+      val v = pmod(col("doc_id"), lit(8))
+      val raw = when(v === 0, concat(lit("http://Example.COM/p"), g))
+        .when(v === 1, concat(lit("HTTP://example.com:80/p"), g))
+        .when(v === 2, concat(lit("http://example.com/p"), g, lit("/")))
+        .when(v === 3, concat(lit("http://example.com/p"), g, lit("#sec")))
+        .when(v === 4, concat(lit("http://example.com/p"), g,
+          lit("?utm_source=tw&utm_campaign=x")))
+        .when(v === 5, concat(lit("http://example.com/p"), g,
+          lit("?b=2&a=1")))
+        .when(v === 6, concat(lit("http://example.com/p"), g,
+          lit("?a=1&utm_medium=email&b=2")))
+        .otherwise(concat(lit("https://example.com:443/p"), g,
+          lit("?fbclid=abc")))
+      val docs = t(s, dir, "documents").where(col("doc_id") < 400)
+        .select(col("doc_id"), raw.as("url"))
+        .withColumn("norm_url",
+          graft.ext.TextAnalysis.normalizeUrl(col("url")))
+      docs.join(
+          docs.groupBy("norm_url").agg(count(lit(1)).as("n_same")),
+          Seq("norm_url"))
+        .select("doc_id", "url", "norm_url", "n_same")
+        .orderBy("doc_id")
+    }),
+
+    // ---- CROSS-IMPLEMENTATION GATE for the C4 line filter: a 4-line
+    //      fixture page is derived from each document's tokens
+    //      identically in both engines (slices + punctuation by id
+    //      arithmetic; line 3 plants the "javascript" boilerplate),
+    //      then each engine applies ITS OWN line predicates — Spark
+    //      c4LineFilter's HOF pipeline, DuckDB list_filter with
+    //      regexp_matches — so the kept-line sets, the reassembled
+    //      clean text, and the min-lines document drop must all agree
+    //      exactly. Line survival is DATA-dependent (token counts vary
+    //      per doc), not a planted constant.
+    "q101_c4_line_filter" -> ((s, dir) => {
+      val toks = graft.ext.TextAnalysis.tokens(col("text"))
+      val fixture = concat_ws("\n",
+        concat(array_join(slice(toks, 1, 5), " "), lit(".")),
+        array_join(slice(toks, 6, 2), " "),
+        lit("please enable javascript to view this page."),
+        concat(array_join(slice(toks, 8, 5), " "),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("!"))
+            .otherwise(lit(""))))
+      val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), fixture.as("page"))
+      graft.ext.TextAnalysis.c4LineFilter(docs, "doc_id", "page",
+          minWords = 4, minLines = 2)
+        .select("doc_id", "clean_text", "n_lines", "n_kept")
+        .orderBy("doc_id")
     })
   )
 
@@ -3078,6 +3142,87 @@ object SparkEntry {
         |FROM d CROSS JOIN generate_series(0, 1099) AS t(i)
         |WHERE t.i < d.n
         |GROUP BY d.doc_id, d.n
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // independent restatement of NormalizeUrl: regexp part extraction +
+    // list_filter/list_sort — shares no code path with the Spark kernel
+    "q100_url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'http://Example.COM/p' || (doc_id // 8)
+        |      WHEN 1 THEN 'HTTP://example.com:80/p' || (doc_id // 8)
+        |      WHEN 2 THEN 'http://example.com/p' || (doc_id // 8) || '/'
+        |      WHEN 3 THEN 'http://example.com/p' || (doc_id // 8)
+        |                  || '#sec'
+        |      WHEN 4 THEN 'http://example.com/p' || (doc_id // 8)
+        |                  || '?utm_source=tw&utm_campaign=x'
+        |      WHEN 5 THEN 'http://example.com/p' || (doc_id // 8)
+        |                  || '?b=2&a=1'
+        |      WHEN 6 THEN 'http://example.com/p' || (doc_id // 8)
+        |                  || '?a=1&utm_medium=email&b=2'
+        |      ELSE 'https://example.com:443/p' || (doc_id // 8)
+        |           || '?fbclid=abc'
+        |    END AS url
+        |  FROM documents WHERE doc_id < 400),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |    CASE WHEN regexp_matches(url, '^[^#?]*\?')
+        |         THEN list_sort(list_filter(
+        |           string_split(regexp_extract(url,
+        |             '^[^#?]*\?([^#]*)', 1), '&'),
+        |           x -> x <> '' AND NOT regexp_matches(x,
+        |             '^(utm_[a-z0-9]+|fbclid|gclid)(=|$)', 'i')))
+        |         ELSE NULL END AS kept
+        |  FROM raw),
+        |n AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+        |           THEN substr(auth, 1, length(auth) - 3)
+        |         WHEN scheme = 'https' AND auth LIKE '%:443'
+        |           THEN substr(auth, 1, length(auth) - 4)
+        |         ELSE auth END ||
+        |    CASE WHEN pth = '' THEN '/'
+        |         WHEN length(pth) > 1 AND pth LIKE '%/'
+        |           THEN substr(pth, 1, length(pth) - 1)
+        |         ELSE pth END ||
+        |    CASE WHEN kept IS NULL OR len(kept) = 0 THEN ''
+        |         ELSE '?' || array_to_string(kept, '&') END AS norm_url
+        |  FROM p)
+        |SELECT doc_id, url, norm_url,
+        |       CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT)
+        |         AS n_same
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // independent restatement of c4LineFilter's predicates over the
+    // identically-derived 4-line fixture page
+    "q101_c4_line_filter" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    [array_to_string(toks[1:5], ' ') || '.',
+        |     array_to_string(toks[6:7], ' '),
+        |     'please enable javascript to view this page.',
+        |     array_to_string(toks[8:12], ' ') ||
+        |       (CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '' END)] AS ls
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 300)),
+        |k AS (
+        |  SELECT doc_id, len(ls) AS n_lines,
+        |    list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+        |      AND len(string_split(x, ' ')) >= 4
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM pg)
+        |SELECT doc_id,
+        |       array_to_string(kept, chr(10)) AS clean_text,
+        |       CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k WHERE len(kept) >= 2 ORDER BY doc_id""".stripMargin
   )
 }

@@ -68,6 +68,20 @@ object TextAnalysis {
     call_function("graft_nfc", text)
   }
 
+  /** URL canonicalization — the dedup identity for web corpora (case,
+    * default ports, trailing slash, fragments, tracking params,
+    * query-param order all collapse); the native codegen'd expression
+    * [[graft.functions.TextExpressions.NormalizeUrl]]. Non-URL
+    * strings pass through unchanged. At 100 TB this runs as a narrow
+    * projection inside whole-stage codegen; the dedup itself is then
+    * an ordinary hash groupBy on the normalized key.
+    */
+  def normalizeUrl(url: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VecExpressions.register)
+    call_function("graft_normalize_url", url)
+  }
+
   /** Byte-distribution stats `(n_bytes, n_distinct, top_count,
     * entropy)` in one native scan — the scan-speed junk detector
     * (compressed/encrypted blobs sit near 8 bits/byte, natural text
@@ -207,6 +221,38 @@ object TextAnalysis {
     * full sort, no single-partition shuffle of the vocabulary). Ties
     * break by token so the result is total-ordered and oracle-exact.
     */
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    * heuristics applied to every Common Crawl page before anything
+    * content-aware runs): keep only lines that (a) end in terminal
+    * punctuation (`.`/`!`/`?`/`"`), (b) have at least `minWords`
+    * space-separated words, and (c) do not mention "javascript"
+    * (case-insensitive) — then drop any document with fewer than
+    * `minLines` surviving lines. Emits
+    * `(idCol, clean_text, n_lines, n_kept)` for surviving docs.
+    *
+    * Scale shape: one narrow projection (split + filter + rejoin per
+    * row — the HOF lambdas touch only their own variable, never an
+    * enclosing expression, so the interpreted-eval quadratic trap
+    * documented in NOTES_r08 does not apply) followed by a pushed-down
+    * scalar filter; no shuffle at any width. Zero UDFs, so the line
+    * predicates stay expression-level.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 4, minLines: Int = 2): DataFrame = {
+    require(minWords >= 1 && minLines >= 1,
+      s"thresholds must be positive, got words=$minWords lines=$minLines")
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, line =>
+      line.rlike("[.!?\"]$") &&
+        size(split(line, " ")) >= minWords &&
+        !contains(lower(line), lit("javascript")))
+    df.select(col(idCol),
+        array_join(kept, "\n").as("clean_text"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"))
+      .where(col("n_kept") >= minLines)
+  }
+
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -347,6 +347,121 @@ object TextExpressions {
     }
   }
 
+  /** URL canonicalization — the identity under which a web corpus is
+    * deduplicated before any content pass (the same page is crawled as
+    * `HTTP://Host/x`, `http://host/x/`, `http://host/x?utm_source=…`,
+    * `http://host:80/x#frag`, …). One deterministic pure function:
+    *
+    *   1. trim; pass through unchanged if there is no valid
+    *      `scheme://` prefix (a non-URL string must not be mangled);
+    *   2. lowercase scheme and authority; drop the default port
+    *      (`:80` for http, `:443` for https);
+    *   3. empty path → `/`; otherwise strip ONE trailing slash from a
+    *      non-root path;
+    *   4. drop the fragment;
+    *   5. query: split on `&`, drop empty params and tracking params
+    *      (name case-insensitively `utm_[a-z0-9]+`, `fbclid`,
+    *      `gclid`), sort the survivors bytewise, rejoin — so
+    *      param-order permutations collide;
+    *   6. reassemble; a query with no surviving params contributes
+    *      nothing (no bare `?`).
+    *
+    * Param sort is Java lexicographic (UTF-16 code units) ≡ bytewise
+    * for ASCII, which percent-encoded query strings are by
+    * construction. Codegen'd via the shared static (same shape as
+    * [[NfcNormalize]]); q100 gates it against an INDEPENDENT DuckDB
+    * restatement (regexp part extraction + list_filter/list_sort), a
+    * true cross-implementation check.
+    */
+  case class NormalizeUrl(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"input must be string, got ${other.simpleString}")
+    }
+    override def nullSafeEval(input: Any): Any =
+      NormalizeUrl.normalize(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextExpressions.NormalizeUrl$$.MODULE$$.normalize($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object NormalizeUrl {
+    /** Shared by interpreted eval and generated code. */
+    def normalize(s: UTF8String): UTF8String = {
+      val out = canon(s.toString)
+      UTF8String.fromString(out)
+    }
+
+    def canon(raw: String): String = {
+      val u = raw.trim
+      val se = u.indexOf("://")
+      if (se <= 0) return u
+      var i = 0
+      var schemeOk = isAsciiLetter(u.charAt(0))
+      i = 1
+      while (schemeOk && i < se) {
+        val c = u.charAt(i)
+        schemeOk = isAsciiLetter(c) || (c >= '0' && c <= '9') ||
+          c == '+' || c == '-' || c == '.'
+        i += 1
+      }
+      if (!schemeOk) return u
+      val scheme = u.substring(0, se).toLowerCase(java.util.Locale.ROOT)
+      val rest = u.substring(se + 3)
+      var ae = 0
+      while (ae < rest.length && rest.charAt(ae) != '/' &&
+        rest.charAt(ae) != '?' && rest.charAt(ae) != '#') ae += 1
+      var auth = rest.substring(0, ae).toLowerCase(java.util.Locale.ROOT)
+      if (scheme == "http" && auth.endsWith(":80"))
+        auth = auth.substring(0, auth.length - 3)
+      else if (scheme == "https" && auth.endsWith(":443"))
+        auth = auth.substring(0, auth.length - 4)
+      val tail = rest.substring(ae)
+      val he = tail.indexOf('#')
+      val noFrag = if (he >= 0) tail.substring(0, he) else tail
+      val qi = noFrag.indexOf('?')
+      var path = if (qi >= 0) noFrag.substring(0, qi) else noFrag
+      if (path.isEmpty) path = "/"
+      else if (path.length > 1 && path.charAt(path.length - 1) == '/')
+        path = path.substring(0, path.length - 1)
+      val sb = new java.lang.StringBuilder(u.length)
+      sb.append(scheme).append("://").append(auth).append(path)
+      if (qi >= 0) {
+        val kept = noFrag.substring(qi + 1).split("&", -1)
+          .filter(p => p.nonEmpty && !isTracking(p))
+        if (kept.nonEmpty) {
+          java.util.Arrays.sort(kept.asInstanceOf[Array[AnyRef]])
+          sb.append('?')
+          var j = 0
+          while (j < kept.length) {
+            if (j > 0) sb.append('&')
+            sb.append(kept(j))
+            j += 1
+          }
+        }
+      }
+      sb.toString
+    }
+
+    private def isAsciiLetter(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+    private def isTracking(p: String): Boolean = {
+      val eq = p.indexOf('=')
+      val name = (if (eq >= 0) p.substring(0, eq) else p)
+        .toLowerCase(java.util.Locale.ROOT)
+      name == "fbclid" || name == "gclid" ||
+        (name.length > 4 && name.startsWith("utm_") &&
+          name.substring(4).forall(c =>
+            (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+    }
+  }
+
   /** Byte-level distribution stats in ONE scan — the junk detector's
     * inputs: `(n_bytes, n_distinct, top_count, entropy)`. Shannon
     * entropy (log₂, in bits/byte) separates text (~4–5) from

@@ -453,7 +453,11 @@ object VecExpressions {
     (FunctionIdentifier("graft_byte_stats"),
       new ExpressionInfo(
         classOf[TextExpressions.ByteStats].getName, "graft_byte_stats"),
-      (es: Seq[Expression]) => TextExpressions.ByteStats(es(0))))
+      (es: Seq[Expression]) => TextExpressions.ByteStats(es(0))),
+    (FunctionIdentifier("graft_normalize_url"),
+      new ExpressionInfo(
+        classOf[TextExpressions.NormalizeUrl].getName, "graft_normalize_url"),
+      (es: Seq[Expression]) => TextExpressions.NormalizeUrl(es(0))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

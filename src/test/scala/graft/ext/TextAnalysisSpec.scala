@@ -245,6 +245,67 @@ class TextAnalysisSpec extends SparkFunSuite {
       s"byteStats must stay inside whole-stage codegen:\n$plan")
   }
 
+  test("normalizeUrl: case/port/slash/fragment/tracking/param-order " +
+    "variants collapse; non-URLs pass through; codegen holds") {
+    val s = spark; import s.implicits._
+    val variants = Seq(
+      "http://Example.COM/page",
+      "HTTP://example.com:80/page",
+      "http://example.com/page/",
+      "http://example.com/page#sec",
+      "http://example.com/page?utm_source=tw&utm_campaign=x&fbclid=z",
+      "  http://example.com/page  ")
+    val out = variants.toDF("u")
+      .select(TextAnalysis.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("http://example.com/page"), out.toString)
+    // param sort collapses order permutations, keeps non-tracking params
+    val q = Seq("http://h/p?b=2&a=1", "http://h/p?a=1&utm_medium=m&b=2")
+      .toDF("u").select(TextAnalysis.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(q === Set("http://h/p?a=1&b=2"))
+    val edge = Seq(
+      ("https://Host:443", "https://host/"),       // empty path → /
+      ("https://host:8443/x", "https://host:8443/x"), // non-default port
+      ("http://h/p?utm_source=a", "http://h/p"),   // all params dropped
+      ("http://h/p?utm=a", "http://h/p?utm=a"),    // utm alone ≠ utm_*
+      ("not a url at all", "not a url at all"),    // pass-through
+      ("relative/path?x=1", "relative/path?x=1"),  // no scheme
+      ("1ttp://bad-scheme/x", "1ttp://bad-scheme/x")) // bad scheme head
+    edge.foreach { case (in, want) =>
+      val got = Seq(in).toDF("u")
+        .select(TextAnalysis.normalizeUrl(col("u")).as("n"))
+        .head().getString(0)
+      assert(got === want, s"normalizeUrl($in)")
+    }
+    val plan = spark.range(10)
+      .select(TextAnalysis.normalizeUrl(concat(lit("http://h/"), col("id"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("),
+      s"normalizeUrl must stay inside whole-stage codegen:\n$plan")
+  }
+
+  test("c4LineFilter: keeps punctuated >=minWords lines, drops " +
+    "javascript boilerplate and short docs") {
+    val s = spark; import s.implicits._
+    val page1 = Seq(
+      "This is a good sentence.",        // kept
+      "short one.",                      // 2 words → dropped
+      "Please enable JavaScript today!", // boilerplate → dropped
+      "no terminal punctuation here",    // dropped
+      "Another perfectly good line?").mkString("\n") // kept
+    val page2 = "Only one good line survives here.\nand nothing else"
+    val df = Seq((1L, page1), (2L, page2)).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(df, "doc_id", "text",
+      minWords = 4, minLines = 2).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("doc_id") == 1L,
+      "doc 2 has <2 surviving lines and must drop")
+    assert(out.head.getAs[String]("clean_text") ===
+      "This is a good sentence.\nAnother perfectly good line?")
+    assert(out.head.getAs[Long]("n_lines") == 5L &&
+      out.head.getAs[Long]("n_kept") == 2L)
+  }
+
   test("nfc composes decomposed sequences, is idempotent, and leaves " +
     "ASCII untouched (fast path returns the same value)") {
     val s = spark; import s.implicits._
