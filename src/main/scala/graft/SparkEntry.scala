@@ -1942,6 +1942,68 @@ object SparkEntry {
           minWords = 4, minLines = 2)
         .select("doc_id", "clean_text", "n_lines", "n_kept")
         .orderBy("doc_id")
+    }),
+
+    // ---- inverted index (token → sorted posting list + document
+    //      frequency): the retrieval-side structure a corpus search /
+    //      decontamination-audit tool builds once per snapshot. One
+    //      explode + one hash groupBy with partial aggregation —
+    //      posting lists ordered by doc id (sort_array, per-group not
+    //      global), df from the deduplicated (tok, doc) stream. DuckDB
+    //      restates with unnest + list(ORDER BY) — exact, including
+    //      the array-valued column.
+    "q102_inverted_index" -> ((s, dir) => {
+      val toks = graft.ext.TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          explode(array_distinct(toks)).as("tok"))
+        .where(length(col("tok")) >= 6)
+        .groupBy("tok")
+        .agg(sort_array(collect_set(col("doc_id"))).as("postings"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy("tok")
+    }),
+
+    // ---- INCREMENTAL-INDEX GATE: buildMinHashIndex over the first
+    //      half of the corpus, appendToMinHashIndex with the second —
+    //      then every doc's identical twin probes the combined index.
+    //      found must be TRUE for all 500 (identical text → identical
+    //      band signatures → probability-1 bucket hit, q55's argument,
+    //      but now spanning files from two separate writes), and the
+    //      index row counts after build vs after append pin that the
+    //      append really was incremental (8 rows per doc with ≥ 1
+    //      bigram — both counts DuckDB-predicted from token counts).
+    //      Fresh temp dir per invocation: unlike q55's cached index,
+    //      the build+append path IS the thing under test.
+    "q103_minhash_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select("doc_id", "text")
+      val half1 = docs.where(col("doc_id") < 250)
+      val half2 = docs.where(col("doc_id") >= 250)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-mhappend").toString
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp)))
+      val idx = s"$tmp/index"
+      DocDedup.buildMinHashIndex(half1, "doc_id", "text", idx,
+        bands = 8, rows = 4, sigBuckets = 8)
+      val rowsBuilt = s.read.parquet(idx).count()
+      DocDedup.appendToMinHashIndex(half2, "doc_id", "text", idx)
+      val rowsTotal = s.read.parquet(idx).count()
+      val probes = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      val pairs = DocDedup.probeMinHashIndex(probes, docs,
+        "doc_id", "text", idx, 7, 10)
+      docs.select(col("doc_id"))
+        .join(pairs.where(col("id_a") === col("id_b") + 1000000L)
+            .select(col("id_b").as("doc_id"), lit(true).as("found"))
+            .distinct(),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("found"),
+          lit(rowsBuilt).as("rows_built"),
+          lit(rowsTotal).as("rows_total"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3223,6 +3285,30 @@ object SparkEntry {
         |       array_to_string(kept, chr(10)) AS clean_text,
         |       CAST(n_lines AS BIGINT) AS n_lines,
         |       CAST(len(kept) AS BIGINT) AS n_kept
-        |FROM k WHERE len(kept) >= 2 ORDER BY doc_id""".stripMargin
+        |FROM k WHERE len(kept) >= 2 ORDER BY doc_id""".stripMargin,
+
+    "q102_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, t.tok
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE doc_id < 300 AND length(t.tok) >= 6)
+        |SELECT tok, list(doc_id ORDER BY doc_id) AS postings,
+        |       CAST(count(*) AS BIGINT) AS df
+        |FROM td GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // found is the q55 probability-1 constant; the row counts pin the
+    // incremental write (8 band rows per doc with >= 2 tokens)
+    "q103_minhash_index_append" ->
+      """WITH n AS (
+        |  SELECT
+        |    CAST(8 * sum(CASE WHEN doc_id < 250
+        |          AND len(string_split(text, ' ')) >= 2
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS rows_built,
+        |    CAST(8 * sum(CASE WHEN len(string_split(text, ' ')) >= 2
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS rows_total
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, CAST(1 AS BOOLEAN) AS found,
+        |       n.rows_built, n.rows_total
+        |FROM documents, n WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -517,6 +517,49 @@ object DocDedup {
     finally out.close()
   }
 
+  /** Incrementally extend a [[buildMinHashIndex]] index with a new
+    * document batch — the operation a 100 TB deployment actually runs:
+    * a corpus that size is never re-indexed from scratch; each
+    * ingestion batch appends its banded signatures into the SAME
+    * (band, sb) partition layout, and probes prune over old and new
+    * files alike (Parquet partition discovery is layout-, not
+    * write-order-, aware). Banding parameters come from the index's
+    * own sidecar, so an append can never mix (bands, rows, sigBuckets)
+    * regimes. Cost ∝ batch size only: the banding projection runs over
+    * `newDocs`, and the append creates at most
+    * max(bands·sigBuckets, shuffle partitions) files per batch —
+    * existing files are never rewritten. Callers own id-uniqueness
+    * across batches (same contract as the catalog's run ids).
+    */
+  def appendToMinHashIndex(newDocs: DataFrame, idCol: String,
+                           textCol: String, path: String): Unit = {
+    val ss = newDocs.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val (bands, rows, sigBuckets) = readMinHashMeta(ss, path)
+    spread(newDocs).select(col(idCol).as("id"),
+        call_function("graft_minhash_band_sigs",
+          TextAnalysis.wordBigrams(col(textCol)),
+          lit(bands), lit(rows)).as("bs"))
+      .where(col("bs").isNotNull)
+      .select(col("id"), posexplode(col("bs")).as(Seq("band", "bsig")))
+      .withColumn("sb", pmod(col("bsig"), lit(sigBuckets.toLong)).cast("int"))
+      .repartition(col("band"), col("sb"))
+      .write.mode("append").partitionBy("band", "sb").parquet(path)
+  }
+
+  private def readMinHashMeta(ss: SparkSession,
+                              path: String): (Int, Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(
+      new org.apache.hadoop.fs.Path(path, "_graft_minhash_meta"))
+    val Array(bands, rows, sigBuckets) =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
+        .trim.split(",").map(_.toInt)
+      finally metaIn.close()
+    (bands, rows, sigBuckets)
+  }
+
   /** Near-dup pairs of a PROBE batch against a [[buildMinHashIndex]]
     * corpus: band the probes with the index's own (bands, rows), read
     * only the probes' (band, sb) partitions, equi-join on the exact
@@ -540,12 +583,7 @@ object DocDedup {
     graft.functions.VecExpressions.register(ss)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
-    val metaIn = fs.open(
-      new org.apache.hadoop.fs.Path(path, "_graft_minhash_meta"))
-    val Array(bands, rows, sigBuckets) =
-      try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
-        .trim.split(",").map(_.toInt)
-      finally metaIn.close()
+    val (bands, rows, sigBuckets) = readMinHashMeta(ss, path)
     val pBanded = spread(probes).select(col(idCol).as("id_a"),
         call_function("graft_minhash_band_sigs",
           TextAnalysis.wordBigrams(col(textCol)),

@@ -349,6 +349,38 @@ class DocDedupSpec extends SparkFunSuite {
       path, 7, 10).count() == 0)
   }
 
+  test("appendToMinHashIndex: incremental batch lands in the same " +
+    "layout, probes span both writes, existing files untouched") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("mh-append")
+    val path = s"$dir/index"
+    val half1 = docs.where(col("doc_id") <= 2)
+    val half2 = docs.where(col("doc_id") > 2)
+    DocDedup.buildMinHashIndex(half1, "doc_id", "text", path,
+      bands = 8, rows = 4, sigBuckets = 4)
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toArray.map(_.toString).toSet
+    DocDedup.appendToMinHashIndex(half2, "doc_id", "text", path)
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toArray.map(_.toString).toSet
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must add files without rewriting the existing ones")
+    // a twin from each half probes the COMBINED index
+    val twins = docs.where(col("doc_id") === 1 || col("doc_id") === 4)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val found = DocDedup.probeMinHashIndex(twins, docs, "doc_id", "text",
+        path, 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((101L, 1L)) && found.contains((104L, 4L)),
+      s"probe must see both the built and the appended half: $found")
+    // sidecar params are reused, not re-derived: row width is 8 bands/doc
+    val perDoc = s.read.parquet(path).groupBy("id").count()
+      .collect().map(r => r.getLong(1)).toSet
+    assert(perDoc == Set(8L), s"every doc must carry 8 band rows: $perDoc")
+  }
+
   test("minHashEstimate: 1.0 on identical signatures, tracks exact Jaccard") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
