@@ -2004,6 +2004,31 @@ object SparkEntry {
           lit(rowsBuilt).as("rows_built"),
           lit(rowsTotal).as("rows_total"))
         .orderBy("doc_id")
+    }),
+
+    // ---- JSONL ROUND-TRIP GATE: export the documents slice as JSONL
+    //      (Spark's native line writer), read it back under the
+    //      explicit pinned schema (graft.sources.JsonlCorpus — never
+    //      schema inference at scale), and digest every column; the
+    //      oracle computes the same digest from the PARQUET originals,
+    //      so any loss in JSON string escaping, numeric formatting, or
+    //      the permissive-parse path hash-mismatches. Fresh temp dir
+    //      per invocation — the write+read path is the thing under
+    //      test.
+    "q104_jsonl_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-jsonl").toString
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp)))
+      graft.sources.JsonlCorpus.write(src, s"$tmp/docs")
+      graft.sources.JsonlCorpus.readClean(s, s"$tmp/docs",
+          src.schema)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3309,6 +3334,12 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 500)
         |SELECT doc_id, CAST(1 AS BOOLEAN) AS found,
         |       n.rows_built, n.rows_total
-        |FROM documents, n WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
+        |FROM documents, n WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+
+    // digest of the PARQUET originals — equality proves the JSONL
+    // round-trip lost nothing
+    "q104_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
   )
 }
