@@ -2029,6 +2029,86 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("text_md5"),
           col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Gopher quality rules (Rae et al. 2021 A1.1) — signals,
+    //      per-rule booleans, and the keep conjunction, all restated
+    //      bit-identically in DuckDB (integer-exact counts; each ratio
+    //      an IEEE divide of the same exact integers; the mean via the
+    //      join identity length = Σlen + n−1). minWords=20 instead of
+    //      the paper's 50 so BOTH verdict classes appear on the ~30-
+    //      word synthetic docs; verdicts are data-dependent, not
+    //      planted.
+    "q105_gopher_filter" -> ((s, dir) =>
+      graft.ext.TextAnalysis.gopherFilter(
+          t(s, dir, "documents").where(col("doc_id") < 300),
+          "doc_id", "text", minWords = 20)
+        .orderBy("doc_id")),
+
+    // ---- STREAMING NEAR-DUP batch-equivalence gate (the q97 pattern
+    //      applied to StreamingNearDup — the last spec-only streaming
+    //      surface): 3 forced micro-batches (originals 0..49; twins of
+    //      0..24 at +1M plus a second twin of doc 0 at +3M; twins of
+    //      25..49 at +2M). Batches 2 and 3 MUST probe the index state
+    //      earlier batches committed: every planted twin's cross-batch
+    //      match is probability-1 (identical text ⟹ J = 1 in every
+    //      band), the within-batch pair (+1M, +3M) gates the
+    //      same-batch path, and twin matches spanning exactly 2
+    //      distinct batch_ids pins that detection really was
+    //      incremental. All outputs are DuckDB constants.
+    "q106_streaming_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id").as("id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-nd")
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(tmp.toFile))
+      val inDir = tmp.resolve("in"); val work = tmp.resolve("work")
+      java.nio.file.Files.createDirectories(inDir)
+      def feed(name: String, df: DataFrame, order: Int): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        // explicit mod-times: the file stream source orders by them
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + order * 60000L))
+      }
+      feed("f0", docs, 0)
+      feed("f1", docs.where(col("id") < 25)
+        .select((col("id") + 1000000L).as("id"), col("text"))
+        .unionByName(docs.where(col("id") === 0)
+          .select((col("id") + 3000000L).as("id"), col("text"))), 1)
+      feed("f2", docs.where(col("id") >= 25)
+        .select((col("id") + 2000000L).as("id"), col("text")), 2)
+      graft.streaming.StreamingNearDup.start(s, inDir.toString,
+          work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 8,
+          maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val m = s.read.parquet(s"$work/matches")
+        .select("batch_id", "id_a", "id_b").localCheckpoint()
+      val twinBatches = m
+        .where(col("id_a") >= 1000000L || col("id_b") >= 1000000L)
+        .select("batch_id").distinct().count()
+      val withinOk = m.where(
+        (col("id_a") === 1000000L && col("id_b") === 3000000L) ||
+          (col("id_a") === 3000000L && col("id_b") === 1000000L))
+        .count() > 0
+      val twinPairs = m.where(col("id_a") === col("id_b") + 1000000L ||
+          col("id_a") === col("id_b") + 2000000L)
+        .select(col("id_b").as("doc_id"), lit(true).as("found"))
+        .distinct()
+      docs.select(col("id").as("doc_id"))
+        .join(twinPairs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("found"),
+          lit(withinOk).as("within_ok"),
+          lit(twinBatches).as("n_twin_batches"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3340,6 +3420,49 @@ object SparkEntry {
     // round-trip lost nothing
     "q104_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
-        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    // independent restatement of the Gopher rules: same exact-integer
+    // signals, same IEEE divides, DuckDB's own list/regex machinery
+    "q105_gopher_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+        |      AS n_sym,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','be','to','of','and','that','have',
+        |                 'with'))) AS BIGINT) AS n_stop
+        |  FROM documents WHERE doc_id < 300),
+        |c AS (
+        |  SELECT doc_id, n AS n_words,
+        |    CAST(length(text) - n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS mean_word_len,
+        |    CAST(n_sym AS DOUBLE) / CAST(n AS DOUBLE) AS symbol_ratio,
+        |    CAST(n_alpha AS DOUBLE) / CAST(n AS DOUBLE) AS alpha_frac,
+        |    n_stop
+        |  FROM b)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+        |  n_stop,
+        |  (n_words BETWEEN 20 AND 100000) AS words_ok,
+        |  (mean_word_len BETWEEN 3.0 AND 10.0) AS mean_ok,
+        |  (symbol_ratio < 0.1) AS sym_ok,
+        |  (alpha_frac > 0.8) AS alpha_ok,
+        |  (n_stop >= 2) AS stop_ok,
+        |  ((n_words BETWEEN 20 AND 100000)
+        |   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |   AND symbol_ratio < 0.1 AND alpha_frac > 0.8
+        |   AND n_stop >= 2) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // probability-1 constants (see the query comment): identical twins
+    // collide in every band; twin matches span exactly batches 1 and 2
+    "q106_streaming_neardup" ->
+      """SELECT doc_id, CAST(1 AS BOOLEAN) AS found,
+        |       CAST(1 AS BOOLEAN) AS within_ok,
+        |       CAST(2 AS BIGINT) AS n_twin_batches
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
   )
 }

@@ -253,6 +253,51 @@ object TextAnalysis {
       .where(col("n_kept") >= minLines)
   }
 
+  /** Gopher-style document quality filter (Rae et al. 2021, appendix
+    * A1.1 — the named heuristics every later corpus pipeline inherits):
+    * per document the raw signals — word count, mean word length,
+    * symbol-to-word ratio (`#`/`...`), fraction of words containing an
+    * alphabetic character, stopword hits — plus one boolean per
+    * published rule and the conjunction `keep`. Word/char arithmetic
+    * uses the join identity `length(text) = Σ len(tok) + (n−1)` so the
+    * mean needs no second pass; every ratio is an IEEE divide of exact
+    * integers, so the DuckDB restatement is bit-identical.
+    *
+    * One narrow projection (the HOF lambdas touch only their own
+    * variable — the NOTES_r08 discipline), no shuffle at any width;
+    * thresholds are parameters with the paper's defaults.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val meanLen = (length(col(textCol)) - n + lit(1)).cast("double") /
+      n.cast("double")
+    val nSym = size(regexp_extract_all(col(textCol),
+      lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(toks,
+      t => t.isin(stops.map(x => x: Any): _*))).cast("long")
+    val symRatio = nSym.cast("double") / n.cast("double")
+    val alphaFrac = nAlpha.cast("double") / n.cast("double")
+    val wordsOk = n.between(minWords.toLong, maxWords.toLong)
+    val meanOk = meanLen.between(minMeanLen, maxMeanLen)
+    val symOk = symRatio < maxSymbolRatio
+    val alphaOk = alphaFrac > minAlphaFrac
+    val stopOk = nStop >= minStopwords.toLong
+    df.select(col(idCol),
+      n.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"),
+      wordsOk.as("words_ok"), meanOk.as("mean_ok"), symOk.as("sym_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wordsOk && meanOk && symOk && alphaOk && stopOk).as("keep"))
+  }
+
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

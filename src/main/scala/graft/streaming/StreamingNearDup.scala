@@ -38,16 +38,19 @@ object StreamingNearDup {
   def start(spark: SparkSession, inputDir: String, workDir: String,
             num: Int, den: Int,
             bands: Int = 16, rows: Int = 8, sigBuckets: Int = 8,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val indexPath = s"$workDir/index"
     val corpusPath = s"$workDir/corpus"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.readStream
+    val reader = spark.readStream
       .schema(StructType(Seq(StructField("id", LongType),
         StructField("text", StringType))))
-      .parquet(inputDir)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"$workDir/_checkpoint")
@@ -99,24 +102,11 @@ object StreamingNearDup {
           // 2. fold the batch into state — overwrite-per-batch is
           //    replay-safe for matches (above); index/corpus appends
           //    rely on the distinct()-collapse argument in the scaladoc.
-          if (indexExists) {
-            graft.functions.VecExpressions.register(spark)
-            b.select(col("id"),
-                call_function("graft_minhash_band_sigs",
-                  graft.ext.TextAnalysis.wordBigrams(col("text")),
-                  lit(eBands), lit(eRows)).as("bs"))
-              .where(col("bs").isNotNull)
-              .select(col("id"),
-                posexplode(col("bs")).as(Seq("band", "bsig")))
-              .withColumn("sb",
-                pmod(col("bsig"), lit(eSigBuckets.toLong)).cast("int"))
-              .repartition(col("band"), col("sb"))
-              .write.mode("append").partitionBy("band", "sb")
-              .parquet(indexPath)
-          } else {
+          if (indexExists)
+            DocDedup.appendToMinHashIndex(b, "id", "text", indexPath)
+          else
             DocDedup.buildMinHashIndex(b, "id", "text", indexPath,
               eBands, eRows, eSigBuckets)
-          }
           b.write.mode("append").parquet(corpusPath)
         } finally {
           (sc.getPersistentRDDs -- beforeCp).values

@@ -306,6 +306,32 @@ class TextAnalysisSpec extends SparkFunSuite {
       out.head.getAs[Long]("n_kept") == 2L)
   }
 
+  test("gopherFilter: hand-checked signals and rule verdicts") {
+    val s = spark; import s.implicits._
+    // 4 words, lengths 3+3+3+3 = 12 chars + 3 separators = 15;
+    // 2 stopwords; all alphabetic; no symbols
+    val good = "the cat and dog"
+    // symbol-heavy: '...' twice + '#' once over 4 words → ratio 0.75
+    val sym = "a#b ... c... d"
+    // numeric words: 1 of 4 has an alphabetic char
+    val num = "123 456 789 a12"
+    val df = Seq((1L, good), (2L, sym), (3L, num)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(df, "doc_id", "text",
+        minWords = 2, minStopwords = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g = out(1L)
+    assert(g.getAs[Long]("n_words") == 4L)
+    assert(g.getAs[Double]("mean_word_len") == 3.0)
+    assert(g.getAs[Long]("n_stop") == 2L)
+    assert(g.getAs[Double]("alpha_frac") == 1.0)
+    assert(g.getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("symbol_ratio") == 0.75 &&
+      !out(2L).getAs[Boolean]("sym_ok"))
+    assert(out(3L).getAs[Double]("alpha_frac") == 0.25 &&
+      !out(3L).getAs[Boolean]("alpha_ok") &&
+      !out(3L).getAs[Boolean]("keep"))
+  }
+
   test("nfc composes decomposed sequences, is idempotent, and leaves " +
     "ASCII untouched (fast path returns the same value)") {
     val s = spark; import s.implicits._
