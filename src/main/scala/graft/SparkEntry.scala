@@ -2109,6 +2109,60 @@ object SparkEntry {
           lit(withinOk).as("within_ok"),
           lit(twinBatches).as("n_twin_batches"))
         .orderBy("doc_id")
+    }),
+
+    // ---- windowed audio features over REAL decoded PCM: per 256-
+    //      sample window the exact integer moments (n, sum, sum_sq) —
+    //      energy without the lossy sqrt, so DuckDB predicts every
+    //      window row arithmetically from the synthesis function
+    //      (including the short tail window).
+    "q107_audio_features" -> ((s, dir) => {
+      val wav = udf((id: Long) => Multimodal.syntheticWav(
+        8000, 500 + (id % 7).toInt * 100, id))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select("doc_id").withColumn("blob", wav(col("doc_id")))
+      Multimodal.audioWindows(blobs, "blob", 256)
+        .orderBy("doc_id", "win")
+    }),
+
+    // ---- PIPELINE COMPOSITION over the round-9 web-prep operators
+    //      (the q60/q88 single-plan composition pattern): messy-URL
+    //      fixture → NormalizeUrl kernel + min-id URL dedup → Gopher
+    //      quality keep → exact text dedup → surviving (doc_id,
+    //      source, norm_url). DuckDB restates all four stages in
+    //      order; every intermediate is exact, so the composition
+    //      gates stage ORDERING as well as each operator.
+    "q108_web_pipeline" -> ((s, dir) => {
+      val g = expr("doc_id div 8")
+      val v = pmod(col("doc_id"), lit(8))
+      val raw = when(v === 0, concat(lit("http://Example.COM/p"), g))
+        .when(v === 1, concat(lit("HTTP://example.com:80/p"), g))
+        .when(v === 2, concat(lit("http://example.com/p"), g, lit("/")))
+        .when(v === 3, concat(lit("http://example.com/p"), g, lit("#sec")))
+        .when(v === 4, concat(lit("http://example.com/p"), g,
+          lit("?utm_source=tw&utm_campaign=x")))
+        .when(v === 5, concat(lit("http://example.com/p"), g,
+          lit("?b=2&a=1")))
+        .when(v === 6, concat(lit("http://example.com/p"), g,
+          lit("?a=1&utm_medium=email&b=2")))
+        .otherwise(concat(lit("https://example.com:443/p"), g,
+          lit("?fbclid=abc")))
+      val docs = t(s, dir, "documents").where(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"), col("source"), raw.as("url"))
+        .withColumn("norm_url",
+          graft.ext.TextAnalysis.normalizeUrl(col("url")))
+      val urlKeep = docs.groupBy("norm_url")
+        .agg(min("doc_id").as("__keep"))
+        .select("__keep")
+      val afterUrl = docs.join(urlKeep,
+        col("doc_id") === col("__keep"), "left_semi")
+      val quality = graft.ext.TextAnalysis.gopherFilter(afterUrl,
+          "doc_id", "text", minWords = 20)
+        .where(col("keep")).select("doc_id")
+      val afterQ = afterUrl.join(quality, Seq("doc_id"), "left_semi")
+      DocDedup.exactDedup(afterQ, "doc_id", "text")
+        .select("doc_id", "source", "norm_url")
+        .orderBy("doc_id")
     })
   )
 
@@ -3463,6 +3517,98 @@ object SparkEntry {
       """SELECT doc_id, CAST(1 AS BOOLEAN) AS found,
         |       CAST(1 AS BOOLEAN) AS within_ok,
         |       CAST(2 AS BIGINT) AS n_twin_batches
-        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "q107_audio_features" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(500 + (doc_id % 7) * 100 AS BIGINT) AS n
+        |           FROM documents WHERE doc_id < 60),
+        |s AS (SELECT d.doc_id, t.i // 256 AS win,
+        |        ((d.doc_id * 2654435761 + t.i * 40503) % 65536) - 32768
+        |          AS v
+        |      FROM d CROSS JOIN generate_series(0, 1099) AS t(i)
+        |      WHERE t.i < d.n)
+        |SELECT doc_id, CAST(win AS INT) AS win,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(v) AS BIGINT) AS "sum",
+        |       CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM s GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin,
+
+    // all four stages restated in pipeline order: URL normalize +
+    // min-id dedup, Gopher keep, exact text dedup
+    "q108_web_pipeline" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text, source,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'http://Example.COM/p' || (doc_id // 8)
+        |      WHEN 1 THEN 'HTTP://example.com:80/p' || (doc_id // 8)
+        |      WHEN 2 THEN 'http://example.com/p' || (doc_id // 8) || '/'
+        |      WHEN 3 THEN 'http://example.com/p' || (doc_id // 8)
+        |                  || '#sec'
+        |      WHEN 4 THEN 'http://example.com/p' || (doc_id // 8)
+        |                  || '?utm_source=tw&utm_campaign=x'
+        |      WHEN 5 THEN 'http://example.com/p' || (doc_id // 8)
+        |                  || '?b=2&a=1'
+        |      WHEN 6 THEN 'http://example.com/p' || (doc_id // 8)
+        |                  || '?a=1&utm_medium=email&b=2'
+        |      ELSE 'https://example.com:443/p' || (doc_id // 8)
+        |           || '?fbclid=abc'
+        |    END AS url
+        |  FROM documents WHERE doc_id < 400),
+        |p AS (
+        |  SELECT doc_id, text, source, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |    CASE WHEN regexp_matches(url, '^[^#?]*\?')
+        |         THEN list_sort(list_filter(
+        |           string_split(regexp_extract(url,
+        |             '^[^#?]*\?([^#]*)', 1), '&'),
+        |           x -> x <> '' AND NOT regexp_matches(x,
+        |             '^(utm_[a-z0-9]+|fbclid|gclid)(=|$)', 'i')))
+        |         ELSE NULL END AS kept
+        |  FROM raw),
+        |n AS (
+        |  SELECT doc_id, text, source,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+        |           THEN substr(auth, 1, length(auth) - 3)
+        |         WHEN scheme = 'https' AND auth LIKE '%:443'
+        |           THEN substr(auth, 1, length(auth) - 4)
+        |         ELSE auth END ||
+        |    CASE WHEN pth = '' THEN '/'
+        |         WHEN length(pth) > 1 AND pth LIKE '%/'
+        |           THEN substr(pth, 1, length(pth) - 1)
+        |         ELSE pth END ||
+        |    CASE WHEN kept IS NULL OR len(kept) = 0 THEN ''
+        |         ELSE '?' || array_to_string(kept, '&') END AS norm_url
+        |  FROM p),
+        |u AS (SELECT * FROM n WHERE doc_id IN
+        |        (SELECT min(doc_id) FROM n GROUP BY norm_url)),
+        |sig AS (
+        |  SELECT doc_id, text, source, norm_url,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+        |      AS nsym,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','be','to','of','and','that','have',
+        |                 'with'))) AS BIGINT) AS nstop
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, text, source, norm_url FROM sig
+        |  WHERE nw BETWEEN 20 AND 100000
+        |    AND (CAST(length(text) - nw + 1 AS DOUBLE) /
+        |         CAST(nw AS DOUBLE)) BETWEEN 3.0 AND 10.0
+        |    AND CAST(nsym AS DOUBLE) / CAST(nw AS DOUBLE) < 0.1
+        |    AND CAST(nalpha AS DOUBLE) / CAST(nw AS DOUBLE) > 0.8
+        |    AND nstop >= 2)
+        |SELECT doc_id, source, norm_url FROM q
+        |WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -587,6 +587,74 @@ object Multimodal {
     }(enc)
   }
 
+  /** Windowed audio digest — the feature-extraction pass over decoded
+    * PCM: one row per `windowSamples`-sample window with the window's
+    * exact integer digest `(win, n_samples, sum, sum_sq)`. `sum_sq` IS
+    * energy (RMS = sqrt(sum_sq/n)); keeping the integer moments
+    * instead of the float RMS makes the gate arithmetic (q107) exact
+    * and leaves the lossy step (sqrt, normalization) to the consumer —
+    * the same reason [[graft.ext.TextAnalysis.byteStats]] emits counts
+    * not scores. Per-partition flatMap, no shuffle; poison/non-PCM16
+    * blobs yield zero rows (the frame-sampling convention: a window
+    * row with no samples has no meaning).
+    */
+  def audioWindows(df: DataFrame, binCol: String,
+                   windowSamples: Int): DataFrame = {
+    require(windowSamples >= 1,
+      s"window must be >= 1 sample, got $windowSamples")
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("win", IntegerType, nullable = false),
+        StructField("n_samples", LongType, nullable = false),
+        StructField("sum", LongType, nullable = false),
+        StructField("sum_sq", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val wins = windowDigests(r.getAs[Array[Byte]](idx), windowSamples)
+        wins.iterator.zipWithIndex.map { case ((n, s, sq), w) =>
+          // Seq[Any]: a plain Seq(w, n, …) would widen the Int window
+          // index to Long and break the Row encoder's INT field
+          Row.fromSeq(keepIdx.toSeq.map(r.get) ++ Seq[Any](w, n, s, sq))
+        }
+      }
+    }(enc)
+  }
+
+  private def windowDigests(bytes: Array[Byte],
+      w: Int): Seq[(Long, Long, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16) return Seq.empty
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var n = 0L; var s = 0L; var sq = 0L
+        val chunk = new Array[Byte](8192)
+        var read = in.read(chunk)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val v =
+              if (f.isBigEndian)
+                ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
+              else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
+            n += 1; s += v; sq += v.toLong * v
+            if (n == w) { out += ((n, s, sq)); n = 0; s = 0; sq = 0 }
+            i += 2
+          }
+          read = in.read(chunk)
+        }
+        if (n > 0) out += ((n, s, sq))
+        out.toSeq
+      } finally in.close()
+    } catch { case _: Exception => Seq.empty }
+
   private[ext] def decodeWavBytes(bytes: Array[Byte]): AudioMeta =
     if (bytes == null || bytes.isEmpty)
       AudioMeta(0, 0, 0, 0L, 0L, 0, ok = false, "empty blob")
