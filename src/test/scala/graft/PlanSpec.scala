@@ -178,6 +178,43 @@ class PlanSpec extends SparkFunSuite {
     }
   }
 
+  test("web-prep stages are shuffle-free projections: normalizeUrl, " +
+    "c4LineFilter, gopherFilter run at scan speed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val norm = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.normalizeUrl(
+        concat(lit("http://Host/p"), col("doc_id"))))
+    val c4 = graft.ext.TextAnalysis.c4LineFilter(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    val gopher = graft.ext.TextAnalysis.gopherFilter(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    for ((name, df) <- Seq("normalizeUrl" -> norm, "c4LineFilter" -> c4,
+      "gopherFilter" -> gopher)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name must not shuffle (pure projection/filter):\n$plan")
+    }
+    // the URL kernel specifically stays inside whole-stage codegen
+    assert(norm.queryExecution.executedPlan.toString.contains("*("),
+      "normalizeUrl must stay in codegen")
+  }
+
+  test("inverted index: partial aggregates both levels, posting lists " +
+    "sorted per-group (no global window, no all-pairs)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val inv = docs.select(col("doc_id"),
+        explode(array_distinct(graft.ext.TextAnalysis.tokens(col("text"))))
+          .as("tok"))
+      .groupBy("tok")
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"),
+        countDistinct(col("doc_id")).as("df"))
+    val plan = inv.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"inverted index must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"posting-list ordering must not use a window:\n$plan")
+  }
+
   test("packSequences: the per-row window is bucket-partitioned; only " +
     "the bucket-offset relation sees a single-partition window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
