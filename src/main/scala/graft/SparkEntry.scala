@@ -914,11 +914,16 @@ object SparkEntry {
       import graft.sources.ZOrderLayout
       val ev = t(s, dir, "events")
       val us = eventTsUs(ev)
+      // layout coordinate is user_id mod 256: bits=8 caps cells at
+      // [0, 256) and sf0.1's user ids reach past it — the write-time
+      // range guard (round-8 ADVICE fix) rightly rejects raw ids, and
+      // the modulo keeps the gate SF-independent (identity at sf0.01)
       val cells = ev.select(col("event_id"), col("user_id"),
+        pmod(col("user_id"), lit(256L)).as("ub"),
         ((us % lit(86400000000L)) / lit(3600000000L)).cast("long")
           .as("hr"))
       val path = withGateIndex(s, dir, "zorder")(p =>
-        ZOrderLayout.writeZOrdered(cells, p, "user_id", "hr",
+        ZOrderLayout.writeZOrdered(cells, p, "ub", "hr",
           bits = 8, prefixBits = 6))
       ZOrderLayout.readBox(s, path, 30, 60, 5, 15)
         .select("event_id", "user_id", "hr").orderBy("event_id")
@@ -2163,6 +2168,48 @@ object SparkEntry {
       DocDedup.exactDedup(afterQ, "doc_id", "text")
         .select("doc_id", "source", "norm_url")
         .orderBy("doc_id")
+    }),
+
+    // ---- length-bucketed deterministic batching (the trainer-feed
+    //      step): per-doc (batch, pos) assignment plus the batch's
+    //      padding accounting — n·max − Σlen is exact integer
+    //      arithmetic. DuckDB restates the two-level rank as ONE
+    //      global row_number over (len div w, md5, key), exact by the
+    //      hash-prefix argument in lengthBatches' scaladoc.
+    "q109_length_batches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select("doc_id", "n_chars")
+      val a = graft.ext.CorpusPrep.lengthBatches(docs, col("doc_id"),
+        col("n_chars"), batchSize = 32, bucketWidth = 32, seed = "r9")
+      val stats = a.groupBy("batch").agg(
+        count(lit(1)).as("n_docs"), max("n_chars").as("batch_max"),
+        sum("n_chars").as("batch_sum"))
+      a.join(stats, Seq("batch"))
+        .select(col("doc_id"), col("batch"), col("pos"),
+          col("batch_max"),
+          (col("n_docs") * col("batch_max") - col("batch_sum"))
+            .as("batch_waste"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- bigram language-model table (the KenLM-prep aggregate):
+    //      conditional counts (w1, w2, c12, c1) — probabilities are
+    //      the caller's division; counts keep the gate exact. Bigrams
+    //      from the native kernel; unigram context counts joined on
+    //      the first token (substring_index on the single-space
+    //      shingle is exact because tokens cannot contain spaces).
+    "q110_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+      val bi = docs.select(explode(
+          graft.ext.TextAnalysis.wordBigrams(col("text"))).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = docs.select(explode(
+          graft.ext.TextAnalysis.tokens(col("text"))).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      bi.join(uni, Seq("w1")).select("w1", "w2", "c12", "c1")
+        .orderBy("w1", "w2")
     })
   )
 
@@ -2920,7 +2967,7 @@ object SparkEntry {
         |  CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT)
         |    AS hr
         |FROM events
-        |WHERE user_id BETWEEN 30 AND 60
+        |WHERE user_id % 256 BETWEEN 30 AND 60
         |  AND (epoch_us(ts) % 86400000000) // 3600000000 BETWEEN 5 AND 15
         |ORDER BY event_id""".stripMargin,
 
@@ -3536,6 +3583,48 @@ object SparkEntry {
 
     // all four stages restated in pipeline order: URL normalize +
     // min-id dedup, Gopher keep, exact text dedup
+    // the two-level (lb, sb, h, key) rank equals this single global
+    // row_number because sb is the md5's own hex prefix (q78 argument)
+    "q109_length_batches" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars // 32,
+        |      md5(doc_id || ':r9:lenbatch'), doc_id) - 1 AS rk
+        |  FROM documents WHERE doc_id < 500),
+        |a AS (SELECT doc_id, n_chars,
+        |        CAST(rk // 32 AS BIGINT) AS batch,
+        |        CAST(rk % 32 AS INT) AS pos
+        |      FROM r),
+        |st AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(max(n_chars) AS BIGINT) AS batch_max,
+        |         CAST(sum(n_chars) AS BIGINT) AS batch_sum
+        |       FROM a GROUP BY batch)
+        |SELECT a.doc_id, a.batch, a.pos, st.batch_max,
+        |       CAST(st.n_docs * st.batch_max - st.batch_sum AS BIGINT)
+        |         AS batch_waste
+        |FROM a JOIN st USING (batch)
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q110_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |         i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |bc AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1,
+        |         string_split(bg, ' ')[2] AS w2,
+        |         CAST(count(*) AS BIGINT) AS c12
+        |  FROM bi GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM
+        |    (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1)
+        |SELECT bc.w1, bc.w2, bc.c12, uni.c1
+        |FROM bc JOIN uni ON bc.w1 = uni.w1
+        |ORDER BY bc.w1, bc.w2""".stripMargin,
+
     "q108_web_pipeline" ->
       """WITH raw AS (
         |  SELECT doc_id, text, source,

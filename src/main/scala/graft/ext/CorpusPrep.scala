@@ -449,6 +449,57 @@ object CorpusPrep {
       .drop("_graft_h", "_graft_b")
   }
 
+  /** Length-bucketed deterministic batching — the trainer-feed step
+    * after packing-free fine-tuning pipelines: group documents of
+    * similar length into fixed-size batches (so per-batch padding to
+    * the batch max wastes little), shuffled WITHIN a length bucket so
+    * batch composition is still pseudo-random. Emits every input row
+    * plus `(batch, pos)`.
+    *
+    * Order is the deterministic total order (length bucket asc,
+    * content hash, key) — a pure function of (key, len, seed) and the
+    * competing rows, never of partitioning (the [[shuffleOrder]]
+    * property, needed for reproducible training runs). Rank uses the
+    * same two-level scheme as [[shuffleOrder]], with one refinement:
+    * length buckets are DATA-skewed (a corpus where most docs share a
+    * length puts them in one bucket), so the in-bucket window
+    * partitions on (length bucket × 256 hash sub-buckets) — the
+    * sub-bucket is the hash's own hex prefix, so (lb, sb, h) ordering
+    * equals (lb, h) ordering and the DuckDB restatement is one global
+    * `row_number() OVER (ORDER BY len div w, md5, key)`. The only
+    * sequential window runs over the (lb, sb) count relation.
+    */
+  def lengthBatches(df: DataFrame, key: Column, lenCol: Column,
+      batchSize: Int, bucketWidth: Int, seed: String): DataFrame = {
+    require(batchSize >= 1 && bucketWidth >= 1,
+      s"batchSize/bucketWidth must be positive, got $batchSize/$bucketWidth")
+    graft.operators.Reserved.assertNone(df, "lengthBatches")
+    val h = md5(concat(key.cast("string"), lit(":" + seed + ":lenbatch"))
+      .cast("binary"))
+    // floor of a double divide is exact integer division while
+    // len < 2^53 — document lengths are
+    val withB = df.withColumn("_graft_h", h)
+      .withColumn("_graft_lb",
+        floor(lenCol.cast("long") / lit(bucketWidth)).cast("long"))
+      .withColumn("_graft_sb",
+        conv(substring(col("_graft_h"), 1, 2), 16, 10).cast("int"))
+    val inPart = row_number().over(
+      Window.partitionBy("_graft_lb", "_graft_sb")
+        .orderBy(col("_graft_h"), key))
+    val offsets = withB.groupBy("_graft_lb", "_graft_sb")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum("n").over(Window.orderBy("_graft_lb", "_graft_sb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_graft_lb", "_graft_sb", "off")
+    withB.join(broadcast(offsets), Seq("_graft_lb", "_graft_sb"))
+      .withColumn("_graft_rank", col("off") + inPart.cast("long") - 1L)
+      .withColumn("batch", expr(s"_graft_rank div ${batchSize}L"))
+      .withColumn("pos", pmod(col("_graft_rank"), lit(batchSize.toLong))
+        .cast("int"))
+      .drop("_graft_h", "_graft_lb", "_graft_sb", "_graft_rank")
+  }
+
   /** Temperature-balanced source sampling at α = 0.5: keep each doc of
     * source s with probability √(n_min / n_s) — the standard
     * "temperature" reweighting that upsamples small sources toward

@@ -322,11 +322,19 @@ object TextExpressions {
       case other => TypeCheckResult.TypeCheckFailure(
         s"input must be string, got ${other.simpleString}")
     }
+    def compute(s: UTF8String): UTF8String = NfcNormalize.normalize(s)
     override def nullSafeEval(input: Any): Any =
-      NfcNormalize.normalize(input.asInstanceOf[UTF8String])
-    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c =>
-        s"graft.functions.TextExpressions.NfcNormalize$$.MODULE$$.normalize($c)")
+      compute(input.asInstanceOf[UTF8String])
+    // addReferenceObj, NOT a `Module.MODULE$` call: janino cannot
+    // resolve `TextExpressions.NfcNormalize$` (the mirror class has no
+    // member classes), so the MODULE$ form failed to compile and
+    // silently fell back to interpreted eval — caught in the round-9
+    // bench log, latent since round 8
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("nfcNormalize", this,
+        classOf[NfcNormalize].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -381,11 +389,15 @@ object TextExpressions {
       case other => TypeCheckResult.TypeCheckFailure(
         s"input must be string, got ${other.simpleString}")
     }
+    def compute(s: UTF8String): UTF8String = NormalizeUrl.normalize(s)
     override def nullSafeEval(input: Any): Any =
-      NormalizeUrl.normalize(input.asInstanceOf[UTF8String])
-    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c =>
-        s"graft.functions.TextExpressions.NormalizeUrl$$.MODULE$$.normalize($c)")
+      compute(input.asInstanceOf[UTF8String])
+    // addReferenceObj pattern — see NfcNormalize.doGenCode
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("normalizeUrl", this,
+        classOf[NormalizeUrl].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }

@@ -338,6 +338,43 @@ class CorpusPrepSpec extends SparkFunSuite {
       .where(col("rank") =!= col("r2")).count() === 0L)
   }
 
+  test("lengthBatches: equals one global row_number over (len bucket, " +
+    "hash, key); batches are length-sorted buckets; partition-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark; import s.implicits._
+    val n = 2000
+    // skewed lengths on purpose: half the docs share one length
+    val docs = spark.range(n).select(col("id"),
+      when(col("id") % 2 === 0, lit(100L))
+        .otherwise((col("id") % 37) * 20L).as("len"))
+    val a = CorpusPrep.lengthBatches(docs, col("id"), col("len"),
+      batchSize = 16, bucketWidth = 32, seed = "t9")
+    // reference: single global window (fine at test scale)
+    val h = md5(concat(col("id").cast("string"), lit(":t9:lenbatch"))
+      .cast("binary"))
+    val ref = docs.withColumn("rk",
+        row_number().over(Window.orderBy(
+          floor(col("len") / 32).cast("long"), h, col("id")))
+          .cast("long") - 1L)
+      .select(col("id"), (col("rk") / 16).cast("long").as("rb"),
+        (col("rk") % 16).cast("int").as("rp"))
+    assert(a.join(ref, "id")
+      .where(col("batch") =!= col("rb") || col("pos") =!= col("rp"))
+      .count() === 0L)
+    // every full batch holds 16 docs; batch ids are dense
+    val sizes = a.groupBy("batch").count()
+    assert(sizes.where(col("count") =!= 16L).count() <= 1L,
+      "only the last batch may be partial")
+    assert(sizes.count() === ((n + 15) / 16).toLong)
+    // physical layout must not change assignments
+    val repart = CorpusPrep.lengthBatches(docs.repartition(7), col("id"),
+      col("len"), 16, 32, "t9")
+    assert(a.join(repart.select(col("id"), col("batch").as("b2"),
+        col("pos").as("p2")), "id")
+      .where(col("batch") =!= col("b2") || col("pos") =!= col("p2"))
+      .count() === 0L)
+  }
+
   test("temperatureSample keeps ALL of the smallest source, downsamples " +
     "large ones toward sqrt proportions, and nests in the input") {
     val docs = (0 until 100).map(i => (i.toLong, "small")) ++
