@@ -2210,7 +2210,18 @@ object SparkEntry {
         .groupBy("w1").agg(count(lit(1)).as("c1"))
       bi.join(uni, Seq("w1")).select("w1", "w2", "c12", "c1")
         .orderBy("w1", "w2")
-    })
+    }),
+
+    // ---- T5 span corruption (denoising pretraining targets): 15%
+    //      deterministic mask starts, 3-token spans, overlap-merged
+    //      runs, sentinel numbering — input/target reconstruction per
+    //      doc restated in DuckDB through identical window functions
+    //      (every step integer-exact).
+    "q111_span_corrupt" -> ((s, dir) =>
+      graft.ext.CorpusPrep.spanCorrupt(
+          t(s, dir, "documents").where(col("doc_id") < 200),
+          "doc_id", "text", maskRate = 0.15, spanLen = 3, seed = "r9")
+        .orderBy("doc_id"))
   )
 
   /** DuckDB-equivalent SQL per oracle-checked query key. Table names map
@@ -3604,6 +3615,45 @@ object SparkEntry {
         |         AS batch_waste
         |FROM a JOIN st USING (batch)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // identical window formulation in DuckDB; threshold16(0.15) = 9830
+    "q111_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (
+        |  SELECT doc_id, r.i - 1 AS pos, tk[r.i] AS tok
+        |  FROM t, unnest(range(1, len(tk) + 1)) AS r(i)),
+        |m AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN ('0x' || substr(md5(doc_id || '_' || pos
+        |             || ':r9:span'), 1, 4))::INT < 9830
+        |         THEN 1 ELSE 0 END AS st
+        |  FROM p),
+        |c AS (
+        |  SELECT *, max(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM m),
+        |r AS (
+        |  SELECT *, CASE WHEN cov = 1 AND coalesce(lag(cov) OVER
+        |      (PARTITION BY doc_id ORDER BY pos), 0) = 0
+        |    THEN 1 ELSE 0 END AS rs
+        |  FROM c),
+        |sp AS (
+        |  SELECT *, sum(rs) OVER (PARTITION BY doc_id ORDER BY pos)
+        |    AS span
+        |  FROM r)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN cov = 0 THEN tok
+        |    WHEN rs = 1 THEN '<extra_id_' || (span - 1) || '>' END,
+        |    ' ' ORDER BY pos), '') AS input_text,
+        |  coalesce(string_agg(CASE
+        |    WHEN cov = 1 AND rs = 1
+        |      THEN '<extra_id_' || (span - 1) || '> ' || tok
+        |    WHEN cov = 1 THEN tok END, ' ' ORDER BY pos), '')
+        |    AS target_text,
+        |  CAST(max(span) AS BIGINT) AS n_spans
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q110_bigram_lm" ->
       """WITH toks AS (

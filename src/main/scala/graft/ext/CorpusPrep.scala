@@ -449,6 +449,69 @@ object CorpusPrep {
       .drop("_graft_h", "_graft_b")
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-pretraining target builder: deterministic mask-start
+    * positions (16-bit md5 unit per (doc, pos) < threshold16(rate)),
+    * each start covering `spanLen` tokens; overlapping spans merge
+    * into maximal runs; run k is replaced by `<extra_id_{k}>` in the
+    * input and emits `<extra_id_{k}> tokens…` in the target. Pure
+    * function of (id, pos, seed) — reproducible across runs,
+    * partitionings, and engines (every piece of the arithmetic is
+    * integer-exact, so the DuckDB restatement is identical).
+    *
+    * Shape: posexplode → three window functions PARTITIONED BY
+    * DOCUMENT (coverage spread over `spanLen−1` preceding rows, run
+    * starts via lag, run numbering via running sum) → one groupBy
+    * reassembly through array_sort(collect_list(struct(pos, piece))).
+    * Per-doc windows are bounded by document length — no global
+    * window, no skew beyond a single document's tokens, the same
+    * scale posture as [[stripDuplicateWindows]]'s reassembly. The
+    * mask decision could not be a `transform` lambda over the token
+    * array: it would reference enclosing-scope expressions and re-run
+    * them per element (the NOTES_r08 interpreted-HOF trap) — the
+    * window formulation stays codegen'd.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      maskRate: Double, spanLen: Int, seed: String): DataFrame = {
+    require(spanLen >= 1 && maskRate >= 0.0 && maskRate <= 1.0,
+      s"bad span spec rate=$maskRate len=$spanLen")
+    graft.operators.Reserved.assertNone(df, "spanCorrupt")
+    val tau = threshold16(maskRate)
+    val toks = df.select(col(idCol).as("_graft_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val u = conv(substring(md5(concat(col("_graft_id").cast("string"),
+      lit("_"), col("pos").cast("string"), lit(":" + seed + ":span"))
+      .cast("binary")), 1, 4), 16, 10).cast("int")
+    val w = Window.partitionBy("_graft_id").orderBy("pos")
+    val marked = toks.withColumn("_graft_st", (u < tau).cast("int"))
+      .withColumn("_graft_cov",
+        max("_graft_st").over(w.rowsBetween(-(spanLen - 1), 0)))
+      .withColumn("_graft_rs", (col("_graft_cov") === 1 &&
+        coalesce(lag("_graft_cov", 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("_graft_span",
+        sum("_graft_rs").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sentinel = concat(lit("<extra_id_"),
+      (col("_graft_span") - 1).cast("string"), lit(">"))
+    val pieces = marked
+      .withColumn("_graft_in",
+        when(col("_graft_cov") === 0, col("tok"))
+          .when(col("_graft_rs") === 1, sentinel))
+      .withColumn("_graft_tg",
+        when(col("_graft_cov") === 1 && col("_graft_rs") === 1,
+          concat(sentinel, lit(" "), col("tok")))
+          .when(col("_graft_cov") === 1, col("tok")))
+    def joined(c: String) = array_join(transform(
+      array_sort(collect_list(when(col(c).isNotNull,
+        struct(col("pos"), col(c).as("p"))))),
+      s => s.getField("p")), " ")
+    pieces.groupBy("_graft_id")
+      .agg(joined("_graft_in").as("input_text"),
+        joined("_graft_tg").as("target_text"),
+        max("_graft_span").as("n_spans"))
+      .select(col("_graft_id").as(idCol),
+        col("input_text"), col("target_text"), col("n_spans"))
+  }
+
   /** Length-bucketed deterministic batching — the trainer-feed step
     * after packing-free fine-tuning pipelines: group documents of
     * similar length into fixed-size batches (so per-batch padding to

@@ -338,6 +338,45 @@ class CorpusPrepSpec extends SparkFunSuite {
       .where(col("rank") =!= col("r2")).count() === 0L)
   }
 
+  test("spanCorrupt: splicing each target span back at its sentinel " +
+    "reconstructs the original text; spans are merged maximal runs") {
+    val s = spark; import s.implicits._
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit(s"w$i"), col("id") % 7)): _*).as("text"))
+    val out = CorpusPrep.spanCorrupt(docs, "doc_id", "text",
+        maskRate = 0.3, spanLen = 3, seed = "t9")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("input_text"), r.getAs[String]("target_text"),
+        r.getAs[Long]("n_spans")))
+    assert(out.length == 50)
+    assert(out.exists(_._4 >= 2), "rate 0.3 over 40 tokens must mask")
+    val orig = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    out.foreach { case (id, in, tg, nSpans) =>
+      // parse target into span -> tokens
+      val spans = scala.collection.mutable.Map.empty[Int, List[String]]
+      var cur = -1
+      tg.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(cur) = Nil
+        } else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size == nSpans, s"doc $id sentinel count")
+      // sentinels appear in ascending order exactly once in the input
+      val rebuilt = in.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id reconstruction")
+      // merged runs: a span's tokens never appear split by a sentinel
+      assert(!in.matches(".*<extra_id_\\d+> <extra_id_\\d+>.*"),
+        s"doc $id adjacent sentinels — runs were not merged")
+    }
+  }
+
   test("lengthBatches: equals one global row_number over (len bucket, " +
     "hash, key); batches are length-sorted buckets; partition-independent") {
     import org.apache.spark.sql.expressions.Window
