@@ -2221,6 +2221,15 @@ object SparkEntry {
       graft.ext.CorpusPrep.spanCorrupt(
           t(s, dir, "documents").where(col("doc_id") < 200),
           "doc_id", "text", maskRate = 0.15, spanLen = 3, seed = "r9")
+        .orderBy("doc_id")),
+
+    // ---- fill-in-the-middle (PSM) rearrangement at a 50% hash rate —
+    //      cut points and the apply decision are 16-bit md5 units, so
+    //      DuckDB reproduces the exact rearranged strings.
+    "q112_fim_transform" -> ((s, dir) =>
+      graft.ext.CorpusPrep.fimTransform(
+          t(s, dir, "documents").where(col("doc_id") < 300),
+          "doc_id", "text", rate16 = 32768, seed = "r9")
         .orderBy("doc_id"))
   )
 
@@ -3615,6 +3624,30 @@ object SparkEntry {
         |         AS batch_waste
         |FROM a JOIN st USING (batch)
         |ORDER BY a.doc_id""".stripMargin,
+
+    "q112_fim_transform" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n,
+        |    ('0x' || substr(md5(doc_id || ':r9:fim1'), 1, 4))::INT AS u1,
+        |    ('0x' || substr(md5(doc_id || ':r9:fim2'), 1, 4))::INT AS u2,
+        |    ('0x' || substr(md5(doc_id || ':r9:fim'), 1, 4))::INT AS uf
+        |  FROM documents WHERE doc_id < 300),
+        |c AS (
+        |  SELECT doc_id, text, tk, n,
+        |    least(u1 % (n + 1), u2 % (n + 1)) AS lo,
+        |    greatest(u1 % (n + 1), u2 % (n + 1)) AS hi,
+        |    uf < 32768 AS fim
+        |  FROM b)
+        |SELECT doc_id, fim,
+        |  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        |  -- array_join(empty) is ''
+        |  CASE WHEN fim THEN
+        |    '<PRE> ' || coalesce(array_to_string(tk[1:lo], ' '), '') ||
+        |    ' <SUF> ' || coalesce(array_to_string(tk[hi+1:n], ' '), '') ||
+        |    ' <MID> ' || coalesce(array_to_string(tk[lo+1:hi], ' '), '')
+        |  ELSE text END AS out_text
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // identical window formulation in DuckDB; threshold16(0.15) = 9830
     "q111_span_corrupt" ->

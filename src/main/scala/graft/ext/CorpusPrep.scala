@@ -512,6 +512,32 @@ object CorpusPrep {
         col("input_text"), col("target_text"), col("n_spans"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022): for a
+    * deterministic `rate16`/65536 fraction of documents, split the
+    * token stream at two md5-derived cut points and emit the PSM
+    * rearrangement `<PRE> prefix <SUF> suffix <MID> middle`;
+    * untransformed docs pass through. All decisions are integer
+    * arithmetic on 16-bit hash units — reproducible and
+    * engine-exact. One narrow projection; array slices, no explode.
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      rate16: Int, seed: String): DataFrame = {
+    require(rate16 >= 0 && rate16 <= 65536, s"rate16 out of range: $rate16")
+    graft.operators.Reserved.assertNone(df, "fimTransform")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    val c1 = pmod(hashUnit16(col(idCol), seed + ":fim1"), n + 1)
+    val c2 = pmod(hashUnit16(col(idCol), seed + ":fim2"), n + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val fim = hashUnit16(col(idCol), seed + ":fim") < rate16
+    val psm = concat(lit("<PRE> "), array_join(slice(toks, lit(1), lo), " "),
+      lit(" <SUF> "), array_join(slice(toks, hi + 1, n - hi), " "),
+      lit(" <MID> "), array_join(slice(toks, lo + 1, hi - lo), " "))
+    df.select(col(idCol), fim.as("fim"),
+      when(fim, psm).otherwise(col(textCol)).as("out_text"))
+  }
+
   /** Length-bucketed deterministic batching — the trainer-feed step
     * after packing-free fine-tuning pipelines: group documents of
     * similar length into fixed-size batches (so per-batch padding to

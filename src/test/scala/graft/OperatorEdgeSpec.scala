@@ -70,4 +70,53 @@ class OperatorEdgeSpec extends SparkFunSuite {
     assert(err.getMessage.contains("sessionize") &&
       err.getMessage.contains("_graft_tag"))
   }
+
+  // ---- round-9 operators
+
+  test("web-prep edges: empty/degenerate text through c4LineFilter, " +
+    "gopherFilter, spanCorrupt, fimTransform; null URL passes through") {
+    val docs = Seq((1L, ""), (2L, "x"), (3L, "a b")).toDF("doc_id", "text")
+    // empty text: 1 line, 1 token of length 0 — filters drop, no crash
+    assert(graft.ext.TextAnalysis.c4LineFilter(docs, "doc_id", "text")
+      .count() === 0L)
+    val g = graft.ext.TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(g.size == 3 && !g(1L).getAs[Boolean]("keep"))
+    assert(g(1L).getAs[Long]("n_words") == 1L) // split('') = ['']
+    val sc = graft.ext.CorpusPrep.spanCorrupt(docs, "doc_id", "text",
+      0.5, 3, "e").collect()
+    assert(sc.length == 3, "every doc yields a row even if fully masked")
+    val fim = graft.ext.CorpusPrep.fimTransform(docs, "doc_id", "text",
+      65536, "e").collect()
+    assert(fim.forall(_.getAs[Boolean]("fim")), "rate 65536 = always")
+    assert(fim.forall(_.getAs[String]("out_text").contains("<MID>")))
+    val nullUrl = Seq((1L, null.asInstanceOf[String])).toDF("id", "u")
+      .select(graft.ext.TextAnalysis.normalizeUrl(col("u"))).head()
+    assert(nullUrl.isNullAt(0), "null in, null out")
+  }
+
+  test("audioWindows: empty blob and non-audio bytes yield zero rows; " +
+    "lengthBatches on empty input is empty") {
+    val blobs = Seq((1L, Array.emptyByteArray),
+      (2L, "not audio".getBytes("UTF-8"))).toDF("id", "blob")
+    assert(graft.ext.Multimodal.audioWindows(blobs, "blob", 64)
+      .count() === 0L)
+    val empty = Seq.empty[(Long, Long)].toDF("id", "len")
+    assert(graft.ext.CorpusPrep.lengthBatches(empty, col("id"),
+      col("len"), 4, 8, "e").count() === 0L)
+  }
+
+  test("appendToMinHashIndex: an all-shingle-less batch appends " +
+    "nothing and leaves the index probeable") {
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("id", "text")
+    val path = s"${tempDir("mh-edge")}/index"
+    graft.ext.DocDedup.buildMinHashIndex(docs, "id", "text", path,
+      bands = 4, rows = 2, sigBuckets = 2)
+    val degenerate = Seq((10L, "one"), (11L, "")).toDF("id", "text")
+    graft.ext.DocDedup.appendToMinHashIndex(degenerate, "id", "text", path)
+    val twins = docs.where(col("id") === 1)
+      .select((col("id") + 100L).as("id"), col("text"))
+    assert(graft.ext.DocDedup.probeMinHashIndex(twins, docs, "id",
+      "text", path, 7, 10).count() >= 1L)
+  }
 }
