@@ -45,6 +45,19 @@ class CodegenCompileSpec extends SparkFunSuite {
         val rows = docs.select(col("id"), k.as("out")).collect()
         assert(rows.length == 3, s"$name under CODEGEN_ONLY")
       }
+      // vector kernels need array<float> input
+      val vecs = Seq((1L, Array(1f, 2f, 3f), Array(0.5f, 0.5f, 0.5f)))
+        .toDF("id", "a", "b")
+      val vkernels = Seq(
+        "vecDot" -> call_function("graft_vec_dot", col("a"), col("b")),
+        "vecLshSig" -> call_function("graft_vec_lsh_sig", col("a"),
+          lit(4), lit(0)),
+        "minhashSig" -> call_function("graft_minhash_sig",
+          split(lit("a b c d"), " "), lit(8)))
+      for ((name, k) <- vkernels) {
+        assert(vecs.select(k.as("out")).collect().length == 1,
+          s"$name under CODEGEN_ONLY")
+      }
     } finally {
       def restore(key: String, v: Option[String]): Unit =
         v.fold(s.conf.unset(key))(s.conf.set(key, _))
