@@ -2230,7 +2230,38 @@ object SparkEntry {
       graft.ext.CorpusPrep.fimTransform(
           t(s, dir, "documents").where(col("doc_id") < 300),
           "doc_id", "text", rate16 = 32768, seed = "r9")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- SHARD EXPORT round-trip (the training-data delivery step):
+    //      hash-mod shard assignment, REAL partitioned parquet write,
+    //      read the layout back, and manifest every shard — count,
+    //      byte sum, id range, and an order-insensitive content digest
+    //      (md5 over the id list sorted numerically). The oracle
+    //      predicts the whole manifest from the parquet originals, so
+    //      a row lost or duplicated anywhere in write→read
+    //      hash-mismatches its shard's digest. Fresh dir per
+    //      invocation; full table, so the gate scales with SF.
+    "q113_shard_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("shard",
+          pmod(graft.ext.CorpusPrep.hashUnit16(col("doc_id"), "r9shard"),
+            lit(8)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-shards").toString
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp)))
+      docs.write.partitionBy("shard").parquet(s"$tmp/out")
+      s.read.parquet(s"$tmp/out")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").cast("binary")).as("ids_md5"))
+        .select(col("shard").cast("int").as("shard"), col("n_docs"),
+          col("sum_chars"), col("min_id"), col("max_id"), col("ids_md5"))
+        .orderBy("shard")
+    })
   )
 
   /** DuckDB-equivalent SQL per oracle-checked query key. Table names map
@@ -3624,6 +3655,18 @@ object SparkEntry {
         |         AS batch_waste
         |FROM a JOIN st USING (batch)
         |ORDER BY a.doc_id""".stripMargin,
+
+    "q113_shard_export" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(doc_id || ':r9shard'), 1, 4))::INT
+        |         % 8 AS INT) AS shard
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q112_fim_transform" ->
       """WITH b AS (
