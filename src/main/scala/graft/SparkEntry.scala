@@ -2261,6 +2261,45 @@ object SparkEntry {
         .select(col("shard").cast("int").as("shard"), col("n_docs"),
           col("sum_chars"), col("min_id"), col("max_id"), col("ids_md5"))
         .orderBy("shard")
+    }),
+
+    // ---- compression-ratio quality signal through the REAL zlib
+    //      Deflater: three fixture texts per doc — boilerplate
+    //      (16-char phrase ×64: long-range repetition, ratio ≈ 0.03),
+    //      prose (the doc's text ×8, ≈ 0.06–0.13 at both SFs),
+    //      hex junk (16 chained md5s, ≈ 0.55–0.57) — and the ordering
+    //      plus band booleans the filter relies on; byte counts are
+    //      DuckDB-exact, the ratio bands empirically separated 2–4×
+    //      (measured at sf0.01 AND sf0.1 before gating).
+    "q114_compression_quality" -> ((s, dir) => {
+      val junk = concat((0 until 16).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit(s":j$i"))
+          .cast("binary"))): _*)
+      val three = t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), explode(array(
+          struct(lit("b").as("kind"),
+            repeat(lit("spark table row "), 64).as("t")),
+          struct(lit("p").as("kind"), repeat(col("text"), 8).as("t")),
+          struct(lit("j").as("kind"), junk.as("t")))).as("kt"))
+        .select(col("doc_id"), col("kt.kind").as("kind"),
+          col("kt.t").as("t"))
+      def pick(k: String, c: String) =
+        max(when(col("kind") === k, col(c)))
+      graft.ext.TextAnalysis.compressionRatio(three, "doc_id", "t")
+        .groupBy("doc_id")
+        .agg(pick("b", "raw_bytes").as("b_bytes"),
+          pick("p", "raw_bytes").as("p_bytes"),
+          pick("j", "raw_bytes").as("j_bytes"),
+          pick("b", "ratio").as("rb"), pick("p", "ratio").as("rp"),
+          pick("j", "ratio").as("rj"))
+        .select(col("doc_id"), col("b_bytes"), col("p_bytes"),
+          col("j_bytes"),
+          (col("rb") < col("rp")).as("b_lt_p"),
+          (col("rp") < col("rj")).as("p_lt_j"),
+          (col("rb") < 0.05).as("b_small"),
+          (col("rp") < 0.25).as("p_band"),
+          (col("rj") > 0.4).as("j_big"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3655,6 +3694,15 @@ object SparkEntry {
         |         AS batch_waste
         |FROM a JOIN st USING (batch)
         |ORDER BY a.doc_id""".stripMargin,
+
+    "q114_compression_quality" ->
+      """SELECT doc_id,
+        |  CAST(1024 AS BIGINT) AS b_bytes,
+        |  CAST(length(text) * 8 AS BIGINT) AS p_bytes,
+        |  CAST(512 AS BIGINT) AS j_bytes,
+        |  TRUE AS b_lt_p, TRUE AS p_lt_j,
+        |  TRUE AS b_small, TRUE AS p_band, TRUE AS j_big
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "q113_shard_export" ->
       """WITH d AS (

@@ -306,6 +306,30 @@ class TextAnalysisSpec extends SparkFunSuite {
       out.head.getAs[Long]("n_kept") == 2L)
   }
 
+  test("compressionRatio: repetition compresses, hex junk does not, " +
+    "empty text reports 1.0, raw byte counts exact") {
+    val s = spark; import s.implicits._
+    val boiler = "spark table row " * 64
+    val junk = (0 until 16).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:j$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString
+    val df = Seq((1L, boiler), (2L, junk), (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.compressionRatio(df, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("raw_bytes"), r.getAs[Long]("deflated_bytes"),
+          r.getAs[Double]("ratio"))).toMap
+    assert(out(1L)._1 == 1024L && out(2L)._1 == 512L)
+    assert(out(1L)._3 < 0.05, s"boilerplate must crush: ${out(1L)}")
+    assert(out(2L)._3 > 0.4, s"hex junk must not: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 1.0)))
+    // deterministic: same input, same deflated size on re-run
+    val again = TextAnalysis.compressionRatio(df, "id", "text")
+      .collect().map(r => r.getAs[Long]("deflated_bytes")).sorted
+    assert(again.toSeq ==
+      out.values.map(_._2).toSeq.sorted)
+  }
+
   test("gopherFilter: hand-checked signals and rule verdicts") {
     val s = spark; import s.implicits._
     // 4 words, lengths 3+3+3+3 = 12 chars + 3 separators = 15;
