@@ -46,14 +46,6 @@ object Bench {
     calibrate(spark)
     val calStart = calibrate(spark)
     val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Stateful-evidence gates build fresh external state (streaming
-    // feeds, index build+append) in a new temp dir on EVERY invocation
-    // — that build is the thing under test, so min-of-2 would just pay
-    // the full evidence cost twice without measuring anything new
-    // (unlike the cached-index gates, where run 2 isolates the probe
-    // path). These run once; the method string records it.
-    val singleRun = Set("q97_streaming_dedup", "q103_minhash_index_append",
-      "q106_streaming_neardup")
     val mid = allQueries.size / 2
     var calMid = -1.0
     val results = allQueries.zipWithIndex.map { case ((name, fn), i) =>
@@ -72,7 +64,6 @@ object Bench {
       }
       val (s1, e1) = once()
       if (e1.isDefined) (name, s1, e1, false)
-      else if (singleRun(name)) (name, s1, None, false)
       else {
         // A clean run-1 measurement stands even if run 2 hits one of
         // the sporadic stalls/failures this protocol exists to absorb —
@@ -97,7 +88,7 @@ object Bench {
     val dedup = dedupPipelineStats(spark)
     val calEnd = calibrate(spark)
     val cal = f"""{"workload":"in-memory 2M-row hash/groupBy/sort, constant size, no I/O","start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f,"unit":"sec"}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-sink, min of 2 runs per query (single run for the fresh-state evidence gates q97/q103/q106); calibration samples are single raw runs","calibration":$cal,"queries":$qs,"errors":$nErr,"flaky":$flaky,"dedup":$dedup,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-sink, min of 2 runs per query (the fresh-state evidence gates q97/q103/q106 rebuild their state in BOTH runs — their min is the JIT-warmed build+probe cost, not a cached-state probe); calibration samples are single raw runs","calibration":$cal,"queries":$qs,"errors":$nErr,"flaky":$flaky,"dedup":$dedup,"sf":"$sfDir"}"""
     // Print the JSON line and flush BEFORE any shutdown/footer noise,
     // and keep a file copy: BENCH_r07.json's stdout tail was truncated
     // mid-JSON, losing the headline total (round-7 verdict, "What's
