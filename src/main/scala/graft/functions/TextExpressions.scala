@@ -364,8 +364,8 @@ object TextExpressions {
     *      `scheme://` prefix (a non-URL string must not be mangled);
     *   2. lowercase scheme and authority; drop the default port
     *      (`:80` for http, `:443` for https);
-    *   3. empty path → `/`; otherwise strip ONE trailing slash from a
-    *      non-root path;
+    *   3. empty path → `/`; otherwise strip all trailing slashes from
+    *      a non-root path (a fixed point, so canon∘canon = canon);
     *   4. drop the fragment;
     *   5. query: split on `&`, drop empty params and tracking params
     *      (name case-insensitively `utm_[a-z0-9]+`, `fbclid`,
@@ -413,6 +413,17 @@ object TextExpressions {
       val u = raw.trim
       val se = u.indexOf("://")
       if (se <= 0) return u
+      // whitespace is invalid inside a URL (RFC 3986); treat such
+      // strings as non-URLs and pass them through rather than produce
+      // a "normalized" form that can end in trimmable whitespace —
+      // which would break idempotence (canon∘canon ≠ canon), the
+      // property the dedup identity depends on (PropertySpec)
+      var wi = 0
+      while (wi < u.length) {
+        val c = u.charAt(wi)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') return u
+        wi += 1
+      }
       var i = 0
       var schemeOk = isAsciiLetter(u.charAt(0))
       i = 1
@@ -439,7 +450,11 @@ object TextExpressions {
       val qi = noFrag.indexOf('?')
       var path = if (qi >= 0) noFrag.substring(0, qi) else noFrag
       if (path.isEmpty) path = "/"
-      else if (path.length > 1 && path.charAt(path.length - 1) == '/')
+      // ALL trailing slashes, not one: stripping just one made
+      // "/a//" → "/a/" → "/a" across passes — non-idempotent
+      // (PropertySpec caught it), and the dedup identity must be a
+      // fixed point
+      while (path.length > 1 && path.charAt(path.length - 1) == '/')
         path = path.substring(0, path.length - 1)
       val sb = new java.lang.StringBuilder(u.length)
       sb.append(scheme).append("://").append(auth).append(path)

@@ -128,4 +128,65 @@ class PropertySpec extends SparkFunSuite {
       evs.forall { case (id, _, _) => got(id) == expect(id) }
     })
   }
+
+  test("property: NormalizeUrl is total, idempotent, and collapse-" +
+    "invariant on randomized URL-ish strings (pure kernel, no job)") {
+    import graft.functions.TextExpressions.NormalizeUrl.canon
+    val seg = Gen.oneOf("a", "B", "x1", "p%20q", "", "index.html")
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "ftp", "h ttp", "1x")
+      host <- Gen.oneOf("Example.COM", "host", "a.b.c", "host:80",
+        "host:443", "host:8080", "")
+      segs <- Gen.listOfN(3, seg)
+      q <- Gen.oneOf("", "?a=1&b=2", "?b=2&a=1", "?utm_source=x",
+        "?utm_source=x&a=1", "?", "?&&a=1")
+      frag <- Gen.oneOf("", "#f", "#a?b")
+      ws <- Gen.oneOf("", " ", "  ")
+    } yield s"$ws$scheme://$host/${segs.mkString("/")}$q$frag$ws"
+    check(Prop.forAll(gen) { u =>
+      val n1 = canon(u)
+      val n2 = canon(n1)
+      // total + idempotent always; the scrub guarantees (no tracking
+      // params, no fragment) apply only when a valid scheme engaged
+      // normalization — an invalid-scheme input is a deliberate
+      // pass-through. Path bytes (including spaces) are preserved by
+      // design; the kernel does not re-encode.
+      val engaged =
+        u.trim.matches("^[A-Za-z][A-Za-z0-9+.-]*://[^\\s]*$")
+      n2 == n1 && (!engaged ||
+        (!n1.contains("utm_") && !n1.contains("#") &&
+          !n1.contains(" ")))
+    }, cases = 500)
+    // param-order permutations of the same URL collapse to one form
+    check(Prop.forAll(Gen.listOfN(3, Gen.oneOf("a=1", "b=2", "c=3"))) {
+      ps =>
+        val base = "http://h/p?"
+        canon(base + ps.mkString("&")) ==
+          canon(base + ps.sorted.mkString("&"))
+    }, cases = 100)
+  }
+
+  test("property: c4LineFilter is idempotent — refiltering kept text " +
+    "keeps everything") {
+    val line = for {
+      n <- Gen.choose(1, 7)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "x",
+        "javascript", "JavaScript!"))
+      end <- Gen.oneOf("", ".", "!", "?", " ")
+    } yield ws.mkString(" ") + end
+    val gen = Gen.listOfN(6, line).map(_.mkString("\n"))
+    check(Prop.forAll(Gen.listOfN(4, gen)) { pages =>
+      val df = pages.zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "text")
+      val once = graft.ext.TextAnalysis
+        .c4LineFilter(df, "doc_id", "text", minWords = 3, minLines = 1)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val twice = graft.ext.TextAnalysis
+        .c4LineFilter(once, "doc_id", "text", minWords = 3, minLines = 1)
+      val a = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val b = twice.collect()
+        .map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+      a == b
+    }, cases = 6)
+  }
 }
