@@ -2300,6 +2300,53 @@ object SparkEntry {
           (col("rp") < 0.25).as("p_band"),
           (col("rj") > 0.4).as("j_big"))
         .orderBy("doc_id")
+    }),
+
+    // ---- catalog CHANGEFEED (the CDC surface an incremental consumer
+    //      reads instead of diffing snapshots): q85's two-commit
+    //      fixture, then changes(v1, v2) aggregated per change class —
+    //      added / refs_changed / unchanged counts, end-state refs,
+    //      and the refs delta, all predicted by DuckDB from the same
+    //      chunk arithmetic q85 states.
+    "q115_catalog_changefeed" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q115-catalog").toString
+      try {
+        val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.charChunks(col("text"), 64))
+              .as(Seq("pos", "chunk")))
+          .select(col("doc_id"),
+            md5(col("chunk").cast("binary")).as("hash"),
+            (col("doc_id") * 1000000L + col("pos")).as("gl"))
+          .localCheckpoint()
+        val r1 = chunks.where(col("doc_id") % 2 === 0)
+        val r2 = chunks.where(col("doc_id") % 2 === 1)
+        val cat = new graft.operators.Catalog(s, tmp, bucketChars = 1)
+        cat.commitRun("run1", 64, "md5",
+          r1.groupBy("hash").agg(min("gl").as("line"),
+            count(lit(1)).as("refs_num")),
+          r1.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
+        val known = cat.links().select("hash")
+        cat.commitRun("run2", 64, "md5",
+          r2.join(known, Seq("hash"), "left_anti")
+            .groupBy("hash").agg(min("gl").as("line"),
+              count(lit(1)).as("refs_num")),
+          r2.join(known, Seq("hash"), "left_semi")
+            .groupBy("hash").agg(count(lit(1)).as("delta")))
+        val v2 = cat.currentVersion
+        cat.changes(v2 - 1, v2)
+          .groupBy("change")
+          .agg(count(lit(1)).as("n_hashes"),
+            sum("refs_to").as("sum_refs_to"),
+            sum(col("refs_to") - coalesce(col("refs_from"), lit(0L)))
+              .as("sum_delta"))
+          .orderBy("change").localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
     })
   )
 
@@ -3694,6 +3741,35 @@ object SparkEntry {
         |         AS batch_waste
         |FROM a JOIN st USING (batch)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // classes emitted only when non-empty, matching the groupBy shape
+    "q115_catalog_changefeed" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> md5(substr(text, s, 64)))) AS hash
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT hash, count(*) AS c FROM chunks
+        |      WHERE doc_id % 2 = 0 GROUP BY hash),
+        |o AS (SELECT hash, count(*) AS c FROM chunks
+        |      WHERE doc_id % 2 = 1 GROUP BY hash)
+        |SELECT * FROM (
+        |  SELECT 'added' AS change, CAST(count(*) AS BIGINT) AS n_hashes,
+        |         CAST(sum(c) AS BIGINT) AS sum_refs_to,
+        |         CAST(sum(c) AS BIGINT) AS sum_delta
+        |  FROM o WHERE hash NOT IN (SELECT hash FROM e)
+        |  HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 'refs_changed', CAST(count(*) AS BIGINT),
+        |         CAST(sum(e.c + o.c) AS BIGINT), CAST(sum(o.c) AS BIGINT)
+        |  FROM e JOIN o USING (hash)
+        |  HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 'unchanged', CAST(count(*) AS BIGINT),
+        |         CAST(sum(c) AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM e WHERE hash NOT IN (SELECT hash FROM o)
+        |  HAVING count(*) > 0)
+        |ORDER BY change""".stripMargin,
 
     "q114_compression_quality" ->
       """SELECT doc_id,

@@ -230,6 +230,33 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
       .parquet(man.map { case (b, ver) => bucketPath(b, ver).toString }.toSeq: _*)
   }
 
+  /** Changefeed between two committed versions — the CDC surface an
+    * incremental consumer (a downstream index, a replication target, a
+    * billing meter) reads instead of diffing full snapshots itself:
+    * per hash, the refs count at each end and a change class
+    * (`added` / `refs_changed` / `unchanged`; `removed` can only arise
+    * from retention operations, since commits never delete links).
+    * One full-outer hash join between the two manifest-pinned reads —
+    * both sides bucket-partitioned by digest prefix, so at scale this
+    * shuffles only if the bucket layouts differ between versions
+    * (compact() rewrites buckets; plain commits preserve layout).
+    * Both versions must still be readable, i.e. not vacuumed — same
+    * contract as [[linksAt]].
+    */
+  def changes(vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"changes: vFrom $vFrom > vTo $vTo")
+    val a = linksAt(vFrom).select(col("hash"),
+      col("refs_num").as("refs_from"))
+    val b = linksAt(vTo).select(col("hash"),
+      col("refs_num").as("refs_to"))
+    a.join(b, Seq("hash"), "full_outer")
+      .withColumn("change",
+        when(col("refs_from").isNull, lit("added"))
+          .when(col("refs_to").isNull, lit("removed"))
+          .when(col("refs_from") =!= col("refs_to"), lit("refs_changed"))
+          .otherwise(lit("unchanged")))
+  }
+
   /** Catalog point reads (S4; reference files.ex:20-23, hash.ex:29-45).
     * Row-at-a-time probes exist for API parity; the dedup plan itself
     * always uses the join form (J1), never these. The by-hash probe is

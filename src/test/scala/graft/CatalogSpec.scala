@@ -339,6 +339,35 @@ class CatalogSpec extends SparkFunSuite {
     assert(cat.getHashLink("bb22").head().getAs[Long]("refs_num") == 9L)
   }
 
+  test("changes(v1, v2) classifies added/refs_changed/unchanged " +
+    "exactly; changes(v, v) is all-unchanged") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-changes")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    cat.commitRun("f1", 64, "sha",
+      Seq(("aa01", 0L, 2L), ("bb02", 1L, 1L), ("cc03", 2L, 3L))
+        .toDF("hash", "line", "refs_num"), none)
+    val v1 = cat.currentVersion
+    cat.commitRun("f2", 64, "sha",
+      Seq(("dd04", 0L, 1L)).toDF("hash", "line", "refs_num"),
+      Seq(("bb02", 4L)).toDF("hash", "delta"))
+    val v2 = cat.currentVersion
+    val ch = cat.changes(v1, v2).collect()
+      .map(r => r.getAs[String]("hash") ->
+        (r.getAs[String]("change"), r.getAs[Any]("refs_from"),
+          r.getAs[Any]("refs_to"))).toMap
+    assert(ch("aa01") == (("unchanged", 2L, 2L)))
+    assert(ch("bb02") == (("refs_changed", 1L, 5L)))
+    assert(ch("cc03") == (("unchanged", 3L, 3L)))
+    assert(ch("dd04") == (("added", null, 1L)))
+    assert(cat.changes(v2, v2)
+      .where(org.apache.spark.sql.functions.col("change") =!= "unchanged")
+      .count() === 0L)
+    // version ordering is enforced
+    intercept[IllegalArgumentException] { cat.changes(v2, v1) }
+  }
+
   test("compact collapses buckets to one file each and frees history") {
     val s = spark; import s.implicits._
     val dir = tempDir("cat-compact")
