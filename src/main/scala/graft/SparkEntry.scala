@@ -2347,6 +2347,37 @@ object SparkEntry {
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(tmp))
       }
+    }),
+
+    // ---- CORPUS DATASHEET (the per-source report a data team ships
+    //      with a release — "Datasheets for Datasets", Gebru et al.):
+    //      doc/token/char volumes, the Gopher keep rate, the language
+    //      inventory, and the within-source exact-duplicate count, in
+    //      ONE pass over the full table (integer-exact signals only,
+    //      so the whole sheet is hash-gated; no float means that
+    //      would be order-sensitive).
+    "q116_corpus_datasheet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = graft.ext.TextAnalysis.gopherFilter(docs, "doc_id", "text",
+        minWords = 20).select(col("doc_id"), col("keep"))
+      val base = docs.join(g, Seq("doc_id"))
+      val dups = docs.groupBy(col("source"),
+          md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("n_dup_docs"))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.ext.TextAnalysis.tokens(col("text"))))
+            .as("sum_tokens"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("keep").cast("long")).as("n_gopher_keep"),
+          sort_array(collect_set(col("lang"))).as("langs"))
+        .join(dups, Seq("source"))
+        .select("source", "n_docs", "sum_tokens", "sum_chars",
+          "n_gopher_keep", "langs", "n_dup_docs")
+        .orderBy("source")
     })
   )
 
@@ -3741,6 +3772,42 @@ object SparkEntry {
         |         AS batch_waste
         |FROM a JOIN st USING (batch)
         |ORDER BY a.doc_id""".stripMargin,
+
+    "q116_corpus_datasheet" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, lang, text,
+        |    len(string_split(text, ' ')) AS nw,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) AS nsym,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','be','to','of','and','that','have',
+        |                 'with'))) AS nstop
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, (nw BETWEEN 20 AND 100000
+        |    AND (CAST(length(text) - nw + 1 AS DOUBLE) /
+        |         CAST(nw AS DOUBLE)) BETWEEN 3.0 AND 10.0
+        |    AND CAST(nsym AS DOUBLE) / CAST(nw AS DOUBLE) < 0.1
+        |    AND CAST(nalpha AS DOUBLE) / CAST(nw AS DOUBLE) > 0.8
+        |    AND nstop >= 2) AS keep
+        |  FROM k),
+        |d AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_dup_docs
+        |  FROM (SELECT source, md5(text) AS h, count(*) AS c
+        |        FROM documents GROUP BY 1, 2)
+        |  GROUP BY source)
+        |SELECT q.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_gopher_keep,
+        |       list_sort(list(DISTINCT lang)) AS langs,
+        |       any_value(d.n_dup_docs) AS n_dup_docs
+        |FROM q JOIN d ON q.source = d.source
+        |GROUP BY q.source ORDER BY q.source""".stripMargin,
 
     // classes emitted only when non-empty, matching the groupBy shape
     "q115_catalog_changefeed" ->
