@@ -13,7 +13,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("spark.sql.extensions injects every graft function into a " +
     "fresh session without any register() call") {
-    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    // getOrCreate: a NEW SparkSession (extensions apply per session)
+    // over the suite-shared SparkContext if one is alive. Must NOT
+    // stop() it afterwards — that would stop the SHARED context and
+    // poison every suite that runs later in the JVM (learned the hard
+    // way: a full-suite cascade of INTERNAL_ERRORs).
     val s = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-spec")
@@ -39,9 +45,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         assert(s.catalog.functionExists(f), s"$f must be injected")
       }
     } finally {
-      s.stop()
-      // restore the shared session for suites that run after this one
-      prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      // restore the shared sessions for suites that run after this one
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
     }
   }
 }
