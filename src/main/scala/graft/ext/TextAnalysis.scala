@@ -322,6 +322,11 @@ object TextAnalysis {
     df.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(
         java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      // native zlib state must be released deterministically — a
+      // Deflater left to finalization holds off-heap memory for as
+      // long as GC ignores it, which on a 100 TB scan is a real leak
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](64 * 1024)
       rows.map { r =>
         val s = r.getString(idx)

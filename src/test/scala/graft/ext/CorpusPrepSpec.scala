@@ -377,6 +377,39 @@ class CorpusPrepSpec extends SparkFunSuite {
     }
   }
 
+  test("fimTransform: PSM parts reassemble to the original token " +
+    "stream; rate 0 is identity; transformed fraction tracks rate") {
+    val s = spark; import s.implicits._
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit(s"t$i"), col("id") % 5)): _*).as("text"))
+    val orig = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val out = CorpusPrep.fimTransform(docs, "doc_id", "text",
+      rate16 = 32768, seed = "t9").collect()
+    var nFim = 0
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = r.getAs[String]("out_text")
+      if (r.getAs[Boolean]("fim")) {
+        nFim += 1
+        // <PRE> p <SUF> s <MID> m  →  original = p m s
+        val pat = "(?s)^<PRE> (.*) <SUF> (.*) <MID> (.*)$".r
+        t match {
+          case pat(p, sfx, m) =>
+            val rebuilt = Seq(p, m, sfx).filter(_.nonEmpty).mkString(" ")
+            assert(rebuilt == orig(id), s"doc $id splice-back")
+          case _ => fail(s"doc $id not in PSM shape: $t")
+        }
+      } else assert(t == orig(id), s"doc $id must pass through")
+    }
+    assert(nFim > 60 && nFim < 140,
+      s"rate 32768/65536 should transform ~half, got $nFim/200")
+    // rate 0: identity for every doc
+    assert(CorpusPrep.fimTransform(docs, "doc_id", "text", 0, "t9")
+      .where(col("fim")).count() === 0L)
+  }
+
   test("lengthBatches: equals one global row_number over (len bucket, " +
     "hash, key); batches are length-sorted buckets; partition-independent") {
     import org.apache.spark.sql.expressions.Window
