@@ -2378,6 +2378,31 @@ object SparkEntry {
         .select("source", "n_docs", "sum_tokens", "sum_chars",
           "n_gopher_keep", "langs", "n_dup_docs")
         .orderBy("source")
+    }),
+
+    // ---- HTML → text extraction (step ZERO of a web pipeline):
+    //      both engines synthesize the same HTML page per doc (title,
+    //      style and script blocks whose CONTENT must vanish, a
+    //      comment, entities incl. the double-encoding case), then
+    //      each strips with ITS OWN regexp engine applying the same
+    //      RE2∩java patterns — extracted text is hash-compared
+    //      char-for-char.
+    "q117_html_strip" -> ((s, dir) => {
+      val toks = graft.ext.TextAnalysis.tokens(col("text"))
+      val page = concat(
+        lit("<html><head><title>T"), col("doc_id"),
+        lit("</title><style>body{color:red}</style></head>"),
+        lit("<body><script type=\"text/javascript\">var x=1;" +
+          "</script><h1>Doc "), col("doc_id"),
+        lit("</h1><!-- hidden\ncomment --><p>"),
+        array_join(slice(toks, 1, 8), " "),
+        lit(" &amp; more &lt;tags&gt; &amp;lt;kept&amp;gt; " +
+          "&quot;q&quot; &#39;s&#39;</p></body></html>"))
+      t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.stripHtml(col("page")).as("clean"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3772,6 +3797,39 @@ object SparkEntry {
         |         AS batch_waste
         |FROM a JOIN st USING (batch)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // independent application of the same RE2-subset patterns; DuckDB
+    // regexp_replace needs the explicit 'g' flag (Spark's is global)
+    "q117_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T' || doc_id ||
+        |    '</title><style>body{color:red}</style></head>' ||
+        |    '<body><script type="text/javascript">var x=1;' ||
+        |    '</script><h1>Doc ' || doc_id ||
+        |    '</h1><!-- hidden' || chr(10) || 'comment --><p>' ||
+        |    array_to_string((string_split(text, ' '))[1:8], ' ') ||
+        |    ' &amp; more &lt;tags&gt; &amp;lt;kept&amp;gt; ' ||
+        |    '&quot;q&quot; &#39;s&#39;</p></body></html>' AS page
+        |  FROM documents WHERE doc_id < 300),
+        |s1 AS (SELECT doc_id, regexp_replace(page,
+        |  '(?is)<script[^>]*>.*?</script[ \t\n\r]*>', ' ', 'g') AS t
+        |  FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style[ \t\n\r]*>', ' ', 'g') AS t
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
+        |  AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&') AS t
+        |  FROM s4)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g')) AS clean
+        |FROM s5 ORDER BY doc_id""".stripMargin,
 
     "q116_corpus_datasheet" ->
       """WITH k AS (

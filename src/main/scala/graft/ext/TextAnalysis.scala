@@ -298,6 +298,37 @@ object TextAnalysis {
       (wordsOk && meanOk && symOk && alphaOk && stopOk).as("keep"))
   }
 
+  /** HTML → text extraction — step zero of a web-corpus pipeline,
+    * before any quality/dedup pass sees a byte: drop script/style
+    * blocks wholesale (their CONTENT is code, not prose — removing
+    * only the tags would leak it into the corpus), strip remaining
+    * tags, decode the five predefined XML/HTML entities, collapse
+    * whitespace runs, trim. Regexes stay in the RE2∩java.util.regex
+    * subset ([[redact]]'s discipline — `(?is)` flags, lazy
+    * quantifiers, explicit whitespace classes — so the DuckDB oracle
+    * can apply the SAME patterns), entities are plain `replace`
+    * chains; everything is codegen'd built-ins, one narrow projection
+    * at scan speed. `&amp;` decodes LAST so `&amp;lt;` yields the
+    * literal `&lt;` (double-encoding stays text, as it should).
+    */
+  def stripHtml(html: Column): Column = {
+    // two patterns, not one with a </\1> backreference: RE2 (DuckDB's
+    // engine) has no backreferences, and the oracle applies the SAME
+    // patterns
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script[ \\t\\n\\r]*>", " ")
+    val noBlocks = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style[ \\t\\n\\r]*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
   /** Compression-ratio quality signal: `deflated_bytes / raw_bytes`
     * per document through the JDK's real zlib Deflater — the
     * scan-speed junk detector that catches what byte entropy alone

@@ -306,6 +306,30 @@ class TextAnalysisSpec extends SparkFunSuite {
       out.head.getAs[Long]("n_kept") == 2L)
   }
 
+  test("stripHtml: block content vanishes, tags strip, entities " +
+    "decode once, whitespace collapses") {
+    val s = spark; import s.implicits._
+    val page = """<html><head><STYLE media="all">h1{x:1}</STYLE></head>
+      |<body><script>
+      |var secret = "leak";
+      |</script ><p>Hello &amp; <b>world</b>!</p>
+      |<!-- note --><div>5 &lt; 6 &amp;amp; &quot;q&#39;s&quot;</div>
+      |</body></html>""".stripMargin
+    val out = Seq((1L, page)).toDF("id", "h")
+      .select(TextAnalysis.stripHtml(col("h"))).head().getString(0)
+    // tags become SPACES (joining "foo<br>bar" would fuse words), so
+    // "world</b>!" reads "world !"
+    assert(out == "Hello & world ! 5 < 6 &amp; \"q's\"", repr(out))
+    assert(!out.contains("secret") && !out.contains("x:1"),
+      "script/style CONTENT must vanish, not just the tags")
+    // plain text with no markup passes through modulo whitespace
+    val plain = Seq((1L, "already   clean\ttext")).toDF("id", "h")
+      .select(TextAnalysis.stripHtml(col("h"))).head().getString(0)
+    assert(plain == "already clean text")
+  }
+
+  private def repr(s: String) = s.replace("\n", "\\n")
+
   test("compressionRatio: repetition compresses, hex junk does not, " +
     "empty text reports 1.0, raw byte counts exact") {
     val s = spark; import s.implicits._
