@@ -3812,16 +3812,12 @@ object SparkEntry {
         |    ' &amp; more &lt;tags&gt; &amp;lt;kept&amp;gt; ' ||
         |    '&quot;q&quot; &#39;s&#39;</p></body></html>' AS page
         |  FROM documents WHERE doc_id < 300),
-        |s1 AS (SELECT doc_id, regexp_replace(page,
-        |  '(?is)<script[^>]*>.*?</script[ \t\n\r]*>', ' ', 'g') AS t
+        |s4 AS (SELECT doc_id, regexp_replace(page,
+        |  '(?is)<script[^>]*>.*?</script[ \t\n\r]*>' ||
+        |  '|<style[^>]*>.*?</style[ \t\n\r]*>' ||
+        |  '|<!--.*?-->' ||
+        |  '|<[^>]*>', ' ', 'g') AS t
         |  FROM h),
-        |s2 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?is)<style[^>]*>.*?</style[ \t\n\r]*>', ' ', 'g') AS t
-        |  FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
-        |  AS t FROM s3),
         |s5 AS (SELECT doc_id,
         |  replace(replace(replace(replace(replace(t,
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

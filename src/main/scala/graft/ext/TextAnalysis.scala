@@ -312,15 +312,20 @@ object TextAnalysis {
     * literal `&lt;` (double-encoding stays text, as it should).
     */
   def stripHtml(html: Column): Column = {
-    // two patterns, not one with a </\1> backreference: RE2 (DuckDB's
-    // engine) has no backreferences, and the oracle applies the SAME
-    // patterns
-    val noScript = regexp_replace(html,
-      "(?is)<script[^>]*>.*?</script[ \\t\\n\\r]*>", " ")
-    val noBlocks = regexp_replace(noScript,
-      "(?is)<style[^>]*>.*?</style[ \\t\\n\\r]*>", " ")
-    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    // ONE alternation pass for all four structural classes, not four
+    // chained rewrites — each regexp_replace rewrites the whole string,
+    // and fusing them measured 2–3× on the 5M-page probe. Order
+    // matters: block/comment alternatives come before the generic tag
+    // so `<script …>` swallows its CONTENT, not just its tag; both
+    // RE2 (DuckDB) and java.util.regex pick the leftmost-FIRST
+    // alternative, so the fusion is engine-exact. Script/style are
+    // separate alternatives (not `</\1>`) because RE2 has no
+    // backreferences, and the oracle applies the SAME pattern.
+    val noTags = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script[ \\t\\n\\r]*>" +
+        "|<style[^>]*>.*?</style[ \\t\\n\\r]*>" +
+        "|<!--.*?-->" +
+        "|<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) =>
