@@ -272,16 +272,19 @@ object TextAnalysis {
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
       minStopwords: Int = 2): DataFrame = {
-    val toks = tokens(col(textCol))
-    val n = size(toks).cast("long")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VecExpressions.register)
+    // all four integer signals from ONE native byte scan — the Column
+    // formulation's two interpreted filter() lambdas cost ~400M lambda
+    // invocations on a 5M-doc probe (14.4 s; see
+    // TextExpressions.GopherSignals, which pins bit-parity in spec)
+    val sig = call_function("graft_gopher_signals", col(textCol))
+    val n = sig.getField("n_words")
     val meanLen = (length(col(textCol)) - n + lit(1)).cast("double") /
       n.cast("double")
-    val nSym = size(regexp_extract_all(col(textCol),
-      lit("#|\\.\\.\\."), lit(0))).cast("long")
-    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val nStop = size(filter(toks,
-      t => t.isin(stops.map(x => x: Any): _*))).cast("long")
+    val nSym = sig.getField("n_sym")
+    val nAlpha = sig.getField("n_alpha")
+    val nStop = sig.getField("n_stop")
     val symRatio = nSym.cast("double") / n.cast("double")
     val alphaFrac = nAlpha.cast("double") / n.cast("double")
     val wordsOk = n.between(minWords.toLong, maxWords.toLong)

@@ -489,6 +489,108 @@ object TextExpressions {
     }
   }
 
+  /** The Gopher filter's four integer signals in ONE byte scan:
+    * `(n_words, n_sym, n_alpha, n_stop)`. The Column formulation costs
+    * two interpreted HOF `filter` lambdas plus a `regexp_extract_all`
+    * per document — ~400M lambda invocations on a 5M-doc probe, 14.4 s
+    * of the web-prep probe's wall — where one scan is arithmetic:
+    *
+    *   - `n_words` = spaces + 1 (split-on-single-space semantics,
+    *     empties kept — the [[graft.ext.TextAnalysis.tokens]] contract);
+    *   - `n_sym` counts `#` and non-overlapping `...` left-to-right,
+    *     exactly the regex `#|\.\.\.`'s match walk;
+    *   - `n_alpha` = tokens containing an ASCII letter (UTF-8
+    *     continuation bytes are ≥ 0x80, so the byte test is
+    *     multibyte-safe);
+    *   - `n_stop` = tokens byte-equal to one of the paper's eight
+    *     stopwords (the, be, to, of, and, that, have, with).
+    *
+    * Mean word length needs no signal: `length(text) = Σlen + n − 1`
+    * (the join identity) keeps it in the caller.
+    */
+  case class GopherSignals(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = GopherSignals.schema
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"input must be string, got ${other.simpleString}")
+    }
+    def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+      GopherSignals.signals(s.getBytes)
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("gopherSignals", this,
+        classOf[GopherSignals].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object GopherSignals {
+    val schema: StructType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_sym", LongType, nullable = false),
+      StructField("n_alpha", LongType, nullable = false),
+      StructField("n_stop", LongType, nullable = false)))
+
+    private val STOPS: Array[Array[Byte]] =
+      Array("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(_.getBytes("US-ASCII"))
+
+    def signals(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+      val n = b.length
+      var words = 1L
+      var sym = 0L
+      var alpha = 0L
+      var stop = 0L
+      // one pass for the symbol walk (regex-identical advance)
+      var i = 0
+      while (i < n) {
+        val c = b(i)
+        if (c == '#') { sym += 1; i += 1 }
+        else if (c == '.' && i + 2 < n && b(i + 1) == '.' && b(i + 2) == '.') {
+          sym += 1; i += 3
+        } else i += 1
+      }
+      // one pass over tokens
+      var start = 0
+      i = 0
+      while (i <= n) {
+        if (i == n || b(i) == 0x20) {
+          if (i < n) words += 1
+          var hasAlpha = false
+          var j = start
+          while (!hasAlpha && j < i) {
+            val c = b(j)
+            hasAlpha = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+            j += 1
+          }
+          if (hasAlpha) alpha += 1
+          val len = i - start
+          var k = 0
+          var isStop = false
+          while (!isStop && k < STOPS.length) {
+            val w = STOPS(k)
+            if (w.length == len) {
+              var m = 0
+              while (m < len && b(start + m) == w(m)) m += 1
+              isStop = m == len
+            }
+            k += 1
+          }
+          if (isStop) stop += 1
+          start = i + 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](words, sym, alpha, stop))
+    }
+  }
+
   /** Byte-level distribution stats in ONE scan — the junk detector's
     * inputs: `(n_bytes, n_distinct, top_count, entropy)`. Shannon
     * entropy (log₂, in bits/byte) separates text (~4–5) from

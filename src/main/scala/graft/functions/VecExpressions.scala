@@ -457,7 +457,12 @@ object VecExpressions {
     (FunctionIdentifier("graft_normalize_url"),
       new ExpressionInfo(
         classOf[TextExpressions.NormalizeUrl].getName, "graft_normalize_url"),
-      (es: Seq[Expression]) => TextExpressions.NormalizeUrl(es(0))))
+      (es: Seq[Expression]) => TextExpressions.NormalizeUrl(es(0))),
+    (FunctionIdentifier("graft_gopher_signals"),
+      new ExpressionInfo(
+        classOf[TextExpressions.GopherSignals].getName,
+        "graft_gopher_signals"),
+      (es: Seq[Expression]) => TextExpressions.GopherSignals(es(0))))
 
   /** Idempotently register the functions in an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -354,6 +354,38 @@ class TextAnalysisSpec extends SparkFunSuite {
       out.values.map(_._2).toSeq.sorted)
   }
 
+  test("GopherSignals kernel matches the Column-HOF formulation " +
+    "bit-for-bit on adversarial token shapes") {
+    val s = spark; import s.implicits._
+    graft.functions.VecExpressions.register(s)
+    val texts = Seq(
+      "the cat and dog", "", " ", "  ", "a", "the", "thee the.",
+      "x#y ### a...b .... ..", "... ... ...", "#",
+      "123 456 a1 é中 the", "to of and that have with be the",
+      "word# wi.th trailing ", " leading", "do.. ..ts .a.b.c...")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val kernel = df.select(col("id"),
+        call_function("graft_gopher_signals", col("t")).as("g"))
+      .select(col("id"), col("g.n_words"), col("g.n_sym"),
+        col("g.n_alpha"), col("g.n_stop"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val toks = split(col("t"), " ")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val ref = df.select(col("id"),
+        size(toks).cast("long"),
+        size(regexp_extract_all(col("t"), lit("#|\\.\\.\\."), lit(0)))
+          .cast("long"),
+        size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long"),
+        size(filter(toks, x => x.isin(stops.map(v => v: Any): _*)))
+          .cast("long"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    texts.indices.foreach { i =>
+      assert(kernel(i.toLong) == ref(i.toLong),
+        s"'${texts(i)}': kernel=${kernel(i.toLong)} ref=${ref(i.toLong)}")
+    }
+  }
+
   test("gopherFilter: hand-checked signals and rule verdicts") {
     val s = spark; import s.implicits._
     // 4 words, lengths 3+3+3+3 = 12 chars + 3 separators = 15;

@@ -38,6 +38,8 @@ class CodegenCompileSpec extends SparkFunSuite {
         "charNgrams" -> graft.ext.TextAnalysis.charNgrams(col("text"), 3),
         "windowHashes" -> call_function("graft_window_hashes",
           col("text"), lit(4)),
+        "gopherSignals" -> call_function("graft_gopher_signals",
+          col("text")),
         "minhashBandSigs" -> call_function("graft_minhash_band_sigs",
           graft.ext.TextAnalysis.wordBigrams(col("text")),
           lit(4), lit(2)))
