@@ -263,9 +263,11 @@ object TextAnalysis {
     * mean needs no second pass; every ratio is an IEEE divide of exact
     * integers, so the DuckDB restatement is bit-identical.
     *
-    * One narrow projection (the HOF lambdas touch only their own
-    * variable — the NOTES_r08 discipline), no shuffle at any width;
-    * thresholds are parameters with the paper's defaults.
+    * One narrow projection over ONE native byte scan
+    * ([[graft.functions.TextExpressions.GopherSignals]] — the Column
+    * HOF formulation paid ~400M interpreted lambda calls at 5M docs),
+    * no shuffle at any width; thresholds are parameters with the
+    * paper's defaults.
     */
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
