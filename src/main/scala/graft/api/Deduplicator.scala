@@ -235,7 +235,8 @@ class Deduplicator(spark: SparkSession, workDir: String,
       val deltasAll = contrib.where(col("known"))
         .select(col("hash"), col("occ").as("delta"))
       cpPinned =
-        (spark.sparkContext.getPersistentRDDs -- beforeCp).values.toSeq
+        spark.sparkContext.getPersistentRDDs
+          .filterNot(kv => beforeCp(kv._1)).values.toSeq
       val countRows = probed.groupBy("fidx")
         .agg(count(lit(1)).as("n"),
           sum(when(isPtr, 1L).otherwise(0L)).as("ptrs"))

@@ -696,7 +696,8 @@ object DocDedup {
     def checkpointPinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
-      val pinned = (sc.getPersistentRDDs -- before).values.toSeq
+      val pinned = sc.getPersistentRDDs
+        .filterNot(kv => before(kv._1)).values.toSeq
       (out, pinned)
     }
     // Every id that appears in a pair (the output cover) — pinned once,

@@ -385,7 +385,8 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
       .groupBy("hash").agg(sum("delta").as("delta"))
       .localCheckpoint()
     val cpPinned =
-      (spark.sparkContext.getPersistentRDDs -- beforeCp).values.toSeq
+      spark.sparkContext.getPersistentRDDs
+        .filterNot(kv => beforeCp(kv._1)).values.toSeq
 
     try {
       // Rolling bloom sidecar: a distributed delta sketch over ONLY this

@@ -109,7 +109,7 @@ object StreamingNearDup {
               eBands, eRows, eSigBuckets)
           b.write.mode("append").parquet(corpusPath)
         } finally {
-          (sc.getPersistentRDDs -- beforeCp).values
+          sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))
         }
         ()
