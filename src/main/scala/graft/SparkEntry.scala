@@ -2403,6 +2403,33 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.ext.TextAnalysis.stripHtml(col("page")).as("clean"))
         .orderBy("doc_id")
+    }),
+
+    // ---- BPE merge LEARNING (Sennrich et al. 2016 — the tokenizer-
+    //      training half; bpeTokens is the pre-tokenizer): the planted
+    //      textbook histogram low×5 lower×2 newest×6 widest×3 has an
+    //      analytically-derivable 8-merge sequence (ties at steps
+    //      1/3/5/8 genuinely exercise the lexicographic tie-break),
+    //      which the engine must LEARN live — distributed pair counts
+    //      per round, driver-sized argmax, narrow fuse — and then
+    //      re-segment the training words with. The oracle states the
+    //      expected merges and segmentations as constants.
+    "q118_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+        ("widest", 3L)).toDF("word", "cnt")
+      val merges = graft.ext.TextAnalysis.learnBpe(words, "word", "cnt", 8)
+      val mergeRows = merges.zipWithIndex.map { case ((a, b, c), i) =>
+        (i.toLong, a, b, c)
+      }
+      val segRows = graft.ext.TextAnalysis.bpeSegment(words, "word",
+          merges.map(m => (m._1, m._2)))
+        .select(col("word"), array_join(col("segments"), " ").as("seg"),
+          col("cnt"))
+        .collect().map(r => (100L, r.getString(0), r.getString(1),
+          r.getLong(2)))
+      (mergeRows ++ segRows).toDF("step", "a", "b", "n")
+        .orderBy("step", "a")
     })
   )
 
@@ -3797,6 +3824,24 @@ object SparkEntry {
         |         AS batch_waste
         |FROM a JOIN st USING (batch)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // the analytically-derived merge sequence and final segmentations
+    // for the planted histogram (ties resolved lexicographically)
+    "q118_bpe_learn" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'e', 's', CAST(9 AS BIGINT)),
+        |  (1, 'es', 't', 9),
+        |  (2, 'l', 'o', 7),
+        |  (3, 'lo', 'w', 7),
+        |  (4, 'e', 'w', 6),
+        |  (5, 'ew', 'est', 6),
+        |  (6, 'n', 'ewest', 6),
+        |  (7, 'd', 'est', 3),
+        |  (100, 'low', 'low', 5),
+        |  (100, 'lower', 'low e r', 2),
+        |  (100, 'newest', 'newest', 6),
+        |  (100, 'widest', 'w i dest', 3)
+        |) AS t(step, a, b, n) ORDER BY step, a""".stripMargin,
 
     // independent application of the same RE2-subset patterns; DuckDB
     // regexp_replace needs the explicit 'g' flag (Spark's is global)

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
 /** Text-analysis operators for LLM training-data pipelines (north-star
   * surface beyond the reference — SURVEY §2.2 "absent in the reference"
@@ -301,6 +302,113 @@ object TextAnalysis {
       wordsOk.as("words_ok"), meanOk.as("mean_ok"), symOk.as("sym_ok"),
       alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
       (wordsOk && meanOk && symOk && alphaOk && stopOk).as("keep"))
+  }
+
+  /** Learn a BPE merge table from a (word, count) relation — the
+    * tokenizer-TRAINING half of the BPE surface ([[bpeTokens]] is the
+    * pre-tokenizer; this is Sennrich et al. 2016 over the word
+    * histogram it produces). `numMerges` iterations of: count adjacent
+    * symbol pairs (weighted by word count), take the most frequent —
+    * ties broken by lexicographically smallest (left, right), so the
+    * result is total-ordered and oracle-exact — and fuse its
+    * non-overlapping left-to-right occurrences.
+    *
+    * Distributed shape: the CORPUS-sized work each round is one
+    * explode + one partial-aggregated groupBy over the pair stream;
+    * the argmax collects a single row (the merge table is
+    * driver-sized by definition, like the IVF centroid sidecar), and
+    * the fuse is a narrow typed map. Rounds are inherently sequential
+    * — merge k+1's counts depend on merge k — so cost is
+    * `numMerges` passes over the histogram; at 100 TB the histogram
+    * input is itself the (already tiny relative to the corpus)
+    * output of a word-count aggregate, and production trainers
+    * subsample it further. State localCheckpoints per round with
+    * registry-delta cleanup (the [[graft.ext.DocDedup]] loop
+    * discipline).
+    */
+  def learnBpe(words: DataFrame, wordCol: String, countCol: String,
+               numMerges: Int): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val ss = words.sparkSession
+    val sc = ss.sparkContext
+    import ss.implicits._
+    def checkpointPinned(ds: org.apache.spark.sql.Dataset[(Seq[String], Long)]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = ds.localCheckpoint()
+      (out, sc.getPersistentRDDs.filterNot(kv => before(kv._1)).values.toSeq)
+    }
+    var (cur, pinned) = checkpointPinned(
+      words.select(split(col(wordCol), "").as("seq"),
+        col(countCol).cast("long").as("cnt")).as[(Seq[String], Long)])
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    try {
+      var exhausted = false
+      while (!exhausted && merges.length < numMerges) {
+        val top = cur.toDF("seq", "cnt")
+          .select(explode(zip_with(
+            slice(col("seq"), lit(1), size(col("seq")) - 1),
+            slice(col("seq"), lit(2), size(col("seq")) - 1),
+            (x, y) => struct(x.as("l"), y.as("r")))).as("p"), col("cnt"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(desc("c"), col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (top(0).getAs[String]("l"),
+            top(0).getAs[String]("r"), top(0).getAs[Long]("c"))
+          merges += ((a, b, c))
+          val (next, nextPinned) = checkpointPinned(cur.map {
+            case (seq, cnt) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < seq.length) {
+                if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+                  out += a + b; i += 2
+                } else { out += seq(i); i += 1 }
+              }
+              (out.toSeq, cnt)
+          })
+          pinned.foreach(_.unpersist(false))
+          cur = next; pinned = nextPinned
+        }
+      }
+      merges.toSeq
+    } finally pinned.foreach(_.unpersist(false))
+  }
+
+  /** Segment words with a learned merge table: each merge applied in
+    * LEARNED ORDER, non-overlapping left-to-right — exactly the
+    * training-time fuse, so training words round-trip to their final
+    * training segmentation. Narrow typed map; the merge table rides
+    * the closure (driver-sized).
+    */
+  def bpeSegment(words: DataFrame, wordCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val ms = merges.toArray
+    val idx = words.schema.fieldIndex(wordCol)
+    val schema = StructType(words.schema.fields :+
+      StructField("segments", ArrayType(StringType, containsNull = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    words.mapPartitions { rows =>
+      rows.map { r =>
+        var seq: Array[String] = r.getString(idx).split("")
+        var k = 0
+        while (k < ms.length) {
+          val (a, b) = ms(k)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < seq.length) {
+            if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += seq(i); i += 1 }
+          }
+          seq = out.toArray
+          k += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ seq.toSeq)
+      }
+    }(enc)
   }
 
   /** HTML → text extraction — step zero of a web-corpus pipeline,

@@ -354,6 +354,60 @@ class TextAnalysisSpec extends SparkFunSuite {
       out.values.map(_._2).toSeq.sorted)
   }
 
+  test("learnBpe matches a driver-side reference on a randomized " +
+    "histogram; bpeSegment round-trips the training fuse") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcde"
+    val words = (0 until 30).map { _ =>
+      ((2 + rnd.nextInt(6)) to 0 by -1)
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct.map(w => (w, 1L + rnd.nextInt(9).toLong))
+    // driver-side reference: same algorithm, plain Scala
+    def refLearn(ws: Seq[(String, Long)], k: Int): Seq[(String, String, Long)] = {
+      var seqs = ws.map { case (w, c) => (w.split("").toSeq, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      while (!done && out.length < k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        seqs.foreach { case (sq, c) =>
+          sq.sliding(2).filter(_.length == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.toSeq
+            .sortBy { case ((l, r), n) => (-n, l, r) }.head
+          out += ((a, b, c))
+          seqs = seqs.map { case (sq, cnt) =>
+            val o = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < sq.length) {
+              if (i + 1 < sq.length && sq(i) == a && sq(i + 1) == b) {
+                o += a + b; i += 2
+              } else { o += sq(i); i += 1 }
+            }
+            (o.toSeq, cnt)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val df = words.toDF("word", "cnt")
+    val got = TextAnalysis.learnBpe(df, "word", "cnt", 10)
+    assert(got == refLearn(words, 10), s"learned $got")
+    // segmentation concatenates back to the word, and segments are
+    // exactly the learned-merge fuse of the reference
+    val segs = TextAnalysis.bpeSegment(df, "word",
+        got.map(m => (m._1, m._2)))
+      .select("word", "segments").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { case (w, _) =>
+      assert(segs(w).mkString("") == w, s"$w concat round-trip")
+    }
+  }
+
   test("GopherSignals kernel matches the Column-HOF formulation " +
     "bit-for-bit on adversarial token shapes") {
     val s = spark; import s.implicits._
