@@ -2430,6 +2430,40 @@ object SparkEntry {
           r.getLong(2)))
       (mergeRows ++ segRows).toDF("step", "a", "b", "n")
         .orderBy("step", "a")
+    }),
+
+    // ---- CRAWL PIPELINE COMPOSITION from RAW HTML (extends q108 one
+    //      stage earlier): each doc's page carries its EVEN partner's
+    //      body and title, so after stripHtml the pair's extracted
+    //      text is identical — the planted duplicate structure exact
+    //      dedup must collapse. stripHtml → gopherFilter keep → min-id
+    //      exact dedup; DuckDB restates all three stages in order, so
+    //      the gate pins that extraction output feeds quality and
+    //      dedup unchanged.
+    "q119_crawl_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val partner = docs
+        .select(col("doc_id").as("pid"), col("text").as("ptext"))
+      val paired = docs
+        .select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pid"))
+        .join(partner, "pid")
+      val page = concat(
+        lit("<html><head><title>T"), col("pid"),
+        lit("</title><style>x{p:1}</style></head>" +
+          "<body><script>var z=9;</script><p>"),
+        col("ptext"), lit(" &amp; end</p></body></html>"))
+      val stripped = paired.select(col("doc_id"),
+        graft.ext.TextAnalysis.stripHtml(page).as("clean"))
+      val quality = graft.ext.TextAnalysis.gopherFilter(stripped,
+          "doc_id", "clean", minWords = 20)
+        .where(col("keep")).select("doc_id")
+      val kept = stripped.join(quality, Seq("doc_id"), "left_semi")
+      DocDedup.exactDedup(kept, "doc_id", "clean")
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("n_clean_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3824,6 +3858,56 @@ object SparkEntry {
         |         AS batch_waste
         |FROM a JOIN st USING (batch)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // the three stages restated in order: fused strip + entity decode,
+    // Gopher keep over the EXTRACTED text, min-id exact dedup
+    "q119_crawl_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id - doc_id % 2 AS pid
+        |  FROM documents WHERE doc_id < 300),
+        |p AS (
+        |  SELECT d.doc_id,
+        |    '<html><head><title>T' || d.pid ||
+        |    '</title><style>x{p:1}</style></head>' ||
+        |    '<body><script>var z=9;</script><p>' || dd.text ||
+        |    ' &amp; end</p></body></html>' AS page
+        |  FROM d JOIN documents dd ON dd.doc_id = d.pid),
+        |s4 AS (SELECT doc_id, regexp_replace(page,
+        |  '(?is)<script[^>]*>.*?</script[ \t\n\r]*>' ||
+        |  '|<style[^>]*>.*?</style[ \t\n\r]*>' ||
+        |  '|<!--.*?-->' ||
+        |  '|<[^>]*>', ' ', 'g') AS t
+        |  FROM p),
+        |c AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS clean
+        |  FROM s4),
+        |sig AS (
+        |  SELECT doc_id, clean,
+        |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(clean, '#|\.\.\.')) AS BIGINT)
+        |      AS nsym,
+        |    CAST(len(list_filter(string_split(clean, ' '),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+        |    CAST(len(list_filter(string_split(clean, ' '),
+        |      x -> x IN ('the','be','to','of','and','that','have',
+        |                 'with'))) AS BIGINT) AS nstop
+        |  FROM c),
+        |q AS (
+        |  SELECT doc_id, clean FROM sig
+        |  WHERE nw BETWEEN 20 AND 100000
+        |    AND (CAST(length(clean) - nw + 1 AS DOUBLE) /
+        |         CAST(nw AS DOUBLE)) BETWEEN 3.0 AND 10.0
+        |    AND CAST(nsym AS DOUBLE) / CAST(nw AS DOUBLE) < 0.1
+        |    AND CAST(nalpha AS DOUBLE) / CAST(nw AS DOUBLE) > 0.8
+        |    AND nstop >= 2)
+        |SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_clean_chars
+        |FROM q
+        |WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(clean))
+        |ORDER BY doc_id""".stripMargin,
 
     // the analytically-derived merge sequence and final segmentations
     // for the planted histogram (ties resolved lexicographically)
