@@ -1955,8 +1955,9 @@ object SparkEntry {
     //      explode + one hash groupBy with partial aggregation —
     //      posting lists ordered by doc id (sort_array, per-group not
     //      global), df from the deduplicated (tok, doc) stream. DuckDB
-    //      restates with unnest + list(ORDER BY) — exact, including
-    //      the array-valued column.
+    //      restates with unnest + list(ORDER BY). Posting lists are
+    //      emitted as canonical comma-joined strings (the driver's
+    //      hash compare cannot sort ARRAY-typed columns).
     "q102_inverted_index" -> ((s, dir) => {
       val toks = graft.ext.TextAnalysis.tokens(col("text"))
       t(s, dir, "documents").where(col("doc_id") < 300)
@@ -1964,7 +1965,8 @@ object SparkEntry {
           explode(array_distinct(toks)).as("tok"))
         .where(length(col("tok")) >= 6)
         .groupBy("tok")
-        .agg(sort_array(collect_set(col("doc_id"))).as("postings"),
+        .agg(array_join(sort_array(collect_set(col("doc_id"))), ",")
+            .as("postings"),
           countDistinct(col("doc_id")).as("df"))
         .orderBy("tok")
     }),
@@ -2373,7 +2375,8 @@ object SparkEntry {
             .as("sum_tokens"),
           sum(length(col("text"))).as("sum_chars"),
           sum(col("keep").cast("long")).as("n_gopher_keep"),
-          sort_array(collect_set(col("lang"))).as("langs"))
+          array_join(sort_array(collect_set(col("lang"))), ",")
+            .as("langs"))
         .join(dups, Seq("source"))
         .select("source", "n_docs", "sum_tokens", "sum_chars",
           "n_gopher_keep", "langs", "n_dup_docs")
@@ -3752,7 +3755,9 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, t.tok
         |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
         |  WHERE doc_id < 300 AND length(t.tok) >= 6)
-        |SELECT tok, list(doc_id ORDER BY doc_id) AS postings,
+        |SELECT tok,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',')
+        |         AS postings,
         |       CAST(count(*) AS BIGINT) AS df
         |FROM td GROUP BY tok ORDER BY tok""".stripMargin,
 
@@ -3987,7 +3992,8 @@ object SparkEntry {
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_gopher_keep,
-        |       list_sort(list(DISTINCT lang)) AS langs,
+        |       array_to_string(list_sort(list(DISTINCT lang)), ',')
+        |         AS langs,
         |       any_value(d.n_dup_docs) AS n_dup_docs
         |FROM q JOIN d ON q.source = d.source
         |GROUP BY q.source ORDER BY q.source""".stripMargin,

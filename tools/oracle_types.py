@@ -47,9 +47,20 @@ def main():
             spark_types = dict(zip(srel.columns, (str(t) for t in srel.types)))
         orel = con.sql(oracle[name])
         bad = []
+        # Driver-hostile container types: the driver's pandas-based
+        # compare sort_values/hashes row values and raises on numpy
+        # arrays (q102/q116 in round 9) -- no ARRAY/STRUCT/MAP may
+        # appear in EITHER side's output schema.
+        for col, typ in spark_types.items():
+            base = typ.split("(")[0].split("[")[0]
+            if "[]" in typ or base in ("STRUCT", "MAP", "LIST", "UNION"):
+                bad.append(f"{col}: spark={typ} [CONTAINER]")
         for col, typ in zip(orel.columns, (str(t) for t in orel.types)):
             st = spark_types.get(col, "?")
-            if typ.split("(")[0] in WIDENING or typ.startswith("DECIMAL"):
+            base = typ.split("(")[0].split("[")[0]
+            if "[]" in typ or base in ("STRUCT", "MAP", "LIST", "UNION"):
+                bad.append(f"{col}: oracle={typ} [CONTAINER]")
+            elif base in WIDENING or typ.startswith("DECIMAL"):
                 bad.append(f"{col}: oracle={typ} spark={st} [WIDENING]")
             elif st != "?" and (st, typ) not in SAFE and st != typ:
                 bad.append(f"{col}: oracle={typ} spark={st} [MISMATCH]")
