@@ -2467,6 +2467,45 @@ object SparkEntry {
         .select(col("doc_id"),
           length(col("clean")).cast("long").as("n_clean_chars"))
         .orderBy("doc_id")
+    }),
+
+    // ---- MP4/MOV CONTAINER-METADATA GATE: the fourth modality (after
+    //      image/audio). syntheticMp4 hand-writes the ISO BMFF box tree
+    //      (ftyp + moov/mvhd + nTraks×trak + mdat) from doc_id-derived
+    //      params; decodeVideo then PARSES the box structure back on
+    //      executors (the JDK has no MP4 SPI — the parser, not a codec,
+    //      is the thing under test, exactly as syntheticWav hand-writes
+    //      RIFF). doc_id%2 selects the PHYSICAL encoding of the same
+    //      logical metadata — v0 mvhd/compact sizes vs v1 mvhd(64-bit)/
+    //      largesize moov/to-EOF mdat — so a parser that mishandles any
+    //      size encoding or version offset breaks half the rows. Poison
+    //      rows (empty blob, box truncated mid-declaration) must come
+    //      back as typed in-row errors, never exceptions.
+    "q120_mp4_metadata" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        val brand = ((id % 3).toInt: @unchecked) match {
+          case 0 => "isom"; case 1 => "mp42"; case 2 => "qt  "
+        }
+        val ts = 600 * (1 + (id % 5).toInt)
+        val dur = ts.toLong * (1 + id % 11) + id
+        val full = Multimodal.syntheticMp4(brand, ts, dur,
+          1 + (id % 3).toInt, (id % 2).toInt)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.take(20)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      Multimodal.decodeVideo(blobs, "blob")
+        .select(col("doc_id"),
+          col("video.brand").as("brand"),
+          col("video.timescale").as("timescale"),
+          col("video.duration").as("duration"),
+          col("video.n_traks").as("n_traks"),
+          col("video.n_top_boxes").as("n_top_boxes"),
+          col("video.ok").as("ok"),
+          col("video.error").as("error"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4204,6 +4243,30 @@ object SparkEntry {
         |    AND nstop >= 2)
         |SELECT doc_id, source, norm_url FROM q
         |WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the container metadata predicted arithmetically from doc_id —
+    // the parser must invert syntheticMp4's box layout for BOTH
+    // physical encodings (doc_id%2) to reproduce it
+    "q120_mp4_metadata" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 41 = 0 OR doc_id % 37 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'isom'
+        |       WHEN doc_id % 3 = 1 THEN 'mp42'
+        |       ELSE 'qt  ' END AS brand,
+        |  CAST(CASE WHEN doc_id % 41 = 0 OR doc_id % 37 = 0 THEN 0
+        |       ELSE 600 * (1 + doc_id % 5) END AS INTEGER) AS timescale,
+        |  CAST(CASE WHEN doc_id % 41 = 0 OR doc_id % 37 = 0 THEN 0
+        |       ELSE 600 * (1 + doc_id % 5) * (1 + doc_id % 11) + doc_id
+        |       END AS BIGINT) AS duration,
+        |  CAST(CASE WHEN doc_id % 41 = 0 OR doc_id % 37 = 0 THEN 0
+        |       ELSE 1 + doc_id % 3 END AS INTEGER) AS n_traks,
+        |  CAST(CASE WHEN doc_id % 41 = 0 OR doc_id % 37 = 0 THEN 0
+        |       ELSE 3 END AS INTEGER) AS n_top_boxes,
+        |  (doc_id % 41 != 0 AND doc_id % 37 != 0) AS ok,
+        |  CASE WHEN doc_id % 41 = 0 THEN 'empty blob'
+        |       WHEN doc_id % 37 = 0 THEN 'truncated box'
+        |       ELSE NULL END AS error
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
   )
 }

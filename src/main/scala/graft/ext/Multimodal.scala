@@ -655,6 +655,207 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => Seq.empty }
 
+  // ------------------------------------------------------------------
+  // Video containers: the fourth modality. The JDK ships no MP4/MOV
+  // SPI, so (matching how syntheticWav hand-writes RIFF) the ISO BMFF
+  // box structure is parsed by hand: metadata (brand, movie timescale/
+  // duration, track count) comes from ftyp + moov/mvhd + trak walking,
+  // NOT from a codec. Frame DECODE stays behind the Decoder boundary —
+  // a real deployment slots an ffmpeg-backed decoder in unchanged.
+  // Reference precedent: the reference round-trips an IMG_0781.MOV
+  // fixture as opaque bytes (test/deduplicator_test.exs:191); a
+  // training-data pipeline additionally needs the container metadata
+  // to filter/sample before any expensive decode.
+  // ------------------------------------------------------------------
+
+  /** Parsed MP4/MOV container metadata. `ok=false` carries the error
+    * class in-row (poison-blob contract of [[MediaMeta]]): "empty blob",
+    * "not mp4" (first box is not ftyp), "bad box size" (size < header),
+    * "truncated box" (declared size overruns the blob), "no mvhd".
+    */
+  case class VideoMeta(brand: String, timescale: Int, duration: Long,
+                       nTraks: Int, nTopBoxes: Int,
+                       ok: Boolean, error: String)
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("brand", StringType, nullable = true),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("n_traks", IntegerType, nullable = false),
+    StructField("n_top_boxes", IntegerType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
+  /** Deterministic minimal valid MP4: ftyp(major=`brand`, compat =
+    * [brand, "isom"]) + moov(mvhd + nTraks×trak(tkhd)) + mdat.
+    * `variant` selects the PHYSICAL encoding of the SAME logical
+    * metadata — 0: version-0 mvhd/tkhd (32-bit times), compact box
+    * sizes; 1: version-1 mvhd (64-bit times), moov written with the
+    * size==1 largesize form, mdat written with the size==0
+    * to-end-of-file form. A correct parser returns identical metadata
+    * for both variants, which is exactly what the q120 gate pins.
+    */
+  def syntheticMp4(brand: String, timescale: Int, duration: Long,
+                   nTraks: Int, variant: Int): Array[Byte] = {
+    require(brand.length == 4 && timescale > 0 && duration >= 0 &&
+      duration < (1L << 32) && nTraks >= 0 && (variant == 0 || variant == 1),
+      s"bad mp4 spec brand=$brand ts=$timescale dur=$duration " +
+        s"traks=$nTraks variant=$variant")
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo) // big-endian, per ISO BMFF
+    def box(typ: String, payload: Array[Byte], large: Boolean = false,
+            toEof: Boolean = false): Unit = {
+      if (toEof) o.writeInt(0)
+      else if (large) o.writeInt(1)
+      else o.writeInt(8 + payload.length)
+      o.writeBytes(typ)
+      if (large) o.writeLong(16L + payload.length)
+      o.write(payload)
+    }
+    def payloadOf(f: java.io.DataOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(b); f(d); d.flush(); b.toByteArray
+    }
+    val unity = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    val mvhd = payloadOf { d =>
+      if (variant == 0) {
+        d.writeInt(0)                      // version 0 + flags
+        d.writeInt(0); d.writeInt(0)       // creation, modification
+        d.writeInt(timescale); d.writeInt(duration.toInt)
+      } else {
+        d.writeInt(0x01000000)             // version 1 + flags
+        d.writeLong(0L); d.writeLong(0L)
+        d.writeInt(timescale); d.writeLong(duration)
+      }
+      d.writeInt(0x00010000); d.writeShort(0x0100) // rate 1.0, volume 1.0
+      d.writeShort(0); d.writeLong(0L)             // reserved
+      unity.foreach(d.writeInt)                    // matrix
+      (0 until 6).foreach(_ => d.writeInt(0))      // pre_defined
+      d.writeInt(nTraks + 1)                       // next_track_ID
+    }
+    val traks = (1 to nTraks).map { id =>
+      val tkhd = payloadOf { d =>
+        d.writeInt(0x00000007)             // version 0, flags: enabled
+        d.writeInt(0); d.writeInt(0)       // creation, modification
+        d.writeInt(id); d.writeInt(0)      // track_ID, reserved
+        d.writeInt(duration.toInt)
+        d.writeLong(0L)                    // reserved
+        d.writeShort(0); d.writeShort(0); d.writeShort(0); d.writeShort(0)
+        unity.foreach(d.writeInt)
+        d.writeInt(0); d.writeInt(0)       // width, height (non-visual)
+      }
+      payloadOf { d =>
+        d.writeInt(8 + tkhd.length); d.writeBytes("tkhd"); d.write(tkhd)
+      }
+    }
+    val moov = payloadOf { d =>
+      d.writeInt(8 + mvhd.length); d.writeBytes("mvhd"); d.write(mvhd)
+      traks.foreach { t =>
+        d.writeInt(8 + t.length); d.writeBytes("trak"); d.write(t)
+      }
+    }
+    box("ftyp", payloadOf { d =>
+      d.writeBytes(brand); d.writeInt(0x200)
+      d.writeBytes(brand); d.writeBytes("isom")
+    })
+    box("moov", moov, large = variant == 1)
+    box("mdat", Array.fill[Byte](8)(0), toEof = variant == 1)
+    o.flush()
+    bo.toByteArray
+  }
+
+  /** Hand-parse the ISO BMFF box tree of an MP4/MOV blob: top-level
+    * walk (ftyp brand, box count), moov children walk (mvhd version
+    * 0/1 timescale + duration, trak count). Handles all three size
+    * encodings (compact, size==1 largesize, size==0 to-EOF) and
+    * reports malformed structure as a typed in-row error, never an
+    * exception — poison blobs must not kill a 100 TB scan.
+    */
+  private[ext] def decodeMp4Bytes(bytes: Array[Byte]): VideoMeta = {
+    def fail(e: String) = VideoMeta(null, 0, 0L, 0, 0, ok = false, e)
+    if (bytes == null || bytes.length == 0) return fail("empty blob")
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    // Walk boxes in [from, to); Left(error) | Right(type, payloadFrom,
+    // payloadTo). size==0 (to end) is only legal at top level.
+    def walk(from: Long, to: Long,
+             topLevel: Boolean): Either[String, Seq[(String, Long, Long)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var off = from
+      while (off < to) {
+        if (to - off < 8) return Left("truncated box")
+        val size32 = bb.getInt(off.toInt) & 0xFFFFFFFFL
+        val typ = new String(bytes, off.toInt + 4, 4, "US-ASCII")
+        var header = 8L
+        val boxEnd =
+          if (size32 == 0) {
+            if (!topLevel) return Left("bad box size")
+            to
+          } else if (size32 == 1) {
+            if (to - off < 16) return Left("truncated box")
+            header = 16L
+            off + bb.getLong(off.toInt + 8)
+          } else off + size32
+        if (boxEnd - off < header) return Left("bad box size")
+        if (boxEnd > to) return Left("truncated box")
+        out += ((typ, off + header, boxEnd))
+        off = boxEnd
+      }
+      Right(out.toSeq)
+    }
+    walk(0L, bytes.length.toLong, topLevel = true) match {
+      case Left(e) => fail(e)
+      case Right(top) =>
+        if (top.isEmpty || top.head._1 != "ftyp") return fail("not mp4")
+        val (_, fs, fe) = top.head
+        if (fe - fs < 4) return fail("truncated box")
+        val brand = new String(bytes, fs.toInt, 4, "US-ASCII")
+        top.find(_._1 == "moov") match {
+          case None => fail("no mvhd")
+          case Some((_, ms, me)) =>
+            walk(ms, me, topLevel = false) match {
+              case Left(e) => fail(e)
+              case Right(kids) =>
+                val nTraks = kids.count(_._1 == "trak")
+                kids.find(_._1 == "mvhd") match {
+                  case None => fail("no mvhd")
+                  case Some((_, ps, pe)) =>
+                    val p = ps.toInt
+                    val version = bytes(p) & 0xFF
+                    val need = if (version == 1) 28 else 20
+                    if (pe - ps < need) return fail("truncated box")
+                    val (ts, dur) =
+                      if (version == 1)
+                        (bb.getInt(p + 20), bb.getLong(p + 24))
+                      else
+                        (bb.getInt(p + 12),
+                          bb.getInt(p + 16) & 0xFFFFFFFFL)
+                    VideoMeta(brand, ts, dur, nTraks, top.size,
+                      ok = true, null)
+                }
+            }
+        }
+    }
+  }
+
+  /** Container-metadata pass over a binary MP4/MOV column — the
+    * filter-before-decode step of a video pipeline (drop zero-track or
+    * over-long movies BEFORE any expensive frame decode). Narrow
+    * per-partition map, no shuffle, error channel in-row.
+    */
+  def decodeVideo(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("video", videoMetaSchema, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = decodeMp4Bytes(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ Row(m.brand, m.timescale, m.duration,
+          m.nTraks, m.nTopBoxes, m.ok, m.error))
+      }
+    }(enc)
+  }
+
   private[ext] def decodeWavBytes(bytes: Array[Byte]): AudioMeta =
     if (bytes == null || bytes.isEmpty)
       AudioMeta(0, 0, 0, 0L, 0L, 0, ok = false, "empty blob")

@@ -234,4 +234,58 @@ class MultimodalSpec extends SparkFunSuite {
         s"solid $gray upscaled to mean ${lumUp * 255.0}")
     }
   }
+
+  test("mp4: both physical encodings of the same logical metadata " +
+    "parse identically; poison blobs come back as typed in-row errors") {
+    for (ts <- Seq(600, 3000); dur <- Seq(0L, 33299L); n <- Seq(0, 3);
+         brand <- Seq("isom", "qt  ")) {
+      val v0 = Multimodal.decodeMp4Bytes(
+        Multimodal.syntheticMp4(brand, ts, dur, n, 0))
+      val v1 = Multimodal.decodeMp4Bytes(
+        Multimodal.syntheticMp4(brand, ts, dur, n, 1))
+      assert(v0 == v1, s"$brand ts=$ts dur=$dur n=$n: $v0 vs $v1")
+      assert(v0.ok && v0.brand == brand && v0.timescale == ts &&
+        v0.duration == dur && v0.nTraks == n && v0.nTopBoxes == 3)
+    }
+    // v0 and v1 must be DIFFERENT bytes (else the variant gate is void)
+    assert(!java.util.Arrays.equals(
+      Multimodal.syntheticMp4("isom", 600, 5L, 1, 0),
+      Multimodal.syntheticMp4("isom", 600, 5L, 1, 1)))
+    // typed poison classes, exception-free
+    val full = Multimodal.syntheticMp4("mp42", 600, 7L, 2, 0)
+    assert(Multimodal.decodeMp4Bytes(null).error == "empty blob")
+    assert(Multimodal.decodeMp4Bytes(Array.empty).error == "empty blob")
+    assert(Multimodal.decodeMp4Bytes(full.take(20)).error == "truncated box")
+    assert(Multimodal.decodeMp4Bytes(full.drop(24)).error == "not mp4")
+    val badSize = full.clone() // first box claims size 4 < 8-byte header
+    badSize(0) = 0; badSize(1) = 0; badSize(2) = 0; badSize(3) = 4
+    assert(Multimodal.decodeMp4Bytes(badSize).error == "bad box size")
+  }
+
+  test("mp4 parser is total: random bytes and random truncations of a " +
+    "valid file never throw") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      val m = Multimodal.decodeMp4Bytes(b) // must not throw
+      assert(m.ok || m.error != null, s"run $i")
+    }
+    val full = Multimodal.syntheticMp4("isom", 1200, 999L, 3, 1)
+    // the file ends in a size==0 to-EOF mdat (8-byte header + 8 bytes
+    // payload): cutting INSIDE that payload still yields a structurally
+    // valid file (the mdat just covers fewer bytes — that's what the
+    // to-EOF form means); cutting inside its header, or anywhere
+    // before it, must flag
+    val mdatOff = full.length - 16
+    (0 until full.length).foreach { cut =>
+      val m = Multimodal.decodeMp4Bytes(full.take(cut))
+      if (cut == mdatOff) // clean box boundary: a file with no mdat
+        assert(m.ok && m.nTopBoxes == 2, s"cut=$cut")
+      else if (cut < mdatOff + 8) assert(!m.ok, s"cut=$cut")
+      else assert(m.ok && m.timescale == 1200 && m.duration == 999L &&
+        m.nTraks == 3 && m.nTopBoxes == 3, s"cut=$cut")
+    }
+    assert(Multimodal.decodeMp4Bytes(full).ok)
+  }
 }
