@@ -2506,6 +2506,36 @@ object SparkEntry {
           col("video.ok").as("ok"),
           col("video.error").as("error"))
         .orderBy("doc_id")
+    }),
+
+    // ---- BYTE-LEVEL BPE (GPT-2's byte↔unicode alphabet — Radford et
+    //      al. 2019): the q118 learner with the other symbol alphabet.
+    //      The planted histogram is non-ASCII on purpose: "é" is ONE
+    //      char-level symbol but TWO byte-level symbols (UTF-8 0xC3
+    //      0xA9 → 'Ã' '©'), so the learned sequence DIVERGES from
+    //      char-level — merge 0 fuses the intra-character byte pair at
+    //      count 11, which char-level cannot even see (its first merge
+    //      is (é,é,4); the divergence spec pins the comparison). Ties
+    //      at steps 3/4 exercise the lexicographic tie-break in byte
+    //      mode. The oracle states the analytically-derived merges and
+    //      final segmentations as constants, q118-style.
+    "q121_bpe_byte_level" -> ((s, dir) => {
+      import s.implicits._
+      val words = Seq(("éé", 4L), ("és", 3L),
+        ("se", 2L), ("te", 2L)).toDF("word", "cnt")
+      val merges = graft.ext.TextAnalysis.learnBpe(words, "word", "cnt",
+        5, byteLevel = true)
+      val mergeRows = merges.zipWithIndex.map { case ((a, b, c), i) =>
+        (i.toLong, a, b, c)
+      }
+      val segRows = graft.ext.TextAnalysis.bpeSegment(words, "word",
+          merges.map(m => (m._1, m._2)), byteLevel = true)
+        .select(col("word"), array_join(col("segments"), " ").as("seg"),
+          col("cnt"))
+        .collect().map(r => (100L, r.getString(0), r.getString(1),
+          r.getLong(2)))
+      (mergeRows ++ segRows).toDF("step", "a", "b", "n")
+        .orderBy("step", "a")
     })
   )
 
@@ -4267,6 +4297,23 @@ object SparkEntry {
         |  CASE WHEN doc_id % 41 = 0 THEN 'empty blob'
         |       WHEN doc_id % 37 = 0 THEN 'truncated box'
         |       ELSE NULL END AS error
-        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    // the analytically-derived BYTE-level merge sequence for the
+    // planted non-ASCII histogram: é's UTF-8 bytes 0xC3 0xA9 map to
+    // 'Ã' '©' under the GPT-2 byte↔unicode table, and their
+    // intra-character pair (count 11 = 2·4 + 3) is merge 0
+    "q121_bpe_byte_level" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'Ã', '©', CAST(11 AS BIGINT)),
+        |  (1, 'Ã©', 'Ã©', 4),
+        |  (2, 'Ã©', 's', 3),
+        |  (3, 's', 'e', 2),
+        |  (4, 't', 'e', 2),
+        |  (100, 'éé', 'Ã©Ã©', 4),
+        |  (100, 'és', 'Ã©s', 3),
+        |  (100, 'se', 'se', 2),
+        |  (100, 'te', 'te', 2)
+        |) AS t(step, a, b, n) ORDER BY step, a""".stripMargin
   )
 }

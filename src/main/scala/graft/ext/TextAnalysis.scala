@@ -326,8 +326,50 @@ object TextAnalysis {
     * registry-delta cleanup (the [[graft.ext.DocDedup]] loop
     * discipline).
     */
+  /** GPT-2's byte↔unicode table (Radford et al. 2019, the public
+    * encoder.py): every byte 0–255 gets a PRINTABLE unicode char so a
+    * byte-level BPE can treat arbitrary UTF-8 (or any binary) as a
+    * string of visible symbols. Printable latin bytes ('!'..'~',
+    * '¡'..'¬', '®'..'ÿ') map to themselves; the 68 remaining bytes
+    * (controls, space, 127–160, 173) map to 256+n in first-gap order.
+    * The map is a bijection, so [[unicodeToByte]] inverts exactly.
+    */
+  private[ext] val byteToUnicode: Array[Char] = {
+    val self = (('!' to '~') ++ ('¡' to '¬') ++
+      ('®' to 'ÿ')).map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (self(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+
+  private[ext] val unicodeToByte: Map[Char, Byte] =
+    byteToUnicode.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** A word as byte-level BPE symbols: UTF-8 bytes, each mapped
+    * through [[byteToUnicode]]. The symbol ALPHABET is the only thing
+    * that differs from character-level BPE — on any non-ASCII corpus
+    * the learned merges differ (a multibyte char is 2–4 symbols whose
+    * intra-character pairs dominate early merges).
+    */
+  private[ext] def byteSymbols(word: String): Seq[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toSeq.map(b => String.valueOf(byteToUnicode(b & 0xFF)))
+
+  /** Invert [[byteSymbols]]: mapped-symbol string → original bytes →
+    * UTF-8 string (how a byte-level tokenizer renders tokens for
+    * display).
+    */
+  private[ext] def symbolsToString(sym: String): String =
+    new String(sym.toCharArray.map(unicodeToByte),
+      java.nio.charset.StandardCharsets.UTF_8)
+
   def learnBpe(words: DataFrame, wordCol: String, countCol: String,
-               numMerges: Int): Seq[(String, String, Long)] = {
+               numMerges: Int,
+               byteLevel: Boolean = false): Seq[(String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val ss = words.sparkSession
     val sc = ss.sparkContext
@@ -337,9 +379,15 @@ object TextAnalysis {
       val out = ds.localCheckpoint()
       (out, sc.getPersistentRDDs.filterNot(kv => before(kv._1)).values.toSeq)
     }
-    var (cur, pinned) = checkpointPinned(
-      words.select(split(col(wordCol), "").as("seq"),
-        col(countCol).cast("long").as("cnt")).as[(Seq[String], Long)])
+    val init =
+      if (byteLevel)
+        words.select(col(wordCol).cast("string").as("w"),
+            col(countCol).cast("long").as("cnt")).as[(String, Long)]
+          .map { case (w, c) => (byteSymbols(w), c) }
+      else
+        words.select(split(col(wordCol), "").as("seq"),
+          col(countCol).cast("long").as("cnt")).as[(Seq[String], Long)]
+    var (cur, pinned) = checkpointPinned(init)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     try {
       var exhausted = false
@@ -384,7 +432,8 @@ object TextAnalysis {
     * the closure (driver-sized).
     */
   def bpeSegment(words: DataFrame, wordCol: String,
-                 merges: Seq[(String, String)]): DataFrame = {
+                 merges: Seq[(String, String)],
+                 byteLevel: Boolean = false): DataFrame = {
     val ms = merges.toArray
     val idx = words.schema.fieldIndex(wordCol)
     val schema = StructType(words.schema.fields :+
@@ -392,7 +441,9 @@ object TextAnalysis {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     words.mapPartitions { rows =>
       rows.map { r =>
-        var seq: Array[String] = r.getString(idx).split("")
+        var seq: Array[String] =
+          if (byteLevel) byteSymbols(r.getString(idx)).toArray
+          else r.getString(idx).split("")
         var k = 0
         while (k < ms.length) {
           val (a, b) = ms(k)

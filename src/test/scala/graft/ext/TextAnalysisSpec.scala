@@ -408,6 +408,42 @@ class TextAnalysisSpec extends SparkFunSuite {
     }
   }
 
+  test("byte-level BPE: GPT-2 table is a bijection that round-trips " +
+    "arbitrary unicode, and byte vs char level DIVERGE on a multibyte " +
+    "corpus") {
+    val s = spark; import s.implicits._
+    // bijection: 256 distinct symbols, inverse is exact
+    assert(TextAnalysis.byteToUnicode.distinct.length == 256)
+    // round-trip: symbols → string for latin-1, CJK, emoji, controls
+    for (w <- Seq("hello", "café", "straße", "日本語", "😀🎉", "a\tb c",
+        " spaced ", "­")) {
+      val sym = TextAnalysis.byteSymbols(w)
+      assert(TextAnalysis.symbolsToString(sym.mkString("")) == w, w)
+      // every symbol is exactly one char (one byte's image)
+      assert(sym.forall(_.length == 1), w)
+      assert(sym.length == w.getBytes("UTF-8").length, w)
+    }
+    // divergence: on the q121 histogram the FIRST merge differs —
+    // byte level fuses é's intra-character byte pair (count 11),
+    // invisible to char level (whose first merge is (é,é) at 4)
+    val words = Seq(("éé", 4L), ("és", 3L), ("se", 2L), ("te", 2L))
+      .toDF("word", "cnt")
+    val byteM = TextAnalysis.learnBpe(words, "word", "cnt", 5,
+      byteLevel = true)
+    val charM = TextAnalysis.learnBpe(words, "word", "cnt", 5)
+    assert(byteM.head == ("Ã", "©", 11L), s"byte: $byteM")
+    assert(charM.head == ("é", "é", 4L), s"char: $charM")
+    assert(byteM.map(m => (m._1, m._2)) != charM.map(m => (m._1, m._2)))
+    // byte-level segments decode back to the original words
+    val segs = TextAnalysis.bpeSegment(words, "word",
+        byteM.map(m => (m._1, m._2)), byteLevel = true)
+      .select("word", "segments").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    segs.foreach { case (w, sym) =>
+      assert(TextAnalysis.symbolsToString(sym.mkString("")) == w, w)
+    }
+  }
+
   test("GopherSignals kernel matches the Column-HOF formulation " +
     "bit-for-bit on adversarial token shapes") {
     val s = spark; import s.implicits._
