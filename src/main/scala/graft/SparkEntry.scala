@@ -2536,6 +2536,57 @@ object SparkEntry {
           r.getLong(2)))
       (mergeRows ++ segRows).toDF("step", "a", "b", "n")
         .orderBy("step", "a")
+    }),
+
+    // ---- RETENTION / DELETION GATE (the changefeed's fourth class):
+    //      q115's two-commit fixture, then dropRun("run2", its chunk
+    //      stream) — the erasure-request path. changes(v2, v3) must
+    //      classify odd-only hashes as `removed` (refs hit zero, link
+    //      deleted), shared hashes as `refs_changed` (odd occurrences
+    //      subtracted), even-only hashes as `unchanged` — all counts
+    //      and ref sums DuckDB-predicted from the same chunk
+    //      arithmetic q85/q115 state. The drop itself is validated
+    //      in-engine (overdrawn / still-referenced / uncovered checks
+    //      fail loudly before writing).
+    "q122_catalog_drop" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q122-catalog").toString
+      try {
+        val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.charChunks(col("text"), 64))
+              .as(Seq("pos", "chunk")))
+          .select(col("doc_id"),
+            md5(col("chunk").cast("binary")).as("hash"),
+            (col("doc_id") * 1000000L + col("pos")).as("gl"))
+          .localCheckpoint()
+        val r1 = chunks.where(col("doc_id") % 2 === 0)
+        val r2 = chunks.where(col("doc_id") % 2 === 1)
+        val cat = new graft.operators.Catalog(s, tmp, bucketChars = 1)
+        cat.commitRun("run1", 64, "md5",
+          r1.groupBy("hash").agg(min("gl").as("line"),
+            count(lit(1)).as("refs_num")),
+          r1.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
+        val known = cat.links().select("hash")
+        cat.commitRun("run2", 64, "md5",
+          r2.join(known, Seq("hash"), "left_anti")
+            .groupBy("hash").agg(min("gl").as("line"),
+              count(lit(1)).as("refs_num")),
+          r2.join(known, Seq("hash"), "left_semi")
+            .groupBy("hash").agg(count(lit(1)).as("delta")))
+        val v2 = cat.currentVersion
+        val v3 = cat.dropRun("run2", r2.select("hash"))
+        cat.changes(v2, v3)
+          .groupBy("change")
+          .agg(count(lit(1)).as("n_hashes"),
+            sum(coalesce(col("refs_from"), lit(0L))).as("sum_refs_from"),
+            sum(coalesce(col("refs_to"), lit(0L))).as("sum_refs_to"))
+          .orderBy("change").localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
     })
   )
 
@@ -4314,6 +4365,37 @@ object SparkEntry {
         |  (100, 'és', 'Ã©s', 3),
         |  (100, 'se', 'se', 2),
         |  (100, 'te', 'te', 2)
-        |) AS t(step, a, b, n) ORDER BY step, a""".stripMargin
+        |) AS t(step, a, b, n) ORDER BY step, a""".stripMargin,
+
+    // the changefeed over a DROP of run2: odd-only hashes removed
+    // (refs hit zero), shared hashes lose the odd occurrences,
+    // even-only hashes untouched — same chunk arithmetic as q115
+    "q122_catalog_drop" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> md5(substr(text, s, 64)))) AS hash
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT hash, count(*) AS c FROM chunks
+        |      WHERE doc_id % 2 = 0 GROUP BY hash),
+        |o AS (SELECT hash, count(*) AS c FROM chunks
+        |      WHERE doc_id % 2 = 1 GROUP BY hash)
+        |SELECT * FROM (
+        |  SELECT 'refs_changed' AS change,
+        |         CAST(count(*) AS BIGINT) AS n_hashes,
+        |         CAST(sum(e.c + o.c) AS BIGINT) AS sum_refs_from,
+        |         CAST(sum(e.c) AS BIGINT) AS sum_refs_to
+        |  FROM e JOIN o USING (hash) HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 'removed', CAST(count(*) AS BIGINT),
+        |         CAST(sum(c) AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM o WHERE hash NOT IN (SELECT hash FROM e)
+        |  HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 'unchanged', CAST(count(*) AS BIGINT),
+        |         CAST(sum(c) AS BIGINT), CAST(sum(c) AS BIGINT)
+        |  FROM e WHERE hash NOT IN (SELECT hash FROM o)
+        |  HAVING count(*) > 0
+        |) ORDER BY change""".stripMargin
   )
 }

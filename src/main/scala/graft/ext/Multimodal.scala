@@ -633,27 +633,44 @@ object Multimodal {
         if (f.getEncoding !=
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
           f.getSampleSizeInBits != 16) return Seq.empty
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var n = 0L; var s = 0L; var sq = 0L
-        val chunk = new Array[Byte](8192)
-        var read = in.read(chunk)
-        while (read > 0) {
-          var i = 0
-          while (i + 1 < read) {
-            val v =
-              if (f.isBigEndian)
-                ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
-              else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
-            n += 1; s += v; sq += v.toLong * v
-            if (n == w) { out += ((n, s, sq)); n = 0; s = 0; sq = 0 }
-            i += 2
-          }
-          read = in.read(chunk)
-        }
-        if (n > 0) out += ((n, s, sq))
-        out.toSeq
+        windowDigestLoop(in, w)
       } finally in.close()
     } catch { case _: Exception => Seq.empty }
+
+  /** The PCM16 windowed-digest loop, remainder-safe: `read()` counts
+    * are NOT assumed sample-aligned — the JDK WAV SPI always aligns,
+    * but third-party SPIs (the ffmpeg deployment path the decodeAudio
+    * scaladoc advertises) may return odd counts, and dropping the odd
+    * byte would shift every later sample by 8 bits. A 1-byte remainder
+    * is carried to the front of the buffer across reads.
+    */
+  private[ext] def windowDigestLoop(
+      in: javax.sound.sampled.AudioInputStream,
+      w: Int): Seq[(Long, Long, Long)] = {
+    val big = in.getFormat.isBigEndian
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var n = 0L; var s = 0L; var sq = 0L
+    val chunk = new Array[Byte](8192)
+    var leftover = 0
+    var read = in.read(chunk, leftover, chunk.length - leftover)
+    while (read > 0) {
+      val avail = leftover + read
+      var i = 0
+      while (i + 1 < avail) {
+        val v =
+          if (big) ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
+          else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
+        n += 1; s += v; sq += v.toLong * v
+        if (n == w) { out += ((n, s, sq)); n = 0; s = 0; sq = 0 }
+        i += 2
+      }
+      leftover = avail - i // 0 or 1
+      if (leftover == 1) chunk(0) = chunk(avail - 1)
+      read = in.read(chunk, leftover, chunk.length - leftover)
+    }
+    if (n > 0) out += ((n, s, sq))
+    out.toSeq
+  }
 
   // ------------------------------------------------------------------
   // Video containers: the fourth modality. The JDK ships no MP4/MOV
@@ -856,6 +873,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** PCM16 full-stream digest (sample count, sum, peak), remainder-
+    * safe across non-sample-aligned `read()` counts — same contract as
+    * [[windowDigestLoop]].
+    */
+  private[ext] def pcm16Digest(
+      in: javax.sound.sampled.AudioInputStream): (Long, Long, Int) = {
+    val big = in.getFormat.isBigEndian
+    var nSamples = 0L; var sum = 0L; var peak = 0
+    val chunk = new Array[Byte](8192)
+    var leftover = 0
+    var read = in.read(chunk, leftover, chunk.length - leftover)
+    while (read > 0) {
+      val avail = leftover + read
+      var i = 0
+      while (i + 1 < avail) {
+        val s =
+          if (big) ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
+          else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
+        nSamples += 1; sum += s
+        if (math.abs(s.toInt) > peak) peak = math.abs(s.toInt)
+        i += 2
+      }
+      leftover = avail - i
+      if (leftover == 1) chunk(0) = chunk(avail - 1)
+      read = in.read(chunk, leftover, chunk.length - leftover)
+    }
+    (nSamples, sum, peak)
+  }
+
   private[ext] def decodeWavBytes(bytes: Array[Byte]): AudioMeta =
     if (bytes == null || bytes.isEmpty)
       AudioMeta(0, 0, 0, 0L, 0L, 0, ok = false, "empty blob")
@@ -872,23 +918,9 @@ object Multimodal {
         var peak = 0
         var frames = 0L
         if (pcm16) {
-          val frameSize = f.getFrameSize
-          val chunk = new Array[Byte](frameSize * 4096)
-          var n = in.read(chunk)
-          while (n > 0) {
-            var i = 0
-            while (i + 1 < n) {
-              val s =
-                if (f.isBigEndian)
-                  ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
-                else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
-              sum += s
-              if (math.abs(s.toInt) > peak) peak = math.abs(s.toInt)
-              i += 2
-            }
-            frames += n / frameSize
-            n = in.read(chunk)
-          }
+          val (nSamples, s, p) = pcm16Digest(in)
+          sum = s; peak = p
+          frames = nSamples * 2 / f.getFrameSize
         } else {
           frames = math.max(in.getFrameLength, 0L)
         }

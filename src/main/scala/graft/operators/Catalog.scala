@@ -234,8 +234,8 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     * incremental consumer (a downstream index, a replication target, a
     * billing meter) reads instead of diffing full snapshots itself:
     * per hash, the refs count at each end and a change class
-    * (`added` / `refs_changed` / `unchanged`; `removed` can only arise
-    * from retention operations, since commits never delete links).
+    * (`added` / `refs_changed` / `unchanged`; `removed` arises only
+    * from retention — [[dropRun]] — since commits never delete links).
     * One full-outer hash join between the two manifest-pinned reads —
     * both sides bucket-partitioned by digest prefix, so at scale this
     * shuffles only if the bucket layouts differ between versions
@@ -437,6 +437,91 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     } finally cpPinned.foreach(_.unpersist(false))
   }
 
+  /** Retention/deletion: remove a stored file and its reference counts
+    * from the catalog — the erasure-request / quota-retirement path a
+    * long-lived catalog must support (and the only operation that makes
+    * the changefeed's `removed` class reachable: commits never delete
+    * links). The caller supplies the file's chunk-hash stream, one row
+    * per occurrence (re-derived by chunking the recovered file, or read
+    * from its encoded `.bin` — the catalog deliberately stores only
+    * aggregated refs). Semantics: `refs_num -= occurrences(file)`;
+    * links reaching zero are DELETED, and a bucket left empty leaves
+    * the manifest entirely.
+    *
+    * Fails loudly — BEFORE writing anything — when the drop is unsound:
+    *  - `overdrawn`: the stream subtracts more refs than a link has
+    *    (wrong or duplicated stream);
+    *  - `still_referenced`: a link whose canonical bytes live in THIS
+    *    file's encoded stream would survive with refs > 0 — other
+    *    files' pointers depend on it, so dropping would break their
+    *    recovery. Recover+rewrite those files first, or drop them in
+    *    the same maintenance window;
+    *  - `uncovered`: a link owned by this file is absent from the
+    *    provided stream (incomplete stream);
+    *  - `corrupt`: a link owned by ANOTHER file would reach zero refs —
+    *    impossible when refs include the owner's own occurrences, so it
+    *    means the catalog and stream disagree structurally.
+    *
+    * The bloom sidecar is carried forward unchanged: it is an
+    * append-only prefilter, so after a drop it may answer "maybe" for a
+    * purged hash — a false positive the probe join tolerates by design.
+    * Cost: one full links scan (validation) + a rewrite of only the
+    * touched buckets; at 100 TB this is the cost class of one commit,
+    * paid per deletion request, not per query. Concurrency contract of
+    * [[commitRuns]] (can lose the version race, failing loudly).
+    * Returns the new current version.
+    */
+  def dropRun(filename: String, chunkHashes: DataFrame): Long = {
+    val v = currentVersion
+    val oldManifest = readManifest(v)
+    val fRows = files().where(col("filename") === filename).collect()
+    require(fRows.length == 1,
+      s"dropRun: '$filename' has ${fRows.length} catalog rows, need 1")
+    val fid = fRows(0).getAs[Long]("file_id")
+    val beforeCp = spark.sparkContext.getPersistentRDDs.keySet
+    val occ = chunkHashes.select(col("hash"))
+      .groupBy("hash").agg(count(lit(1)).as("occ")).localCheckpoint()
+    val cpPinned = spark.sparkContext.getPersistentRDDs
+      .filterNot(kv => beforeCp(kv._1)).values.toSeq
+    try {
+      val oldLinks = links()
+      val audited = oldLinks.join(occ, Seq("hash"), "left")
+        .withColumn("refs2",
+          col("refs_num") - coalesce(col("occ"), lit(0L)))
+      val viol = audited.agg(
+        sum(when(col("refs2") < 0, 1L).otherwise(0L)).as("overdrawn"),
+        sum(when(col("file_id") === fid && col("refs2") > 0, 1L)
+          .otherwise(0L)).as("still_referenced"),
+        sum(when(col("file_id") === fid && col("occ").isNull, 1L)
+          .otherwise(0L)).as("uncovered"),
+        sum(when(col("file_id") =!= fid && col("refs2") === 0, 1L)
+          .otherwise(0L)).as("corrupt")).head()
+      val bad = Seq("overdrawn", "still_referenced", "uncovered",
+        "corrupt").map(k => k -> Option(viol.getAs[java.lang.Long](k))
+          .map(_.longValue).getOrElse(0L)).filter(_._2 > 0)
+      require(bad.isEmpty,
+        s"dropRun('$filename') unsound, nothing written: " +
+          bad.map { case (k, n) => s"$k=$n" }.mkString(", "))
+      val touched = occ.select(bucketCol(col("hash")).as("b"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val newFiles = files().where(col("file_id") =!= fid)
+      if (touched.isEmpty) // zero-chunk file: files-table change only
+        writeVersion(v + 1, newFiles, None, oldManifest, readBloom(v))
+      else {
+        val merged = oldLinks
+          .where(bucketCol(col("hash")).isin(touched.toSeq: _*))
+          .join(occ, Seq("hash"), "left")
+          .withColumn("refs_num",
+            col("refs_num") - coalesce(col("occ"), lit(0L)))
+          .drop("occ")
+          .where(col("refs_num") > 0)
+        writeVersion(v + 1, newFiles, Some(merged), oldManifest,
+          readBloom(v), dropBuckets = touched)
+      }
+      v + 1
+    } finally cpPinned.foreach(_.unpersist(false))
+  }
+
   /** Delete version directories that the CURRENT manifest no longer
     * references (bucket-pruned commits keep old versions partially
     * alive — a bucket last written at v3 lives in v_000003 until some
@@ -557,7 +642,8 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
   private def writeVersion(v: Long, filesDf: DataFrame,
                            changedLinks: Option[DataFrame],
                            oldManifest: Map[String, Long],
-                           bloom: Option[Array[Byte]]): Unit = {
+                           bloom: Option[Array[Byte]],
+                           dropBuckets: Set[String] = Set.empty): Unit = {
     // Pin the layout knobs before the first version becomes visible; an
     // existing meta is never rewritten (width and bloom sizing of a
     // catalog are immutable — see the class scaladoc).
@@ -607,7 +693,12 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
           .map(_.getPath.getName)
           .collect { case BucketRe(b) => b }.toSet
     }
-    val manifest = oldManifest ++ written.map(_ -> v)
+    // dropBuckets (dropRun only): buckets whose links may ALL have been
+    // deleted. They must leave the manifest FIRST — a dropped-empty
+    // bucket writes no partition, and carrying its old manifest entry
+    // forward would resurrect the deleted links. Buckets that still
+    // have rows re-enter via `written`.
+    val manifest = (oldManifest -- dropBuckets) ++ written.map(_ -> v)
     val manifestBytes = manifest.toSeq.sorted
       .map { case (b, ver) => s"$b,$ver" }.mkString("\n")
       .getBytes(StandardCharsets.UTF_8)

@@ -464,4 +464,71 @@ class CatalogSpec extends SparkFunSuite {
     assert(snapshot() == before, "compact changed link resolution")
     checkRecovery()
   }
+
+  test("dropRun: refs decremented, zero-ref links deleted, an emptied " +
+    "bucket leaves the manifest; unsound drops fail loudly BEFORE " +
+    "writing") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("cat-drop")
+    val cat = new Catalog(spark, s"$dir/catalog")
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    // f1 owns aa11 (2 own occurrences) and bb22 (1)
+    cat.commitRun("f1", 64, "sha",
+      Seq(("aa11", 0L, 2L), ("bb22", 1L, 1L))
+        .toDF("hash", "line", "refs_num"), none)
+    // f2 owns cc33 (×3; bucket cc is touched ONLY by f2) and re-refs
+    // aa11 twice
+    cat.commitRun("f2", 64, "sha",
+      Seq(("cc33", 0L, 3L)).toDF("hash", "line", "refs_num"),
+      Seq(("aa11", 2L)).toDF("hash", "delta"))
+    val v2 = cat.currentVersion
+    def snapshot() = cat.links().collect()
+      .map(r => (r.getAs[String]("hash"), r.getAs[Long]("file_id"),
+        r.getAs[Long]("refs_num"))).toSet
+    val before = snapshot()
+
+    def streamOf(h: (String, Int)*) =
+      h.flatMap { case (x, n) => Seq.fill(n)(x) }.toDF("hash")
+    // (b) still_referenced: f1 owns aa11 but f2 still refs it
+    val e1 = intercept[IllegalArgumentException] {
+      cat.dropRun("f1", streamOf("aa11" -> 2, "bb22" -> 1))
+    }
+    assert(e1.getMessage.contains("still_referenced=1"), e1.getMessage)
+    // (a) overdrawn: stream claims more aa11 refs than exist
+    val e2 = intercept[IllegalArgumentException] {
+      cat.dropRun("f2", streamOf("cc33" -> 3, "aa11" -> 9))
+    }
+    assert(e2.getMessage.contains("overdrawn=1"), e2.getMessage)
+    // (c) uncovered: f2's own cc33 missing from the stream → both its
+    // link is uncovered AND dropping only aa11 refs leaves it owned
+    val e3 = intercept[IllegalArgumentException] {
+      cat.dropRun("f2", streamOf("aa11" -> 2))
+    }
+    assert(e3.getMessage.contains("uncovered=1"), e3.getMessage)
+    // unknown file
+    intercept[IllegalArgumentException] {
+      cat.dropRun("nope", streamOf("aa11" -> 1))
+    }
+    // nothing was written by any failed attempt
+    assert(cat.currentVersion == v2 && snapshot() == before,
+      "failed dropRun must leave the catalog untouched")
+
+    // sound drop of f2
+    val v3 = cat.dropRun("f2", streamOf("cc33" -> 3, "aa11" -> 2))
+    assert(v3 == cat.currentVersion)
+    // equivalence: catalog now equals the f1-only state — cc33 GONE
+    // even though bucket cc writes no partition in v3 (the manifest
+    // entry must vanish, else the deleted links resurrect)
+    assert(snapshot() == Set(("aa11", 1L, 2L), ("bb22", 1L, 1L)))
+    assert(cat.getHashLink("cc33").count() == 0)
+    assert(cat.files().collect().map(_.getAs[String]("filename")).toSet
+      == Set("f1"))
+    // the changefeed classifies all three legs
+    val ch = cat.changes(v2, v3).collect()
+      .map(r => r.getAs[String]("hash") -> r.getAs[String]("change")).toMap
+    assert(ch == Map("aa11" -> "refs_changed", "bb22" -> "unchanged",
+      "cc33" -> "removed"))
+    // time travel to v2 still sees the pre-drop state (until vacuum)
+    assert(cat.linksAt(v2).count() == 3)
+  }
 }

@@ -381,6 +381,40 @@ class DocDedupSpec extends SparkFunSuite {
     assert(perDoc == Set(8L), s"every doc must carry 8 band rows: $perDoc")
   }
 
+  test("appendToMinHashIndex cost is proportional to the BATCH, not the " +
+    "index: per-append file writes bounded by max(bands*sigBuckets, " +
+    "shuffle partitions) and identical for same-size batches as the " +
+    "index grows") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("mh-append-cost")
+    val path = s"$dir/index"
+    def batch(offset: Long, n: Int) = (0 until n).map { i =>
+      (offset + i, s"w${offset + i} alpha beta gamma delta e$i z$i " +
+        s"eta$i theta iota kappa lambda")
+    }.toDF("doc_id", "text")
+    DocDedup.buildMinHashIndex(batch(0, 400), "doc_id", "text", path,
+      bands = 8, rows = 4, sigBuckets = 4)
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toArray.map(_.toString).toSet
+    val bound = math.max(8 * 4,
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val f0 = files()
+    DocDedup.appendToMinHashIndex(batch(10000, 100), "doc_id", "text", path)
+    val f1 = files()
+    // index is now 1.25x bigger; an equal-size batch must cost the same
+    DocDedup.appendToMinHashIndex(batch(20000, 100), "doc_id", "text", path)
+    val f2 = files()
+    assert(f0.subsetOf(f1) && f1.subsetOf(f2), "appends never rewrite")
+    val add1 = (f1 -- f0).size
+    val add2 = (f2 -- f1).size
+    assert(add1 > 0 && add1 <= bound, s"append 1 wrote $add1 files > $bound")
+    assert(add2 > 0 && add2 <= bound, s"append 2 wrote $add2 files > $bound")
+    assert(add1 == add2,
+      s"same-size batches must cost the same writes regardless of index " +
+        s"size: $add1 vs $add2")
+  }
+
   test("minHashEstimate: 1.0 on identical signatures, tracks exact Jaccard") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

@@ -235,6 +235,40 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("audio digest loops survive an SPI returning non-sample-aligned " +
+    "read() counts (remainder carried, no 8-bit sample shift)") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream}
+    val wav = Multimodal.syntheticWav(8000, 777, 5L)
+    val pcm = wav.drop(44) // raw little-endian PCM16 payload
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    // mimics a third-party SPI whose read() returns 3 bytes at a time —
+    // every other read boundary splits a sample in half
+    class OddAis(cap: Int) extends AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.empty[Byte]), fmt,
+        pcm.length / 2) {
+      private var pos = 0
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (pos >= pcm.length) -1
+        else {
+          val n = math.min(math.min(len, cap), pcm.length - pos)
+          System.arraycopy(pcm, pos, b, off, n); pos += n; n
+        }
+    }
+    def aligned() = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    for (cap <- Seq(1, 3, 7, 4097)) {
+      assert(Multimodal.windowDigestLoop(new OddAis(cap), 256) ==
+        Multimodal.windowDigestLoop(aligned(), 256), s"cap=$cap windows")
+      assert(Multimodal.pcm16Digest(new OddAis(cap)) ==
+        Multimodal.pcm16Digest(aligned()), s"cap=$cap digest")
+    }
+    // and the digest matches the synthesis arithmetic, not just itself
+    val (n, s, _) = Multimodal.pcm16Digest(new OddAis(3))
+    val expSum = (0 until 777).map(i =>
+      ((5L * 2654435761L + i * 40503L) % 65536L) - 32768L).sum
+    assert(n == 777L && s == expSum)
+  }
+
   test("mp4: both physical encodings of the same logical metadata " +
     "parse identically; poison blobs come back as typed in-row errors") {
     for (ts <- Seq(600, 3000); dur <- Seq(0L, 33299L); n <- Seq(0, 3);
