@@ -2502,6 +2502,8 @@ object SparkEntry {
           col("video.timescale").as("timescale"),
           col("video.duration").as("duration"),
           col("video.n_traks").as("n_traks"),
+          col("video.n_video_tracks").as("n_video_tracks"),
+          col("video.n_audio_tracks").as("n_audio_tracks"),
           col("video.n_top_boxes").as("n_top_boxes"),
           col("video.ok").as("ok"),
           col("video.error").as("error"))
@@ -2583,6 +2585,61 @@ object SparkEntry {
             sum(coalesce(col("refs_from"), lit(0L))).as("sum_refs_from"),
             sum(coalesce(col("refs_to"), lit(0L))).as("sum_refs_to"))
           .orderBy("change").localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
+    }),
+
+    // ---- COMPACTION GATE: the maintenance op a streaming deployment
+    //      runs after N micro-batch commits. q115's two-commit fixture,
+    //      then compact() — the gate pins BOTH sides of the contract:
+    //      logical invariance (link count and total refs equal DuckDB's
+    //      chunk arithmetic, unchanged by the rewrite) and the PHYSICAL
+    //      outcome compaction exists for (every bucket directory of the
+    //      compacted version holds exactly ONE parquet file, bucket
+    //      count = distinct first hex chars — DuckDB-predicted).
+    "q123_catalog_compact" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q123-catalog").toString
+      try {
+        val chunks = t(s, dir, "documents").where(col("doc_id") < 200)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.charChunks(col("text"), 64))
+              .as(Seq("pos", "chunk")))
+          .select(col("doc_id"),
+            md5(col("chunk").cast("binary")).as("hash"),
+            (col("doc_id") * 1000000L + col("pos")).as("gl"))
+          .localCheckpoint()
+        val r1 = chunks.where(col("doc_id") % 2 === 0)
+        val r2 = chunks.where(col("doc_id") % 2 === 1)
+        val cat = new graft.operators.Catalog(s, tmp, bucketChars = 1)
+        cat.commitRun("run1", 64, "md5",
+          r1.groupBy("hash").agg(min("gl").as("line"),
+            count(lit(1)).as("refs_num")),
+          r1.where(lit(false)).select(col("hash"), lit(0L).as("delta")))
+        val known = cat.links().select("hash")
+        cat.commitRun("run2", 64, "md5",
+          r2.join(known, Seq("hash"), "left_anti")
+            .groupBy("hash").agg(min("gl").as("line"),
+              count(lit(1)).as("refs_num")),
+          r2.join(known, Seq("hash"), "left_semi")
+            .groupBy("hash").agg(count(lit(1)).as("delta")))
+        val vc = cat.compact()
+        val agg = cat.links().agg(count(lit(1)).as("n"),
+          sum("refs_num").as("s")).head()
+        val hlDir = new java.io.File(
+          f"$tmp%s/v_$vc%06d/hash_links")
+        val bucketDirs = hlDir.listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        val onePerBucket = bucketDirs.forall(d =>
+          d.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+        Seq((agg.getLong(0), agg.getLong(1), bucketDirs.length,
+          onePerBucket, vc, cat.files().count()))
+          .toDF("n_links", "sum_refs", "n_buckets",
+            "one_file_per_bucket", "version", "n_files")
       } finally {
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(tmp))
@@ -4343,6 +4400,12 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 41 = 0 OR doc_id % 37 = 0 THEN 0
         |       ELSE 1 + doc_id % 3 END AS INTEGER) AS n_traks,
         |  CAST(CASE WHEN doc_id % 41 = 0 OR doc_id % 37 = 0 THEN 0
+        |       ELSE (2 + doc_id % 3) // 2 END AS INTEGER)
+        |    AS n_video_tracks,
+        |  CAST(CASE WHEN doc_id % 41 = 0 OR doc_id % 37 = 0 THEN 0
+        |       ELSE (1 + doc_id % 3) // 2 END AS INTEGER)
+        |    AS n_audio_tracks,
+        |  CAST(CASE WHEN doc_id % 41 = 0 OR doc_id % 37 = 0 THEN 0
         |       ELSE 3 END AS INTEGER) AS n_top_boxes,
         |  (doc_id % 41 != 0 AND doc_id % 37 != 0) AS ok,
         |  CASE WHEN doc_id % 41 = 0 THEN 'empty blob'
@@ -4396,6 +4459,25 @@ object SparkEntry {
         |         CAST(sum(c) AS BIGINT), CAST(sum(c) AS BIGINT)
         |  FROM e WHERE hash NOT IN (SELECT hash FROM o)
         |  HAVING count(*) > 0
-        |) ORDER BY change""".stripMargin
+        |) ORDER BY change""".stripMargin,
+
+    // logical invariance under compaction (same chunk arithmetic) plus
+    // the physical outcome: one file per bucket, version 3 after
+    // commit+commit+compact, both files still cataloged
+    "q123_catalog_compact" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1, 64),
+        |      s -> md5(substr(text, s, 64)))) AS hash
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (SELECT hash, count(*) AS c FROM chunks GROUP BY hash)
+        |SELECT CAST(count(*) AS BIGINT) AS n_links,
+        |       CAST(sum(c) AS BIGINT) AS sum_refs,
+        |       CAST(count(DISTINCT substr(hash, 1, 1)) AS INTEGER)
+        |         AS n_buckets,
+        |       TRUE AS one_file_per_bucket,
+        |       CAST(3 AS BIGINT) AS version,
+        |       CAST(2 AS BIGINT) AS n_files
+        |FROM h""".stripMargin
   )
 }

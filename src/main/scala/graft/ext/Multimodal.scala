@@ -691,14 +691,16 @@ object Multimodal {
     * "truncated box" (declared size overruns the blob), "no mvhd".
     */
   case class VideoMeta(brand: String, timescale: Int, duration: Long,
-                       nTraks: Int, nTopBoxes: Int,
-                       ok: Boolean, error: String)
+                       nTraks: Int, nVide: Int, nSoun: Int,
+                       nTopBoxes: Int, ok: Boolean, error: String)
 
   val videoMetaSchema: StructType = StructType(Seq(
     StructField("brand", StringType, nullable = true),
     StructField("timescale", IntegerType, nullable = false),
     StructField("duration", LongType, nullable = false),
     StructField("n_traks", IntegerType, nullable = false),
+    StructField("n_video_tracks", IntegerType, nullable = false),
+    StructField("n_audio_tracks", IntegerType, nullable = false),
     StructField("n_top_boxes", IntegerType, nullable = false),
     StructField("ok", BooleanType, nullable = false),
     StructField("error", StringType, nullable = true)))
@@ -761,8 +763,22 @@ object Multimodal {
         unity.foreach(d.writeInt)
         d.writeInt(0); d.writeInt(0)       // width, height (non-visual)
       }
+      // trak/mdia/hdlr: odd track ids are video, even are audio — the
+      // handler type is what a pipeline filters on (video-bearing vs
+      // audio-only) before any frame decode
+      val hdlr = payloadOf { d =>
+        d.writeInt(0)                      // version + flags
+        d.writeInt(0)                      // pre_defined
+        d.writeBytes(if (id % 2 == 1) "vide" else "soun")
+        (0 until 3).foreach(_ => d.writeInt(0)) // reserved
+        d.writeByte(0)                     // empty name (NUL)
+      }
+      val mdia = payloadOf { d =>
+        d.writeInt(8 + hdlr.length); d.writeBytes("hdlr"); d.write(hdlr)
+      }
       payloadOf { d =>
         d.writeInt(8 + tkhd.length); d.writeBytes("tkhd"); d.write(tkhd)
+        d.writeInt(8 + mdia.length); d.writeBytes("mdia"); d.write(mdia)
       }
     }
     val moov = payloadOf { d =>
@@ -789,7 +805,8 @@ object Multimodal {
     * exception — poison blobs must not kill a 100 TB scan.
     */
   private[ext] def decodeMp4Bytes(bytes: Array[Byte]): VideoMeta = {
-    def fail(e: String) = VideoMeta(null, 0, 0L, 0, 0, ok = false, e)
+    def fail(e: String) = VideoMeta(null, 0, 0L, 0, 0, 0, 0,
+      ok = false, e)
     if (bytes == null || bytes.length == 0) return fail("empty blob")
     val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
     // Walk boxes in [from, to); Left(error) | Right(type, payloadFrom,
@@ -846,8 +863,37 @@ object Multimodal {
                       else
                         (bb.getInt(p + 12),
                           bb.getInt(p + 16) & 0xFFFFFFFFL)
-                    VideoMeta(brand, ts, dur, nTraks, top.size,
-                      ok = true, null)
+                    // trak/mdia/hdlr handler types: the per-track
+                    // media kind a pipeline filters on. Lenient on
+                    // absence (a trak without a parsable hdlr counts
+                    // as neither kind); malformed NESTING still fails.
+                    var nVide = 0; var nSoun = 0
+                    kids.filter(_._1 == "trak").foreach {
+                      case (_, ts0, te0) =>
+                        walk(ts0, te0, topLevel = false) match {
+                          case Left(e) => return fail(e)
+                          case Right(tk) =>
+                            tk.find(_._1 == "mdia").foreach {
+                              case (_, ms0, me0) =>
+                                walk(ms0, me0, topLevel = false) match {
+                                  case Left(e) => return fail(e)
+                                  case Right(mk) =>
+                                    mk.find(_._1 == "hdlr")
+                                      .filter(h => h._3 - h._2 >= 12)
+                                      .foreach { case (_, hs, _) =>
+                                        new String(bytes, hs.toInt + 8,
+                                            4, "US-ASCII") match {
+                                          case "vide" => nVide += 1
+                                          case "soun" => nSoun += 1
+                                          case _ => ()
+                                        }
+                                      }
+                                }
+                            }
+                        }
+                    }
+                    VideoMeta(brand, ts, dur, nTraks, nVide, nSoun,
+                      top.size, ok = true, null)
                 }
             }
         }
@@ -868,7 +914,7 @@ object Multimodal {
       rows.map { r =>
         val m = decodeMp4Bytes(r.getAs[Array[Byte]](idx))
         Row.fromSeq(r.toSeq :+ Row(m.brand, m.timescale, m.duration,
-          m.nTraks, m.nTopBoxes, m.ok, m.error))
+          m.nTraks, m.nVide, m.nSoun, m.nTopBoxes, m.ok, m.error))
       }
     }(enc)
   }

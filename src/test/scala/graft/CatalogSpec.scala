@@ -530,5 +530,9 @@ class CatalogSpec extends SparkFunSuite {
       "cc33" -> "removed"))
     // time travel to v2 still sees the pre-drop state (until vacuum)
     assert(cat.linksAt(v2).count() == 3)
+    // compact after a drop: the rewrite must not resurrect cc33
+    cat.compact()
+    assert(snapshot() == Set(("aa11", 1L, 2L), ("bb22", 1L, 1L)),
+      "compact after dropRun changed link state")
   }
 }

@@ -280,6 +280,9 @@ class MultimodalSpec extends SparkFunSuite {
       assert(v0 == v1, s"$brand ts=$ts dur=$dur n=$n: $v0 vs $v1")
       assert(v0.ok && v0.brand == brand && v0.timescale == ts &&
         v0.duration == dur && v0.nTraks == n && v0.nTopBoxes == 3)
+      // trak/mdia/hdlr handler types: odd track ids are vide
+      assert(v0.nVide == (n + 1) / 2 && v0.nSoun == n / 2,
+        s"n=$n vide=${v0.nVide} soun=${v0.nSoun}")
     }
     // v0 and v1 must be DIFFERENT bytes (else the variant gate is void)
     assert(!java.util.Arrays.equals(
