@@ -535,4 +535,51 @@ class CatalogSpec extends SparkFunSuite {
     assert(snapshot() == Set(("aa11", 1L, 2L), ("bb22", 1L, 1L)),
       "compact after dropRun changed link state")
   }
+
+  test("dropRun randomized rewind: dropping runs reverse-chronologically " +
+    "returns the catalog to each prefix state exactly") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // hash pool spread over many buckets; runs share hashes heavily so
+    // drops exercise refs_changed AND removed on every step
+    val pool = (0 until 40).map(i => f"${i % 16}%x_h$i%02d")
+    val streams = (1 to 4).map { _ =>
+      (0 until 30).map(_ => pool(rnd.nextInt(pool.length)))
+    }
+    def commitStream(cat: Catalog, name: String, runIdx: Int,
+                     st: Seq[String]): Unit = {
+      val sdf = st.zipWithIndex
+        .map { case (h, p) => (h, runIdx * 1000L + p) }.toDF("hash", "gl")
+      val known = cat.links().select("hash")
+      cat.commitRun(name, 64, "sha",
+        sdf.join(known, Seq("hash"), "left_anti").groupBy("hash")
+          .agg(org.apache.spark.sql.functions.min("gl").as("line"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("refs_num")),
+        sdf.join(known, Seq("hash"), "left_semi").groupBy("hash")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("delta")))
+    }
+    def snap(cat: Catalog) = cat.links().collect()
+      .map(r => (r.getAs[String]("hash"), r.getAs[Long]("file_id"),
+        r.getAs[Long]("line"), r.getAs[Long]("refs_num"))).toSet
+    val dir = tempDir("cat-rewind")
+    // prefix catalogs: state after runs 1..k only
+    val prefixSnaps = (0 to 4).map { k =>
+      val c = new Catalog(spark, s"$dir/prefix$k")
+      (0 until k).foreach(i => commitStream(c, s"r${i + 1}", i, streams(i)))
+      snap(c)
+    }
+    assert(prefixSnaps(4).nonEmpty && prefixSnaps(0).isEmpty)
+    // the real catalog: commit all four, then drop 4,3,2,1
+    val cat = new Catalog(spark, s"$dir/main")
+    (0 until 4).foreach(i => commitStream(cat, s"r${i + 1}", i, streams(i)))
+    assert(snap(cat) == prefixSnaps(4))
+    (4 to 1 by -1).foreach { k =>
+      cat.dropRun(s"r$k", streams(k - 1).toDF("hash"))
+      assert(snap(cat) == prefixSnaps(k - 1),
+        s"after dropping r$k the catalog must equal the prefix-${k - 1} state")
+    }
+    assert(cat.files().count() == 0 && cat.links().count() == 0)
+  }
 }

@@ -408,6 +408,58 @@ class TextAnalysisSpec extends SparkFunSuite {
     }
   }
 
+  test("byte-level learnBpe matches a driver-side reference on a " +
+    "randomized MULTIBYTE histogram") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = Seq("a", "b", "é", "ß", "日", "😀")
+    val words = (0 until 25).map { _ =>
+      (0 to (1 + rnd.nextInt(4)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct.map(w => (w, 1L + rnd.nextInt(9).toLong))
+    def refLearn(ws: Seq[(String, Long)], k: Int): Seq[(String, String, Long)] = {
+      var seqs = ws.map { case (w, c) => (TextAnalysis.byteSymbols(w), c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      while (!done && out.length < k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        seqs.foreach { case (sq, c) =>
+          sq.sliding(2).filter(_.length == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.toSeq
+            .sortBy { case ((l, r), n) => (-n, l, r) }.head
+          out += ((a, b, c))
+          seqs = seqs.map { case (sq, cnt) =>
+            val o = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < sq.length) {
+              if (i + 1 < sq.length && sq(i) == a && sq(i + 1) == b) {
+                o += a + b; i += 2
+              } else { o += sq(i); i += 1 }
+            }
+            (o.toSeq, cnt)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val df = words.toDF("word", "cnt")
+    val got = TextAnalysis.learnBpe(df, "word", "cnt", 12, byteLevel = true)
+    assert(got == refLearn(words, 12), s"learned $got")
+    val segs = TextAnalysis.bpeSegment(df, "word",
+        got.map(m => (m._1, m._2)), byteLevel = true)
+      .select("word", "segments").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { case (w, _) =>
+      assert(TextAnalysis.symbolsToString(segs(w).mkString("")) == w,
+        s"$w byte round-trip")
+    }
+  }
+
   test("byte-level BPE: GPT-2 table is a bijection that round-trips " +
     "arbitrary unicode, and byte vs char level DIVERGE on a multibyte " +
     "corpus") {
