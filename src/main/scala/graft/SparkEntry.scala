@@ -2644,6 +2644,36 @@ object SparkEntry {
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(tmp))
       }
+    }),
+
+    // ---- MP4 SAMPLE EXTRACTION (the container half of video frame
+    //      sampling): syntheticMp4(withSamples) writes real stbl
+    //      tables (per-sample stsz sizes, ABSOLUTE stco chunk offsets)
+    //      and the actual sample bytes into mdat; extractMp4Samples
+    //      must invert that bookkeeping byte-exactly — one row per
+    //      (track, sample) with the integer digest of the bytes AT THE
+    //      DECLARED OFFSETS, which DuckDB predicts from the sample
+    //      arithmetic. Any error in box sizing, moov-length accounting,
+    //      or the largesize-vs-compact offset delta (doc_id%2 selects
+    //      the encoding) lands the reads on wrong bytes and breaks the
+    //      digest. Poison blobs yield zero rows.
+    "q124_mp4_samples" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        val brand = ((id % 3).toInt: @unchecked) match {
+          case 0 => "isom"; case 1 => "mp42"; case 2 => "qt  "
+        }
+        val ts = 600 * (1 + (id % 5).toInt)
+        val full = Multimodal.syntheticMp4(brand, ts,
+          ts.toLong * (1 + id % 11) + id, 1 + (id % 3).toInt,
+          (id % 2).toInt, withSamples = true)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.take(20)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      Multimodal.extractMp4Samples(blobs, "blob")
+        .orderBy("doc_id", "track_id", "sample_idx")
     })
   )
 
@@ -4478,6 +4508,32 @@ object SparkEntry {
         |       TRUE AS one_file_per_bucket,
         |       CAST(3 AS BIGINT) AS version,
         |       CAST(2 AS BIGINT) AS n_files
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // the sample geometry restated: track t carries 3 samples, sample
+    // j is 8+(t*7+j*5)%9 bytes, byte b of it is (t*31+j*17+b)%256 —
+    // byte_sum over the extractor's ACTUAL mdat reads must equal the
+    // arithmetic
+    "q124_mp4_samples" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nt FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT d.doc_id, t.t AS track_id, j.j AS sample_idx,
+        |         8 + (t.t * 7 + j.j * 5) % 9 AS sz
+        |  FROM d, generate_series(1, 3) AS t(t),
+        |       generate_series(0, 2) AS j(j)
+        |  WHERE t.t <= d.nt),
+        |x AS (
+        |  SELECT doc_id, track_id, sample_idx, sz,
+        |         (track_id * 31 + sample_idx * 17 + b.b) % 256 AS v
+        |  FROM s, generate_series(0, 16) AS b(b)
+        |  WHERE b.b < s.sz)
+        |SELECT doc_id, CAST(track_id AS INTEGER) AS track_id,
+        |       CAST(sample_idx AS INTEGER) AS sample_idx,
+        |       CAST(sz AS INTEGER) AS sample_size,
+        |       CAST(sum(v) AS BIGINT) AS byte_sum
+        |FROM x GROUP BY doc_id, track_id, sample_idx, sz
+        |ORDER BY doc_id, track_id, sample_idx""".stripMargin
   )
 }

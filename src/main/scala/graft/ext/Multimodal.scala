@@ -705,17 +705,37 @@ object Multimodal {
     StructField("ok", BooleanType, nullable = false),
     StructField("error", StringType, nullable = true)))
 
+  /** Sample geometry of the `withSamples` synthetic MP4 — shared by the
+    * writer and the oracle arithmetic: every track carries
+    * [[SamplesPerTrack]] samples; sample `j` of track `t` is
+    * `sampleSize(t, j)` bytes, byte `b` of it is
+    * `(t*31 + j*17 + b) mod 256`.
+    */
+  private[ext] final val SamplesPerTrack = 3
+  private[ext] def sampleSize(trackId: Int, j: Int): Int =
+    8 + ((trackId * 7 + j * 5) % 9)
+  private[ext] def sampleByte(trackId: Int, j: Int, b: Int): Int =
+    (trackId * 31 + j * 17 + b) % 256
+
   /** Deterministic minimal valid MP4: ftyp(major=`brand`, compat =
-    * [brand, "isom"]) + moov(mvhd + nTraks×trak(tkhd)) + mdat.
-    * `variant` selects the PHYSICAL encoding of the SAME logical
+    * [brand, "isom"]) + moov(mvhd + nTraks×trak(tkhd + mdia/hdlr)) +
+    * mdat. `variant` selects the PHYSICAL encoding of the SAME logical
     * metadata — 0: version-0 mvhd/tkhd (32-bit times), compact box
     * sizes; 1: version-1 mvhd (64-bit times), moov written with the
     * size==1 largesize form, mdat written with the size==0
     * to-end-of-file form. A correct parser returns identical metadata
     * for both variants, which is exactly what the q120 gate pins.
+    *
+    * With `withSamples = true`, each trak additionally carries
+    * mdia/minf/stbl/{stsz, stco} sample tables describing
+    * [[SamplesPerTrack]] real samples per track (one chunk per track),
+    * and mdat holds the actual sample bytes at the ABSOLUTE file
+    * offsets stco declares — the layout a sample extractor must invert
+    * byte-exactly (q124).
     */
   def syntheticMp4(brand: String, timescale: Int, duration: Long,
-                   nTraks: Int, variant: Int): Array[Byte] = {
+                   nTraks: Int, variant: Int,
+                   withSamples: Boolean = false): Array[Byte] = {
     require(brand.length == 4 && timescale > 0 && duration >= 0 &&
       duration < (1L << 32) && nTraks >= 0 && (variant == 0 || variant == 1),
       s"bad mp4 spec brand=$brand ts=$timescale dur=$duration " +
@@ -752,47 +772,92 @@ object Multimodal {
       (0 until 6).foreach(_ => d.writeInt(0))      // pre_defined
       d.writeInt(nTraks + 1)                       // next_track_ID
     }
-    val traks = (1 to nTraks).map { id =>
-      val tkhd = payloadOf { d =>
-        d.writeInt(0x00000007)             // version 0, flags: enabled
-        d.writeInt(0); d.writeInt(0)       // creation, modification
-        d.writeInt(id); d.writeInt(0)      // track_ID, reserved
-        d.writeInt(duration.toInt)
-        d.writeLong(0L)                    // reserved
-        d.writeShort(0); d.writeShort(0); d.writeShort(0); d.writeShort(0)
-        unity.foreach(d.writeInt)
-        d.writeInt(0); d.writeInt(0)       // width, height (non-visual)
+    // per-track byte extents inside mdat (withSamples): one chunk per
+    // track, samples back-to-back
+    def trackBytes(id: Int): Int =
+      (0 until SamplesPerTrack).map(j => sampleSize(id, j)).sum
+    def buildTraks(chunkOffsets: Int => Long): Seq[Array[Byte]] =
+      (1 to nTraks).map { id =>
+        val tkhd = payloadOf { d =>
+          d.writeInt(0x00000007)             // version 0, flags: enabled
+          d.writeInt(0); d.writeInt(0)       // creation, modification
+          d.writeInt(id); d.writeInt(0)      // track_ID, reserved
+          d.writeInt(duration.toInt)
+          d.writeLong(0L)                    // reserved
+          d.writeShort(0); d.writeShort(0); d.writeShort(0); d.writeShort(0)
+          unity.foreach(d.writeInt)
+          d.writeInt(0); d.writeInt(0)       // width, height (non-visual)
+        }
+        // trak/mdia/hdlr: odd track ids are video, even are audio — the
+        // handler type is what a pipeline filters on (video-bearing vs
+        // audio-only) before any frame decode
+        val hdlr = payloadOf { d =>
+          d.writeInt(0)                      // version + flags
+          d.writeInt(0)                      // pre_defined
+          d.writeBytes(if (id % 2 == 1) "vide" else "soun")
+          (0 until 3).foreach(_ => d.writeInt(0)) // reserved
+          d.writeByte(0)                     // empty name (NUL)
+        }
+        val mdia = payloadOf { d =>
+          d.writeInt(8 + hdlr.length); d.writeBytes("hdlr"); d.write(hdlr)
+          if (withSamples) {
+            val stsz = payloadOf { z =>
+              z.writeInt(0)                  // version + flags
+              z.writeInt(0)                  // sample_size 0 → per-sample
+              z.writeInt(SamplesPerTrack)
+              (0 until SamplesPerTrack).foreach(j =>
+                z.writeInt(sampleSize(id, j)))
+            }
+            val stco = payloadOf { z =>
+              z.writeInt(0)                  // version + flags
+              z.writeInt(1)                  // one chunk per track
+              z.writeInt(chunkOffsets(id).toInt)
+            }
+            val stbl = payloadOf { z =>
+              z.writeInt(8 + stsz.length); z.writeBytes("stsz"); z.write(stsz)
+              z.writeInt(8 + stco.length); z.writeBytes("stco"); z.write(stco)
+            }
+            val minf = payloadOf { z =>
+              z.writeInt(8 + stbl.length); z.writeBytes("stbl"); z.write(stbl)
+            }
+            d.writeInt(8 + minf.length); d.writeBytes("minf"); d.write(minf)
+          }
+        }
+        payloadOf { d =>
+          d.writeInt(8 + tkhd.length); d.writeBytes("tkhd"); d.write(tkhd)
+          d.writeInt(8 + mdia.length); d.writeBytes("mdia"); d.write(mdia)
+        }
       }
-      // trak/mdia/hdlr: odd track ids are video, even are audio — the
-      // handler type is what a pipeline filters on (video-bearing vs
-      // audio-only) before any frame decode
-      val hdlr = payloadOf { d =>
-        d.writeInt(0)                      // version + flags
-        d.writeInt(0)                      // pre_defined
-        d.writeBytes(if (id % 2 == 1) "vide" else "soun")
-        (0 until 3).foreach(_ => d.writeInt(0)) // reserved
-        d.writeByte(0)                     // empty name (NUL)
-      }
-      val mdia = payloadOf { d =>
-        d.writeInt(8 + hdlr.length); d.writeBytes("hdlr"); d.write(hdlr)
-      }
-      payloadOf { d =>
-        d.writeInt(8 + tkhd.length); d.writeBytes("tkhd"); d.write(tkhd)
-        d.writeInt(8 + mdia.length); d.writeBytes("mdia"); d.write(mdia)
-      }
-    }
-    val moov = payloadOf { d =>
+    def buildMoov(chunkOffsets: Int => Long): Array[Byte] = payloadOf { d =>
       d.writeInt(8 + mvhd.length); d.writeBytes("mvhd"); d.write(mvhd)
-      traks.foreach { t =>
+      buildTraks(chunkOffsets).foreach { t =>
         d.writeInt(8 + t.length); d.writeBytes("trak"); d.write(t)
       }
     }
-    box("ftyp", payloadOf { d =>
+    val ftyp = payloadOf { d =>
       d.writeBytes(brand); d.writeInt(0x200)
       d.writeBytes(brand); d.writeBytes("isom")
-    })
+    }
+    // stco holds ABSOLUTE file offsets, which depend on moov's own
+    // length — build moov once with zero offsets to measure (stco
+    // entries are fixed-width, so the length is offset-independent),
+    // then rebuild with the real offsets.
+    val moovLen = buildMoov(_ => 0L).length
+    val mdatPayloadStart = (8 + ftyp.length) +
+      (if (variant == 1) 16 else 8) + moovLen + 8
+    def chunkOffset(id: Int): Long =
+      mdatPayloadStart + (1 until id).map(trackBytes).sum
+    val moov = buildMoov(chunkOffset)
+    val mdatPayload =
+      if (!withSamples) Array.fill[Byte](8)(0)
+      else (1 to nTraks).flatMap { id =>
+        (0 until SamplesPerTrack).flatMap { j =>
+          (0 until sampleSize(id, j)).map(b => sampleByte(id, j, b).toByte)
+        }
+      }.toArray
+    box("ftyp", ftyp)
     box("moov", moov, large = variant == 1)
-    box("mdat", Array.fill[Byte](8)(0), toEof = variant == 1)
+    box("mdat", mdatPayload, toEof = variant == 1)
     o.flush()
     bo.toByteArray
   }
@@ -805,30 +870,23 @@ object Multimodal {
   private final val MOOV = 0x6d6f6f76
   private final val MVHD = 0x6d766864
   private final val TRAK = 0x7472616b
+  private final val TKHD = 0x746b6864
   private final val MDIA = 0x6d646961
   private final val HDLR = 0x68646c72
+  private final val MINF = 0x6d696e66
+  private final val STBL = 0x7374626c
+  private final val STSZ = 0x7374737a
+  private final val STCO = 0x7374636f
   private final val VIDE = 0x76696465
   private final val SOUN = 0x736f756e
 
-  /** Hand-parse the ISO BMFF box tree of an MP4/MOV blob in ONE
-    * streaming cursor pass: top level (ftyp brand, box count), moov
-    * children (mvhd version 0/1 timescale + duration, trak count),
-    * and trak/mdia/hdlr handler types (video vs audio track counts).
-    * Handles all three size encodings (compact, size==1 largesize,
-    * size==0 to-EOF) and reports malformed structure as a typed in-row
-    * error, never an exception — poison blobs must not kill a 100 TB
-    * scan. Allocation-free walk: box types compare as int codes, no
-    * intermediate collections.
+  /** One-box-header cursor over an ISO BMFF byte range. `step` returns
+    * the next cursor (boxEnd) and sets `typ`/`pStart`/`pEnd`, or sets
+    * `errMsg` and returns -1 on malformed structure. size==0
+    * (to end-of-enclosure) is only legal at top level.
     */
-  private[ext] def decodeMp4Bytes(bytes: Array[Byte]): VideoMeta = {
-    def fail(e: String) = VideoMeta(null, 0, 0L, 0, 0, 0, 0,
-      ok = false, e)
-    if (bytes == null || bytes.length == 0) return fail("empty blob")
-    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
-    // One box-header step: on success returns boxEnd (the next cursor)
-    // and sets typ/pStart/pEnd; on malformed structure sets errMsg and
-    // returns -1. size==0 (to end-of-enclosure) is only legal at top
-    // level.
+  private final class BoxCursor(val bytes: Array[Byte]) {
+    val bb: java.nio.ByteBuffer = java.nio.ByteBuffer.wrap(bytes)
     var errMsg: String = null
     var typ = 0
     var pStart = 0L
@@ -853,6 +911,30 @@ object Multimodal {
       pEnd = boxEnd
       boxEnd
     }
+  }
+
+  /** Hand-parse the ISO BMFF box tree of an MP4/MOV blob in ONE
+    * streaming cursor pass: top level (ftyp brand, box count), moov
+    * children (mvhd version 0/1 timescale + duration, trak count),
+    * and trak/mdia/hdlr handler types (video vs audio track counts).
+    * Handles all three size encodings (compact, size==1 largesize,
+    * size==0 to-EOF) and reports malformed structure as a typed in-row
+    * error, never an exception — poison blobs must not kill a 100 TB
+    * scan. Allocation-free walk: box types compare as int codes, no
+    * intermediate collections.
+    */
+  private[ext] def decodeMp4Bytes(bytes: Array[Byte]): VideoMeta = {
+    def fail(e: String) = VideoMeta(null, 0, 0L, 0, 0, 0, 0,
+      ok = false, e)
+    if (bytes == null || bytes.length == 0) return fail("empty blob")
+    val c = new BoxCursor(bytes)
+    val bb = c.bb
+    def step(off: Long, to: Long, topLevel: Boolean): Long =
+      c.step(off, to, topLevel)
+    def errMsg = c.errMsg
+    def typ = c.typ
+    def pStart = c.pStart
+    def pEnd = c.pEnd
     val end = bytes.length.toLong
     var off = 0L
     var nTop = 0
@@ -934,6 +1016,155 @@ object Multimodal {
         val m = decodeMp4Bytes(r.getAs[Array[Byte]](idx))
         Row.fromSeq(r.toSeq :+ Row(m.brand, m.timescale, m.duration,
           m.nTraks, m.nVide, m.nSoun, m.nTopBoxes, m.ok, m.error))
+      }
+    }(enc)
+  }
+
+  /** Recover every sample's byte extent from an MP4's stbl tables:
+    * walk moov/trak/{tkhd, mdia/minf/stbl/{stsz, stco}} and emit
+    * (track_id, sample_idx, absolute_offset, size) per sample. This is
+    * the container half of video frame sampling — the part that must
+    * be byte-exact before any codec sees a frame; an ffmpeg-backed
+    * [[Decoder]] consumes exactly these extents. Contract: one chunk
+    * per track (stco entry_count == 1 — mapping samples into multiple
+    * chunks needs stsc, reported loudly as unsupported rather than
+    * guessed); stsz sample_size != 0 means uniform sizes per the spec.
+    * Left(error) on any malformed structure, never an exception.
+    */
+  private[ext] def mp4SampleTable(
+      bytes: Array[Byte]): Either[String, Seq[(Int, Int, Long, Int)]] = {
+    if (bytes == null || bytes.length == 0) return Left("empty blob")
+    val c = new BoxCursor(bytes)
+    val bb = c.bb
+    val end = bytes.length.toLong
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Int)]
+    var off = 0L
+    var nTop = 0
+    var sawMoov = false
+    while (off < end) {
+      val next = c.step(off, end, topLevel = true)
+      if (next < 0) return Left(c.errMsg)
+      nTop += 1
+      if (nTop == 1 && c.typ != FTYP) return Left("not mp4")
+      else if (nTop > 1 && c.typ == MOOV && !sawMoov) {
+        sawMoov = true
+        var k = c.pStart; val kEnd = c.pEnd
+        while (k < kEnd) {
+          val kNext = c.step(k, kEnd, topLevel = false)
+          if (kNext < 0) return Left(c.errMsg)
+          if (c.typ == TRAK) {
+            var trackId = -1
+            var sizes: Array[Int] = null
+            var chunkOff = -1L
+            var t2 = c.pStart; val t2End = c.pEnd
+            while (t2 < t2End) {
+              val tNext = c.step(t2, t2End, topLevel = false)
+              if (tNext < 0) return Left(c.errMsg)
+              if (c.typ == TKHD && c.pEnd - c.pStart >= 16)
+                trackId = bb.getInt(c.pStart.toInt + 12)
+              else if (c.typ == MDIA) {
+                var m2 = c.pStart; val m2End = c.pEnd
+                while (m2 < m2End) {
+                  val mNext = c.step(m2, m2End, topLevel = false)
+                  if (mNext < 0) return Left(c.errMsg)
+                  if (c.typ == MINF) {
+                    var f2 = c.pStart; val f2End = c.pEnd
+                    while (f2 < f2End) {
+                      val fNext = c.step(f2, f2End, topLevel = false)
+                      if (fNext < 0) return Left(c.errMsg)
+                      if (c.typ == STBL) {
+                        var s2 = c.pStart; val s2End = c.pEnd
+                        while (s2 < s2End) {
+                          val sNext = c.step(s2, s2End, topLevel = false)
+                          if (sNext < 0) return Left(c.errMsg)
+                          val p = c.pStart.toInt
+                          if (c.typ == STSZ) {
+                            if (c.pEnd - c.pStart < 12)
+                              return Left("truncated box")
+                            val uniform = bb.getInt(p + 4)
+                            val n = bb.getInt(p + 8)
+                            if (n < 0) return Left("bad sample table")
+                            if (uniform != 0)
+                              sizes = Array.fill(n)(uniform)
+                            else {
+                              if (c.pEnd - c.pStart < 12 + 4L * n)
+                                return Left("truncated box")
+                              sizes = Array.tabulate(n)(j =>
+                                bb.getInt(p + 12 + 4 * j))
+                            }
+                          } else if (c.typ == STCO) {
+                            if (c.pEnd - c.pStart < 8)
+                              return Left("truncated box")
+                            val nc = bb.getInt(p + 4)
+                            if (nc != 1)
+                              return Left("unsupported chunk layout")
+                            if (c.pEnd - c.pStart < 12)
+                              return Left("truncated box")
+                            chunkOff = bb.getInt(p + 8) & 0xFFFFFFFFL
+                          }
+                          s2 = sNext
+                        }
+                      }
+                      f2 = fNext
+                    }
+                  }
+                  m2 = mNext
+                }
+              }
+              t2 = tNext
+            }
+            if (trackId >= 0 && sizes != null && chunkOff >= 0) {
+              var o2 = chunkOff
+              var j = 0
+              while (j < sizes.length) {
+                val sz = sizes(j)
+                if (sz < 0 || o2 + sz > bytes.length)
+                  return Left("sample out of range")
+                out += ((trackId, j, o2, sz))
+                o2 += sz
+                j += 1
+              }
+            }
+          }
+          k = kNext
+        }
+      }
+      off = next
+    }
+    if (nTop == 0) Left("not mp4") else Right(out.toSeq)
+  }
+
+  /** Sample extraction over a binary MP4/MOV column: one output row
+    * per (track, sample) with the sample's size and the integer digest
+    * of its ACTUAL mdat bytes — the step that hands real frame bytes
+    * to a codec, gated byte-exactly without one (q124). Narrow
+    * per-partition flatMap, no shuffle; poison/truncated/multi-chunk
+    * blobs yield zero rows (the frame-sampling convention of
+    * [[audioWindows]]).
+    */
+  def extractMp4Samples(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("track_id", IntegerType, nullable = false),
+        StructField("sample_idx", IntegerType, nullable = false),
+        StructField("sample_size", IntegerType, nullable = false),
+        StructField("byte_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        mp4SampleTable(bytes) match {
+          case Left(_) => Iterator.empty
+          case Right(samples) =>
+            samples.iterator.map { case (t, j, o, sz) =>
+              var s = 0L
+              var b = 0
+              while (b < sz) { s += bytes((o + b).toInt) & 0xFF; b += 1 }
+              Row.fromSeq(keepIdx.toSeq.map(r.get) ++ Seq[Any](t, j, sz, s))
+            }
+        }
       }
     }(enc)
   }

@@ -299,6 +299,57 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.decodeMp4Bytes(badSize).error == "bad box size")
   }
 
+  test("mp4 sample tables: both encodings yield identical extents, " +
+    "digests match the synthesis arithmetic, malformed layouts are " +
+    "typed errors") {
+    for (n <- Seq(0, 1, 3); variant <- Seq(0, 1)) {
+      val blob = Multimodal.syntheticMp4("isom", 600, 42L, n, variant,
+        withSamples = true)
+      val Right(samples) = Multimodal.mp4SampleTable(blob): @unchecked
+      assert(samples.length == n * Multimodal.SamplesPerTrack,
+        s"n=$n variant=$variant")
+      samples.foreach { case (t, j, o, sz) =>
+        assert(sz == Multimodal.sampleSize(t, j))
+        (0 until sz).foreach { b =>
+          assert((blob((o + b).toInt) & 0xFF) == Multimodal.sampleByte(t, j, b),
+            s"track $t sample $j byte $b variant=$variant")
+        }
+      }
+      // extents identical across the two physical encodings modulo the
+      // (documented) offset shift: sizes and order match exactly
+      if (variant == 1) {
+        val Right(v0) = Multimodal.mp4SampleTable(Multimodal.syntheticMp4(
+          "isom", 600, 42L, n, 0, withSamples = true)): @unchecked
+        assert(v0.map(s => (s._1, s._2, s._4)) ==
+          samples.map(s => (s._1, s._2, s._4)))
+      }
+    }
+    // sampleless mp4s yield zero samples, not errors
+    assert(Multimodal.mp4SampleTable(
+      Multimodal.syntheticMp4("isom", 600, 1L, 2, 0)) == Right(Seq.empty))
+    // multi-chunk stco is explicitly unsupported, not silently wrong
+    val blob = Multimodal.syntheticMp4("isom", 600, 1L, 1, 0,
+      withSamples = true)
+    val stcoAt = { // find stco's entry_count field and bump it
+      val idx = (0 until blob.length - 4).find(i =>
+        blob(i) == 's' && blob(i + 1) == 't' && blob(i + 2) == 'c' &&
+          blob(i + 3) == 'o').get
+      idx + 4 + 4 + 3 // type + version/flags + entry_count low byte
+    }
+    val bad = blob.clone(); bad(stcoAt) = 2
+    assert(Multimodal.mp4SampleTable(bad) == Left("unsupported chunk layout"))
+    // totality: every truncation of a sampled file is Left or Right,
+    // never a throw, and a sample can never read past the blob
+    (0 until blob.length).foreach { cut =>
+      Multimodal.mp4SampleTable(blob.take(cut)) match {
+        case Left(_) => ()
+        case Right(ss) => ss.foreach { case (_, _, o, sz) =>
+          assert(o + sz <= cut, s"cut=$cut overran")
+        }
+      }
+    }
+  }
+
   test("mp4 parser is total: random bytes and random truncations of a " +
     "valid file never throw") {
     val rnd = new scala.util.Random(42)
