@@ -2648,15 +2648,19 @@ object SparkEntry {
 
     // ---- MP4 SAMPLE EXTRACTION (the container half of video frame
     //      sampling): syntheticMp4(withSamples) writes real stbl
-    //      tables (per-sample stsz sizes, ABSOLUTE stco chunk offsets)
-    //      and the actual sample bytes into mdat; extractMp4Samples
-    //      must invert that bookkeeping byte-exactly — one row per
-    //      (track, sample) with the integer digest of the bytes AT THE
-    //      DECLARED OFFSETS, which DuckDB predicts from the sample
-    //      arithmetic. Any error in box sizing, moov-length accounting,
-    //      or the largesize-vs-compact offset delta (doc_id%2 selects
-    //      the encoding) lands the reads on wrong bytes and breaks the
-    //      digest. Poison blobs yield zero rows.
+    //      tables (per-sample stsz sizes, run-length stsc
+    //      sample-to-chunk maps, ABSOLUTE stco chunk offsets) and the
+    //      actual sample bytes into mdat — chunks INTERLEAVED across
+    //      tracks with pad bytes between them, the layout real muxers
+    //      produce; odd tracks split samples 2+1 across two chunks.
+    //      extractMp4Samples must invert all three tables byte-exactly
+    //      — one row per (track, sample) with the integer digest of
+    //      the bytes AT THE DECLARED OFFSETS, which DuckDB predicts
+    //      from the sample arithmetic. Any error in box sizing,
+    //      moov-length accounting, stsc expansion, or the
+    //      largesize-vs-compact offset delta (doc_id%2 selects the
+    //      encoding) lands the reads on pad or foreign-track bytes and
+    //      breaks the digest. Poison blobs yield zero rows.
     "q124_mp4_samples" -> ((s, dir) => {
       val mp4 = udf((id: Long) => {
         val brand = ((id % 3).toInt: @unchecked) match {

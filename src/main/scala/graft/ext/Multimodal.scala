@@ -717,6 +717,15 @@ object Multimodal {
   private[ext] def sampleByte(trackId: Int, j: Int, b: Int): Int =
     (trackId * 31 + j * 17 + b) % 256
 
+  /** Chunk layout of the `withSamples` fixture: odd tracks split their
+    * samples across TWO chunks (2 + 1), even tracks keep one — so the
+    * stsc sample-to-chunk expansion is exercised on every multi-track
+    * fixture, not just in a spec. Returns sample indices per chunk.
+    */
+  private[ext] def chunkPlan(trackId: Int): Seq[Seq[Int]] =
+    if (trackId % 2 == 1) Seq(Seq(0, 1), Seq(2))
+    else Seq(Seq(0, 1, 2))
+
   /** Deterministic minimal valid MP4: ftyp(major=`brand`, compat =
     * [brand, "isom"]) + moov(mvhd + nTraks×trak(tkhd + mdia/hdlr)) +
     * mdat. `variant` selects the PHYSICAL encoding of the SAME logical
@@ -772,11 +781,21 @@ object Multimodal {
       (0 until 6).foreach(_ => d.writeInt(0))      // pre_defined
       d.writeInt(nTraks + 1)                       // next_track_ID
     }
-    // per-track byte extents inside mdat (withSamples): one chunk per
-    // track, samples back-to-back
-    def trackBytes(id: Int): Int =
-      (0 until SamplesPerTrack).map(j => sampleSize(id, j)).sum
-    def buildTraks(chunkOffsets: Int => Long): Seq[Array[Byte]] =
+    // mdat layout (withSamples): chunks INTERLEAVED across tracks in
+    // (chunk_idx, track_id) order — the layout real muxers produce —
+    // with a 4-byte pad before every chunk, so a parser that assumes a
+    // track's samples are contiguous (instead of following stsc/stco)
+    // reads pad or foreign-track bytes and fails the digest gate.
+    def chunkSeq: Seq[(Int, Int)] = {
+      val maxChunks = (1 to nTraks).map(id => chunkPlan(id).length)
+        .foldLeft(0)(math.max)
+      (0 until maxChunks).flatMap(ci =>
+        (1 to nTraks).filter(id => chunkPlan(id).length > ci)
+          .map(id => (id, ci)))
+    }
+    def chunkBytes(id: Int, ci: Int): Int =
+      chunkPlan(id)(ci).map(sampleSize(id, _)).sum
+    def buildTraks(chunkOffsets: (Int, Int) => Long): Seq[Array[Byte]] =
       (1 to nTraks).map { id =>
         val tkhd = payloadOf { d =>
           d.writeInt(0x00000007)             // version 0, flags: enabled
@@ -801,6 +820,7 @@ object Multimodal {
         val mdia = payloadOf { d =>
           d.writeInt(8 + hdlr.length); d.writeBytes("hdlr"); d.write(hdlr)
           if (withSamples) {
+            val plan = chunkPlan(id)
             val stsz = payloadOf { z =>
               z.writeInt(0)                  // version + flags
               z.writeInt(0)                  // sample_size 0 → per-sample
@@ -808,13 +828,30 @@ object Multimodal {
               (0 until SamplesPerTrack).foreach(j =>
                 z.writeInt(sampleSize(id, j)))
             }
+            // stsc: run-length (first_chunk, samples_per_chunk, sdi)
+            val runs = plan.map(_.length).zipWithIndex
+              .foldLeft(List.empty[(Int, Int)]) { case (acc, (n, i)) =>
+                acc match {
+                  case (_, pn) :: _ if pn == n => acc
+                  case _ => (i + 1, n) :: acc
+                }
+              }.reverse
+            val stsc = payloadOf { z =>
+              z.writeInt(0)                  // version + flags
+              z.writeInt(runs.length)
+              runs.foreach { case (first, n) =>
+                z.writeInt(first); z.writeInt(n); z.writeInt(1)
+              }
+            }
             val stco = payloadOf { z =>
               z.writeInt(0)                  // version + flags
-              z.writeInt(1)                  // one chunk per track
-              z.writeInt(chunkOffsets(id).toInt)
+              z.writeInt(plan.length)
+              plan.indices.foreach(ci =>
+                z.writeInt(chunkOffsets(id, ci).toInt))
             }
             val stbl = payloadOf { z =>
               z.writeInt(8 + stsz.length); z.writeBytes("stsz"); z.write(stsz)
+              z.writeInt(8 + stsc.length); z.writeBytes("stsc"); z.write(stsc)
               z.writeInt(8 + stco.length); z.writeBytes("stco"); z.write(stco)
             }
             val minf = payloadOf { z =>
@@ -828,12 +865,13 @@ object Multimodal {
           d.writeInt(8 + mdia.length); d.writeBytes("mdia"); d.write(mdia)
         }
       }
-    def buildMoov(chunkOffsets: Int => Long): Array[Byte] = payloadOf { d =>
-      d.writeInt(8 + mvhd.length); d.writeBytes("mvhd"); d.write(mvhd)
-      buildTraks(chunkOffsets).foreach { t =>
-        d.writeInt(8 + t.length); d.writeBytes("trak"); d.write(t)
+    def buildMoov(chunkOffsets: (Int, Int) => Long): Array[Byte] =
+      payloadOf { d =>
+        d.writeInt(8 + mvhd.length); d.writeBytes("mvhd"); d.write(mvhd)
+        buildTraks(chunkOffsets).foreach { t =>
+          d.writeInt(8 + t.length); d.writeBytes("trak"); d.write(t)
+        }
       }
-    }
     val ftyp = payloadOf { d =>
       d.writeBytes(brand); d.writeInt(0x200)
       d.writeBytes(brand); d.writeBytes("isom")
@@ -842,18 +880,23 @@ object Multimodal {
     // length — build moov once with zero offsets to measure (stco
     // entries are fixed-width, so the length is offset-independent),
     // then rebuild with the real offsets.
-    val moovLen = buildMoov(_ => 0L).length
+    val moovLen = buildMoov((_, _) => 0L).length
     val mdatPayloadStart = (8 + ftyp.length) +
       (if (variant == 1) 16 else 8) + moovLen + 8
-    def chunkOffset(id: Int): Long =
-      mdatPayloadStart + (1 until id).map(trackBytes).sum
+    def chunkOffset(id: Int, chunkIdx: Int): Long = {
+      val earlier = chunkSeq.takeWhile(_ != ((id, chunkIdx)))
+      mdatPayloadStart +
+        earlier.map { case (t, ci) => 4 + chunkBytes(t, ci) }.sum + 4
+    }
     val moov = buildMoov(chunkOffset)
     val mdatPayload =
       if (!withSamples) Array.fill[Byte](8)(0)
-      else (1 to nTraks).flatMap { id =>
-        (0 until SamplesPerTrack).flatMap { j =>
-          (0 until sampleSize(id, j)).map(b => sampleByte(id, j, b).toByte)
-        }
+      else chunkSeq.flatMap { case (id, ci) =>
+        Seq[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte) ++
+          chunkPlan(id)(ci).flatMap { j =>
+            (0 until sampleSize(id, j)).map(b =>
+              sampleByte(id, j, b).toByte)
+          }
       }.toArray
     box("ftyp", ftyp)
     box("moov", moov, large = variant == 1)
@@ -876,6 +919,7 @@ object Multimodal {
   private final val MINF = 0x6d696e66
   private final val STBL = 0x7374626c
   private final val STSZ = 0x7374737a
+  private final val STSC = 0x73747363
   private final val STCO = 0x7374636f
   private final val VIDE = 0x76696465
   private final val SOUN = 0x736f756e
@@ -1025,11 +1069,14 @@ object Multimodal {
     * (track_id, sample_idx, absolute_offset, size) per sample. This is
     * the container half of video frame sampling — the part that must
     * be byte-exact before any codec sees a frame; an ffmpeg-backed
-    * [[Decoder]] consumes exactly these extents. Contract: one chunk
-    * per track (stco entry_count == 1 — mapping samples into multiple
-    * chunks needs stsc, reported loudly as unsupported rather than
-    * guessed); stsz sample_size != 0 means uniform sizes per the spec.
-    * Left(error) on any malformed structure, never an exception.
+    * [[Decoder]] consumes exactly these extents. Full stsc
+    * sample-to-chunk expansion (run-length entries over stco's chunk
+    * offsets — the algorithm every demuxer implements); stsz
+    * sample_size != 0 means uniform sizes per the spec; a missing stsc
+    * is tolerated only for the trivial single-chunk case. Inconsistent
+    * tables (stsc runs not covering the chunks, totals disagreeing
+    * with stsz) are "bad sample table", never a guess; Left(error) on
+    * any malformed structure, never an exception.
     */
   private[ext] def mp4SampleTable(
       bytes: Array[Byte]): Either[String, Seq[(Int, Int, Long, Int)]] = {
@@ -1055,7 +1102,8 @@ object Multimodal {
           if (c.typ == TRAK) {
             var trackId = -1
             var sizes: Array[Int] = null
-            var chunkOff = -1L
+            var chunkOffs: Array[Long] = null
+            var stscRuns: Array[(Int, Int)] = null // (first_chunk, spc)
             var t2 = c.pStart; val t2End = c.pEnd
             while (t2 < t2End) {
               val tNext = c.step(t2, t2End, topLevel = false)
@@ -1092,15 +1140,25 @@ object Multimodal {
                               sizes = Array.tabulate(n)(j =>
                                 bb.getInt(p + 12 + 4 * j))
                             }
+                          } else if (c.typ == STSC) {
+                            if (c.pEnd - c.pStart < 8)
+                              return Left("truncated box")
+                            val n = bb.getInt(p + 4)
+                            if (n < 0 ||
+                              c.pEnd - c.pStart < 8 + 12L * n)
+                              return Left("truncated box")
+                            stscRuns = Array.tabulate(n)(i =>
+                              (bb.getInt(p + 8 + 12 * i),
+                                bb.getInt(p + 12 + 12 * i)))
                           } else if (c.typ == STCO) {
                             if (c.pEnd - c.pStart < 8)
                               return Left("truncated box")
                             val nc = bb.getInt(p + 4)
-                            if (nc != 1)
-                              return Left("unsupported chunk layout")
-                            if (c.pEnd - c.pStart < 12)
+                            if (nc < 0 ||
+                              c.pEnd - c.pStart < 8 + 4L * nc)
                               return Left("truncated box")
-                            chunkOff = bb.getInt(p + 8) & 0xFFFFFFFFL
+                            chunkOffs = Array.tabulate(nc)(i =>
+                              bb.getInt(p + 8 + 4 * i) & 0xFFFFFFFFL)
                           }
                           s2 = sNext
                         }
@@ -1113,16 +1171,50 @@ object Multimodal {
               }
               t2 = tNext
             }
-            if (trackId >= 0 && sizes != null && chunkOff >= 0) {
-              var o2 = chunkOff
+            if (trackId >= 0 && sizes != null && chunkOffs != null) {
+              // stsc expansion: run i covers chunks first_i .. first_{i+1}-1
+              // with samples_per_chunk samples each. A missing stsc is
+              // tolerated ONLY for the trivial single-chunk case.
+              val nc = chunkOffs.length
+              val spc: Array[Int] =
+                if (stscRuns == null) {
+                  if (nc == 1) Array(sizes.length)
+                  else return Left("bad sample table")
+                } else {
+                  if (stscRuns.isEmpty || stscRuns.head._1 != 1)
+                    return Left("bad sample table")
+                  val a = new Array[Int](nc)
+                  var i = 0
+                  while (i < stscRuns.length) {
+                    val (first, n) = stscRuns(i)
+                    val until =
+                      if (i + 1 < stscRuns.length) stscRuns(i + 1)._1
+                      else nc + 1
+                    if (first < 1 || until <= first || until > nc + 1 ||
+                      n < 0) return Left("bad sample table")
+                    var ch = first
+                    while (ch < until) { a(ch - 1) = n; ch += 1 }
+                    i += 1
+                  }
+                  a
+                }
+              if (spc.sum != sizes.length)
+                return Left("bad sample table")
               var j = 0
-              while (j < sizes.length) {
-                val sz = sizes(j)
-                if (sz < 0 || o2 + sz > bytes.length)
-                  return Left("sample out of range")
-                out += ((trackId, j, o2, sz))
-                o2 += sz
-                j += 1
+              var ci = 0
+              while (ci < nc) {
+                var o2 = chunkOffs(ci)
+                var k = 0
+                while (k < spc(ci)) {
+                  val sz = sizes(j)
+                  if (sz < 0 || o2 + sz > bytes.length)
+                    return Left("sample out of range")
+                  out += ((trackId, j, o2, sz))
+                  o2 += sz
+                  j += 1
+                  k += 1
+                }
+                ci += 1
               }
             }
           }
@@ -1138,7 +1230,7 @@ object Multimodal {
     * per (track, sample) with the sample's size and the integer digest
     * of its ACTUAL mdat bytes — the step that hands real frame bytes
     * to a codec, gated byte-exactly without one (q124). Narrow
-    * per-partition flatMap, no shuffle; poison/truncated/multi-chunk
+    * per-partition flatMap, no shuffle; poison/truncated/inconsistent
     * blobs yield zero rows (the frame-sampling convention of
     * [[audioWindows]]).
     */

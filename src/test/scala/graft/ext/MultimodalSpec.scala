@@ -327,17 +327,24 @@ class MultimodalSpec extends SparkFunSuite {
     // sampleless mp4s yield zero samples, not errors
     assert(Multimodal.mp4SampleTable(
       Multimodal.syntheticMp4("isom", 600, 1L, 2, 0)) == Right(Seq.empty))
-    // multi-chunk stco is explicitly unsupported, not silently wrong
+    // track 1 is the odd multi-chunk case: stsc expansion must place
+    // its third sample at the SECOND chunk's offset, not back-to-back
     val blob = Multimodal.syntheticMp4("isom", 600, 1L, 1, 0,
       withSamples = true)
-    val stcoAt = { // find stco's entry_count field and bump it
+    val Right(t1) = Multimodal.mp4SampleTable(blob): @unchecked
+    assert(t1.length == 3)
+    assert(t1(1)._3 + t1(1)._4 != t1(2)._3,
+      "sample 2 must start a new chunk, not follow sample 1 contiguously")
+    // an stsc whose totals disagree with stsz is a typed error, not a
+    // guess: bump the first run's samples_per_chunk from 2 to 3
+    val stscAt = {
       val idx = (0 until blob.length - 4).find(i =>
-        blob(i) == 's' && blob(i + 1) == 't' && blob(i + 2) == 'c' &&
-          blob(i + 3) == 'o').get
-      idx + 4 + 4 + 3 // type + version/flags + entry_count low byte
+        blob(i) == 's' && blob(i + 1) == 't' && blob(i + 2) == 's' &&
+          blob(i + 3) == 'c').get
+      idx + 4 + 4 + 4 + 4 + 3 // type, ver/flags, count, first_chunk, spc low byte
     }
-    val bad = blob.clone(); bad(stcoAt) = 2
-    assert(Multimodal.mp4SampleTable(bad) == Left("unsupported chunk layout"))
+    val bad = blob.clone(); bad(stscAt) = 3
+    assert(Multimodal.mp4SampleTable(bad) == Left("bad sample table"))
     // totality: every truncation of a sampled file is Left or Right,
     // never a throw, and a sample can never read past the blob
     (0 until blob.length).foreach { cut =>
