@@ -2678,6 +2678,26 @@ object SparkEntry {
         .select("doc_id").withColumn("blob", mp4(col("doc_id")))
       Multimodal.extractMp4Samples(blobs, "blob")
         .orderBy("doc_id", "track_id", "sample_idx")
+    }),
+
+    // ---- TOKENIZER END-TO-END (train → vocab → encode): learn q121's
+    //      byte-level merges live, assign GPT-2-style ids (bytes 0–255,
+    //      merges 256+k in learned order), then ENCODE an eval set the
+    //      training histogram never saw ("set", "éa") — encoding must
+    //      be total (every byte has an id) and apply merges in learned
+    //      order, so "set" stops at [se, t] (ids 259,116) and "éa"
+    //      fuses only é's bytes (256,97). The oracle states the
+    //      hand-derived id sequences.
+    "q125_bpe_encode_ids" -> ((s, dir) => {
+      import s.implicits._
+      val words = Seq(("éé", 4L), ("és", 3L),
+        ("se", 2L), ("te", 2L)).toDF("word", "cnt")
+      val merges = graft.ext.TextAnalysis.learnBpe(words, "word", "cnt",
+        5, byteLevel = true).map(m => (m._1, m._2))
+      val eval = Seq("éé", "és", "se", "te", "set", "éa").toDF("word")
+      graft.ext.TextAnalysis.bpeEncodeIds(eval, "word", merges)
+        .select("word", "ids", "n_tokens")
+        .orderBy("word")
     })
   )
 
@@ -4538,6 +4558,20 @@ object SparkEntry {
         |       CAST(sz AS INTEGER) AS sample_size,
         |       CAST(sum(v) AS BIGINT) AS byte_sum
         |FROM x GROUP BY doc_id, track_id, sample_idx, sz
-        |ORDER BY doc_id, track_id, sample_idx""".stripMargin
+        |ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // hand-derived id sequences under the q121 merge table: merges get
+    // ids 256..260 in learned order ((Ã,©)=256, (Ã©,Ã©)=257, (Ã©,s)=258,
+    // (s,e)=259, (t,e)=260); base ids are the raw byte values
+    // (s=115, t=116, a=97)
+    "q125_bpe_encode_ids" ->
+      """SELECT * FROM (VALUES
+        |  ('se', '259', 1),
+        |  ('set', '259,116', 2),
+        |  ('te', '260', 1),
+        |  ('éa', '256,97', 2),
+        |  ('és', '258', 1),
+        |  ('éé', '257', 1)
+        |) AS t(word, ids, n_tokens) ORDER BY word""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructField, StructType}
 
 /** Text-analysis operators for LLM training-data pipelines (north-star
   * surface beyond the reference — SURVEY §2.2 "absent in the reference"
@@ -458,6 +458,47 @@ object TextAnalysis {
           k += 1
         }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ seq.toSeq)
+      }
+    }(enc)
+  }
+
+  /** GPT-2-style vocabulary for a BYTE-level merge table: ids 0–255
+    * are the byte alphabet (each byte's [[byteToUnicode]] image), ids
+    * 256+k are the merge outputs in learned order — the id assignment
+    * every byte-level BPE tokenizer ships. Total ids = 256 + merges.
+    */
+  def bpeVocab(merges: Seq[(String, String)]): Seq[(Int, String)] =
+    (0 until 256).map(b => b -> String.valueOf(byteToUnicode(b))) ++
+      merges.zipWithIndex.map { case ((a, b), i) => (256 + i) -> (a + b) }
+
+  /** Encode words to token-id sequences under a byte-level merge
+    * table: [[bpeSegment]]'s training-order fuse, then each segment
+    * mapped through [[bpeVocab]]. Every segment is in-vocabulary by
+    * construction (single mapped bytes are ids 0–255; every fused
+    * token is some merge's output), so encoding is total — the
+    * property that makes byte-level BPE the pretraining default.
+    * Narrow typed map; adds `ids` (comma-joined, driver-hashable) and
+    * `n_tokens`.
+    */
+  def bpeEncodeIds(words: DataFrame, wordCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val idOf = bpeVocab(merges).map(_.swap).toMap
+    val segged = bpeSegment(words, wordCol, merges, byteLevel = true)
+    val enc = org.apache.spark.sql.Encoders.row(StructType(
+      segged.schema.fields.filterNot(_.name == "segments") ++
+        Seq(StructField("ids", StringType, nullable = false),
+          StructField("n_tokens", IntegerType, nullable = false))))
+    val segIdx = segged.schema.fieldIndex("segments")
+    val keepIdx = segged.schema.fields.zipWithIndex
+      .filterNot(_._1.name == "segments").map(_._2)
+    segged.mapPartitions { rows =>
+      rows.map { r =>
+        val segs = r.getSeq[String](segIdx)
+        val ids = segs.map(s => idOf.getOrElse(s,
+          throw new IllegalStateException(
+            s"segment '$s' not in vocabulary — merge table mismatch")))
+        org.apache.spark.sql.Row.fromSeq(keepIdx.toSeq.map(r.get) ++
+          Seq[Any](ids.mkString(","), ids.length))
       }
     }(enc)
   }

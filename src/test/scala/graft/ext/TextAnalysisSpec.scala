@@ -460,6 +460,35 @@ class TextAnalysisSpec extends SparkFunSuite {
     }
   }
 
+  test("bpeEncodeIds: total on any unicode input, ids decode back to " +
+    "the original word through the vocab") {
+    val s = spark; import s.implicits._
+    val words = Seq(("éé", 4L), ("és", 3L), ("se", 2L), ("te", 2L))
+      .toDF("word", "cnt")
+    val merges = TextAnalysis.learnBpe(words, "word", "cnt", 5,
+      byteLevel = true).map(m => (m._1, m._2))
+    val vocab = TextAnalysis.bpeVocab(merges)
+    assert(vocab.length == 256 + merges.length)
+    assert(vocab.map(_._1) == (0 until 256 + merges.length))
+    // ids 0-255 are exactly the byte alphabet's images
+    (0 until 256).foreach(b =>
+      assert(vocab(b)._2 == String.valueOf(TextAnalysis.byteToUnicode(b))))
+    val tokenOf = vocab.toMap
+    // eval set includes words the histogram never saw, incl. CJK/emoji
+    val eval = Seq("éé", "set", "éa", "日本語", "😀", "mixed é 日 x")
+      .toDF("word")
+    val got = TextAnalysis.bpeEncodeIds(eval, "word", merges)
+      .select("word", "ids", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    got.foreach { case (w, ids, n) =>
+      val idSeq = ids.split(",").map(_.toInt).toSeq
+      assert(idSeq.length == n, w)
+      val decoded = TextAnalysis.symbolsToString(
+        idSeq.map(tokenOf).mkString(""))
+      assert(decoded == w, s"decode($ids) = '$decoded' != '$w'")
+    }
+  }
+
   test("byte-level BPE: GPT-2 table is a bijection that round-trips " +
     "arbitrary unicode, and byte vs char level DIVERGE on a multibyte " +
     "corpus") {
