@@ -2698,7 +2698,75 @@ object SparkEntry {
       graft.ext.TextAnalysis.bpeEncodeIds(eval, "word", merges)
         .select("word", "ids", "n_tokens")
         .orderBy("word")
-    })
+    }),
+
+    // ---- TIME-BASED FRAME SAMPLING POLICY ("one frame every 150
+    //      ticks"): q124's extraction composed with sampleEveryTicks —
+    //      per (doc, track, interval bucket) the FIRST sample by
+    //      decode timestamp is kept. dts comes from the stts
+    //      run-length expansion, so the policy output is pure
+    //      arithmetic for DuckDB: dts_j = j·(90+10·track), bucket =
+    //      dts // 150, keep min(sample_idx) per bucket.
+    "q126_mp4_frame_policy" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        val brand = ((id % 3).toInt: @unchecked) match {
+          case 0 => "isom"; case 1 => "mp42"; case 2 => "qt  "
+        }
+        val ts = 600 * (1 + (id % 5).toInt)
+        val full = Multimodal.syntheticMp4(brand, ts,
+          ts.toLong * (1 + id % 11) + id, 1 + (id % 3).toInt,
+          (id % 2).toInt, withSamples = true)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.take(20)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      val samples = Multimodal.extractMp4Samples(blobs, "blob")
+      Multimodal.sampleEveryTicks(samples, Seq("doc_id", "track_id"), 150)
+        .select("doc_id", "track_id", "k", "sample_idx", "dts")
+        .orderBy("doc_id", "track_id", "k")
+    }),
+
+    // ---- KEYFRAME-ONLY sampling (the seek-free variant): same policy
+    //      restricted to sync samples from the stss table — tracks
+    //      with t%3==0 OMIT stss, so the ISO absent-box "all sync"
+    //      rule is under the oracle, and buckets whose samples are
+    //      all non-sync drop out entirely (a policy that falls back
+    //      to a non-keyframe would emit them).
+    "q127_mp4_keyframe_policy" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        val brand = ((id % 3).toInt: @unchecked) match {
+          case 0 => "isom"; case 1 => "mp42"; case 2 => "qt  "
+        }
+        val ts = 600 * (1 + (id % 5).toInt)
+        val full = Multimodal.syntheticMp4(brand, ts,
+          ts.toLong * (1 + id % 11) + id, 1 + (id % 3).toInt,
+          (id % 2).toInt, withSamples = true)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.take(20)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      val samples = Multimodal.extractMp4Samples(blobs, "blob")
+      Multimodal.sampleEveryTicks(samples, Seq("doc_id", "track_id"), 150,
+          syncOnly = true)
+        .select("doc_id", "track_id", "k", "sample_idx", "dts", "is_sync")
+        .orderBy("doc_id", "track_id", "k")
+    }),
+
+    // ---- BIGRAM-LM DOCUMENT SCORING (the perplexity quality filter):
+    //      q110's corpus-trained LM applied back to every document —
+    //      add-one smoothed mean negative log-likelihood, the signal a
+    //      KenLM-style filter thresholds on. The counts, joins, and V
+    //      are integer-exact; only the final mean rounds (6 decimals,
+    //      the q96 entropy precedent).
+    "q128_bigram_lm_score" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bigramLmScore(
+          t(s, dir, "documents").where(col("doc_id") < 300),
+          "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   /** DuckDB-equivalent SQL per oracle-checked query key. Table names map
@@ -4556,6 +4624,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(track_id AS INTEGER) AS track_id,
         |       CAST(sample_idx AS INTEGER) AS sample_idx,
         |       CAST(sz AS INTEGER) AS sample_size,
+        |       CAST(sample_idx * (90 + 10 * track_id) AS BIGINT) AS dts,
+        |       CAST(CASE WHEN sample_idx < 2 THEN 90 + 10 * track_id
+        |            ELSE 50 + 10 * track_id END AS INTEGER) AS dur,
+        |       CAST(track_id % 3 = 0 OR sample_idx = 0
+        |            OR (track_id + sample_idx) % 3 = 0 AS BOOLEAN)
+        |         AS is_sync,
         |       CAST(sum(v) AS BIGINT) AS byte_sum
         |FROM x GROUP BY doc_id, track_id, sample_idx, sz
         |ORDER BY doc_id, track_id, sample_idx""".stripMargin,
@@ -4572,6 +4646,74 @@ object SparkEntry {
         |  ('éa', '256,97', 2),
         |  ('és', '258', 1),
         |  ('éé', '257', 1)
-        |) AS t(word, ids, n_tokens) ORDER BY word""".stripMargin
+        |) AS t(word, ids, n_tokens) ORDER BY word""".stripMargin,
+
+    // the sampling policy as pure arithmetic: dts_j = j*(90+10*t),
+    // bucket k = dts // 150, first sample per (doc, track, k)
+    "q126_mp4_frame_policy" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nt FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT d.doc_id, t.t AS track_id, j.j AS sample_idx,
+        |         j.j * (90 + 10 * t.t) AS dts
+        |  FROM d, generate_series(1, 3) AS t(t),
+        |       generate_series(0, 2) AS j(j)
+        |  WHERE t.t <= d.nt),
+        |b AS (SELECT *, dts // 150 AS k FROM s)
+        |SELECT doc_id, CAST(track_id AS INTEGER) AS track_id,
+        |       CAST(k AS BIGINT) AS k,
+        |       CAST(min(sample_idx) AS INTEGER) AS sample_idx,
+        |       CAST(min(dts) AS BIGINT) AS dts
+        |FROM b GROUP BY doc_id, track_id, k
+        |ORDER BY doc_id, track_id, k""".stripMargin,
+
+    // keyframe-only: restrict to sync samples first (stss pattern —
+    // absent box on t%3==0 means all sync), then first per bucket
+    "q127_mp4_keyframe_policy" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nt FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT d.doc_id, t.t AS track_id, j.j AS sample_idx,
+        |         j.j * (90 + 10 * t.t) AS dts
+        |  FROM d, generate_series(1, 3) AS t(t),
+        |       generate_series(0, 2) AS j(j)
+        |  WHERE t.t <= d.nt
+        |    AND (t.t % 3 = 0 OR j.j = 0 OR (t.t + j.j) % 3 = 0)),
+        |b AS (SELECT *, dts // 150 AS k FROM s)
+        |SELECT doc_id, CAST(track_id AS INTEGER) AS track_id,
+        |       CAST(k AS BIGINT) AS k,
+        |       CAST(min(sample_idx) AS INTEGER) AS sample_idx,
+        |       CAST(min(dts) AS BIGINT) AS dts,
+        |       TRUE AS is_sync
+        |FROM b GROUP BY doc_id, track_id, k
+        |ORDER BY doc_id, track_id, k""".stripMargin,
+
+    // q110's LM restated, then applied: every bigram OCCURRENCE joins
+    // its corpus counts; score = avg of -ln((c12+1)/(c1+V))
+    "q128_bigram_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |bi AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |         i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |bo AS (
+        |  SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+        |         string_split(bg, ' ')[2] AS w2
+        |  FROM bi),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bo GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM
+        |  (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS v
+        |      FROM (SELECT unnest(t) AS w1 FROM toks))
+        |SELECT bo.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(-ln((bc.c12 + 1.0) / (uni.c1 + v.v))), 6)
+        |         AS avg_nll_r
+        |FROM bo JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY bo.doc_id ORDER BY bo.doc_id""".stripMargin
   )
 }

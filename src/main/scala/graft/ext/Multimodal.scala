@@ -726,6 +726,24 @@ object Multimodal {
     if (trackId % 2 == 1) Seq(Seq(0, 1), Seq(2))
     else Seq(Seq(0, 1, 2))
 
+  /** Sample durations (stts deltas) of the fixture: the first two
+    * samples of track t last `90 + 10·t` ticks, the third `50 + 10·t`
+    * — two stts runs, so the run-length expansion is always exercised.
+    */
+  private[ext] def sampleDur(trackId: Int, j: Int): Int =
+    if (j < 2) 90 + 10 * trackId else 50 + 10 * trackId
+
+  /** Sync-sample (keyframe) pattern of the fixture. Tracks with
+    * `trackId % 3 == 0` OMIT the stss box, which per ISO 14496-12
+    * §8.6.2 means every sample is sync — the writer and this formula
+    * agree by construction, so the absent-box rule is gated, not just
+    * coded. Tracks that carry stss mark sample 0 plus every j with
+    * `(trackId + j) % 3 == 0`.
+    */
+  private[ext] def sampleIsSync(trackId: Int, j: Int): Boolean =
+    trackId % 3 == 0 || j == 0 || (trackId + j) % 3 == 0
+  private[ext] def hasStss(trackId: Int): Boolean = trackId % 3 != 0
+
   /** Deterministic minimal valid MP4: ftyp(major=`brand`, compat =
     * [brand, "isom"]) + moov(mvhd + nTraks×trak(tkhd + mdia/hdlr)) +
     * mdat. `variant` selects the PHYSICAL encoding of the SAME logical
@@ -828,6 +846,23 @@ object Multimodal {
               (0 until SamplesPerTrack).foreach(j =>
                 z.writeInt(sampleSize(id, j)))
             }
+            // stts: run-length (sample_count, sample_delta) — the
+            // fixture always has two runs (2 × long, 1 × short)
+            val stts = payloadOf { z =>
+              z.writeInt(0)                  // version + flags
+              z.writeInt(2)
+              z.writeInt(2); z.writeInt(sampleDur(id, 0))
+              z.writeInt(1); z.writeInt(sampleDur(id, 2))
+            }
+            // stss: 1-based sync sample numbers; tracks with
+            // hasStss=false omit the box entirely (ISO: all sync)
+            val syncNums = (0 until SamplesPerTrack)
+              .filter(sampleIsSync(id, _)).map(_ + 1)
+            val stss = payloadOf { z =>
+              z.writeInt(0)                  // version + flags
+              z.writeInt(syncNums.length)
+              syncNums.foreach(z.writeInt)
+            }
             // stsc: run-length (first_chunk, samples_per_chunk, sdi)
             val runs = plan.map(_.length).zipWithIndex
               .foldLeft(List.empty[(Int, Int)]) { case (acc, (n, i)) =>
@@ -850,6 +885,11 @@ object Multimodal {
                 z.writeInt(chunkOffsets(id, ci).toInt))
             }
             val stbl = payloadOf { z =>
+              z.writeInt(8 + stts.length); z.writeBytes("stts"); z.write(stts)
+              if (hasStss(id)) {
+                z.writeInt(8 + stss.length); z.writeBytes("stss")
+                z.write(stss)
+              }
               z.writeInt(8 + stsz.length); z.writeBytes("stsz"); z.write(stsz)
               z.writeInt(8 + stsc.length); z.writeBytes("stsc"); z.write(stsc)
               z.writeInt(8 + stco.length); z.writeBytes("stco"); z.write(stco)
@@ -921,6 +961,8 @@ object Multimodal {
   private final val STSZ = 0x7374737a
   private final val STSC = 0x73747363
   private final val STCO = 0x7374636f
+  private final val STTS = 0x73747473
+  private final val STSS = 0x73747373
   private final val VIDE = 0x76696465
   private final val SOUN = 0x736f756e
 
@@ -1078,13 +1120,14 @@ object Multimodal {
     * with stsz) are "bad sample table", never a guess; Left(error) on
     * any malformed structure, never an exception.
     */
-  private[ext] def mp4SampleTable(
-      bytes: Array[Byte]): Either[String, Seq[(Int, Int, Long, Int)]] = {
+  private[ext] def mp4SampleTable(bytes: Array[Byte])
+      : Either[String, Seq[(Int, Int, Long, Int, Long, Int, Boolean)]] = {
     if (bytes == null || bytes.length == 0) return Left("empty blob")
     val c = new BoxCursor(bytes)
     val bb = c.bb
     val end = bytes.length.toLong
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Int)]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Long, Int, Long, Int, Boolean)]
     var off = 0L
     var nTop = 0
     var sawMoov = false
@@ -1104,6 +1147,9 @@ object Multimodal {
             var sizes: Array[Int] = null
             var chunkOffs: Array[Long] = null
             var stscRuns: Array[(Int, Int)] = null // (first_chunk, spc)
+            var sttsRuns: Array[(Int, Int)] = null // (count, delta)
+            var stssNums: Array[Int] = null // 1-based sync numbers
+            var sawStss = false
             var t2 = c.pStart; val t2End = c.pEnd
             while (t2 < t2End) {
               val tNext = c.step(t2, t2End, topLevel = false)
@@ -1159,6 +1205,26 @@ object Multimodal {
                               return Left("truncated box")
                             chunkOffs = Array.tabulate(nc)(i =>
                               bb.getInt(p + 8 + 4 * i) & 0xFFFFFFFFL)
+                          } else if (c.typ == STTS) {
+                            if (c.pEnd - c.pStart < 8)
+                              return Left("truncated box")
+                            val n = bb.getInt(p + 4)
+                            if (n < 0 ||
+                              c.pEnd - c.pStart < 8 + 8L * n)
+                              return Left("truncated box")
+                            sttsRuns = Array.tabulate(n)(i =>
+                              (bb.getInt(p + 8 + 8 * i),
+                                bb.getInt(p + 12 + 8 * i)))
+                          } else if (c.typ == STSS) {
+                            if (c.pEnd - c.pStart < 8)
+                              return Left("truncated box")
+                            val n = bb.getInt(p + 4)
+                            if (n < 0 ||
+                              c.pEnd - c.pStart < 8 + 4L * n)
+                              return Left("truncated box")
+                            sawStss = true
+                            stssNums = Array.tabulate(n)(i =>
+                              bb.getInt(p + 8 + 4 * i))
                           }
                           s2 = sNext
                         }
@@ -1200,8 +1266,46 @@ object Multimodal {
                 }
               if (spc.sum != sizes.length)
                 return Left("bad sample table")
+              // stts expansion: run-length (count, delta) → per-sample
+              // duration; dts is the running sum. Absent stts →
+              // durations 0 (a still-image track has no timeline).
+              val durs = new Array[Int](sizes.length)
+              if (sttsRuns != null) {
+                var j0 = 0
+                var i = 0
+                while (i < sttsRuns.length) {
+                  val (n, delta) = sttsRuns(i)
+                  if (n < 0 || delta < 0 || j0 + n > sizes.length)
+                    return Left("bad sample table")
+                  var k = 0
+                  while (k < n) { durs(j0 + k) = delta; k += 1 }
+                  j0 += n
+                  i += 1
+                }
+                if (j0 != sizes.length) return Left("bad sample table")
+              }
+              // stss: 1-based sync sample numbers, strictly increasing
+              // and in range (ISO 14496-12 §8.6.2); ABSENT box means
+              // every sample is sync — a distinct state from an empty
+              // box (no sync samples at all), so presence is tracked
+              // separately from the array.
+              val sync = new Array[Boolean](sizes.length)
+              if (!sawStss) java.util.Arrays.fill(sync, true)
+              else {
+                var i = 0
+                var prev = 0
+                while (i < stssNums.length) {
+                  val sn = stssNums(i)
+                  if (sn <= prev || sn > sizes.length)
+                    return Left("bad sample table")
+                  sync(sn - 1) = true
+                  prev = sn
+                  i += 1
+                }
+              }
               var j = 0
               var ci = 0
+              var dts = 0L
               while (ci < nc) {
                 var o2 = chunkOffs(ci)
                 var k = 0
@@ -1209,7 +1313,8 @@ object Multimodal {
                   val sz = sizes(j)
                   if (sz < 0 || o2 + sz > bytes.length)
                     return Left("sample out of range")
-                  out += ((trackId, j, o2, sz))
+                  out += ((trackId, j, o2, sz, dts, durs(j), sync(j)))
+                  dts += durs(j)
                   o2 += sz
                   j += 1
                   k += 1
@@ -1239,6 +1344,9 @@ object Multimodal {
       Seq(StructField("track_id", IntegerType, nullable = false),
         StructField("sample_idx", IntegerType, nullable = false),
         StructField("sample_size", IntegerType, nullable = false),
+        StructField("dts", LongType, nullable = false),
+        StructField("dur", IntegerType, nullable = false),
+        StructField("is_sync", BooleanType, nullable = false),
         StructField("byte_sum", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(binCol)
@@ -1250,15 +1358,41 @@ object Multimodal {
         mp4SampleTable(bytes) match {
           case Left(_) => Iterator.empty
           case Right(samples) =>
-            samples.iterator.map { case (t, j, o, sz) =>
+            samples.iterator.map { case (t, j, o, sz, dts, dur, sync) =>
               var s = 0L
               var b = 0
               while (b < sz) { s += bytes((o + b).toInt) & 0xFF; b += 1 }
-              Row.fromSeq(keepIdx.toSeq.map(r.get) ++ Seq[Any](t, j, sz, s))
+              Row.fromSeq(keepIdx.toSeq.map(r.get) ++
+                Seq[Any](t, j, sz, dts, dur, sync, s))
             }
         }
       }
     }(enc)
+  }
+
+  /** Time-based sample selection over [[extractMp4Samples]] output —
+    * the "one frame every N ticks" policy a video pipeline applies
+    * before decoding anything: per key (document, track) and interval
+    * bucket `k = floor(dts / intervalTicks)`, keep the FIRST sample.
+    * The window partitions by (keys, k), so per-partition work is the
+    * bucket's sample count — never a global or per-track-serial
+    * window. With `syncOnly = true`, only sync samples (keyframes —
+    * stss expansion in [[mp4SampleTable]]) are eligible: the
+    * seek-free variant a pipeline uses when it will not run a decoder
+    * forward from the previous keyframe, so a bucket whose samples
+    * are all non-sync yields nothing.
+    */
+  def sampleEveryTicks(samples: DataFrame, keyCols: Seq[String],
+                       intervalTicks: Int,
+                       syncOnly: Boolean = false): DataFrame = {
+    require(intervalTicks >= 1, s"interval must be >= 1, got $intervalTicks")
+    val eligible = if (syncOnly) samples.where(col("is_sync")) else samples
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols :+ "k").map(col): _*)
+      .orderBy(col("dts"), col("sample_idx"))
+    eligible.withColumn("k", floor(col("dts") / intervalTicks))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
   }
 
   /** PCM16 full-stream digest (sample count, sum, peak), remainder-

@@ -628,6 +628,36 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Bigram-LM document scoring — the perplexity-style quality filter
+    * (KenLM-filter shape, add-one smoothed, trained on the corpus
+    * itself): every bigram occurrence in a document scores
+    * `-ln((c12 + 1) / (c1 + V))` against corpus-wide counts, and the
+    * document's signal is the mean. Scale shape: two hash aggregates
+    * over the corpus (bigram + unigram counts), two shuffle joins on
+    * word keys from the non-deduplicated occurrence stream, the
+    * vocabulary size V broadcast from a one-row aggregate — no
+    * per-document state, no driver-side model. Scores round to 6
+    * decimals (the q96 entropy cross-engine precedent).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val bg = df.select(col(idCol).as("doc_id"),
+        explode(wordBigrams(col(textCol))).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = df.select(explode(tokens(col(textCol))).as("w1"))
+    val c1 = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(countDistinct("w1").as("v"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double"))), 6).as("avg_nll_r"))
+  }
+
   /** Rolling-hash fingerprint over tokens: fold
     * acc = rotl(acc, 5) XOR xxhash64(token), in token order. A cheap
     * order-sensitive document signature (unlike the set-based shingle

@@ -308,8 +308,17 @@ class MultimodalSpec extends SparkFunSuite {
       val Right(samples) = Multimodal.mp4SampleTable(blob): @unchecked
       assert(samples.length == n * Multimodal.SamplesPerTrack,
         s"n=$n variant=$variant")
-      samples.foreach { case (t, j, o, sz) =>
+      samples.foreach { case (t, j, o, sz, dts, dur, sync) =>
         assert(sz == Multimodal.sampleSize(t, j))
+        // stts run-length expansion: dur from the run covering j, dts
+        // is the running duration sum
+        assert(dur == Multimodal.sampleDur(t, j), s"track $t sample $j dur")
+        assert(dts == (0 until j).map(Multimodal.sampleDur(t, _)).sum,
+          s"track $t sample $j dts")
+        // stss expansion — including track 3, which OMITS the box and
+        // must come back all-sync per the ISO absent-box rule
+        assert(sync == Multimodal.sampleIsSync(t, j),
+          s"track $t sample $j sync")
         (0 until sz).foreach { b =>
           assert((blob((o + b).toInt) & 0xFF) == Multimodal.sampleByte(t, j, b),
             s"track $t sample $j byte $b variant=$variant")
@@ -345,12 +354,22 @@ class MultimodalSpec extends SparkFunSuite {
     }
     val bad = blob.clone(); bad(stscAt) = 3
     assert(Multimodal.mp4SampleTable(bad) == Left("bad sample table"))
+    // an stss sync number out of range (or non-increasing) is a typed
+    // error: track 1's stss entries are [1, 3]; set the first to 5 > 3
+    val stssAt = {
+      val idx = (0 until blob.length - 4).find(i =>
+        blob(i) == 's' && blob(i + 1) == 't' && blob(i + 2) == 's' &&
+          blob(i + 3) == 's').get
+      idx + 4 + 4 + 4 + 3 // type, ver/flags, count, first entry low byte
+    }
+    val badSync = blob.clone(); badSync(stssAt) = 5
+    assert(Multimodal.mp4SampleTable(badSync) == Left("bad sample table"))
     // totality: every truncation of a sampled file is Left or Right,
     // never a throw, and a sample can never read past the blob
     (0 until blob.length).foreach { cut =>
       Multimodal.mp4SampleTable(blob.take(cut)) match {
         case Left(_) => ()
-        case Right(ss) => ss.foreach { case (_, _, o, sz) =>
+        case Right(ss) => ss.foreach { case (_, _, o, sz, _, _, _) =>
           assert(o + sz <= cut, s"cut=$cut overran")
         }
       }
