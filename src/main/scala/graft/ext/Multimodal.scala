@@ -1352,18 +1352,30 @@ object Multimodal {
     val idx = df.schema.fieldIndex(binCol)
     val keepIdx = df.schema.fields.zipWithIndex
       .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         mp4SampleTable(bytes) match {
           case Left(_) => Iterator.empty
           case Right(samples) =>
+            // passthrough values hoisted once per INPUT row — the
+            // output stream is ~samples× larger than the input, so
+            // per-sample work must be the field writes alone
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
             samples.iterator.map { case (t, j, o, sz, dts, dur, sync) =>
               var s = 0L
               var b = 0
               while (b < sz) { s += bytes((o + b).toInt) & 0xFF; b += 1 }
-              Row.fromSeq(keepIdx.toSeq.map(r.get) ++
-                Seq[Any](t, j, sz, dts, dur, sync, s))
+              val arr = new Array[Any](nKeep + 7)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = t; arr(nKeep + 1) = j; arr(nKeep + 2) = sz
+              arr(nKeep + 3) = dts; arr(nKeep + 4) = dur
+              arr(nKeep + 5) = sync; arr(nKeep + 6) = s
+              new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
+                : Row
             }
         }
       }
