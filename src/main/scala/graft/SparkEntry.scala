@@ -2766,7 +2766,31 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLmScore(
           t(s, dir, "documents").where(col("doc_id") < 300),
           "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- EDIT-DISTANCE VERIFICATION of blocked candidates (the exact
+    //      verify stage a fuzzy-dedup pipeline ends with): planted
+    //      partners edited at char 41 — substitute (d<=1), delete
+    //      (d<=1), substitute+append-4 (d>=4, MUST fail the <=2
+    //      verdict) — keep the 32-char blocking prefix intact, and the
+    //      corpus's own natural shared-prefix pairs land in the
+    //      candidate set too. TRUE cross-impl gate: Spark's
+    //      levenshtein vs DuckDB's levenshtein over every candidate.
+    "q129_editdist_verify" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .where(col("doc_id") < 300 && length(col("text")) >= 60)
+      val edited = base.select((col("doc_id") + 100000).as("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(substring(col("text"), 1, 40), lit("#"),
+            expr("substr(text, 42)")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(substring(col("text"), 1, 40), expr("substr(text, 42)")))
+        .otherwise(concat(substring(col("text"), 1, 40), lit("#"),
+          expr("substr(text, 42)"), lit(" ###"))).as("text"))
+      val uni = base.select("doc_id", "text").unionByName(edited)
+      graft.ext.DocDedup.prefixBlockVerify(uni, "doc_id", "text", 32, 2)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   /** DuckDB-equivalent SQL per oracle-checked query key. Table names map
@@ -4714,6 +4738,30 @@ object SparkEntry {
         |       round(avg(-ln((bc.c12 + 1.0) / (uni.c1 + v.v))), 6)
         |         AS avg_nll_r
         |FROM bo JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
-        |GROUP BY bo.doc_id ORDER BY bo.doc_id""".stripMargin
+        |GROUP BY bo.doc_id ORDER BY bo.doc_id""".stripMargin,
+
+    // cross-impl: DuckDB's levenshtein over the identically
+    // constructed candidate set must agree with Spark's on every pair
+    "q129_editdist_verify" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, doc_id % 3 AS cls FROM documents
+        |  WHERE doc_id < 300 AND len(text) >= 60),
+        |edited AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    CASE WHEN cls = 0
+        |           THEN substr(text, 1, 40) || '#' || substr(text, 42)
+        |         WHEN cls = 1
+        |           THEN substr(text, 1, 40) || substr(text, 42)
+        |         ELSE substr(text, 1, 40) || '#' || substr(text, 42)
+        |           || ' ###' END AS text
+        |  FROM base),
+        |u AS (SELECT doc_id, text FROM base
+        |      UNION ALL SELECT doc_id, text FROM edited)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
+        |       levenshtein(a.text, b.text) <= 2 AS is_dup
+        |FROM u a JOIN u b ON substr(a.text, 1, 32) = substr(b.text, 1, 32)
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -840,4 +840,31 @@ object DocDedup {
         .localCheckpoint() // materialize while `sig` is still cached
     } finally { sig.unpersist() }
   }
+
+  /** Prefix-blocked candidate generation + exact edit-distance
+    * verification — the classic blocking/sorted-neighborhood dedup
+    * shape: candidates are pairs agreeing on the first `prefixLen`
+    * characters (ONE equi-join on the prefix key — never all-pairs),
+    * and each candidate pays the full Levenshtein DP, the exact
+    * verify step every fuzzy-matching pipeline ends with. Emits every
+    * candidate with its distance and the `is_dup = dist <= maxDist`
+    * verdict, so a gate covers both the accept and reject branches.
+    * Scale: the join is a plain hash join on the prefix; a hot prefix
+    * (boilerplate openings) concentrates its block on one reducer —
+    * cap block sizes upstream or route hot keys through
+    * [[graft.operators.SkewJoin]] before verifying at corpus scale.
+    */
+  def prefixBlockVerify(docs: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int, maxDist: Int): DataFrame = {
+    require(prefixLen >= 1 && maxDist >= 0,
+      s"bad prefixBlockVerify params: prefixLen=$prefixLen maxDist=$maxDist")
+    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
+      substring(col(textCol), 1, prefixLen).as("pfx"))
+    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("text_b"),
+      substring(col(textCol), 1, prefixLen).as("pfx"))
+    a.join(b, Seq("pfx")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).as("dist"))
+      .withColumn("is_dup", col("dist") <= maxDist)
+  }
 }

@@ -436,4 +436,43 @@ class DocDedupSpec extends SparkFunSuite {
     // exact J = 0; k=128 → a correct estimator stays far below 0.25
     assert(est(0L, 2L) <= 0.25)
   }
+
+  test("prefixBlockVerify: blocking recalls same-prefix pairs only, " +
+    "Levenshtein verdict matches a reference DP on every candidate") {
+    val s = spark; import s.implicits._
+    val pre = "a shared thirty-two char prefix!"  // exactly 32 chars
+    val d = Seq(
+      (1L, pre + " tail one two three"),
+      (2L, pre + " tail one twX three"),          // dist 1 vs id 1
+      (3L, pre + " completely different ending"), // same block, far
+      (4L, "unrelated prefix entirely here " + pre), // different block
+      (5L, pre)                                   // bare prefix
+    ).toDF("doc_id", "text")
+    val got = DocDedup.prefixBlockVerify(d, "doc_id", "text", 32, 2)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getBoolean(3)))
+    // candidates = all pairs among {1,2,3,5}; id 4 is blocked out
+    assert(got.map(p => (p._1, p._2)).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (1L, 5L), (2L, 3L), (2L, 5L), (3L, 5L)))
+    def ref(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (ia, ib, dist, dup) =>
+      assert(dist == ref(texts(ia), texts(ib)), s"($ia,$ib)")
+      assert(dup == (dist <= 2), s"($ia,$ib)")
+    }
+    assert(got.count(_._4) == 1) // only (1,2) is within distance 2
+  }
 }
