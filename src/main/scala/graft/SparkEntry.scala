@@ -2790,6 +2790,54 @@ object SparkEntry {
       val uni = base.select("doc_id", "text").unionByName(edited)
       graft.ext.DocDedup.prefixBlockVerify(uni, "doc_id", "text", 32, 2)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- IMAGE PERCEPTUAL HASH through the REAL codec: grayscale PNG
+    //      fixtures whose pixel field is pure integer arithmetic, so
+    //      DuckDB recomputes the 8x8 average-hash — cell floor-means,
+    //      global floor-mean, bit per cell — without any codec. The
+    //      multiplicative seed term makes seeds distinct patterns (an
+    //      additive one would be a brightness shift aHash is invariant
+    //      to, and every doc would hash identically). Poison rows come
+    //      back as the in-row error tuple.
+    "q130_image_ahash" -> ((s, dir) => {
+      val png = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else Multimodal.syntheticGrayPng(
+          30 + (id % 5).toInt * 7, 26 + (id % 3).toInt * 9, id)
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", png(col("doc_id")))
+      Multimodal.imageHash(blobs, "blob")
+        .select(col("doc_id"), col("img.w").as("w"), col("img.h").as("h"),
+          col("img.ahash").as("ahash"), col("img.ok").as("ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- IMAGE NEAR-DUP PAIRS (LAION-style image dedup): originals +
+    //      planted perturbed partners (3% of pixels brightened by one
+    //      — tiny Hamming), quarter-blocked Hamming join over the
+    //      aHashes from the REAL codec; the oracle recomputes hashes,
+    //      blocking, and bit_count(xor) arithmetically.
+    "q131_image_neardup" -> ((s, dir) => {
+      val png = udf((id: Long) => {
+        val base = id % 200000
+        val w = 30 + (base % 5).toInt * 7
+        val h = 26 + (base % 3).toInt * 9
+        Multimodal.syntheticGrayPng(w, h, base,
+          tweakMod = if (id >= 200000) 31 else 0)
+      })
+      val ids = t(s, dir, "documents").where(col("doc_id") < 80)
+        .select("doc_id")
+      val uni = ids.unionByName(
+          ids.select((col("doc_id") + 200000).as("doc_id")))
+        .withColumn("blob", png(col("doc_id")))
+      val sig = Multimodal.imageHash(uni, "blob")
+        .select(col("doc_id"), col("img.ahash").as("ahash"))
+      graft.ext.DocDedup.hammingPairs(sig, "doc_id", "ahash", 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -4762,6 +4810,93 @@ object SparkEntry {
         |       levenshtein(a.text, b.text) <= 2 AS is_dup
         |FROM u a JOIN u b ON substr(a.text, 1, 32) = substr(b.text, 1, 32)
         |  AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the aHash recomputed without a codec: cell floor-means over the
+    // integer pixel field, global floor-mean, bit per cell; the 64-bit
+    // hash assembled in HUGEINT (power(2,c) is a double but powers of
+    // two are exact) and wrapped to the signed BIGINT Spark emits
+    "q130_image_ahash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 30 + (doc_id % 5) * 7 AS w,
+        |         26 + (doc_id % 3) * 9 AS h
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 41 != 0),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |         ((y.y * 8) // h) * 8 + ((x.x * 8) // w) AS c,
+        |         ((x.x * 3 + y.y * 5 + 7) * (1 + doc_id % 13) + doc_id)
+        |           % 256 AS v
+        |  FROM d, generate_series(0, 57) AS x(x),
+        |       generate_series(0, 43) AS y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |cells AS (
+        |  SELECT doc_id, w, h, c, sum(v) // count(*) AS cm
+        |  FROM px GROUP BY doc_id, w, h, c),
+        |mm AS (SELECT doc_id, sum(cm) // 64 AS mean
+        |       FROM cells GROUP BY doc_id),
+        |hs AS (
+        |  SELECT cells.doc_id, w, h,
+        |         sum(CASE WHEN cm > mean THEN CAST(power(2, c) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM cells JOIN mm USING (doc_id) GROUP BY cells.doc_id, w, h),
+        |res AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS ahash, TRUE AS ok
+        |  FROM hs
+        |  UNION ALL
+        |  SELECT doc_id, 0, 0, 0, FALSE FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 = 0)
+        |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+        |       CAST(ahash AS BIGINT) AS ahash, ok
+        |FROM res ORDER BY doc_id""".stripMargin,
+
+    // both hash sets (originals + tweaked partners), the SAME quarter
+    // blocking ((hash >> 16q) & 65535 — arithmetic shift + mask agrees
+    // with Spark's), and bit_count(xor) — all arithmetic
+    "q131_image_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+        |u AS (SELECT doc_id, doc_id AS base, 0 AS tw FROM ids
+        |      UNION ALL
+        |      SELECT doc_id + 200000, doc_id, 31 FROM ids),
+        |g AS (SELECT doc_id, base, tw, 30 + (base % 5) * 7 AS w,
+        |             26 + (base % 3) * 9 AS h FROM u),
+        |px AS (
+        |  SELECT doc_id, ((y.y * 8) // h) * 8 + ((x.x * 8) // w) AS c,
+        |         CASE WHEN tw > 0 AND (x.x + y.y) % 31 = 0
+        |           THEN least(((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 + 1, 255)
+        |           ELSE ((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 END AS v
+        |  FROM g, generate_series(0, 57) AS x(x),
+        |       generate_series(0, 43) AS y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |cells AS (SELECT doc_id, c, sum(v) // count(*) AS cm
+        |          FROM px GROUP BY doc_id, c),
+        |mm AS (SELECT doc_id, sum(cm) // 64 AS mean
+        |       FROM cells GROUP BY doc_id),
+        |hs AS (
+        |  SELECT cells.doc_id,
+        |         sum(CASE WHEN cm > mean THEN CAST(power(2, c) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM cells JOIN mm USING (doc_id) GROUP BY cells.doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS ahash
+        |  FROM hs),
+        |blk AS (SELECT doc_id, q.q, (ahash >> (16 * q.q)) & 65535 AS qv
+        |        FROM sig, generate_series(0, 3) AS q(q)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM blk a JOIN blk b
+        |           ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT id_a, id_b, bit_count(xor(sa.ahash, sb.ahash)) AS hamming
+        |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+        |       JOIN sig sb ON sb.doc_id = cand.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   )
 }

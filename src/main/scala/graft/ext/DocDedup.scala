@@ -841,6 +841,36 @@ object DocDedup {
     } finally { sig.unpersist() }
   }
 
+  /** Near-dup pairs over ANY 64-bit signature column (SimHash, image
+    * aHash, …) by Hamming distance: quarter blocking — a pair within
+    * Hamming ≤ 3 leaves at least one of the four 16-bit quarters
+    * untouched (pigeonhole), so candidates are four equi-joins on
+    * (quarter index, quarter value), never all-pairs — then an exact
+    * `bit_count(xor)` verify. [[simHashPairs]]' blocking generalized
+    * to any signature a pipeline computes.
+    */
+  def hammingPairs(sig: DataFrame, idCol: String, hashCol: String,
+                   maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"quarter blocking guarantees recall only to distance 3, got $maxDist")
+    val s = sig.select(col(idCol).as("id"), col(hashCol).as("sh"))
+    val blocked = s.select(col("id"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("q", "qv")))
+    val cand = blocked.toDF("id_a", "q", "qv")
+      .join(blocked.toDF("id_b", "q", "qv"), Seq("q", "qv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(s.toDF("id_a", "sh_a"), "id_a")
+      .join(s.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Prefix-blocked candidate generation + exact edit-distance
     * verification — the classic blocking/sorted-neighborhood dedup
     * shape: candidates are pairs agreeing on the first `prefixLen`

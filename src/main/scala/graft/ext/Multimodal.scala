@@ -147,6 +147,39 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic 8-bit grayscale PNG whose every sample is pure
+    * integer arithmetic — `v(x,y) = ((x·3 + y·5 + 7)·(1 + seed mod 13)
+    * + seed) mod 256` — so DuckDB can recompute the EXACT pixel field
+    * the real codec round-trips (PNG is lossless; the multiplicative
+    * seed term makes different seeds genuinely different patterns, not
+    * brightness shifts an average-hash is invariant to). With
+    * `tweakMod > 0`, pixels at `(x + y) mod tweakMod == 0` brighten by
+    * one (saturating) — the planted near-duplicate perturbation.
+    */
+  def syntheticGrayPng(w: Int, h: Int, seed: Long,
+                       tweakMod: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad geometry ${w}x$h")
+    require(seed >= 0, s"seed must be non-negative: $seed")
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val ras = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = (((x * 3 + y * 5 + 7) * (1 + seed % 13) + seed) % 256).toInt
+        if (tweakMod > 0 && (x + y) % tweakMod == 0) v = math.min(v + 1, 255)
+        ras.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Solid-gray PNG — the resize gate's fixture. Resampling a constant
     * field yields the constant under ANY correct interpolation kernel
     * (bilinear weights sum to 1), so the resized image's mean luminance
@@ -1085,6 +1118,95 @@ object Multimodal {
     else if (!sawMoov || !sawMvhd) fail("no mvhd")
     else VideoMeta(brand, ts, dur, nTraks, nVide, nSoun, nTop,
       ok = true, null)
+  }
+
+  /** Average-hash (aHash) of one decoded image: 8×8 cell means of the
+    * luminance field, each cell compared to the mean of the 64 cells,
+    * bit `cy·8 + cx` set when above. Every step is integer-exact
+    * (floor divisions), so an arithmetic oracle can predict the hash
+    * of a synthetic fixture through the REAL codec. Cells are the
+    * generic mapping `cx = x·8 / w` (no multiple-of-8 requirement);
+    * luminance is the sole band for grayscale, `(r + 2g + b) >> 2`
+    * otherwise. Left(error) for undecodable or sub-8×8 images.
+    */
+  private[ext] def aHashBytes(bytes: Array[Byte]): Either[String, (Int, Int, Long)] = {
+    if (bytes == null || bytes.isEmpty) return Left("empty blob")
+    imageIoInit
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return Left("unrecognized image format")
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 8 || h < 8) return Left("image smaller than 8x8")
+    val ras = img.getRaster
+    val bands = ras.getNumBands
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 8 / w
+        val v =
+          if (bands == 1) ras.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xFF) + 2 * ((rgb >> 8) & 0xFF) +
+              (rgb & 0xFF)) >> 2
+          }
+        val c = cy * 8 + cx
+        sums(c) += v
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = new Array[Long](64)
+    var i = 0
+    var total = 0L
+    while (i < 64) {
+      cells(i) = sums(i) / counts(i)
+      total += cells(i)
+      i += 1
+    }
+    val mean = total / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    Right((w, h, hash))
+  }
+
+  private val imageHashSchema = StructType(
+    Seq(StructField("w", IntegerType, nullable = false),
+      StructField("h", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("error", StringType, nullable = true)))
+
+  /** Perceptual-hash pass over a binary image column — the signature
+    * half of image near-dup dedup (LAION-style pipelines): one 64-bit
+    * aHash per image, Hamming-joinable exactly like SimHash (see
+    * [[graft.ext.DocDedup.hammingPairs]]). Narrow per-partition map,
+    * real codec on executors, error channel in-row.
+    */
+  def imageHash(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("img", imageHashSchema, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val inner = aHashBytes(r.getAs[Array[Byte]](idx)) match {
+          case Left(e) => Row(0, 0, 0L, false, e)
+          case Right((w, h, hash)) => Row(w, h, hash, true, null)
+        }
+        Row.fromSeq(r.toSeq :+ inner)
+      }
+    }(enc)
   }
 
   /** Container-metadata pass over a binary MP4/MOV column — the

@@ -437,6 +437,32 @@ class DocDedupSpec extends SparkFunSuite {
     assert(est(0L, 2L) <= 0.25)
   }
 
+  test("hammingPairs: distance-<=3 pairs always recalled (pigeonhole), " +
+    "over-distance candidates filtered, disjoint hashes never joined") {
+    val s = spark; import s.implicits._
+    val base = 0x0123456789ABCDEFL
+    val sig = Seq(
+      (1L, base),
+      (2L, base ^ 1L),                     // hamming 1
+      (3L, base ^ 0x7L),                   // hamming 3 (one quarter)
+      (4L, base ^ 0x0001000100010001L),    // hamming 4 vs id 1 with one
+                                           //  flip PER quarter: no
+                                           //  untouched quarter → not
+                                           //  even a candidate (the
+                                           //  >3 blind spot, by design)
+      (5L, ~base)                          // hamming 64
+    ).toDF("doc_id", "h")
+    val got = DocDedup.hammingPairs(sig, "doc_id", "h", 3)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // (2,4) shares the low quarter (both flip bit 0) and lands at
+    // hamming 3; (1,4) is the blind-spot pair; 5 joins nothing
+    assert(got == Seq((1L, 2L, 1), (1L, 3L, 3), (2L, 3L, 2), (2L, 4L, 3)))
+    intercept[IllegalArgumentException] {
+      DocDedup.hammingPairs(sig, "doc_id", "h", 4)
+    }
+  }
+
   test("prefixBlockVerify: blocking recalls same-prefix pairs only, " +
     "Levenshtein verdict matches a reference DP on every candidate") {
     val s = spark; import s.implicits._

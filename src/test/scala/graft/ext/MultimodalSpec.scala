@@ -299,6 +299,44 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.decodeMp4Bytes(badSize).error == "bad box size")
   }
 
+  test("imageHash: real-codec aHash equals an arithmetic reference on " +
+    "gray AND rgb fixtures; tweak stays within Hamming 3; bad blobs " +
+    "flag as typed errors") {
+    def refHash(w: Int, h: Int, px: (Int, Int) => Int): Long = {
+      val sums = new Array[Long](64); val counts = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(c) += px(x, y); counts(c) += 1
+      }
+      val cells = (0 until 64).map(i => sums(i) / counts(i))
+      val mean = cells.sum / 64
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (cells(i) > mean) acc | (1L << i) else acc)
+    }
+    val Right((w, h, hg)) =
+      Multimodal.aHashBytes(Multimodal.syntheticGrayPng(30, 26, 7L)): @unchecked
+    assert((w, h) == (30, 26))
+    assert(hg == refHash(30, 26, (x, y) =>
+      (((x * 3 + y * 5 + 7) * (1 + 7 % 13) + 7) % 256).toInt))
+    // 3-band path: the RGB synthetic field through (r + 2g + b) >> 2
+    val Right((_, _, hc)) =
+      Multimodal.aHashBytes(Multimodal.syntheticPng(16, 12, 3L)): @unchecked
+    assert(hc == refHash(16, 12, { (x, y) =>
+      val rgb = (x * 2654435 + y * 40503 + 3L * 7919).toInt & 0xFFFFFF
+      (((rgb >> 16) & 0xFF) + 2 * ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) >> 2
+    }))
+    // the planted perturbation is a NEAR-dup: within quarter-blocking
+    // recall distance of the original
+    val Right((_, _, ht)) = Multimodal.aHashBytes(
+      Multimodal.syntheticGrayPng(30, 26, 7L, tweakMod = 31)): @unchecked
+    assert(java.lang.Long.bitCount(hg ^ ht) <= 3)
+    assert(Multimodal.aHashBytes(Array.empty[Byte]) == Left("empty blob"))
+    assert(Multimodal.aHashBytes(Multimodal.syntheticGrayPng(7, 20, 1L)) ==
+      Left("image smaller than 8x8"))
+    assert(Multimodal.aHashBytes(Array.fill[Byte](64)(33)) ==
+      Left("unrecognized image format"))
+  }
+
   test("mp4 sample tables: both encodings yield identical extents, " +
     "digests match the synthesis arithmetic, malformed layouts are " +
     "typed errors") {
