@@ -397,4 +397,53 @@ class PlanSpec extends SparkFunSuite {
     assert(singles <= 1,
       s"row stream must never collapse to one partition ($singles):\n$plan")
   }
+
+  test("bigramLmScore: partial count aggregates, word-keyed hash joins, " +
+    "broadcast scalar V, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"),
+      s"LM counts must partial-aggregate map-side:\n$plan")
+    // the vocabulary-size scalar enters as a broadcast of ONE row —
+    // the only nested-loop allowed (the tfIdf idiom)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"scalar V must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"LM scoring must never window or go all-pairs:\n$plan")
+  }
+
+  test("prefixBlockVerify: candidates come from ONE equi-join on the " +
+    "prefix key — never a nested loop over the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.DocDedup.prefixBlockVerify(docs, "doc_id", "text",
+      32, 2)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"blocking must be a keyed join on the prefix:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("NestedLoop"),
+      s"candidate generation must never go all-pairs:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the verify:\n$plan")
+  }
+
+  test("hammingPairs: quarter blocking is a keyed join; the Levenshtein" +
+    "-free verify never globalizes the stream") {
+    val sig = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val df = graft.ext.DocDedup.hammingPairs(sig, "doc_id", "h", 3)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("NestedLoop"),
+      s"quarter blocking must never go all-pairs:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no single-partition collapse:\n$plan")
+  }
 }
