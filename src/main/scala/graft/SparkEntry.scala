@@ -2838,6 +2838,32 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- MP4 TRACK MANIFEST (the pre-decode dispatch step): one row
+    //      per trak with its hdlr handler, the codec 4cc from stsd's
+    //      first sample description — route avc1/hvc1 to a video
+    //      decoder, mp4a to audio — and the sample aggregates a
+    //      pipeline budgets on (count, bytes, decode duration, sync
+    //      count), every field pure DuckDB arithmetic over the
+    //      fixture formulas.
+    "q132_mp4_track_manifest" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        val brand = ((id % 3).toInt: @unchecked) match {
+          case 0 => "isom"; case 1 => "mp42"; case 2 => "qt  "
+        }
+        val ts = 600 * (1 + (id % 5).toInt)
+        val full = Multimodal.syntheticMp4(brand, ts,
+          ts.toLong * (1 + id % 11) + id, 1 + (id % 3).toInt,
+          (id % 2).toInt, withSamples = true)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.take(20)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      Multimodal.extractMp4Tracks(blobs, "blob")
+        .orderBy("doc_id", "track_id")
     })
   )
 
@@ -4897,6 +4923,33 @@ object SparkEntry {
         |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
         |       JOIN sig sb ON sb.doc_id = cand.id_b)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+        |FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // the track manifest restated: handler/codec from the id-parity
+    // formulas, aggregates from the per-sample size/duration/sync
+    // arithmetic
+    "q132_mp4_track_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nt FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT d.doc_id, t.t, j.j,
+        |         8 + (t.t * 7 + j.j * 5) % 9 AS sz,
+        |         CASE WHEN j.j < 2 THEN 90 + 10 * t.t
+        |              ELSE 50 + 10 * t.t END AS dur,
+        |         CASE WHEN t.t % 3 = 0 OR j.j = 0
+        |                OR (t.t + j.j) % 3 = 0 THEN 1 ELSE 0 END AS sy
+        |  FROM d, generate_series(1, 3) AS t(t),
+        |       generate_series(0, 2) AS j(j)
+        |  WHERE t.t <= d.nt)
+        |SELECT doc_id, CAST(t AS INTEGER) AS track_id,
+        |       CASE WHEN t % 2 = 1 THEN 'vide' ELSE 'soun' END AS handler,
+        |       CASE WHEN t % 2 = 0 THEN 'mp4a'
+        |            WHEN t % 4 = 3 THEN 'hvc1' ELSE 'avc1' END AS codec,
+        |       CAST(count(*) AS INTEGER) AS n_samples,
+        |       CAST(sum(sz) AS BIGINT) AS sum_bytes,
+        |       CAST(sum(dur) AS BIGINT) AS total_dur,
+        |       CAST(sum(sy) AS INTEGER) AS n_sync
+        |FROM s GROUP BY doc_id, t ORDER BY doc_id, track_id""".stripMargin
   )
 }

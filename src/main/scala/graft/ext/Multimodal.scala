@@ -777,6 +777,14 @@ object Multimodal {
     trackId % 3 == 0 || j == 0 || (trackId + j) % 3 == 0
   private[ext] def hasStss(trackId: Int): Boolean = trackId % 3 != 0
 
+  /** Codec 4cc of the fixture's stsd sample description: video tracks
+    * (odd ids) alternate avc1/hvc1, audio tracks are mp4a — the
+    * pre-decode dispatch signal a pipeline filters on.
+    */
+  private[ext] def trackCodec(trackId: Int): String =
+    if (trackId % 2 == 1) { if (trackId % 4 == 3) "hvc1" else "avc1" }
+    else "mp4a"
+
   /** Deterministic minimal valid MP4: ftyp(major=`brand`, compat =
     * [brand, "isom"]) + moov(mvhd + nTraks×trak(tkhd + mdia/hdlr)) +
     * mdat. `variant` selects the PHYSICAL encoding of the SAME logical
@@ -917,7 +925,16 @@ object Multimodal {
               plan.indices.foreach(ci =>
                 z.writeInt(chunkOffsets(id, ci).toInt))
             }
+            // stsd: one sample description whose 4cc is the codec —
+            // a minimal 16-byte entry (6 reserved + data_ref_index)
+            val stsd = payloadOf { z =>
+              z.writeInt(0)                  // version + flags
+              z.writeInt(1)                  // entry_count
+              z.writeInt(16); z.writeBytes(trackCodec(id))
+              z.writeInt(0); z.writeInt(0)   // reserved + data_ref_index
+            }
             val stbl = payloadOf { z =>
+              z.writeInt(8 + stsd.length); z.writeBytes("stsd"); z.write(stsd)
               z.writeInt(8 + stts.length); z.writeBytes("stts"); z.write(stts)
               if (hasStss(id)) {
                 z.writeInt(8 + stss.length); z.writeBytes("stss")
@@ -996,6 +1013,7 @@ object Multimodal {
   private final val STCO = 0x7374636f
   private final val STTS = 0x73747473
   private final val STSS = 0x73747373
+  private final val STSD = 0x73747364
   private final val VIDE = 0x76696465
   private final val SOUN = 0x736f756e
 
@@ -1242,14 +1260,26 @@ object Multimodal {
     * with stsz) are "bad sample table", never a guess; Left(error) on
     * any malformed structure, never an exception.
     */
+  /** Per-track rows of the second element: (track_id, handler 4cc or
+    * null, codec 4cc from stsd's first sample description or null,
+    * n_samples, sum_bytes, total_dur, n_sync) — one row per trak seen,
+    * including sample-table-less metadata-only traks (zero counts).
+    */
   private[ext] def mp4SampleTable(bytes: Array[Byte])
-      : Either[String, Seq[(Int, Int, Long, Int, Long, Int, Boolean)]] = {
+      : Either[String, (Seq[(Int, Int, Long, Int, Long, Int, Boolean)],
+                        Seq[(Int, String, String, Int, Long, Long, Int)])] = {
     if (bytes == null || bytes.length == 0) return Left("empty blob")
     val c = new BoxCursor(bytes)
     val bb = c.bb
     val end = bytes.length.toLong
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Long, Int, Long, Int, Boolean)]
+    val trk = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Int, Long, Long, Int)]
+    def fourCc(v: Int): String = new String(Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte),
+      java.nio.charset.StandardCharsets.US_ASCII)
     var off = 0L
     var nTop = 0
     var sawMoov = false
@@ -1272,6 +1302,8 @@ object Multimodal {
             var sttsRuns: Array[(Int, Int)] = null // (count, delta)
             var stssNums: Array[Int] = null // 1-based sync numbers
             var sawStss = false
+            var handler = 0
+            var codec = 0
             var t2 = c.pStart; val t2End = c.pEnd
             while (t2 < t2End) {
               val tNext = c.step(t2, t2End, topLevel = false)
@@ -1283,7 +1315,9 @@ object Multimodal {
                 while (m2 < m2End) {
                   val mNext = c.step(m2, m2End, topLevel = false)
                   if (mNext < 0) return Left(c.errMsg)
-                  if (c.typ == MINF) {
+                  if (c.typ == HDLR && c.pEnd - c.pStart >= 12)
+                    handler = bb.getInt(c.pStart.toInt + 8)
+                  else if (c.typ == MINF) {
                     var f2 = c.pStart; val f2End = c.pEnd
                     while (f2 < f2End) {
                       val fNext = c.step(f2, f2End, topLevel = false)
@@ -1347,6 +1381,12 @@ object Multimodal {
                             sawStss = true
                             stssNums = Array.tabulate(n)(i =>
                               bb.getInt(p + 8 + 4 * i))
+                          } else if (c.typ == STSD) {
+                            // first sample description's 4cc = codec
+                            if (c.pEnd - c.pStart < 16)
+                              return Left("truncated box")
+                            if (bb.getInt(p + 4) >= 1)
+                              codec = bb.getInt(p + 12)
                           }
                           s2 = sNext
                         }
@@ -1443,6 +1483,23 @@ object Multimodal {
                 }
                 ci += 1
               }
+              var nSync = 0
+              var sumB = 0L
+              var i2 = 0
+              while (i2 < sizes.length) {
+                sumB += sizes(i2)
+                if (sync(i2)) nSync += 1
+                i2 += 1
+              }
+              trk += ((trackId,
+                if (handler == 0) null else fourCc(handler),
+                if (codec == 0) null else fourCc(codec),
+                sizes.length, sumB, dts, nSync))
+            } else if (trackId >= 0) {
+              // metadata-only trak (no sample tables): zero counts
+              trk += ((trackId,
+                if (handler == 0) null else fourCc(handler),
+                if (codec == 0) null else fourCc(codec), 0, 0L, 0L, 0))
             }
           }
           k = kNext
@@ -1450,7 +1507,7 @@ object Multimodal {
       }
       off = next
     }
-    if (nTop == 0) Left("not mp4") else Right(out.toSeq)
+    if (nTop == 0) Left("not mp4") else Right((out.toSeq, trk.toSeq))
   }
 
   /** Sample extraction over a binary MP4/MOV column: one output row
@@ -1480,7 +1537,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](idx)
         mp4SampleTable(bytes) match {
           case Left(_) => Iterator.empty
-          case Right(samples) =>
+          case Right((samples, _)) =>
             // passthrough values hoisted once per INPUT row — the
             // output stream is ~samples× larger than the input, so
             // per-sample work must be the field writes alone
@@ -1496,6 +1553,51 @@ object Multimodal {
               arr(nKeep) = t; arr(nKeep + 1) = j; arr(nKeep + 2) = sz
               arr(nKeep + 3) = dts; arr(nKeep + 4) = dur
               arr(nKeep + 5) = sync; arr(nKeep + 6) = s
+              new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
+                : Row
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-track manifest of a binary MP4/MOV column — one row per trak
+    * with its hdlr handler, the codec 4cc from stsd's first sample
+    * description (the pre-decode dispatch signal: route avc1/hvc1 to a
+    * video decoder, mp4a to audio, drop the rest), and the sample
+    * aggregates a pipeline budgets on (count, byte sum, total decode
+    * duration, sync count). Metadata-only traks emit zero counts with
+    * null codec. Narrow per-partition flatMap, no shuffle; malformed
+    * blobs yield zero rows.
+    */
+  def extractMp4Tracks(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("track_id", IntegerType, nullable = false),
+        StructField("handler", StringType, nullable = true),
+        StructField("codec", StringType, nullable = true),
+        StructField("n_samples", IntegerType, nullable = false),
+        StructField("sum_bytes", LongType, nullable = false),
+        StructField("total_dur", LongType, nullable = false),
+        StructField("n_sync", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        mp4SampleTable(r.getAs[Array[Byte]](idx)) match {
+          case Left(_) => Iterator.empty
+          case Right((_, tracks)) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            tracks.iterator.map { case (t, hdl, cdc, n, sb, dur, ns) =>
+              val arr = new Array[Any](nKeep + 7)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = t; arr(nKeep + 1) = hdl; arr(nKeep + 2) = cdc
+              arr(nKeep + 3) = n; arr(nKeep + 4) = sb
+              arr(nKeep + 5) = dur; arr(nKeep + 6) = ns
               new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
                 : Row
             }

@@ -343,9 +343,20 @@ class MultimodalSpec extends SparkFunSuite {
     for (n <- Seq(0, 1, 3); variant <- Seq(0, 1)) {
       val blob = Multimodal.syntheticMp4("isom", 600, 42L, n, variant,
         withSamples = true)
-      val Right(samples) = Multimodal.mp4SampleTable(blob): @unchecked
+      val Right((samples, tracks)) =
+        Multimodal.mp4SampleTable(blob): @unchecked
       assert(samples.length == n * Multimodal.SamplesPerTrack,
         s"n=$n variant=$variant")
+      // per-track manifest: hdlr handler, stsd codec, aggregates
+      assert(tracks.length == n)
+      tracks.foreach { case (t, hdl, cdc, ns, sb, dur, nsync) =>
+        assert(hdl == (if (t % 2 == 1) "vide" else "soun"), s"track $t hdlr")
+        assert(cdc == Multimodal.trackCodec(t), s"track $t codec")
+        assert(ns == Multimodal.SamplesPerTrack)
+        assert(sb == (0 until ns).map(Multimodal.sampleSize(t, _)).sum)
+        assert(dur == (0 until ns).map(Multimodal.sampleDur(t, _)).sum)
+        assert(nsync == (0 until ns).count(Multimodal.sampleIsSync(t, _)))
+      }
       samples.foreach { case (t, j, o, sz, dts, dur, sync) =>
         assert(sz == Multimodal.sampleSize(t, j))
         // stts run-length expansion: dur from the run covering j, dts
@@ -365,20 +376,24 @@ class MultimodalSpec extends SparkFunSuite {
       // extents identical across the two physical encodings modulo the
       // (documented) offset shift: sizes and order match exactly
       if (variant == 1) {
-        val Right(v0) = Multimodal.mp4SampleTable(Multimodal.syntheticMp4(
-          "isom", 600, 42L, n, 0, withSamples = true)): @unchecked
+        val Right((v0, _)) = Multimodal.mp4SampleTable(Multimodal
+          .syntheticMp4("isom", 600, 42L, n, 0,
+            withSamples = true)): @unchecked
         assert(v0.map(s => (s._1, s._2, s._4)) ==
           samples.map(s => (s._1, s._2, s._4)))
       }
     }
-    // sampleless mp4s yield zero samples, not errors
+    // sampleless mp4s yield zero samples, not errors — and their traks
+    // still appear in the manifest as metadata-only (hdlr, null codec)
     assert(Multimodal.mp4SampleTable(
-      Multimodal.syntheticMp4("isom", 600, 1L, 2, 0)) == Right(Seq.empty))
+      Multimodal.syntheticMp4("isom", 600, 1L, 2, 0)) ==
+      Right((Seq.empty,
+        Seq((1, "vide", null, 0, 0L, 0L, 0), (2, "soun", null, 0, 0L, 0L, 0)))))
     // track 1 is the odd multi-chunk case: stsc expansion must place
     // its third sample at the SECOND chunk's offset, not back-to-back
     val blob = Multimodal.syntheticMp4("isom", 600, 1L, 1, 0,
       withSamples = true)
-    val Right(t1) = Multimodal.mp4SampleTable(blob): @unchecked
+    val Right((t1, _)) = Multimodal.mp4SampleTable(blob): @unchecked
     assert(t1.length == 3)
     assert(t1(1)._3 + t1(1)._4 != t1(2)._3,
       "sample 2 must start a new chunk, not follow sample 1 contiguously")
@@ -407,7 +422,7 @@ class MultimodalSpec extends SparkFunSuite {
     (0 until blob.length).foreach { cut =>
       Multimodal.mp4SampleTable(blob.take(cut)) match {
         case Left(_) => ()
-        case Right(ss) => ss.foreach { case (_, _, o, sz, _, _, _) =>
+        case Right((ss, _)) => ss.foreach { case (_, _, o, sz, _, _, _) =>
           assert(o + sz <= cut, s"cut=$cut overran")
         }
       }
