@@ -2864,6 +2864,67 @@ object SparkEntry {
         .select("doc_id").withColumn("blob", mp4(col("doc_id")))
       Multimodal.extractMp4Tracks(blobs, "blob")
         .orderBy("doc_id", "track_id")
+    }),
+
+    // ---- IMAGE CURATION PIPELINE composition (the q108/q119 shape
+    //      for the image modality): blobs → real-codec aHash →
+    //      quarter-blocked Hamming pairs → keep-min dedup (drop every
+    //      image with a smaller-id near-dup) → survivor manifest with
+    //      decoded geometry. Ids 50..99 are 3%-perturbed copies of
+    //      ids 0..49, so exactly the partner class must be dropped;
+    //      the oracle replays hash, blocking, verdict, and the drop
+    //      rule arithmetically.
+    "q133_image_pipeline" -> ((s, dir) => {
+      val png = udf((id: Long) => {
+        val base = if (id >= 50) id - 50 else id
+        Multimodal.syntheticGrayPng(
+          30 + (base % 5).toInt * 7, 26 + (base % 3).toInt * 9, base,
+          tweakMod = if (id >= 50) 31 else 0)
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 100)
+        .select("doc_id").withColumn("blob", png(col("doc_id")))
+      val sig = Multimodal.imageHash(blobs, "blob")
+        .select(col("doc_id"), col("img.w").as("w"), col("img.h").as("h"),
+          col("img.ahash").as("ahash"))
+      val dupIds = graft.ext.DocDedup.hammingPairs(sig, "doc_id", "ahash", 3)
+        .select(col("id_b").as("doc_id")).distinct()
+      sig.join(dupIds, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
+    // ---- PERSISTED HAMMING INDEX (signature dedup against a STANDING
+    //      corpus — the deployment shape): originals' real-codec
+    //      aHashes written partitioned by (quarter, quarter-value
+    //      bucket); perturbed partners probe through partition-pruned
+    //      reads only (no corpus join) and must recall exactly the
+    //      pairs the oracle's arithmetic replay predicts. Fresh dir
+    //      per invocation; qBuckets from the sidecar.
+    "q134_image_hamming_index" -> ((s, dir) => {
+      val png = udf((id: Long) => {
+        val base = id % 200000
+        Multimodal.syntheticGrayPng(
+          30 + (base % 5).toInt * 7, 26 + (base % 3).toInt * 9, base,
+          tweakMod = if (id >= 200000) 31 else 0)
+      })
+      val ids = t(s, dir, "documents").where(col("doc_id") < 80)
+        .select("doc_id")
+      def hashes(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.imageHash(df.withColumn("blob", png(col("doc_id"))),
+            "blob")
+          .select(col("doc_id"), col("img.ahash").as("ahash"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-hamidx").toString
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp)))
+      graft.ext.DocDedup.buildHammingIndex(hashes(ids), "doc_id", "ahash",
+        s"$tmp/idx", qBuckets = 16)
+      val probes = hashes(
+        ids.select((col("doc_id") + 200000).as("doc_id")))
+      graft.ext.DocDedup.probeHammingIndex(probes, "doc_id", "ahash",
+          s"$tmp/idx", maxDist = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -4950,6 +5011,108 @@ object SparkEntry {
         |       CAST(sum(sz) AS BIGINT) AS sum_bytes,
         |       CAST(sum(dur) AS BIGINT) AS total_dur,
         |       CAST(sum(sy) AS INTEGER) AS n_sync
-        |FROM s GROUP BY doc_id, t ORDER BY doc_id, track_id""".stripMargin
+        |FROM s GROUP BY doc_id, t ORDER BY doc_id, track_id""".stripMargin,
+
+    // the whole image pipeline replayed: hashes (q130's construction,
+    // base id + tweak for 50..99), quarter blocking, hamming verdict,
+    // keep-min drop, survivor manifest
+    "q133_image_pipeline" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN doc_id >= 50 THEN doc_id - 50
+        |                  ELSE doc_id END AS base,
+        |             CASE WHEN doc_id >= 50 THEN 31 ELSE 0 END AS tw
+        |      FROM ids),
+        |geo AS (SELECT doc_id, base, tw, 30 + (base % 5) * 7 AS w,
+        |               26 + (base % 3) * 9 AS h FROM g),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |         ((y.y * 8) // h) * 8 + ((x.x * 8) // w) AS c,
+        |         CASE WHEN tw > 0 AND (x.x + y.y) % 31 = 0
+        |           THEN least(((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 + 1, 255)
+        |           ELSE ((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 END AS v
+        |  FROM geo, generate_series(0, 57) AS x(x),
+        |       generate_series(0, 43) AS y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |cells AS (SELECT doc_id, w, h, c, sum(v) // count(*) AS cm
+        |          FROM px GROUP BY doc_id, w, h, c),
+        |mm AS (SELECT doc_id, sum(cm) // 64 AS mean
+        |       FROM cells GROUP BY doc_id),
+        |hs AS (
+        |  SELECT cells.doc_id, w, h,
+        |         sum(CASE WHEN cm > mean THEN CAST(power(2, c) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM cells JOIN mm USING (doc_id) GROUP BY cells.doc_id, w, h),
+        |sig AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS ahash
+        |  FROM hs),
+        |blk AS (SELECT doc_id, q.q, (ahash >> (16 * q.q)) & 65535 AS qv
+        |        FROM sig, generate_series(0, 3) AS q(q)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM blk a JOIN blk b
+        |           ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id),
+        |dropped AS (
+        |  SELECT DISTINCT id_b AS doc_id
+        |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+        |       JOIN sig sb ON sb.doc_id = cand.id_b
+        |  WHERE bit_count(xor(sa.ahash, sb.ahash)) <= 3)
+        |SELECT sig.doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+        |       ahash
+        |FROM sig LEFT JOIN dropped USING (doc_id)
+        |WHERE dropped.doc_id IS NULL
+        |ORDER BY sig.doc_id""".stripMargin,
+
+    // q131's arithmetic replay, oriented probe → indexed: id_a is the
+    // perturbed probe (200000+), id_b the indexed original
+    "q134_image_hamming_index" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+        |u AS (SELECT doc_id, doc_id AS base, 0 AS tw FROM ids
+        |      UNION ALL
+        |      SELECT doc_id + 200000, doc_id, 31 FROM ids),
+        |g AS (SELECT doc_id, base, tw, 30 + (base % 5) * 7 AS w,
+        |             26 + (base % 3) * 9 AS h FROM u),
+        |px AS (
+        |  SELECT doc_id, ((y.y * 8) // h) * 8 + ((x.x * 8) // w) AS c,
+        |         CASE WHEN tw > 0 AND (x.x + y.y) % 31 = 0
+        |           THEN least(((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 + 1, 255)
+        |           ELSE ((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 END AS v
+        |  FROM g, generate_series(0, 57) AS x(x),
+        |       generate_series(0, 43) AS y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |cells AS (SELECT doc_id, c, sum(v) // count(*) AS cm
+        |          FROM px GROUP BY doc_id, c),
+        |mm AS (SELECT doc_id, sum(cm) // 64 AS mean
+        |       FROM cells GROUP BY doc_id),
+        |hs AS (
+        |  SELECT cells.doc_id,
+        |         sum(CASE WHEN cm > mean THEN CAST(power(2, c) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM cells JOIN mm USING (doc_id) GROUP BY cells.doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS ahash
+        |  FROM hs),
+        |blk AS (SELECT doc_id, q.q, (ahash >> (16 * q.q)) & 65535 AS qv
+        |        FROM sig, generate_series(0, 3) AS q(q)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM blk a JOIN blk b ON a.q = b.q AND a.qv = b.qv
+        |         WHERE a.doc_id >= 200000 AND b.doc_id < 200000
+        |           AND a.doc_id != b.doc_id)
+        |SELECT id_a, id_b,
+        |       CAST(bit_count(xor(sa.ahash, sb.ahash)) AS BIGINT)
+        |         AS hamming
+        |FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+        |     JOIN sig sb ON sb.doc_id = cand.id_b
+        |WHERE bit_count(xor(sa.ahash, sb.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

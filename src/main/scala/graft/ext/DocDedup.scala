@@ -871,6 +871,86 @@ object DocDedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Persisted form of [[hammingPairs]]' blocking — the deployment
+    * shape for signature dedup against a standing corpus (image aHash,
+    * SimHash): each indexed signature is exploded to its four 16-bit
+    * quarters and written partitioned by (quarter index, quarter-value
+    * bucket), so a probe reads ONLY the partitions its own quarters
+    * touch (≤ 4·|probe quarters| directories) instead of joining the
+    * corpus. The stored row keeps the full hash for the exact
+    * `bit_count` verify. Bucket count in a sidecar — probing with a
+    * different regime than the build is impossible, not silent.
+    */
+  def buildHammingIndex(sig: DataFrame, idCol: String, hashCol: String,
+                        path: String, qBuckets: Int = 64): Unit = {
+    require(qBuckets >= 1 && qBuckets <= 4096,
+      s"qBuckets must be in [1,4096], got $qBuckets")
+    val ss = sig.sparkSession
+    sig.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(q =>
+          shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("q", "qv")))
+      .withColumn("qb", pmod(col("qv"), lit(qBuckets.toLong)).cast("int"))
+      .repartition(col("q"), col("qb"))
+      .write.mode("overwrite").partitionBy("q", "qb").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_hamming_meta"), true)
+    try out.write(s"$qBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Probe the [[buildHammingIndex]] layout: candidates from quarter
+    * equality against ONLY the touched (q, qb) partitions, then the
+    * exact `bit_count(xor)` verify — (probe id, indexed id, hamming)
+    * with the [[hammingPairs]] recall guarantee (complete to distance
+    * 3). Probe cost ∝ probe set, never ∝ index size.
+    */
+  def probeHammingIndex(probes: DataFrame, idCol: String, hashCol: String,
+                        path: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"quarter blocking guarantees recall only to distance 3, got $maxDist")
+    val ss = probes.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(
+      new org.apache.hadoop.fs.Path(path, "_graft_hamming_meta"))
+    val qBuckets =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(metaIn), "UTF-8").trim.toInt
+      finally metaIn.close()
+    val p = probes.select(col(idCol).as("id_a"), col(hashCol).as("sh_a"))
+      .select(col("id_a"), col("sh_a"),
+        posexplode(array((0 until 4).map(q =>
+          shiftright(col("sh_a"), q * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("q", "qv")))
+      .withColumn("qb", pmod(col("qv"), lit(qBuckets.toLong)).cast("int"))
+      .persist()
+    try {
+      p.count()
+      def emptyResult = probes.select(col(idCol).as("id_a"),
+          col(idCol).as("id_b"), lit(0).as("hamming")).where(lit(false))
+      val coords = p.select("q", "qb").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      if (coords.isEmpty) return emptyResult
+      if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(_.getPath.getName.startsWith("q="))) return emptyResult
+      // partition-column-only predicate → evaluated at file listing
+      val bucketFilter = (col("q").cast("long") * 4096L +
+        col("qb").cast("long")).isin(
+        coords.map { case (q, b) => q.toLong * 4096L + b }.toSeq: _*)
+      ss.read.parquet(path).where(bucketFilter)
+        .join(broadcast(p), Seq("q", "qv"))
+        .where(col("id_a") =!= col("id"))
+        .select(col("id_a"), col("id").as("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh"))).as("hamming"))
+        .where(col("hamming") <= maxDist)
+        .distinct()
+    } finally p.unpersist()
+  }
+
   /** Prefix-blocked candidate generation + exact edit-distance
     * verification — the classic blocking/sorted-neighborhood dedup
     * shape: candidates are pairs agreeing on the first `prefixLen`

@@ -463,6 +463,53 @@ class DocDedupSpec extends SparkFunSuite {
     }
   }
 
+  test("persisted Hamming index: probe equals the join form, the scan " +
+    "is pruned to the probe's quarters, qBuckets from the sidecar") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("ham-index")
+    val base = 0x0123456789ABCDEFL
+    val corpus = Seq((1L, base), (2L, base ^ 0x30L), (3L, ~base),
+      (4L, 0x1111222233334444L)).toDF("doc_id", "h")
+    DocDedup.buildHammingIndex(corpus, "doc_id", "h", s"$dir/idx",
+      qBuckets = 8)
+    // self-probe (both orientations, self-pairs dropped) must agree
+    // with the join form's unordered pairs
+    val viaIdx = DocDedup.probeHammingIndex(corpus, "doc_id", "h",
+        s"$dir/idx", 3).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+    val viaJoin = DocDedup.hammingPairs(corpus, "doc_id", "h", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIdx.nonEmpty && viaIdx == viaJoin,
+      s"index form $viaIdx != join form $viaJoin")
+    // pruning: ONE probe signature touches at most its own 4 (q, qb)
+    // coordinates — strictly fewer than the occupied partition dirs
+    val df = DocDedup.probeHammingIndex(
+      corpus.where(col("doc_id") === 1), "doc_id", "h", s"$dir/idx", 3)
+    df.collect()
+    val total = new java.io.File(s"$dir/idx").listFiles()
+      .filter(_.getName.startsWith("q=")).flatMap(_.listFiles())
+      .count(_.getName.startsWith("qb="))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        scans(m.relation.cachedPlan)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString
+        .contains("ham-index")))
+      .map(_.selectedPartitions.partitionCount)
+    assert(scanned.nonEmpty, "no index file scan in the probe plan")
+    assert(scanned.min <= 4 && scanned.min < total,
+      s"probe scanned ${scanned.min} of $total buckets — pruning lost")
+  }
+
   test("prefixBlockVerify: blocking recalls same-prefix pairs only, " +
     "Levenshtein verdict matches a reference DP on every candidate") {
     val s = spark; import s.implicits._
