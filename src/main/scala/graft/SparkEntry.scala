@@ -2925,6 +2925,32 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- AUDIO RESAMPLING (the 44.1k->16k rate-reduction step) as
+    //      exact integer decimation: blocks of 4 collapse to their
+    //      floor-mean (trailing partial block to the mean of its
+    //      count — the +doc_id%3 term plants 1-2 sample tails), the
+    //      result re-encoded as a REAL WAV the codec reads back;
+    //      decodeAudio's digest of the resampled stream is pure
+    //      DuckDB arithmetic over the synthesis formula. Poison rows
+    //      degrade to empty and flag in-row downstream.
+    "q135_audio_resample" -> ((s, dir) => {
+      val wav = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte]
+        else Multimodal.syntheticWav(8000,
+          500 + (id % 7).toInt * 100 + (id % 3).toInt, id))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 80)
+        .select("doc_id").withColumn("blob", wav(col("doc_id")))
+      val res = Multimodal.resampleAudio(blobs, "blob", 4)
+      Multimodal.decodeAudio(res, "blob")
+        .select(col("doc_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.n_frames").as("n_frames"),
+          col("audio.sample_sum").as("sample_sum"),
+          col("audio.peak").as("peak"),
+          col("audio.ok").as("ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5113,6 +5139,36 @@ object SparkEntry {
         |FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
         |     JOIN sig sb ON sb.doc_id = cand.id_b
         |WHERE bit_count(xor(sa.ahash, sb.ahash)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the decimated stream restated: per-block integer means over the
+    // synthesis formula (// truncates toward zero, matching Java /
+    // on negative sums), digested exactly as decodeAudio reports
+    "q135_audio_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, 500 + (doc_id % 7) * 100 + (doc_id % 3) AS n
+        |  FROM documents WHERE doc_id < 80 AND doc_id % 41 != 0),
+        |i AS (
+        |  SELECT doc_id,
+        |         ((doc_id * 2654435761 + ii.i * 40503) % 65536) - 32768
+        |           AS v, ii.i
+        |  FROM d, generate_series(0, 1101) AS ii(i) WHERE ii.i < n),
+        |b AS (
+        |  SELECT doc_id, ii4, sum(v) // count(*) AS ov
+        |  FROM (SELECT doc_id, v, i // 4 AS ii4 FROM i)
+        |  GROUP BY doc_id, ii4),
+        |res AS (
+        |  SELECT doc_id, 2000 AS sample_rate,
+        |         count(*) AS n_frames, sum(ov) AS sample_sum,
+        |         max(abs(ov)) AS peak, TRUE AS ok
+        |  FROM b GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, 0, 0, 0, 0, FALSE FROM documents
+        |  WHERE doc_id < 80 AND doc_id % 41 = 0)
+        |SELECT doc_id, CAST(sample_rate AS INTEGER) AS sample_rate,
+        |       CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(sample_sum AS BIGINT) AS sample_sum,
+        |       CAST(peak AS INTEGER) AS peak, ok
+        |FROM res ORDER BY doc_id""".stripMargin
   )
 }

@@ -579,7 +579,23 @@ object Multimodal {
   def syntheticWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
     require(sampleRate > 0 && nSamples >= 0 && seed >= 0,
       s"bad wav spec rate=$sampleRate n=$nSamples seed=$seed")
-    val dataLen = nSamples * 2
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = (((seed * 2654435761L + i * 40503L) % 65536L)
+        - 32768L).toShort
+      i += 1
+    }
+    pcmWav(sampleRate, samples)
+  }
+
+  /** Little-endian PCM16 mono WAV container around raw samples — the
+    * header layout every RIFF writer emits (shared by [[syntheticWav]]
+    * and [[resampleAudio]]'s re-encode).
+    */
+  private[ext] def pcmWav(sampleRate: Int,
+                          samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -589,11 +605,7 @@ object Multimodal {
       .putShort(2).putShort(16) // block align, bits
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < nSamples) {
-      buf.putShort((((seed * 2654435761L + i * 40503L) % 65536L)
-        - 32768L).toShort)
-      i += 1
-    }
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
     buf.array()
   }
 
@@ -1658,6 +1670,91 @@ object Multimodal {
       read = in.read(chunk, leftover, chunk.length - leftover)
     }
     (nSamples, sum, peak)
+  }
+
+  /** Integer-factor decimation: each block of `factor` samples
+    * collapses to its integer mean under TRUNCATING division — Java's
+    * `/` and DuckDB's `//` both truncate toward zero, so the oracle
+    * restates negative-sum blocks exactly (floorDiv would disagree by
+    * one on every negative odd-sum block) — the trailing partial
+    * block to the mean of its actual count. Returns a REAL re-encoded WAV at
+    * `rate / factor` the codec path reads back; poison / non-PCM16 /
+    * multi-channel / indivisible-rate inputs degrade to empty bytes
+    * (the resize convention). Remainder-safe against non-aligned
+    * `read()` counts like the digest loops.
+    */
+  private[ext] def resampleWavBytes(bytes: Array[Byte],
+                                    factor: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
+    var in: javax.sound.sampled.AudioInputStream = null
+    try {
+      in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = in.getFormat
+      if (f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+          f.getSampleRate.toInt % factor != 0)
+        return Array.emptyByteArray
+      pcmWav(f.getSampleRate.toInt / factor, decimateLoop(in, factor))
+    } catch {
+      case _: Exception => Array.emptyByteArray
+    } finally if (in != null) in.close()
+  }
+
+  /** The decimation PCM loop, remainder-safe like [[pcm16Digest]] and
+    * injectable for the odd-chunk SPI spec.
+    */
+  private[ext] def decimateLoop(in: javax.sound.sampled.AudioInputStream,
+                                factor: Int): Array[Short] = {
+    val big = in.getFormat.isBigEndian
+    val outBuf = scala.collection.mutable.ArrayBuffer.empty[Short]
+    var blockSum = 0L
+    var blockCount = 0
+    val chunk = new Array[Byte](8192)
+    var leftover = 0
+    var read = in.read(chunk, leftover, chunk.length - leftover)
+    while (read > 0) {
+      val avail = leftover + read
+      var i = 0
+      while (i + 1 < avail) {
+        val s =
+          if (big) ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
+          else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
+        blockSum += s
+        blockCount += 1
+        if (blockCount == factor) {
+          outBuf += (blockSum / factor).toShort
+          blockSum = 0L; blockCount = 0
+        }
+        i += 2
+      }
+      leftover = avail - i
+      if (leftover == 1) chunk(0) = chunk(avail - 1)
+      read = in.read(chunk, leftover, chunk.length - leftover)
+    }
+    if (blockCount > 0)
+      outBuf += (blockSum / blockCount).toShort
+    outBuf.toArray
+  }
+
+  /** Rate-reduce a PCM16 mono audio column in place (the 44.1k→16k
+    * class of pipeline step, as exact integer decimation) — compose
+    * with [[decodeAudio]]/[[audioWindows]] downstream; undecodable or
+    * unsupported blobs degrade to empty bytes in place.
+    */
+  def resampleAudio(df: DataFrame, binCol: String,
+                    factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        vals(idx) = resampleWavBytes(r.getAs[Array[Byte]](idx), factor)
+        Row.fromSeq(vals.toSeq)
+      }
+    }(enc)
   }
 
   private[ext] def decodeWavBytes(bytes: Array[Byte]): AudioMeta =

@@ -267,6 +267,27 @@ class MultimodalSpec extends SparkFunSuite {
     val expSum = (0 until 777).map(i =>
       ((5L * 2654435761L + i * 40503L) % 65536L) - 32768L).sum
     assert(n == 777L && s == expSum)
+    // the decimation loop is remainder-safe the same way, and matches
+    // hand arithmetic INCLUDING the 1-sample trailing partial block
+    // (777 = 194 blocks of 4 + 1) and truncating negative-sum means
+    val samples = (0 until 777).map(i =>
+      (((5L * 2654435761L + i * 40503L) % 65536L) - 32768L).toInt)
+    val expected = samples.grouped(4)
+      .map(g => (g.map(_.toLong).sum / g.length).toShort).toSeq
+    for (cap <- Seq(1, 3, 7, 4097))
+      assert(Multimodal.decimateLoop(new OddAis(cap), 4).toSeq == expected,
+        s"cap=$cap decimate")
+    // end-to-end bytes → bytes: a real re-encoded WAV at rate/4 whose
+    // codec decode reproduces the decimated digest; unsupported
+    // shapes degrade to empty
+    val res = Multimodal.resampleWavBytes(wav, 4)
+    val meta = Multimodal.decodeWavBytes(res)
+    assert(meta.ok && meta.sampleRate == 2000 && meta.nFrames == 195)
+    assert(meta.sampleSum == expected.map(_.toLong).sum)
+    assert(Multimodal.resampleWavBytes(Array.empty[Byte], 4).isEmpty)
+    assert(Multimodal.resampleWavBytes(wav, 3).isEmpty,
+      "8000 % 3 != 0 must degrade, not mis-rate") // indivisible rate
+    assert(Multimodal.resampleWavBytes("junk".getBytes("UTF-8"), 4).isEmpty)
   }
 
   test("mp4: both physical encodings of the same logical metadata " +
