@@ -2916,8 +2916,15 @@ object SparkEntry {
         .createTempDirectory("graft-hamidx").toString
       sys.addShutdownHook(org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(tmp)))
-      graft.ext.DocDedup.buildHammingIndex(hashes(ids), "doc_id", "ahash",
+      // half the corpus arrives via the INCREMENTAL append path — each
+      // probe's partner lives in one half or the other, so full recall
+      // pins the append landing in the same partition scheme
+      graft.ext.DocDedup.buildHammingIndex(
+        hashes(ids.where(col("doc_id") < 40)), "doc_id", "ahash",
         s"$tmp/idx", qBuckets = 16)
+      graft.ext.DocDedup.appendToHammingIndex(
+        hashes(ids.where(col("doc_id") >= 40)), "doc_id", "ahash",
+        s"$tmp/idx")
       val probes = hashes(
         ids.select((col("doc_id") + 200000).as("doc_id")))
       graft.ext.DocDedup.probeHammingIndex(probes, "doc_id", "ahash",
@@ -2950,6 +2957,36 @@ object SparkEntry {
           col("audio.sample_sum").as("sample_sum"),
           col("audio.peak").as("peak"),
           col("audio.ok").as("ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- IMAGE CLUSTERS under MASS duplication (the blank-image /
+    //      boilerplate-logo regime a web corpus actually has): ids
+    //      0..119 carry only 24 DISTINCT images (5 exact copies each),
+    //      plus a tweaked twin per distinct image — hammingClusters
+    //      collapses identical hashes to representatives BEFORE the
+    //      quarter join (the pair form is quadratic per duplicate
+    //      group), runs connected components over representatives,
+    //      and re-expands membership linearly. The oracle replays
+    //      hashes arithmetically and labels components by transitive
+    //      closure (the q45 recursive-SQL pattern) over the SAME
+    //      blocked-pair rule.
+    "q136_image_clusters" -> ((s, dir) => {
+      val png = udf((id: Long) => {
+        val base = if (id >= 200000) id - 200000 else id % 24
+        Multimodal.syntheticGrayPng(
+          30 + (base % 5).toInt * 7, 26 + (base % 3).toInt * 9, base,
+          tweakMod = if (id >= 200000) 31 else 0)
+      })
+      val ids = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id")
+        .unionByName(t(s, dir, "documents").where(col("doc_id") < 24)
+          .select((col("doc_id") + 200000).as("doc_id")))
+      val sig = Multimodal.imageHash(
+          ids.withColumn("blob", png(col("doc_id"))), "blob")
+        .select(col("doc_id"), col("img.ahash").as("ahash"))
+      graft.ext.DocDedup.hammingClusters(sig, "doc_id", "ahash", 3)
+        .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     })
   )
@@ -5169,6 +5206,62 @@ object SparkEntry {
         |       CAST(n_frames AS BIGINT) AS n_frames,
         |       CAST(sample_sum AS BIGINT) AS sample_sum,
         |       CAST(peak AS INTEGER) AS peak, ok
-        |FROM res ORDER BY doc_id""".stripMargin
+        |FROM res ORDER BY doc_id""".stripMargin,
+
+    // hashes replayed arithmetically; edges = blocked pairs (shared
+    // 16-bit quarter AND hamming <= 3 — identical hashes included);
+    // labels by transitive closure (the q45 pattern), singletons
+    // label themselves
+    "q136_image_clusters" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT doc_id, doc_id % 24 AS base, 0 AS tw
+        |  FROM documents WHERE doc_id < 120
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, 31
+        |  FROM documents WHERE doc_id < 24),
+        |g AS (SELECT doc_id, base, tw, 30 + (base % 5) * 7 AS w,
+        |             26 + (base % 3) * 9 AS h FROM u),
+        |px AS (
+        |  SELECT doc_id, ((y.y * 8) // h) * 8 + ((x.x * 8) // w) AS c,
+        |         CASE WHEN tw > 0 AND (x.x + y.y) % 31 = 0
+        |           THEN least(((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 + 1, 255)
+        |           ELSE ((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 END AS v
+        |  FROM g, generate_series(0, 57) AS x(x),
+        |       generate_series(0, 43) AS y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |cells AS (SELECT doc_id, c, sum(v) // count(*) AS cm
+        |          FROM px GROUP BY doc_id, c),
+        |mm AS (SELECT doc_id, sum(cm) // 64 AS mean
+        |       FROM cells GROUP BY doc_id),
+        |hs AS (
+        |  SELECT cells.doc_id,
+        |         sum(CASE WHEN cm > mean THEN CAST(power(2, c) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM cells JOIN mm USING (doc_id) GROUP BY cells.doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS ahash
+        |  FROM hs),
+        |e0 AS (
+        |  SELECT a.doc_id AS s, b.doc_id AS d
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.ahash, b.ahash)) <= 3
+        |    AND EXISTS (SELECT 1 FROM generate_series(0, 3) AS q(q)
+        |      WHERE ((a.ahash >> (16 * q.q)) & 65535) =
+        |            ((b.ahash >> (16 * q.q)) & 65535))),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+        |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |SELECT sig.doc_id, coalesce(lbl.cluster, sig.doc_id) AS cluster
+        |FROM sig LEFT JOIN lbl ON lbl.id = sig.doc_id
+        |ORDER BY sig.doc_id""".stripMargin
   )
 }

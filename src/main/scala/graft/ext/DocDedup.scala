@@ -902,6 +902,64 @@ object DocDedup {
     finally out.close()
   }
 
+  /** Cluster form of signature near-dup — the shape that survives MASS
+    * duplication (a blank image or boilerplate logo hashing millions of
+    * ids to ONE signature). [[hammingPairs]]' pair output is inherently
+    * quadratic per duplicate group; here identical signatures collapse
+    * to one representative BEFORE the quarter join (measured on a 200k
+    * corpus with ~4× hash duplication: 7M pairs / 92 s via pairs, vs a
+    * candidate join over distinct hashes only), near-pairs over the
+    * representatives feed the O(log n) [[nearDupClusters]]
+    * contraction, and membership re-expands linearly through the
+    * hash → representative map. Output: (id, cluster) for EVERY input
+    * id — cluster = min id of its component, singletons labeled with
+    * themselves.
+    */
+  def hammingClusters(sig: DataFrame, idCol: String, hashCol: String,
+                      maxDist: Int): DataFrame = {
+    val s = sig.select(col(idCol).as("id"), col(hashCol).as("sh"))
+    val reps = s.groupBy("sh").agg(min("id").as("rep"))
+    val pairs = hammingPairs(reps, "rep", "sh", maxDist)
+      .select("id_a", "id_b")
+    val cc = nearDupClusters(pairs).toDF("rep", "cluster")
+    val repCluster = reps
+      .join(cc, Seq("rep"), "left")
+      .select(col("sh"), col("rep"),
+        coalesce(col("cluster"), col("rep")).as("cluster"))
+    s.join(repCluster.select("sh", "cluster"), Seq("sh"))
+      .select(col("id"), col("cluster"))
+  }
+
+  private def readHammingMeta(ss: SparkSession, path: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(
+      new org.apache.hadoop.fs.Path(path, "_graft_hamming_meta"))
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(metaIn), "UTF-8").trim.toInt
+    finally metaIn.close()
+  }
+
+  /** Incremental batch append into an existing [[buildHammingIndex]]
+    * layout — new signatures land in the SAME (q, qb) partition
+    * scheme (qBuckets from the sidecar, so mixing regimes is
+    * impossible), existing files are never rewritten, and the append
+    * cost is ∝ the batch. The image-corpus ingest shape: hash the new
+    * day's images, append, probe — never re-index the corpus.
+    */
+  def appendToHammingIndex(sig: DataFrame, idCol: String, hashCol: String,
+                           path: String): Unit = {
+    val qBuckets = readHammingMeta(sig.sparkSession, path)
+    sig.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(q =>
+          shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("q", "qv")))
+      .withColumn("qb", pmod(col("qv"), lit(qBuckets.toLong)).cast("int"))
+      .repartition(col("q"), col("qb"))
+      .write.mode("append").partitionBy("q", "qb").parquet(path)
+  }
+
   /** Probe the [[buildHammingIndex]] layout: candidates from quarter
     * equality against ONLY the touched (q, qb) partitions, then the
     * exact `bit_count(xor)` verify — (probe id, indexed id, hamming)
@@ -915,12 +973,7 @@ object DocDedup {
     val ss = probes.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
-    val metaIn = fs.open(
-      new org.apache.hadoop.fs.Path(path, "_graft_hamming_meta"))
-    val qBuckets =
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(metaIn), "UTF-8").trim.toInt
-      finally metaIn.close()
+    val qBuckets = readHammingMeta(ss, path)
     val p = probes.select(col(idCol).as("id_a"), col(hashCol).as("sh_a"))
       .select(col("id_a"), col("sh_a"),
         posexplode(array((0 until 4).map(q =>

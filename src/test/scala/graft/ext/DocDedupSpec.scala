@@ -510,6 +510,62 @@ class DocDedupSpec extends SparkFunSuite {
       s"probe scanned ${scanned.min} of $total buckets — pruning lost")
   }
 
+  test("appendToHammingIndex: appended batch lands in the same layout, " +
+    "probe equals a fresh full build, twins split across the " +
+    "build/append boundary are recalled") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("ham-append")
+    // twins (2k, 2k+1) at hamming 1; bases well-separated
+    def hash(i: Long): Long = (i / 2) * 0x9E3779B97F4A7C15L ^ (i % 2)
+    val all = (0L until 40L).map(i => (i, hash(i))).toDF("doc_id", "h")
+    val evens = all.where(col("doc_id") % 2 === 0)
+    val odds = all.where(col("doc_id") % 2 === 1)
+    // incremental: build from evens, append odds — every twin pair
+    // crosses the boundary, so recall REQUIRES the append to land in
+    // the same partition scheme
+    DocDedup.buildHammingIndex(evens, "doc_id", "h", s"$dir/inc",
+      qBuckets = 8)
+    DocDedup.appendToHammingIndex(odds, "doc_id", "h", s"$dir/inc")
+    DocDedup.buildHammingIndex(all, "doc_id", "h", s"$dir/full",
+      qBuckets = 8)
+    def probe(path: String) =
+      DocDedup.probeHammingIndex(all, "doc_id", "h", path, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaInc = probe(s"$dir/inc")
+    assert(viaInc == probe(s"$dir/full"))
+    // all 20 twin pairs, both orientations
+    assert(viaInc == (0L until 40L by 2)
+      .flatMap(k => Seq((k, k + 1, 1), (k + 1, k, 1))).toSet)
+    // the append created no partition dirs outside the (q, qb) scheme
+    val dirs = new java.io.File(s"$dir/inc").listFiles()
+      .filter(_.getName.startsWith("q=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("qb="))
+    assert(dirs.nonEmpty && dirs.length <= 4 * 8)
+  }
+
+  test("hammingClusters: labels every id, equals CC over the full pair " +
+    "graph despite collapsing identical hashes first") {
+    val s = spark; import s.implicits._
+    // 60 ids over only 6 distinct hashes (10 exact copies each); hashes
+    // 2k and 2k+1 are near (hamming 1) → 3 components of 20 ids
+    def hash(i: Long): Long =
+      ((i % 6) / 2) * 0x9E3779B97F4A7C15L ^ ((i % 6) % 2)
+    val sig = (0L until 60L).map(i => (i, hash(i))).toDF("doc_id", "h")
+    val got = DocDedup.hammingClusters(sig, "doc_id", "h", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 60, "every id must be labeled")
+    // reference: CC over the FULL pair graph (no collapse)
+    val pairs = DocDedup.hammingPairs(sig, "doc_id", "h", 3)
+      .select("id_a", "id_b")
+    val ref = DocDedup.nearDupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 60L).foreach { i =>
+      assert(got(i) == ref.getOrElse(i, i), s"id $i")
+    }
+    // 3 components, labeled by their min ids {0, 2, 4}
+    assert(got.values.toSet == Set(0L, 2L, 4L))
+  }
+
   test("prefixBlockVerify: blocking recalls same-prefix pairs only, " +
     "Levenshtein verdict matches a reference DP on every candidate") {
     val s = spark; import s.implicits._
