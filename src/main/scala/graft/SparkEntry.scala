@@ -2988,6 +2988,74 @@ object SparkEntry {
       graft.ext.DocDedup.hammingClusters(sig, "doc_id", "ahash", 3)
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
+    }),
+
+    // ---- STREAMING IMAGE DEDUP (q106's production shape for the
+    //      image modality): three micro-batches through the persisted
+    //      Hamming index — batch 1 carries tweaked twins of batch 0's
+    //      first half (plus a SECOND copy of image 0, the within-batch
+    //      case), batch 2 twins the rest — every original must be
+    //      matched by its twin from a LATER batch through the pruned
+    //      index probe, across exactly 2 twin-bearing batches.
+    "q137_streaming_image_dedup" -> ((s, dir) => {
+      val png = udf((id: Long) => {
+        val base = id % 1000000
+        Multimodal.syntheticGrayPng(
+          30 + (base % 5).toInt * 7, 26 + (base % 3).toInt * 9, base,
+          tweakMod = if (id >= 1000000) 31 else 0)
+      })
+      val ids = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id").as("id"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-img")
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(tmp.toFile))
+      val inDir = tmp.resolve("in"); val work = tmp.resolve("work")
+      java.nio.file.Files.createDirectories(inDir)
+      def feed(name: String, df: DataFrame, order: Int): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.select(col("id"), png(col("id")).as("blob"))
+          .coalesce(1).write.parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + order * 60000L))
+      }
+      feed("f0", ids, 0)
+      feed("f1", ids.where(col("id") < 20)
+        .select((col("id") + 1000000L).as("id"))
+        .unionByName(ids.where(col("id") === 0)
+          .select((col("id") + 3000000L).as("id"))), 1)
+      feed("f2", ids.where(col("id") >= 20)
+        .select((col("id") + 2000000L).as("id")), 2)
+      graft.streaming.StreamingImageDedup.start(s, inDir.toString,
+          work.toString, maxDist = 3, qBuckets = 16,
+          maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val m = s.read.parquet(s"$work/matches")
+        .select("batch_id", "id_a", "id_b").localCheckpoint()
+      val twinBatches = m
+        .where(col("id_a") >= 1000000L || col("id_b") >= 1000000L)
+        .select("batch_id").distinct().count()
+      val withinOk = m.where(
+        (col("id_a") === 1000000L && col("id_b") === 3000000L) ||
+          (col("id_a") === 3000000L && col("id_b") === 1000000L))
+        .count() > 0
+      val twinPairs = m.where(col("id_a") === col("id_b") + 1000000L ||
+          col("id_a") === col("id_b") + 2000000L)
+        .select(col("id_b").as("doc_id"), lit(true).as("found"))
+        .distinct()
+      ids.select(col("id").as("doc_id"))
+        .join(twinPairs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("found"),
+          lit(withinOk).as("within_ok"),
+          lit(twinBatches).as("n_twin_batches"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5262,6 +5330,15 @@ object SparkEntry {
         |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
         |SELECT sig.doc_id, coalesce(lbl.cluster, sig.doc_id) AS cluster
         |FROM sig LEFT JOIN lbl ON lbl.id = sig.doc_id
-        |ORDER BY sig.doc_id""".stripMargin
+        |ORDER BY sig.doc_id""".stripMargin,
+
+    // the q106 gate shape: every original matched by its later-batch
+    // twin through the pruned index probe, the within-batch double
+    // observed, across exactly the 2 twin-bearing batches
+    "q137_streaming_image_dedup" ->
+      """SELECT doc_id, CAST(1 AS BOOLEAN) AS found,
+        |       CAST(1 AS BOOLEAN) AS within_ok,
+        |       CAST(2 AS BIGINT) AS n_twin_batches
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin
   )
 }

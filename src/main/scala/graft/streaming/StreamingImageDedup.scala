@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import graft.ext.{DocDedup, Multimodal}
+
+/** Incremental IMAGE near-dup detection against a persisted Hamming
+  * index — [[StreamingNearDup]]'s production shape for the image
+  * modality: blobs arrive in micro-batches, each batch is hashed
+  * through the real codec ([[graft.ext.Multimodal.imageHash]]), probed
+  * against the accumulated [[graft.ext.DocDedup.buildHammingIndex]]
+  * layout (partition-pruned read of only the batch's quarter buckets —
+  * never a re-hash or re-join of history), then appended so later
+  * batches dedup against it.
+  *
+  * Simpler state than the text fold: the index rows carry the FULL
+  * 64-bit signature, so the exact `bit_count` verify needs no corpus
+  * payload — state is the index alone. Per-batch cost is hash (∝
+  * batch) + probe (∝ batch) + append (∝ batch), never ∝ history.
+  *
+  * Delivery semantics match [[StreamingNearDup]]: matches are
+  * at-least-once (batch_id-tagged, overwritten per batch directory);
+  * index state is replay-safe — duplicate appended rows collapse in
+  * the probe's `distinct()` before any verdict, so a replayed batch
+  * cannot change later batches' pairs.
+  */
+object StreamingImageDedup {
+
+  /** Layout under `workDir`:
+    *   index/   — (q, qb)-partitioned Hamming index (full hashes)
+    *   matches/ — (id_a, id_b, hamming), batch_id-partitioned
+    */
+  def start(spark: SparkSession, inputDir: String, workDir: String,
+            maxDist: Int, qBuckets: Int = 64,
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val indexPath = s"$workDir/index"
+    val matchesPath = s"$workDir/matches"
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType),
+        StructField("blob", BinaryType))))
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // registry-delta cleanup (the StreamingNearDup pattern): free
+        // every block this batch pinned once its outputs are written
+        val sc = spark.sparkContext
+        val beforeCp = sc.getPersistentRDDs.keySet
+        try {
+          val sig = Multimodal.imageHash(batch, "blob")
+            .where(col("img.ok"))
+            .select(col("id"), col("img.ahash").as("ahash"))
+            .localCheckpoint() // consumed by probe, within, and append
+          val indexExists = fs.exists(
+            new org.apache.hadoop.fs.Path(indexPath, "_graft_hamming_meta"))
+          // cross-batch matches against the accumulated index, plus the
+          // batch's own within-batch pairs (a dup arriving twice in ONE
+          // batch must not be missed)
+          val cross =
+            if (indexExists)
+              DocDedup.probeHammingIndex(sig, "id", "ahash", indexPath,
+                maxDist)
+            else
+              sig.select(col("id").as("id_a"), col("id").as("id_b"),
+                lit(0).as("hamming")).where(lit(false))
+          val within = DocDedup.hammingPairs(sig, "id", "ahash", maxDist)
+          cross.unionByName(within)
+            .write.mode("overwrite")
+            .parquet(s"$matchesPath/batch_id=$batchId")
+          if (indexExists)
+            DocDedup.appendToHammingIndex(sig, "id", "ahash", indexPath)
+          else
+            DocDedup.buildHammingIndex(sig, "id", "ahash", indexPath,
+              qBuckets)
+        } finally {
+          sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
+            .foreach(_.unpersist(false))
+        }
+        ()
+      }
+      .start()
+  }
+}
