@@ -3056,6 +3056,53 @@ object SparkEntry {
           lit(withinOk).as("within_ok"),
           lit(twinBatches).as("n_twin_batches"))
         .orderBy("doc_id")
+    }),
+
+    // ---- MULTIMODAL CORPUS DATASHEET (q116 extended across
+    //      modalities — the one-row release manifest a dataset ships
+    //      with): text token/char totals, image decode/dedup stats
+    //      (distinct perceptual hashes, cluster count under mass
+    //      duplication), audio frame totals and global peak — every
+    //      number composed from the gated operators and predicted
+    //      arithmetically by the oracle.
+    "q138_multimodal_datasheet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+        .select("doc_id", "text")
+      val png = udf((id: Long) => {
+        val base = id % 24
+        if (id % 41 == 0) Array.empty[Byte]
+        else Multimodal.syntheticGrayPng(
+          30 + (base % 5).toInt * 7, 26 + (base % 3).toInt * 9, base)
+      })
+      val wav = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte]
+        else Multimodal.syntheticWav(8000, 100 + (id % 5).toInt * 50, id))
+      val media = docs.select(col("doc_id"),
+        png(col("doc_id")).as("imgblob"), wav(col("doc_id")).as("aud"))
+      val imgs = Multimodal.imageHash(media.select("doc_id", "imgblob"),
+          "imgblob")
+        .select(col("doc_id"), col("img.ahash").as("ahash"),
+          col("img.ok").as("ok"))
+      val okImgs = imgs.where(col("ok"))
+      val imgStats = okImgs.agg(
+        count(lit(1)).as("n_images_ok"),
+        countDistinct(col("ahash")).as("n_distinct_ahash"))
+      val clusters = graft.ext.DocDedup
+        .hammingClusters(okImgs, "doc_id", "ahash", 3)
+        .agg(countDistinct(col("cluster")).as("n_image_clusters"))
+      val audio = Multimodal.decodeAudio(
+          media.select("doc_id", "aud"), "aud")
+        .agg(sum(when(col("audio.ok"), col("audio.n_frames"))
+            .otherwise(0L)).as("audio_frames"),
+          max(when(col("audio.ok"), col("audio.peak")).otherwise(0))
+            .as("audio_peak"))
+      val text = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.ext.TextAnalysis.tokens(col("text"))))
+          .as("n_tokens"),
+        sum(length(col("text"))).as("n_chars"))
+      text.crossJoin(broadcast(imgStats))
+        .crossJoin(broadcast(clusters))
+        .crossJoin(broadcast(audio))
     })
   )
 
@@ -5339,6 +5386,83 @@ object SparkEntry {
       """SELECT doc_id, CAST(1 AS BOOLEAN) AS found,
         |       CAST(1 AS BOOLEAN) AS within_ok,
         |       CAST(2 AS BIGINT) AS n_twin_batches
-        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
+
+    // every datasheet number predicted: token/char sums from the text,
+    // image hashes + clusters replayed arithmetically over the base
+    // formulas, audio frames/peak from the synthesis arithmetic
+    "q138_multimodal_datasheet" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |txt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |           AS n_tokens,
+        |         CAST(sum(len(text)) AS BIGINT) AS n_chars
+        |  FROM docs),
+        |okimg AS (SELECT doc_id, doc_id % 24 AS base FROM docs
+        |          WHERE doc_id % 41 != 0),
+        |g AS (SELECT doc_id, base, 30 + (base % 5) * 7 AS w,
+        |             26 + (base % 3) * 9 AS h FROM okimg),
+        |px AS (
+        |  SELECT doc_id, ((y.y * 8) // h) * 8 + ((x.x * 8) // w) AS c,
+        |         ((x.x * 3 + y.y * 5 + 7) * (1 + base % 13) + base)
+        |           % 256 AS v
+        |  FROM g, generate_series(0, 57) AS x(x),
+        |       generate_series(0, 43) AS y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |cells AS (SELECT doc_id, c, sum(v) // count(*) AS cm
+        |          FROM px GROUP BY doc_id, c),
+        |mm AS (SELECT doc_id, sum(cm) // 64 AS mean
+        |       FROM cells GROUP BY doc_id),
+        |hs AS (
+        |  SELECT cells.doc_id,
+        |         sum(CASE WHEN cm > mean THEN CAST(power(2, c) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM cells JOIN mm USING (doc_id) GROUP BY cells.doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS ahash
+        |  FROM hs),
+        |istat AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_images_ok,
+        |         CAST(count(DISTINCT ahash) AS BIGINT)
+        |           AS n_distinct_ahash
+        |  FROM sig),
+        |rsig AS (SELECT min(doc_id) AS id, ahash FROM sig
+        |         GROUP BY ahash),
+        |e0 AS (
+        |  SELECT a.id AS s, b.id AS d FROM rsig a, rsig b
+        |  WHERE a.id < b.id
+        |    AND bit_count(xor(a.ahash, b.ahash)) <= 3
+        |    AND EXISTS (SELECT 1 FROM generate_series(0, 3) AS q(q)
+        |      WHERE ((a.ahash >> (16 * q.q)) & 65535) =
+        |            ((b.ahash >> (16 * q.q)) & 65535))),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+        |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |cl AS (
+        |  SELECT CAST(count(DISTINCT coalesce(lbl.cluster, rsig.id))
+        |    AS BIGINT) AS n_image_clusters
+        |  FROM rsig LEFT JOIN lbl ON lbl.id = rsig.id),
+        |aud AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS audio_frames,
+        |         CAST(max(pk) AS INTEGER) AS audio_peak
+        |  FROM (
+        |    SELECT d.doc_id, d.n,
+        |           max(abs(((d.doc_id * 2654435761 + i.i * 40503)
+        |             % 65536) - 32768)) AS pk
+        |    FROM (SELECT doc_id, 100 + (doc_id % 5) * 50 AS n
+        |          FROM docs WHERE doc_id % 41 != 0) d,
+        |         generate_series(0, 299) AS i(i)
+        |    WHERE i.i < d.n
+        |    GROUP BY d.doc_id, d.n))
+        |SELECT txt.*, istat.*, cl.*, aud.* FROM txt, istat, cl, aud"""
+        .stripMargin
   )
 }
