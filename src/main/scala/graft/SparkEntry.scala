@@ -3103,6 +3103,39 @@ object SparkEntry {
       text.crossJoin(broadcast(imgStats))
         .crossJoin(broadcast(clusters))
         .crossJoin(broadcast(audio))
+    }),
+
+    // ---- END-TO-END VIDEO DEDUP (the flagship multimodal
+    //      composition): MP4 containers whose mdat frames are REAL
+    //      PNGs → keyframe-byte extraction from the stbl tables
+    //      (sync samples only) → real-codec perceptual hash per
+    //      keyframe → videos paired by sharing BOTH sync-frame hashes.
+    //      Videos are planted in copy-groups of 5 (base = id % 12);
+    //      the oracle replays all three format layers — container
+    //      extents, PNG pixel field, aHash — as pure arithmetic.
+    "q139_video_dedup" -> ((s, dir) => {
+      val mp4 = udf((v: Long) =>
+        if (v % 41 == 0) Array.empty[Byte]
+        else {
+          val base = (v % 12).toInt
+          Multimodal.syntheticMp4("isom", 600, 600L + v % 12, 1,
+            (v % 2).toInt, withSamples = true,
+            samplePayload = (_, j) => Multimodal.syntheticGrayPng(
+              16 + (base % 3) * 8, 16, base * 100 + j * 7))
+        })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      val frames = Multimodal.extractMp4SampleBytes(blobs, "blob",
+        syncOnly = true)
+      val fh = Multimodal.imageHash(frames, "frame")
+        .where(col("img.ok"))
+        .select(col("doc_id"), col("sample_idx"), col("img.ahash").as("h"))
+      val a = fh.toDF("v_a", "j", "h")
+      val b = fh.toDF("v_b", "j", "h")
+      a.join(b, Seq("j", "h")).where(col("v_a") < col("v_b"))
+        .groupBy("v_a", "v_b").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("v_a", "v_b")
     })
   )
 
@@ -5463,6 +5496,47 @@ object SparkEntry {
         |    WHERE i.i < d.n
         |    GROUP BY d.doc_id, d.n))
         |SELECT txt.*, istat.*, cl.*, aud.* FROM txt, istat, cl, aud"""
-        .stripMargin
+        .stripMargin,
+
+    // all three layers replayed: sync frames are j in {0, 2} (the stss
+    // pattern for track 1), the PNG pixel field and aHash are the q130
+    // arithmetic with seed = base*100 + j*7, pairs share both hashes
+    "q139_video_dedup" ->
+      """WITH v AS (
+        |  SELECT doc_id AS vid, doc_id % 12 AS base FROM documents
+        |  WHERE doc_id < 60 AND doc_id % 41 != 0),
+        |fr AS (
+        |  SELECT DISTINCT base, j.j AS j, 16 + (base % 3) * 8 AS w,
+        |         base * 100 + j.j * 7 AS seed
+        |  FROM v, (VALUES (0), (2)) AS j(j)),
+        |px AS (
+        |  SELECT base, j, ((y.y * 8) // 16) * 8 + ((x.x * 8) // w) AS c,
+        |         ((x.x * 3 + y.y * 5 + 7) * (1 + seed % 13) + seed)
+        |           % 256 AS pv
+        |  FROM fr, generate_series(0, 31) AS x(x),
+        |       generate_series(0, 15) AS y(y)
+        |  WHERE x.x < w),
+        |cells AS (SELECT base, j, c, sum(pv) // count(*) AS cm
+        |          FROM px GROUP BY base, j, c),
+        |mm AS (SELECT base, j, sum(cm) // 64 AS mean
+        |       FROM cells GROUP BY base, j),
+        |hs AS (
+        |  SELECT cells.base, cells.j,
+        |         sum(CASE WHEN cm > mean THEN CAST(power(2, c) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM cells JOIN mm USING (base, j)
+        |  GROUP BY cells.base, cells.j),
+        |sig AS (
+        |  SELECT base, j,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS h
+        |  FROM hs),
+        |vf AS (SELECT v.vid, s.j, s.h FROM v JOIN sig s ON s.base = v.base)
+        |SELECT a.vid AS v_a, b.vid AS v_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM vf a JOIN vf b ON a.j = b.j AND a.h = b.h AND a.vid < b.vid
+        |GROUP BY a.vid, b.vid HAVING count(*) >= 2
+        |ORDER BY v_a, v_b""".stripMargin
   )
 }

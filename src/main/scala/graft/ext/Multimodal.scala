@@ -812,10 +812,18 @@ object Multimodal {
     * and mdat holds the actual sample bytes at the ABSOLUTE file
     * offsets stco declares — the layout a sample extractor must invert
     * byte-exactly (q124).
+    *
+    * `samplePayload`, when non-null, supplies the ACTUAL bytes of
+    * sample `(trackId, j)` — e.g. a real PNG per frame, the layout a
+    * real video file has — and stsz/stco/mdat follow the payload
+    * lengths; null keeps the arithmetic `sampleSize`/`sampleByte`
+    * fixture.
     */
   def syntheticMp4(brand: String, timescale: Int, duration: Long,
                    nTraks: Int, variant: Int,
-                   withSamples: Boolean = false): Array[Byte] = {
+                   withSamples: Boolean = false,
+                   samplePayload: (Int, Int) => Array[Byte] = null)
+      : Array[Byte] = {
     require(brand.length == 4 && timescale > 0 && duration >= 0 &&
       duration < (1L << 32) && nTraks >= 0 && (variant == 0 || variant == 1),
       s"bad mp4 spec brand=$brand ts=$timescale dur=$duration " +
@@ -864,8 +872,20 @@ object Multimodal {
         (1 to nTraks).filter(id => chunkPlan(id).length > ci)
           .map(id => (id, ci)))
     }
+    // payload indirection: arithmetic fixture bytes by default, caller
+    // bytes (e.g. a real PNG per frame) when samplePayload is given —
+    // memoized, since sizes are consulted for stsz, chunk accounting,
+    // AND the double moov build
+    val payloadCache =
+      scala.collection.mutable.HashMap.empty[(Int, Int), Array[Byte]]
+    def bytesOf(id: Int, j: Int): Array[Byte] =
+      if (samplePayload == null)
+        Array.tabulate(sampleSize(id, j))(b => sampleByte(id, j, b).toByte)
+      else payloadCache.getOrElseUpdate((id, j), samplePayload(id, j))
+    def sizeOf(id: Int, j: Int): Int =
+      if (samplePayload == null) sampleSize(id, j) else bytesOf(id, j).length
     def chunkBytes(id: Int, ci: Int): Int =
-      chunkPlan(id)(ci).map(sampleSize(id, _)).sum
+      chunkPlan(id)(ci).map(sizeOf(id, _)).sum
     def buildTraks(chunkOffsets: (Int, Int) => Long): Seq[Array[Byte]] =
       (1 to nTraks).map { id =>
         val tkhd = payloadOf { d =>
@@ -897,7 +917,7 @@ object Multimodal {
               z.writeInt(0)                  // sample_size 0 → per-sample
               z.writeInt(SamplesPerTrack)
               (0 until SamplesPerTrack).foreach(j =>
-                z.writeInt(sampleSize(id, j)))
+                z.writeInt(sizeOf(id, j)))
             }
             // stts: run-length (sample_count, sample_delta) — the
             // fixture always has two runs (2 × long, 1 × short)
@@ -995,10 +1015,7 @@ object Multimodal {
       if (!withSamples) Array.fill[Byte](8)(0)
       else chunkSeq.flatMap { case (id, ci) =>
         Seq[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte) ++
-          chunkPlan(id)(ci).flatMap { j =>
-            (0 until sampleSize(id, j)).map(b =>
-              sampleByte(id, j, b).toByte)
-          }
+          chunkPlan(id)(ci).flatMap(j => bytesOf(id, j).toSeq)
       }.toArray
     box("ftyp", ftyp)
     box("moov", moov, large = variant == 1)
@@ -1568,6 +1585,54 @@ object Multimodal {
               new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
                 : Row
             }
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame-byte extraction over a binary MP4/MOV column: one row per
+    * (track, sample) carrying the ACTUAL payload bytes at the stbl-
+    * declared extent — the step that hands real frame bytes to an
+    * image decoder ([[extractMp4Samples]] digests them; this emits
+    * them). With `syncOnly`, keyframes only — the seek-free subset.
+    * A video pipeline composes this with [[imageHash]] for video-level
+    * dedup (q139). Narrow per-partition flatMap; malformed blobs yield
+    * zero rows.
+    */
+  def extractMp4SampleBytes(df: DataFrame, binCol: String,
+                            syncOnly: Boolean = false): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("track_id", IntegerType, nullable = false),
+        StructField("sample_idx", IntegerType, nullable = false),
+        StructField("dts", LongType, nullable = false),
+        StructField("is_sync", BooleanType, nullable = false),
+        StructField("frame", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        mp4SampleTable(bytes) match {
+          case Left(_) => Iterator.empty
+          case Right((samples, _)) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            samples.iterator
+              .filter { case (_, _, _, _, _, _, sync) => !syncOnly || sync }
+              .map { case (t, j, o, sz, dts, _, sync) =>
+                val arr = new Array[Any](nKeep + 5)
+                System.arraycopy(prefix, 0, arr, 0, nKeep)
+                arr(nKeep) = t; arr(nKeep + 1) = j; arr(nKeep + 2) = dts
+                arr(nKeep + 3) = sync
+                arr(nKeep + 4) =
+                  java.util.Arrays.copyOfRange(bytes, o.toInt, o.toInt + sz)
+                new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
+                  : Row
+              }
         }
       }
     }(enc)

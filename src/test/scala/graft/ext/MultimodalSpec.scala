@@ -450,6 +450,44 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("mp4 sample payloads: caller bytes (real PNGs) land at the stbl " +
+    "extents byte-exactly, sync filtering keeps keyframes only, frames " +
+    "decode through the image codec") {
+    def pay(t: Int, j: Int): Array[Byte] =
+      Multimodal.syntheticGrayPng(16 + j * 8, 16, t * 100L + j)
+    for (variant <- Seq(0, 1)) {
+      val blob = Multimodal.syntheticMp4("isom", 600, 7L, 2, variant,
+        withSamples = true, samplePayload = pay)
+      val Right((samples, _)) = Multimodal.mp4SampleTable(blob): @unchecked
+      assert(samples.length == 2 * Multimodal.SamplesPerTrack)
+      samples.foreach { case (t, j, o, sz, _, _, sync) =>
+        val expect = pay(t, j)
+        assert(sz == expect.length, s"track $t sample $j size")
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(blob, o.toInt, o.toInt + sz), expect),
+          s"track $t sample $j bytes variant=$variant")
+        assert(sync == Multimodal.sampleIsSync(t, j))
+        // every frame is a real decodable image at the declared geometry
+        val Right((w, h, _)) = Multimodal.aHashBytes(expect): @unchecked
+        assert(w == 16 + j * 8 && h == 16)
+      }
+    }
+    // DataFrame path: syncOnly keeps exactly the stss keyframes, and
+    // the emitted frame column IS the payload
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Multimodal.syntheticMp4("isom", 600, 7L, 2, 0,
+      withSamples = true, samplePayload = pay))).toDF("id", "blob")
+    val rows = Multimodal.extractMp4SampleBytes(df, "blob", syncOnly = true)
+      .select("track_id", "sample_idx", "frame").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getAs[Array[Byte]](2)))
+    assert(rows.map(_._1).toSet ==
+      (1 to 2).flatMap(t => (0 until 3).filter(Multimodal.sampleIsSync(t, _))
+        .map(j => (t, j))).toSet)
+    rows.foreach { case ((t, j), bytes) =>
+      assert(java.util.Arrays.equals(bytes, pay(t, j)), s"($t,$j)")
+    }
+  }
+
   test("mp4 parser is total: random bytes and random truncations of a " +
     "valid file never throw") {
     val rnd = new scala.util.Random(42)
