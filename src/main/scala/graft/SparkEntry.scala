@@ -3136,6 +3136,24 @@ object SparkEntry {
         .groupBy("v_a", "v_b").agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 2)
         .orderBy("v_a", "v_b")
+    }),
+
+    // ---- GRADIENT HASH (dHash) through the REAL codec: the second
+    //      standard perceptual signature — 9x8 cell grid, bit per
+    //      horizontal brighter-than comparison — computed in the same
+    //      decode pass as aHash and replayed arithmetically like q130.
+    "q140_image_dhash" -> ((s, dir) => {
+      val png = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else Multimodal.syntheticGrayPng(
+          30 + (id % 5).toInt * 7, 26 + (id % 3).toInt * 9, id)
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", png(col("doc_id")))
+      Multimodal.imageHash(blobs, "blob")
+        .select(col("doc_id"), col("img.w").as("w"), col("img.h").as("h"),
+          col("img.dhash").as("dhash"), col("img.ok").as("ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5537,6 +5555,45 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_shared
         |FROM vf a JOIN vf b ON a.j = b.j AND a.h = b.h AND a.vid < b.vid
         |GROUP BY a.vid, b.vid HAVING count(*) >= 2
-        |ORDER BY v_a, v_b""".stripMargin
+        |ORDER BY v_a, v_b""".stripMargin,
+
+    // the dHash recomputed without a codec: 9x8 cell floor-means, bit
+    // per horizontal brighter-than comparison at position cy*8+cx
+    "q140_image_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 30 + (doc_id % 5) * 7 AS w,
+        |         26 + (doc_id % 3) * 9 AS h
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 41 != 0),
+        |px AS (
+        |  SELECT doc_id, w, h, (y.y * 8) // h AS cy, (x.x * 9) // w AS cx,
+        |         ((x.x * 3 + y.y * 5 + 7) * (1 + doc_id % 13) + doc_id)
+        |           % 256 AS v
+        |  FROM d, generate_series(0, 57) AS x(x),
+        |       generate_series(0, 43) AS y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |cells AS (
+        |  SELECT doc_id, w, h, cy, cx, sum(v) // count(*) AS cm
+        |  FROM px GROUP BY doc_id, w, h, cy, cx),
+        |hs AS (
+        |  SELECT l.doc_id, l.w, l.h,
+        |         sum(CASE WHEN l.cm > r.cm
+        |             THEN CAST(power(2, l.cy * 8 + l.cx) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8
+        |  GROUP BY l.doc_id, l.w, l.h),
+        |res AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS dhash, TRUE AS ok
+        |  FROM hs
+        |  UNION ALL
+        |  SELECT doc_id, 0, 0, 0, FALSE FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 = 0)
+        |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+        |       CAST(dhash AS BIGINT) AS dhash, ok
+        |FROM res ORDER BY doc_id""".stripMargin
   )
 }

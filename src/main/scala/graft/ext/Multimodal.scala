@@ -1227,18 +1227,148 @@ object Multimodal {
     Right((w, h, hash))
   }
 
+  /** Difference-hash (dHash) of one decoded image: 9×8 grid of cell
+    * floor-means, bit `cy·8 + cx` set when cell (cy, cx) is brighter
+    * than its right neighbor — the horizontal-gradient signature that
+    * survives monotone brightness/contrast changes better than the
+    * mean-threshold aHash. Same integer-exact contract (generic
+    * `cx = x·9 / w` mapping), so the arithmetic oracle replays it
+    * through the real codec too.
+    */
+  private[ext] def dHashBytes(bytes: Array[Byte])
+      : Either[String, (Int, Int, Long)] = {
+    if (bytes == null || bytes.isEmpty) return Left("empty blob")
+    imageIoInit
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return Left("unrecognized image format")
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 9 || h < 8) return Left("image smaller than 9x8")
+    val ras = img.getRaster
+    val bands = ras.getNumBands
+    val sums = new Array[Long](72)
+    val counts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 9 / w
+        val v =
+          if (bands == 1) ras.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xFF) + 2 * ((rgb >> 8) & 0xFF) +
+              (rgb & 0xFF)) >> 2
+          }
+        val c = cy * 9 + cx
+        sums(c) += v
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val l = sums(cy * 9 + cx) / counts(cy * 9 + cx)
+        val r = sums(cy * 9 + cx + 1) / counts(cy * 9 + cx + 1)
+        if (l > r) hash |= (1L << (cy * 8 + cx))
+        cx += 1
+      }
+      cy += 1
+    }
+    Right((w, h, hash))
+  }
+
   private val imageHashSchema = StructType(
     Seq(StructField("w", IntegerType, nullable = false),
       StructField("h", IntegerType, nullable = false),
       StructField("ahash", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
       StructField("ok", BooleanType, nullable = false),
       StructField("error", StringType, nullable = true)))
 
+  /** Both perceptual hashes from ONE decode and ONE pixel pass — the
+    * form [[imageHash]] runs on the hot path (a second `ImageIO.read`
+    * per image would halve the probe's measured imgs/s). Must agree
+    * bit-for-bit with [[aHashBytes]]/[[dHashBytes]] (spec-pinned).
+    */
+  private[ext] def imageHashesBytes(bytes: Array[Byte])
+      : Either[String, (Int, Int, Long, Long)] = {
+    if (bytes == null || bytes.isEmpty) return Left("empty blob")
+    imageIoInit
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return Left("unrecognized image format")
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 8 || h < 8) return Left("image smaller than 8x8")
+    val ras = img.getRaster
+    val bands = ras.getNumBands
+    val aSums = new Array[Long](64); val aCounts = new Array[Long](64)
+    val dSums = new Array[Long](72); val dCounts = new Array[Long](72)
+    val doD = w >= 9
+    var y = 0
+    while (y < h) {
+      val cy8 = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val v =
+          if (bands == 1) ras.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xFF) + 2 * ((rgb >> 8) & 0xFF) +
+              (rgb & 0xFF)) >> 2
+          }
+        val ca = cy8 * 8 + x * 8 / w
+        aSums(ca) += v; aCounts(ca) += 1
+        if (doD) {
+          val cd = cy8 * 9 + x * 9 / w
+          dSums(cd) += v; dCounts(cd) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val cells = new Array[Long](64)
+    var i = 0
+    var total = 0L
+    while (i < 64) {
+      cells(i) = aSums(i) / aCounts(i); total += cells(i); i += 1
+    }
+    val mean = total / 64
+    var ahash = 0L
+    i = 0
+    while (i < 64) { if (cells(i) > mean) ahash |= (1L << i); i += 1 }
+    var dhash = 0L
+    if (doD) {
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val l = dSums(cy * 9 + cx) / dCounts(cy * 9 + cx)
+          val r = dSums(cy * 9 + cx + 1) / dCounts(cy * 9 + cx + 1)
+          if (l > r) dhash |= (1L << (cy * 8 + cx))
+          cx += 1
+        }
+        cy += 1
+      }
+    }
+    Right((w, h, ahash, dhash))
+  }
+
   /** Perceptual-hash pass over a binary image column — the signature
-    * half of image near-dup dedup (LAION-style pipelines): one 64-bit
-    * aHash per image, Hamming-joinable exactly like SimHash (see
-    * [[graft.ext.DocDedup.hammingPairs]]). Narrow per-partition map,
-    * real codec on executors, error channel in-row.
+    * half of image near-dup dedup (LAION-style pipelines): a 64-bit
+    * mean-threshold aHash AND a 64-bit gradient dHash per image (one
+    * decode, one pixel pass), each Hamming-joinable exactly like
+    * SimHash (see [[graft.ext.DocDedup.hammingPairs]]). Narrow
+    * per-partition map, real codec on executors, error channel in-row;
+    * an image 8px wide (too narrow for the 9-column dHash grid)
+    * carries dhash = 0.
     */
   def imageHash(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
@@ -1247,9 +1377,9 @@ object Multimodal {
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val inner = aHashBytes(r.getAs[Array[Byte]](idx)) match {
-          case Left(e) => Row(0, 0, 0L, false, e)
-          case Right((w, h, hash)) => Row(w, h, hash, true, null)
+        val inner = imageHashesBytes(r.getAs[Array[Byte]](idx)) match {
+          case Left(e) => Row(0, 0, 0L, 0L, false, e)
+          case Right((w, h, ah, dh)) => Row(w, h, ah, dh, true, null)
         }
         Row.fromSeq(r.toSeq :+ inner)
       }

@@ -356,6 +356,40 @@ class MultimodalSpec extends SparkFunSuite {
       Left("image smaller than 8x8"))
     assert(Multimodal.aHashBytes(Array.fill[Byte](64)(33)) ==
       Left("unrecognized image format"))
+    // dHash: the gradient reference — 9x8 grid, bit per horizontal
+    // brighter-than — on gray AND rgb; and the fused one-decode
+    // imageHashesBytes must agree bit-for-bit with both single-hash
+    // functions
+    def refDHash(w: Int, h: Int, px: (Int, Int) => Int): Long = {
+      val sums = new Array[Long](72); val counts = new Array[Long](72)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = (y * 8 / h) * 9 + (x * 9 / w)
+        sums(c) += px(x, y); counts(c) += 1
+      }
+      var acc = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (sums(cy * 9 + cx) / counts(cy * 9 + cx) >
+            sums(cy * 9 + cx + 1) / counts(cy * 9 + cx + 1))
+          acc |= (1L << (cy * 8 + cx))
+      acc
+    }
+    val gray = Multimodal.syntheticGrayPng(30, 26, 7L)
+    val Right((_, _, dg)) = Multimodal.dHashBytes(gray): @unchecked
+    assert(dg == refDHash(30, 26, (x, y) =>
+      (((x * 3 + y * 5 + 7) * (1 + 7 % 13) + 7) % 256).toInt))
+    val Right((_, _, ag2, dg2)) =
+      Multimodal.imageHashesBytes(gray): @unchecked
+    assert(ag2 == hg && dg2 == dg, "fused pass must equal both references")
+    val rgb = Multimodal.syntheticPng(16, 12, 3L)
+    val Right((_, _, dc)) = Multimodal.dHashBytes(rgb): @unchecked
+    val Right((_, _, ac2, dc2)) = Multimodal.imageHashesBytes(rgb): @unchecked
+    assert(ac2 == hc && dc2 == dc)
+    // 8px-wide image: aHash fine, dHash grid impossible → fused pass
+    // reports dhash 0, single-hash form a typed error
+    val narrow = Multimodal.syntheticGrayPng(8, 20, 2L)
+    assert(Multimodal.dHashBytes(narrow) == Left("image smaller than 9x8"))
+    val Right((_, _, _, dn)) = Multimodal.imageHashesBytes(narrow): @unchecked
+    assert(dn == 0L)
   }
 
   test("mp4 sample tables: both encodings yield identical extents, " +
