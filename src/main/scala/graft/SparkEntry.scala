@@ -3154,6 +3154,65 @@ object SparkEntry {
         .select(col("doc_id"), col("img.w").as("w"), col("img.h").as("h"),
           col("img.dhash").as("dhash"), col("img.ok").as("ok"))
         .orderBy("doc_id")
+    }),
+
+    // ---- 64-BIT CHUNK OFFSETS (co64): the offset table any MP4 over
+    //      4 GiB carries instead of stco. doc_id%4>=2 selects co64,
+    //      doc_id%2 the largesize/compact encoding — all four combos
+    //      appear, DECORRELATED, so a parser that reads only stco
+    //      silently drops half the corpus (its traks become
+    //      metadata-only, zero sample rows) and fails the row hash.
+    //      Logical output is identical to q124: the offset width is a
+    //      physical detail the extraction must see through.
+    "q141_mp4_co64" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        val brand = ((id % 3).toInt: @unchecked) match {
+          case 0 => "isom"; case 1 => "mp42"; case 2 => "qt  "
+        }
+        val ts = 600 * (1 + (id % 5).toInt)
+        val full = Multimodal.syntheticMp4(brand, ts,
+          ts.toLong * (1 + id % 11) + id, 1 + (id % 3).toInt,
+          (id % 2).toInt, withSamples = true, useCo64 = id % 4 >= 2)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.take(20)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      Multimodal.extractMp4Samples(blobs, "blob")
+        .orderBy("doc_id", "track_id", "sample_idx")
+    }),
+
+    // ---- PRESENTATION-TIME SAMPLING (ctts + elst): the fixtures
+    //      carry a ctts B-frame reorder (decode 0,1,2 presents 0,2,1)
+    //      and the muxer-standard edit list cancelling the +D ctts
+    //      epoch, so pts = [0, D+E, D] while dts = [0, D, 2D]. The
+    //      "one frame per 150 ticks" policy buckets on pts — a
+    //      dts-bucketing implementation puts sample 2 (not 1) in
+    //      bucket 1, and a no-elst one shifts every bucket: both fail
+    //      the oracle, which states pts arithmetically. co64 and both
+    //      box versions (ctts v0/v1, elst 12/20-byte entries) ride
+    //      along via the same decorrelated doc_id scheme as q141.
+    "q142_mp4_pts_policy" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        val brand = ((id % 3).toInt: @unchecked) match {
+          case 0 => "isom"; case 1 => "mp42"; case 2 => "qt  "
+        }
+        val ts = 600 * (1 + (id % 5).toInt)
+        val full = Multimodal.syntheticMp4(brand, ts,
+          ts.toLong * (1 + id % 11) + id, 1 + (id % 3).toInt,
+          (id % 2).toInt, withSamples = true, useCo64 = id % 4 >= 2,
+          withCtts = true)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.take(20)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      val samples = Multimodal.extractMp4Samples(blobs, "blob")
+      Multimodal.sampleEveryTicks(samples, Seq("doc_id", "track_id"), 150)
+        .select("doc_id", "track_id", "k", "sample_idx", "pts", "dts")
+        .orderBy("doc_id", "track_id", "k")
     })
   )
 
@@ -5013,6 +5072,7 @@ object SparkEntry {
         |       CAST(sample_idx AS INTEGER) AS sample_idx,
         |       CAST(sz AS INTEGER) AS sample_size,
         |       CAST(sample_idx * (90 + 10 * track_id) AS BIGINT) AS dts,
+        |       CAST(sample_idx * (90 + 10 * track_id) AS BIGINT) AS pts,
         |       CAST(CASE WHEN sample_idx < 2 THEN 90 + 10 * track_id
         |            ELSE 50 + 10 * track_id END AS INTEGER) AS dur,
         |       CAST(track_id % 3 = 0 OR sample_idx = 0
@@ -5594,6 +5654,63 @@ object SparkEntry {
         |  WHERE doc_id < 120 AND doc_id % 41 = 0)
         |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
         |       CAST(dhash AS BIGINT) AS dhash, ok
-        |FROM res ORDER BY doc_id""".stripMargin
+        |FROM res ORDER BY doc_id""".stripMargin,
+
+    // logically identical to q124 — the stco/co64 offset width is a
+    // physical detail the extraction sees through; a parser without
+    // co64 drops every doc_id%4>=2 row and fails the hash
+    "q141_mp4_co64" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nt FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT d.doc_id, t.t AS track_id, j.j AS sample_idx,
+        |         8 + (t.t * 7 + j.j * 5) % 9 AS sz
+        |  FROM d, generate_series(1, 3) AS t(t),
+        |       generate_series(0, 2) AS j(j)
+        |  WHERE t.t <= d.nt),
+        |x AS (
+        |  SELECT doc_id, track_id, sample_idx, sz,
+        |         (track_id * 31 + sample_idx * 17 + b.b) % 256 AS v
+        |  FROM s, generate_series(0, 16) AS b(b)
+        |  WHERE b.b < s.sz)
+        |SELECT doc_id, CAST(track_id AS INTEGER) AS track_id,
+        |       CAST(sample_idx AS INTEGER) AS sample_idx,
+        |       CAST(sz AS INTEGER) AS sample_size,
+        |       CAST(sample_idx * (90 + 10 * track_id) AS BIGINT) AS dts,
+        |       CAST(sample_idx * (90 + 10 * track_id) AS BIGINT) AS pts,
+        |       CAST(CASE WHEN sample_idx < 2 THEN 90 + 10 * track_id
+        |            ELSE 50 + 10 * track_id END AS INTEGER) AS dur,
+        |       CAST(track_id % 3 = 0 OR sample_idx = 0
+        |            OR (track_id + sample_idx) % 3 = 0 AS BOOLEAN)
+        |         AS is_sync,
+        |       CAST(sum(v) AS BIGINT) AS byte_sum
+        |FROM x GROUP BY doc_id, track_id, sample_idx, sz
+        |ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // the pts arithmetic of the ctts+elst fixture: with D = 90+10t and
+    // E = 50+10t, pts = [0, D+E, D] while dts = [0, D, 2D]; bucket on
+    // pts // 150, keep the first sample BY PTS per bucket
+    "q142_mp4_pts_policy" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nt FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT d.doc_id, t.t AS track_id, j.j AS sample_idx,
+        |         j.j * (90 + 10 * t.t) AS dts,
+        |         CASE j.j WHEN 0 THEN 0
+        |                  WHEN 1 THEN 140 + 20 * t.t
+        |                  ELSE 90 + 10 * t.t END AS pts
+        |  FROM d, generate_series(1, 3) AS t(t),
+        |       generate_series(0, 2) AS j(j)
+        |  WHERE t.t <= d.nt),
+        |b AS (SELECT *, pts // 150 AS k FROM s)
+        |SELECT doc_id, CAST(track_id AS INTEGER) AS track_id,
+        |       CAST(k AS BIGINT) AS k,
+        |       CAST(arg_min(sample_idx, pts) AS INTEGER) AS sample_idx,
+        |       CAST(min(pts) AS BIGINT) AS pts,
+        |       CAST(arg_min(dts, pts) AS BIGINT) AS dts
+        |FROM b GROUP BY doc_id, track_id, k
+        |ORDER BY doc_id, track_id, k""".stripMargin
   )
 }

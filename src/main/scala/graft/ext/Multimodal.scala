@@ -778,6 +778,25 @@ object Multimodal {
   private[ext] def sampleDur(trackId: Int, j: Int): Int =
     if (j < 2) 90 + 10 * trackId else 50 + 10 * trackId
 
+  /** Composition-offset (ctts) pattern of the `withCtts` fixture:
+    * decode order 0,1,2 PRESENTS as 0,2,1 — the I-P-B reorder real
+    * codecs produce. With D = sampleDur(t,0) and E = sampleDur(t,2),
+    * raw offsets are [D, D+E, 0] (all non-negative, so version-0
+    * legal) and the edit list cancels the +D epoch the way muxers do:
+    * elst media_time = D. Net pts = [0, D+E, D] while dts = [0, D, 2D]
+    * — presentation ≠ decode order, which is exactly what the q142
+    * gate pins.
+    */
+  private[ext] def cttsOffset(trackId: Int, j: Int): Int = {
+    val d = sampleDur(trackId, 0); val e = sampleDur(trackId, 2)
+    if (j == 0) d else if (j == 1) d + e else 0
+  }
+  private[ext] def elstShiftOf(trackId: Int): Long =
+    sampleDur(trackId, 0).toLong
+  private[ext] def ptsOf(trackId: Int, j: Int): Long =
+    j.toLong * sampleDur(trackId, 0) + cttsOffset(trackId, j) -
+      elstShiftOf(trackId)
+
   /** Sync-sample (keyframe) pattern of the fixture. Tracks with
     * `trackId % 3 == 0` OMIT the stss box, which per ISO 14496-12
     * §8.6.2 means every sample is sync — the writer and this formula
@@ -822,7 +841,9 @@ object Multimodal {
   def syntheticMp4(brand: String, timescale: Int, duration: Long,
                    nTraks: Int, variant: Int,
                    withSamples: Boolean = false,
-                   samplePayload: (Int, Int) => Array[Byte] = null)
+                   samplePayload: (Int, Int) => Array[Byte] = null,
+                   useCo64: Boolean = false,
+                   withCtts: Boolean = false)
       : Array[Byte] = {
     require(brand.length == 4 && timescale > 0 && duration >= 0 &&
       duration < (1L << 32) && nTraks >= 0 && (variant == 0 || variant == 1),
@@ -951,11 +972,25 @@ object Multimodal {
                 z.writeInt(first); z.writeInt(n); z.writeInt(1)
               }
             }
+            // chunk-offset table: stco (32-bit) or co64 (64-bit) —
+            // the SAME logical offsets, double entry width; both are
+            // fixed-width, so the double moov build stays valid
             val stco = payloadOf { z =>
               z.writeInt(0)                  // version + flags
               z.writeInt(plan.length)
               plan.indices.foreach(ci =>
-                z.writeInt(chunkOffsets(id, ci).toInt))
+                if (useCo64) z.writeLong(chunkOffsets(id, ci))
+                else z.writeInt(chunkOffsets(id, ci).toInt))
+            }
+            // ctts: version 0 under variant 0, version 1 (signed
+            // offsets — same values here) under variant 1, one
+            // (count=1, offset) entry per sample
+            val ctts = payloadOf { z =>
+              z.writeInt(if (variant == 1) 0x01000000 else 0)
+              z.writeInt(SamplesPerTrack)
+              (0 until SamplesPerTrack).foreach { j =>
+                z.writeInt(1); z.writeInt(cttsOffset(id, j))
+              }
             }
             // stsd: one sample description whose 4cc is the codec —
             // a minimal 16-byte entry (6 reserved + data_ref_index)
@@ -968,13 +1003,18 @@ object Multimodal {
             val stbl = payloadOf { z =>
               z.writeInt(8 + stsd.length); z.writeBytes("stsd"); z.write(stsd)
               z.writeInt(8 + stts.length); z.writeBytes("stts"); z.write(stts)
+              if (withCtts) {
+                z.writeInt(8 + ctts.length); z.writeBytes("ctts")
+                z.write(ctts)
+              }
               if (hasStss(id)) {
                 z.writeInt(8 + stss.length); z.writeBytes("stss")
                 z.write(stss)
               }
               z.writeInt(8 + stsz.length); z.writeBytes("stsz"); z.write(stsz)
               z.writeInt(8 + stsc.length); z.writeBytes("stsc"); z.write(stsc)
-              z.writeInt(8 + stco.length); z.writeBytes("stco"); z.write(stco)
+              z.writeInt(8 + stco.length)
+              z.writeBytes(if (useCo64) "co64" else "stco"); z.write(stco)
             }
             val minf = payloadOf { z =>
               z.writeInt(8 + stbl.length); z.writeBytes("stbl"); z.write(stbl)
@@ -982,8 +1022,32 @@ object Multimodal {
             d.writeInt(8 + minf.length); d.writeBytes("minf"); d.write(minf)
           }
         }
+        // edts/elst: one normal edit whose media_time cancels the ctts
+        // epoch (the standard muxer pattern); version follows variant
+        // so both elst entry widths (12 vs 20 bytes) are exercised
+        val elst = payloadOf { d =>
+          if (variant == 1) {
+            d.writeInt(0x01000000)
+            d.writeInt(1)
+            d.writeLong(duration)            // segment_duration
+            d.writeLong(elstShiftOf(id))     // media_time
+            d.writeShort(1); d.writeShort(0) // rate 1.0
+          } else {
+            d.writeInt(0)
+            d.writeInt(1)
+            d.writeInt(duration.toInt)
+            d.writeInt(elstShiftOf(id).toInt)
+            d.writeShort(1); d.writeShort(0)
+          }
+        }
+        val edts = payloadOf { d =>
+          d.writeInt(8 + elst.length); d.writeBytes("elst"); d.write(elst)
+        }
         payloadOf { d =>
           d.writeInt(8 + tkhd.length); d.writeBytes("tkhd"); d.write(tkhd)
+          if (withCtts && withSamples) {
+            d.writeInt(8 + edts.length); d.writeBytes("edts"); d.write(edts)
+          }
           d.writeInt(8 + mdia.length); d.writeBytes("mdia"); d.write(mdia)
         }
       }
@@ -1043,6 +1107,10 @@ object Multimodal {
   private final val STTS = 0x73747473
   private final val STSS = 0x73747373
   private final val STSD = 0x73747364
+  private final val CO64 = 0x636f3634
+  private final val CTTS = 0x63747473
+  private final val EDTS = 0x65647473
+  private final val ELST = 0x656c7374
   private final val VIDE = 0x76696465
   private final val SOUN = 0x736f756e
 
@@ -1125,8 +1193,12 @@ object Multimodal {
           if (typ == MVHD && !sawMvhd) {
             sawMvhd = true
             val p = pStart.toInt
+            // bounds BEFORE any payload read (never-throw contract):
+            // the version byte itself needs 1 byte, and a version-1
+            // mvhd reads a LONG at payload offset 24 → needs 32
+            if (pEnd - pStart < 1) return fail("truncated box")
             val version = bytes(p) & 0xFF
-            val need = if (version == 1) 28 else 20
+            val need = if (version == 1) 32 else 20
             if (pEnd - pStart < need) return fail("truncated box")
             if (version == 1) { ts = bb.getInt(p + 20); dur = bb.getLong(p + 24) }
             else { ts = bb.getInt(p + 12); dur = bb.getInt(p + 16) & 0xFFFFFFFFL }
@@ -1419,20 +1491,31 @@ object Multimodal {
     * with stsz) are "bad sample table", never a guess; Left(error) on
     * any malformed structure, never an exception.
     */
-  /** Per-track rows of the second element: (track_id, handler 4cc or
+  /** Sample rows of the first element: (track_id, sample_idx,
+    * file_offset, size, dts, pts, dur, is_sync). Chunk offsets come
+    * from stco (32-bit) or co64 (64-bit) — real >4 GiB corpus files
+    * carry co64, so both widths are first-class. pts is the
+    * presentation timestamp: dts + the ctts composition offset (v0
+    * unsigned-but-small / v1 signed, run-length expanded like stts),
+    * shifted by the edit-list epoch — the media_time of the first
+    * non-empty elst entry (the standard initial-offset edit a muxer
+    * writes to compensate B-frame reorder; empty edits with
+    * media_time == -1 are skipped). Absent ctts/elst → pts == dts.
+    *
+    * Per-track rows of the second element: (track_id, handler 4cc or
     * null, codec 4cc from stsd's first sample description or null,
     * n_samples, sum_bytes, total_dur, n_sync) — one row per trak seen,
     * including sample-table-less metadata-only traks (zero counts).
     */
   private[ext] def mp4SampleTable(bytes: Array[Byte])
-      : Either[String, (Seq[(Int, Int, Long, Int, Long, Int, Boolean)],
+      : Either[String, (Seq[(Int, Int, Long, Int, Long, Long, Int, Boolean)],
                         Seq[(Int, String, String, Int, Long, Long, Int)])] = {
     if (bytes == null || bytes.length == 0) return Left("empty blob")
     val c = new BoxCursor(bytes)
     val bb = c.bb
     val end = bytes.length.toLong
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Int, Long, Int, Long, Int, Boolean)]
+      .empty[(Int, Int, Long, Int, Long, Long, Int, Boolean)]
     val trk = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Int, Long, Long, Int)]
     def fourCc(v: Int): String = new String(Array(
@@ -1459,8 +1542,10 @@ object Multimodal {
             var chunkOffs: Array[Long] = null
             var stscRuns: Array[(Int, Int)] = null // (first_chunk, spc)
             var sttsRuns: Array[(Int, Int)] = null // (count, delta)
+            var cttsRuns: Array[(Int, Int)] = null // (count, comp offset)
             var stssNums: Array[Int] = null // 1-based sync numbers
             var sawStss = false
+            var elstShift = 0L // media_time of the first non-empty edit
             var handler = 0
             var codec = 0
             var t2 = c.pStart; val t2End = c.pEnd
@@ -1469,7 +1554,38 @@ object Multimodal {
               if (tNext < 0) return Left(c.errMsg)
               if (c.typ == TKHD && c.pEnd - c.pStart >= 16)
                 trackId = bb.getInt(c.pStart.toInt + 12)
-              else if (c.typ == MDIA) {
+              else if (c.typ == EDTS) {
+                // trak/edts/elst: the edit list that shifts the
+                // presentation timeline. The pipeline-relevant case is
+                // the initial-offset edit (media_time ≥ 0) a muxer
+                // writes to cancel the ctts B-frame offset; empty
+                // edits (media_time == -1) are skipped.
+                var e2 = c.pStart; val e2End = c.pEnd
+                while (e2 < e2End) {
+                  val eNext = c.step(e2, e2End, topLevel = false)
+                  if (eNext < 0) return Left(c.errMsg)
+                  if (c.typ == ELST) {
+                    val p = c.pStart.toInt
+                    if (c.pEnd - c.pStart < 8)
+                      return Left("truncated box")
+                    val ver = bytes(p) & 0xFF
+                    val ne = bb.getInt(p + 4)
+                    val entW = if (ver == 1) 20L else 12L
+                    if (ne < 0 || c.pEnd - c.pStart < 8 + entW * ne)
+                      return Left("truncated box")
+                    var i = 0
+                    var found = false
+                    while (i < ne && !found) {
+                      val mt =
+                        if (ver == 1) bb.getLong(p + 8 + 20 * i + 8)
+                        else bb.getInt(p + 8 + 12 * i + 4).toLong
+                      if (mt >= 0) { elstShift = mt; found = true }
+                      i += 1
+                    }
+                  }
+                  e2 = eNext
+                }
+              } else if (c.typ == MDIA) {
                 var m2 = c.pStart; val m2End = c.pEnd
                 while (m2 < m2End) {
                   val mNext = c.step(m2, m2End, topLevel = false)
@@ -1493,9 +1609,17 @@ object Multimodal {
                             val uniform = bb.getInt(p + 4)
                             val n = bb.getInt(p + 8)
                             if (n < 0) return Left("bad sample table")
-                            if (uniform != 0)
+                            if (uniform != 0) {
+                              // untrusted 32-bit count: every sample is
+                              // `uniform` bytes and must live inside the
+                              // blob, so n·uniform ≤ blob length bounds
+                              // the allocation (a crafted tiny blob
+                              // cannot force a multi-GB Array.fill)
+                              if (uniform < 0 ||
+                                n.toLong * uniform > bytes.length)
+                                return Left("bad sample table")
                               sizes = Array.fill(n)(uniform)
-                            else {
+                            } else {
                               if (c.pEnd - c.pStart < 12 + 4L * n)
                                 return Left("truncated box")
                               sizes = Array.tabulate(n)(j =>
@@ -1520,6 +1644,42 @@ object Multimodal {
                               return Left("truncated box")
                             chunkOffs = Array.tabulate(nc)(i =>
                               bb.getInt(p + 8 + 4 * i) & 0xFFFFFFFFL)
+                          } else if (c.typ == CO64) {
+                            // 64-bit chunk offsets — what any file over
+                            // 4 GiB carries instead of stco; same
+                            // logical table, double entry width
+                            if (c.pEnd - c.pStart < 8)
+                              return Left("truncated box")
+                            val nc = bb.getInt(p + 4)
+                            if (nc < 0 ||
+                              c.pEnd - c.pStart < 8 + 8L * nc)
+                              return Left("truncated box")
+                            chunkOffs = Array.tabulate(nc)(i =>
+                              bb.getLong(p + 8 + 8 * i))
+                          } else if (c.typ == CTTS) {
+                            // composition offsets (run-length like
+                            // stts): v0 offsets are unsigned — reject
+                            // ones that do not fit a signed Int (no
+                            // real timeline shifts by 2^31 ticks);
+                            // v1 offsets are signed
+                            if (c.pEnd - c.pStart < 8)
+                              return Left("truncated box")
+                            val ver = bytes(p) & 0xFF
+                            val n = bb.getInt(p + 4)
+                            if (n < 0 ||
+                              c.pEnd - c.pStart < 8 + 8L * n)
+                              return Left("truncated box")
+                            val runs = new Array[(Int, Int)](n)
+                            var i = 0
+                            while (i < n) {
+                              val cnt = bb.getInt(p + 8 + 8 * i)
+                              val co = bb.getInt(p + 12 + 8 * i)
+                              if (ver == 0 && co < 0)
+                                return Left("bad sample table")
+                              runs(i) = (cnt, co)
+                              i += 1
+                            }
+                            cttsRuns = runs
                           } else if (c.typ == STTS) {
                             if (c.pEnd - c.pStart < 8)
                               return Left("truncated box")
@@ -1585,7 +1745,12 @@ object Multimodal {
                   }
                   a
                 }
-              if (spc.sum != sizes.length)
+              // accumulate in a Long: Int sum of untrusted per-chunk
+              // counts can overflow and alias sizes.length
+              var spcTotal = 0L
+              var spcI = 0
+              while (spcI < spc.length) { spcTotal += spc(spcI); spcI += 1 }
+              if (spcTotal != sizes.length)
                 return Left("bad sample table")
               // stts expansion: run-length (count, delta) → per-sample
               // duration; dts is the running sum. Absent stts →
@@ -1600,6 +1765,23 @@ object Multimodal {
                     return Left("bad sample table")
                   var k = 0
                   while (k < n) { durs(j0 + k) = delta; k += 1 }
+                  j0 += n
+                  i += 1
+                }
+                if (j0 != sizes.length) return Left("bad sample table")
+              }
+              // ctts expansion: per-sample composition offset;
+              // pts = dts + offset − elst shift. Absent ctts → 0.
+              val compOff = new Array[Int](sizes.length)
+              if (cttsRuns != null) {
+                var j0 = 0
+                var i = 0
+                while (i < cttsRuns.length) {
+                  val (n, co) = cttsRuns(i)
+                  if (n < 0 || j0 + n > sizes.length)
+                    return Left("bad sample table")
+                  var k = 0
+                  while (k < n) { compOff(j0 + k) = co; k += 1 }
                   j0 += n
                   i += 1
                 }
@@ -1634,7 +1816,8 @@ object Multimodal {
                   val sz = sizes(j)
                   if (sz < 0 || o2 + sz > bytes.length)
                     return Left("sample out of range")
-                  out += ((trackId, j, o2, sz, dts, durs(j), sync(j)))
+                  out += ((trackId, j, o2, sz, dts,
+                    dts + compOff(j) - elstShift, durs(j), sync(j)))
                   dts += durs(j)
                   o2 += sz
                   j += 1
@@ -1683,6 +1866,7 @@ object Multimodal {
         StructField("sample_idx", IntegerType, nullable = false),
         StructField("sample_size", IntegerType, nullable = false),
         StructField("dts", LongType, nullable = false),
+        StructField("pts", LongType, nullable = false),
         StructField("dur", IntegerType, nullable = false),
         StructField("is_sync", BooleanType, nullable = false),
         StructField("byte_sum", LongType, nullable = false)))
@@ -1703,15 +1887,16 @@ object Multimodal {
             val prefix = new Array[Any](nKeep)
             var i = 0
             while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
-            samples.iterator.map { case (t, j, o, sz, dts, dur, sync) =>
+            samples.iterator.map { case (t, j, o, sz, dts, pts, dur, sync) =>
               var s = 0L
               var b = 0
               while (b < sz) { s += bytes((o + b).toInt) & 0xFF; b += 1 }
-              val arr = new Array[Any](nKeep + 7)
+              val arr = new Array[Any](nKeep + 8)
               System.arraycopy(prefix, 0, arr, 0, nKeep)
               arr(nKeep) = t; arr(nKeep + 1) = j; arr(nKeep + 2) = sz
-              arr(nKeep + 3) = dts; arr(nKeep + 4) = dur
-              arr(nKeep + 5) = sync; arr(nKeep + 6) = s
+              arr(nKeep + 3) = dts; arr(nKeep + 4) = pts
+              arr(nKeep + 5) = dur
+              arr(nKeep + 6) = sync; arr(nKeep + 7) = s
               new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
                 : Row
             }
@@ -1752,8 +1937,8 @@ object Multimodal {
             var i = 0
             while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
             samples.iterator
-              .filter { case (_, _, _, _, _, _, sync) => !syncOnly || sync }
-              .map { case (t, j, o, sz, dts, _, sync) =>
+              .filter { case (_, _, _, _, _, _, _, sync) => !syncOnly || sync }
+              .map { case (t, j, o, sz, dts, _, _, sync) =>
                 val arr = new Array[Any](nKeep + 5)
                 System.arraycopy(prefix, 0, arr, 0, nKeep)
                 arr(nKeep) = t; arr(nKeep + 1) = j; arr(nKeep + 2) = dts
@@ -1824,16 +2009,23 @@ object Multimodal {
     * seek-free variant a pipeline uses when it will not run a decoder
     * forward from the previous keyframe, so a bucket whose samples
     * are all non-sync yields nothing.
+    *
+    * Buckets on `timeCol` — default `pts`, the PRESENTATION timestamp:
+    * "one frame per N ticks" means N ticks of what a viewer sees, and
+    * for B-frame content (ctts reorder) dts-bucketing samples the
+    * wrong frames. Pass `"dts"` explicitly for the decode-order
+    * policy (identical when the track carries no ctts).
     */
   def sampleEveryTicks(samples: DataFrame, keyCols: Seq[String],
                        intervalTicks: Int,
-                       syncOnly: Boolean = false): DataFrame = {
+                       syncOnly: Boolean = false,
+                       timeCol: String = "pts"): DataFrame = {
     require(intervalTicks >= 1, s"interval must be >= 1, got $intervalTicks")
     val eligible = if (syncOnly) samples.where(col("is_sync")) else samples
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((keyCols :+ "k").map(col): _*)
-      .orderBy(col("dts"), col("sample_idx"))
-    eligible.withColumn("k", floor(col("dts") / intervalTicks))
+      .orderBy(col(timeCol), col("sample_idx"))
+    eligible.withColumn("k", floor(col(timeCol) / intervalTicks))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
   }

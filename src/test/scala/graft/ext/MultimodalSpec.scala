@@ -395,9 +395,9 @@ class MultimodalSpec extends SparkFunSuite {
   test("mp4 sample tables: both encodings yield identical extents, " +
     "digests match the synthesis arithmetic, malformed layouts are " +
     "typed errors") {
-    for (n <- Seq(0, 1, 3); variant <- Seq(0, 1)) {
+    for (n <- Seq(0, 1, 3); variant <- Seq(0, 1); co64 <- Seq(false, true)) {
       val blob = Multimodal.syntheticMp4("isom", 600, 42L, n, variant,
-        withSamples = true)
+        withSamples = true, useCo64 = co64)
       val Right((samples, tracks)) =
         Multimodal.mp4SampleTable(blob): @unchecked
       assert(samples.length == n * Multimodal.SamplesPerTrack,
@@ -412,13 +412,15 @@ class MultimodalSpec extends SparkFunSuite {
         assert(dur == (0 until ns).map(Multimodal.sampleDur(t, _)).sum)
         assert(nsync == (0 until ns).count(Multimodal.sampleIsSync(t, _)))
       }
-      samples.foreach { case (t, j, o, sz, dts, dur, sync) =>
+      samples.foreach { case (t, j, o, sz, dts, pts, dur, sync) =>
         assert(sz == Multimodal.sampleSize(t, j))
         // stts run-length expansion: dur from the run covering j, dts
         // is the running duration sum
         assert(dur == Multimodal.sampleDur(t, j), s"track $t sample $j dur")
         assert(dts == (0 until j).map(Multimodal.sampleDur(t, _)).sum,
           s"track $t sample $j dts")
+        // no ctts/elst in this fixture → presentation == decode time
+        assert(pts == dts, s"track $t sample $j pts")
         // stss expansion — including track 3, which OMITS the box and
         // must come back all-sync per the ISO absent-box rule
         assert(sync == Multimodal.sampleIsSync(t, j),
@@ -477,7 +479,7 @@ class MultimodalSpec extends SparkFunSuite {
     (0 until blob.length).foreach { cut =>
       Multimodal.mp4SampleTable(blob.take(cut)) match {
         case Left(_) => ()
-        case Right((ss, _)) => ss.foreach { case (_, _, o, sz, _, _, _) =>
+        case Right((ss, _)) => ss.foreach { case (_, _, o, sz, _, _, _, _) =>
           assert(o + sz <= cut, s"cut=$cut overran")
         }
       }
@@ -494,7 +496,7 @@ class MultimodalSpec extends SparkFunSuite {
         withSamples = true, samplePayload = pay)
       val Right((samples, _)) = Multimodal.mp4SampleTable(blob): @unchecked
       assert(samples.length == 2 * Multimodal.SamplesPerTrack)
-      samples.foreach { case (t, j, o, sz, _, _, sync) =>
+      samples.foreach { case (t, j, o, sz, _, _, _, sync) =>
         val expect = pay(t, j)
         assert(sz == expect.length, s"track $t sample $j size")
         assert(java.util.Arrays.equals(
@@ -520,6 +522,82 @@ class MultimodalSpec extends SparkFunSuite {
     rows.foreach { case ((t, j), bytes) =>
       assert(java.util.Arrays.equals(bytes, pay(t, j)), s"($t,$j)")
     }
+  }
+
+  test("mp4 presentation time: ctts + elst shift pts off dts per the " +
+    "fixture arithmetic across both versions and both offset widths") {
+    for (variant <- Seq(0, 1); co64 <- Seq(false, true)) {
+      val blob = Multimodal.syntheticMp4("isom", 600, 500L, 3, variant,
+        withSamples = true, useCo64 = co64, withCtts = true)
+      val Right((samples, _)) = Multimodal.mp4SampleTable(blob): @unchecked
+      assert(samples.length == 3 * Multimodal.SamplesPerTrack)
+      samples.foreach { case (t, j, o, sz, dts, pts, _, _) =>
+        assert(dts == j.toLong * Multimodal.sampleDur(t, 0))
+        assert(pts == Multimodal.ptsOf(t, j),
+          s"track $t sample $j pts variant=$variant co64=$co64")
+        // extents still land on the right bytes with ctts/elst/co64 in
+        // the box stream (their sizes shift every stco/co64 offset)
+        (0 until sz).foreach { b =>
+          assert((blob((o + b).toInt) & 0xFF) ==
+            Multimodal.sampleByte(t, j, b), s"t=$t j=$j b=$b")
+        }
+      }
+      // the point of the fixture: decode order 0,1,2 PRESENTS as 0,2,1
+      (1 to 3).foreach { t =>
+        val byPts = samples.filter(_._1 == t).sortBy(_._6).map(_._2)
+        assert(byPts == Seq(0, 2, 1), s"track $t presentation order")
+      }
+      // totality with every feature on: truncations are Left or
+      // in-bounds Right, never a throw
+      (0 until blob.length).foreach { cut =>
+        Multimodal.mp4SampleTable(blob.take(cut)) match {
+          case Left(_) => ()
+          case Right((ss, _)) =>
+            ss.foreach { case (_, _, o, sz, _, _, _, _) =>
+              assert(o + sz <= cut, s"cut=$cut overran")
+            }
+        }
+      }
+    }
+  }
+
+  test("mp4 poison-blob hardening: truncated/empty mvhd v1 and stsz " +
+    "allocation bombs are typed errors, never throws or OOM") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bo)
+      o.writeInt(8 + payload.length); o.writeBytes(typ); o.write(payload)
+      o.flush(); bo.toByteArray
+    }
+    val ftyp = box("ftyp",
+      "isom   isomisom".getBytes("US-ASCII"))
+    // mvhd v1 truncated to 28 payload bytes AT END OF BLOB: the
+    // duration long at payload offset 24 needs 32 — the pre-fix parser
+    // read past the blob and threw
+    val mvhd28 = new Array[Byte](28); mvhd28(0) = 1
+    val m1 = Multimodal.decodeMp4Bytes(ftyp ++ box("moov", box("mvhd", mvhd28)))
+    assert(!m1.ok && m1.error == "truncated box")
+    // empty mvhd payload at end of blob: even the version byte is out
+    // of bounds
+    val m0 = Multimodal.decodeMp4Bytes(
+      ftyp ++ box("moov", box("mvhd", Array.empty[Byte])))
+    assert(!m0.ok && m0.error == "truncated box")
+    // v0 still needs only 20 payload bytes
+    val mvhd20 = new Array[Byte](20)
+    assert(Multimodal.decodeMp4Bytes(
+      ftyp ++ box("moov", box("mvhd", mvhd20))).ok)
+    // stsz allocation bomb: a tiny blob declaring uniform-size samples
+    // with a ~2^30 count must be rejected BEFORE allocating, not after
+    // a multi-GB Array.fill
+    val blob = Multimodal.syntheticMp4("isom", 600, 42L, 1, 0,
+      withSamples = true)
+    val at = (0 until blob.length - 4).find(i =>
+      blob(i) == 's' && blob(i + 1) == 't' && blob(i + 2) == 's' &&
+        blob(i + 3) == 'z').get
+    val bomb = blob.clone()
+    bomb(at + 8) = 0x40   // uniform 0 -> 0x40000000
+    bomb(at + 12) = 0x40  // count 3 -> 0x40000003
+    assert(Multimodal.mp4SampleTable(bomb) == Left("bad sample table"))
   }
 
   test("mp4 parser is total: random bytes and random truncations of a " +
