@@ -3213,6 +3213,37 @@ object SparkEntry {
       Multimodal.sampleEveryTicks(samples, Seq("doc_id", "track_id"), 150)
         .select("doc_id", "track_id", "k", "sample_idx", "pts", "dts")
         .orderBy("doc_id", "track_id", "k")
+    }),
+
+    // ---- AUDIO WIDTH/CHANNEL GENERALITY: 8-bit-unsigned / 16 / 24 /
+    //      32-bit PCM and mono/stereo fixtures (decorrelated by
+    //      doc_id), all digested through the REAL javax.sound codec to
+    //      the canonical 16-bit mono view — width mapping (8u:
+    //      (u-128)·256, 24: >>8, 32: >>16) then truncating-mean
+    //      downmix, every step integer arithmetic DuckDB restates. A
+    //      decoder that only handles PCM16 mono zeroes the digests on
+    //      6 of 8 shape combos and fails the hash.
+    "q143_audio_widths" -> ((s, dir) => {
+      val wav = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val bits = Seq(8, 16, 24, 32)((id % 4).toInt)
+          val ch = 1 + ((id % 8) / 4).toInt
+          Multimodal.syntheticWavEx(8000, 300 + (id % 5).toInt * 50, id,
+            bits, ch)
+        })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 160)
+        .select("doc_id").withColumn("blob", wav(col("doc_id")))
+      Multimodal.decodeAudio(blobs, "blob")
+        .select(col("doc_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.bits").as("bits"),
+          col("audio.n_frames").as("n_frames"),
+          col("audio.sample_sum").as("sample_sum"),
+          col("audio.peak").as("peak"),
+          col("audio.ok").as("ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5711,6 +5742,48 @@ object SparkEntry {
         |       CAST(min(pts) AS BIGINT) AS pts,
         |       CAST(arg_min(dts, pts) AS BIGINT) AS dts
         |FROM b GROUP BY doc_id, track_id, k
-        |ORDER BY doc_id, track_id, k""".stripMargin
+        |ORDER BY doc_id, track_id, k""".stripMargin,
+
+    // the canonical 16-bit view restated: width map per sample, then
+    // truncating-mean downmix per frame (DuckDB's // truncates toward
+    // zero exactly like the Java division in the decode loop)
+    "q143_audio_widths" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |              WHEN 2 THEN 24 ELSE 32 END AS bits,
+        |         1 + (doc_id % 8) // 4 AS ch,
+        |         300 + (doc_id % 5) * 50 AS n
+        |  FROM documents WHERE doc_id < 160 AND doc_id % 41 != 0),
+        |k AS (
+        |  SELECT d.doc_id, d.bits, d.ch, kk.k,
+        |         ((d.doc_id * 2654435761 + kk.k * 40503) % 65536) - 32768
+        |           AS r
+        |  FROM d, generate_series(0, 1099) AS kk(k)
+        |  WHERE kk.k < d.n * d.ch),
+        |c AS (
+        |  SELECT doc_id, bits, ch, k // ch AS frame,
+        |         CASE WHEN bits = 8
+        |              THEN CAST(256 * floor(r / 256.0) AS BIGINT)
+        |              ELSE r END AS cv
+        |  FROM k),
+        |f AS (
+        |  SELECT doc_id, bits, ch, frame, sum(cv) // ch AS v
+        |  FROM c GROUP BY doc_id, bits, ch, frame),
+        |res AS (
+        |  SELECT doc_id, 8000 AS sample_rate, ch AS channels, bits,
+        |         count(*) AS n_frames, sum(v) AS sample_sum,
+        |         max(abs(v)) AS peak, TRUE AS ok
+        |  FROM f GROUP BY doc_id, ch, bits
+        |  UNION ALL
+        |  SELECT doc_id, 0, 0, 0, 0, 0, 0, FALSE FROM documents
+        |  WHERE doc_id < 160 AND doc_id % 41 = 0)
+        |SELECT doc_id, CAST(sample_rate AS INTEGER) AS sample_rate,
+        |       CAST(channels AS INTEGER) AS channels,
+        |       CAST(bits AS INTEGER) AS bits,
+        |       CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(sample_sum AS BIGINT) AS sample_sum,
+        |       CAST(peak AS INTEGER) AS peak, ok
+        |FROM res ORDER BY doc_id""".stripMargin
   )
 }

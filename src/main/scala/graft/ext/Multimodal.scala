@@ -609,14 +609,65 @@ object Multimodal {
     buf.array()
   }
 
+  /** Width/channel-general synthetic RIFF/WAVE for the q143 family:
+    * integer PCM at `bits` ∈ {8, 16, 24, 32} and `channels ≥ 1`,
+    * little-endian, 8-bit stored UNSIGNED per the RIFF convention.
+    * Interleaved sample k = frame·channels + ch carries the SAME
+    * arithmetic field as [[syntheticWav]]:
+    * `raw16(k) = ((seed·2654435761 + k·40503) mod 65536) − 32768`,
+    * represented at the target width so the CANONICAL value
+    * ([[canonicalPcmLoop]]) is exactly predictable: 16-bit stores
+    * raw16 (canonical = raw16); 24/32-bit store `raw16 << 8/16`
+    * (canonical = raw16); 8-bit stores `(raw16 >> 8) + 128` unsigned
+    * (canonical = 256·floor(raw16/256) — the quantization an 8-bit
+    * corpus really suffered). `bits = 16, channels = 1` is
+    * byte-identical to [[syntheticWav]].
+    */
+  def syntheticWavEx(sampleRate: Int, nFrames: Int, seed: Long,
+                     bits: Int, channels: Int): Array[Byte] = {
+    require(sampleRate > 0 && nFrames >= 0 && seed >= 0 &&
+      (bits == 8 || bits == 16 || bits == 24 || bits == 32) &&
+      channels >= 1,
+      s"bad wav spec rate=$sampleRate n=$nFrames seed=$seed " +
+        s"bits=$bits ch=$channels")
+    val bps = bits / 8
+    val dataLen = nFrames * channels * bps
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * bps * channels)
+      .putShort((bps * channels).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    val total = nFrames * channels
+    while (k < total) {
+      val raw16 = (((seed * 2654435761L + k * 40503L) % 65536L)
+        - 32768L).toInt
+      if (bps == 1) buf.put((((raw16 >> 8) + 128) & 0xFF).toByte)
+      else if (bps == 2) buf.putShort(raw16.toShort)
+      else if (bps == 3) {
+        val v = raw16 << 8
+        buf.put((v & 0xFF).toByte).put(((v >> 8) & 0xFF).toByte)
+          .put(((v >> 16) & 0xFF).toByte)
+      } else buf.putInt(raw16 << 16)
+      k += 1
+    }
+    buf.array()
+  }
+
   /** Real audio decode through `javax.sound.sampled` (WAV/AU/AIFF —
     * the JDK's built-in SPIs; a real deployment registers ffmpeg-backed
     * SPIs for MP3/FLAC and this code is unchanged, which is the point
     * of the SPI boundary). Per-partition map, no shuffle; the whole
     * PCM stream is read and reduced to (n_frames, sample_sum, peak) so
-    * the gate certifies sample data, not headers. Non-PCM16 streams
-    * report header metadata with the digest fields zeroed rather than
-    * guessing at a sample layout.
+    * the gate certifies sample data, not headers. Digests are over the
+    * canonical 16-bit mono view ([[canonicalPcmLoop]]): identity for
+    * PCM16 mono, width-mapped + channel-downmixed for 8u/24/32-bit and
+    * multi-channel streams (q143). Non-integer-PCM streams (float,
+    * exotic widths) report header metadata with the digest fields
+    * zeroed rather than guessing at a sample layout.
     */
   def decodeAudio(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
@@ -673,45 +724,112 @@ object Multimodal {
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      try {
-        val f = in.getFormat
-        if (f.getEncoding !=
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          f.getSampleSizeInBits != 16) return Seq.empty
-        windowDigestLoop(in, w)
-      } finally in.close()
+      try windowDigestLoop(in, w)
+      finally in.close()
     } catch { case _: Exception => Seq.empty }
 
-  /** The PCM16 windowed-digest loop, remainder-safe: `read()` counts
-    * are NOT assumed sample-aligned — the JDK WAV SPI always aligns,
-    * but third-party SPIs (the ffmpeg deployment path the decodeAudio
-    * scaladoc advertises) may return odd counts, and dropping the odd
-    * byte would shift every later sample by 8 bits. A 1-byte remainder
-    * is carried to the front of the buffer across reads.
+  /** Supported PCM frame layout of an audio stream, or null when the
+    * stream is not integer PCM we can digest: signed 16/24/32-bit
+    * (the widths real WAV corpora carry) or the RIFF-standard UNSIGNED
+    * 8-bit, any channel count ≥ 1, either endianness.
     */
-  private[ext] def windowDigestLoop(
-      in: javax.sound.sampled.AudioInputStream,
-      w: Int): Seq[(Long, Long, Long)] = {
-    val big = in.getFormat.isBigEndian
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    var n = 0L; var s = 0L; var sq = 0L
-    val chunk = new Array[Byte](8192)
+  private[ext] final case class PcmLayout(bytesPerSample: Int,
+    channels: Int, unsigned: Boolean, big: Boolean)
+  private[ext] def pcmLayout(
+      f: javax.sound.sampled.AudioFormat): PcmLayout = {
+    val enc = f.getEncoding
+    val bits = f.getSampleSizeInBits
+    val signedOk =
+      enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        (bits == 16 || bits == 24 || bits == 32)
+    val unsignedOk =
+      enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+        bits == 8
+    if ((!signedOk && !unsignedOk) || f.getChannels < 1) null
+    else PcmLayout(bits / 8, f.getChannels, unsignedOk, f.isBigEndian)
+  }
+
+  /** Streams the CANONICAL 16-BIT MONO view of any supported PCM
+    * stream into `emit`, one value per FRAME: each channel decodes at
+    * its native width, maps into the 16-bit domain (8-bit unsigned:
+    * `(u−128)·256`; 24-bit: arithmetic `>> 8`; 32-bit: `>> 16`; 16-bit:
+    * identity), and channels downmix by TRUNCATING integer mean (the
+    * [[decimateLoop]] division convention, so DuckDB's `//` restates
+    * it verbatim). For PCM16 mono — every pre-existing gate — this is
+    * bit-identical to the raw stream. Returns false without consuming
+    * input when the format is unsupported.
+    *
+    * Remainder-safe: `read()` counts are NOT assumed frame-aligned —
+    * the JDK WAV SPI always aligns, but third-party SPIs (the
+    * ffmpeg deployment path the decodeAudio scaladoc advertises) may
+    * return odd counts, and dropping a partial frame would shift every
+    * later sample. Up to frameBytes−1 remainder bytes are carried to
+    * the front of the buffer across reads.
+    */
+  private[ext] def canonicalPcmLoop(
+      in: javax.sound.sampled.AudioInputStream)(emit: Int => Unit)
+      : Boolean = {
+    val lay = pcmLayout(in.getFormat)
+    if (lay == null) return false
+    val bps = lay.bytesPerSample
+    val nCh = lay.channels
+    val big = lay.big
+    val frameBytes = bps * nCh
+    val chunk = new Array[Byte](8192 + frameBytes)
     var leftover = 0
     var read = in.read(chunk, leftover, chunk.length - leftover)
     while (read > 0) {
       val avail = leftover + read
       var i = 0
-      while (i + 1 < avail) {
-        val v =
-          if (big) ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
-          else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
-        n += 1; s += v; sq += v.toLong * v
-        if (n == w) { out += ((n, s, sq)); n = 0; s = 0; sq = 0 }
-        i += 2
+      while (i + frameBytes <= avail) {
+        var frameSum = 0L
+        var ch = 0
+        while (ch < nCh) {
+          val o = i + ch * bps
+          val v =
+            if (bps == 1) ((chunk(o) & 0xFF) - 128) << 8
+            else if (bps == 2) {
+              if (big) (chunk(o) << 8) | (chunk(o + 1) & 0xFF)
+              else (chunk(o + 1) << 8) | (chunk(o) & 0xFF)
+            } else if (bps == 3) {
+              val raw =
+                if (big) (chunk(o) << 16) | ((chunk(o + 1) & 0xFF) << 8) |
+                  (chunk(o + 2) & 0xFF)
+                else (chunk(o + 2) << 16) | ((chunk(o + 1) & 0xFF) << 8) |
+                  (chunk(o) & 0xFF)
+              raw >> 8
+            } else {
+              val raw =
+                if (big) (chunk(o) << 24) | ((chunk(o + 1) & 0xFF) << 16) |
+                  ((chunk(o + 2) & 0xFF) << 8) | (chunk(o + 3) & 0xFF)
+                else (chunk(o + 3) << 24) | ((chunk(o + 2) & 0xFF) << 16) |
+                  ((chunk(o + 1) & 0xFF) << 8) | (chunk(o) & 0xFF)
+              raw >> 16
+            }
+          frameSum += v
+          ch += 1
+        }
+        emit((frameSum / nCh).toInt) // truncating mean, see scaladoc
+        i += frameBytes
       }
-      leftover = avail - i // 0 or 1
-      if (leftover == 1) chunk(0) = chunk(avail - 1)
+      leftover = avail - i
+      if (leftover > 0) System.arraycopy(chunk, i, chunk, 0, leftover)
       read = in.read(chunk, leftover, chunk.length - leftover)
+    }
+    true
+  }
+
+  /** Windowed digest over the canonical 16-bit mono stream (identity
+    * for the PCM16 mono gates); injectable for the odd-chunk SPI spec.
+    */
+  private[ext] def windowDigestLoop(
+      in: javax.sound.sampled.AudioInputStream,
+      w: Int): Seq[(Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var n = 0L; var s = 0L; var sq = 0L
+    canonicalPcmLoop(in) { v =>
+      n += 1; s += v; sq += v.toLong * v
+      if (n == w) { out += ((n, s, sq)); n = 0; s = 0; sq = 0 }
     }
     if (n > 0) out += ((n, s, sq))
     out.toSeq
@@ -2030,33 +2148,19 @@ object Multimodal {
       .where(col("rn") === 1).drop("rn")
   }
 
-  /** PCM16 full-stream digest (sample count, sum, peak), remainder-
-    * safe across non-sample-aligned `read()` counts — same contract as
-    * [[windowDigestLoop]].
+  /** Full-stream digest (frame count, sum, peak) over the canonical
+    * 16-bit mono view — identity for PCM16 mono, width-mapped and
+    * channel-downmixed otherwise; remainder-safe across
+    * non-frame-aligned `read()` counts ([[canonicalPcmLoop]]).
     */
-  private[ext] def pcm16Digest(
+  private[ext] def pcmDigest(
       in: javax.sound.sampled.AudioInputStream): (Long, Long, Int) = {
-    val big = in.getFormat.isBigEndian
-    var nSamples = 0L; var sum = 0L; var peak = 0
-    val chunk = new Array[Byte](8192)
-    var leftover = 0
-    var read = in.read(chunk, leftover, chunk.length - leftover)
-    while (read > 0) {
-      val avail = leftover + read
-      var i = 0
-      while (i + 1 < avail) {
-        val s =
-          if (big) ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
-          else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
-        nSamples += 1; sum += s
-        if (math.abs(s.toInt) > peak) peak = math.abs(s.toInt)
-        i += 2
-      }
-      leftover = avail - i
-      if (leftover == 1) chunk(0) = chunk(avail - 1)
-      read = in.read(chunk, leftover, chunk.length - leftover)
+    var nFrames = 0L; var sum = 0L; var peak = 0
+    canonicalPcmLoop(in) { v =>
+      nFrames += 1; sum += v
+      if (math.abs(v) > peak) peak = math.abs(v)
     }
-    (nSamples, sum, peak)
+    (nFrames, sum, peak)
   }
 
   /** Integer-factor decimation: each block of `factor` samples
@@ -2064,11 +2168,13 @@ object Multimodal {
     * `/` and DuckDB's `//` both truncate toward zero, so the oracle
     * restates negative-sum blocks exactly (floorDiv would disagree by
     * one on every negative odd-sum block) — the trailing partial
-    * block to the mean of its actual count. Returns a REAL re-encoded WAV at
-    * `rate / factor` the codec path reads back; poison / non-PCM16 /
-    * multi-channel / indivisible-rate inputs degrade to empty bytes
-    * (the resize convention). Remainder-safe against non-aligned
-    * `read()` counts like the digest loops.
+    * block to the mean of its actual count. Operates on the canonical
+    * 16-bit mono view ([[canonicalPcmLoop]]), so 8/24/32-bit and
+    * multi-channel inputs downmix + requantize first and the output is
+    * ALWAYS a PCM16 mono WAV at `rate / factor` the codec path reads
+    * back; poison / non-integer-PCM / indivisible-rate inputs degrade
+    * to empty bytes (the resize convention). Remainder-safe against
+    * non-aligned `read()` counts like the digest loops.
     */
   private[ext] def resampleWavBytes(bytes: Array[Byte],
                                     factor: Int): Array[Byte] = {
@@ -2078,10 +2184,7 @@ object Multimodal {
       in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val f = in.getFormat
-      if (f.getEncoding !=
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
-          f.getSampleRate.toInt % factor != 0)
+      if (pcmLayout(f) == null || f.getSampleRate.toInt % factor != 0)
         return Array.emptyByteArray
       pcmWav(f.getSampleRate.toInt / factor, decimateLoop(in, factor))
     } catch {
@@ -2089,36 +2192,22 @@ object Multimodal {
     } finally if (in != null) in.close()
   }
 
-  /** The decimation PCM loop, remainder-safe like [[pcm16Digest]] and
-    * injectable for the odd-chunk SPI spec.
+  /** The decimation loop over the canonical 16-bit mono stream,
+    * remainder-safe like [[pcmDigest]] and injectable for the
+    * odd-chunk SPI spec.
     */
   private[ext] def decimateLoop(in: javax.sound.sampled.AudioInputStream,
                                 factor: Int): Array[Short] = {
-    val big = in.getFormat.isBigEndian
     val outBuf = scala.collection.mutable.ArrayBuffer.empty[Short]
     var blockSum = 0L
     var blockCount = 0
-    val chunk = new Array[Byte](8192)
-    var leftover = 0
-    var read = in.read(chunk, leftover, chunk.length - leftover)
-    while (read > 0) {
-      val avail = leftover + read
-      var i = 0
-      while (i + 1 < avail) {
-        val s =
-          if (big) ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
-          else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
-        blockSum += s
-        blockCount += 1
-        if (blockCount == factor) {
-          outBuf += (blockSum / factor).toShort
-          blockSum = 0L; blockCount = 0
-        }
-        i += 2
+    canonicalPcmLoop(in) { v =>
+      blockSum += v
+      blockCount += 1
+      if (blockCount == factor) {
+        outBuf += (blockSum / factor).toShort
+        blockSum = 0L; blockCount = 0
       }
-      leftover = avail - i
-      if (leftover == 1) chunk(0) = chunk(avail - 1)
-      read = in.read(chunk, leftover, chunk.length - leftover)
     }
     if (blockCount > 0)
       outBuf += (blockSum / blockCount).toShort
@@ -2153,16 +2242,16 @@ object Multimodal {
         in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val f = in.getFormat
-        val pcm16 =
-          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            f.getSampleSizeInBits == 16
         var sum = 0L
         var peak = 0
         var frames = 0L
-        if (pcm16) {
-          val (nSamples, s, p) = pcm16Digest(in)
+        if (pcmLayout(f) != null) {
+          // any supported integer PCM (8u/16/24/32-bit, any channel
+          // count): digest the canonical 16-bit mono view — identity
+          // for the PCM16 mono gates
+          val (nFrames, s, p) = pcmDigest(in)
           sum = s; peak = p
-          frames = nSamples * 2 / f.getFrameSize
+          frames = nFrames
         } else {
           frames = math.max(in.getFrameLength, 0L)
         }

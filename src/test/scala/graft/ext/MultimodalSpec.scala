@@ -259,11 +259,11 @@ class MultimodalSpec extends SparkFunSuite {
     for (cap <- Seq(1, 3, 7, 4097)) {
       assert(Multimodal.windowDigestLoop(new OddAis(cap), 256) ==
         Multimodal.windowDigestLoop(aligned(), 256), s"cap=$cap windows")
-      assert(Multimodal.pcm16Digest(new OddAis(cap)) ==
-        Multimodal.pcm16Digest(aligned()), s"cap=$cap digest")
+      assert(Multimodal.pcmDigest(new OddAis(cap)) ==
+        Multimodal.pcmDigest(aligned()), s"cap=$cap digest")
     }
     // and the digest matches the synthesis arithmetic, not just itself
-    val (n, s, _) = Multimodal.pcm16Digest(new OddAis(3))
+    val (n, s, _) = Multimodal.pcmDigest(new OddAis(3))
     val expSum = (0 until 777).map(i =>
       ((5L * 2654435761L + i * 40503L) % 65536L) - 32768L).sum
     assert(n == 777L && s == expSum)
@@ -288,6 +288,72 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.resampleWavBytes(wav, 3).isEmpty,
       "8000 % 3 != 0 must degrade, not mis-rate") // indivisible rate
     assert(Multimodal.resampleWavBytes("junk".getBytes("UTF-8"), 4).isEmpty)
+  }
+
+  test("audio width/channel generality: 8u/16/24/32-bit and stereo " +
+    "streams digest to the canonical 16-bit mono arithmetic, at any " +
+    "SPI read() alignment") {
+    import javax.sound.sampled.AudioInputStream
+    def raw16(seed: Long, k: Int): Int =
+      (((seed * 2654435761L + k * 40503L) % 65536L) - 32768L).toInt
+    // canonical per-frame value predicted from the synthesis formula
+    def canon(seed: Long, bits: Int, ch: Int, frame: Int): Int = {
+      val vals = (0 until ch).map { c =>
+        val r = raw16(seed, frame * ch + c)
+        if (bits == 8) (r >> 8) << 8 else r
+      }
+      (vals.map(_.toLong).sum / ch).toInt // truncating mean
+    }
+    for (bits <- Seq(8, 16, 24, 32); ch <- Seq(1, 2); seed <- Seq(5L, 77L)) {
+      val nFrames = 777
+      val wav = Multimodal.syntheticWavEx(8000, nFrames, seed, bits, ch)
+      val meta = Multimodal.decodeWavBytes(wav)
+      val expect = (0 until nFrames).map(canon(seed, bits, ch, _))
+      assert(meta.ok && meta.bits == bits && meta.channels == ch &&
+        meta.nFrames == nFrames, s"bits=$bits ch=$ch")
+      assert(meta.sampleSum == expect.map(_.toLong).sum,
+        s"bits=$bits ch=$ch seed=$seed sum")
+      assert(meta.peak == expect.map(v => math.abs(v)).max,
+        s"bits=$bits ch=$ch seed=$seed peak")
+      // odd-chunk SPI alignment: frame widths up to 8 bytes now, so
+      // the carried remainder can be up to 7 bytes
+      val pcm = wav.drop(44)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        if (bits == 8) javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        else javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, bits, ch, bits / 8 * ch, 8000f, false)
+      class OddAis(cap: Int) extends AudioInputStream(
+          new java.io.ByteArrayInputStream(Array.empty[Byte]), fmt,
+          nFrames) {
+        private var pos = 0
+        override def read(b: Array[Byte], off: Int, len: Int): Int =
+          if (pos >= pcm.length) -1
+          else {
+            val m = math.min(math.min(len, cap), pcm.length - pos)
+            System.arraycopy(pcm, pos, b, off, m); pos += m; m
+          }
+      }
+      for (cap <- Seq(1, 3, 7, 4097))
+        assert(Multimodal.pcmDigest(new OddAis(cap)) ==
+          (nFrames.toLong, expect.map(_.toLong).sum,
+            expect.map(math.abs).max), s"bits=$bits ch=$ch cap=$cap")
+      // resample accepts every width/channel shape and yields a REAL
+      // PCM16 mono WAV whose decode matches the decimated canonical
+      // stream
+      val res = Multimodal.resampleWavBytes(wav, 4)
+      val dec = expect.grouped(4)
+        .map(g => (g.map(_.toLong).sum / g.length).toShort).toSeq
+      val rmeta = Multimodal.decodeWavBytes(res)
+      assert(rmeta.ok && rmeta.sampleRate == 2000 && rmeta.bits == 16 &&
+        rmeta.channels == 1 && rmeta.nFrames == dec.length)
+      assert(rmeta.sampleSum == dec.map(_.toLong).sum,
+        s"bits=$bits ch=$ch resample sum")
+    }
+    // bits=16/ch=1 is byte-identical to the historical writer: every
+    // existing PCM16 gate's fixture is unchanged
+    assert(java.util.Arrays.equals(
+      Multimodal.syntheticWavEx(8000, 777, 5L, 16, 1),
+      Multimodal.syntheticWav(8000, 777, 5L)))
   }
 
   test("mp4: both physical encodings of the same logical metadata " +
