@@ -3244,6 +3244,28 @@ object SparkEntry {
           col("audio.peak").as("peak"),
           col("audio.ok").as("ok"))
         .orderBy("doc_id")
+    }),
+
+    // ---- DCT PERCEPTUAL HASH (pHash) through the REAL codec: the
+    //      third standard signature — 32x32 cell floor-means, integer
+    //      2D DCT-II with the HARD-CODED fixed-point cosine table
+    //      (round(cos(k*pi/64)*4096), shared verbatim with the oracle
+    //      so no runtime cosine exists on either side), top-left 8x8
+    //      coefficients thresholded at the 32nd-smallest non-DC value.
+    //      Computed in the same fused decode pass as aHash/dHash
+    //      (q130/q140); DuckDB replays the full double sum in BIGINT
+    //      and assembles the 64 bits in HUGEINT.
+    "q144_image_phash" -> ((s, dir) => {
+      val png = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte]
+        else Multimodal.syntheticGrayPng(
+          34 + (id % 4).toInt * 6, 33 + (id % 3).toInt * 9, id))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 100)
+        .select("doc_id").withColumn("blob", png(col("doc_id")))
+      Multimodal.imageHash(blobs, "blob")
+        .select(col("doc_id"), col("img.w").as("w"), col("img.h").as("h"),
+          col("img.phash").as("phash"), col("img.ok").as("ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5784,6 +5806,82 @@ object SparkEntry {
         |       CAST(n_frames AS BIGINT) AS n_frames,
         |       CAST(sample_sum AS BIGINT) AS sample_sum,
         |       CAST(peak AS INTEGER) AS peak, ok
+        |FROM res ORDER BY doc_id""".stripMargin,
+
+    // the integer DCT recomputed without a codec: 32x32 cell floor-
+    // means, the SAME 128-entry fixed-point cosine table the kernel
+    // hard-codes (q(k) = round(cos(k*pi/64)*4096) stated as literals),
+    // full double sum per coefficient in BIGINT, median = 32nd
+    // smallest non-DC coefficient, bits assembled in HUGEINT and
+    // wrapped to the signed BIGINT Spark emits
+    "q144_image_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 34 + (doc_id % 4) * 6 AS w,
+        |         33 + (doc_id % 3) * 9 AS h
+        |  FROM documents WHERE doc_id < 100 AND doc_id % 41 != 0),
+        |qt AS (
+        |  SELECT [4096, 4091, 4076, 4052, 4017, 3973, 3920, 3857,
+        |    3784, 3703, 3612, 3513, 3406, 3290, 3166, 3035,
+        |    2896, 2751, 2598, 2440, 2276, 2106, 1931, 1751,
+        |    1567, 1380, 1189, 995, 799, 601, 401, 201,
+        |    0, -201, -401, -601, -799, -995, -1189, -1380,
+        |    -1567, -1751, -1931, -2106, -2276, -2440, -2598, -2751,
+        |    -2896, -3035, -3166, -3290, -3406, -3513, -3612, -3703,
+        |    -3784, -3857, -3920, -3973, -4017, -4052, -4076, -4091,
+        |    -4096, -4091, -4076, -4052, -4017, -3973, -3920, -3857,
+        |    -3784, -3703, -3612, -3513, -3406, -3290, -3166, -3035,
+        |    -2896, -2751, -2598, -2440, -2276, -2106, -1931, -1751,
+        |    -1567, -1380, -1189, -995, -799, -601, -401, -201,
+        |    0, 201, 401, 601, 799, 995, 1189, 1380,
+        |    1567, 1751, 1931, 2106, 2276, 2440, 2598, 2751,
+        |    2896, 3035, 3166, 3290, 3406, 3513, 3612, 3703,
+        |    3784, 3857, 3920, 3973, 4017, 4052, 4076, 4091] AS ql),
+        |px AS (
+        |  SELECT doc_id, w, h, (y.y * 32) // h AS cy, (x.x * 32) // w AS cx,
+        |         ((x.x * 3 + y.y * 5 + 7) * (1 + doc_id % 13) + doc_id)
+        |           % 256 AS v
+        |  FROM d, generate_series(0, 51) AS x(x),
+        |       generate_series(0, 50) AS y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |cells AS (
+        |  SELECT doc_id, w, h, cy, cx, sum(v) // count(*) AS cm
+        |  FROM px GROUP BY doc_id, w, h, cy, cx),
+        |coef AS (
+        |  SELECT c.doc_id, any_value(c.w) AS w, any_value(c.h) AS h,
+        |         u.u, v.v,
+        |         sum(c.cm * qt.ql[((2 * c.cx + 1) * u.u) % 128 + 1]
+        |                  * qt.ql[((2 * c.cy + 1) * v.v) % 128 + 1]) AS cf
+        |  FROM cells c
+        |  CROSS JOIN generate_series(0, 7) AS u(u)
+        |  CROSS JOIN generate_series(0, 7) AS v(v)
+        |  CROSS JOIN qt
+        |  GROUP BY c.doc_id, u.u, v.v),
+        |medv AS (
+        |  SELECT doc_id, cf AS med FROM (
+        |    SELECT doc_id, cf,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY cf)
+        |             AS rn
+        |    FROM coef WHERE NOT (u = 0 AND v = 0))
+        |  WHERE rn = 32),
+        |hs AS (
+        |  SELECT coef.doc_id, any_value(coef.w) AS w,
+        |         any_value(coef.h) AS h,
+        |         sum(CASE WHEN coef.cf > m.med
+        |             THEN CAST(power(2, v * 8 + u) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM coef JOIN medv m USING (doc_id)
+        |  GROUP BY coef.doc_id),
+        |res AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS phash, TRUE AS ok
+        |  FROM hs
+        |  UNION ALL
+        |  SELECT doc_id, 0, 0, 0, FALSE FROM documents
+        |  WHERE doc_id < 100 AND doc_id % 41 = 0)
+        |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+        |       CAST(phash AS BIGINT) AS phash, ok
         |FROM res ORDER BY doc_id""".stripMargin
   )
 }

@@ -1474,21 +1474,153 @@ object Multimodal {
     Right((w, h, hash))
   }
 
+  /** Fixed-point cosine table of the integer DCT behind pHash:
+    * `Q(k) = round(cos(k·π/64)·4096)` for k ∈ [0, 128). HARD-CODED —
+    * the Spark kernel and the DuckDB oracle share these exact
+    * integers, so neither side evaluates a runtime cosine and the
+    * 64-bit hash is replayable to the bit (cos((2x+1)uπ/64) reduces to
+    * Q(((2x+1)·u) mod 128) by periodicity).
+    */
+  private[ext] val DctQ: Array[Int] = Array(
+    4096, 4091, 4076, 4052, 4017, 3973, 3920, 3857,
+    3784, 3703, 3612, 3513, 3406, 3290, 3166, 3035,
+    2896, 2751, 2598, 2440, 2276, 2106, 1931, 1751,
+    1567, 1380, 1189, 995, 799, 601, 401, 201,
+    0, -201, -401, -601, -799, -995, -1189, -1380,
+    -1567, -1751, -1931, -2106, -2276, -2440, -2598, -2751,
+    -2896, -3035, -3166, -3290, -3406, -3513, -3612, -3703,
+    -3784, -3857, -3920, -3973, -4017, -4052, -4076, -4091,
+    -4096, -4091, -4076, -4052, -4017, -3973, -3920, -3857,
+    -3784, -3703, -3612, -3513, -3406, -3290, -3166, -3035,
+    -2896, -2751, -2598, -2440, -2276, -2106, -1931, -1751,
+    -1567, -1380, -1189, -995, -799, -601, -401, -201,
+    0, 201, 401, 601, 799, 995, 1189, 1380,
+    1567, 1751, 1931, 2106, 2276, 2440, 2598, 2751,
+    2896, 3035, 3166, 3290, 3406, 3513, 3612, 3703,
+    3784, 3857, 3920, 3973, 4017, 4052, 4076, 4091)
+
+  /** pHash from a 32×32 grid of integer cell means: integer 2D DCT-II
+    * (fixed-point [[DctQ]] cosines, computed separably — exactly equal
+    * to the full double sum since integer addition commutes), keep the
+    * top-left 8×8 coefficient block, threshold at the MEDIAN of the 63
+    * non-DC coefficients (the 32nd smallest — integer-exact, no
+    * average-of-two), bit `v·8 + u` set when C(u,v) > median
+    * (DC included in the bits, excluded from the median — the standard
+    * pHash convention). The DCT sees shapes, not absolute levels, so
+    * this is the signature that survives blur/rescale where aHash and
+    * dHash drift.
+    */
+  private[ext] def pHashFromCells(g: Array[Long]): Long = {
+    // tmp(u)(y) = Σ_x g(y,x)·Q(((2x+1)u) mod 128)
+    val tmp = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) {
+          s += g(y * 32 + x) * DctQ(((2 * x + 1) * u) & 127)
+          x += 1
+        }
+        tmp(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      u = 0
+      while (u < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) {
+          s += tmp(u)(y) * DctQ(((2 * y + 1) * v) & 127)
+          y += 1
+        }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val nonDc = new Array[Long](63)
+    System.arraycopy(coef, 1, nonDc, 0, 63)
+    java.util.Arrays.sort(nonDc)
+    val med = nonDc(31)
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (coef(i) > med) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Standalone pHash (DCT perceptual hash) of one image: 32×32 cell
+    * floor-means of the luminance field (generic `cx = x·32 / w`
+    * mapping, same band rule as [[aHashBytes]]) → [[pHashFromCells]].
+    * Left(error) for undecodable or sub-32×32 images.
+    */
+  private[ext] def pHashBytes(bytes: Array[Byte])
+      : Either[String, (Int, Int, Long)] = {
+    if (bytes == null || bytes.isEmpty) return Left("empty blob")
+    imageIoInit
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return Left("unrecognized image format")
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 32 || h < 32) return Left("image smaller than 32x32")
+    val ras = img.getRaster
+    val bands = ras.getNumBands
+    val sums = new Array[Long](1024)
+    val counts = new Array[Long](1024)
+    var y = 0
+    while (y < h) {
+      val cy = y * 32 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 32 / w
+        val v =
+          if (bands == 1) ras.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xFF) + 2 * ((rgb >> 8) & 0xFF) +
+              (rgb & 0xFF)) >> 2
+          }
+        val c = cy * 32 + cx
+        sums(c) += v
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val g = new Array[Long](1024)
+    var i = 0
+    while (i < 1024) { g(i) = sums(i) / counts(i); i += 1 }
+    Right((w, h, pHashFromCells(g)))
+  }
+
   private val imageHashSchema = StructType(
     Seq(StructField("w", IntegerType, nullable = false),
       StructField("h", IntegerType, nullable = false),
       StructField("ahash", LongType, nullable = false),
       StructField("dhash", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false),
       StructField("ok", BooleanType, nullable = false),
       StructField("error", StringType, nullable = true)))
 
-  /** Both perceptual hashes from ONE decode and ONE pixel pass — the
-    * form [[imageHash]] runs on the hot path (a second `ImageIO.read`
-    * per image would halve the probe's measured imgs/s). Must agree
-    * bit-for-bit with [[aHashBytes]]/[[dHashBytes]] (spec-pinned).
+  /** All three perceptual hashes (aHash, dHash, pHash) from ONE decode
+    * and ONE pixel pass — the form [[imageHash]] runs on the hot path
+    * (a second `ImageIO.read` per image would halve the probe's
+    * measured imgs/s). Must agree bit-for-bit with [[aHashBytes]] /
+    * [[dHashBytes]] / [[pHashBytes]] (spec-pinned). Images too small
+    * for a grid carry 0 for that hash (dHash needs w ≥ 9, pHash needs
+    * 32×32).
     */
   private[ext] def imageHashesBytes(bytes: Array[Byte])
-      : Either[String, (Int, Int, Long, Long)] = {
+      : Either[String, (Int, Int, Long, Long, Long)] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     imageIoInit
     val img =
@@ -1502,9 +1634,13 @@ object Multimodal {
     val aSums = new Array[Long](64); val aCounts = new Array[Long](64)
     val dSums = new Array[Long](72); val dCounts = new Array[Long](72)
     val doD = w >= 9
+    val doP = w >= 32 && h >= 32
+    val pSums = if (doP) new Array[Long](1024) else null
+    val pCounts = if (doP) new Array[Long](1024) else null
     var y = 0
     while (y < h) {
       val cy8 = y * 8 / h
+      val cy32 = y * 32 / h
       var x = 0
       while (x < w) {
         val v =
@@ -1519,6 +1655,10 @@ object Multimodal {
         if (doD) {
           val cd = cy8 * 9 + x * 9 / w
           dSums(cd) += v; dCounts(cd) += 1
+        }
+        if (doP) {
+          val cp = cy32 * 32 + x * 32 / w
+          pSums(cp) += v; pCounts(cp) += 1
         }
         x += 1
       }
@@ -1548,17 +1688,25 @@ object Multimodal {
         cy += 1
       }
     }
-    Right((w, h, ahash, dhash))
+    var phash = 0L
+    if (doP) {
+      val g = new Array[Long](1024)
+      i = 0
+      while (i < 1024) { g(i) = pSums(i) / pCounts(i); i += 1 }
+      phash = pHashFromCells(g)
+    }
+    Right((w, h, ahash, dhash, phash))
   }
 
   /** Perceptual-hash pass over a binary image column — the signature
     * half of image near-dup dedup (LAION-style pipelines): a 64-bit
-    * mean-threshold aHash AND a 64-bit gradient dHash per image (one
-    * decode, one pixel pass), each Hamming-joinable exactly like
-    * SimHash (see [[graft.ext.DocDedup.hammingPairs]]). Narrow
-    * per-partition map, real codec on executors, error channel in-row;
-    * an image 8px wide (too narrow for the 9-column dHash grid)
-    * carries dhash = 0.
+    * mean-threshold aHash, a 64-bit gradient dHash, AND a 64-bit DCT
+    * pHash per image (one decode, one pixel pass), each
+    * Hamming-joinable exactly like SimHash (see
+    * [[graft.ext.DocDedup.hammingPairs]]). Narrow per-partition map,
+    * real codec on executors, error channel in-row; an image too small
+    * for a grid carries 0 for that hash (dHash needs w ≥ 9, pHash
+    * 32×32).
     */
   def imageHash(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
@@ -1568,8 +1716,8 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val inner = imageHashesBytes(r.getAs[Array[Byte]](idx)) match {
-          case Left(e) => Row(0, 0, 0L, 0L, false, e)
-          case Right((w, h, ah, dh)) => Row(w, h, ah, dh, true, null)
+          case Left(e) => Row(0, 0, 0L, 0L, 0L, false, e)
+          case Right((w, h, ah, dh, ph)) => Row(w, h, ah, dh, ph, true, null)
         }
         Row.fromSeq(r.toSeq :+ inner)
       }

@@ -443,19 +443,70 @@ class MultimodalSpec extends SparkFunSuite {
     val Right((_, _, dg)) = Multimodal.dHashBytes(gray): @unchecked
     assert(dg == refDHash(30, 26, (x, y) =>
       (((x * 3 + y * 5 + 7) * (1 + 7 % 13) + 7) % 256).toInt))
-    val Right((_, _, ag2, dg2)) =
+    val Right((_, _, ag2, dg2, _)) =
       Multimodal.imageHashesBytes(gray): @unchecked
     assert(ag2 == hg && dg2 == dg, "fused pass must equal both references")
     val rgb = Multimodal.syntheticPng(16, 12, 3L)
     val Right((_, _, dc)) = Multimodal.dHashBytes(rgb): @unchecked
-    val Right((_, _, ac2, dc2)) = Multimodal.imageHashesBytes(rgb): @unchecked
+    val Right((_, _, ac2, dc2, _)) = Multimodal.imageHashesBytes(rgb): @unchecked
     assert(ac2 == hc && dc2 == dc)
     // 8px-wide image: aHash fine, dHash grid impossible → fused pass
     // reports dhash 0, single-hash form a typed error
     val narrow = Multimodal.syntheticGrayPng(8, 20, 2L)
     assert(Multimodal.dHashBytes(narrow) == Left("image smaller than 9x8"))
-    val Right((_, _, _, dn)) = Multimodal.imageHashesBytes(narrow): @unchecked
+    val Right((_, _, _, dn, _)) = Multimodal.imageHashesBytes(narrow): @unchecked
     assert(dn == 0L)
+  }
+
+  test("pHash: fused pass equals the standalone DCT hash, the hash " +
+    "matches a from-scratch integer reference, and small images " +
+    "degrade exactly like dHash") {
+    // from-scratch reference: independent cell/DCT/median arithmetic
+    // (full double sum, not the separable factorization the kernel
+    // uses — integer addition commutes, so they must agree exactly)
+    def refPHash(w: Int, h: Int, px: (Int, Int) => Int): Long = {
+      val sums = new Array[Long](1024); val counts = new Array[Long](1024)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = (y * 32 / h) * 32 + (x * 32 / w)
+        sums(c) += px(x, y); counts(c) += 1
+      }
+      val g = (0 until 1024).map(i => sums(i) / counts(i))
+      def q(k: Int) = Multimodal.DctQ(k & 127)
+      val coef = for (v <- 0 until 8; u <- 0 until 8) yield
+        (for (y <- 0 until 32; x <- 0 until 32) yield
+          g(y * 32 + x) * q((2 * x + 1) * u % 128) *
+            q((2 * y + 1) * v % 128)).sum
+      val med = coef.drop(1).sorted.apply(31)
+      coef.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+        if (c > med) acc | (1L << i) else acc
+      }
+    }
+    for ((w, h, seed) <- Seq((44, 39, 7L), (32, 32, 3L), (58, 44, 11L))) {
+      val gray = Multimodal.syntheticGrayPng(w, h, seed)
+      val Right((pw, ph2, p1)) = Multimodal.pHashBytes(gray): @unchecked
+      assert((pw, ph2) == (w, h))
+      val Right((_, _, _, _, p2)) =
+        Multimodal.imageHashesBytes(gray): @unchecked
+      assert(p1 == p2, s"fused != standalone at ${w}x$h seed=$seed")
+      assert(p1 == refPHash(w, h, (x, y) =>
+        (((x * 3 + y * 5 + 7) * (1 + seed % 13) + seed) % 256).toInt),
+        s"kernel != reference at ${w}x$h seed=$seed")
+      // the DCT signature survives the planted near-dup tweak
+      val Right((_, _, pt)) = Multimodal.pHashBytes(
+        Multimodal.syntheticGrayPng(w, h, seed, tweakMod = 31)): @unchecked
+      assert(java.lang.Long.bitCount(p1 ^ pt) <= 6, s"tweak drifted pHash")
+    }
+    // rgb band rule shared with aHash
+    val rgb = Multimodal.syntheticPng(40, 36, 5L)
+    val Right((_, _, pr)) = Multimodal.pHashBytes(rgb): @unchecked
+    val Right((_, _, _, _, pr2)) = Multimodal.imageHashesBytes(rgb): @unchecked
+    assert(pr == pr2)
+    // sub-32x32: standalone is a typed error, fused carries phash 0
+    val small = Multimodal.syntheticGrayPng(30, 26, 7L)
+    assert(Multimodal.pHashBytes(small) == Left("image smaller than 32x32"))
+    val Right((_, _, _, _, ps)) = Multimodal.imageHashesBytes(small): @unchecked
+    assert(ps == 0L)
+    assert(Multimodal.pHashBytes(Array.empty[Byte]) == Left("empty blob"))
   }
 
   test("mp4 sample tables: both encodings yield identical extents, " +
