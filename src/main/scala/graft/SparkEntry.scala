@@ -3266,6 +3266,36 @@ object SparkEntry {
         .select(col("doc_id"), col("img.w").as("w"), col("img.h").as("h"),
           col("img.phash").as("phash"), col("img.ok").as("ok"))
         .orderBy("doc_id")
+    }),
+
+    // ---- BLOCK-CAPPED EDIT-DISTANCE VERIFY: the boilerplate regime
+    //      that pins prefixBlockVerify at corpus scale, gated. The
+    //      corpus plants (a) a 600-doc block sharing one 32-char
+    //      boilerplate prefix — above maxBlock=500, so the operator
+    //      must EXCLUDE it (a stale uncapped impl emits its ~180k
+    //      pairs and hash-mismatches), and (b) a 100-doc shared-prefix
+    //      block sitting between saltThreshold=64 and the cap, so its
+    //      4,950 pairs route through the SALTED tier — which must be
+    //      exact (each pair once, none dropped). Natural docs + edited
+    //      twins keep the plain-join tier live. DuckDB restates the
+    //      cap as a window count filter and replays every Levenshtein.
+    "q149_editdist_blockcap" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .where(col("doc_id") < 200 && length(col("text")) >= 60)
+        .select("doc_id", "text")
+      val edited = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(substring(col("text"), 1, 40), lit("#"),
+          expr("substr(text, 42)")).as("text"))
+      val hot = s.range(0, 600).select((col("id") + 200000).as("doc_id"),
+        concat(lit("COOKIE-BANNER-BOILERPLATE-PREFIX-"),
+          col("id").cast("string")).as("text"))
+      val med = s.range(0, 100).select((col("id") + 300000).as("doc_id"),
+        concat(lit("MEDIUM-SHARED-PREFIX-BLOCK-AAAAA"),
+          expr("repeat('x', cast(1 + id % 7 as int))")).as("text"))
+      val uni = base.unionByName(edited).unionByName(hot).unionByName(med)
+      graft.ext.DocDedup.prefixBlockVerify(uni, "doc_id", "text", 32, 2,
+          maxBlock = 500, saltThreshold = 64, saltFactor = 8)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5882,6 +5912,38 @@ object SparkEntry {
         |  WHERE doc_id < 100 AND doc_id % 41 = 0)
         |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
         |       CAST(phash AS BIGINT) AS phash, ok
-        |FROM res ORDER BY doc_id""".stripMargin
+        |FROM res ORDER BY doc_id""".stripMargin,
+
+    // the block cap restated as a window count filter; every surviving
+    // candidate pair replays the full Levenshtein cross-impl
+    "q149_editdist_blockcap" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 200 AND len(text) >= 60),
+        |edited AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         substr(text, 1, 40) || '#' || substr(text, 42) AS text
+        |  FROM base),
+        |hot AS (
+        |  SELECT 200000 + g AS doc_id,
+        |         'COOKIE-BANNER-BOILERPLATE-PREFIX-' || CAST(g AS VARCHAR)
+        |           AS text
+        |  FROM generate_series(0, 599) t(g)),
+        |med AS (
+        |  SELECT 300000 + g AS doc_id,
+        |         'MEDIUM-SHARED-PREFIX-BLOCK-AAAAA'
+        |           || repeat('x', CAST(1 + g % 7 AS INTEGER)) AS text
+        |  FROM generate_series(0, 99) t(g)),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM edited
+        |      UNION ALL SELECT * FROM hot UNION ALL SELECT * FROM med),
+        |c AS (SELECT doc_id, text, substr(text, 1, 32) AS pfx,
+        |             COUNT(*) OVER (PARTITION BY substr(text, 1, 32)) AS bc
+        |      FROM u),
+        |k AS (SELECT * FROM c WHERE bc <= 500)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
+        |       levenshtein(a.text, b.text) <= 2 AS is_dup
+        |FROM k a JOIN k b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

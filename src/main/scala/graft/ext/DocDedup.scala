@@ -965,9 +965,19 @@ object DocDedup {
     * exact `bit_count(xor)` verify — (probe id, indexed id, hamming)
     * with the [[hammingPairs]] recall guarantee (complete to distance
     * 3). Probe cost ∝ probe set, never ∝ index size.
+    *
+    * The "probe ∝ batch" contract is ENFORCED, not assumed: the
+    * exploded probe side (4 rows per signature) is broadcast only
+    * while it holds ≤ `broadcastLimit` rows; above that the join
+    * falls back to a shuffle join — same partition-pruned scan, same
+    * result — instead of dying inside an oversized broadcast with an
+    * opaque executor OOM.
     */
   def probeHammingIndex(probes: DataFrame, idCol: String, hashCol: String,
-                        path: String, maxDist: Int): DataFrame = {
+                        path: String, maxDist: Int,
+                        broadcastLimit: Long = 4L << 20): DataFrame = {
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
     require(maxDist >= 0 && maxDist <= 3,
       s"quarter blocking guarantees recall only to distance 3, got $maxDist")
     val ss = probes.sparkSession
@@ -982,7 +992,7 @@ object DocDedup {
       .withColumn("qb", pmod(col("qv"), lit(qBuckets.toLong)).cast("int"))
       .persist()
     try {
-      p.count()
+      val nProbeRows = p.count()
       def emptyResult = probes.select(col(idCol).as("id_a"),
           col(idCol).as("id_b"), lit(0).as("hamming")).where(lit(false))
       val coords = p.select("q", "qb").distinct().collect()
@@ -994,8 +1004,9 @@ object DocDedup {
       val bucketFilter = (col("q").cast("long") * 4096L +
         col("qb").cast("long")).isin(
         coords.map { case (q, b) => q.toLong * 4096L + b }.toSeq: _*)
+      val probeSide = if (nProbeRows <= broadcastLimit) broadcast(p) else p
       ss.read.parquet(path).where(bucketFilter)
-        .join(broadcast(p), Seq("q", "qv"))
+        .join(probeSide, Seq("q", "qv"))
         .where(col("id_a") =!= col("id"))
         .select(col("id_a"), col("id").as("id_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh"))).as("hamming"))
@@ -1007,27 +1018,77 @@ object DocDedup {
   /** Prefix-blocked candidate generation + exact edit-distance
     * verification — the classic blocking/sorted-neighborhood dedup
     * shape: candidates are pairs agreeing on the first `prefixLen`
-    * characters (ONE equi-join on the prefix key — never all-pairs),
+    * characters (keyed equi-joins on the prefix — never all-pairs),
     * and each candidate pays the full Levenshtein DP, the exact
     * verify step every fuzzy-matching pipeline ends with. Emits every
     * candidate with its distance and the `is_dup = dist <= maxDist`
     * verdict, so a gate covers both the accept and reject branches.
-    * Scale: the join is a plain hash join on the prefix; a hot prefix
-    * (boilerplate openings) concentrates its block on one reducer —
-    * cap block sizes upstream or route hot keys through
-    * [[graft.operators.SkewJoin]] before verifying at corpus scale.
+    *
+    * Scale (the boilerplate regime): a hot prefix — cookie banners,
+    * license headers, template openings — makes its block quadratic
+    * AND pins it on one reducer. Mechanized here, not left to the
+    * caller:
+    *   - blocks with more than `maxBlock` members are EXCLUDED from
+    *     pairing: a prefix shared by >maxBlock documents is
+    *     non-discriminative boilerplate, and its O(cnt²) Levenshtein
+    *     bill buys nothing. [[oversizedPrefixBlocks]] returns exactly
+    *     the excluded (pfx, cnt) set so a pipeline can quarantine or
+    *     re-block those docs on a longer prefix.
+    *   - blocks between `saltThreshold` and `maxBlock` members pair
+    *     through [[graft.operators.SkewJoin.saltedJoin]] (factor
+    *     `saltFactor`): per-reducer work is capped at
+    *     maxBlock²/saltFactor pairs instead of maxBlock² — salting is
+    *     exact, so the output equals the plain join's.
+    *   - the rest (the overwhelming majority) pair on the plain hash
+    *     join. Block membership is decided by ONE map-side-combined
+    *     groupBy(pfx) count whose >saltThreshold survivors are tiny
+    *     (≤ n/saltThreshold rows) and broadcast.
     */
   def prefixBlockVerify(docs: DataFrame, idCol: String, textCol: String,
-                        prefixLen: Int, maxDist: Int): DataFrame = {
+                        prefixLen: Int, maxDist: Int,
+                        maxBlock: Int = 1024, saltThreshold: Int = 64,
+                        saltFactor: Int = 16): DataFrame = {
     require(prefixLen >= 1 && maxDist >= 0,
       s"bad prefixBlockVerify params: prefixLen=$prefixLen maxDist=$maxDist")
-    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
+    require(maxBlock >= 1 && saltThreshold >= 1 && saltFactor >= 1 &&
+      saltThreshold <= maxBlock,
+      s"bad block caps: maxBlock=$maxBlock saltThreshold=$saltThreshold " +
+        s"saltFactor=$saltFactor")
+    val d = docs.select(col(idCol).as("__pid"), col(textCol).as("__ptext"),
       substring(col(textCol), 1, prefixLen).as("pfx"))
-    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("text_b"),
-      substring(col(textCol), 1, prefixLen).as("pfx"))
-    a.join(b, Seq("pfx")).where(col("id_a") < col("id_b"))
+    // one aggregate decides every block's tier; only the rare
+    // >saltThreshold survivors leave the executors (broadcast both ways)
+    val bigCnt = d.groupBy("pfx").agg(count(lit(1)).as("__bc"))
+      .where(col("__bc") > saltThreshold)
+    val hotPfx = broadcast(bigCnt.where(col("__bc") <= maxBlock)
+      .select("pfx"))
+    val anyBig = broadcast(bigCnt.select("pfx"))
+    def sideA(in: DataFrame) = in.select(col("__pid").as("id_a"),
+      col("__ptext").as("text_a"), col("pfx"))
+    def sideB(in: DataFrame) = in.select(col("__pid").as("id_b"),
+      col("__ptext").as("text_b"), col("pfx"))
+    val cold = d.join(anyBig, Seq("pfx"), "left_anti")
+    val hot = d.join(hotPfx, Seq("pfx"), "left_semi")
+    val coldPairs = sideA(cold).join(sideB(cold), Seq("pfx"))
+    val hotPairs = graft.operators.SkewJoin.saltedJoin(
+      sideA(hot), sideB(hot), Seq("pfx"), saltFactor, col("id_a"))
+    coldPairs.unionByName(hotPairs)
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("text_a"), col("text_b")).as("dist"))
       .withColumn("is_dup", col("dist") <= maxDist)
   }
+
+  /** The prefix blocks [[prefixBlockVerify]] excluded — (pfx, cnt)
+    * for every block with more than `maxBlock` members, hottest
+    * first. The quarantine/re-blocking routing surface: at 100 TB the
+    * pipeline re-blocks these docs on a longer prefix (or a content
+    * shingle) instead of paying a non-discriminative O(cnt²) verify.
+    */
+  def oversizedPrefixBlocks(docs: DataFrame, textCol: String,
+                            prefixLen: Int, maxBlock: Int): DataFrame =
+    docs.groupBy(substring(col(textCol), 1, prefixLen).as("pfx"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > maxBlock)
+      .orderBy(desc("cnt"), col("pfx"))
 }

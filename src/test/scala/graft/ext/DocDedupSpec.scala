@@ -604,4 +604,61 @@ class DocDedupSpec extends SparkFunSuite {
     }
     assert(got.count(_._4) == 1) // only (1,2) is within distance 2
   }
+
+  test("prefixBlockVerify block cap: oversized blocks are excluded, " +
+    "the salted tier is exact, oversizedPrefixBlocks reports the cut") {
+    val s = spark; import s.implicits._
+    val boiler = "cookie banner boilerplate pfx 32"  // 32 chars
+    val medium = "a medium shared-prefix block 32c"  // 32 chars
+    val small  = "a small cold-tier prefix here 32"  // 32 chars
+    assert(boiler.length == 32 && medium.length == 32 &&
+      small.length == 32)
+    val d = (
+      (0L until 30L).map(i => (1000L + i, boiler + " v" + (i % 5))) ++
+      (0L until 10L).map(i => (2000L + i, medium + " s" + (i % 3))) ++
+      (0L until 3L).map(i => (3000L + i, small + " t" + i))
+    ).toDF("doc_id", "text")
+    // maxBlock=20 cuts the 30-doc boilerplate block; saltThreshold=4
+    // routes the 10-doc block through the salted tier; the 3-doc block
+    // stays on the plain join
+    val got = DocDedup.prefixBlockVerify(d, "doc_id", "text", 32, 2,
+        maxBlock = 20, saltThreshold = 4, saltFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got.distinct.size == got.size, "a pair emitted twice — " +
+      "the salted tier is not exact")
+    assert(!got.exists(_._1 < 2000L), "oversized boilerplate block " +
+      "must be excluded from pairing")
+    val medPairs = got.filter(_._1 < 3000L)
+    assert(medPairs.toSet == (for {
+      a <- 2000L until 2010L; b <- (a + 1) until 2010L
+    } yield (a, b)).toSet, "salted tier must emit exactly the plain " +
+      "join's pairs")
+    assert(got.count(_._1 >= 3000L) == 3) // C(3,2) from the cold tier
+    val cut = DocDedup.oversizedPrefixBlocks(d, "text", 32, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(cut.toSeq == Seq((boiler, 30L)))
+  }
+
+  test("probeHammingIndex above broadcastLimit: shuffle fallback, " +
+    "result equals the broadcast path, no broadcast hint survives") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("ham-bcast-guard")
+    def hash(i: Long): Long = (i / 2) * 0x9E3779B97F4A7C15L ^ (i % 2)
+    val corpus = (0L until 40L).map(i => (i, hash(i))).toDF("doc_id", "h")
+    DocDedup.buildHammingIndex(corpus, "doc_id", "h", s"$dir/idx",
+      qBuckets = 8)
+    val small = DocDedup.probeHammingIndex(corpus, "doc_id", "h",
+      s"$dir/idx", 3) // default limit: broadcast path
+    val big = DocDedup.probeHammingIndex(corpus, "doc_id", "h",
+      s"$dir/idx", 3, broadcastLimit = 1) // 160 exploded rows > 1
+    assert(small.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"), "small probe must broadcast")
+    assert(!big.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"),
+      "over-limit probe must not carry a broadcast hint")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaBig = rows(big)
+    assert(viaBig == rows(small) && viaBig.nonEmpty)
+  }
 }
