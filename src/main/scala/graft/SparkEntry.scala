@@ -3268,6 +3268,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- IEEE FLOAT32 WAV (fmt tag 3) through the REAL javax.sound
+    //      codec: speech-corpus exports carry float PCM; the canonical
+    //      16-bit view maps each sample by the FIXED-POINT convention
+    //      clamp(trunc(f*32768)). Fixture floats are raw16*gain/32768
+    //      with power-of-two gains — exact in float32 — so the decoded
+    //      digest is the pure integer clamp(raw16*gain) DuckDB
+    //      restates with greatest/least; gains 2 and 4 keep the clamp
+    //      arm load-bearing, stereo keeps the downmix composed. An
+    //      integer-PCM-only decoder zeroes every digest and fails.
+    "q147_audio_float" -> ((s, dir) => {
+      val wav = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte]
+        else Multimodal.syntheticWavEx(8000, 200 + (id % 5).toInt * 40,
+          id, 32, 1 + ((id % 6) / 3).toInt, floatPcm = true,
+          floatGain = 1 << (id % 3).toInt))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", wav(col("doc_id")))
+      Multimodal.decodeAudio(blobs, "blob")
+        .select(col("doc_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.bits").as("bits"),
+          col("audio.n_frames").as("n_frames"),
+          col("audio.sample_sum").as("sample_sum"),
+          col("audio.peak").as("peak"),
+          col("audio.ok").as("ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- BLOCK-CAPPED EDIT-DISTANCE VERIFY: the boilerplate regime
     //      that pins prefixBlockVerify at corpus scale, gated. The
     //      corpus plants (a) a 600-doc block sharing one 32-char
@@ -5912,6 +5941,46 @@ object SparkEntry {
         |  WHERE doc_id < 100 AND doc_id % 41 = 0)
         |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
         |       CAST(phash AS BIGINT) AS phash, ok
+        |FROM res ORDER BY doc_id""".stripMargin,
+
+    // the float fixed-point convention restated: per-sample
+    // clamp(raw16*gain) via greatest/least, then the truncating-mean
+    // downmix and the digest — all integer arithmetic
+    "q147_audio_float" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+        |           AS gain,
+        |         1 + (doc_id % 6) // 3 AS ch,
+        |         200 + (doc_id % 5) * 40 AS n
+        |  FROM documents WHERE doc_id < 150 AND doc_id % 41 != 0),
+        |k AS (
+        |  SELECT d.doc_id, d.gain, d.ch, kk.k,
+        |         ((d.doc_id * 2654435761 + kk.k * 40503) % 65536) - 32768
+        |           AS r
+        |  FROM d, generate_series(0, 719) AS kk(k)
+        |  WHERE kk.k < d.n * d.ch),
+        |c AS (
+        |  SELECT doc_id, gain, ch, k // ch AS frame,
+        |         greatest(-32768, least(32767, r * gain)) AS cv
+        |  FROM k),
+        |f AS (
+        |  SELECT doc_id, ch, frame, sum(cv) // ch AS v
+        |  FROM c GROUP BY doc_id, ch, frame),
+        |res AS (
+        |  SELECT doc_id, 8000 AS sample_rate, ch AS channels, 32 AS bits,
+        |         count(*) AS n_frames, sum(v) AS sample_sum,
+        |         max(abs(v)) AS peak, TRUE AS ok
+        |  FROM f GROUP BY doc_id, ch
+        |  UNION ALL
+        |  SELECT doc_id, 0, 0, 0, 0, 0, 0, FALSE FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 = 0)
+        |SELECT doc_id, CAST(sample_rate AS INTEGER) AS sample_rate,
+        |       CAST(channels AS INTEGER) AS channels,
+        |       CAST(bits AS INTEGER) AS bits,
+        |       CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(sample_sum AS BIGINT) AS sample_sum,
+        |       CAST(peak AS INTEGER) AS peak, ok
         |FROM res ORDER BY doc_id""".stripMargin,
 
     // the block cap restated as a window count filter; every surviving

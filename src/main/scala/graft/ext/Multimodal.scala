@@ -622,21 +622,35 @@ object Multimodal {
     * (canonical = 256·floor(raw16/256) — the quantization an 8-bit
     * corpus really suffered). `bits = 16, channels = 1` is
     * byte-identical to [[syntheticWav]].
+    *
+    * `floatPcm = true` (requires `bits = 32`) writes IEEE float32
+    * (WAVE_FORMAT_IEEE_FLOAT, fmt tag 3) instead: sample value
+    * `raw16·floatGain / 32768` — EXACT in float32 for power-of-two
+    * gains, so the canonical view is the pure integer
+    * `clamp(raw16·floatGain)` and a gain > 1 exercises the clamp arm
+    * with no float rounding anywhere an oracle has to restate.
     */
   def syntheticWavEx(sampleRate: Int, nFrames: Int, seed: Long,
-                     bits: Int, channels: Int): Array[Byte] = {
+                     bits: Int, channels: Int,
+                     floatPcm: Boolean = false,
+                     floatGain: Int = 1): Array[Byte] = {
     require(sampleRate > 0 && nFrames >= 0 && seed >= 0 &&
       (bits == 8 || bits == 16 || bits == 24 || bits == 32) &&
       channels >= 1,
       s"bad wav spec rate=$sampleRate n=$nFrames seed=$seed " +
         s"bits=$bits ch=$channels")
+    require(!floatPcm || (bits == 32 && floatGain >= 1 &&
+      Integer.bitCount(floatGain) == 1),
+      s"floatPcm needs bits=32 and a power-of-two gain, " +
+        s"got bits=$bits gain=$floatGain")
     val bps = bits / 8
     val dataLen = nFrames * channels * bps
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
       .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
-      .putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(16).putShort(if (floatPcm) 3 else 1) // 3 = IEEE_FLOAT
+      .putShort(channels.toShort)
       .putInt(sampleRate).putInt(sampleRate * bps * channels)
       .putShort((bps * channels).toShort).putShort(bits.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
@@ -645,7 +659,8 @@ object Multimodal {
     while (k < total) {
       val raw16 = (((seed * 2654435761L + k * 40503L) % 65536L)
         - 32768L).toInt
-      if (bps == 1) buf.put((((raw16 >> 8) + 128) & 0xFF).toByte)
+      if (floatPcm) buf.putFloat(raw16 * floatGain / 32768.0f)
+      else if (bps == 1) buf.put((((raw16 >> 8) + 128) & 0xFF).toByte)
       else if (bps == 2) buf.putShort(raw16.toShort)
       else if (bps == 3) {
         val v = raw16 << 8
@@ -665,9 +680,10 @@ object Multimodal {
     * the gate certifies sample data, not headers. Digests are over the
     * canonical 16-bit mono view ([[canonicalPcmLoop]]): identity for
     * PCM16 mono, width-mapped + channel-downmixed for 8u/24/32-bit and
-    * multi-channel streams (q143). Non-integer-PCM streams (float,
-    * exotic widths) report header metadata with the digest fields
-    * zeroed rather than guessing at a sample layout.
+    * multi-channel streams (q143), fixed-point-mapped for IEEE float32
+    * (q147). Unsupported layouts (float64, exotic widths) report
+    * header metadata with the digest fields zeroed rather than
+    * guessing at a sample layout.
     */
   def decodeAudio(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
@@ -729,12 +745,13 @@ object Multimodal {
     } catch { case _: Exception => Seq.empty }
 
   /** Supported PCM frame layout of an audio stream, or null when the
-    * stream is not integer PCM we can digest: signed 16/24/32-bit
-    * (the widths real WAV corpora carry) or the RIFF-standard UNSIGNED
-    * 8-bit, any channel count ≥ 1, either endianness.
+    * stream is not PCM we can digest: signed 16/24/32-bit integer
+    * (the widths real WAV corpora carry), the RIFF-standard UNSIGNED
+    * 8-bit, or IEEE float32 (WAVE_FORMAT_IEEE_FLOAT — the speech-corpus
+    * export format), any channel count ≥ 1, either endianness.
     */
   private[ext] final case class PcmLayout(bytesPerSample: Int,
-    channels: Int, unsigned: Boolean, big: Boolean)
+    channels: Int, unsigned: Boolean, big: Boolean, fp: Boolean = false)
   private[ext] def pcmLayout(
       f: javax.sound.sampled.AudioFormat): PcmLayout = {
     val enc = f.getEncoding
@@ -745,15 +762,28 @@ object Multimodal {
     val unsignedOk =
       enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
         bits == 8
-    if ((!signedOk && !unsignedOk) || f.getChannels < 1) null
-    else PcmLayout(bits / 8, f.getChannels, unsignedOk, f.isBigEndian)
+    val floatOk =
+      enc == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT &&
+        bits == 32
+    // channel count is UNTRUSTED header data (a 3rd-party SPI decodes
+    // it from the blob): cap it so frameBytes can never drive a
+    // multi-GB buffer allocation or overflow to a negative size — the
+    // same allocation-bomb class as the stsz uniform-size bound.
+    if ((!signedOk && !unsignedOk && !floatOk) || f.getChannels < 1 ||
+      f.getChannels > 4096) null
+    else PcmLayout(bits / 8, f.getChannels, unsignedOk, f.isBigEndian,
+      fp = floatOk)
   }
 
   /** Streams the CANONICAL 16-BIT MONO view of any supported PCM
     * stream into `emit`, one value per FRAME: each channel decodes at
     * its native width, maps into the 16-bit domain (8-bit unsigned:
     * `(u−128)·256`; 24-bit: arithmetic `>> 8`; 32-bit: `>> 16`; 16-bit:
-    * identity), and channels downmix by TRUNCATING integer mean (the
+    * identity; float32: `f·32768` truncated toward zero then clamped
+    * to [−32768, 32767] — NaN maps to 0, ±Inf clamps — the fixed-point
+    * convention a DuckDB oracle restates as
+    * `greatest(-32768, least(32767, trunc(f*32768)))`), and channels
+    * downmix by TRUNCATING integer mean (the
     * [[decimateLoop]] division convention, so DuckDB's `//` restates
     * it verbatim). For PCM16 mono — every pre-existing gate — this is
     * bit-identical to the raw stream. Returns false without consuming
@@ -804,7 +834,12 @@ object Multimodal {
                   ((chunk(o + 2) & 0xFF) << 8) | (chunk(o + 3) & 0xFF)
                 else (chunk(o + 3) << 24) | ((chunk(o + 2) & 0xFF) << 16) |
                   ((chunk(o + 1) & 0xFF) << 8) | (chunk(o) & 0xFF)
-              raw >> 16
+              if (lay.fp) {
+                val scaled = java.lang.Float.intBitsToFloat(raw) * 32768f
+                if (scaled >= 32767f) 32767
+                else if (scaled <= -32768f) -32768
+                else scaled.toInt // truncates toward zero; NaN -> 0
+              } else raw >> 16
             }
           frameSum += v
           ch += 1
@@ -1940,8 +1975,11 @@ object Multimodal {
                             while (i < n) {
                               val cnt = bb.getInt(p + 8 + 8 * i)
                               val co = bb.getInt(p + 12 + 8 * i)
+                              // distinct reason: a spec-conformant v0
+                              // offset >= 2^31 is dropped DIAGNOSABLY,
+                              // not as a generic bad table
                               if (ver == 0 && co < 0)
-                                return Left("bad sample table")
+                                return Left("ctts v0 offset overflow")
                               runs(i) = (cnt, co)
                               i += 1
                             }

@@ -356,6 +356,78 @@ class MultimodalSpec extends SparkFunSuite {
       Multimodal.syntheticWav(8000, 777, 5L)))
   }
 
+  test("IEEE float32 WAV: fixed-point canonical view clamp(raw16*gain), " +
+    "mono/stereo, any SPI read() alignment, non-finite samples total") {
+    import javax.sound.sampled.AudioInputStream
+    def raw16(seed: Long, k: Int): Int =
+      (((seed * 2654435761L + k * 40503L) % 65536L) - 32768L).toInt
+    def canon(seed: Long, gain: Int, ch: Int, frame: Int): Int = {
+      val vals = (0 until ch).map { c =>
+        val v = raw16(seed, frame * ch + c) * gain
+        math.max(-32768, math.min(32767, v))
+      }
+      (vals.map(_.toLong).sum / ch).toInt
+    }
+    for (gain <- Seq(1, 2, 4); ch <- Seq(1, 2); seed <- Seq(5L, 77L)) {
+      val nFrames = 777
+      val wav = Multimodal.syntheticWavEx(8000, nFrames, seed, 32, ch,
+        floatPcm = true, floatGain = gain)
+      val meta = Multimodal.decodeWavBytes(wav)
+      val expect = (0 until nFrames).map(canon(seed, gain, ch, _))
+      assert(meta.ok && meta.bits == 32 && meta.channels == ch &&
+        meta.nFrames == nFrames, s"gain=$gain ch=$ch")
+      assert(meta.sampleSum == expect.map(_.toLong).sum,
+        s"gain=$gain ch=$ch seed=$seed sum")
+      assert(meta.peak == expect.map(math.abs).max,
+        s"gain=$gain ch=$ch seed=$seed peak")
+      if (gain > 1 && ch == 1)
+        assert(expect.exists(v => v == 32767 || v == -32768),
+          s"gain=$gain must exercise the clamp arm")
+      // odd-chunk SPI alignment through the float path
+      val pcm = wav.drop(44)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT,
+        8000f, 32, ch, 4 * ch, 8000f, false)
+      class OddAis(cap: Int) extends AudioInputStream(
+          new java.io.ByteArrayInputStream(Array.empty[Byte]), fmt,
+          nFrames) {
+        private var pos = 0
+        override def read(b: Array[Byte], off: Int, len: Int): Int =
+          if (pos >= pcm.length) -1
+          else {
+            val m = math.min(math.min(len, cap), pcm.length - pos)
+            System.arraycopy(pcm, pos, b, off, m); pos += m; m
+          }
+      }
+      for (cap <- Seq(1, 3, 7, 4097))
+        assert(Multimodal.pcmDigest(new OddAis(cap)) ==
+          (nFrames.toLong, expect.map(_.toLong).sum,
+            expect.map(math.abs).max), s"gain=$gain ch=$ch cap=$cap")
+      // resample composes: float stream -> canonical view -> PCM16 WAV
+      val res = Multimodal.resampleWavBytes(wav, 4)
+      val dec = expect.grouped(4)
+        .map(g => (g.map(_.toLong).sum / g.length).toShort).toSeq
+      val rmeta = Multimodal.decodeWavBytes(res)
+      assert(rmeta.ok && rmeta.sampleRate == 2000 && rmeta.bits == 16 &&
+        rmeta.nFrames == dec.length &&
+        rmeta.sampleSum == dec.map(_.toLong).sum, s"gain=$gain ch=$ch")
+    }
+    // non-finite samples are TOTAL, not throws: NaN -> 0, +Inf -> 32767,
+    // -Inf -> -32768 (the clamp convention, applied before any mean)
+    val base = Multimodal.syntheticWavEx(8000, 4, 9L, 32, 1,
+      floatPcm = true)
+    val bb = java.nio.ByteBuffer.wrap(base)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(44, Float.NaN)
+    bb.putFloat(48, Float.PositiveInfinity)
+    bb.putFloat(52, Float.NegativeInfinity)
+    val m = Multimodal.decodeWavBytes(base)
+    val last = raw16(9L, 3)
+    assert(m.ok && m.nFrames == 4 &&
+      m.sampleSum == 0L + 32767L - 32768L + last &&
+      m.peak == math.max(32768, math.abs(last)))
+  }
+
   test("mp4: both physical encodings of the same logical metadata " +
     "parse identically; poison blobs come back as typed in-row errors") {
     for (ts <- Seq(600, 3000); dur <- Seq(0L, 33299L); n <- Seq(0, 3);
@@ -715,6 +787,33 @@ class MultimodalSpec extends SparkFunSuite {
     bomb(at + 8) = 0x40   // uniform 0 -> 0x40000000
     bomb(at + 12) = 0x40  // count 3 -> 0x40000003
     assert(Multimodal.mp4SampleTable(bomb) == Left("bad sample table"))
+  }
+
+  test("ctts v0 offset >= 2^31 is dropped with a DISTINCT diagnosable " +
+    "reason, not a generic bad-table error") {
+    val blob = Multimodal.syntheticMp4("isom", 600, 500L, 1, 0,
+      withSamples = true, withCtts = true) // variant 0 -> ctts version 0
+    val at = (0 until blob.length - 4).find(i =>
+      blob(i) == 'c' && blob(i + 1) == 't' && blob(i + 2) == 't' &&
+        blob(i + 3) == 's').get
+    // payload: ver/flags at+4, count at+8, (cnt, off) pairs from at+12;
+    // flip the first offset's sign bit -> unsigned value >= 2^31
+    val poison = blob.clone()
+    poison(at + 16) = (poison(at + 16) | 0x80).toByte
+    assert(Multimodal.mp4SampleTable(poison) ==
+      Left("ctts v0 offset overflow"))
+    assert(Multimodal.mp4SampleTable(blob).isRight) // control
+  }
+
+  test("pcmLayout caps the untrusted channel count: a 1M-channel " +
+    "header can never size a frame buffer") {
+    import javax.sound.sampled.AudioFormat
+    def fmt(ch: Int) = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, ch, 2 * ch, 8000f, false)
+    assert(Multimodal.pcmLayout(fmt(1 << 20)) == null)
+    assert(Multimodal.pcmLayout(fmt(4097)) == null)
+    val ok = Multimodal.pcmLayout(fmt(4096))
+    assert(ok != null && ok.channels == 4096 && ok.bytesPerSample == 2)
   }
 
   test("mp4 parser is total: random bytes and random truncations of a " +
