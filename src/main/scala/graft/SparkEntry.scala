@@ -3268,6 +3268,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- pHash THROUGH THE PERSISTED HAMMING INDEX (the q134 shape
+    //      for the THIRD signature): originals' real-codec DCT pHashes
+    //      land in the (quarter, bucket) layout — half via the
+    //      incremental append — and tweak-perturbed partners probe
+    //      through pruned reads. pHash is the STABLE signature by
+    //      construction (low-frequency DCT): the perturbation moves a
+    //      few hashes by 1-2 bits and most by 0, and the oracle
+    //      replays the full fixed-point DCT for BOTH populations plus
+    //      the blocking/verify arithmetic.
+    "q148_phash_hamming_index" -> ((s, dir) => {
+      val png = udf((id: Long) => {
+        val base = id % 200000
+        Multimodal.syntheticGrayPng(
+          34 + (base % 4).toInt * 6, 33 + (base % 3).toInt * 9, base,
+          tweakMod = if (id >= 200000) 3 else 0)
+      })
+      val ids = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select("doc_id")
+      def hashes(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.imageHash(df.withColumn("blob", png(col("doc_id"))),
+            "blob")
+          .select(col("doc_id"), col("img.phash").as("phash"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-phashidx").toString
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp)))
+      graft.ext.DocDedup.buildHammingIndex(
+        hashes(ids.where(col("doc_id") < 30)), "doc_id", "phash",
+        s"$tmp/idx", qBuckets = 16)
+      graft.ext.DocDedup.appendToHammingIndex(
+        hashes(ids.where(col("doc_id") >= 30)), "doc_id", "phash",
+        s"$tmp/idx")
+      val probes = hashes(
+        ids.select((col("doc_id") + 200000).as("doc_id")))
+      graft.ext.DocDedup.probeHammingIndex(probes, "doc_id", "phash",
+          s"$tmp/idx", maxDist = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- IEEE FLOAT32 WAV (fmt tag 3) through the REAL javax.sound
     //      codec: speech-corpus exports carry float PCM; the canonical
     //      16-bit view maps each sample by the FIXED-POINT convention
@@ -5942,6 +5983,87 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
         |       CAST(phash AS BIGINT) AS phash, ok
         |FROM res ORDER BY doc_id""".stripMargin,
+
+    // the q144 fixed-point DCT replayed over BOTH populations (tweak
+    // arm for the probes), then quarter blocking + bit_count verify —
+    // the q134 adjudication pattern with the third signature
+    "q148_phash_hamming_index" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |u AS (SELECT doc_id, doc_id AS base, 0 AS tw FROM ids
+        |      UNION ALL SELECT doc_id + 200000, doc_id, 3 FROM ids),
+        |d AS (SELECT doc_id, base, tw, 34 + (base % 4) * 6 AS w,
+        |             33 + (base % 3) * 9 AS h FROM u),
+        |qt AS (
+        |  SELECT [4096, 4091, 4076, 4052, 4017, 3973, 3920, 3857,
+        |    3784, 3703, 3612, 3513, 3406, 3290, 3166, 3035,
+        |    2896, 2751, 2598, 2440, 2276, 2106, 1931, 1751,
+        |    1567, 1380, 1189, 995, 799, 601, 401, 201,
+        |    0, -201, -401, -601, -799, -995, -1189, -1380,
+        |    -1567, -1751, -1931, -2106, -2276, -2440, -2598, -2751,
+        |    -2896, -3035, -3166, -3290, -3406, -3513, -3612, -3703,
+        |    -3784, -3857, -3920, -3973, -4017, -4052, -4076, -4091,
+        |    -4096, -4091, -4076, -4052, -4017, -3973, -3920, -3857,
+        |    -3784, -3703, -3612, -3513, -3406, -3290, -3166, -3035,
+        |    -2896, -2751, -2598, -2440, -2276, -2106, -1931, -1751,
+        |    -1567, -1380, -1189, -995, -799, -601, -401, -201,
+        |    0, 201, 401, 601, 799, 995, 1189, 1380,
+        |    1567, 1751, 1931, 2106, 2276, 2440, 2598, 2751,
+        |    2896, 3035, 3166, 3290, 3406, 3513, 3612, 3703,
+        |    3784, 3857, 3920, 3973, 4017, 4052, 4076, 4091] AS ql),
+        |px AS (
+        |  SELECT doc_id, (y.y * 32) // h AS cy, (x.x * 32) // w AS cx,
+        |         CASE WHEN tw > 0 AND (x.x + y.y) % tw = 0
+        |           THEN least(((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 + 1, 255)
+        |           ELSE ((x.x * 3 + y.y * 5 + 7) * (1 + base % 13)
+        |             + base) % 256 END AS v
+        |  FROM d, generate_series(0, 51) AS x(x),
+        |       generate_series(0, 50) AS y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |cells AS (
+        |  SELECT doc_id, cy, cx, sum(v) // count(*) AS cm
+        |  FROM px GROUP BY doc_id, cy, cx),
+        |coef AS (
+        |  SELECT c.doc_id, u.u, v.v,
+        |         sum(c.cm * qt.ql[((2 * c.cx + 1) * u.u) % 128 + 1]
+        |                  * qt.ql[((2 * c.cy + 1) * v.v) % 128 + 1]) AS cf
+        |  FROM cells c
+        |  CROSS JOIN generate_series(0, 7) AS u(u)
+        |  CROSS JOIN generate_series(0, 7) AS v(v)
+        |  CROSS JOIN qt
+        |  GROUP BY c.doc_id, u.u, v.v),
+        |medv AS (
+        |  SELECT doc_id, cf AS med FROM (
+        |    SELECT doc_id, cf,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY cf)
+        |             AS rn
+        |    FROM coef WHERE NOT (u = 0 AND v = 0))
+        |  WHERE rn = 32),
+        |hs AS (
+        |  SELECT coef.doc_id,
+        |         sum(CASE WHEN coef.cf > m.med
+        |             THEN CAST(power(2, v * 8 + u) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM coef JOIN medv m USING (doc_id)
+        |  GROUP BY coef.doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS phash
+        |  FROM hs),
+        |blk AS (SELECT doc_id, q.q, (phash >> (16 * q.q)) & 65535 AS qv
+        |        FROM sig, generate_series(0, 3) AS q(q)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM blk a JOIN blk b ON a.q = b.q AND a.qv = b.qv
+        |         WHERE a.doc_id >= 200000 AND b.doc_id < 200000)
+        |SELECT id_a, id_b,
+        |       CAST(bit_count(xor(sa.phash, sb.phash)) AS BIGINT)
+        |         AS hamming
+        |FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+        |     JOIN sig sb ON sb.doc_id = cand.id_b
+        |WHERE bit_count(xor(sa.phash, sb.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the float fixed-point convention restated: per-sample
     // clamp(raw16*gain) via greatest/least, then the truncating-mean
