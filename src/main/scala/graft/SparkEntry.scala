@@ -3268,6 +3268,67 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- VIDEO+AUDIO CROSS-TRACK DEDUP COMPOSITION: real container
+    //      dedup compares BOTH tracks — q139 pairs on shared keyframe
+    //      hashes only; here the soun track's samples (self-contained
+    //      audio blobs) run through the canonical PCM digest and a
+    //      pair must agree on EVERY audio sample too. Video class
+    //      (mod 12) and audio class (mod 8) are decorrelated: pairs
+    //      sharing video but not audio (≡ mod 12, ≢ mod 24) exist in
+    //      the video leg and MUST be dropped by the composition — a
+    //      video-only impl emits them and fails the hash. Track
+    //      routing goes through the handler manifest (vide/soun), not
+    //      hardcoded track ids; audio widths/channels vary per class
+    //      (the q143/q147 generality made this leg possible).
+    "q145_av_dedup" -> ((s, dir) => {
+      val mp4 = udf((v: Long) =>
+        if (v % 41 == 0) Array.empty[Byte]
+        else {
+          val vcls = (v % 12).toInt; val acls = (v % 8).toInt
+          Multimodal.syntheticMp4("isom", 600, 600L + v % 12, 2,
+            (v % 2).toInt, withSamples = true,
+            samplePayload = (trk, j) =>
+              if (trk == 1) Multimodal.syntheticGrayPng(
+                16 + (vcls % 3) * 8, 16, vcls * 100 + j * 7)
+              else Multimodal.syntheticWavEx(8000, 60 + j * 20,
+                acls * 1000L + j, Seq(8, 16, 24, 32)(acls % 4),
+                1 + (acls % 2)))
+        })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      val tracks = Multimodal.extractMp4Tracks(blobs, "blob")
+        .select(col("doc_id"), col("track_id"), col("handler"))
+      val samples = Multimodal.extractMp4SampleBytes(blobs, "blob")
+        .join(tracks, Seq("doc_id", "track_id"))
+      val vh = Multimodal.imageHash(
+          samples.where(col("handler") === "vide" && col("is_sync")),
+          "frame")
+        .where(col("img.ok"))
+        .select(col("doc_id"), col("sample_idx"),
+          col("img.ahash").as("h"))
+      val va = vh.toDF("v_a", "j", "h")
+      val vb = vh.toDF("v_b", "j", "h")
+      val videoPairs = va.join(vb, Seq("j", "h"))
+        .where(col("v_a") < col("v_b"))
+        .groupBy("v_a", "v_b").agg(count(lit(1)).as("n_video"))
+        .where(col("n_video") >= 2)
+      val ad = Multimodal.decodeAudio(
+          samples.where(col("handler") === "soun"), "frame")
+        .where(col("audio.ok"))
+        .select(col("doc_id"), col("sample_idx"),
+          col("audio.n_frames").as("nf"),
+          col("audio.sample_sum").as("ss"), col("audio.peak").as("pk"))
+      val aa = ad.toDF("v_a", "j", "nf", "ss", "pk")
+      val ab = ad.toDF("v_b", "j", "nf", "ss", "pk")
+      val audioPairs = aa.join(ab, Seq("j", "nf", "ss", "pk"))
+        .where(col("v_a") < col("v_b"))
+        .groupBy("v_a", "v_b").agg(count(lit(1)).as("n_audio"))
+        .where(col("n_audio") === 3) // every soun sample must agree
+      videoPairs.join(audioPairs, Seq("v_a", "v_b"))
+        .select(col("v_a"), col("v_b"), col("n_video"), col("n_audio"))
+        .orderBy("v_a", "v_b")
+    }),
+
     // ---- pHash THROUGH THE PERSISTED HAMMING INDEX (the q134 shape
     //      for the THIRD signature): originals' real-codec DCT pHashes
     //      land in the (quarter, bucket) layout — half via the
@@ -5983,6 +6044,81 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
         |       CAST(phash AS BIGINT) AS phash, ok
         |FROM res ORDER BY doc_id""".stripMargin,
+
+    // composition restated: the q139 aHash replay for the video leg,
+    // the q143 canonical-PCM replay per (audio class, sample) for the
+    // audio leg, pairs must survive BOTH
+    "q145_av_dedup" ->
+      """WITH v AS (
+        |  SELECT doc_id AS vid, doc_id % 12 AS vb, doc_id % 8 AS ab
+        |  FROM documents WHERE doc_id < 60 AND doc_id % 41 != 0),
+        |fr AS (
+        |  SELECT DISTINCT vb, j.j AS j, 16 + (vb % 3) * 8 AS w,
+        |         vb * 100 + j.j * 7 AS seed
+        |  FROM v, (VALUES (0), (2)) AS j(j)),
+        |px AS (
+        |  SELECT vb, j, ((y.y * 8) // 16) * 8 + ((x.x * 8) // w) AS c,
+        |         ((x.x * 3 + y.y * 5 + 7) * (1 + seed % 13) + seed)
+        |           % 256 AS pv
+        |  FROM fr, generate_series(0, 31) AS x(x),
+        |       generate_series(0, 15) AS y(y)
+        |  WHERE x.x < w),
+        |cells AS (SELECT vb, j, c, sum(pv) // count(*) AS cm
+        |          FROM px GROUP BY vb, j, c),
+        |mm AS (SELECT vb, j, sum(cm) // 64 AS mean
+        |       FROM cells GROUP BY vb, j),
+        |hs AS (
+        |  SELECT cells.vb, cells.j,
+        |         sum(CASE WHEN cm > mean THEN CAST(power(2, c) AS HUGEINT)
+        |             ELSE 0::HUGEINT END) AS s
+        |  FROM cells JOIN mm USING (vb, j)
+        |  GROUP BY cells.vb, cells.j),
+        |sig AS (
+        |  SELECT vb, j,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |      AS BIGINT) AS h
+        |  FROM hs),
+        |vf AS (SELECT v.vid, s.j, s.h FROM v JOIN sig s ON s.vb = v.vb),
+        |vp AS (
+        |  SELECT a.vid AS v_a, b.vid AS v_b, count(*) AS n_video
+        |  FROM vf a JOIN vf b ON a.j = b.j AND a.h = b.h AND a.vid < b.vid
+        |  GROUP BY a.vid, b.vid HAVING count(*) >= 2),
+        |au AS (
+        |  SELECT DISTINCT v.ab, j.j AS j,
+        |         CASE v.ab % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |              WHEN 2 THEN 24 ELSE 32 END AS bits,
+        |         1 + v.ab % 2 AS ch, 60 + j.j * 20 AS n,
+        |         v.ab * 1000 + j.j AS seed
+        |  FROM v, generate_series(0, 2) AS j(j)),
+        |ak AS (
+        |  SELECT au.ab, au.j, au.bits, au.ch, g.k,
+        |         ((seed * 2654435761 + g.k * 40503) % 65536) - 32768 AS r
+        |  FROM au, generate_series(0, 219) AS g(k)
+        |  WHERE g.k < au.n * au.ch),
+        |ac AS (
+        |  SELECT ab, j, ch, k // ch AS frame,
+        |         CASE WHEN bits = 8
+        |              THEN CAST(256 * floor(r / 256.0) AS BIGINT)
+        |              ELSE r END AS cv
+        |  FROM ak),
+        |af0 AS (
+        |  SELECT ab, j, ch, frame, sum(cv) // ch AS val
+        |  FROM ac GROUP BY ab, j, ch, frame),
+        |dig AS (
+        |  SELECT ab, j, count(*) AS nf, sum(val) AS ss,
+        |         max(abs(val)) AS pk
+        |  FROM af0 GROUP BY ab, j),
+        |af AS (SELECT v.vid, d.j, d.nf, d.ss, d.pk
+        |       FROM v JOIN dig d ON d.ab = v.ab),
+        |ap AS (
+        |  SELECT a.vid AS v_a, b.vid AS v_b, count(*) AS n_audio
+        |  FROM af a JOIN af b ON a.j = b.j AND a.nf = b.nf
+        |    AND a.ss = b.ss AND a.pk = b.pk AND a.vid < b.vid
+        |  GROUP BY a.vid, b.vid HAVING count(*) = 3)
+        |SELECT vp.v_a, vp.v_b, CAST(n_video AS BIGINT) AS n_video,
+        |       CAST(n_audio AS BIGINT) AS n_audio
+        |FROM vp JOIN ap USING (v_a, v_b) ORDER BY v_a, v_b""".stripMargin,
 
     // the q144 fixed-point DCT replayed over BOTH populations (tweak
     // arm for the probes), then quarter blocking + bit_count verify —
