@@ -3268,6 +3268,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- FRAGMENTED MP4 (moof/tfhd/trun — the DASH/CMAF web-video
+    //      shape): the container mode is keyed by doc_id (classic
+    //      stbl / fully-fragmented / mixed) while the ORACLE is
+    //      mode-independent — the same sample arithmetic as q124/q142
+    //      — so a stbl-only parser returns zero rows for two thirds of
+    //      the corpus and fails. Fragments exercise all three traf
+    //      addressing styles (default-base-is-moof + trun data_offset,
+    //      explicit base_data_offset, implicit end-of-previous-traf),
+    //      tfhd/trex default fallbacks, first-sample-flags, tfdt
+    //      re-basing, and trun composition offsets (v0/v1); ctts+elst
+    //      pts and co64 stay composed in.
+    "q146_mp4_fragmented" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        val brand = ((id % 3).toInt: @unchecked) match {
+          case 0 => "isom"; case 1 => "mp42"; case 2 => "qt  "
+        }
+        val full = Multimodal.syntheticMp4(brand, 600, 600L + id % 7,
+          1 + ((id / 3) % 3).toInt, (id % 2).toInt, withSamples = true,
+          useCo64 = id % 4 >= 2, withCtts = true,
+          fragmented = (id % 3).toInt)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.take(20)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      Multimodal.extractMp4Samples(blobs, "blob")
+        .orderBy("doc_id", "track_id", "sample_idx")
+    }),
+
     // ---- VIDEO+AUDIO CROSS-TRACK DEDUP COMPOSITION: real container
     //      dedup compares BOTH tracks — q139 pairs on shared keyframe
     //      hashes only; here the soun track's samples (self-contained
@@ -6044,6 +6074,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
         |       CAST(phash AS BIGINT) AS phash, ok
         |FROM res ORDER BY doc_id""".stripMargin,
+
+    // the fixture arithmetic is CONTAINER-MODE-INDEPENDENT: sizes,
+    // bytes, dts, ctts+elst pts, durations, and sync flags are the
+    // q124/q142 formulas regardless of whether samples sit in stbl or
+    // in trun boxes — which is exactly the parity this gate pins
+    "q146_mp4_fragmented" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + (doc_id // 3) % 3 AS nt FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT d.doc_id, t.t AS track_id, j.j AS sample_idx,
+        |         8 + (t.t * 7 + j.j * 5) % 9 AS sz
+        |  FROM d, generate_series(1, 3) AS t(t),
+        |       generate_series(0, 2) AS j(j)
+        |  WHERE t.t <= d.nt),
+        |x AS (
+        |  SELECT doc_id, track_id, sample_idx, sz,
+        |         (track_id * 31 + sample_idx * 17 + b.b) % 256 AS v
+        |  FROM s, generate_series(0, 16) AS b(b)
+        |  WHERE b.b < s.sz)
+        |SELECT doc_id, CAST(track_id AS INTEGER) AS track_id,
+        |       CAST(sample_idx AS INTEGER) AS sample_idx,
+        |       CAST(sz AS INTEGER) AS sample_size,
+        |       CAST(sample_idx * (90 + 10 * track_id) AS BIGINT) AS dts,
+        |       CAST(CASE sample_idx WHEN 0 THEN 0
+        |            WHEN 1 THEN 140 + 20 * track_id
+        |            ELSE 90 + 10 * track_id END AS BIGINT) AS pts,
+        |       CAST(CASE WHEN sample_idx < 2 THEN 90 + 10 * track_id
+        |            ELSE 50 + 10 * track_id END AS INTEGER) AS dur,
+        |       CAST(track_id % 3 = 0 OR sample_idx = 0
+        |            OR (track_id + sample_idx) % 3 = 0 AS BOOLEAN)
+        |         AS is_sync,
+        |       CAST(sum(v) AS BIGINT) AS byte_sum
+        |FROM x GROUP BY doc_id, track_id, sample_idx, sz
+        |ORDER BY doc_id, track_id, sample_idx""".stripMargin,
 
     // composition restated: the q139 aHash replay for the video leg,
     // the q143 canonical-PCM replay per (audio class, sample) for the

@@ -996,12 +996,41 @@ object Multimodal {
                    withSamples: Boolean = false,
                    samplePayload: (Int, Int) => Array[Byte] = null,
                    useCo64: Boolean = false,
-                   withCtts: Boolean = false)
+                   withCtts: Boolean = false,
+                   fragmented: Int = 0)
       : Array[Byte] = {
     require(brand.length == 4 && timescale > 0 && duration >= 0 &&
       duration < (1L << 32) && nTraks >= 0 && (variant == 0 || variant == 1),
       s"bad mp4 spec brand=$brand ts=$timescale dur=$duration " +
         s"traks=$nTraks variant=$variant")
+    // fragmented: 0 = every sample in stbl (classic); 1 = empty stbl,
+    // ALL samples in two movie fragments (the DASH/CMAF shape); 2 =
+    // MIXED: sample 0 in stbl, samples 1..2 in one fragment. All three
+    // modes describe the SAME logical samples — a parser must return
+    // identical rows (modulo file offsets) for all of them.
+    require(fragmented >= 0 && fragmented <= 2 &&
+      (fragmented == 0 || withSamples),
+      s"bad fragmented=$fragmented (needs withSamples)")
+    val moovJs: Seq[Int] = fragmented match {
+      case 0 => 0 until SamplesPerTrack
+      case 1 => Seq.empty
+      case 2 => Seq(0)
+    }
+    val fragJs: Seq[Seq[Int]] = fragmented match {
+      case 0 => Seq.empty
+      case 1 => Seq(Seq(0), Seq(1, 2))
+      case 2 => Seq(Seq(1, 2))
+    }
+    def planOf(id: Int): Seq[Seq[Int]] = fragmented match {
+      case 0 => chunkPlan(id)
+      case 1 => Seq.empty
+      case 2 => Seq(Seq(0))
+    }
+    // fragment sample_flags: bit 16 = sample_is_non_sync_sample; sync
+    // samples get sample_depends_on=2 (I-frame), non-sync get
+    // depends_on=1 + the non-sync bit
+    def sampleFlagsOf(id: Int, j: Int): Int =
+      if (sampleIsSync(id, j)) 0x02000000 else 0x01010000
     val bo = new java.io.ByteArrayOutputStream()
     val o = new java.io.DataOutputStream(bo) // big-endian, per ISO BMFF
     def box(typ: String, payload: Array[Byte], large: Boolean = false,
@@ -1040,10 +1069,10 @@ object Multimodal {
     // track's samples are contiguous (instead of following stsc/stco)
     // reads pad or foreign-track bytes and fails the digest gate.
     def chunkSeq: Seq[(Int, Int)] = {
-      val maxChunks = (1 to nTraks).map(id => chunkPlan(id).length)
+      val maxChunks = (1 to nTraks).map(id => planOf(id).length)
         .foldLeft(0)(math.max)
       (0 until maxChunks).flatMap(ci =>
-        (1 to nTraks).filter(id => chunkPlan(id).length > ci)
+        (1 to nTraks).filter(id => planOf(id).length > ci)
           .map(id => (id, ci)))
     }
     // payload indirection: arithmetic fixture bytes by default, caller
@@ -1059,7 +1088,7 @@ object Multimodal {
     def sizeOf(id: Int, j: Int): Int =
       if (samplePayload == null) sampleSize(id, j) else bytesOf(id, j).length
     def chunkBytes(id: Int, ci: Int): Int =
-      chunkPlan(id)(ci).map(sizeOf(id, _)).sum
+      planOf(id)(ci).map(sizeOf(id, _)).sum
     def buildTraks(chunkOffsets: (Int, Int) => Long): Seq[Array[Byte]] =
       (1 to nTraks).map { id =>
         val tkhd = payloadOf { d =>
@@ -1085,26 +1114,34 @@ object Multimodal {
         val mdia = payloadOf { d =>
           d.writeInt(8 + hdlr.length); d.writeBytes("hdlr"); d.write(hdlr)
           if (withSamples) {
-            val plan = chunkPlan(id)
+            val plan = planOf(id)
             val stsz = payloadOf { z =>
               z.writeInt(0)                  // version + flags
               z.writeInt(0)                  // sample_size 0 → per-sample
-              z.writeInt(SamplesPerTrack)
-              (0 until SamplesPerTrack).foreach(j =>
-                z.writeInt(sizeOf(id, j)))
+              z.writeInt(moovJs.length)
+              moovJs.foreach(j => z.writeInt(sizeOf(id, j)))
             }
-            // stts: run-length (sample_count, sample_delta) — the
-            // fixture always has two runs (2 × long, 1 × short)
+            // stts: run-length (sample_count, sample_delta) over the
+            // moov-resident samples — two runs (2 × long, 1 × short)
+            // classic, one run mixed, zero runs fully-fragmented
+            val sttsRuns = moovJs.map(sampleDur(id, _))
+              .foldLeft(List.empty[(Int, Int)]) {
+                case ((n, d) :: rest, dj) if d == dj => (n + 1, d) :: rest
+                case (acc, dj) => (1, dj) :: acc
+              }.reverse
             val stts = payloadOf { z =>
               z.writeInt(0)                  // version + flags
-              z.writeInt(2)
-              z.writeInt(2); z.writeInt(sampleDur(id, 0))
-              z.writeInt(1); z.writeInt(sampleDur(id, 2))
+              z.writeInt(sttsRuns.length)
+              sttsRuns.foreach { case (n, d) =>
+                z.writeInt(n); z.writeInt(d)
+              }
             }
-            // stss: 1-based sync sample numbers; tracks with
-            // hasStss=false omit the box entirely (ISO: all sync)
-            val syncNums = (0 until SamplesPerTrack)
-              .filter(sampleIsSync(id, _)).map(_ + 1)
+            // stss: 1-based sync sample numbers WITHIN the stbl sample
+            // list; tracks with hasStss=false omit the box (ISO: all
+            // sync)
+            val syncNums = moovJs.zipWithIndex
+              .filter { case (j, _) => sampleIsSync(id, j) }
+              .map(_._2 + 1)
             val stss = payloadOf { z =>
               z.writeInt(0)                  // version + flags
               z.writeInt(syncNums.length)
@@ -1140,8 +1177,8 @@ object Multimodal {
             // (count=1, offset) entry per sample
             val ctts = payloadOf { z =>
               z.writeInt(if (variant == 1) 0x01000000 else 0)
-              z.writeInt(SamplesPerTrack)
-              (0 until SamplesPerTrack).foreach { j =>
+              z.writeInt(moovJs.length)
+              moovJs.foreach { j =>
                 z.writeInt(1); z.writeInt(cttsOffset(id, j))
               }
             }
@@ -1210,6 +1247,26 @@ object Multimodal {
         buildTraks(chunkOffsets).foreach { t =>
           d.writeInt(8 + t.length); d.writeBytes("trak"); d.write(t)
         }
+        if (fragmented != 0) {
+          // mvex/trex: fragment defaults — duration/size of sample 0,
+          // sync flags; the id%3==0 track's single-sample fragment
+          // relies on ALL of them (field-less tfhd + trun)
+          val mvex = payloadOf { z =>
+            (1 to nTraks).foreach { id =>
+              val trex = payloadOf { y =>
+                y.writeInt(0)                 // version + flags
+                y.writeInt(id)                // track_ID
+                y.writeInt(1)                 // default sdi
+                y.writeInt(sampleDur(id, 0))
+                y.writeInt(sizeOf(id, 0))
+                y.writeInt(sampleFlagsOf(id, 0))
+              }
+              z.writeInt(8 + trex.length); z.writeBytes("trex")
+              z.write(trex)
+            }
+          }
+          d.writeInt(8 + mvex.length); d.writeBytes("mvex"); d.write(mvex)
+        }
       }
     val ftyp = payloadOf { d =>
       d.writeBytes(brand); d.writeInt(0x200)
@@ -1232,12 +1289,100 @@ object Multimodal {
       if (!withSamples) Array.fill[Byte](8)(0)
       else chunkSeq.flatMap { case (id, ci) =>
         Seq[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte) ++
-          chunkPlan(id)(ci).flatMap(j => bytesOf(id, j).toSeq)
+          planOf(id)(ci).flatMap(j => bytesOf(id, j).toSeq)
       }.toArray
     box("ftyp", ftyp)
     box("moov", moov, large = variant == 1)
-    box("mdat", mdatPayload, toEof = variant == 1)
+    // variant 1's to-EOF mdat would swallow every following moof box —
+    // when fragments exist, only the LAST fragment's mdat may be
+    // size-0, so the form stays exercised without hiding boxes
+    box("mdat", mdatPayload, toEof = variant == 1 && fragJs.isEmpty)
     o.flush()
+    // Movie fragments: per fragment one moof(mfhd + traf per track) +
+    // one mdat(pad4 ++ per-track data in traf order). Each track id
+    // exercises a different ADDRESSING + DEFAULTS style (id % 3):
+    //   1 → default-base-is-moof + trun data_offset, tfdt, everything
+    //       per-sample in the trun;
+    //   2 → explicit base_data_offset + tfhd default_sample_flags,
+    //       first-sample-flags override, per-sample dur/size;
+    //   0 → NO tfhd fields (implicit base = end of previous traf's
+    //       data) — single-sample fragments are pure trex defaults.
+    fragJs.zipWithIndex.foreach { case (js, fi) =>
+      val absMoofStart = bo.size().toLong
+      val datas: IndexedSeq[Array[Byte]] = (1 to nTraks).map(id =>
+        js.flatMap(j => bytesOf(id, j).toSeq).toArray)
+      def dataStart(id: Int): Long =
+        4L + (1 until id).map(t => datas(t - 1).length).sum
+      def buildMoof(moofTotal: Long): Array[Byte] = payloadOf { d =>
+        val mfhd = payloadOf { z => z.writeInt(0); z.writeInt(fi + 1) }
+        d.writeInt(8 + mfhd.length); d.writeBytes("mfhd"); d.write(mfhd)
+        (1 to nTraks).foreach { id =>
+          val style = id % 3
+          val traf = payloadOf { z =>
+            val tfhd = payloadOf { y =>
+              val flags = style match {
+                case 1 => 0x020000          // default-base-is-moof
+                case 2 => 0x01 | 0x20       // bdo + default flags
+                case _ => 0                 // implicit base, trex
+              }
+              y.writeInt(flags)
+              y.writeInt(id)
+              if (style == 2) {
+                y.writeLong(absMoofStart + moofTotal + 8 + dataStart(id))
+                y.writeInt(sampleFlagsOf(id, js.last))
+              }
+            }
+            z.writeInt(8 + tfhd.length); z.writeBytes("tfhd"); z.write(tfhd)
+            if (style == 1) {
+              val baseDts =
+                (0 until js.head).map(sampleDur(id, _)).sum.toLong
+              val tfdt = payloadOf { y =>
+                if (variant == 1) {
+                  y.writeInt(0x01000000); y.writeLong(baseDts)
+                } else { y.writeInt(0); y.writeInt(baseDts.toInt) }
+              }
+              z.writeInt(8 + tfdt.length); z.writeBytes("tfdt")
+              z.write(tfdt)
+            }
+            val ctoFlag = if (withCtts) 0x800 else 0
+            val trunFlags = style match {
+              case 1 => 0x01 | 0x100 | 0x200 | 0x400 | ctoFlag
+              case 2 => (if (js.length > 1) 0x04 else 0) |
+                0x100 | 0x200 | ctoFlag
+              case _ =>
+                if (js.length == 1) ctoFlag else 0x100 | 0x200 | ctoFlag
+            }
+            val trun = payloadOf { y =>
+              y.writeInt((variant << 24) | trunFlags)
+              y.writeInt(js.length)
+              if ((trunFlags & 0x01) != 0)
+                y.writeInt((moofTotal + 8 + dataStart(id)).toInt)
+              if ((trunFlags & 0x04) != 0)
+                y.writeInt(sampleFlagsOf(id, js.head))
+              js.foreach { j =>
+                if ((trunFlags & 0x100) != 0) y.writeInt(sampleDur(id, j))
+                if ((trunFlags & 0x200) != 0) y.writeInt(sizeOf(id, j))
+                if ((trunFlags & 0x400) != 0)
+                  y.writeInt(sampleFlagsOf(id, j))
+                if ((trunFlags & 0x800) != 0) y.writeInt(cttsOffset(id, j))
+              }
+            }
+            z.writeInt(8 + trun.length); z.writeBytes("trun"); z.write(trun)
+          }
+          d.writeInt(8 + traf.length); d.writeBytes("traf"); d.write(traf)
+        }
+      }
+      // double build: field widths are value-independent, so the first
+      // pass measures the real moof size for the offset arithmetic
+      val moofLen = buildMoof(0L).length
+      val moofPayload = buildMoof(moofLen + 8L)
+      val fragMdat = (Seq[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte,
+        0xEF.toByte) ++ datas.flatten).toArray
+      box("moof", moofPayload)
+      box("mdat", fragMdat,
+        toEof = variant == 1 && fi == fragJs.length - 1)
+      o.flush()
+    }
     bo.toByteArray
   }
 
@@ -1266,6 +1411,13 @@ object Multimodal {
   private final val ELST = 0x656c7374
   private final val VIDE = 0x76696465
   private final val SOUN = 0x736f756e
+  private final val MOOF = 0x6d6f6f66
+  private final val TRAF = 0x74726166
+  private final val TFHD = 0x74666864
+  private final val TFDT = 0x74666474
+  private final val TRUN = 0x7472756e
+  private final val MVEX = 0x6d766578
+  private final val TREX = 0x74726578
 
   /** One-box-header cursor over an ISO BMFF byte range. `step` returns
     * the next cursor (boxEnd) and sets `typ`/`pStart`/`pEnd`, or sets
@@ -1817,12 +1969,147 @@ object Multimodal {
     val end = bytes.length.toLong
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Long, Int, Long, Long, Int, Boolean)]
-    val trk = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, String, Int, Long, Long, Int)]
     def fourCc(v: Int): String = new String(Array(
       ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
       ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte),
       java.nio.charset.StandardCharsets.US_ASCII)
+    // Per-track state carried from the moov walk into movie fragments:
+    // fragment sample numbering/dts CONTINUE the stbl samples' (tfdt,
+    // when present, re-bases dts), elst applies to fragment pts too,
+    // and the manifest counters aggregate over both. trex holds the
+    // mvex-level defaults a minimal tfhd/trun falls back to.
+    final class TrakState(val trackId: Int) {
+      var handler = 0; var codec = 0
+      var elstShift = 0L
+      var nextIdx = 0; var dts = 0L
+      var nSamples = 0; var sumBytes = 0L; var totalDur = 0L; var nSync = 0
+      var trexSet = false
+      var trexDur = 0; var trexSize = 0; var trexFlags = 0
+    }
+    val statesBuf = scala.collection.mutable.ArrayBuffer.empty[TrakState]
+    val byId = scala.collection.mutable.HashMap.empty[Int, TrakState]
+    // (track_ID, default_duration, default_size, default_flags)
+    val trexDefs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int)]
+    // stbl expansion for one trak — the moov-resident samples. Returns
+    // null on success (rows appended, state counters updated) or the
+    // typed error string.
+    def emitMoovSamples(st: TrakState, sizes: Array[Int],
+        chunkOffs: Array[Long], stscRuns: Array[(Int, Int)],
+        sttsRuns: Array[(Int, Int)], cttsRuns: Array[(Int, Int)],
+        stssNums: Array[Int], sawStss: Boolean): String = {
+      // stsc expansion: run i covers chunks first_i .. first_{i+1}-1
+      // with samples_per_chunk samples each. A missing stsc is
+      // tolerated ONLY for the trivial single-chunk case.
+      val nc = chunkOffs.length
+      val spc: Array[Int] =
+        if (stscRuns == null) {
+          if (nc == 1) Array(sizes.length)
+          else return "bad sample table"
+        } else {
+          if (stscRuns.isEmpty || stscRuns.head._1 != 1)
+            return "bad sample table"
+          val a = new Array[Int](nc)
+          var i = 0
+          while (i < stscRuns.length) {
+            val (first, n) = stscRuns(i)
+            val until =
+              if (i + 1 < stscRuns.length) stscRuns(i + 1)._1
+              else nc + 1
+            if (first < 1 || until <= first || until > nc + 1 ||
+              n < 0) return "bad sample table"
+            var ch = first
+            while (ch < until) { a(ch - 1) = n; ch += 1 }
+            i += 1
+          }
+          a
+        }
+      // accumulate in a Long: Int sum of untrusted per-chunk
+      // counts can overflow and alias sizes.length
+      var spcTotal = 0L
+      var spcI = 0
+      while (spcI < spc.length) { spcTotal += spc(spcI); spcI += 1 }
+      if (spcTotal != sizes.length)
+        return "bad sample table"
+      // stts expansion: run-length (count, delta) → per-sample
+      // duration; dts is the running sum. Absent stts →
+      // durations 0 (a still-image track has no timeline).
+      val durs = new Array[Int](sizes.length)
+      if (sttsRuns != null) {
+        var j0 = 0
+        var i = 0
+        while (i < sttsRuns.length) {
+          val (n, delta) = sttsRuns(i)
+          if (n < 0 || delta < 0 || j0 + n > sizes.length)
+            return "bad sample table"
+          var k = 0
+          while (k < n) { durs(j0 + k) = delta; k += 1 }
+          j0 += n
+          i += 1
+        }
+        if (j0 != sizes.length) return "bad sample table"
+      }
+      // ctts expansion: per-sample composition offset;
+      // pts = dts + offset − elst shift. Absent ctts → 0.
+      val compOff = new Array[Int](sizes.length)
+      if (cttsRuns != null) {
+        var j0 = 0
+        var i = 0
+        while (i < cttsRuns.length) {
+          val (n, co) = cttsRuns(i)
+          if (n < 0 || j0 + n > sizes.length)
+            return "bad sample table"
+          var k = 0
+          while (k < n) { compOff(j0 + k) = co; k += 1 }
+          j0 += n
+          i += 1
+        }
+        if (j0 != sizes.length) return "bad sample table"
+      }
+      // stss: 1-based sync sample numbers, strictly increasing
+      // and in range (ISO 14496-12 §8.6.2); ABSENT box means
+      // every sample is sync — a distinct state from an empty
+      // box (no sync samples at all), so presence is tracked
+      // separately from the array.
+      val sync = new Array[Boolean](sizes.length)
+      if (!sawStss) java.util.Arrays.fill(sync, true)
+      else {
+        var i = 0
+        var prev = 0
+        while (i < stssNums.length) {
+          val sn = stssNums(i)
+          if (sn <= prev || sn > sizes.length)
+            return "bad sample table"
+          sync(sn - 1) = true
+          prev = sn
+          i += 1
+        }
+      }
+      var j = 0
+      var ci = 0
+      while (ci < nc) {
+        var o2 = chunkOffs(ci)
+        var k = 0
+        while (k < spc(ci)) {
+          val sz = sizes(j)
+          if (sz < 0 || o2 + sz > bytes.length)
+            return "sample out of range"
+          out += ((st.trackId, st.nextIdx, o2, sz, st.dts,
+            st.dts + compOff(j) - st.elstShift, durs(j), sync(j)))
+          st.dts += durs(j)
+          st.totalDur += durs(j)
+          st.sumBytes += sz
+          st.nSamples += 1
+          if (sync(j)) st.nSync += 1
+          st.nextIdx += 1
+          o2 += sz
+          j += 1
+          k += 1
+        }
+        ci += 1
+      }
+      null
+    }
     var off = 0L
     var nTop = 0
     var sawMoov = false
@@ -2022,138 +2309,232 @@ object Multimodal {
               }
               t2 = tNext
             }
-            if (trackId >= 0 && sizes != null && chunkOffs != null) {
-              // stsc expansion: run i covers chunks first_i .. first_{i+1}-1
-              // with samples_per_chunk samples each. A missing stsc is
-              // tolerated ONLY for the trivial single-chunk case.
-              val nc = chunkOffs.length
-              val spc: Array[Int] =
-                if (stscRuns == null) {
-                  if (nc == 1) Array(sizes.length)
-                  else return Left("bad sample table")
-                } else {
-                  if (stscRuns.isEmpty || stscRuns.head._1 != 1)
-                    return Left("bad sample table")
-                  val a = new Array[Int](nc)
-                  var i = 0
-                  while (i < stscRuns.length) {
-                    val (first, n) = stscRuns(i)
-                    val until =
-                      if (i + 1 < stscRuns.length) stscRuns(i + 1)._1
-                      else nc + 1
-                    if (first < 1 || until <= first || until > nc + 1 ||
-                      n < 0) return Left("bad sample table")
-                    var ch = first
-                    while (ch < until) { a(ch - 1) = n; ch += 1 }
-                    i += 1
-                  }
-                  a
-                }
-              // accumulate in a Long: Int sum of untrusted per-chunk
-              // counts can overflow and alias sizes.length
-              var spcTotal = 0L
-              var spcI = 0
-              while (spcI < spc.length) { spcTotal += spc(spcI); spcI += 1 }
-              if (spcTotal != sizes.length)
-                return Left("bad sample table")
-              // stts expansion: run-length (count, delta) → per-sample
-              // duration; dts is the running sum. Absent stts →
-              // durations 0 (a still-image track has no timeline).
-              val durs = new Array[Int](sizes.length)
-              if (sttsRuns != null) {
-                var j0 = 0
-                var i = 0
-                while (i < sttsRuns.length) {
-                  val (n, delta) = sttsRuns(i)
-                  if (n < 0 || delta < 0 || j0 + n > sizes.length)
-                    return Left("bad sample table")
-                  var k = 0
-                  while (k < n) { durs(j0 + k) = delta; k += 1 }
-                  j0 += n
-                  i += 1
-                }
-                if (j0 != sizes.length) return Left("bad sample table")
-              }
-              // ctts expansion: per-sample composition offset;
-              // pts = dts + offset − elst shift. Absent ctts → 0.
-              val compOff = new Array[Int](sizes.length)
-              if (cttsRuns != null) {
-                var j0 = 0
-                var i = 0
-                while (i < cttsRuns.length) {
-                  val (n, co) = cttsRuns(i)
-                  if (n < 0 || j0 + n > sizes.length)
-                    return Left("bad sample table")
-                  var k = 0
-                  while (k < n) { compOff(j0 + k) = co; k += 1 }
-                  j0 += n
-                  i += 1
-                }
-                if (j0 != sizes.length) return Left("bad sample table")
-              }
-              // stss: 1-based sync sample numbers, strictly increasing
-              // and in range (ISO 14496-12 §8.6.2); ABSENT box means
-              // every sample is sync — a distinct state from an empty
-              // box (no sync samples at all), so presence is tracked
-              // separately from the array.
-              val sync = new Array[Boolean](sizes.length)
-              if (!sawStss) java.util.Arrays.fill(sync, true)
-              else {
-                var i = 0
-                var prev = 0
-                while (i < stssNums.length) {
-                  val sn = stssNums(i)
-                  if (sn <= prev || sn > sizes.length)
-                    return Left("bad sample table")
-                  sync(sn - 1) = true
-                  prev = sn
-                  i += 1
+            if (trackId >= 0) {
+              val st = new TrakState(trackId)
+              st.handler = handler; st.codec = codec
+              st.elstShift = elstShift
+              statesBuf += st
+              if (!byId.contains(trackId)) byId(trackId) = st
+              if (sizes != null && chunkOffs != null &&
+                !(sizes.isEmpty && chunkOffs.isEmpty)) {
+                emitMoovSamples(st, sizes, chunkOffs, stscRuns, sttsRuns,
+                  cttsRuns, stssNums, sawStss) match {
+                  case null => ()
+                  case err => return Left(err)
                 }
               }
-              var j = 0
-              var ci = 0
-              var dts = 0L
-              while (ci < nc) {
-                var o2 = chunkOffs(ci)
-                var k = 0
-                while (k < spc(ci)) {
-                  val sz = sizes(j)
-                  if (sz < 0 || o2 + sz > bytes.length)
-                    return Left("sample out of range")
-                  out += ((trackId, j, o2, sz, dts,
-                    dts + compOff(j) - elstShift, durs(j), sync(j)))
-                  dts += durs(j)
-                  o2 += sz
-                  j += 1
-                  k += 1
-                }
-                ci += 1
+              // tables absent or empty: metadata-only trak, or the
+              // fMP4 shape (empty stbl, samples arrive in fragments)
+            }
+          } else if (c.typ == MVEX) {
+            // moov/mvex/trex: fragment-level defaults per track —
+            // what a minimal tfhd/trun falls back to (ISO 14496-12
+            // §8.8.3). Collected here, applied after the moov walk so
+            // box order (mvex before or after the traks) cannot
+            // matter.
+            var x2 = c.pStart; val x2End = c.pEnd
+            while (x2 < x2End) {
+              val xNext = c.step(x2, x2End, topLevel = false)
+              if (xNext < 0) return Left(c.errMsg)
+              if (c.typ == TREX) {
+                val p = c.pStart.toInt
+                if (c.pEnd - c.pStart < 24) return Left("truncated box")
+                trexDefs += ((bb.getInt(p + 4), bb.getInt(p + 12),
+                  bb.getInt(p + 16), bb.getInt(p + 20)))
               }
-              var nSync = 0
-              var sumB = 0L
-              var i2 = 0
-              while (i2 < sizes.length) {
-                sumB += sizes(i2)
-                if (sync(i2)) nSync += 1
-                i2 += 1
-              }
-              trk += ((trackId,
-                if (handler == 0) null else fourCc(handler),
-                if (codec == 0) null else fourCc(codec),
-                sizes.length, sumB, dts, nSync))
-            } else if (trackId >= 0) {
-              // metadata-only trak (no sample tables): zero counts
-              trk += ((trackId,
-                if (handler == 0) null else fourCc(handler),
-                if (codec == 0) null else fourCc(codec), 0, 0L, 0L, 0))
+              x2 = xNext
             }
           }
           k = kNext
         }
+        trexDefs.foreach { case (tid, dur, sz, fl) =>
+          byId.get(tid).foreach { st =>
+            st.trexSet = true
+            st.trexDur = dur; st.trexSize = sz; st.trexFlags = fl
+          }
+        }
+      } else if (nTop > 1 && c.typ == MOOF) {
+        // Movie fragment (DASH/CMAF web video): the sample tables live
+        // in traf/trun boxes, not stbl. Per ISO 14496-12 §8.8:
+        //   - base data offset = explicit tfhd base_data_offset, else
+        //     the moof's first byte when default-base-is-moof (or for
+        //     the first traf), else the end of the previous traf's
+        //     data (the implicit chain);
+        //   - per-sample duration/size/flags come from trun entries,
+        //     else tfhd defaults, else mvex/trex defaults;
+        //   - trun data_offset (signed) rebases within the traf;
+        //     first-sample-flags overrides sample 1's flags;
+        //   - tfdt re-bases the track's decode time; absent, dts
+        //     continues from the previous samples;
+        //   - sync = !(flags bit 16, sample_is_non_sync_sample).
+        // Fragment samples CONTINUE the track's numbering and counters.
+        if (!sawMoov) return Left("moof before moov")
+        val moofStart = off
+        var implicitBase = -1L
+        var f2 = c.pStart; val f2End = c.pEnd
+        while (f2 < f2End) {
+          val fNext = c.step(f2, f2End, topLevel = false)
+          if (fNext < 0) return Left(c.errMsg)
+          if (c.typ == TRAF) {
+            var trafTrack = -1
+            var hasBdo = false; var bdo = 0L
+            var defaultBaseIsMoof = false
+            var hasTfDur = false; var tfDur = 0
+            var hasTfSize = false; var tfSize = 0
+            var hasTfFlags = false; var tfFlags = 0
+            var hasTfdt = false; var tfdtV = 0L
+            val truns = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long)]
+            var t3 = c.pStart; val t3End = c.pEnd
+            while (t3 < t3End) {
+              val tn = c.step(t3, t3End, topLevel = false)
+              if (tn < 0) return Left(c.errMsg)
+              if (c.typ == TFHD) {
+                val p = c.pStart.toInt
+                if (c.pEnd - c.pStart < 8) return Left("truncated box")
+                val flags = bb.getInt(p) & 0xFFFFFF
+                trafTrack = bb.getInt(p + 4)
+                var q = p + 8
+                def need(n: Int): Boolean = c.pEnd - p >= (q - p) + n + 0L
+                if ((flags & 0x01) != 0) {
+                  if (!need(8)) return Left("truncated box")
+                  hasBdo = true; bdo = bb.getLong(q); q += 8
+                }
+                if ((flags & 0x02) != 0) { // sample_description_index
+                  if (!need(4)) return Left("truncated box")
+                  q += 4
+                }
+                if ((flags & 0x08) != 0) {
+                  if (!need(4)) return Left("truncated box")
+                  hasTfDur = true; tfDur = bb.getInt(q); q += 4
+                }
+                if ((flags & 0x10) != 0) {
+                  if (!need(4)) return Left("truncated box")
+                  hasTfSize = true; tfSize = bb.getInt(q); q += 4
+                }
+                if ((flags & 0x20) != 0) {
+                  if (!need(4)) return Left("truncated box")
+                  hasTfFlags = true; tfFlags = bb.getInt(q); q += 4
+                }
+                defaultBaseIsMoof = (flags & 0x020000) != 0
+              } else if (c.typ == TFDT) {
+                val p = c.pStart.toInt
+                if (c.pEnd - c.pStart < 8) return Left("truncated box")
+                val ver = bytes(p) & 0xFF
+                if (ver == 1) {
+                  if (c.pEnd - c.pStart < 12) return Left("truncated box")
+                  tfdtV = bb.getLong(p + 4)
+                } else tfdtV = bb.getInt(p + 4) & 0xFFFFFFFFL
+                hasTfdt = true
+              } else if (c.typ == TRUN) truns += ((c.pStart, c.pEnd))
+              t3 = tn
+            }
+            if (trafTrack < 0) return Left("bad fragment") // no tfhd
+            val st = byId.getOrElse(trafTrack, null)
+            if (st == null) return Left("fragment for unknown track")
+            val base =
+              if (hasBdo) bdo
+              else if (defaultBaseIsMoof || implicitBase < 0) moofStart
+              else implicitBase
+            if (hasTfdt) st.dts = tfdtV
+            var cur = base
+            var anyData = false
+            var ti = 0
+            while (ti < truns.length) {
+              val (tps, tpe) = truns(ti)
+              val p = tps.toInt
+              if (tpe - tps < 8) return Left("truncated box")
+              val ver = bytes(p) & 0xFF
+              val flags = bb.getInt(p) & 0xFFFFFF
+              val n = bb.getInt(p + 4)
+              var q = p + 8
+              if ((flags & 0x01) != 0) { // data_offset, SIGNED
+                if (tpe - q < 4) return Left("truncated box")
+                cur = base + bb.getInt(q); q += 4
+              }
+              var hasFsf = false; var fsf = 0
+              if ((flags & 0x04) != 0) {
+                if (tpe - q < 4) return Left("truncated box")
+                hasFsf = true; fsf = bb.getInt(q); q += 4
+              }
+              val entW = (if ((flags & 0x100) != 0) 4 else 0) +
+                (if ((flags & 0x200) != 0) 4 else 0) +
+                (if ((flags & 0x400) != 0) 4 else 0) +
+                (if ((flags & 0x800) != 0) 4 else 0)
+              // untrusted count: entries must fit the box, and even a
+              // field-less trun (entW == 0) cannot declare more
+              // samples than the blob has bytes — bounds the out
+              // buffer the way the stsz uniform bound does
+              if (n < 0 || n.toLong * entW > tpe - q ||
+                n > bytes.length) return Left("bad fragment")
+              var k2 = 0
+              while (k2 < n) {
+                var dur = 0; var hasDur = false
+                var sz = 0; var hasSz = false
+                var sfl = 0; var hasSfl = false
+                var cto = 0
+                if ((flags & 0x100) != 0) {
+                  dur = bb.getInt(q); hasDur = true; q += 4
+                }
+                if ((flags & 0x200) != 0) {
+                  sz = bb.getInt(q); hasSz = true; q += 4
+                }
+                if ((flags & 0x400) != 0) {
+                  sfl = bb.getInt(q); hasSfl = true; q += 4
+                }
+                if ((flags & 0x800) != 0) {
+                  cto = bb.getInt(q); q += 4
+                  // v0 composition offsets are unsigned — same
+                  // convention and diagnosable reason as stbl ctts
+                  if (ver == 0 && cto < 0)
+                    return Left("ctts v0 offset overflow")
+                }
+                if (!hasDur) {
+                  if (hasTfDur) dur = tfDur
+                  else if (st.trexSet) dur = st.trexDur
+                  else return Left("bad fragment")
+                }
+                if (!hasSz) {
+                  if (hasTfSize) sz = tfSize
+                  else if (st.trexSet) sz = st.trexSize
+                  else return Left("bad fragment")
+                }
+                val useFlags =
+                  if (k2 == 0 && hasFsf) fsf
+                  else if (hasSfl) sfl
+                  else if (hasTfFlags) tfFlags
+                  else if (st.trexSet) st.trexFlags
+                  else 0
+                if (dur < 0) return Left("bad fragment")
+                if (sz < 0 || cur < 0 || cur + sz > bytes.length)
+                  return Left("sample out of range")
+                val sync = ((useFlags >>> 16) & 1) == 0
+                out += ((trafTrack, st.nextIdx, cur, sz, st.dts,
+                  st.dts + cto - st.elstShift, dur, sync))
+                st.dts += dur
+                st.totalDur += dur
+                st.sumBytes += sz
+                st.nSamples += 1
+                if (sync) st.nSync += 1
+                st.nextIdx += 1
+                cur += sz
+                anyData = true
+                k2 += 1
+              }
+              ti += 1
+            }
+            if (anyData) implicitBase = cur
+          }
+          f2 = fNext
+        }
       }
       off = next
     }
-    if (nTop == 0) Left("not mp4") else Right((out.toSeq, trk.toSeq))
+    if (nTop == 0) Left("not mp4")
+    else Right((out.toSeq, statesBuf.map(st => (st.trackId,
+      if (st.handler == 0) null else fourCc(st.handler),
+      if (st.codec == 0) null else fourCc(st.codec),
+      st.nSamples, st.sumBytes, st.totalDur, st.nSync)).toSeq))
   }
 
   /** Sample extraction over a binary MP4/MOV column: one output row

@@ -789,6 +789,72 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.mp4SampleTable(bomb) == Left("bad sample table"))
   }
 
+  test("fragmented MP4 (moof/tfhd/trun): all three container modes " +
+    "yield IDENTICAL samples (modulo offsets), bytes land exactly, " +
+    "every truncation is total") {
+    for (variant <- Seq(0, 1); withCtts <- Seq(false, true);
+         nTraks <- Seq(1, 2, 3)) {
+      def make(mode: Int) = Multimodal.syntheticMp4("isom", 600, 500L,
+        nTraks, variant, withSamples = true, withCtts = withCtts,
+        fragmented = mode)
+      // logical view: everything except the file offset, PLUS the
+      // actual payload bytes at the declared extent
+      def view(blob: Array[Byte]) = Multimodal.mp4SampleTable(blob) match {
+        case Left(e) => fail(s"variant=$variant ctts=$withCtts: $e")
+        case Right((ss, tracks)) =>
+          // sortBy (track, idx): classic emits track-major, fragmented
+          // fragment-major — row order is not part of the contract
+          (ss.map { case (t, j, o, sz, dts, pts, dur, sync) =>
+            (t, j, sz, dts, pts, dur, sync,
+              java.util.Arrays.copyOfRange(blob, o.toInt, o.toInt + sz)
+                .toSeq)
+          }.sortBy(r => (r._1, r._2)), tracks)
+      }
+      val (classic, classicTrk) = view(make(0))
+      assert(classic.length == nTraks * Multimodal.SamplesPerTrack)
+      for (mode <- Seq(1, 2)) {
+        val (frag, fragTrk) = view(make(mode))
+        assert(frag == classic,
+          s"mode=$mode variant=$variant ctts=$withCtts traks=$nTraks")
+        assert(fragTrk == classicTrk,
+          s"manifest mode=$mode variant=$variant traks=$nTraks")
+      }
+      // truncation totality over fragment boxes: every cut is Left or
+      // an in-bounds Right, never a throw
+      val blob = make(if (nTraks == 3) 1 else 2)
+      (0 until blob.length).foreach { cut =>
+        Multimodal.mp4SampleTable(blob.take(cut)) match {
+          case Left(_) => ()
+          case Right((ss, _)) =>
+            ss.foreach { case (_, _, o, sz, _, _, _, _) =>
+              assert(o + sz <= cut, s"cut=$cut overran")
+            }
+        }
+      }
+    }
+    // poison: a moof before any moov, and a traf naming an unknown
+    // track, are typed errors
+    val good = Multimodal.syntheticMp4("isom", 600, 500L, 1, 0,
+      withSamples = true, fragmented = 1)
+    val moofAt = (0 until good.length - 4).find(i =>
+      good(i) == 'm' && good(i + 1) == 'o' && good(i + 2) == 'o' &&
+        good(i + 3) == 'f').get - 4
+    val moovAt = (0 until good.length - 4).find(i =>
+      good(i) == 'm' && good(i + 1) == 'o' && good(i + 2) == 'o' &&
+        good(i + 3) == 'v').get - 4
+    val ftypEnd = moovAt
+    val early = good.take(ftypEnd) ++ good.drop(moofAt)
+    assert(Multimodal.mp4SampleTable(early) == Left("moof before moov"))
+    // tfhd names track 9: payload starts 8 bytes in (ver/flags, id)
+    val tfhdAt = (0 until good.length - 4).find(i =>
+      good(i) == 't' && good(i + 1) == 'f' && good(i + 2) == 'h' &&
+        good(i + 3) == 'd').get
+    val badTrack = good.clone()
+    badTrack(tfhdAt + 11) = 9
+    assert(Multimodal.mp4SampleTable(badTrack) ==
+      Left("fragment for unknown track"))
+  }
+
   test("ctts v0 offset >= 2^31 is dropped with a DISTINCT diagnosable " +
     "reason, not a generic bad-table error") {
     val blob = Multimodal.syntheticMp4("isom", 600, 500L, 1, 0,
