@@ -5543,7 +5543,8 @@ object SparkEntry {
         |       CAST(count(*) AS INTEGER) AS n_samples,
         |       CAST(sum(sz) AS BIGINT) AS sum_bytes,
         |       CAST(sum(dur) AS BIGINT) AS total_dur,
-        |       CAST(sum(sy) AS INTEGER) AS n_sync
+        |       CAST(sum(sy) AS INTEGER) AS n_sync,
+        |       CAST(0 AS INTEGER) AS n_edits
         |FROM s GROUP BY doc_id, t ORDER BY doc_id, track_id""".stripMargin,
 
     // the whole image pipeline replayed: hashes (q130's construction,

@@ -1957,12 +1957,18 @@ object Multimodal {
     *
     * Per-track rows of the second element: (track_id, handler 4cc or
     * null, codec 4cc from stsd's first sample description or null,
-    * n_samples, sum_bytes, total_dur, n_sync) — one row per trak seen,
-    * including sample-table-less metadata-only traks (zero counts).
+    * n_samples, sum_bytes, total_dur, n_sync, n_edits) — one row per
+    * trak seen, including sample-table-less metadata-only traks (zero
+    * counts). n_edits is the raw elst entry count: the pts arithmetic
+    * applies the FIRST non-empty edit only (the muxer-standard
+    * initial-offset case), so n_edits > 1 — multi-segment or
+    * rate-bearing timelines — is the signal to route a file to
+    * quarantine instead of trusting its pts.
     */
   private[ext] def mp4SampleTable(bytes: Array[Byte])
-      : Either[String, (Seq[(Int, Int, Long, Int, Long, Long, Int, Boolean)],
-                        Seq[(Int, String, String, Int, Long, Long, Int)])] = {
+      : Either[String,
+          (Seq[(Int, Int, Long, Int, Long, Long, Int, Boolean)],
+           Seq[(Int, String, String, Int, Long, Long, Int, Int)])] = {
     if (bytes == null || bytes.length == 0) return Left("empty blob")
     val c = new BoxCursor(bytes)
     val bb = c.bb
@@ -1983,6 +1989,7 @@ object Multimodal {
       var elstShift = 0L
       var nextIdx = 0; var dts = 0L
       var nSamples = 0; var sumBytes = 0L; var totalDur = 0L; var nSync = 0
+      var nEdits = 0
       var trexSet = false
       var trexDur = 0; var trexSize = 0; var trexFlags = 0
     }
@@ -2134,6 +2141,7 @@ object Multimodal {
             var stssNums: Array[Int] = null // 1-based sync numbers
             var sawStss = false
             var elstShift = 0L // media_time of the first non-empty edit
+            var nEdits = 0     // raw elst entry count (timeline complexity)
             var handler = 0
             var codec = 0
             var t2 = c.pStart; val t2End = c.pEnd
@@ -2161,6 +2169,7 @@ object Multimodal {
                     val entW = if (ver == 1) 20L else 12L
                     if (ne < 0 || c.pEnd - c.pStart < 8 + entW * ne)
                       return Left("truncated box")
+                    nEdits = ne
                     var i = 0
                     var found = false
                     while (i < ne && !found) {
@@ -2313,6 +2322,7 @@ object Multimodal {
               val st = new TrakState(trackId)
               st.handler = handler; st.codec = codec
               st.elstShift = elstShift
+              st.nEdits = nEdits
               statesBuf += st
               if (!byId.contains(trackId)) byId(trackId) = st
               if (sizes != null && chunkOffs != null &&
@@ -2534,7 +2544,8 @@ object Multimodal {
     else Right((out.toSeq, statesBuf.map(st => (st.trackId,
       if (st.handler == 0) null else fourCc(st.handler),
       if (st.codec == 0) null else fourCc(st.codec),
-      st.nSamples, st.sumBytes, st.totalDur, st.nSync)).toSeq))
+      st.nSamples, st.sumBytes, st.totalDur, st.nSync,
+      st.nEdits)).toSeq))
   }
 
   /** Sample extraction over a binary MP4/MOV column: one output row
@@ -2655,7 +2666,8 @@ object Multimodal {
         StructField("n_samples", IntegerType, nullable = false),
         StructField("sum_bytes", LongType, nullable = false),
         StructField("total_dur", LongType, nullable = false),
-        StructField("n_sync", IntegerType, nullable = false)))
+        StructField("n_sync", IntegerType, nullable = false),
+        StructField("n_edits", IntegerType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(binCol)
     val keepIdx = df.schema.fields.zipWithIndex
@@ -2669,12 +2681,14 @@ object Multimodal {
             val prefix = new Array[Any](nKeep)
             var i = 0
             while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
-            tracks.iterator.map { case (t, hdl, cdc, n, sb, dur, ns) =>
-              val arr = new Array[Any](nKeep + 7)
+            tracks.iterator.map { case (t, hdl, cdc, n, sb, dur, ns,
+                ne) =>
+              val arr = new Array[Any](nKeep + 8)
               System.arraycopy(prefix, 0, arr, 0, nKeep)
               arr(nKeep) = t; arr(nKeep + 1) = hdl; arr(nKeep + 2) = cdc
               arr(nKeep + 3) = n; arr(nKeep + 4) = sb
               arr(nKeep + 5) = dur; arr(nKeep + 6) = ns
+              arr(nKeep + 7) = ne
               new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
                 : Row
             }

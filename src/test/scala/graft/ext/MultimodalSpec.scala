@@ -593,7 +593,7 @@ class MultimodalSpec extends SparkFunSuite {
         s"n=$n variant=$variant")
       // per-track manifest: hdlr handler, stsd codec, aggregates
       assert(tracks.length == n)
-      tracks.foreach { case (t, hdl, cdc, ns, sb, dur, nsync) =>
+      tracks.foreach { case (t, hdl, cdc, ns, sb, dur, nsync, _) =>
         assert(hdl == (if (t % 2 == 1) "vide" else "soun"), s"track $t hdlr")
         assert(cdc == Multimodal.trackCodec(t), s"track $t codec")
         assert(ns == Multimodal.SamplesPerTrack)
@@ -634,7 +634,8 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.mp4SampleTable(
       Multimodal.syntheticMp4("isom", 600, 1L, 2, 0)) ==
       Right((Seq.empty,
-        Seq((1, "vide", null, 0, 0L, 0L, 0), (2, "soun", null, 0, 0L, 0L, 0)))))
+        Seq((1, "vide", null, 0, 0L, 0L, 0, 0),
+          (2, "soun", null, 0, 0L, 0L, 0, 0)))))
     // track 1 is the odd multi-chunk case: stsc expansion must place
     // its third sample at the SECOND chunk's offset, not back-to-back
     val blob = Multimodal.syntheticMp4("isom", 600, 1L, 1, 0,
@@ -853,6 +854,48 @@ class MultimodalSpec extends SparkFunSuite {
     badTrack(tfhdAt + 11) = 9
     assert(Multimodal.mp4SampleTable(badTrack) ==
       Left("fragment for unknown track"))
+  }
+
+  test("n_edits surfaces timeline complexity: 2-entry elst manifests " +
+    "as 2, the muxer-standard single edit as 1, no edts as 0") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bo)
+      o.writeInt(8 + payload.length); o.writeBytes(typ); o.write(payload)
+      o.flush(); bo.toByteArray
+    }
+    def be32(vs: Int*): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bo)
+      vs.foreach(o.writeInt); o.flush(); bo.toByteArray
+    }
+    // elst v0, TWO entries: an initial EMPTY edit (media_time -1) then
+    // a normal one — the multi-segment timeline the pts arithmetic
+    // deliberately reduces to the first non-empty edit; n_edits = 2 is
+    // the quarantine-routing signal
+    val elst = be32(0, 2, /*e1*/ 100, -1, 0x00010000,
+      /*e2*/ 400, 55, 0x00010000)
+    val hdlr = be32(0, 0, 0x76696465 /*vide*/, 0, 0, 0) ++ Array[Byte](0)
+    val tkhd = be32(7, 0, 0, /*track_ID*/ 4, 0, 0, 0, 0)
+    val mvhd = be32(0, 0, 0, 600, 0)
+    val moov = box("moov", box("mvhd", mvhd) ++
+      box("trak", box("tkhd", tkhd) ++ box("edts", box("elst", elst)) ++
+        box("mdia", box("hdlr", hdlr))))
+    val ftyp = box("ftyp", "isom   isomisom".getBytes("US-ASCII"))
+    val Right((ss, trk)) =
+      Multimodal.mp4SampleTable(ftyp ++ moov): @unchecked
+    assert(ss.isEmpty)
+    assert(trk == Seq((4, "vide", null, 0, 0L, 0L, 0, 2)))
+    // the writer's withCtts fixture carries the standard 1-edit elst
+    val one = Multimodal.syntheticMp4("isom", 600, 500L, 1, 0,
+      withSamples = true, withCtts = true)
+    val Right((_, t1)) = Multimodal.mp4SampleTable(one): @unchecked
+    assert(t1.map(_._8) == Seq(1))
+    // no edts at all -> 0
+    val none = Multimodal.syntheticMp4("isom", 600, 500L, 2, 0,
+      withSamples = true)
+    val Right((_, t2)) = Multimodal.mp4SampleTable(none): @unchecked
+    assert(t2.map(_._8) == Seq(0, 0))
   }
 
   test("ctts v0 offset >= 2^31 is dropped with a DISTINCT diagnosable " +
