@@ -623,8 +623,8 @@ object Multimodal {
     * corpus really suffered). `bits = 16, channels = 1` is
     * byte-identical to [[syntheticWav]].
     *
-    * `floatPcm = true` (requires `bits = 32`) writes IEEE float32
-    * (WAVE_FORMAT_IEEE_FLOAT, fmt tag 3) instead: sample value
+    * `floatPcm = true` (requires `bits = 32` or `64`) writes IEEE
+    * float (WAVE_FORMAT_IEEE_FLOAT, fmt tag 3) instead: sample value
     * `raw16·floatGain / 32768` — EXACT in float32 for power-of-two
     * gains, so the canonical view is the pure integer
     * `clamp(raw16·floatGain)` and a gain > 1 exercises the clamp arm
@@ -635,13 +635,14 @@ object Multimodal {
                      floatPcm: Boolean = false,
                      floatGain: Int = 1): Array[Byte] = {
     require(sampleRate > 0 && nFrames >= 0 && seed >= 0 &&
-      (bits == 8 || bits == 16 || bits == 24 || bits == 32) &&
+      (bits == 8 || bits == 16 || bits == 24 || bits == 32 ||
+        (floatPcm && bits == 64)) &&
       channels >= 1,
       s"bad wav spec rate=$sampleRate n=$nFrames seed=$seed " +
         s"bits=$bits ch=$channels")
-    require(!floatPcm || (bits == 32 && floatGain >= 1 &&
+    require(!floatPcm || ((bits == 32 || bits == 64) && floatGain >= 1 &&
       Integer.bitCount(floatGain) == 1),
-      s"floatPcm needs bits=32 and a power-of-two gain, " +
+      s"floatPcm needs bits=32/64 and a power-of-two gain, " +
         s"got bits=$bits gain=$floatGain")
     val bps = bits / 8
     val dataLen = nFrames * channels * bps
@@ -659,7 +660,8 @@ object Multimodal {
     while (k < total) {
       val raw16 = (((seed * 2654435761L + k * 40503L) % 65536L)
         - 32768L).toInt
-      if (floatPcm) buf.putFloat(raw16 * floatGain / 32768.0f)
+      if (floatPcm && bps == 8) buf.putDouble(raw16 * floatGain / 32768.0d)
+      else if (floatPcm) buf.putFloat(raw16 * floatGain / 32768.0f)
       else if (bps == 1) buf.put((((raw16 >> 8) + 128) & 0xFF).toByte)
       else if (bps == 2) buf.putShort(raw16.toShort)
       else if (bps == 3) {
@@ -764,7 +766,7 @@ object Multimodal {
         bits == 8
     val floatOk =
       enc == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT &&
-        bits == 32
+        (bits == 32 || bits == 64)
     // channel count is UNTRUSTED header data (a 3rd-party SPI decodes
     // it from the blob): cap it so frameBytes can never drive a
     // multi-GB buffer allocation or overflow to a negative size — the
@@ -828,7 +830,7 @@ object Multimodal {
                 else (chunk(o + 2) << 16) | ((chunk(o + 1) & 0xFF) << 8) |
                   (chunk(o) & 0xFF)
               raw >> 8
-            } else {
+            } else if (bps == 4) {
               val raw =
                 if (big) (chunk(o) << 24) | ((chunk(o + 1) & 0xFF) << 16) |
                   ((chunk(o + 2) & 0xFF) << 8) | (chunk(o + 3) & 0xFF)
@@ -840,6 +842,18 @@ object Multimodal {
                 else if (scaled <= -32768f) -32768
                 else scaled.toInt // truncates toward zero; NaN -> 0
               } else raw >> 16
+            } else { // bps == 8: IEEE float64, same fixed-point map
+              var raw = 0L
+              var bi = 0
+              while (bi < 8) {
+                val idx = if (big) o + bi else o + 7 - bi
+                raw = (raw << 8) | (chunk(idx) & 0xFFL)
+                bi += 1
+              }
+              val scaled = java.lang.Double.longBitsToDouble(raw) * 32768d
+              if (scaled >= 32767d) 32767
+              else if (scaled <= -32768d) -32768
+              else scaled.toInt
             }
           frameSum += v
           ch += 1

@@ -368,14 +368,15 @@ class MultimodalSpec extends SparkFunSuite {
       }
       (vals.map(_.toLong).sum / ch).toInt
     }
-    for (gain <- Seq(1, 2, 4); ch <- Seq(1, 2); seed <- Seq(5L, 77L)) {
+    for (bits <- Seq(32, 64); gain <- Seq(1, 2, 4); ch <- Seq(1, 2);
+         seed <- Seq(5L, 77L)) {
       val nFrames = 777
-      val wav = Multimodal.syntheticWavEx(8000, nFrames, seed, 32, ch,
+      val wav = Multimodal.syntheticWavEx(8000, nFrames, seed, bits, ch,
         floatPcm = true, floatGain = gain)
       val meta = Multimodal.decodeWavBytes(wav)
       val expect = (0 until nFrames).map(canon(seed, gain, ch, _))
-      assert(meta.ok && meta.bits == 32 && meta.channels == ch &&
-        meta.nFrames == nFrames, s"gain=$gain ch=$ch")
+      assert(meta.ok && meta.bits == bits && meta.channels == ch &&
+        meta.nFrames == nFrames, s"bits=$bits gain=$gain ch=$ch")
       assert(meta.sampleSum == expect.map(_.toLong).sum,
         s"gain=$gain ch=$ch seed=$seed sum")
       assert(meta.peak == expect.map(math.abs).max,
@@ -387,7 +388,7 @@ class MultimodalSpec extends SparkFunSuite {
       val pcm = wav.drop(44)
       val fmt = new javax.sound.sampled.AudioFormat(
         javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT,
-        8000f, 32, ch, 4 * ch, 8000f, false)
+        8000f, bits, ch, bits / 8 * ch, 8000f, false)
       class OddAis(cap: Int) extends AudioInputStream(
           new java.io.ByteArrayInputStream(Array.empty[Byte]), fmt,
           nFrames) {
