@@ -3457,6 +3457,44 @@ object SparkEntry {
       graft.ext.DocDedup.prefixBlockVerify(uni, "doc_id", "text", 32, 2,
           maxBlock = 500, saltThreshold = 64, saltFactor = 8)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- ADAPTIVE RE-BLOCKING edit-distance verify: q149 drops
+    //      oversized blocks; this recovers them — a block over the cap
+    //      re-blocks on a DOUBLED prefix, so boilerplate that differs
+    //      later in the text still pairs, and only blocks oversized at
+    //      the LAST level are dropped. Corpus: a 300-doc boilerplate
+    //      block splitting into ten 30-doc level-1 subblocks (their
+    //      4,350 pairs MUST appear — a non-adaptive impl emits none),
+    //      a 150-doc block still hot at 64 chars (must stay dropped),
+    //      an 80-doc level-0 salted-tier block, and natural + edited
+    //      docs on the plain tier. Oracle restates both levels as
+    //      nested window count filters.
+    "q150_editdist_adaptive" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .where(col("doc_id") < 150 && length(col("text")) >= 60)
+        .select("doc_id", "text")
+      val edited = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(substring(col("text"), 1, 40), lit("#"),
+          expr("substr(text, 42)")).as("text"))
+      val hotA = s.range(0, 300).select((col("id") + 400000).as("doc_id"),
+        concat(lit("ADAPTIVE-REBLOCK-BOILERPLATE-P32"),
+          lpad(pmod(col("id"), lit(10L)).cast("string"), 4, "0"),
+          expr("repeat('y', 28)"),
+          expr("repeat('z', cast(id % 3 as int))")).as("text"))
+      val hotB = s.range(0, 150).select((col("id") + 500000).as("doc_id"),
+        concat(lit("STILL-HOT-AT-LEVEL-ONE-PREFIX-XX"), lit("SUBK"),
+          expr("repeat('y', 28)"), lit("-"),
+          col("id").cast("string")).as("text"))
+      val salt0 = s.range(0, 80).select((col("id") + 600000).as("doc_id"),
+        concat(lit("SALTED-TIER-LEVEL-ZERO-BLOCK-32C"),
+          expr("repeat('w', cast(1 + id % 5 as int))")).as("text"))
+      val uni = base.unionByName(edited).unionByName(hotA)
+        .unionByName(hotB).unionByName(salt0)
+      graft.ext.DocDedup.prefixBlockVerifyAdaptive(uni, "doc_id", "text",
+          32, 1, maxBlock = 100, saltThreshold = 64, saltFactor = 8,
+          levels = 2)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -6337,6 +6375,58 @@ object SparkEntry {
         |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
         |       levenshtein(a.text, b.text) <= 2 AS is_dup
         |FROM k a JOIN k b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // both levels restated as nested window count filters: level-0
+    // blocks <= 100 pair on the 32-char prefix, the overflow re-blocks
+    // on 64 chars, still-oversized level-1 blocks stay dropped
+    "q150_editdist_adaptive" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 150 AND len(text) >= 60),
+        |edited AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         substr(text, 1, 40) || '#' || substr(text, 42) AS text
+        |  FROM base),
+        |hotA AS (
+        |  SELECT 400000 + g AS doc_id,
+        |         'ADAPTIVE-REBLOCK-BOILERPLATE-P32'
+        |           || lpad(CAST(g % 10 AS VARCHAR), 4, '0')
+        |           || repeat('y', 28)
+        |           || repeat('z', CAST(g % 3 AS INTEGER)) AS text
+        |  FROM generate_series(0, 299) t(g)),
+        |hotB AS (
+        |  SELECT 500000 + g AS doc_id,
+        |         'STILL-HOT-AT-LEVEL-ONE-PREFIX-XX' || 'SUBK'
+        |           || repeat('y', 28) || '-' || CAST(g AS VARCHAR) AS text
+        |  FROM generate_series(0, 149) t(g)),
+        |salt0 AS (
+        |  SELECT 600000 + g AS doc_id,
+        |         'SALTED-TIER-LEVEL-ZERO-BLOCK-32C'
+        |           || repeat('w', CAST(1 + g % 5 AS INTEGER)) AS text
+        |  FROM generate_series(0, 79) t(g)),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM edited
+        |      UNION ALL SELECT * FROM hotA UNION ALL SELECT * FROM hotB
+        |      UNION ALL SELECT * FROM salt0),
+        |c0 AS (SELECT doc_id, text, substr(text, 1, 32) AS p0,
+        |              COUNT(*) OVER (PARTITION BY substr(text, 1, 32))
+        |                AS bc0
+        |       FROM u),
+        |k0 AS (SELECT * FROM c0 WHERE bc0 <= 100),
+        |o0 AS (SELECT * FROM c0 WHERE bc0 > 100),
+        |c1 AS (SELECT doc_id, text, substr(text, 1, 64) AS p1,
+        |              COUNT(*) OVER (PARTITION BY substr(text, 1, 64))
+        |                AS bc1
+        |       FROM o0),
+        |k1 AS (SELECT * FROM c1 WHERE bc1 <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         levenshtein(a.text, b.text) AS d
+        |  FROM k0 a JOIN k0 b ON a.p0 = b.p0 AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text)
+        |  FROM k1 a JOIN k1 b ON a.p1 = b.p1 AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(d AS INTEGER) AS dist, d <= 1 AS is_dup
+        |FROM p ORDER BY id_a, id_b""".stripMargin
   )
 }

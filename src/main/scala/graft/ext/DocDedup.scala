@@ -1091,4 +1091,46 @@ object DocDedup {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > maxBlock)
       .orderBy(desc("cnt"), col("pfx"))
+
+  /** [[prefixBlockVerify]] with RE-BLOCKING instead of outright loss:
+    * docs whose level-`l` block exceeds `maxBlock` move to level
+    * `l+1`, which blocks on a DOUBLED prefix (boilerplate shares an
+    * opening, near-dups inside it still share more) — up to `levels`
+    * rounds; only blocks still oversized at the last level are
+    * dropped. Levels PARTITION the documents (an oversized block
+    * moves whole), so the union has no duplicate pairs and each pair
+    * verifies exactly once, at the deepest level its block survived.
+    * Per level the overflow set shrinks to the boilerplate share of
+    * the corpus and pays one map-side-combined count + one broadcast
+    * semi-join — level 0 dominates the cost.
+    */
+  def prefixBlockVerifyAdaptive(docs: DataFrame, idCol: String,
+                                textCol: String, prefixLen: Int,
+                                maxDist: Int, maxBlock: Int = 1024,
+                                saltThreshold: Int = 64,
+                                saltFactor: Int = 16,
+                                levels: Int = 2): DataFrame = {
+    require(levels >= 1 && prefixLen >= 1 &&
+      prefixLen.toLong << (levels - 1) <= Int.MaxValue,
+      s"bad adaptive params: levels=$levels prefixLen=$prefixLen")
+    var rem = docs
+    var out: DataFrame = null
+    var len = prefixLen
+    var lvl = 0
+    while (lvl < levels) {
+      val pairs = prefixBlockVerify(rem, idCol, textCol, len, maxDist,
+        maxBlock, saltThreshold, saltFactor)
+      out = if (out == null) pairs else out.unionByName(pairs)
+      if (lvl < levels - 1) {
+        val over = broadcast(
+          oversizedPrefixBlocks(rem, textCol, len, maxBlock)
+            .select(col("pfx").as("__opfx")))
+        rem = rem.join(over,
+          substring(col(textCol), 1, len) === col("__opfx"), "left_semi")
+        len *= 2
+      }
+      lvl += 1
+    }
+    out
+  }
 }

@@ -639,6 +639,49 @@ class DocDedupSpec extends SparkFunSuite {
     assert(cut.toSeq == Seq((boiler, 30L)))
   }
 
+  test("prefixBlockVerifyAdaptive: oversized blocks re-pair on the " +
+    "doubled prefix, levels partition docs (no duplicate pairs), " +
+    "still-hot last-level blocks stay dropped") {
+    val s = spark; import s.implicits._
+    val p32 = "a shared thirty-two char prefix!" // 32 chars
+    assert(p32.length == 32)
+    // 12 docs share p32 (over maxBlock=8) but split into 4 subblocks
+    // of 3 on the 64-char prefix; 10 docs share BOTH prefixes (still
+    // hot at level 1); 3 docs form a normal level-0 block
+    val d = (
+      (0L until 12L).map(i => (1000L + i,
+        p32 + f"sub${i % 4}%d" + "x" * 28 + "t" * (i % 2).toInt)) ++
+      (0L until 10L).map(i => (2000L + i,
+        p32 + "SAME" + "x" * 28 + s"-tail-$i")) ++
+      (0L until 3L).map(i => (3000L + i, "cold prefix here, also 32c.." +
+        "1234" + " t" + i))
+    ).toDF("doc_id", "text")
+    val got = DocDedup.prefixBlockVerifyAdaptive(d, "doc_id", "text",
+        32, 1, maxBlock = 8, saltThreshold = 2, saltFactor = 2,
+        levels = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got.distinct.size == got.size, "levels must partition docs")
+    // level-1 recovery: exactly the 4 subblocks' C(3,2) pairs
+    val lvl1 = got.filter(p => p._1 >= 1000L && p._1 < 2000L)
+    assert(lvl1.toSet == (for {
+      sub <- 0 until 4; a <- 0 until 3; b <- (a + 1) until 3
+    } yield (1000L + sub + 4 * a, 1000L + sub + 4 * b)).toSet,
+      s"level-1 subblock pairs wrong: $lvl1")
+    // the 10-doc block shares the 64-char prefix too -> dropped
+    assert(!got.exists(p => p._1 >= 2000L && p._1 < 3000L),
+      "still-oversized level-1 block must stay dropped")
+    assert(got.count(_._1 >= 3000L) == 3) // cold tier C(3,2)
+    // levels = 1 degrades to the plain capped operator
+    val one = DocDedup.prefixBlockVerifyAdaptive(d, "doc_id", "text",
+        32, 1, maxBlock = 8, saltThreshold = 2, saltFactor = 2,
+        levels = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = DocDedup.prefixBlockVerify(d, "doc_id", "text", 32, 1,
+        maxBlock = 8, saltThreshold = 2, saltFactor = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == plain)
+  }
+
   test("probeHammingIndex above broadcastLimit: shuffle fallback, " +
     "result equals the broadcast path, no broadcast hint survives") {
     val s = spark; import s.implicits._
