@@ -3268,6 +3268,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- INITIAL EMPTY EDIT (ISO 14496-12 §8.6.6): an elst whose
+    //      first entry is EMPTY (media_time −1) delays presentation by
+    //      its segment_duration — expressed in MOVIE timescale and
+    //      converted to media ticks (the fixture's mdhd declares media
+    //      ts = 2× movie ts, so the conversion is load-bearing: an
+    //      impl skipping empty edits is off by 2·(30+10t), one
+    //      treating the delay as media ticks is off by half). The
+    //      q142 pts fixture with the delay composed on top; n_edits=2
+    //      rows prove the complexity surface too.
+    "q151_mp4_empty_edit" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        val brand = ((id % 3).toInt: @unchecked) match {
+          case 0 => "isom"; case 1 => "mp42"; case 2 => "qt  "
+        }
+        val ts = 600 * (1 + (id % 5).toInt)
+        val full = Multimodal.syntheticMp4(brand, ts,
+          ts.toLong * (1 + id % 11) + id, 1 + (id % 3).toInt,
+          (id % 2).toInt, withSamples = true, withCtts = true,
+          fragmented = (id % 3).toInt, withEmptyEdit = true)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.take(20)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mp4(col("doc_id")))
+      Multimodal.extractMp4Samples(blobs, "blob")
+        .select("doc_id", "track_id", "sample_idx", "dts", "pts")
+        .orderBy("doc_id", "track_id", "sample_idx")
+    }),
+
     // ---- FRAGMENTED MP4 (moof/tfhd/trun — the DASH/CMAF web-video
     //      shape): the container mode is keyed by doc_id (classic
     //      stbl / fully-fragmented / mixed) while the ORACLE is
@@ -6113,6 +6143,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
         |       CAST(phash AS BIGINT) AS phash, ok
         |FROM res ORDER BY doc_id""".stripMargin,
+
+    // the q142 pts arithmetic plus the empty-edit delay: with D =
+    // 90+10t and E = 50+10t, pts = [0, D+E, D] + 2*(30+10t) — the
+    // factor 2 IS the movie->media timescale conversion
+    "q151_mp4_empty_edit" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nt FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0)
+        |SELECT d.doc_id, CAST(t.t AS INTEGER) AS track_id,
+        |       CAST(j.j AS INTEGER) AS sample_idx,
+        |       CAST(j.j * (90 + 10 * t.t) AS BIGINT) AS dts,
+        |       CAST(CASE j.j WHEN 0 THEN 0
+        |                     WHEN 1 THEN 140 + 20 * t.t
+        |                     ELSE 90 + 10 * t.t END
+        |            + 2 * (30 + 10 * t.t) AS BIGINT) AS pts
+        |FROM d, generate_series(1, 3) AS t(t),
+        |     generate_series(0, 2) AS j(j)
+        |WHERE t.t <= d.nt
+        |ORDER BY doc_id, track_id, sample_idx""".stripMargin,
 
     // the fixture arithmetic is CONTAINER-MODE-INDEPENDENT: sizes,
     // bytes, dts, ctts+elst pts, durations, and sync flags are the

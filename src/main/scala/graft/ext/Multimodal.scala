@@ -960,6 +960,13 @@ object Multimodal {
   }
   private[ext] def elstShiftOf(trackId: Int): Long =
     sampleDur(trackId, 0).toLong
+  /** Initial empty-edit delay of the `withEmptyEdit` fixture, in
+    * MOVIE timescale ticks; the fixture's mdhd declares media ts =
+    * 2 x movie ts, so the presentation delay is twice this in media
+    * ticks: pts = ptsOf + 2 * emptyEditDurOf.
+    */
+  private[ext] def emptyEditDurOf(trackId: Int): Long =
+    (30 + 10 * trackId).toLong
   private[ext] def ptsOf(trackId: Int, j: Int): Long =
     j.toLong * sampleDur(trackId, 0) + cttsOffset(trackId, j) -
       elstShiftOf(trackId)
@@ -1011,8 +1018,11 @@ object Multimodal {
                    samplePayload: (Int, Int) => Array[Byte] = null,
                    useCo64: Boolean = false,
                    withCtts: Boolean = false,
-                   fragmented: Int = 0)
+                   fragmented: Int = 0,
+                   withEmptyEdit: Boolean = false)
       : Array[Byte] = {
+    require(!withEmptyEdit || (withCtts && withSamples),
+      "withEmptyEdit needs the withCtts elst fixture")
     require(brand.length == 4 && timescale > 0 && duration >= 0 &&
       duration < (1L << 32) && nTraks >= 0 && (variant == 0 || variant == 1),
       s"bad mp4 spec brand=$brand ts=$timescale dur=$duration " +
@@ -1126,6 +1136,19 @@ object Multimodal {
           d.writeByte(0)                     // empty name (NUL)
         }
         val mdia = payloadOf { d =>
+          if (withEmptyEdit) {
+            // mdhd declaring media timescale = 2 x movie timescale, so
+            // the empty-edit movie->media conversion is load-bearing
+            val mdhd = payloadOf { z =>
+              z.writeInt(0)                  // version + flags
+              z.writeInt(0); z.writeInt(0)   // creation, modification
+              z.writeInt(timescale * 2)      // media timescale
+              z.writeInt(0)                  // duration
+              z.writeShort(0x55C4)           // language 'und'
+              z.writeShort(0)                // pre_defined
+            }
+            d.writeInt(8 + mdhd.length); d.writeBytes("mdhd"); d.write(mdhd)
+          }
           d.writeInt(8 + hdlr.length); d.writeBytes("hdlr"); d.write(hdlr)
           if (withSamples) {
             val plan = planOf(id)
@@ -1230,15 +1253,26 @@ object Multimodal {
         // epoch (the standard muxer pattern); version follows variant
         // so both elst entry widths (12 vs 20 bytes) are exercised
         val elst = payloadOf { d =>
+          val ne = if (withEmptyEdit) 2 else 1
           if (variant == 1) {
             d.writeInt(0x01000000)
-            d.writeInt(1)
+            d.writeInt(ne)
+            if (withEmptyEdit) {             // initial EMPTY edit:
+              d.writeLong(emptyEditDurOf(id))// presentation delay
+              d.writeLong(-1L)               // media_time -1 = empty
+              d.writeShort(1); d.writeShort(0)
+            }
             d.writeLong(duration)            // segment_duration
             d.writeLong(elstShiftOf(id))     // media_time
             d.writeShort(1); d.writeShort(0) // rate 1.0
           } else {
             d.writeInt(0)
-            d.writeInt(1)
+            d.writeInt(ne)
+            if (withEmptyEdit) {
+              d.writeInt(emptyEditDurOf(id).toInt)
+              d.writeInt(-1)
+              d.writeShort(1); d.writeShort(0)
+            }
             d.writeInt(duration.toInt)
             d.writeInt(elstShiftOf(id).toInt)
             d.writeShort(1); d.writeShort(0)
@@ -1432,6 +1466,7 @@ object Multimodal {
   private final val TRUN = 0x7472756e
   private final val MVEX = 0x6d766578
   private final val TREX = 0x74726578
+  private final val MDHD = 0x6d646864
 
   /** One-box-header cursor over an ISO BMFF byte range. `step` returns
     * the next cursor (boxEnd) and sets `typ`/`pStart`/`pEnd`, or sets
@@ -2134,6 +2169,7 @@ object Multimodal {
     var off = 0L
     var nTop = 0
     var sawMoov = false
+    var movieTs = 0 // mvhd timescale (0 = absent/invalid)
     while (off < end) {
       val next = c.step(off, end, topLevel = true)
       if (next < 0) return Left(c.errMsg)
@@ -2145,7 +2181,18 @@ object Multimodal {
         while (k < kEnd) {
           val kNext = c.step(k, kEnd, topLevel = false)
           if (kNext < 0) return Left(c.errMsg)
-          if (c.typ == TRAK) {
+          if (c.typ == MVHD) {
+            val p = c.pStart.toInt
+            if (c.pEnd - c.pStart < 4) return Left("truncated box")
+            val ver = bytes(p) & 0xFF
+            if (ver == 1) {
+              if (c.pEnd - c.pStart < 24) return Left("truncated box")
+              movieTs = bb.getInt(p + 20)
+            } else {
+              if (c.pEnd - c.pStart < 16) return Left("truncated box")
+              movieTs = bb.getInt(p + 12)
+            }
+          } else if (c.typ == TRAK) {
             var trackId = -1
             var sizes: Array[Int] = null
             var chunkOffs: Array[Long] = null
@@ -2155,6 +2202,8 @@ object Multimodal {
             var stssNums: Array[Int] = null // 1-based sync numbers
             var sawStss = false
             var elstShift = 0L // media_time of the first non-empty edit
+            var emptyDurMov = 0L // initial empty-edit delay, MOVIE ts
+            var mediaTs = 0    // mdhd timescale (0 = absent)
             var nEdits = 0     // raw elst entry count (timeline complexity)
             var handler = 0
             var codec = 0
@@ -2191,6 +2240,15 @@ object Multimodal {
                         if (ver == 1) bb.getLong(p + 8 + 20 * i + 8)
                         else bb.getInt(p + 8 + 12 * i + 4).toLong
                       if (mt >= 0) { elstShift = mt; found = true }
+                      else {
+                        // ISO 14496-12 8.6.6: an initial EMPTY edit
+                        // delays presentation by its segment_duration
+                        // (movie timescale) -- accumulated and
+                        // converted to media ticks at trak end
+                        emptyDurMov +=
+                          (if (ver == 1) bb.getLong(p + 8 + 20 * i)
+                           else bb.getInt(p + 8 + 12 * i) & 0xFFFFFFFFL)
+                      }
                       i += 1
                     }
                   }
@@ -2203,7 +2261,20 @@ object Multimodal {
                   if (mNext < 0) return Left(c.errMsg)
                   if (c.typ == HDLR && c.pEnd - c.pStart >= 12)
                     handler = bb.getInt(c.pStart.toInt + 8)
-                  else if (c.typ == MINF) {
+                  else if (c.typ == MDHD) {
+                    val p = c.pStart.toInt
+                    if (c.pEnd - c.pStart < 4) return Left("truncated box")
+                    val ver = bytes(p) & 0xFF
+                    if (ver == 1) {
+                      if (c.pEnd - c.pStart < 24)
+                        return Left("truncated box")
+                      mediaTs = bb.getInt(p + 20)
+                    } else {
+                      if (c.pEnd - c.pStart < 16)
+                        return Left("truncated box")
+                      mediaTs = bb.getInt(p + 12)
+                    }
+                  } else if (c.typ == MINF) {
                     var f2 = c.pStart; val f2End = c.pEnd
                     while (f2 < f2End) {
                       val fNext = c.step(f2, f2End, topLevel = false)
@@ -2335,7 +2406,15 @@ object Multimodal {
             if (trackId >= 0) {
               val st = new TrakState(trackId)
               st.handler = handler; st.codec = codec
-              st.elstShift = elstShift
+              // net pts shift = first non-empty edit's media_time MINUS
+              // the initial empty-edit delay converted movie->media
+              // ticks (truncating; identity when either timescale is
+              // absent/invalid)
+              val emptyMedia =
+                if (emptyDurMov > 0 && mediaTs > 0 && movieTs > 0)
+                  emptyDurMov * mediaTs / movieTs
+                else emptyDurMov
+              st.elstShift = elstShift - emptyMedia
               st.nEdits = nEdits
               statesBuf += st
               if (!byId.contains(trackId)) byId(trackId) = st

@@ -899,6 +899,35 @@ class MultimodalSpec extends SparkFunSuite {
     assert(t2.map(_._8) == Seq(0, 0))
   }
 
+  test("initial empty edit delays presentation: pts shifts by the " +
+    "movie->media-converted segment_duration, per ISO 14496-12 8.6.6") {
+    for (variant <- Seq(0, 1); nTraks <- Seq(1, 3);
+         frag <- Seq(0, 1)) {
+      val blob = Multimodal.syntheticMp4("isom", 600, 500L, nTraks,
+        variant, withSamples = true, withCtts = true,
+        fragmented = frag, withEmptyEdit = true)
+      val Right((samples, trk)) =
+        Multimodal.mp4SampleTable(blob): @unchecked
+      assert(samples.length == nTraks * Multimodal.SamplesPerTrack)
+      samples.foreach { case (t, j, _, _, dts, pts, _, _) =>
+        assert(dts == (0 until j).map(Multimodal.sampleDur(t, _)).sum,
+          s"t=$t j=$j dts variant=$variant frag=$frag")
+        // mdhd media ts = 2 x movie ts -> delay doubles in media ticks
+        assert(pts == Multimodal.ptsOf(t, j) +
+          2 * Multimodal.emptyEditDurOf(t),
+          s"t=$t j=$j pts variant=$variant frag=$frag")
+      }
+      assert(trk.map(_._8) == Seq.fill(nTraks)(2)) // n_edits = 2
+      // control: no empty edit -> the original pts
+      val ctrl = Multimodal.syntheticMp4("isom", 600, 500L, nTraks,
+        variant, withSamples = true, withCtts = true, fragmented = frag)
+      val Right((cs, _)) = Multimodal.mp4SampleTable(ctrl): @unchecked
+      cs.foreach { case (t, j, _, _, _, pts, _, _) =>
+        assert(pts == Multimodal.ptsOf(t, j))
+      }
+    }
+  }
+
   test("ctts v0 offset >= 2^31 is dropped with a DISTINCT diagnosable " +
     "reason, not a generic bad-table error") {
     val blob = Multimodal.syntheticMp4("isom", 600, 500L, 1, 0,
