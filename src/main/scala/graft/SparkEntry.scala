@@ -1538,6 +1538,24 @@ object SparkEntry {
         Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 9))
     }),
 
+    // ---- PRODUCT QUANTIZATION (the MEMORY layer of billion-vector
+    //      ANN — FAISS's IVF-PQ compression half): vectors compress to
+    //      m subspace codes, search is asymmetric-distance table
+    //      lookups over the code table, original vectors untouched.
+    //      Planted clones quantize to IDENTICAL codes, so their ADC
+    //      equals the query's own quantization error — the
+    //      per-subspace argmin bound makes that the global minimum and
+    //      full recall deterministic; the q44 recall-gate adjudication
+    //      pattern (ANN geometry is float-heavy; the gate states exact
+    //      recall COUNTS, not coordinates).
+    "q152_ann_pq_recall" -> ((s, dir) => {
+      val (corpus, q) = plantedAnnCorpus(s, dir)
+      annRecallRows(
+        Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9),
+        Similarity.pqTopK(corpus, q, "vec_id", "embedding", 9,
+          m = 8, ksub = 32))
+    }),
+
     // ---- ext/DocDedup: near-dup CLUSTERING (pairs → connected
     //      components → canonical min-id label) — the step after pair
     //      generation in a real pipeline. SEVENTEEN planted copies per
@@ -4571,6 +4589,12 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     "q44_ann_ivf_recall" ->
+      """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
+        |       CAST(9 AS BIGINT) AS n_found
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // planted clones share all PQ codes -> deterministic full recall
+    "q152_ann_pq_recall" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
         |       CAST(9 AS BIGINT) AS n_found
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

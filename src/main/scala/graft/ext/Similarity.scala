@@ -625,4 +625,186 @@ object Similarity {
     corpus.join(contaminated,
       col(idCol) === col("_graft_contaminated"), "left_anti")
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** Squared L2 distance of two array<float> columns, accumulated in
+    * double in element order (the [[dot]] determinism convention).
+    */
+  private def sqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic PQ codebook sample: the `ksub` corpus vectors with
+    * the smallest xxhash64(id) — the [[buildIvfIndex]] quantizer
+    * convention (no iterative k-means: only codebook QUALITY would
+    * change, not the operator shape, and float k-means would break
+    * the oracle/test determinism contract). Subspace `s` of sampled
+    * vector `cid` is codeword (s, cid).
+    */
+  private def pqSample(c: DataFrame, ksub: Int): Array[Array[Float]] =
+    c.select(col("id"), col("v"), xxhash64(col("id")).as("h"))
+      .orderBy("h", "id").limit(ksub)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+
+  /** Broadcast-ready (s, cid, cw) codeword relation from a sampled
+    * codebook — shared by encode and probe so geometry cannot drift.
+    */
+  private def codewordsDf(ss: org.apache.spark.sql.SparkSession,
+                          sample: Array[Array[Float]], m: Int,
+                          dsub: Int): DataFrame = {
+    import ss.implicits._
+    broadcast((for {
+      s <- 0 until m; ci <- sample.indices
+    } yield (s, ci, sample(ci).slice(s * dsub, (s + 1) * dsub)))
+      .toDF("s", "cid", "cw"))
+  }
+
+  /** Per-(vector, subspace) nearest-codeword assignment — (id, s,
+    * code). Slim ids-only rows through the |corpus|·ksub·m cross
+    * join; the argmin partial-aggregates map-side (ties to the
+    * smallest cid).
+    */
+  private def pqEncode(c: DataFrame, cw: DataFrame,
+                       dsub: Int): DataFrame =
+    c.crossJoin(cw)
+      .select(col("id"), col("s"),  col("cid"),
+        sqdist(expr(s"slice(v, s * $dsub + 1, $dsub)"), col("cw"))
+          .as("d2"))
+      .groupBy("id", "s")
+      .agg(expr("max_by(cid, struct(-d2, -cid))").as("code"))
+
+  /** ADC scoring tail shared by [[pqTopK]] and [[probePqIndex]]:
+    * queries precompute a (query, s, cid) → d2 distance table (the
+    * asymmetric distance computation of Jégou et al.'s PQ), a
+    * candidate's score is the m-term table-lookup SUM over its codes
+    * — original vectors are never touched — and rank 1..k ascends by
+    * (adc, neighbor_id).
+    */
+  private def adcTopK(codes: DataFrame, q: DataFrame, cw: DataFrame,
+                      dsub: Int, m: Int, k: Int): DataFrame = {
+    val dtable = broadcast(q.crossJoin(cw)
+      .select(col("query_id"), col("s").as("qs"), col("cid").as("qcid"),
+        sqdist(expr(s"slice(qv, s * $dsub + 1, $dsub)"), col("cw"))
+          .as("d2")))
+    val w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    codes.join(dtable,
+        col("s") === col("qs") && col("code") === col("qcid"))
+      .where(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum("d2").as("adc"), count(lit(1)).as("__nm"))
+      .where(col("__nm") === m) // every subspace scored exactly once
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
+  /** Product-quantized approximate top-k — the MEMORY layer of
+    * billion-vector ANN (the PQ half of FAISS's IVF-PQ): each vector
+    * compresses to `m` subspace codes (m·log2(ksub) bits instead of
+    * 4·dim bytes), and search never touches the original vectors.
+    * Join form; [[buildPqIndex]]/[[probePqIndex]] is the persisted
+    * deployment shape. Scores are squared-L2 ADC (ascending) — on the
+    * normalized embeddings this corpus carries, L2 ranking and cosine
+    * ranking agree.
+    *
+    * 100 TB sizing: with m=8, ksub=256 a 10^10-vector corpus's code
+    * table is 80 GB (scannable) where the raw float vectors at d=512
+    * are 20 TB; encode is one |corpus|·ksub·m slim-row pass.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(m >= 1 && ksub >= 1 && k >= 1,
+      s"bad pq params m=$m ksub=$ksub k=$k")
+    val ss = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist()
+    try {
+      c.count()
+      val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))
+      val sample = pqSample(c, ksub)
+      def emptyResult = q.select(col("query_id"),
+        col("query_id").as("neighbor_id"), lit(1).as("rank"),
+        lit(0.0).as("adc")).where(lit(false))
+      if (sample.isEmpty) return emptyResult
+      val dim = sample.head.length
+      require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+      val dsub = dim / m
+      val cw = codewordsDf(ss, sample, m, dsub)
+      adcTopK(pqEncode(c, cw, dsub), q, cw, dsub, m, k)
+        .localCheckpoint() // materialize while `c` is cached
+    } finally c.unpersist()
+  }
+
+  /** WRITE-time PQ index: the corpus stored as its CODE TABLE — (id,
+    * s, code) rows, no vector column anywhere in the index — plus a
+    * `_graft_pq_meta` sidecar carrying m/ksub/dsub and the sampled
+    * codebook vectors BIT-EXACT (raw float bits, the
+    * [[buildIvfIndex]] convention): the probe must reproduce encode
+    * geometry exactly or ADC scores drift.
+    */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   path: String, m: Int = 8, ksub: Int = 16): Unit = {
+    require(m >= 1 && ksub >= 1 && ksub <= (1 << 16),
+      s"bad pq params m=$m ksub=$ksub")
+    val ss = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist()
+    try {
+      c.count()
+      val sample = pqSample(c, ksub)
+      val dim = if (sample.isEmpty) m else sample.head.length
+      require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+      val dsub = dim / m
+      if (sample.nonEmpty)
+        pqEncode(c, codewordsDf(ss, sample, m, dsub), dsub)
+          .write.mode("overwrite").parquet(path)
+      else // empty corpus: no code rows, sidecar only
+        c.select(col("id"), lit(0).as("s"), lit(0).as("code"))
+          .where(lit(false)).write.mode("overwrite").parquet(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(ss.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(path, "_graft_pq_meta"), true)
+      val body = new StringBuilder(s"$m $ksub $dsub\n")
+      sample.foreach { v =>
+        body.append(v.map(java.lang.Float.floatToRawIntBits)
+          .mkString(",")).append('\n')
+      }
+      try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    } finally c.unpersist()
+  }
+
+  /** ADC search against a [[buildPqIndex]] code table: one scan of
+    * m-codes-per-vector rows joined to the broadcast query distance
+    * table — the original vectors exist nowhere in the plan. Returns
+    * the same rows [[pqTopK]] returns for the same (m, ksub)
+    * (SimilaritySpec pins the equivalence).
+    */
+  def probePqIndex(queries: DataFrame, idCol: String, vecCol: String,
+                   path: String, k: Int): DataFrame = {
+    val ss = queries.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(
+      new org.apache.hadoop.fs.Path(path, "_graft_pq_meta"))
+    val lines =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").getLines()
+        .toArray
+      finally metaIn.close()
+    val Array(m, _, dsub) = lines.head.trim.split(" ").map(_.toInt)
+    val sample: Array[Array[Float]] = lines.drop(1).filter(_.nonEmpty)
+      .map(_.split(",").map(b =>
+        java.lang.Float.intBitsToFloat(b.trim.toInt)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    def emptyResult = q.select(col("query_id"),
+      col("query_id").as("neighbor_id"), lit(1).as("rank"),
+      lit(0.0).as("adc")).where(lit(false))
+    if (sample.isEmpty || fs.globStatus(
+      new org.apache.hadoop.fs.Path(path, "*.parquet")).isEmpty)
+      return emptyResult
+    adcTopK(ss.read.parquet(path), q,
+      codewordsDf(ss, sample, m, dsub), dsub, m, k)
+  }
 }

@@ -413,6 +413,31 @@ class MultimodalSpec extends SparkFunSuite {
         rmeta.nFrames == dec.length &&
         rmeta.sampleSum == dec.map(_.toLong).sum, s"gain=$gain ch=$ch")
     }
+    // WAVE_FORMAT_EXTENSIBLE (fmt tag 0xFFFE + IEEE-float subformat
+    // GUID) — what real float-WAV exporters write — decodes through
+    // the same SPI boundary to the same canonical digest
+    locally {
+      val plain = Multimodal.syntheticWavEx(8000, 50, 7L, 32, 1,
+        floatPcm = true)
+      val pm = Multimodal.decodeWavBytes(plain)
+      val data = plain.drop(44)
+      val ext = java.nio.ByteBuffer.allocate(68 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ext.put("RIFF".getBytes("US-ASCII")).putInt(60 + data.length)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(40).putShort(0xFFFE.toShort).putShort(1)
+        .putInt(8000).putInt(8000 * 4).putShort(4).putShort(32)
+        .putShort(22).putShort(32).putInt(4)
+        .putInt(3).putShort(0).putShort(0x10) // IEEE-float subtype GUID
+        .put(Array[Byte](0x80.toByte, 0, 0, 0xAA.toByte, 0, 0x38,
+          0x9B.toByte, 0x71))
+        .put("data".getBytes("US-ASCII")).putInt(data.length)
+        .put(data)
+      val em = Multimodal.decodeWavBytes(ext.array())
+      assert(em.ok && em.nFrames == pm.nFrames &&
+        em.sampleSum == pm.sampleSum && em.peak == pm.peak,
+        "extensible-header float WAV must digest like the plain header")
+    }
     // non-finite samples are TOTAL, not throws: NaN -> 0, +Inf -> 32767,
     // -Inf -> -32768 (the clamp convention, applied before any mean)
     val base = Multimodal.syntheticWavEx(8000, 4, 9L, 32, 1,

@@ -263,6 +263,65 @@ class SimilaritySpec extends SparkFunSuite {
     assert(out == base.map(_._1).toSet, s"got $out")
   }
 
+
+  test("pqTopK: planted twins share all codes and land at minimal ADC; " +
+    "self excluded; every subspace scored once") {
+    val corpus = randomCorpus(60, 16)
+    // clone vectors 0..4 ten times each: clones quantize to IDENTICAL
+    // codes, so their ADC equals the query's own quantization error --
+    // the per-subspace argmin bound makes that the global minimum
+    val s = spark; import s.implicits._
+    val clones = (1 to 9).map(j =>
+      corpus.where(col("vec_id") < 5)
+        .select((col("vec_id") + j * 1000L).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+    val all = corpus.unionByName(clones)
+    val q = all.where(col("vec_id") < 5)
+    val res = Similarity.pqTopK(all, q, "vec_id", "embedding", 9,
+        m = 4, ksub = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("adc")))
+    (0L until 5L).foreach { qid =>
+      val mine = res.filter(_._1 == qid)
+      assert(mine.length == 9, s"query $qid row count")
+      assert(!mine.exists(_._2 == qid), "self excluded")
+      // the 9 clones occupy the top ranks (all at the minimal ADC)
+      val cloneIds = (1 to 9).map(j => qid + j * 1000L).toSet
+      assert(mine.filter(r => cloneIds(r._2)).map(_._3).sorted.toList ==
+        (1 to 9).toList, s"query $qid: clones must fill ranks 1..9, " +
+          s"got $mine")
+      assert(mine.map(_._4).distinct.length == 1,
+        s"query $qid: clone ADCs must be equal")
+    }
+  }
+
+  test("buildPqIndex/probePqIndex: result-identical to pqTopK; the " +
+    "index stores codes only (no vector column); codebook bit-exact") {
+    val dir = tempDir("pq-index")
+    val corpus = randomCorpus(120, 16)
+    val queries = corpus.where(col("vec_id") < 4)
+    val direct = Similarity.pqTopK(corpus, queries, "vec_id",
+        "embedding", 5, m = 4, ksub = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("adc"))).toSet
+    Similarity.buildPqIndex(corpus, "vec_id", "embedding",
+      s"$dir/idx", m = 4, ksub = 16)
+    val viaIdx = Similarity.probePqIndex(queries, "vec_id", "embedding",
+        s"$dir/idx", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("adc"))).toSet
+    assert(viaIdx == direct, s"index $viaIdx != join form $direct")
+    // the code table carries NO vectors: 4 bytes of codes replace 64
+    // bytes of floats per vector -- the whole point of PQ
+    val schema = spark.read.parquet(s"$dir/idx").schema
+    assert(schema.fieldNames.sorted.sameElements(
+      Array("code", "id", "s")), schema.treeString)
+    assert(spark.read.parquet(s"$dir/idx").count() == 120 * 4)
+  }
+
   test("semanticDecontaminate drops exactly the rows the brute-force " +
     "cosine filter drops, keeps schema, and kills planted twins") {
     val s = spark; import s.implicits._
