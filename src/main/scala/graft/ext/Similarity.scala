@@ -684,13 +684,23 @@ object Similarity {
   private def adcTopK(codes: DataFrame, q: DataFrame, cw: DataFrame,
                       dsub: Int, m: Int, k: Int): DataFrame = {
     val dtable = broadcast(q.crossJoin(cw)
-      .select(col("query_id"), col("s").as("qs"), col("cid").as("qcid"),
+      .select(col("query_id").as("dq"), col("s").as("qs"),
+        col("cid").as("qcid"),
         sqdist(expr(s"slice(qv, s * $dsub + 1, $dsub)"), col("cw"))
           .as("d2")))
+    // code rows already bound to a probing query (the IVF-PQ pruned
+    // path) keep that binding; unbound rows (flat PQ) score against
+    // every query
+    val base =
+      if (codes.columns.contains("query_id"))
+        codes.join(dtable, col("query_id") === col("dq") &&
+          col("s") === col("qs") && col("code") === col("qcid"))
+      else
+        codes.join(dtable, col("s") === col("qs") &&
+          col("code") === col("qcid"))
+          .withColumn("query_id", col("dq"))
     val w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    codes.join(dtable,
-        col("s") === col("qs") && col("code") === col("qcid"))
-      .where(col("query_id") =!= col("id"))
+    base.where(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum("d2").as("adc"), count(lit(1)).as("__nm"))
       .where(col("__nm") === m) // every subspace scored exactly once
@@ -806,5 +816,129 @@ object Similarity {
       return emptyResult
     adcTopK(ss.read.parquet(path), q,
       codewordsDf(ss, sample, m, dsub), dsub, m, k)
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** The composed billion-vector deployment shape (FAISS IVF-PQ): a
+    * coarse IVF quantizer prunes WHICH codes are read (cells partition
+    * the corpus; a probe reads `nprobe` partitions) and PQ prunes WHAT
+    * a code row costs (m ints, no vector column anywhere in the
+    * index). Both quantizers are the deterministic sampled
+    * constructions of [[buildIvfIndex]]/[[buildPqIndex]] and both are
+    * persisted bit-exact in one `_graft_ivfpq_meta` sidecar. A single
+    * shared codebook encodes all cells (per-cell residual codebooks
+    * change code QUALITY, not the operator shape — the
+    * [[ivfTopK]] no-k-means argument).
+    *
+    * 100 TB sizing: nlist=4096, nprobe=64, m=8 → a probe reads ~1.6%
+    * of an 80 GB code table (10^10 vectors) instead of any part of
+    * the 20 TB vector corpus.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, nlist: Int = 16, m: Int = 8,
+                      ksub: Int = 16): Unit = {
+    require(nlist >= 1 && m >= 1 && ksub >= 1,
+      s"bad ivf-pq params nlist=$nlist m=$m ksub=$ksub")
+    val ss = corpus.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist()
+    try {
+      c.count()
+      val cents = c
+        .select(col("id"), col("v"), xxhash64(col("id")).as("h"))
+        .orderBy("h", "id").limit(nlist)
+        .select("v").collect().map(_.getSeq[Float](0).toArray)
+      val sample = pqSample(c, ksub)
+      val dim = if (sample.isEmpty) m else sample.head.length
+      require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+      val dsub = dim / m
+      if (sample.nonEmpty) {
+        import ss.implicits._
+        val cdf = broadcast(cents.toSeq.zipWithIndex
+          .map { case (v, i) => (i, v) }.toDF("cid", "cvec"))
+        val cells = c.crossJoin(cdf)
+          .select(col("id"), col("cid"),
+            cosine(col("v"), col("cvec")).as("csim"))
+          .groupBy("id")
+          .agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
+        pqEncode(c, codewordsDf(ss, sample, m, dsub), dsub)
+          .join(cells, "id")
+          .select("cid", "id", "s", "code")
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+      }
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(ss.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(path, "_graft_ivfpq_meta"), true)
+      val body = new StringBuilder(
+        s"${cents.length} $m $ksub $dsub\n")
+      cents.foreach { v =>
+        body.append(v.map(java.lang.Float.floatToRawIntBits)
+          .mkString(",")).append('\n')
+      }
+      body.append("--\n")
+      sample.foreach { v =>
+        body.append(v.map(java.lang.Float.floatToRawIntBits)
+          .mkString(",")).append('\n')
+      }
+      try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    } finally c.unpersist()
+  }
+
+  /** ADC search against a [[buildIvfPqIndex]] index: each query picks
+    * its `nprobe` nearest persisted centroids, reads ONLY those cid
+    * partitions (pruned at file-listing time), and ranks by the PQ
+    * distance-table sum — vectors appear nowhere in the plan.
+    */
+  def probeIvfPqIndex(queries: DataFrame, idCol: String, vecCol: String,
+                      path: String, k: Int, nprobe: Int = 4)
+      : DataFrame = {
+    val ss = queries.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(
+      new org.apache.hadoop.fs.Path(path, "_graft_ivfpq_meta"))
+    val lines =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").getLines()
+        .toArray
+      finally metaIn.close()
+    val Array(nlist, m, _, dsub) = lines.head.trim.split(" ").map(_.toInt)
+    val sep = lines.indexOf("--")
+    def parse(ls: Array[String]): Array[Array[Float]] =
+      ls.filter(_.nonEmpty).map(_.split(",").map(b =>
+        java.lang.Float.intBitsToFloat(b.trim.toInt)))
+    val cents = parse(lines.slice(1, sep))
+    val sample = parse(lines.drop(sep + 1))
+    require(nprobe >= 1 && (nlist == 0 || nprobe <= nlist),
+      s"need 1 <= nprobe <= nlist=$nlist, got nprobe=$nprobe")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    def emptyResult = q.select(col("query_id"),
+      col("query_id").as("neighbor_id"), lit(1).as("rank"),
+      lit(0.0).as("adc")).where(lit(false))
+    if (cents.isEmpty || sample.isEmpty ||
+      !fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(_.getPath.getName.startsWith("cid="))) return emptyResult
+    import ss.implicits._
+    val cdf = broadcast(cents.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cid", "cvec"))
+    val w = Window.partitionBy("query_id").orderBy(desc("csim"), col("cid"))
+    val qCells = q.crossJoin(cdf)
+      .select(col("query_id"), col("cid"),
+        cosine(col("qv"), col("cvec")).as("csim"))
+      .withColumn("r", row_number().over(w)).where(col("r") <= nprobe)
+      .select("query_id", "cid")
+    val cids = qCells.select("cid").distinct().collect().map(_.getInt(0))
+    if (cids.isEmpty) return emptyResult
+    // partition-column-only predicate → pruned at file-listing time;
+    // joining qCells binds each code row to exactly the queries that
+    // probed its cell, so adcTopK scores only pruned candidates
+    val codes = ss.read.parquet(path)
+      .where(col("cid").isin(cids.toSeq: _*))
+      .join(broadcast(qCells), Seq("cid"))
+    adcTopK(codes, q, codewordsDf(ss, sample, m, dsub), dsub, m, k)
   }
 }

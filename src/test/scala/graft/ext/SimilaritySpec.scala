@@ -322,6 +322,58 @@ class SimilaritySpec extends SparkFunSuite {
     assert(spark.read.parquet(s"$dir/idx").count() == 120 * 4)
   }
 
+
+  test("buildIvfPqIndex/probeIvfPqIndex: planted twins fully recalled " +
+    "through the composed index; the probe reads only probed cells") {
+    val dir = tempDir("ivfpq-index")
+    val s = spark; import s.implicits._
+    val base = randomCorpus(60, 16)
+    val clones = (1 to 9).map(j =>
+      base.where(col("vec_id") < 5)
+        .select((col("vec_id") + j * 1000L).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+    val all = base.unionByName(clones)
+    val queries = all.where(col("vec_id") < 5)
+    Similarity.buildIvfPqIndex(all, "vec_id", "embedding",
+      s"$dir/idx", nlist = 8, m = 4, ksub = 16)
+    val res = Similarity.probeIvfPqIndex(queries, "vec_id",
+      "embedding", s"$dir/idx", 9, nprobe = 2)
+    val rows = res.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank")))
+    (0L until 5L).foreach { qid =>
+      // identical vectors share cell AND codes: all 9 clones recalled
+      val cloneIds = (1 to 9).map(j => qid + j * 1000L).toSet
+      val mine = rows.filter(_._1 == qid)
+      assert(mine.count(r => cloneIds(r._2)) == 9,
+        s"query $qid clone recall: $mine")
+    }
+    // pruning: the scan touches at most nprobe cells per query (here
+    // queries share cells, so <= 5 * 2 distinct) — strictly fewer
+    // partitions than exist
+    res.collect() // finalize AQE
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        scans(m.relation.cachedPlan)
+      case other => other.children.flatMap(scans)
+    }
+    val total = new java.io.File(s"$dir/idx").listFiles()
+      .count(_.getName.startsWith("cid="))
+    val scanned = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString
+        .contains("ivfpq-index")))
+      .map(_.selectedPartitions.partitionCount)
+    assert(scanned.nonEmpty, "no index scan found in the probe plan")
+    assert(scanned.min <= 10 && scanned.min < total,
+      s"probe scanned ${scanned.min} of $total cells - pruning lost")
+  }
+
   test("semanticDecontaminate drops exactly the rows the brute-force " +
     "cosine filter drops, keeps schema, and kills planted twins") {
     val s = spark; import s.implicits._
