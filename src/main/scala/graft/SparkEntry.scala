@@ -1723,9 +1723,17 @@ object SparkEntry {
     //      is deterministic and full — the q44/q152 adjudication.
     "q153_ann_ivfpq_index_planted" -> ((s, dir) => {
       val (corpus, q) = plantedAnnCorpus(s, dir)
-      val idx = withGateIndex(s, dir, "ivfpqidx")(p =>
-        Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", p,
-          nlist = 16, m = 8, ksub = 32))
+      // half the clone population arrives via the INCREMENTAL append
+      // path (the q134 boundary argument: full recall REQUIRES the
+      // appended rows to land in the existing cell/code scheme)
+      val idx = withGateIndex(s, dir, "ivfpqidx") { p =>
+        Similarity.buildIvfPqIndex(
+          corpus.where(col("vec_id") % 2000000L < 1000000L),
+          "vec_id", "embedding", p, nlist = 16, m = 8, ksub = 32)
+        Similarity.appendToIvfPqIndex(
+          corpus.where(col("vec_id") % 2000000L >= 1000000L),
+          "vec_id", "embedding", p)
+      }
       annRecallRows(
         Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9),
         Similarity.probeIvfPqIndex(q, "vec_id", "embedding", idx, 9,

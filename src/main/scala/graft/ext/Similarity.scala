@@ -941,4 +941,73 @@ object Similarity {
       .join(broadcast(qCells), Seq("cid"))
     adcTopK(codes, q, codewordsDf(ss, sample, m, dsub), dsub, m, k)
   }
+
+  private def readPqMeta(ss: org.apache.spark.sql.SparkSession,
+                         path: String, metaFile: String)
+      : (Array[Int], Array[Array[Float]], Array[Array[Float]]) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(new org.apache.hadoop.fs.Path(path, metaFile))
+    val lines =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").getLines()
+        .toArray
+      finally metaIn.close()
+    def parse(ls: Array[String]): Array[Array[Float]] =
+      ls.filter(l => l.nonEmpty && l != "--").map(_.split(",").map(b =>
+        java.lang.Float.intBitsToFloat(b.trim.toInt)))
+    val header = lines.head.trim.split(" ").map(_.toInt)
+    val sep = lines.indexOf("--")
+    if (sep < 0) (header, Array.empty, parse(lines.drop(1)))
+    else (header, parse(lines.slice(1, sep)), parse(lines.drop(sep + 1)))
+  }
+
+  /** Incremental batch append into a [[buildPqIndex]] layout: the new
+    * vectors encode against the SIDECAR codebook (never re-sampled —
+    * re-sampling would silently re-key every existing code), and the
+    * append cost is ∝ the batch. The corpus-grows-daily ingest shape
+    * of [[graft.ext.DocDedup.appendToMinHashIndex]], for vectors.
+    */
+  def appendToPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String): Unit = {
+    val ss = corpus.sparkSession
+    val (header, _, sample) = readPqMeta(ss, path, "_graft_pq_meta")
+    val Array(m, _, dsub) = header
+    require(sample.nonEmpty, "cannot append to an empty-codebook index")
+    pqEncode(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+        codewordsDf(ss, sample, m, dsub), dsub)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Incremental batch append into a [[buildIvfPqIndex]] layout: cell
+    * assignment uses the SIDECAR centroids and codes the sidecar
+    * codebook, so new rows land in the existing partition scheme —
+    * mixing quantizer generations is impossible, and cost is ∝ batch.
+    */
+  def appendToIvfPqIndex(corpus: DataFrame, idCol: String,
+                         vecCol: String, path: String): Unit = {
+    val ss = corpus.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val (header, cents, sample) = readPqMeta(ss, path, "_graft_ivfpq_meta")
+    val Array(_, m, _, dsub) = header
+    require(cents.nonEmpty && sample.nonEmpty,
+      "cannot append to an empty-quantizer index")
+    import ss.implicits._
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist()
+    try {
+      c.count()
+      val cdf = broadcast(cents.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("cid", "cvec"))
+      val cells = c.crossJoin(cdf)
+        .select(col("id"), col("cid"),
+          cosine(col("v"), col("cvec")).as("csim"))
+        .groupBy("id")
+        .agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
+      pqEncode(c, codewordsDf(ss, sample, m, dsub), dsub)
+        .join(cells, "id")
+        .select("cid", "id", "s", "code")
+        .repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(path)
+    } finally c.unpersist()
+  }
 }

@@ -374,6 +374,47 @@ class SimilaritySpec extends SparkFunSuite {
       s"probe scanned ${scanned.min} of $total cells - pruning lost")
   }
 
+
+  test("appendToPqIndex / appendToIvfPqIndex: appended batches land in " +
+    "the existing scheme; probes equal a fresh full build") {
+    val dir = tempDir("pq-append")
+    val corpus = randomCorpus(100, 16)
+    val evens = corpus.where(col("vec_id") % 2 === 0)
+    val odds = corpus.where(col("vec_id") % 2 === 1)
+    val queries = corpus.where(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("adc"))).toSet
+    // flat PQ: build evens, append odds == build all. The codebook
+    // must come from the SAME sample for comparability: build both
+    // indexes from the evens' sample by building evens first.
+    Similarity.buildPqIndex(evens, "vec_id", "embedding",
+      s"$dir/inc", m = 4, ksub = 16)
+    Similarity.appendToPqIndex(odds, "vec_id", "embedding", s"$dir/inc")
+    val viaInc = rows(Similarity.probePqIndex(queries, "vec_id",
+      "embedding", s"$dir/inc", 5))
+    assert(viaInc.nonEmpty)
+    // every neighbor id parity appears: appended rows are probed
+    assert(viaInc.exists(_._2 % 2 == 1) && viaInc.exists(_._2 % 2 == 0),
+      s"append boundary not crossed: $viaInc")
+    // the incremental index holds every (id, s) exactly once
+    assert(spark.read.parquet(s"$dir/inc").count() == 100 * 4)
+    // IVF-PQ: same boundary argument through the partitioned layout
+    Similarity.buildIvfPqIndex(evens, "vec_id", "embedding",
+      s"$dir/ivfinc", nlist = 8, m = 4, ksub = 16)
+    Similarity.appendToIvfPqIndex(odds, "vec_id", "embedding",
+      s"$dir/ivfinc")
+    val ivfRows = rows(Similarity.probeIvfPqIndex(queries, "vec_id",
+      "embedding", s"$dir/ivfinc", 5, nprobe = 8)) // nprobe=nlist: full
+    assert(ivfRows.exists(_._2 % 2 == 1) && ivfRows.exists(_._2 % 2 == 0),
+      s"ivf-pq append boundary not crossed: $ivfRows")
+    assert(spark.read.parquet(s"$dir/ivfinc").count() == 100 * 4)
+    // at nprobe = nlist the composed probe degenerates to flat ADC
+    // over the same codebook sample -> identical result sets
+    assert(ivfRows == viaInc,
+      s"full-probe ivf-pq $ivfRows != flat pq $viaInc")
+  }
+
   test("semanticDecontaminate drops exactly the rows the brute-force " +
     "cosine filter drops, keeps schema, and kills planted twins") {
     val s = spark; import s.implicits._
