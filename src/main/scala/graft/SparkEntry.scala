@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DocDedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{DocDedup, Multimodal, Similarity, TextAnalysis, WebArchive}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1738,6 +1738,37 @@ object SparkEntry {
         Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 9),
         Similarity.probeIvfPqIndex(q, "vec_id", "embedding", idx, 9,
           nprobe = 4))
+    }),
+
+    // ---- WARC WEB-ARCHIVE EXTRACTION (ISO 28500 — Common Crawl's
+    //      native ingest format): archives are REAL WARC bytes built
+    //      by the record writer (version line, CRLF header fields,
+    //      Content-Length'd content block, CRLF CRLF terminator);
+    //      odd doc_ids compress each record as its OWN gzip member
+    //      (the Common Crawl range-request layout), so a parser that
+    //      skips the multi-member inflate fails half the corpus under
+    //      the mode-INDEPENDENT oracle. `response` records carry a
+    //      real HTTP/1.1 message whose status/content-type/body are
+    //      parsed out; the single-character response bodies let DuckDB
+    //      restate every output column (lengths included) as pure
+    //      string arithmetic. Poison tail: id%47 empty blob, id%43
+    //      broken final terminator — both must yield ZERO rows (the
+    //      container-explode convention; the error channel is
+    //      warcErrors, spec-covered).
+    "q154_warc_extract" -> ((s, dir) => {
+      val warc = udf((id: Long) => {
+        val full = WebArchive.syntheticWarc(id)
+        if (id % 47 == 0) Array.empty[Byte]
+        else if (id % 43 == 0) full.dropRight(3)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", warc(col("doc_id")))
+      WebArchive.extractWarcRecords(blobs, "blob")
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_len"), col("http_status"),
+          col("http_ctype"), col("body").cast("string").as("body_str"))
+        .orderBy("doc_id", "rec_idx")
     }),
 
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
@@ -4630,6 +4661,54 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
         |       CAST(9 AS BIGINT) AS n_found
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // every output column restated as string arithmetic from the
+    // fixture formulas; the record's Content-Length for responses is
+    // the HTTP head (52 + len(ctype) + len(digits(blen))) + body; the
+    // oracle is gzip-mode-independent (mode is doc_id%2 on the Spark
+    // side only)
+    "q154_warc_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 47 != 0 AND doc_id % 43 != 0),
+        |r AS (
+        |  SELECT d.doc_id, j.j AS rec_idx FROM d,
+        |       generate_series(0, 7) AS j(j) WHERE j.j < d.n),
+        |f AS (
+        |  SELECT doc_id, rec_idx,
+        |    CASE WHEN rec_idx = 0 THEN 'warcinfo'
+        |         WHEN rec_idx % 2 = 1 THEN 'request'
+        |         ELSE 'response' END AS warc_type,
+        |    5 + (doc_id * 3 + rec_idx * 11) % 40 AS blen,
+        |    chr(97 + CAST((doc_id + rec_idx) % 26 AS INTEGER)) AS ch,
+        |    CASE (doc_id * 7 + rec_idx) % 4 WHEN 0 THEN 200
+        |         WHEN 1 THEN 301 WHEN 2 THEN 404 ELSE 503 END AS status,
+        |    CASE WHEN (doc_id + rec_idx) % 2 = 0
+        |         THEN 'text/html' ELSE 'text/plain' END AS ctype,
+        |    chr(13) || chr(10) AS crlf
+        |  FROM r)
+        |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, warc_type,
+        |  CASE WHEN rec_idx = 0 THEN NULL
+        |       ELSE 'http://ex.com/' || doc_id || '/' || rec_idx
+        |  END AS target_uri,
+        |  CAST(CASE
+        |    WHEN rec_idx = 0 THEN 16 + length(CAST(doc_id AS VARCHAR))
+        |    WHEN rec_idx % 2 = 1 THEN
+        |      length('GET /' || doc_id || '/' || rec_idx || ' HTTP/1.1')
+        |        + 2 + length('Host: ex.com') + 4
+        |    ELSE 52 + length(ctype) + length(CAST(blen AS VARCHAR)) + blen
+        |  END AS INTEGER) AS content_len,
+        |  CAST(CASE WHEN warc_type = 'response' THEN status END
+        |       AS INTEGER) AS http_status,
+        |  CASE WHEN warc_type = 'response' THEN ctype END AS http_ctype,
+        |  CASE
+        |    WHEN rec_idx = 0 THEN 'software: graft ' || doc_id
+        |    WHEN rec_idx % 2 = 1 THEN
+        |      'GET /' || doc_id || '/' || rec_idx || ' HTTP/1.1' || crlf
+        |        || 'Host: ex.com' || crlf || crlf
+        |    ELSE repeat(ch, blen)
+        |  END AS body_str
+        |FROM f ORDER BY doc_id, rec_idx""".stripMargin,
 
     "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
