@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DocDedup, Multimodal, Similarity, TextAnalysis, WebArchive}
+import graft.ext.{DocDedup, Mp3, Multimodal, Similarity, TextAnalysis, WebArchive}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1769,6 +1769,33 @@ object SparkEntry {
           col("target_uri"), col("content_len"), col("http_status"),
           col("http_ctype"), col("body").cast("string").as("body_str"))
         .orderBy("doc_id", "rec_idx")
+    }),
+
+    // ---- MP3 FRAME WALK (ISO 11172-3 / 13818-3 — the dominant
+    //      crawled-audio format): REAL frame headers built by the
+    //      fixture writer; the walk recovers version/layer/bitrate/
+    //      sample-rate/padding and DERIVES each frame's byte length
+    //      from the header arithmetic (it is not stored in the file) —
+    //      the oracle restates the same arithmetic from the published
+    //      tables, so a parser with a wrong bitrate table, wrong
+    //      size formula (the Layer II vs MPEG2-Layer III 144-vs-72
+    //      factor), or broken ID3v2 syncsafe skip mis-sizes frames and
+    //      fails on `offset`/`frame_bytes`. Three format classes keyed
+    //      by doc_id%3 (MPEG1-L3 / MPEG1-L2 / MPEG2-L3) exercise
+    //      distinct tables, formulas, and samples-per-frame; ID3v1
+    //      trailers on doc_id%4. Poison: %41 empty, %37 truncated —
+    //      zero rows (strict walk; error channel spec-covered).
+    "q155_mp3_frames" -> ((s, dir) => {
+      val mp3 = udf((id: Long) => {
+        val full = Mp3.syntheticMp3(id)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.dropRight(3)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mp3(col("doc_id")))
+      Mp3.extractMp3Frames(blobs, "blob")
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
@@ -4709,6 +4736,57 @@ object SparkEntry {
         |    ELSE repeat(ch, blen)
         |  END AS body_str
         |FROM f ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // the published MPEG bitrate/sample-rate tables as list literals;
+    // frame_bytes = (144|72)·br·1000 // sr + pad (Layer I absent from
+    // the fixture classes); offset = id3v2 length + running sum of
+    // preceding frame sizes — a wrong table or size formula breaks
+    // every subsequent offset
+    "q155_mp3_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 AS cls, 4 + doc_id % 5 AS nf,
+        |         15 + doc_id % 50 AS id3
+        |  FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |f AS (
+        |  SELECT d.doc_id, d.cls, d.id3, j.j AS frame_idx,
+        |         1 + CAST((d.doc_id * 5 + j.j * 3) % 14 AS INTEGER) AS bidx,
+        |         CAST((d.doc_id + j.j) % 3 AS INTEGER) AS sidx,
+        |         CAST((d.doc_id + j.j) % 2 AS INTEGER) AS pad,
+        |         CAST((d.doc_id + j.j) % 4 AS INTEGER) AS mode,
+        |         1 + (d.doc_id * 7 + j.j * 13) % 200 AS fill
+        |  FROM d, generate_series(0, 8) AS j(j) WHERE j.j < d.nf),
+        |g AS (
+        |  SELECT doc_id, frame_idx, id3, pad, mode, fill,
+        |    CASE cls WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 2 END AS version_id,
+        |    CASE cls WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 3 END AS layer,
+        |    CASE cls
+        |      WHEN 0 THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bidx]
+        |      WHEN 1 THEN ([32,48,56,64,80,96,112,128,160,192,224,256,320,384])[bidx]
+        |      ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bidx]
+        |    END AS br,
+        |    CASE WHEN cls = 2 THEN ([22050,24000,16000])[sidx + 1]
+        |         ELSE ([44100,48000,32000])[sidx + 1] END AS sr,
+        |    CASE WHEN cls = 2 THEN 72 ELSE 144 END AS factor,
+        |    CASE WHEN cls = 2 THEN 576 ELSE 1152 END AS spf
+        |  FROM f),
+        |h AS (
+        |  SELECT *, CAST(factor * br * 1000 // sr + pad AS INTEGER)
+        |              AS frame_bytes
+        |  FROM g)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(id3 + COALESCE(SUM(frame_bytes) OVER (
+        |         PARTITION BY doc_id ORDER BY frame_idx
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       AS BIGINT) AS "offset",
+        |  CAST(version_id AS INTEGER) AS version_id,
+        |  CAST(layer AS INTEGER) AS layer,
+        |  CAST(br AS INTEGER) AS bitrate_kbps,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  pad AS padding, mode AS channel_mode, frame_bytes,
+        |  CAST(spf AS INTEGER) AS spf,
+        |  CAST((frame_bytes - 4) * fill AS BIGINT) AS payload_sum
+        |FROM h ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
