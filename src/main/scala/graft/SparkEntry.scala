@@ -1798,6 +1798,47 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- WINNOWING EXACT-SUBSTRING DEDUP (Schleimer et al. SIGMOD'03
+    //      — the MOSS fingerprints; the Lee-et-al exact-span class):
+    //      texts are built so every k-gram's provenance is decidable:
+    //      filler grams embed the doc_id (any 8-char window contains
+    //      the full zero-padded id plus its section marker, so filler
+    //      is cross-doc unique BY CONSTRUCTION, not probabilistically),
+    //      while a 210-char class block (doc_id%10, present on
+    //      doc_id%3==0, inserted at an id-varying offset) is the ONLY
+    //      cross-doc shared content. The winnowing theorem (any shared
+    //      run ≥ w+k-1 = 23 chars yields a shared selected
+    //      fingerprint) guarantees every within-class pair is found;
+    //      character-level verification makes hash collisions unable
+    //      to add pairs — the output is EXACTLY the class pairs,
+    //      deterministically. A winnowing impl that breaks the
+    //      guarantee (wrong window-min rule, gram hashing off-by-one,
+    //      alignment-sensitive selection) drops class pairs and fails;
+    //      the id-varying insertion offset makes position-dependent
+    //      shortcuts fail too. (All-doc boilerplate + the hot-fp cap
+    //      are spec-covered — sub-threshold boundary fingerprints make
+    //      capped-boilerplate pair sets structurally unpredictable, so
+    //      they stay out of the hash-compared gate.)
+    "q156_winnow_substring" -> ((s, dir) => {
+      val text = udf((id: Long) => {
+        val c = (id % 10).toInt
+        val npre = 8 + (id % 5).toInt
+        val pre = (0 until npre).map(j => f"u$id%04dp$j%02d").mkString
+        val suf = (0 until 10).map(j => f"u$id%04dq$j%02d").mkString
+        val block =
+          if (id % 3 == 0) (0 until 35).map(j => f"b$c%02dz$j%02d").mkString
+          else ""
+        pre + block + suf
+      })
+      val docs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id"), text(col("doc_id")).as("body"))
+      graft.ext.Winnow.verifiedPairs(docs, "doc_id", "body",
+          k = 8, w = 16, maxDocsPerFp = 64)
+        .select(col("id_a"), col("id_b"),
+          (col("n_matches") >= 1).as("matched"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
     //      operator — the one remaining rows-only op without a
     //      falsifiable twin; xxhash64 keeps the raw values out of
@@ -4787,6 +4828,19 @@ object SparkEntry {
         |  CAST(spf AS INTEGER) AS spf,
         |  CAST((frame_bytes - 4) * fill AS BIGINT) AS payload_sum
         |FROM h ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the pair set is pure planted structure: within-class pairs of
+    // block-carrying docs; the shared header is capped out, filler is
+    // doc-unique by construction
+    "q156_winnow_substring" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 3 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(true AS BOOLEAN) AS matched
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,

@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-substring duplicate detection via winnowing fingerprints
+  * (Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms for
+  * Document Fingerprinting", SIGMOD 2003; the MOSS algorithm). This is
+  * the exact-span dedup class of Lee et al.'s "Deduplicating Training
+  * Data Makes Language Models Better": two documents sharing ANY
+  * character run of length ≥ `w + k - 1` are GUARANTEED to share a
+  * selected fingerprint (the winnowing theorem — a deterministic
+  * guarantee, unlike MinHash's probabilistic recall), at a fingerprint
+  * density of ~2/(w+1) per character.
+  *
+  * The reference engine's dedup is whole-chunk exact
+  * (`/root/reference/lib/deduplicator.ex:88-92` hashes fixed chunks);
+  * winnowing is the sub-document generalization: position-independent,
+  * alignment-free shared-span detection.
+  *
+  * Pipeline (all stages shuffle only on the fingerprint / pair keys —
+  * no all-pairs stage anywhere, the [[DocDedup]] scale discipline):
+  *   1. per-document fingerprint selection — narrow map, O(n) rolling
+  *      k-gram hash + monotonic-deque window minimum;
+  *   2. hot-fingerprint cap — fingerprints appearing in more than
+  *      `maxDocsPerFp` documents are EXCLUDED before pairing (shared
+  *      boilerplate is non-discriminative; the q149 block-cap
+  *      argument), via one map-side-combined count whose rare
+  *      survivors broadcast;
+  *   3. candidate pairs — self-join on the 64-bit fingerprint;
+  *   4. verification — each candidate (pos_a, pos_b) re-checks the
+  *      k-gram CHARACTERS via substring equality against both texts,
+  *      so a 64-bit hash collision cannot produce a false pair and the
+  *      output is exact, not probabilistic.
+  */
+object Winnow {
+
+  /** Selected fingerprints of one text: (position, hash) pairs.
+    * Rolling polynomial hash (64-bit wraparound, odd multiplier) over
+    * UTF-16 code units; window minimum by monotonic deque (O(n));
+    * rightmost-min tie rule + consecutive-duplicate suppression per
+    * the paper. Texts shorter than `w + k - 1` yield no fingerprints.
+    */
+  def selectFingerprints(text: String, k: Int, w: Int): Array[(Int, Long)] = {
+    require(k >= 2 && w >= 1, "winnow: k >= 2, w >= 1")
+    if (text == null) return Array.empty
+    val n = text.length
+    val m = n - k + 1
+    if (m < w) return Array.empty
+    val B = 0x9E3779B97F4A7C15L // odd -> invertible mod 2^64
+    var bk1 = 1L // B^(k-1): the window's leading-term weight
+    var i = 0
+    while (i < k - 1) { bk1 *= B; i += 1 }
+    val h = new Array[Long](m)
+    var acc = 0L
+    i = 0
+    while (i < n) {
+      if (i >= k) acc -= bk1 * text.charAt(i - k)
+      acc = acc * B + text.charAt(i)
+      if (i >= k - 1) h(i - k + 1) = acc
+      i += 1
+    }
+    // final mix so adjacent grams don't produce arithmetically-related
+    // values (fmix64 of MurmurHash3 / SplitMix64 — public domain)
+    i = 0
+    while (i < m) {
+      var x = h(i)
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+      x ^= x >>> 33
+      h(i) = x
+      i += 1
+    }
+    // windowed minimum, rightmost on ties: the deque keeps indices with
+    // strictly increasing hash values; equal values evict (rightmost
+    // wins), so the head is always the rightmost minimum of the window
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val dq = new Array[Int](m)
+    var head = 0; var tail = 0 // dq[head until tail]
+    var last = -1
+    i = 0
+    while (i < m) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1 && dq(head) != last) {
+        last = dq(head)
+        out += ((last, h(last)))
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Fingerprint table: `(idCol, pos, fp)` — one row per selected
+    * fingerprint. Narrow per-partition map over (id, text).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, w: Int = 16): DataFrame = {
+    val fpUdf = udf((text: String) => selectFingerprints(text, k, w))
+    df.select(col(idCol), explode(fpUdf(col(textCol))).as("f"))
+      .select(col(idCol), col("f._1").as("pos"), col("f._2").as("fp"))
+  }
+
+  /** Verified shared-substring pairs: `(id_a, id_b, n_matches)` where
+    * `n_matches` counts fingerprint matches whose k-gram CHARACTERS
+    * were re-checked against both texts (collision-proof). Guaranteed
+    * non-empty for any pair sharing a run of length ≥ `w + k - 1`
+    * whose fingerprints survive the hot cap.
+    *
+    * 100 TB shape: fingerprint self-join shuffles on `fp` (density
+    * ~2/(w+1) per char); the hot cap bounds every fp group at
+    * `maxDocsPerFp` docs so no reducer sees a quadratic group; the
+    * verify join shuffles candidates back to the two texts by id —
+    * cost ∝ candidates, never ∝ corpus².
+    */
+  def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, w: Int = 16,
+                    maxDocsPerFp: Int = 256): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w)
+    // hot-fingerprint cap: ONE map-side-combined distinct-doc count;
+    // survivors (rare by construction) broadcast into an anti join
+    val hot = fps.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") > maxDocsPerFp)
+      .select("fp")
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = cold.select(col(idCol).as("id_a"), col("pos").as("pos_a"),
+      col("fp"))
+    val b = cold.select(col(idCol).as("id_b"), col("pos").as("pos_b"),
+      col("fp"))
+    val cand = a.join(b, "fp").where(col("id_a") < col("id_b"))
+    val ta = df.select(col(idCol).as("id_a"),
+      col(textCol).as("text_a"))
+    val tb = df.select(col(idCol).as("id_b"),
+      col(textCol).as("text_b"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      .where(expr(
+        s"substring(text_a, pos_a + 1, $k) = substring(text_b, pos_b + 1, $k)"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** The excluded hot fingerprints (the cap's cut, for quarantine /
+    * boilerplate analysis — the [[DocDedup]] `oversizedPrefixBlocks`
+    * convention).
+    */
+  def hotFingerprints(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, w: Int = 16,
+                      maxDocsPerFp: Int = 256): DataFrame =
+    fingerprints(df, idCol, textCol, k, w)
+      .groupBy("fp").agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") > maxDocsPerFp)
+}
