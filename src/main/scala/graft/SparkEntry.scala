@@ -1839,6 +1839,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- MATROSKA/WEBM (EBML) SAMPLE EXTRACTION: real EBML element
+    //      trees built by the fixture writer (VINT ids/sizes, Info/
+    //      TimestampScale, Tracks/TrackEntry, Cluster/SimpleBlock with
+    //      relative int16 timestamps). Odd doc_ids write UNKNOWN-SIZE
+    //      Segment and Clusters — the streamed-WebM shape, where
+    //      cluster extents are recovered from the next sibling ID, not
+    //      from a size field — under a mode-INDEPENDENT oracle, so a
+    //      parser that requires sizes loses half the corpus and fails.
+    //      TimestampScale doubles on doc_id%5==4 (the Info walk is
+    //      load-bearing); block timestamps compose cluster Timestamp +
+    //      signed relative. Poison: %41 empty, %37 truncated — zero
+    //      rows (error channel spec-covered).
+    "q157_webm_samples" -> ((s, dir) => {
+      val webm = udf((id: Long) => {
+        val full = graft.ext.Matroska.syntheticWebm(id)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.dropRight(3)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", webm(col("doc_id")))
+      graft.ext.Matroska.extractWebmSamples(blobs, "blob")
+        .orderBy("doc_id", "track_id", "sample_idx")
+    }),
+
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
     //      operator — the one remaining rows-only op without a
     //      falsifiable twin; xxhash64 keeps the raw values out of
@@ -4841,6 +4866,38 @@ object SparkEntry {
         |FROM d a, d b
         |WHERE a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // container-mode-independent sample arithmetic (the q146
+    // discipline): ts = cluster base + signed relative, sizes/fills
+    // from the fixture formulas, scale from the Info element
+    "q157_webm_samples" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + (doc_id // 3) % 3 AS nt,
+        |         2 + doc_id % 3 AS nclu
+        |  FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT d.doc_id, t.t AS trk, c.c AS clu
+        |  FROM d, generate_series(1, 3) AS t(t),
+        |       generate_series(0, 4) AS c(c)
+        |  WHERE t.t <= d.nt AND c.c < d.nclu)
+        |SELECT doc_id, CAST(trk AS BIGINT) AS track_id,
+        |  CAST(CASE WHEN trk % 2 = 1 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS track_type,
+        |  CASE WHEN trk % 2 = 1 THEN 'V_TEST' || trk
+        |       ELSE 'A_TEST' || trk END AS codec_id,
+        |  CAST(clu AS INTEGER) AS sample_idx,
+        |  CAST(clu * 1000 + (doc_id % 7) * 10 + 10 * trk + clu AS BIGINT)
+        |    AS ts_ticks,
+        |  CAST(1000000 * CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 1 END
+        |       AS BIGINT) AS ts_scale,
+        |  CAST((trk + clu) % 2 = 0 AS BOOLEAN) AS is_key,
+        |  CAST(8 + (trk * 7 + clu * 5 + doc_id) % 9 AS INTEGER)
+        |    AS sample_size,
+        |  CAST((8 + (trk * 7 + clu * 5 + doc_id) % 9)
+        |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
+        |    AS payload_sum
+        |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
 
     "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,

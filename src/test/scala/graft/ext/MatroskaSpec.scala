@@ -1,0 +1,120 @@
+package graft.ext
+
+import graft.SparkFunSuite
+
+class MatroskaSpec extends SparkFunSuite {
+  import Matroska._
+
+  test("syntheticWebm: known-size and unknown-size containers yield identical samples") {
+    (0L until 24L).foreach { id =>
+      val Right((scaleK, known)) =
+        webmSampleTable(syntheticWebm(id, forceUnknown = 0)): @unchecked
+      val Right((scaleU, unknown)) =
+        webmSampleTable(syntheticWebm(id, forceUnknown = 1)): @unchecked
+      assert(scaleK == scaleU)
+      assert(known == unknown, s"id=$id")
+      assert(known.nonEmpty)
+      // fixture arithmetic spot checks
+      val nt = 1 + ((id / 3) % 3).toInt
+      val nclu = 2 + (id % 3).toInt
+      assert(known.length == nt * nclu)
+      known.foreach { sm =>
+        val d = sm.trackId.toInt
+        val c = sm.sampleIdx
+        assert(sm.trackType == (if (d % 2 == 1) 1 else 2))
+        assert(sm.codecId == (if (d % 2 == 1) s"V_TEST$d" else s"A_TEST$d"))
+        assert(sm.tsTicks == c * 1000L + (id % 7) * 10 + 10 * d + c)
+        assert(sm.isKey == ((d + c) % 2 == 0))
+        val size = 8 + ((d * 7 + c * 5 + id) % 9).toInt
+        assert(sm.size == size)
+        assert(sm.payloadSum == size.toLong * ((d * 31 + c * 17 + id) % 251))
+      }
+    }
+  }
+
+  test("negative relative block timestamps decode as signed int16") {
+    val ebml = elem(IdEbml, Array[Byte]())
+    val tracksEl = elem(IdTracks, elem(IdTrackEntry,
+      elem(IdTrackNumber, uintPayload(1L)) ++
+      elem(IdTrackType, uintPayload(1L)) ++
+      elem(IdCodecId, "V_T".getBytes("ISO-8859-1"))))
+    val clu = elem(IdCluster,
+      elem(IdTimestamp, uintPayload(5000L)) ++
+      buildSimpleBlock(1L, -300, key = true, Array[Byte](1, 2, 3)))
+    val doc = ebml ++ elem(IdSegment, tracksEl ++ clu)
+    val Right((_, ss)) = webmSampleTable(doc): @unchecked
+    assert(ss.length == 1 && ss.head.tsTicks == 4700L)
+    assert(ss.head.payloadSum == 6L && ss.head.size == 3)
+  }
+
+  test("truncation totality: every prefix yields a typed result, never throws") {
+    Seq(6L, 7L).foreach { id => // one known-size, one unknown-size
+      val full = syntheticWebm(id)
+      (0 to full.length).foreach { k =>
+        webmSampleTable(full.take(k)) match {
+          case Left(_) => ()
+          case Right((_, ss)) =>
+            // unknown-size modes accept element-boundary prefixes
+            assert(ss.length <= (1 + ((id / 3) % 3).toInt) * (2 + (id % 3).toInt))
+        }
+      }
+    }
+  }
+
+  test("malformed blobs: distinct typed reasons") {
+    val ebml = elem(IdEbml, Array[Byte]())
+    def seg(body: Array[Byte]) = ebml ++ elem(IdSegment, body)
+    val track1 = elem(IdTracks, elem(IdTrackEntry,
+      elem(IdTrackNumber, uintPayload(1L)) ++
+      elem(IdTrackType, uintPayload(1L))))
+    assert(webmSampleTable(null) == Left("empty blob"))
+    assert(webmSampleTable(Array.empty[Byte]) == Left("empty blob"))
+    assert(webmSampleTable("RIFF....".getBytes("ISO-8859-1"))
+      == Left("not an EBML stream"))
+    assert(webmSampleTable(ebml) == Left("truncated element id"))
+    assert(webmSampleTable(ebml ++ elem(IdInfo, Array[Byte]()))
+      == Left("no segment"))
+    // a segment with no Tracks element
+    assert(webmSampleTable(seg(Array[Byte]())) == Left("no tracks"))
+    // unknown-size on a non-Segment/Cluster element is rejected
+    assert(webmSampleTable(seg(elemUnknown(IdTracks, track1)))
+      == Left("unknown-size element"))
+    // laced SimpleBlock (lacing bits set)
+    val laced = {
+      val head = vintSize(1L) ++ Array[Byte](0, 0, 0x06.toByte, 9, 9)
+      seg(track1 ++ elem(IdCluster,
+        elem(IdTimestamp, uintPayload(0L)) ++ elem(IdSimpleBlock, head)))
+    }
+    assert(webmSampleTable(laced) == Left("laced block"))
+    // block referencing a track the Tracks element never declared
+    val orphan = seg(track1 ++ elem(IdCluster,
+      buildSimpleBlock(2L, 0, key = false, Array[Byte](1))))
+    assert(webmSampleTable(orphan) == Left("block for unknown track"))
+    // a TrackEntry without a TrackNumber
+    assert(webmSampleTable(seg(
+      elem(IdTracks, elem(IdTrackEntry, elem(IdTrackType, uintPayload(1L))))))
+      == Left("track without number"))
+    // element size overrunning the segment
+    val overrun = ebml ++ elem(IdSegment,
+      idBytes(IdTracks) ++ vintSize(1000L))
+    assert(webmSampleTable(overrun) == Left("truncated element"))
+  }
+
+  test("extractWebmSamples/webmErrors: poison -> zero rows + typed error") {
+    val s = spark; import s.implicits._
+    val good = syntheticWebm(4) // known-size, 2 tracks, 3 clusters
+    val df = Seq(
+      (1L, good),
+      (2L, good.dropRight(2)),
+      (3L, Array.empty[Byte])
+    ).toDF("id", "blob")
+    val rows = extractWebmSamples(df, "blob").collect()
+    assert(rows.forall(_.getAs[Long]("id") == 1L) && rows.length == 6)
+    assert(rows.forall(_.getAs[Long]("ts_scale") == 2000000L)) // 4%5==4
+    val errs = webmErrors(df, "blob").orderBy("id").collect()
+    assert(errs.map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("ok"))).toSeq
+      == Seq((1L, true), (2L, false), (3L, false)))
+    assert(errs(0).getAs[Int]("n_samples") == 6)
+    assert(errs(2).getAs[String]("error") == "empty blob")
+  }
+}
