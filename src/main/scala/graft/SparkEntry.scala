@@ -1864,6 +1864,64 @@ object SparkEntry {
         .orderBy("doc_id", "track_id", "sample_idx")
     }),
 
+    // ---- CROSS-CONTAINER VIDEO DEDUP (MP4 ↔ WebM): the SAME logical
+    //      frames (PNG keyframes, class-keyed) are wrapped in an MP4
+    //      on even doc_ids and a WebM on odd doc_ids; both container
+    //      walks feed the same imageHash → pair-on-shared-hashes
+    //      machinery, and a class's docs must pair ACROSS containers —
+    //      pinning that extractMp4SampleBytes and
+    //      extractWebmSampleBytes produce byte-identical payloads for
+    //      identical media (a one-byte extent error in either walk
+    //      breaks the PNG decode or the hash and kills the cross
+    //      pairs). n_shared is structural: MP4 sides expose only sync
+    //      samples {0,2} (the q124 sync pattern), WebM keys all 3, so
+    //      WebM-WebM pairs share 3 and MP4-involved pairs share 2 —
+    //      restated exactly by the oracle.
+    "q158_cross_container_dedup" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val vcls = ((id / 2) % 6).toInt
+          Multimodal.syntheticMp4("isom", 600, 600L + vcls, 1,
+            (id % 2).toInt, withSamples = true,
+            samplePayload = (_, j) => Multimodal.syntheticGrayPng(
+              16 + (vcls % 3) * 8, 16, vcls * 1000L + j * 7))
+        }
+      })
+      val webm = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val vcls = ((id / 2) % 6).toInt
+          graft.ext.Matroska.syntheticWebmMedia(
+            (0 until 3).map(j => Multimodal.syntheticGrayPng(
+              16 + (vcls % 3) * 8, 16, vcls * 1000L + j * 7)),
+            "V_PNG", unknownSize = (id / 2) % 2 == 0)
+        }
+      })
+      val base = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select("doc_id")
+      val mp4Frames = Multimodal.extractMp4SampleBytes(
+          base.where(col("doc_id") % 2 === 0)
+            .withColumn("blob", mp4(col("doc_id"))), "blob")
+        .where(col("is_sync"))
+        .select(col("doc_id"), col("sample_idx").as("j"), col("frame"))
+      val webmFrames = graft.ext.Matroska.extractWebmSampleBytes(
+          base.where(col("doc_id") % 2 === 1)
+            .withColumn("blob", webm(col("doc_id"))), "blob")
+        .where(col("is_key"))
+        .select(col("doc_id"), col("sample_idx").as("j"), col("frame"))
+      val h = Multimodal.imageHash(
+          mp4Frames.unionByName(webmFrames), "frame")
+        .where(col("img.ok"))
+        .select(col("doc_id"), col("j"), col("img.ahash").as("h"))
+      val a = h.toDF("id_a", "j", "h")
+      val b = h.toDF("id_b", "j", "h")
+      a.join(b, Seq("j", "h")).where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
     //      operator — the one remaining rows-only op without a
     //      falsifiable twin; xxhash64 keeps the raw values out of
@@ -4898,6 +4956,20 @@ object SparkEntry {
         |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
         |    AS payload_sum
         |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // pure planted structure: same video class pairs regardless of
+    // container; n_shared = 3 only when BOTH sides are WebM (all three
+    // frames keyed), else 2 (MP4 exposes sync samples {0,2})
+    "q158_cross_container_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 2) % 6 AS vcls FROM documents
+        |  WHERE doc_id < 60 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(CASE WHEN a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+        |       THEN 3 ELSE 2 END AS BIGINT) AS n_shared
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.vcls = b.vcls
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,

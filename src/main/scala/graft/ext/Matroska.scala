@@ -101,7 +101,16 @@ object Matroska {
 
   /** Walk one blob into its sample table. Strict and total. */
   def webmSampleTable(bytes: Array[Byte])
-      : Either[String, (Long, Seq[WebmSample])] = {
+      : Either[String, (Long, Seq[WebmSample])] =
+    webmSampleTableCore(bytes).map { case (sc, ss) => (sc, ss.map(_._1)) }
+
+  /** Samples plus their frame-byte extents `(sample, from, until)`. */
+  private def webmSampleTableBytes(bytes: Array[Byte])
+      : Either[String, Seq[(WebmSample, Int, Int)]] =
+    webmSampleTableCore(bytes).map(_._2)
+
+  private def webmSampleTableCore(bytes: Array[Byte])
+      : Either[String, (Long, Seq[(WebmSample, Int, Int)])] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
     // EBML header first (payload skipped — version pinning is not the
@@ -134,7 +143,7 @@ object Matroska {
 
     var tsScale = 1000000L
     val tracks = scala.collection.mutable.ArrayBuffer.empty[Track]
-    val out = scala.collection.mutable.ArrayBuffer.empty[WebmSample]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(WebmSample, Int, Int)]
     val perTrackIdx = scala.collection.mutable.Map.empty[Long, Int]
 
     def parseTrackEntry(from: Int, end: Int): Either[String, Track] = {
@@ -177,8 +186,8 @@ object Matroska {
       while (i < end) { sum += u(bytes(i)); i += 1 }
       val idx = perTrackIdx.getOrElse(tn, 0)
       perTrackIdx(tn) = idx + 1
-      out += WebmSample(tn, trk.ttype, trk.codec, idx, cluTs + rel, tsScale,
-        (flags & 0x80) != 0, size, sum)
+      out += ((WebmSample(tn, trk.ttype, trk.codec, idx, cluTs + rel,
+        tsScale, (flags & 0x80) != 0, size, sum), dataFrom, end))
       Right(())
     }
 
@@ -311,6 +320,50 @@ object Matroska {
     }(enc)
   }
 
+  /** Like [[extractWebmSamples]] but emitting the raw frame BYTES
+    * (`frame` binary column) instead of the payload digest — the input
+    * to per-frame decode/hash operators ([[Multimodal.imageHash]],
+    * [[Multimodal.decodeAudio]]), mirroring
+    * [[Multimodal.extractMp4SampleBytes]] so the two container walks
+    * feed the same downstream dedup machinery.
+    */
+  def extractWebmSampleBytes(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("track_id", LongType, nullable = false),
+        StructField("track_type", IntegerType, nullable = false),
+        StructField("sample_idx", IntegerType, nullable = false),
+        StructField("ts_ticks", LongType, nullable = false),
+        StructField("is_key", BooleanType, nullable = false),
+        StructField("frame", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getAs[Array[Byte]](idx)
+        webmSampleTableBytes(blob) match {
+          case Left(_) => Iterator.empty
+          case Right(samples) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            samples.iterator.map { case (sm, from, until) =>
+              val arr = new Array[Any](nKeep + 6)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = sm.trackId; arr(nKeep + 1) = sm.trackType
+              arr(nKeep + 2) = sm.sampleIdx; arr(nKeep + 3) = sm.tsTicks
+              arr(nKeep + 4) = sm.isKey
+              arr(nKeep + 5) = java.util.Arrays.copyOfRange(blob, from, until)
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Error channel: one row per blob, `(n_samples, ok, error)`. */
   def webmErrors(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
@@ -435,6 +488,37 @@ object Matroska {
       val body = elem(IdTimestamp, uintPayload(ts)) ++ blocks.reduce(_ ++ _)
       if (unknownSize) elemUnknown(IdCluster, body) else elem(IdCluster, body)
     }
+    val segBody = info ++ tracksEl ++ clusters.reduce(_ ++ _)
+    val seg =
+      if (unknownSize) elemUnknown(IdSegment, segBody, szWidth = 8)
+      else elem(IdSegment, segBody)
+    ebml ++ seg
+  }
+
+  /** Single-video-track fixture carrying CALLER-SUPPLIED frame
+    * payloads (e.g. real PNGs) — the WebM side of cross-container
+    * dedup gates: the same logical media wrapped in this container and
+    * in [[Multimodal.syntheticMp4]] must extract byte-identically.
+    * Frames are split across clusters of up to 3 blocks, all keyed.
+    */
+  def syntheticWebmMedia(frames: Seq[Array[Byte]], codec: String,
+                         unknownSize: Boolean): Array[Byte] = {
+    require(frames.nonEmpty, "syntheticWebmMedia: no frames")
+    val ebml = elem(IdEbml, Array[Byte]())
+    val info = elem(IdInfo, elem(IdTimestampScale, uintPayload(1000000L)))
+    val tracksEl = elem(IdTracks, elem(IdTrackEntry,
+      elem(IdTrackNumber, uintPayload(1L)) ++
+      elem(IdTrackType, uintPayload(1L)) ++
+      elem(IdCodecId, codec.getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1))))
+    val clusters = frames.zipWithIndex.grouped(3).zipWithIndex.map {
+      case (group, c) =>
+        val body = elem(IdTimestamp, uintPayload(c * 1000L)) ++
+          group.map { case (f, j) =>
+            buildSimpleBlock(1L, j * 40, key = true, f)
+          }.reduce(_ ++ _)
+        if (unknownSize) elemUnknown(IdCluster, body) else elem(IdCluster, body)
+    }.toSeq
     val segBody = info ++ tracksEl ++ clusters.reduce(_ ++ _)
     val seg =
       if (unknownSize) elemUnknown(IdSegment, segBody, szWidth = 8)

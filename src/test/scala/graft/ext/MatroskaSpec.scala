@@ -100,6 +100,28 @@ class MatroskaSpec extends SparkFunSuite {
     assert(webmSampleTable(overrun) == Left("truncated element"))
   }
 
+  test("extractWebmSampleBytes: frame bytes round-trip caller payloads; digest form agrees") {
+    val s = spark; import s.implicits._
+    val frames = (0 until 5).map(j => Array.tabulate[Byte](7 + j)(i =>
+      ((j * 31 + i) & 0xFF).toByte))
+    val doc = syntheticWebmMedia(frames, "V_PNG", unknownSize = true)
+    val df = Seq((1L, doc)).toDF("id", "blob")
+    val rows = extractWebmSampleBytes(df, "blob")
+      .orderBy("sample_idx").collect()
+    assert(rows.length == 5 && rows.forall(_.getAs[Boolean]("is_key")))
+    rows.zipWithIndex.foreach { case (r, j) =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("frame"), frames(j)), s"frame $j")
+    }
+    // byte form and digest form describe the same samples
+    val sums = extractWebmSamples(df, "blob").orderBy("sample_idx")
+      .collect().map(r =>
+        (r.getAs[Int]("sample_idx"), r.getAs[Int]("sample_size"),
+          r.getAs[Long]("payload_sum")))
+    assert(sums.toSeq == frames.zipWithIndex.map { case (f, j) =>
+      (j, f.length, f.map(_ & 0xFF).map(_.toLong).sum) })
+  }
+
   test("extractWebmSamples/webmErrors: poison -> zero rows + typed error") {
     val s = spark; import s.implicits._
     val good = syntheticWebm(4) // known-size, 2 tracks, 3 clusters
