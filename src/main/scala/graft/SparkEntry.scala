@@ -1922,6 +1922,54 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- TAG-INVARIANT MP3 DEDUP: the SAME frame stream (class-keyed
+    //      by doc_id%8) is wrapped in per-doc-DIFFERENT metadata — an
+    //      ID3v2 tag whose size varies with doc_id and an ID3v1
+    //      trailer on doc_id%3 — so byte-level equality fails for
+    //      every in-class pair while the frame walk's content view
+    //      (frame_idx, frame_bytes, payload_sum — offsets EXCLUDED,
+    //      they shift with the tag) pairs them exactly. A pair must
+    //      agree on EVERY frame of both streams (n_shared == both
+    //      counts), which cross-class streams cannot (per-class fill
+    //      makes payload_sum disjoint). This is the audio analogue of
+    //      q158's container invariance: dedup on content, not wrapper.
+    "q159_mp3_tag_invariant_dedup" -> ((s, dir) => {
+      val mp3 = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val acls = (id % 8).toInt
+          val core = Mp3.syntheticMp3(acls)
+          val head = 15 + acls // syntheticMp3(acls)'s ID3v2 extent
+          val tail = if (acls % 4 == 0) 128 else 0
+          val frames = core.slice(head, core.length - tail)
+          val id3v1 =
+            if (id % 3 == 0) {
+              val t = new Array[Byte](128)
+              t(0) = 'T'; t(1) = 'A'; t(2) = 'G'
+              t(3) = (id % 100).toByte // per-doc title byte
+              t
+            } else Array.empty[Byte]
+          Mp3.buildId3v2(3 + (id % 60).toInt) ++ frames ++ id3v1
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mp3(col("doc_id")))
+      val frames = Mp3.extractMp3Frames(blobs, "blob")
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+          col("payload_sum"))
+      val cnt = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val a = frames.toDF("id_a", "j", "fb", "ps")
+      val b = frames.toDF("id_b", "j", "fb", "ps")
+      a.join(b, Seq("j", "fb", "ps")).where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .join(cnt.toDF("id_a", "nf_a"), "id_a")
+        .join(cnt.toDF("id_b", "nf_b"), "id_b")
+        .where(col("n_shared") === col("nf_a") &&
+          col("n_shared") === col("nf_b"))
+        .select(col("id_a"), col("id_b"), col("n_shared").as("n_frames"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
     //      operator — the one remaining rows-only op without a
     //      falsifiable twin; xxhash64 keeps the raw values out of
@@ -4969,6 +5017,19 @@ object SparkEntry {
         |       THEN 3 ELSE 2 END AS BIGINT) AS n_shared
         |FROM d a, d b
         |WHERE a.doc_id < b.doc_id AND a.vcls = b.vcls
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // in-class pairs share the full stream (4 + class%5 frames);
+    // wrappers differ per doc, so a byte-equality dedup finds nothing
+    // and a content dedup finds exactly these
+    "q159_mp3_tag_invariant_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(4 + a.acls % 5 AS BIGINT) AS n_frames
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q51_ann_index_planted" ->
