@@ -1970,6 +1970,65 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- WARC → TEXT PIPELINE COMPOSITION (the Common-Crawl-to-C4
+    //      ingest shape): archives with TEXT response bodies carrying
+    //      planted duplicate classes flow through record extraction →
+    //      HTTP 200 filter → tokenization → in-run first-occurrence
+    //      dedup (the J2 window semantics) in ONE plan. The class text
+    //      is shared ACROSS archives, so dedup must act corpus-wide,
+    //      not per-blob; half the archives are member-gzipped
+    //      (mode-independent oracle). A pipeline that loses the HTTP
+    //      envelope, miscounts tokens, or dedups per-document instead
+    //      of globally fails the respective column.
+    "q160_warc_text_pipeline" -> ((s, dir) => {
+      val warc = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val n = 3 + (id % 5).toInt
+          val date = "2026-01-02T03:04:05Z"
+          val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+          val records = (0 until n).map { j =>
+            val rid = s"<urn:uuid:$id-$j>"
+            if (j == 0)
+              WebArchive.buildWarcRecord("warcinfo", rid, null, date,
+                "application/warc-fields",
+                s"software: graft $id".getBytes(iso))
+            else {
+              val uri = s"http://ex.com/$id/$j"
+              if (j % 2 == 1)
+                WebArchive.buildWarcRecord("request", rid, uri, date,
+                  "application/http; msgtype=request",
+                  (s"GET /$id/$j HTTP/1.1\r\nHost: ex.com\r\n\r\n")
+                    .getBytes(iso))
+              else {
+                val c = ((id * 3 + j) % 20).toInt
+                val body = (0 until (5 + c % 7))
+                  .map(t => s"w${c}t$t").mkString(" ")
+                val status = Seq(200, 301, 404, 503)(((id * 7 + j) % 4).toInt)
+                WebArchive.buildWarcRecord("response", rid, uri, date,
+                  "application/http; msgtype=response",
+                  WebArchive.buildHttpResponse(status, "X", "text/plain",
+                    body.getBytes(iso)))
+              }
+            }
+          }
+          WebArchive.buildWarcArchive(records, memberGzip = id % 2 == 1)
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", warc(col("doc_id")))
+      val resp = WebArchive.extractWarcRecords(blobs, "blob")
+        .where(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("doc_id"), col("rec_idx"),
+          col("body").cast("string").as("body"))
+      val w = Window.partitionBy("body").orderBy("doc_id", "rec_idx")
+      resp.withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("rec_idx"),
+          size(split(col("body"), " ")).as("n_tokens"),
+          (col("rn") === 1).as("is_first"))
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
     //      operator — the one remaining rows-only op without a
     //      falsifiable twin; xxhash64 keeps the raw values out of
@@ -5031,6 +5090,24 @@ object SparkEntry {
         |FROM d a, d b
         |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // bodies are class-determined, so dedup-by-body ≡ dedup-by-class:
+    // first occurrence in (doc_id, rec_idx) order among 200-responses
+    "q160_warc_text_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0),
+        |r AS (
+        |  SELECT d.doc_id, j.j AS rec_idx,
+        |         (d.doc_id * 3 + j.j) % 20 AS c
+        |  FROM d, generate_series(0, 7) AS j(j)
+        |  WHERE j.j >= 2 AND j.j % 2 = 0 AND j.j < d.n
+        |    AND (d.doc_id * 7 + j.j) % 4 = 0)
+        |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx,
+        |  CAST(5 + c % 7 AS INTEGER) AS n_tokens,
+        |  CAST(row_number() OVER (PARTITION BY c
+        |         ORDER BY doc_id, rec_idx) = 1 AS BOOLEAN) AS is_first
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 
     "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
