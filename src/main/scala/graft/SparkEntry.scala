@@ -116,6 +116,26 @@ object SparkEntry {
     * directories are deleted at JVM exit, or immediately if the build
     * itself fails (the cache must never hold a half-written index).
     */
+  /** q156/q161 fixture text: filler tokens embed the zero-padded id
+    * plus section markers (every 8-char window contains both → filler
+    * is cross-doc unique BY CONSTRUCTION); the 210-char class block
+    * (id%10, present on id%3==0) is the only cross-doc shared run.
+    * `probe = true` switches to a DISJOINT marker alphabet (v/r/s) so
+    * probe filler can never gram-collide with corpus filler even when
+    * probe ids share decimal suffixes with corpus ids.
+    */
+  private def winnowGateText(id: Long, probe: Boolean): String = {
+    val c = (id % 10).toInt
+    val (um, pm, qm) = if (probe) ("v", "r", "s") else ("u", "p", "q")
+    val npre = 8 + (id % 5).toInt
+    val pre = (0 until npre).map(j => f"$um$id%04d$pm$j%02d").mkString
+    val suf = (0 until 10).map(j => f"$um$id%04d$qm$j%02d").mkString
+    val block =
+      if (id % 3 == 0) (0 until 35).map(j => f"b$c%02dz$j%02d").mkString
+      else ""
+    pre + block + suf
+  }
+
   private val gateIndexCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), String]
 
@@ -1820,16 +1840,7 @@ object SparkEntry {
     //      capped-boilerplate pair sets structurally unpredictable, so
     //      they stay out of the hash-compared gate.)
     "q156_winnow_substring" -> ((s, dir) => {
-      val text = udf((id: Long) => {
-        val c = (id % 10).toInt
-        val npre = 8 + (id % 5).toInt
-        val pre = (0 until npre).map(j => f"u$id%04dp$j%02d").mkString
-        val suf = (0 until 10).map(j => f"u$id%04dq$j%02d").mkString
-        val block =
-          if (id % 3 == 0) (0 until 35).map(j => f"b$c%02dz$j%02d").mkString
-          else ""
-        pre + block + suf
-      })
+      val text = udf((id: Long) => winnowGateText(id, probe = false))
       val docs = t(s, dir, "documents").where(col("doc_id") < 150)
         .select(col("doc_id"), text(col("doc_id")).as("body"))
       graft.ext.Winnow.verifiedPairs(docs, "doc_id", "body",
@@ -2027,6 +2038,40 @@ object SparkEntry {
           size(split(col("body"), " ")).as("n_tokens"),
           (col("rn") === 1).as("is_first"))
         .orderBy("doc_id", "rec_idx")
+    }),
+
+    // ---- PERSISTED WINNOWING INDEX (build + incremental append +
+    //      pruned probe — the buildMinHashIndex family, for EXACT
+    //      substring lookups): the corpus's selected fingerprints
+    //      persist partitioned by fp bucket WITH their k-gram chars,
+    //      so probes prune to their own buckets at file-listing time
+    //      and every match is gram-verified against the STORED gram —
+    //      no corpus re-read, no collision false pairs. Half the
+    //      corpus arrives via appendToWinnowIndex (the q134/q153
+    //      boundary argument: recall REQUIRES appended rows to land in
+    //      the same bucket scheme). Probes are REBUILT texts in a
+    //      disjoint filler-marker alphabet sharing only the class
+    //      blocks — the winnowing theorem forces every (probe, indexed
+    //      class member) pair, exactly.
+    "q161_winnow_index_planted" -> ((s, dir) => {
+      val corpusText = udf((id: Long) => winnowGateText(id, probe = false))
+      val probeText = udf((id: Long) => winnowGateText(id, probe = true))
+      val docs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id"), corpusText(col("doc_id")).as("body"))
+      val idx = withGateIndex(s, dir, "winnowidx") { p =>
+        graft.ext.Winnow.buildWinnowIndex(
+          docs.where(col("doc_id") < 75), "doc_id", "body", p)
+        graft.ext.Winnow.appendToWinnowIndex(
+          docs.where(col("doc_id") >= 75), "doc_id", "body", p)
+      }
+      val probes = t(s, dir, "documents")
+        .where(col("doc_id") >= 20 && col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("pid"))
+        .withColumn("body", probeText(col("pid")))
+      graft.ext.Winnow.probeWinnowIndex(probes, "pid", "body", idx)
+        .select(col("id_a"), col("id_b"),
+          (col("n_matches") >= 1).as("matched"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
@@ -5108,6 +5153,22 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY c
         |         ORDER BY doc_id, rec_idx) = 1 AS BOOLEAN) AS is_first
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // block-carrying probes pair with every same-class indexed doc —
+    // the winnowing guarantee through the persisted index, append
+    // boundary included
+    "q161_winnow_index_planted" ->
+      """WITH idx AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 3 = 0),
+        |p AS (
+        |  SELECT 10000 + doc_id AS pid FROM documents
+        |  WHERE doc_id >= 20 AND doc_id < 50
+        |    AND (10000 + doc_id) % 3 = 0)
+        |SELECT p.pid AS id_a, idx.doc_id AS id_b,
+        |       CAST(true AS BOOLEAN) AS matched
+        |FROM p, idx WHERE p.pid % 10 = idx.doc_id % 10
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,

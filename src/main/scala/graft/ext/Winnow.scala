@@ -151,4 +151,126 @@ object Winnow {
     fingerprints(df, idCol, textCol, k, w)
       .groupBy("fp").agg(countDistinct(col(idCol)).as("n_docs"))
       .where(col("n_docs") > maxDocsPerFp)
+
+  // ------------------------------------------------------------------
+  // Persisted fingerprint index (the [[DocDedup.buildMinHashIndex]]
+  // build/append/probe family, for exact-substring lookups).
+  // ------------------------------------------------------------------
+
+  /** Fingerprint table WITH the k-gram characters — the index stores
+    * the gram so probe verification is collision-proof WITHOUT reading
+    * the original corpus text back (8 chars/row; the price of making
+    * the index self-contained).
+    */
+  private def fingerprintsWithGrams(df: DataFrame, idCol: String,
+                                    textCol: String, k: Int,
+                                    w: Int): DataFrame = {
+    val fpUdf = udf((text: String) =>
+      selectFingerprints(text, k, w).map { case (pos, fp) =>
+        (pos, fp, text.substring(pos, pos + k)) })
+    df.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("f"))
+      .select(col("id"), col("f._1").as("pos"), col("f._2").as("fp"),
+        col("f._3").as("gram"))
+  }
+
+  /** Persist a corpus's winnowing fingerprints partitioned by
+    * `fb = fp mod fpBuckets` — probes prune to their own buckets at
+    * file-listing time (the [[DocDedup.buildMinHashIndex]] layout
+    * argument: a raw 64-bit partition value would mean one directory
+    * per fingerprint). A `_graft_winnow_meta` sidecar pins
+    * (k, w, fpBuckets) so appends and probes can never mix regimes.
+    * Index size ∝ corpus chars · 2/(w+1) rows — at 100 TB the index is
+    * ~1/8 of corpus bytes at w=16, and probing reads only the probe
+    * batch's buckets.
+    */
+  def buildWinnowIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       path: String, k: Int = 8, w: Int = 16,
+                       fpBuckets: Int = 64): Unit = {
+    require(fpBuckets >= 1 && fpBuckets <= 4096,
+      s"fpBuckets must be in [1,4096], got $fpBuckets")
+    val ss = corpus.sparkSession
+    fingerprintsWithGrams(corpus, idCol, textCol, k, w)
+      .withColumn("fb", pmod(col("fp"), lit(fpBuckets.toLong)).cast("int"))
+      .repartition(col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_winnow_meta"), true)
+    try out.write(s"$k,$w,$fpBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readWinnowMeta(df: DataFrame, path: String): (Int, Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_winnow_meta"))
+    val Array(k, w, fb) =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .trim.split(",").map(_.toInt)
+      finally in.close()
+    (k, w, fb)
+  }
+
+  /** Append a document batch into the same (fb) layout — cost ∝ batch
+    * only; existing files are never rewritten. Parameters come from
+    * the sidecar. Callers own id-uniqueness across batches.
+    */
+  def appendToWinnowIndex(newDocs: DataFrame, idCol: String,
+                          textCol: String, path: String): Unit = {
+    val (k, w, fpBuckets) = readWinnowMeta(newDocs, path)
+    fingerprintsWithGrams(newDocs, idCol, textCol, k, w)
+      .withColumn("fb", pmod(col("fp"), lit(fpBuckets.toLong)).cast("int"))
+      .repartition(col("fb"))
+      .write.mode("append").partitionBy("fb").parquet(path)
+  }
+
+  /** Exact-substring matches of a probe batch against the index:
+    * `(id_a = probe id, id_b = indexed id, n_matches)` with every
+    * match gram-verified against the STORED gram (no corpus re-read,
+    * no hash-collision false pairs). The hot-fingerprint cap is
+    * applied over the pruned read — a fingerprint's doc count lives
+    * entirely inside its own bucket partition, so the count seen
+    * through the pruned read IS the global count, appends included.
+    *
+    * Probe batch is the small side by contract: its distinct buckets
+    * are collected driver-side for the pruning filter (bounded,
+    * `fpBuckets` ≤ 4096 values) and the banded probe set broadcasts
+    * into the candidate join.
+    */
+  def probeWinnowIndex(probes: DataFrame, idCol: String, textCol: String,
+                       path: String, maxDocsPerFp: Int = 256,
+                       minMatches: Int = 1): DataFrame = {
+    val ss = probes.sparkSession
+    val (k, w, fpBuckets) = readWinnowMeta(probes, path)
+    val p = fingerprintsWithGrams(probes, idCol, textCol, k, w)
+      .withColumn("fb", pmod(col("fp"), lit(fpBuckets.toLong)).cast("int"))
+      .select(col("id").as("id_a"), col("fp"), col("gram"), col("fb"))
+      .persist()
+    try {
+      def emptyResult = probes.select(col(idCol).as("id_a"),
+          col(idCol).as("id_b"), lit(0L).as("n_matches"))
+        .where(lit(false))
+      val buckets = p.select("fb").distinct().collect().map(_.getInt(0))
+      if (buckets.isEmpty) return emptyResult
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(ss.sparkContext.hadoopConfiguration)
+      if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(_.getPath.getName.startsWith("fb="))) return emptyResult
+      val idxRead = ss.read.parquet(path)
+        .where(col("fb").isin(buckets.toSeq: _*))
+      // hot cap over the pruned read (== the global per-fp count)
+      val hot = idxRead.groupBy("fp")
+        .agg(countDistinct(col("id")).as("n_docs"))
+        .where(col("n_docs") > maxDocsPerFp)
+        .select("fp")
+      idxRead.join(broadcast(hot), Seq("fp"), "left_anti")
+        .join(broadcast(p), Seq("fp", "gram", "fb")) // gram-verified
+        .where(col("id_a") =!= col("id"))
+        .select(col("id_a"), col("id").as("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_matches"))
+        .where(col("n_matches") >= minMatches)
+    } finally p.unpersist()
+  }
 }

@@ -107,4 +107,53 @@ class WinnowSpec extends SparkFunSuite {
       .count()
     assert(uncapped == 66) // C(12,2)
   }
+
+  test("persisted index: build+append ≡ single build; probe matches the join form; empty cases total") {
+    val s = spark; import s.implicits._
+    val shared = "INDEXED-SHARED-RUN-ABCDEFGHIJKLMNOP" // 35 >= 23
+    def filler(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(n)(('a' + r.nextInt(26)).toChar).mkString
+    }
+    val corpus = (0 until 10).map { i =>
+      (i.toLong, filler(i, 150) +
+        (if (i % 2 == 0) shared else "") + filler(100 + i, 150))
+    }.toDF("id", "body")
+    val probes = Seq(
+      (100L, filler(900, 80) + shared + filler(901, 40)),
+      (101L, filler(902, 200)) // nothing shared
+    ).toDF("id", "body")
+
+    val one = tempDir("winnow-one")
+    Winnow.buildWinnowIndex(corpus, "id", "body", s"$one/idx")
+    val split = tempDir("winnow-split")
+    Winnow.buildWinnowIndex(corpus.where($"id" < 5), "id", "body",
+      s"$split/idx")
+    Winnow.appendToWinnowIndex(corpus.where($"id" >= 5), "id", "body",
+      s"$split/idx")
+
+    def probePairs(path: String) =
+      Winnow.probeWinnowIndex(probes, "id", "body", path)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+        .toSet
+    val a = probePairs(s"$one/idx")
+    val b = probePairs(s"$split/idx")
+    assert(a == b) // append lands in the same scheme
+    assert(a == Set((100L, 0L), (100L, 2L), (100L, 4L),
+      (100L, 6L), (100L, 8L)))
+    // probe hot cap: with the cap below the shared run's doc count,
+    // the run's interior fingerprints are excluded in the PROBE path
+    val capped = Winnow.probeWinnowIndex(probes, "id", "body",
+      s"$one/idx", maxDocsPerFp = 2)
+    assert(capped.count() < 5)
+    // a probe batch with no fingerprints (too-short texts) is empty
+    val tiny = Seq((7L, "tiny")).toDF("id", "body")
+    assert(Winnow.probeWinnowIndex(tiny, "id", "body", s"$one/idx")
+      .count() == 0)
+    // an index built over fingerprint-less texts probes to empty
+    val bare = tempDir("winnow-bare")
+    Winnow.buildWinnowIndex(tiny, "id", "body", s"$bare/idx")
+    assert(Winnow.probeWinnowIndex(probes, "id", "body", s"$bare/idx")
+      .count() == 0)
+  }
 }
