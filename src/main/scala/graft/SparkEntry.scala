@@ -2074,6 +2074,57 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- WARC REVISIT RESOLUTION — crawl-level dedup POINTERS: real
+    //      crawls write a `revisit` record (WARC-Refers-To → the
+    //      record id of the capture holding the payload) instead of
+    //      re-storing an unchanged page; reading the corpus back
+    //      REQUIRES resolving those pointers across archives — the
+    //      archive-level analogue of the reference's tag-dispatch +
+    //      pointer-recovery join (deduplicator.ex's
+    //      unique/duplicate tags, graft's J3/q29). Each doc's revisit
+    //      refers to its group leader's response (doc_id - doc_id%5),
+    //      so resolution is a cross-archive equi-join on rec_id;
+    //      leaders whose archive is poisoned (%41) leave their
+    //      group's revisits unresolved — absent rows, not nulls.
+    "q162_warc_revisit_resolve" -> ((s, dir) => {
+      val warc = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+          val date = "2026-01-02T03:04:05Z"
+          val blen = 5 + ((id * 7) % 40).toInt
+          val ch = ('a' + (id % 26).toInt).toChar
+          val tid = id - id % 5
+          val records = Seq(
+            WebArchive.buildWarcRecord("warcinfo", s"<urn:uuid:$id-0>",
+              null, date, "application/warc-fields",
+              s"software: graft $id".getBytes(iso)),
+            WebArchive.buildWarcRecord("response", s"<urn:uuid:$id-1>",
+              s"http://ex.com/$id", date,
+              "application/http; msgtype=response",
+              WebArchive.buildHttpResponse(200, "OK", "text/plain",
+                (ch.toString * blen).getBytes(iso))),
+            WebArchive.buildWarcRecord("revisit", s"<urn:uuid:$id-2>",
+              s"http://ex.com/$id", date, "message/http",
+              Array.empty[Byte], refersTo = s"<urn:uuid:$tid-1>"))
+          WebArchive.buildWarcArchive(records, memberGzip = id % 2 == 1)
+        }
+      })
+      val recs = WebArchive.extractWarcRecords(
+        t(s, dir, "documents").where(col("doc_id") < 150)
+          .select("doc_id").withColumn("blob", warc(col("doc_id"))),
+        "blob")
+      val rev = recs.where(col("warc_type") === "revisit")
+        .select(col("doc_id"), col("refers_to"))
+      val resp = recs.where(col("warc_type") === "response")
+        .select(col("doc_id").as("orig_doc"), col("rec_id"),
+          col("body").cast("string").as("body_str"))
+      rev.join(resp, rev("refers_to") === resp("rec_id"))
+        .select(col("doc_id"), col("orig_doc"), col("body_str"),
+          length(col("body_str")).as("orig_len"))
+        .orderBy("doc_id")
+    }),
+
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
     //      operator — the one remaining rows-only op without a
     //      falsifiable twin; xxhash64 keeps the raw values out of
@@ -5169,6 +5220,23 @@ object SparkEntry {
         |       CAST(true AS BOOLEAN) AS matched
         |FROM p, idx WHERE p.pid % 10 = idx.doc_id % 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // pointer resolution restated: every surviving doc's revisit
+    // resolves to its group leader's response IFF the leader's
+    // archive survived the poison filter
+    "q162_warc_revisit_resolve" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0)
+        |SELECT r.doc_id,
+        |  CAST(r.doc_id - r.doc_id % 5 AS BIGINT) AS orig_doc,
+        |  repeat(chr(97 + CAST((r.doc_id - r.doc_id % 5) % 26 AS INTEGER)),
+        |         CAST(5 + ((r.doc_id - r.doc_id % 5) * 7) % 40 AS INTEGER))
+        |    AS body_str,
+        |  CAST(5 + ((r.doc_id - r.doc_id % 5) * 7) % 40 AS INTEGER)
+        |    AS orig_len
+        |FROM d r JOIN d t ON t.doc_id = r.doc_id - r.doc_id % 5
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,

@@ -42,7 +42,8 @@ object WebArchive {
   final case class WarcRecord(idx: Int, version: String, warcType: String,
                               recordId: String, targetUri: String,
                               date: String, contentType: String,
-                              contentLength: Int, content: Array[Byte])
+                              refersTo: String, contentLength: Int,
+                              content: Array[Byte])
 
   /** Max size of one record's header block — real WARC headers are a
     * few hundred bytes; 1 MiB tolerates pathological-but-legal URIs
@@ -138,6 +139,7 @@ object WebArchive {
       var targetUri: String = null
       var date: String = null
       var contentType: String = null
+      var refersTo: String = null
       var contentLength = -1L
       var done = false
       while (!done) {
@@ -156,6 +158,7 @@ object WebArchive {
             case "warc-target-uri" => targetUri = value
             case "warc-date" => date = value
             case "content-type" => contentType = value
+            case "warc-refers-to" => refersTo = value
             case "content-length" =>
               try contentLength = java.lang.Long.parseLong(value)
               catch { case _: NumberFormatException =>
@@ -176,7 +179,7 @@ object WebArchive {
         return Left("bad record terminator")
       val content = java.util.Arrays.copyOfRange(data, p, bodyEnd)
       out += WarcRecord(idx, version, warcType, recordId, targetUri, date,
-        contentType, contentLength.toInt, content)
+        contentType, refersTo, contentLength.toInt, content)
       idx += 1
       pos = bodyEnd + 4
     }
@@ -221,15 +224,21 @@ object WebArchive {
     * [[Multimodal.extractMp4Samples]]); use [[warcErrors]] for the
     * error channel. Narrow per-partition flatMap — no shuffle.
     *
-    * Output columns appended: `rec_idx, warc_type, target_uri,
-    * content_len, http_status, http_ctype, body` (body = HTTP body for
-    * response records, else the whole content block).
+    * Output columns appended: `rec_idx, warc_type, rec_id, target_uri,
+    * refers_to, content_len, http_status, http_ctype, body` (body =
+    * HTTP body for response records, else the whole content block).
+    * `refers_to` carries WARC-Refers-To — the crawl-level dedup
+    * pointer `revisit` records use to reference the capture that
+    * holds the actual payload (resolved by joining back on `rec_id`,
+    * possibly across archives).
     */
   def extractWarcRecords(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
       Seq(StructField("rec_idx", IntegerType, nullable = false),
         StructField("warc_type", StringType, nullable = true),
+        StructField("rec_id", StringType, nullable = true),
         StructField("target_uri", StringType, nullable = true),
+        StructField("refers_to", StringType, nullable = true),
         StructField("content_len", IntegerType, nullable = false),
         StructField("http_status", IntegerType, nullable = true),
         StructField("http_ctype", StringType, nullable = true),
@@ -251,22 +260,24 @@ object WebArchive {
               val http =
                 if (rec.warcType == "response") parseHttpResponse(rec.content)
                 else None
-              val arr = new Array[Any](nKeep + 7)
+              val arr = new Array[Any](nKeep + 9)
               System.arraycopy(prefix, 0, arr, 0, nKeep)
               arr(nKeep) = rec.idx
               arr(nKeep + 1) = rec.warcType
-              arr(nKeep + 2) = rec.targetUri
-              arr(nKeep + 3) = rec.contentLength
+              arr(nKeep + 2) = rec.recordId
+              arr(nKeep + 3) = rec.targetUri
+              arr(nKeep + 4) = rec.refersTo
+              arr(nKeep + 5) = rec.contentLength
               http match {
                 case Some((code, ctype, off)) =>
-                  arr(nKeep + 4) = code
-                  arr(nKeep + 5) = ctype
-                  arr(nKeep + 6) = java.util.Arrays.copyOfRange(
+                  arr(nKeep + 6) = code
+                  arr(nKeep + 7) = ctype
+                  arr(nKeep + 8) = java.util.Arrays.copyOfRange(
                     rec.content, off, rec.content.length)
                 case None =>
-                  arr(nKeep + 4) = null
-                  arr(nKeep + 5) = null
-                  arr(nKeep + 6) = rec.content
+                  arr(nKeep + 6) = null
+                  arr(nKeep + 7) = null
+                  arr(nKeep + 8) = rec.content
               }
               Row.fromSeq(scala.collection.immutable.ArraySeq
                 .unsafeWrapArray(arr))
@@ -326,12 +337,15 @@ object WebArchive {
   /** Build one WARC record's bytes from header fields + content. */
   def buildWarcRecord(warcType: String, recordId: String, targetUri: String,
                       date: String, contentType: String,
-                      content: Array[Byte]): Array[Byte] = {
+                      content: Array[Byte],
+                      refersTo: String = null): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0").append(CRLF)
     sb.append("WARC-Type: ").append(warcType).append(CRLF)
     sb.append("WARC-Record-ID: ").append(recordId).append(CRLF)
     sb.append("WARC-Date: ").append(date).append(CRLF)
+    if (refersTo != null)
+      sb.append("WARC-Refers-To: ").append(refersTo).append(CRLF)
     if (targetUri != null)
       sb.append("WARC-Target-URI: ").append(targetUri).append(CRLF)
     if (contentType != null)

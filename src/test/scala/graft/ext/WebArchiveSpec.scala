@@ -136,6 +136,41 @@ class WebArchiveSpec extends SparkFunSuite {
     assert(errs(2).getAs[String]("error") == "empty blob")
   }
 
+  test("revisit records: WARC-Refers-To round-trips and resolves by record id") {
+    val s = spark; import s.implicits._
+    val resp = WebArchive.buildWarcRecord("response", "<urn:uuid:orig>",
+      "http://ex.com/a", "2026-01-02T03:04:05Z",
+      "application/http; msgtype=response",
+      WebArchive.buildHttpResponse(200, "OK", "text/plain",
+        "payload".getBytes(ISO_8859_1)))
+    val revisit = WebArchive.buildWarcRecord("revisit", "<urn:uuid:rev>",
+      "http://ex.com/a", "2026-01-03T03:04:05Z", "message/http",
+      Array.empty[Byte], refersTo = "<urn:uuid:orig>")
+    val Right(rs) = WebArchive.warcRecordTable(
+      WebArchive.buildWarcArchive(Seq(resp, revisit),
+        memberGzip = true)): @unchecked
+    assert(rs.length == 2)
+    assert(rs(0).refersTo == null && rs(1).refersTo == "<urn:uuid:orig>")
+    assert(rs(1).contentLength == 0) // empty content block is legal
+    // the DataFrame form resolves across blobs (cross-archive join)
+    val df = Seq(
+      (1L, WebArchive.buildWarcArchive(Seq(resp), memberGzip = false)),
+      (2L, WebArchive.buildWarcArchive(Seq(revisit), memberGzip = true))
+    ).toDF("id", "blob")
+    val recs = WebArchive.extractWarcRecords(df, "blob")
+    val resolved = recs.where(col("warc_type") === "revisit")
+      .select(col("id").as("rev_doc"), col("refers_to"))
+      .join(recs.where(col("warc_type") === "response")
+        .select(col("id").as("orig_doc"), col("rec_id"),
+          col("body").cast("string").as("body_str")),
+        col("refers_to") === col("rec_id"))
+      .collect()
+    assert(resolved.length == 1)
+    assert(resolved.head.getAs[Long]("rev_doc") == 2L)
+    assert(resolved.head.getAs[Long]("orig_doc") == 1L)
+    assert(resolved.head.getAs[String]("body_str") == "payload")
+  }
+
   test("syntheticWarc: mode-independent record content; response body arithmetic matches the oracle formulas") {
     (0L until 12L).foreach { id =>
       val Right(rs) = WebArchive.warcRecordTable(
