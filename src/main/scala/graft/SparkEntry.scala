@@ -2125,6 +2125,72 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- STREAMING EXACT-SUBSTRING DEDUP batch-equivalence gate (the
+    //      q106 pattern applied to StreamingExactDup — winnowing's
+    //      streaming form): 3 forced micro-batches over the q156
+    //      fixture corpus (originals 0..59; probe-alphabet twins of
+    //      0..29 at +999990 plus a second class-0 twin at +2999970;
+    //      twins of 30..59 at +1999980 — offsets ≡ 0 mod 30 preserve
+    //      BOTH the class (mod 10) and block membership (mod 3)).
+    //      Batches 2 and 3 MUST probe index state earlier batches
+    //      committed: the winnowing THEOREM makes every block-doc's
+    //      cross-batch match deterministic; the (999990, 2999970)
+    //      same-batch pair gates the within path; twin matches
+    //      spanning exactly 2 batch_ids pins incrementality.
+    "q163_streaming_exactdup" -> ((s, dir) => {
+      val corpusText = udf((id: Long) => winnowGateText(id, probe = false))
+      val probeText = udf((id: Long) => winnowGateText(id, probe = true))
+      val docs = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id").as("id"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-xd")
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(tmp.toFile))
+      val inDir = tmp.resolve("in"); val work = tmp.resolve("work")
+      java.nio.file.Files.createDirectories(inDir)
+      def feed(name: String, df: DataFrame, order: Int): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + order * 60000L))
+      }
+      feed("f0", docs.select(col("id"), corpusText(col("id")).as("text")), 0)
+      feed("f1", docs.where(col("id") < 30)
+        .select((col("id") + 999990L).as("id"))
+        .unionByName(docs.where(col("id") === 0)
+          .select((col("id") + 2999970L).as("id")))
+        .select(col("id"), probeText(col("id")).as("text")), 1)
+      feed("f2", docs.where(col("id") >= 30)
+        .select((col("id") + 1999980L).as("id"))
+        .select(col("id"), probeText(col("id")).as("text")), 2)
+      graft.streaming.StreamingExactDup.start(s, inDir.toString,
+          work.toString, maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val m = s.read.parquet(s"$work/matches")
+        .select("batch_id", "id_a", "id_b").localCheckpoint()
+      val cross = m.where(col("id_a") >= 999990L && col("id_b") < 60)
+      val twinBatches = cross.select("batch_id").distinct().count()
+      val withinOk = m.where(
+        (col("id_a") === 999990L && col("id_b") === 2999970L) ||
+          (col("id_a") === 2999970L && col("id_b") === 999990L))
+        .count() > 0
+      val found = cross.select(col("id_b").as("doc_id"),
+        lit(true).as("found")).distinct()
+      docs.select(col("id").as("doc_id"))
+        .join(found, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("found"),
+          lit(withinOk).as("within_ok"),
+          lit(twinBatches).as("n_twin_batches"))
+        .orderBy("doc_id")
+    }),
+
     // ---- STRUCTURAL GATE for the rolling-hash fingerprint (q27's
     //      operator — the one remaining rows-only op without a
     //      falsifiable twin; xxhash64 keeps the raw values out of
@@ -5237,6 +5303,16 @@ object SparkEntry {
         |    AS orig_len
         |FROM d r JOIN d t ON t.doc_id = r.doc_id - r.doc_id % 5
         |ORDER BY r.doc_id""".stripMargin,
+
+    // deterministic by the winnowing theorem: every block doc (mod 3)
+    // is found by some same-class twin probe; the within pair exists;
+    // twin matches span exactly the two probe batches
+    "q163_streaming_exactdup" ->
+      """SELECT doc_id, CAST(doc_id % 3 = 0 AS BOOLEAN) AS found,
+        |       CAST(true AS BOOLEAN) AS within_ok,
+        |       CAST(2 AS BIGINT) AS n_twin_batches
+        |FROM documents WHERE doc_id < 60
+        |ORDER BY doc_id""".stripMargin,
 
     "q51_ann_index_planted" ->
       """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,

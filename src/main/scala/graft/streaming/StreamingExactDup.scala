@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.ext.Winnow
+
+/** Incremental EXACT-substring dedup against a persisted winnowing
+  * index — the streaming production shape of the [[Winnow]] family,
+  * completing the per-family streaming forms ([[StreamingDedup]] =
+  * exact chunks, [[StreamingNearDup]] = MinHash, [[StreamingImageDedup]]
+  * = image signatures): a crawl feed arrives in micro-batches, each
+  * batch probes the accumulated [[Winnow.buildWinnowIndex]]-layout
+  * index (partition-pruned to the batch's fingerprint buckets), emits
+  * its within-batch pairs through the join form, then appends its own
+  * fingerprints so later batches dedup against it.
+  *
+  * Unlike the MinHash stream, NO corpus payload store is needed: the
+  * winnow index carries the k-gram characters, so probe verification
+  * is collision-proof against the index alone — state is ONE
+  * fingerprint table, cost per batch = probe (∝ batch buckets) +
+  * append (∝ batch), never ∝ history.
+  *
+  * Delivery semantics: match emission is at-least-once
+  * (batch_id-tagged, overwritten per replay); index appends are
+  * replay-TOLERANT for the pairing DECISION — duplicated fingerprint
+  * rows can inflate `n_matches` for pairs involving a replayed batch,
+  * but cannot create a pair that shares no verified gram, and any
+  * true pair stays ≥ minMatches. Consumers keyed on
+  * (batch_id, id_a, id_b) read matches exactly-once.
+  */
+object StreamingExactDup {
+
+  /** Layout under `workDir`:
+    *   index/   — fb-partitioned winnow fingerprint index (with grams)
+    *   matches/ — pair rows (id_a, id_b, n_matches), batch_id-partitioned
+    */
+  def start(spark: SparkSession, inputDir: String, workDir: String,
+            k: Int = 8, w: Int = 16, fpBuckets: Int = 64,
+            maxDocsPerFp: Int = 256, minMatches: Int = 1,
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val indexPath = s"$workDir/index"
+    val matchesPath = s"$workDir/matches"
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType),
+        StructField("text", StringType))))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // registry-delta cleanup (the StreamingNearDup convention):
+        // free every storage block this batch pinned once its outputs
+        // are written, so a long-lived stream cannot leak blocks
+        val sc = spark.sparkContext
+        val beforeCp = sc.getPersistentRDDs.keySet
+        try {
+          val b = batch.localCheckpoint() // probe + within + append below
+          val indexExists = fs.exists(
+            new org.apache.hadoop.fs.Path(indexPath, "_graft_winnow_meta"))
+          val cross =
+            if (indexExists)
+              Winnow.probeWinnowIndex(b, "id", "text", indexPath,
+                maxDocsPerFp, minMatches)
+            else
+              b.select(col("id").as("id_a"), col("id").as("id_b"),
+                lit(0L).as("n_matches")).where(lit(false))
+          val within = Winnow.verifiedPairs(b, "id", "text", k, w,
+              maxDocsPerFp)
+            .where(col("n_matches") >= minMatches)
+          cross.unionByName(within)
+            .write.mode("overwrite")
+            .parquet(s"$matchesPath/batch_id=$batchId")
+          // fold the batch into state AFTER matching: a batch never
+          // probes its own rows through the index (the join form above
+          // owns within-batch pairs). An existing index's (k, w,
+          // fpBuckets) sidecar wins over the caller's on append.
+          if (indexExists)
+            Winnow.appendToWinnowIndex(b, "id", "text", indexPath)
+          else
+            Winnow.buildWinnowIndex(b, "id", "text", indexPath,
+              k, w, fpBuckets)
+        } finally {
+          sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
+            .foreach(_.unpersist(false))
+        }
+        ()
+      }
+      .start()
+  }
+}
