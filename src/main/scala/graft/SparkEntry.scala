@@ -1875,6 +1875,29 @@ object SparkEntry {
         .orderBy("doc_id", "track_id", "sample_idx")
     }),
 
+    // ---- WEBM LACING (Xiph / fixed-size / EBML — laced audio is the
+    //      WebM norm): the SAME logical samples are carried as three
+    //      separate SimpleBlocks (doc_id%4 == 0) or as ONE laced block
+    //      under each of the three schemes (doc_id%4 = 1 Xiph,
+    //      2 fixed, 3 EBML signed-delta sizes) — the oracle is
+    //      carriage-mode-INDEPENDENT, so a parser that rejects or
+    //      mis-splits any lacing scheme loses a quarter of the corpus
+    //      or mis-sizes its frames. Lace-header sizes are untrusted
+    //      (bounds-checked against the block extent; malformed lacing
+    //      is a typed reject, spec-covered).
+    "q164_webm_lacing" -> ((s, dir) => {
+      val webm = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else graft.ext.Matroska.syntheticWebmLaced(id, (id % 4).toInt)
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", webm(col("doc_id")))
+      graft.ext.Matroska.extractWebmSamples(blobs, "blob")
+        .select("doc_id", "track_id", "sample_idx", "ts_ticks",
+          "is_key", "sample_size", "payload_sum")
+        .orderBy("doc_id", "sample_idx")
+    }),
+
     // ---- CROSS-CONTAINER VIDEO DEDUP (MP4 ↔ WebM): the SAME logical
     //      frames (PNG keyframes, class-keyed) are wrapped in an MP4
     //      on even doc_ids and a WebM on odd doc_ids; both container
@@ -5225,6 +5248,27 @@ object SparkEntry {
         |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
         |    AS payload_sum
         |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // one arithmetic for all four carriage modes: cluster c carries
+    // three frames of size 8+(id+c)%9 at ts = c*1000+(id%7)*10+5
+    "q164_webm_lacing" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nclu FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0),
+        |s AS (
+        |  SELECT d.doc_id, c.c AS clu, f.f AS frm
+        |  FROM d, generate_series(0, 4) AS c(c),
+        |       generate_series(0, 2) AS f(f)
+        |  WHERE c.c < d.nclu)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+        |  CAST(clu * 3 + frm AS INTEGER) AS sample_idx,
+        |  CAST(clu * 1000 + (doc_id % 7) * 10 + 5 AS BIGINT) AS ts_ticks,
+        |  CAST(clu % 2 = 0 AS BOOLEAN) AS is_key,
+        |  CAST(8 + (doc_id + clu) % 9 AS INTEGER) AS sample_size,
+        |  CAST((8 + (doc_id + clu) % 9)
+        |       * ((doc_id + clu * 17 + frm * 31) % 251) AS BIGINT)
+        |    AS payload_sum
+        |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
 
     // pure planted structure: same video class pairs regardless of
     // container; n_shared = 3 only when BOTH sides are WebM (all three

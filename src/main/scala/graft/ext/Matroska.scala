@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   *     CodecID) and `Cluster`s (Timestamp, then SimpleBlocks);
   *   - a SimpleBlock's payload is: track number VINT, 2-byte signed
   *     big-endian timestamp relative to the cluster timestamp, one
-  *     flags byte (0x80 keyframe, 0x06 lacing bits), frame bytes.
-  *     Laced blocks are a typed reject here (the fixture never laces;
-  *     a real corpus routes them to quarantine rather than mis-split).
+  *     flags byte (0x80 keyframe, bits 1-2 lacing), then frames.
+  *     All three lacing schemes are parsed (Xiph 255-run sizes, EBML
+  *     first-VINT + signed-delta sizes, fixed equal split) — laced
+  *     audio is the WebM norm; laced frames share the block's
+  *     timestamp and key flag, and every lace-header size is treated
+  *     as untrusted (checked against the block extent before use).
   *
   * Scale notes (100 TB): one blob in, sample rows out — a narrow
   * per-partition flatMap, no shuffle; cost linear in blob size, one
@@ -175,19 +178,81 @@ object Matroska {
       if (from + tw + 3 > end) return Left("truncated block header")
       val rel = ((u(bytes(from + tw)) << 8) | u(bytes(from + tw + 1))).toShort.toLong
       val flags = u(bytes(from + tw + 2))
-      if ((flags & 0x06) != 0) return Left("laced block")
-      val dataFrom = from + tw + 3
-      val size = end - dataFrom
       val trkOpt = tracks.find(_.number == tn)
       if (trkOpt.isEmpty) return Left("block for unknown track")
       val trk = trkOpt.get
-      var sum = 0L
-      var i = dataFrom
-      while (i < end) { sum += u(bytes(i)); i += 1 }
-      val idx = perTrackIdx.getOrElse(tn, 0)
-      perTrackIdx(tn) = idx + 1
-      out += ((WebmSample(tn, trk.ttype, trk.codec, idx, cluTs + rel,
-        tsScale, (flags & 0x80) != 0, size, sum), dataFrom, end))
+      val isKey = (flags & 0x80) != 0
+      def emit(frFrom: Int, frUntil: Int): Unit = {
+        var sum = 0L
+        var i = frFrom
+        while (i < frUntil) { sum += u(bytes(i)); i += 1 }
+        val idx = perTrackIdx.getOrElse(tn, 0)
+        perTrackIdx(tn) = idx + 1
+        out += ((WebmSample(tn, trk.ttype, trk.codec, idx, cluTs + rel,
+          tsScale, isKey, frUntil - frFrom, sum), frFrom, frUntil))
+      }
+      // lacing (flags bits 1-2): 0 none, 1 Xiph, 2 fixed-size, 3 EBML.
+      // Laced frames share the block's timestamp and key flag; sizes
+      // come from the lace header (all UNTRUSTED — every arithmetic
+      // checked before any extent is trusted).
+      val lacing = (flags & 0x06) >> 1
+      val dataFrom = from + tw + 3
+      if (lacing == 0) { emit(dataFrom, end); return Right(()) }
+      if (dataFrom >= end) return Left("truncated lace header")
+      val nFrames = u(bytes(dataFrom)) + 1
+      var p = dataFrom + 1
+      val sizes = new Array[Int](nFrames)
+      if (lacing == 1) { // Xiph: 255-run coding for frames 0..n-2
+        var i = 0
+        while (i < nFrames - 1) {
+          var sz = 0
+          var b = 0xFF
+          while (b == 0xFF) {
+            if (p >= end) return Left("truncated lace sizes")
+            b = u(bytes(p)); p += 1
+            sz += b
+            if (sz > end - dataFrom) return Left("bad lace sizes")
+          }
+          sizes(i) = sz; i += 1
+        }
+      } else if (lacing == 3) { // EBML: first VINT, then signed deltas
+        if (nFrames >= 2) {
+          val (v0, w0, _) = readVint(bytes, p, end) match {
+            case Left(e) => return Left(e); case Right(x) => x }
+          if (v0 > end - dataFrom) return Left("bad lace sizes")
+          sizes(0) = v0.toInt
+          p += w0
+          var i = 1
+          while (i < nFrames - 1) {
+            val (dv, dw, _) = readVint(bytes, p, end) match {
+              case Left(e) => return Left(e); case Right(x) => x }
+            val delta = dv - ((1L << (7 * dw - 1)) - 1)
+            val sz = sizes(i - 1).toLong + delta
+            if (sz < 0 || sz > end - dataFrom) return Left("bad lace sizes")
+            sizes(i) = sz.toInt
+            p += dw; i += 1
+          }
+        }
+      } // lacing == 2 (fixed): no size data
+      val remaining = end - p
+      if (remaining < 0) return Left("bad lace sizes")
+      if (lacing == 2) {
+        if (remaining % nFrames != 0) return Left("bad fixed lacing")
+        java.util.Arrays.fill(sizes, remaining / nFrames)
+      } else {
+        var known = 0L
+        var i = 0
+        while (i < nFrames - 1) { known += sizes(i); i += 1 }
+        val last = remaining - known
+        if (last < 0) return Left("bad lace sizes")
+        sizes(nFrames - 1) = last.toInt
+      }
+      var i = 0
+      while (i < nFrames) {
+        emit(p, p + sizes(i))
+        p += sizes(i)
+        i += 1
+      }
       Right(())
     }
 
@@ -450,6 +515,92 @@ object Matroska {
       ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte,
       (if (key) 0x80 else 0x00).toByte)
     elem(IdSimpleBlock, head ++ payload)
+  }
+
+  /** Signed VINT (EBML lace deltas): value stored as
+    * `delta + 2^(7·width−1) − 1` in the smallest width that holds it.
+    */
+  private[ext] def vintSigned(delta: Long): Array[Byte] = {
+    var width = 1
+    while (width <= 8 && (delta < -((1L << (7 * width - 1)) - 1) ||
+        delta > (1L << (7 * width - 1)) - 1)) width += 1
+    require(width <= 8, "signed vint overflow")
+    vintSizeWidth(delta + (1L << (7 * width - 1)) - 1, width)
+  }
+
+  private[ext] def vintSizeWidth(v: Long, width: Int): Array[Byte] = {
+    val out = new Array[Byte](width)
+    var x = v | (1L << (7 * width))
+    var i = width - 1
+    while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>= 8; i -= 1 }
+    out
+  }
+
+  /** A laced SimpleBlock: `mode` 1 = Xiph, 2 = fixed-size, 3 = EBML.
+    * Fixed-size requires equal frame lengths (the format's own
+    * constraint).
+    */
+  def buildSimpleBlockLaced(track: Long, rel: Int, key: Boolean,
+                            frames: Seq[Array[Byte]],
+                            mode: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.length <= 256, "1..256 laced frames")
+    require(mode >= 1 && mode <= 3, "lace mode 1..3")
+    require(mode != 2 || frames.map(_.length).distinct.length == 1,
+      "fixed lacing needs equal frame sizes")
+    val head = vintSize(track) ++ Array(
+      ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte,
+      ((if (key) 0x80 else 0x00) | (mode << 1)).toByte,
+      (frames.length - 1).toByte)
+    val laceSizes: Array[Byte] = mode match {
+      case 1 => // Xiph 255-run for all but the last frame
+        frames.dropRight(1).flatMap { f =>
+          val full = f.length / 255
+          Array.fill(full)(0xFF.toByte) :+ (f.length % 255).toByte
+        }.toArray
+      case 2 => Array.empty[Byte]
+      case 3 =>
+        if (frames.length < 2) Array.empty[Byte]
+        else vintSize(frames.head.length.toLong) ++
+          frames.sliding(2).toSeq.dropRight(1).flatMap { pair =>
+            vintSigned(pair(1).length.toLong - pair(0).length.toLong)
+          }
+    }
+    elem(IdSimpleBlock, head ++ laceSizes ++ frames.flatten.toArray)
+  }
+
+  /** The q164 gate fixture: one audio track, `2 + id % 3` clusters of
+    * THREE equal-size frames each (equal so fixed lacing is legal in
+    * every mode), carried per `mode`: 0 = three separate SimpleBlocks
+    * sharing one relative timestamp, 1/2/3 = one laced block. The
+    * logical samples are IDENTICAL across modes.
+    */
+  def syntheticWebmLaced(id: Long, mode: Int): Array[Byte] = {
+    val nclu = 2 + (id % 3).toInt
+    val ebml = elem(IdEbml, Array[Byte]())
+    val info = elem(IdInfo, elem(IdTimestampScale, uintPayload(1000000L)))
+    val tracksEl = elem(IdTracks, elem(IdTrackEntry,
+      elem(IdTrackNumber, uintPayload(1L)) ++
+      elem(IdTrackType, uintPayload(2L)) ++
+      elem(IdCodecId, "A_TEST1".getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1))))
+    val clusters = (0 until nclu).map { c =>
+      val sz = 8 + ((id + c) % 9).toInt
+      val key = c % 2 == 0
+      val frames = (0 until 3).map { f =>
+        val payload = new Array[Byte](sz)
+        java.util.Arrays.fill(payload,
+          ((id + c * 17 + f * 31) % 251).toByte)
+        payload
+      }
+      val blocks =
+        if (mode == 0) frames.map(buildSimpleBlock(1L, 5, key, _))
+          .reduce(_ ++ _)
+        else buildSimpleBlockLaced(1L, 5, key, frames, mode)
+      elem(IdCluster,
+        elem(IdTimestamp, uintPayload(c * 1000L + (id % 7) * 10)) ++ blocks)
+    }
+    val segBody = info ++ tracksEl ++ clusters.reduce(_ ++ _)
+    ebml ++ elem(IdSegment, segBody)
   }
 
   /** The q157 gate fixture. `1 + (id/3) % 3` tracks (odd = video,

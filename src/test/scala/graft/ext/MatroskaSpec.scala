@@ -79,13 +79,29 @@ class MatroskaSpec extends SparkFunSuite {
     // unknown-size on a non-Segment/Cluster element is rejected
     assert(webmSampleTable(seg(elemUnknown(IdTracks, track1)))
       == Left("unknown-size element"))
-    // laced SimpleBlock (lacing bits set)
-    val laced = {
+    // laced block whose EBML size VINT overruns the block
+    val lacedBad = {
       val head = vintSize(1L) ++ Array[Byte](0, 0, 0x06.toByte, 9, 9)
       seg(track1 ++ elem(IdCluster,
         elem(IdTimestamp, uintPayload(0L)) ++ elem(IdSimpleBlock, head)))
     }
-    assert(webmSampleTable(laced) == Left("laced block"))
+    assert(webmSampleTable(lacedBad) == Left("truncated vint"))
+    // fixed lacing whose payload does not divide by the frame count
+    val fixedBad = {
+      val head = vintSize(1L) ++ Array[Byte](0, 0, 0x04.toByte,
+        2, 1, 2, 3, 4) // 3 frames, 4 payload bytes
+      seg(track1 ++ elem(IdCluster,
+        elem(IdTimestamp, uintPayload(0L)) ++ elem(IdSimpleBlock, head)))
+    }
+    assert(webmSampleTable(fixedBad) == Left("bad fixed lacing"))
+    // Xiph sizes claiming more than the block holds
+    val xiphBad = {
+      val head = vintSize(1L) ++ Array[Byte](0, 0, 0x02.toByte,
+        1, 60, 1, 2) // 2 frames, first size 60 > remaining
+      seg(track1 ++ elem(IdCluster,
+        elem(IdTimestamp, uintPayload(0L)) ++ elem(IdSimpleBlock, head)))
+    }
+    assert(webmSampleTable(xiphBad) == Left("bad lace sizes"))
     // block referencing a track the Tracks element never declared
     val orphan = seg(track1 ++ elem(IdCluster,
       buildSimpleBlock(2L, 0, key = false, Array[Byte](1))))
@@ -98,6 +114,47 @@ class MatroskaSpec extends SparkFunSuite {
     val overrun = ebml ++ elem(IdSegment,
       idBytes(IdTracks) ++ vintSize(1000L))
     assert(webmSampleTable(overrun) == Left("truncated element"))
+  }
+
+  test("lacing: all four carriage modes yield identical samples; varying sizes through Xiph and EBML") {
+    // gate-shape: equal-size frames, every mode
+    (0L until 12L).foreach { id =>
+      val base = webmSampleTable(syntheticWebmLaced(id, 0))
+      assert(base.isRight, s"id=$id mode=0")
+      (1 to 3).foreach { mode =>
+        assert(webmSampleTable(syntheticWebmLaced(id, mode)) == base,
+          s"id=$id mode=$mode")
+      }
+      val Right((_, ss)) = base: @unchecked
+      assert(ss.length == (2 + (id % 3).toInt) * 3)
+      ss.foreach { sm =>
+        val c = sm.sampleIdx / 3; val f = sm.sampleIdx % 3
+        assert(sm.size == 8 + ((id + c) % 9).toInt)
+        assert(sm.tsTicks == c * 1000L + (id % 7) * 10 + 5)
+        assert(sm.isKey == (c % 2 == 0))
+        assert(sm.payloadSum ==
+          sm.size.toLong * ((id + c * 17 + f * 31) % 251))
+      }
+    }
+    // varying frame sizes (legal for Xiph and EBML, incl. >255-byte
+    // Xiph runs and negative EBML deltas)
+    val frames = Seq(300, 7, 120, 45).map(n =>
+      Array.tabulate[Byte](n)(i => (i % 97).toByte))
+    val ebml = elem(IdEbml, Array[Byte]())
+    val tracksEl = elem(IdTracks, elem(IdTrackEntry,
+      elem(IdTrackNumber, uintPayload(1L)) ++
+      elem(IdTrackType, uintPayload(2L))))
+    Seq(1, 3).foreach { mode =>
+      val doc = ebml ++ elem(IdSegment, tracksEl ++ elem(IdCluster,
+        elem(IdTimestamp, uintPayload(0L)) ++
+        buildSimpleBlockLaced(1L, 0, key = true, frames, mode)))
+      val Right((_, ss)) = webmSampleTable(doc): @unchecked
+      assert(ss.map(_.size) == Seq(300, 7, 120, 45), s"mode=$mode")
+      assert(ss.map(_.sampleIdx) == Seq(0, 1, 2, 3))
+      ss.zip(frames).foreach { case (sm, f) =>
+        assert(sm.payloadSum == f.map(_ & 0xFF).map(_.toLong).sum)
+      }
+    }
   }
 
   test("extractWebmSampleBytes: frame bytes round-trip caller payloads; digest form agrees") {
