@@ -1898,6 +1898,28 @@ object SparkEntry {
         .orderBy("doc_id", "sample_idx")
     }),
 
+    // ---- WEBM BLOCKGROUP/BLOCK (the real-muxer layout for dependent
+    //      video frames): the SAME logical samples are carried as
+    //      SimpleBlocks (keyness in the header flag, even doc_ids) or
+    //      as BlockGroups whose Block has NO key flag — keyness is the
+    //      ABSENCE of a ReferenceBlock sibling that FOLLOWS the Block
+    //      (odd doc_ids). The oracle is carriage-independent, so a
+    //      parser that skips BlockGroups loses half the corpus, and
+    //      one that infers keyness from the Block header (or misses
+    //      the after-the-Block ReferenceBlock ordering) flips is_key.
+    "q165_webm_blockgroup" -> ((s, dir) => {
+      val webm = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else graft.ext.Matroska.syntheticWebmGrouped(id, id % 2 == 1)
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", webm(col("doc_id")))
+      graft.ext.Matroska.extractWebmSamples(blobs, "blob")
+        .select("doc_id", "track_id", "sample_idx", "ts_ticks",
+          "is_key", "sample_size", "payload_sum")
+        .orderBy("doc_id", "sample_idx")
+    }),
+
     // ---- CROSS-CONTAINER VIDEO DEDUP (MP4 ↔ WebM): the SAME logical
     //      frames (PNG keyframes, class-keyed) are wrapped in an MP4
     //      on even doc_ids and a WebM on odd doc_ids; both container
@@ -5248,6 +5270,30 @@ object SparkEntry {
         |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
         |    AS payload_sum
         |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // one arithmetic for both carriage layouts; is_key = (c+f)%2
+    // regardless of whether it came from a flag bit or a missing
+    // ReferenceBlock
+    "q165_webm_blockgroup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nclu FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0),
+        |s AS (
+        |  SELECT d.doc_id, c.c AS clu, f.f AS frm
+        |  FROM d, generate_series(0, 4) AS c(c),
+        |       generate_series(0, 2) AS f(f)
+        |  WHERE c.c < d.nclu)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+        |  CAST(clu * 3 + frm AS INTEGER) AS sample_idx,
+        |  CAST(clu * 1000 + (doc_id % 7) * 10 + 10 * frm + clu AS BIGINT)
+        |    AS ts_ticks,
+        |  CAST((clu + frm) % 2 = 0 AS BOOLEAN) AS is_key,
+        |  CAST(8 + (doc_id + clu * 5 + frm * 7) % 9 AS INTEGER)
+        |    AS sample_size,
+        |  CAST((8 + (doc_id + clu * 5 + frm * 7) % 9)
+        |       * ((doc_id + clu * 17 + frm * 31) % 251) AS BIGINT)
+        |    AS payload_sum
+        |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
 
     // one arithmetic for all four carriage modes: cluster c carries
     // three frames of size 8+(id+c)%9 at ts = c*1000+(id%7)*10+5

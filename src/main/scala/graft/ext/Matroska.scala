@@ -47,6 +47,9 @@ object Matroska {
   private[ext] val IdCluster = 0x1F43B675L
   private[ext] val IdTimestamp = 0xE7L
   private[ext] val IdSimpleBlock = 0xA3L
+  private[ext] val IdBlockGroup = 0xA0L
+  private[ext] val IdBlock = 0xA1L
+  private[ext] val IdReferenceBlock = 0xFBL
 
   final case class WebmSample(trackId: Long, trackType: Int, codecId: String,
                               sampleIdx: Int, tsTicks: Long, tsScale: Long,
@@ -172,7 +175,12 @@ object Matroska {
       if (num <= 0) Left("track without number") else Right(Track(num, ttype, codec))
     }
 
-    def parseSimpleBlock(from: Int, end: Int, cluTs: Long): Either[String, Unit] = {
+    // keyOverride: Block (inside a BlockGroup) has no keyframe flag —
+    // keyness is the ABSENCE of a sibling ReferenceBlock, decided by
+    // the caller; SimpleBlock carries it in flags bit 7.
+    def parseSimpleBlock(from: Int, end: Int, cluTs: Long,
+                         keyOverride: Option[Boolean] = None)
+        : Either[String, Unit] = {
       val (tn, tw, _) = readVint(bytes, from, end) match {
         case Left(e) => return Left(e); case Right(x) => x }
       if (from + tw + 3 > end) return Left("truncated block header")
@@ -181,7 +189,7 @@ object Matroska {
       val trkOpt = tracks.find(_.number == tn)
       if (trkOpt.isEmpty) return Left("block for unknown track")
       val trk = trkOpt.get
-      val isKey = (flags & 0x80) != 0
+      val isKey = keyOverride.getOrElse((flags & 0x80) != 0)
       def emit(frFrom: Int, frUntil: Int): Unit = {
         var sum = 0L
         var i = frFrom
@@ -329,6 +337,34 @@ object Matroska {
                 case Left(e) => return Left(e)
                 case Right(_) => ()
               }
+            else if (fid == IdBlockGroup) {
+              // two passes: ReferenceBlock may follow the Block, and
+              // its PRESENCE (not value) decides keyness
+              val gEnd = p + fsz.toInt
+              var gp = p
+              var blockFrom = -1; var blockUntil = -1
+              var hasRef = false
+              while (gp < gEnd) {
+                val (gid, gw) = readId(bytes, gp, gEnd) match {
+                  case Left(e) => return Left(e); case Right(x) => x }
+                gp += gw
+                val (gsz, gszw, gones) = readVint(bytes, gp, gEnd) match {
+                  case Left(e) => return Left(e); case Right(x) => x }
+                if (gones) return Left("unknown-size group field")
+                gp += gszw
+                if (gsz > gEnd - gp) return Left("truncated group field")
+                if (gid == IdBlock) {
+                  blockFrom = gp; blockUntil = gp + gsz.toInt
+                } else if (gid == IdReferenceBlock) hasRef = true
+                gp += gsz.toInt
+              }
+              if (blockFrom < 0) return Left("block group without block")
+              parseSimpleBlock(blockFrom, blockUntil, cluTs,
+                keyOverride = Some(!hasRef)) match {
+                case Left(e) => return Left(e)
+                case Right(_) => ()
+              }
+            }
             p += fsz.toInt
           }
         }
@@ -566,6 +602,52 @@ object Matroska {
           }
     }
     elem(IdSimpleBlock, head ++ laceSizes ++ frames.flatten.toArray)
+  }
+
+  /** A BlockGroup carrying one Block (no keyframe flag — keyness is
+    * decided by `referenced`: a ReferenceBlock sibling AFTER the Block
+    * marks it a dependent, non-key frame, the real-muxer layout).
+    */
+  def buildBlockGroup(track: Long, rel: Int, referenced: Boolean,
+                      payload: Array[Byte]): Array[Byte] = {
+    val blockPayload = vintSize(track) ++ Array(
+      ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte, 0x00.toByte) ++
+      payload
+    elem(IdBlockGroup, elem(IdBlock, blockPayload) ++
+      (if (referenced) elem(IdReferenceBlock, Array(0xFF.toByte))
+       else Array.empty[Byte]))
+  }
+
+  /** The q165 gate fixture: the SAME logical samples carried as
+    * SimpleBlocks (key flag in the header) or as BlockGroups (keyness
+    * = no ReferenceBlock) — real muxers use the latter for dependent
+    * video frames.
+    */
+  def syntheticWebmGrouped(id: Long, useGroups: Boolean): Array[Byte] = {
+    val nclu = 2 + (id % 3).toInt
+    val ebml = elem(IdEbml, Array[Byte]())
+    val info = elem(IdInfo, elem(IdTimestampScale, uintPayload(1000000L)))
+    val tracksEl = elem(IdTracks, elem(IdTrackEntry,
+      elem(IdTrackNumber, uintPayload(1L)) ++
+      elem(IdTrackType, uintPayload(1L)) ++
+      elem(IdCodecId, "V_TEST1".getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1))))
+    val clusters = (0 until nclu).map { c =>
+      val blocks = (0 until 3).map { f =>
+        val sz = 8 + ((id + c * 5 + f * 7) % 9).toInt
+        val payload = new Array[Byte](sz)
+        java.util.Arrays.fill(payload,
+          ((id + c * 17 + f * 31) % 251).toByte)
+        val key = (c + f) % 2 == 0
+        val rel = 10 * f + c
+        if (useGroups) buildBlockGroup(1L, rel, referenced = !key, payload)
+        else buildSimpleBlock(1L, rel, key, payload)
+      }.reduce(_ ++ _)
+      elem(IdCluster,
+        elem(IdTimestamp, uintPayload(c * 1000L + (id % 7) * 10)) ++ blocks)
+    }
+    val segBody = info ++ tracksEl ++ clusters.reduce(_ ++ _)
+    ebml ++ elem(IdSegment, segBody)
   }
 
   /** The q164 gate fixture: one audio track, `2 + id % 3` clusters of

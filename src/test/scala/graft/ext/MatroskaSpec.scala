@@ -157,6 +157,28 @@ class MatroskaSpec extends SparkFunSuite {
     }
   }
 
+  test("BlockGroup carriage: samples identical to SimpleBlocks; keyness from ReferenceBlock absence") {
+    (0L until 12L).foreach { id =>
+      val simple = webmSampleTable(syntheticWebmGrouped(id, useGroups = false))
+      val grouped = webmSampleTable(syntheticWebmGrouped(id, useGroups = true))
+      assert(simple.isRight && simple == grouped, s"id=$id")
+      val Right((_, ss)) = simple: @unchecked
+      ss.foreach { sm =>
+        val c = sm.sampleIdx / 3; val f = sm.sampleIdx % 3
+        assert(sm.isKey == ((c + f) % 2 == 0))
+      }
+    }
+    // a BlockGroup with no Block child is malformed
+    val ebml = elem(IdEbml, Array[Byte]())
+    val track1 = elem(IdTracks, elem(IdTrackEntry,
+      elem(IdTrackNumber, uintPayload(1L)) ++
+      elem(IdTrackType, uintPayload(1L))))
+    val noBlock = ebml ++ elem(IdSegment, track1 ++ elem(IdCluster,
+      elem(IdTimestamp, uintPayload(0L)) ++
+      elem(IdBlockGroup, elem(IdReferenceBlock, Array(0xFF.toByte)))))
+    assert(webmSampleTable(noBlock) == Left("block group without block"))
+  }
+
   test("extractWebmSampleBytes: frame bytes round-trip caller payloads; digest form agrees") {
     val s = spark; import s.implicits._
     val frames = (0 until 5).map(j => Array.tabulate[Byte](7 + j)(i =>
