@@ -1920,6 +1920,30 @@ object SparkEntry {
         .orderBy("doc_id", "sample_idx")
     }),
 
+    // ---- OGG PACKET EXTRACTION (RFC 3533 — the Vorbis/Opus wrapper):
+    //      real pages with REAL CRC-32s (the fixture computes them;
+    //      the walk verifies every page with the CRC field zeroed —
+    //      one flipped bit is a typed reject, spec-covered), 255-run
+    //      lacing for packets over 255 bytes, and packets over 300
+    //      bytes deliberately SPLIT across two pages (open 255 lace +
+    //      continuation flag) so cross-page reassembly is load-bearing
+    //      for the mode-independent size/sum/granule oracle. A parser
+    //      that drops spanning packets, miscounts lacing terminators
+    //      (a 255-multiple needs its explicit 0 lace), or reads the
+    //      granule from the wrong page fails the respective column.
+    "q166_ogg_packets" -> ((s, dir) => {
+      val ogg = udf((id: Long) => {
+        val full = graft.ext.Ogg.syntheticOgg(id)
+        if (id % 41 == 0) Array.empty[Byte]
+        else if (id % 37 == 0) full.dropRight(3)
+        else full
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", ogg(col("doc_id")))
+      graft.ext.Ogg.extractOggPackets(blobs, "blob")
+        .orderBy("doc_id", "packet_idx")
+    }),
+
     // ---- CROSS-CONTAINER VIDEO DEDUP (MP4 ↔ WebM): the SAME logical
     //      frames (PNG keyframes, class-keyed) are wrapped in an MP4
     //      on even doc_ids and a WebM on odd doc_ids; both container
@@ -5270,6 +5294,29 @@ object SparkEntry {
         |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
         |    AS payload_sum
         |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // page occupancy is formula-determined (1 page, or 2 when the
+    // packet spans), so the ending page's granule is a window sum
+    "q166_ogg_packets" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 4 AS npk FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |p AS (
+        |  SELECT d.doc_id, j.j AS packet_idx,
+        |         30 + (d.doc_id * 7 + j.j * 13) % 500 AS psize,
+        |         (d.doc_id + j.j * 37) % 251 AS fill
+        |  FROM d, generate_series(0, 7) AS j(j) WHERE j.j < d.npk),
+        |q AS (
+        |  SELECT *, SUM(CASE WHEN psize > 300 THEN 2 ELSE 1 END)
+        |    OVER (PARTITION BY doc_id ORDER BY packet_idx) AS cum
+        |  FROM p)
+        |SELECT doc_id, CAST(doc_id AS BIGINT) AS serial,
+        |  CAST(packet_idx AS INTEGER) AS packet_idx,
+        |  CAST(cum * 1000 + doc_id % 7 AS BIGINT) AS granule,
+        |  CAST(psize AS INTEGER) AS psize,
+        |  CAST(psize * fill AS BIGINT) AS payload_sum,
+        |  CAST(psize > 300 AS BOOLEAN) AS spans_pages
+        |FROM q ORDER BY doc_id, packet_idx""".stripMargin,
 
     // one arithmetic for both carriage layouts; is_key = (c+f)%2
     // regardless of whether it came from a flag bit or a missing
