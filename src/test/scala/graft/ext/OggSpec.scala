@@ -7,7 +7,9 @@ class OggSpec extends SparkFunSuite {
 
   test("syntheticOgg: packet table matches the fixture arithmetic; spanning reassembly exact") {
     var spanning = 0
-    (0L until 16L).foreach { id =>
+    // 40..55: id*7 pushes (id*7 + j*13) % 500 past 300 regularly, so
+    // the cross-page path is exercised; 0..15 stays under it
+    ((0L until 8L) ++ (40L until 56L)).foreach { id =>
       val Right(ps) = oggPacketTable(syntheticOgg(id)): @unchecked
       assert(ps.length == 4 + (id % 4).toInt)
       var cumPages = 0
