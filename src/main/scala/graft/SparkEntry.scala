@@ -1944,6 +1944,60 @@ object SparkEntry {
         .orderBy("doc_id", "packet_idx")
     }),
 
+    // ---- OGG WRAPPER-INVARIANT DEDUP (the q159 principle on the
+    //      third audio family): one packet stream (class doc_id%8) is
+    //      wrapped per-doc with a DIFFERENT serial, different granule
+    //      arithmetic, and a different page grouping (one packet per
+    //      page vs two) — byte equality and page-level hashing both
+    //      fail every in-class pair, while the packet-content view
+    //      (packet_idx, psize, payload_sum) pairs them exactly. Full-
+    //      stream agreement is required; class size formulas make
+    //      cross-class psize sequences disjoint, so the pair set is
+    //      planted structure.
+    "q167_ogg_wrapper_invariant_dedup" -> ((s, dir) => {
+      val ogg = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val acls = (id % 8).toInt
+          val npk = 4 + acls % 4
+          val pk = (0 until npk).map { j =>
+            val size = 30 + ((acls * 7 + j * 13) % 500)
+            val b = new Array[Byte](size)
+            java.util.Arrays.fill(b, ((acls + j * 37) % 251).toByte)
+            b
+          }
+          val groups =
+            if (id % 2 == 0) pk.map(Seq(_)) else pk.grouped(2).toSeq
+          val pages = groups.zipWithIndex.map { case (g, p) =>
+            val laces = g.flatMap(f => graft.ext.Ogg.lacesFor(f.length))
+            val payload = g.flatten.toArray
+            val flags = (if (p == 0) 0x02 else 0) |
+              (if (p == groups.length - 1) 0x04 else 0)
+            graft.ext.Ogg.buildOggPage(flags, (p + 1) * 777L + id % 13,
+              id, p.toLong, laces, payload)
+          }
+          pages.reduce(_ ++ _)
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", ogg(col("doc_id")))
+      val pkts = graft.ext.Ogg.extractOggPackets(blobs, "blob")
+        .select(col("doc_id"), col("packet_idx"), col("psize"),
+          col("payload_sum"))
+      val cnt = pkts.groupBy("doc_id").agg(count(lit(1)).as("np"))
+      val a = pkts.toDF("id_a", "j", "sz", "ps")
+      val b = pkts.toDF("id_b", "j", "sz", "ps")
+      a.join(b, Seq("j", "sz", "ps")).where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .join(cnt.toDF("id_a", "np_a"), "id_a")
+        .join(cnt.toDF("id_b", "np_b"), "id_b")
+        .where(col("n_shared") === col("np_a") &&
+          col("n_shared") === col("np_b"))
+        .select(col("id_a"), col("id_b"),
+          col("n_shared").as("n_packets"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- CROSS-CONTAINER VIDEO DEDUP (MP4 ↔ WebM): the SAME logical
     //      frames (PNG keyframes, class-keyed) are wrapped in an MP4
     //      on even doc_ids and a WebM on odd doc_ids; both container
@@ -5294,6 +5348,18 @@ object SparkEntry {
         |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
         |    AS payload_sum
         |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // in-class pairs share the full packet stream (4 + class%4
+    // packets); wrappers (serial/granule/page grouping) differ per doc
+    "q167_ogg_wrapper_invariant_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(4 + a.acls % 4 AS BIGINT) AS n_packets
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // page occupancy is formula-determined (1 page, or 2 when the
     // packet spans), so the ending page's granule is a window sum
