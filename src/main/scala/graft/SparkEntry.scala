@@ -136,6 +136,38 @@ object SparkEntry {
     pre + block + suf
   }
 
+  /** Deterministic pseudo-random bytes (SplitMix64 of seed·P + index):
+    * the q168 fixture material. Distinct seeds give byte streams with
+    * no shared content beyond 64-bit-hash chance, so chunk-identity
+    * agreement across blobs built from the SAME seed is planted
+    * structure, not coincidence.
+    */
+  private def cdcGateBytes(seed: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      var z = (seed * 1000003L + i) * 0x9E3779B97F4A7C15L +
+        0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      out(i) = (z ^ (z >>> 31)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** q168 blob: doc-unique prefix of doc-unique LENGTH (13 + 37·id mod
+    * 479 — ids < 150 are distinct mod 479, so no two docs share a
+    * prefix length, and none share it mod 512 either) followed by a
+    * 6 KiB class payload keyed by id%10. Fixed-512 chunking therefore
+    * never sees the same window twice across docs; CDC re-synchronizes
+    * inside the payload and shares its interior chunks class-wide.
+    */
+  private def cdcGateBlob(id: Long): Array[Byte] = {
+    val plen = 13 + ((id * 37) % 479).toInt
+    cdcGateBytes(20000 + id, plen) ++ cdcGateBytes(90000 + id % 10, 6144)
+  }
+
   private val gateIndexCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), String]
 
@@ -1942,6 +1974,39 @@ object SparkEntry {
         .select("doc_id").withColumn("blob", ogg(col("doc_id")))
       graft.ext.Ogg.extractOggPackets(blobs, "blob")
         .orderBy("doc_id", "packet_idx")
+    }),
+
+    // ---- CONTENT-DEFINED CHUNKING (FastCDC/Gear) SHIFT-INVARIANT
+    //      DEDUP: each doc = doc-unique prefix of doc-unique length ++
+    //      a 6 KiB class payload (id%10). The doc-unique prefix SHIFTS
+    //      the shared payload to a different byte offset in every doc,
+    //      so the reference's fixed-size chunking (run side-by-side on
+    //      the same blobs with the same content hash) shares ZERO
+    //      chunk identities on every pair — n_fixed is pinned 0 — while
+    //      CDC boundaries re-synchronize inside the payload and pair
+    //      every in-class doc. A fixed-size (or otherwise alignment-
+    //      fragile) impl returns no pairs and row-count-fails; a
+    //      cross-class false pair adds a row the oracle doesn't have.
+    "q168_cdc_shift_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte] else cdcGateBlob(id))
+      val docs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val cdcPairs = graft.ext.Cdc.sharedChunkPairs(docs, "doc_id", "blob",
+        minSize = 128, avgBits = 8, maxSize = 1024, maxDocsPerChunk = 64)
+      val fixedIds = graft.ext.Cdc.fixedChunks(docs, "blob", 512)
+        .select(col("doc_id"), col("chash"), col("csize"), col("csum"))
+        .distinct()
+      val fa = fixedIds.toDF("id_a", "chash", "csize", "csum")
+      val fb = fixedIds.toDF("id_b", "chash", "csize", "csum")
+      val fixedPairs = fa.join(fb, Seq("chash", "csize", "csum"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("nf"))
+      cdcPairs.join(fixedPairs, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          (col("n_shared") >= 1).as("matched_cdc"),
+          coalesce(col("nf"), lit(0L)).as("n_fixed"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- OGG WRAPPER-INVARIANT DEDUP (the q159 principle on the
@@ -5348,6 +5413,19 @@ object SparkEntry {
         |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
         |    AS payload_sum
         |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // CDC pairs exactly the in-class pairs (payload shared at shifted
+    // offsets); fixed-512 chunking shares nothing (prefix lengths are
+    // pairwise distinct, all < 512, so every window is misaligned)
+    "q168_cdc_shift_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 10 AS acls FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       TRUE AS matched_cdc, CAST(0 AS BIGINT) AS n_fixed
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // in-class pairs share the full packet stream (4 + class%4
     // packets); wrappers (serial/granule/page grouping) differ per doc
