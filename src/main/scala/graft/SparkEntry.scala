@@ -2009,6 +2009,96 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- TAR SHARD MEMBER WALK (POSIX ustar — the WebDataset/LAION
+    //      shard wrapper): real archives from the fixture writer with
+    //      VERIFIED header checksums, octal size fields, 512-byte
+    //      padding, and a directory member the file view must skip.
+    //      Poison: %41 empty; %37 one flipped name byte — the header
+    //      checksum catches it and the whole blob is a typed reject
+    //      (zero rows), so a parser that skips checksum verification
+    //      keeps rows the oracle excludes and fails. Sizes and fill
+    //      bytes are formula-determined: payload_sum = msize · fill.
+    "q169_tar_members" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val full = graft.ext.TarShard.syntheticTar(id)
+          if (id % 37 == 0) full(0) = (full(0) ^ 0x01).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.TarShard.extractTarMembers(blobs, "blob")
+        .where(col("is_file"))
+        .select("doc_id", "name", "msize", "payload_sum")
+        .orderBy("doc_id", "name")
+    }),
+
+    // ---- WEBDATASET SAMPLE GROUPING: members of the same shard
+    //      sharing a basename key up to the FIRST dot form one
+    //      training sample (the webdataset convention). Component
+    //      presence varies by (doc, sample) formulas, so n_components
+    //      ∈ {1,2,3} and the sorted extension list is load-bearing —
+    //      a grouper keying on the LAST dot, dropping the directory
+    //      part, or including the dir member gets different keys or
+    //      counts and fails.
+    "q170_webdataset_group" -> ((s, dir) => {
+      val mk = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte]
+        else graft.ext.TarShard.syntheticTar(id))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.TarShard
+        .webdatasetSamples(graft.ext.TarShard.extractTarMembers(blobs, "blob"))
+        .orderBy("doc_id", "sample_key")
+    }),
+
+    // ---- OGG CODEC IDENTIFICATION (RFC 7845 OpusHead / Vorbis-I id
+    //      headers): every stream's BOS page carries a REAL id-header
+    //      packet built field-by-field; identifyOggCodecs re-reads
+    //      channels/sample-rate/pre-skip from the bytes under the same
+    //      CRC-verified page walk as q166. Multiplexed blobs carry an
+    //      opus stream always, a vorbis stream on id%3==0, and an
+    //      UNKNOWN stream (junk first packet) on id%5==0 — surfaced as
+    //      codec='unknown' with null fields (quarantine, not a drop),
+    //      so a parser that drops unrecognized streams loses rows.
+    "q171_ogg_codec_id" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          import graft.ext.Ogg._
+          val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          val op = opusHeadPacket(1 + (id % 2).toInt, (100 + id % 300).toInt,
+            48000L - (id % 5) * 4000L)
+          parts += buildOggPage(0x02, 0L, id * 3 + 1, 0L,
+            lacesFor(op.length), op)
+          parts += buildOggPage(0x04, 960L, id * 3 + 1, 1L, lacesFor(20),
+            Array.fill(20)((id % 251).toByte))
+          if (id % 3 == 0) {
+            val vo = vorbisIdPacket(2 + (id % 4).toInt,
+              44100L - (id % 3) * 100L)
+            parts += buildOggPage(0x02, 0L, id * 3 + 2, 0L,
+              lacesFor(vo.length), vo)
+            parts += buildOggPage(0x04, 512L, id * 3 + 2, 1L, lacesFor(10),
+              Array.fill(10)(7.toByte))
+          }
+          if (id % 5 == 0) {
+            val junk = Array.tabulate(24)(i => ((id + i) % 251).toByte)
+            parts += buildOggPage(0x02, 0L, id * 3 + 3, 0L,
+              lacesFor(junk.length), junk)
+            parts += buildOggPage(0x04, 64L, id * 3 + 3, 1L, lacesFor(5),
+              Array.fill(5)(3.toByte))
+          }
+          parts.reduce(_ ++ _)
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Ogg.identifyOggCodecs(blobs, "blob")
+        .orderBy("doc_id", "serial")
+    }),
+
     // ---- OGG WRAPPER-INVARIANT DEDUP (the q159 principle on the
     //      third audio family): one packet stream (class doc_id%8) is
     //      wrapped per-doc with a DIFFERENT serial, different granule
@@ -5413,6 +5503,72 @@ object SparkEntry {
         |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
         |    AS payload_sum
         |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // id-header fields restated by formula; the unknown stream keeps
+    // its row with nulls (quarantine semantics)
+    "q171_ogg_codec_id" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0)
+        |SELECT doc_id, doc_id * 3 + 1 AS serial, 'opus' AS codec,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(48000 - (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(100 + doc_id % 300 AS INTEGER) AS pre_skip
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, doc_id * 3 + 2, 'vorbis',
+        |  CAST(2 + doc_id % 4 AS INTEGER),
+        |  CAST(44100 - (doc_id % 3) * 100 AS BIGINT), NULL
+        |FROM d WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, doc_id * 3 + 3, 'unknown', NULL, NULL, NULL
+        |FROM d WHERE doc_id % 5 = 0
+        |ORDER BY doc_id, serial""".stripMargin,
+
+    // member names/sizes/fills are formula-determined; %37 docs are
+    // checksum-poisoned (one flipped byte) and contribute nothing
+    "q169_tar_members" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS j FROM d),
+        |c AS (
+        |  SELECT doc_id, j, 'txt' AS ext, 0 AS e FROM s
+        |  UNION ALL
+        |  SELECT doc_id, j, 'jpg', 1 FROM s WHERE (doc_id + j) % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, j, 'json', 2 FROM s WHERE (doc_id + j) % 3 = 0)
+        |SELECT doc_id,
+        |  printf('shard%d/s%05d_%02d.%s', CAST(doc_id % 7 AS INTEGER),
+        |    CAST(doc_id AS INTEGER), CAST(j AS INTEGER), ext) AS name,
+        |  CAST(10 + (13*doc_id + 7*j + 3*e) % 200 AS BIGINT) AS msize,
+        |  CAST((10 + (13*doc_id + 7*j + 3*e) % 200)
+        |    * ((doc_id + 31*j + 17*e) % 251) AS BIGINT) AS payload_sum
+        |FROM c ORDER BY doc_id, name""".stripMargin,
+
+    // one sample per (doc, j); exts sorted lexicographically; the
+    // checksum-poisoned %37 docs DO group (blob untouched here)
+    "q170_webdataset_group" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0),
+        |s AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS j FROM d),
+        |c AS (
+        |  SELECT doc_id, j, 'txt' AS ext, 0 AS e FROM s
+        |  UNION ALL
+        |  SELECT doc_id, j, 'jpg', 1 FROM s WHERE (doc_id + j) % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, j, 'json', 2 FROM s WHERE (doc_id + j) % 3 = 0)
+        |SELECT doc_id,
+        |  printf('shard%d/s%05d_%02d', CAST(doc_id % 7 AS INTEGER),
+        |    CAST(doc_id AS INTEGER), CAST(j AS INTEGER)) AS sample_key,
+        |  COUNT(*) AS n_components,
+        |  string_agg(ext, ',' ORDER BY ext) AS exts,
+        |  CAST(SUM(10 + (13*doc_id + 7*j + 3*e) % 200) AS BIGINT)
+        |    AS total_bytes
+        |FROM c GROUP BY doc_id, j ORDER BY doc_id, sample_key""".stripMargin,
 
     // CDC pairs exactly the in-class pairs (payload shared at shifted
     // offsets); fixed-512 chunking shares nothing (prefix lengths are

@@ -221,6 +221,154 @@ object Ogg {
   /** Build one page. `segments` are the raw segment payloads in lace
     * order (caller encodes 255-continuation by segment sizing).
     */
+  final case class OggCodec(serial: Long, codec: String,
+                            channels: Option[Int], sampleRate: Option[Long],
+                            preSkip: Option[Int])
+
+  /** Identify the codec of every logical stream from its BOS page's
+    * first packet — the RFC 7845 `OpusHead` and Vorbis-I
+    * `\x01vorbis` identification headers (both MUST fit their BOS
+    * page; one that doesn't is a typed reject). Pages are validated
+    * with the same CRC/shape discipline as [[oggPacketTable]]; only
+    * the id-header payload (tens of bytes) is ever materialized.
+    * Streams whose first packet matches neither codec surface as
+    * `unknown` with null fields — the quarantine signal, not a drop.
+    */
+  def oggStreamCodecs(bytes: Array[Byte]): Either[String, Seq[OggCodec]] = {
+    if (bytes == null || bytes.isEmpty) return Left("empty blob")
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[OggCodec]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var pos = 0
+    var sawPage = false
+    while (pos < n) {
+      if (n - pos < 27) return Left("truncated page header")
+      if (!(bytes(pos) == 'O' && bytes(pos + 1) == 'g' &&
+            bytes(pos + 2) == 'g' && bytes(pos + 3) == 'S'))
+        return Left("bad capture pattern")
+      if (bytes(pos + 4) != 0) return Left("bad stream version")
+      val flags = u(bytes(pos + 5))
+      val serial = le32(bytes, pos + 14)
+      val nSegs = u(bytes(pos + 26))
+      val body = pos + 27 + nSegs
+      if (body > n) return Left("truncated segment table")
+      var payloadLen = 0
+      var i = 0
+      while (i < nSegs) { payloadLen += u(bytes(pos + 27 + i)); i += 1 }
+      if (body + payloadLen > n) return Left("truncated page payload")
+      val crc = pageCrc(bytes, pos, body + payloadLen, pos + 22)
+      if (crc != le32(bytes, pos + 22).toInt) return Left("crc mismatch")
+      if ((flags & 0x02) != 0) {
+        if (!seen.add(serial)) return Left("duplicate bos")
+        // first packet = first lace run; must terminate on this page
+        var len = 0
+        var k = 0
+        var done = false
+        while (k < nSegs && !done) {
+          val l = u(bytes(pos + 27 + k))
+          len += l
+          if (l < 255) done = true
+          k += 1
+        }
+        if (!done) return Left("id header spans pages")
+        out += parseIdHeader(serial, bytes, body, len)
+      }
+      sawPage = true
+      pos = body + payloadLen
+    }
+    if (!sawPage) return Left("no pages")
+    Right(out.toSeq)
+  }
+
+  private def parseIdHeader(serial: Long, b: Array[Byte], off: Int,
+                            len: Int): OggCodec = {
+    def has(magic: String, at: Int): Boolean = {
+      if (len < at + magic.length) return false
+      var i = 0
+      while (i < magic.length) {
+        if (b(off + at + i) != magic.charAt(i).toByte) return false
+        i += 1
+      }
+      true
+    }
+    if (len >= 19 && has("OpusHead", 0))
+      OggCodec(serial, "opus", Some(u(b(off + 9))),
+        Some((u(b(off + 12)) | (u(b(off + 13)) << 8) |
+          (u(b(off + 14)) << 16)).toLong | (u(b(off + 15)).toLong << 24)),
+        Some(u(b(off + 10)) | (u(b(off + 11)) << 8)))
+    else if (len >= 30 && b(off) == 1 && has("vorbis", 1))
+      OggCodec(serial, "vorbis", Some(u(b(off + 11))),
+        Some(le32(b, off + 12)), None)
+    else OggCodec(serial, "unknown", None, None, None)
+  }
+
+  /** Explode a binary Ogg column into one row per logical stream:
+    * `(…keep…, serial, codec, channels, sample_rate, pre_skip)`.
+    * Poison blobs yield zero rows.
+    */
+  def identifyOggCodecs(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("serial", LongType, nullable = false),
+        StructField("codec", StringType, nullable = false),
+        StructField("channels", IntegerType, nullable = true),
+        StructField("sample_rate", LongType, nullable = true),
+        StructField("pre_skip", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        oggStreamCodecs(r.getAs[Array[Byte]](idx)) match {
+          case Left(_) => Iterator.empty
+          case Right(cs) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            cs.iterator.map { c =>
+              val arr = new Array[Any](nKeep + 5)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = c.serial; arr(nKeep + 1) = c.codec
+              arr(nKeep + 2) = c.channels.orNull
+              arr(nKeep + 3) = c.sampleRate.orNull
+              arr(nKeep + 4) = c.preSkip.orNull
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** RFC 7845 §5.1 OpusHead identification packet. */
+  def opusHeadPacket(channels: Int, preSkip: Int, rate: Long): Array[Byte] = {
+    val b = new Array[Byte](19)
+    "OpusHead".getBytes("US-ASCII").copyToArray(b)
+    b(8) = 1
+    b(9) = channels.toByte
+    b(10) = (preSkip & 0xFF).toByte; b(11) = ((preSkip >> 8) & 0xFF).toByte
+    var i = 0
+    while (i < 4) { b(12 + i) = ((rate >> (8 * i)) & 0xFF).toByte; i += 1 }
+    // output gain 0, mapping family 0
+    b
+  }
+
+  /** Vorbis I §4.2.2 identification header packet. */
+  def vorbisIdPacket(channels: Int, rate: Long): Array[Byte] = {
+    val b = new Array[Byte](30)
+    b(0) = 1
+    "vorbis".getBytes("US-ASCII").copyToArray(b, 1)
+    // version (4 bytes LE) = 0
+    b(11) = channels.toByte
+    var i = 0
+    while (i < 4) { b(12 + i) = ((rate >> (8 * i)) & 0xFF).toByte; i += 1 }
+    // bitrates 0; blocksizes 2^8/2^8; framing bit
+    b(28) = 0x88.toByte
+    b(29) = 1
+    b
+  }
+
   def buildOggPage(flags: Int, granule: Long, serial: Long, seq: Long,
                    laces: Seq[Int], payload: Array[Byte]): Array[Byte] = {
     require(laces.length <= 255, "max 255 segments per page")

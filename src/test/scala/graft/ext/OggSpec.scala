@@ -94,4 +94,38 @@ class OggSpec extends SparkFunSuite {
     assert(errs(0).getAs[Int]("n_packets") == 6)
     assert(errs(2).getAs[String]("error") == "empty blob")
   }
+
+  test("codec id: OpusHead/Vorbis fields round-trip; unknown surfaces with nulls") {
+    val op = opusHeadPacket(channels = 2, preSkip = 312, rate = 48000L)
+    val vo = vorbisIdPacket(channels = 6, rate = 44100L)
+    val junk = Array.tabulate(24)(i => (i * 7 % 251).toByte)
+    val blob =
+      buildOggPage(0x02, 0L, 11L, 0L, lacesFor(op.length), op) ++
+      buildOggPage(0x02, 0L, 22L, 0L, lacesFor(vo.length), vo) ++
+      buildOggPage(0x02, 0L, 33L, 0L, lacesFor(junk.length), junk) ++
+      buildOggPage(0x04, 1L, 11L, 1L, lacesFor(3), Array[Byte](1, 2, 3)) ++
+      buildOggPage(0x04, 1L, 22L, 1L, lacesFor(3), Array[Byte](1, 2, 3)) ++
+      buildOggPage(0x04, 1L, 33L, 1L, lacesFor(3), Array[Byte](1, 2, 3))
+    val Right(cs) = oggStreamCodecs(blob): @unchecked
+    assert(cs.sortBy(_.serial) == Seq(
+      OggCodec(11L, "opus", Some(2), Some(48000L), Some(312)),
+      OggCodec(22L, "vorbis", Some(6), Some(44100L), None),
+      OggCodec(33L, "unknown", None, None, None)))
+  }
+
+  test("codec id typed rejects: spanning id header, duplicate bos, crc poison") {
+    // an id header that does NOT terminate on its BOS page (open 255 run)
+    val spanning = buildOggPage(0x02, 0L, 5L, 0L, Seq(255),
+      new Array[Byte](255))
+    assert(oggStreamCodecs(spanning) == Left("id header spans pages"))
+    val op = opusHeadPacket(1, 0, 48000L)
+    val bos = buildOggPage(0x02, 0L, 7L, 0L, lacesFor(op.length), op)
+    assert(oggStreamCodecs(bos ++ bos) == Left("duplicate bos"))
+    val flipped = bos.clone()
+    flipped(flipped.length - 1) = (flipped.last ^ 1).toByte
+    assert(oggStreamCodecs(flipped) == Left("crc mismatch"))
+    assert(oggStreamCodecs(Array.empty[Byte]) == Left("empty blob"))
+    // truncation totality
+    (0 to bos.length).foreach(k => oggStreamCodecs(bos.take(k)))
+  }
 }
