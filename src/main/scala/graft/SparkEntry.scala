@@ -163,9 +163,10 @@ object SparkEntry {
     * never sees the same window twice across docs; CDC re-synchronizes
     * inside the payload and shares its interior chunks class-wide.
     */
-  private def cdcGateBlob(id: Long): Array[Byte] = {
+  private def cdcGateBlob(id: Long, probe: Boolean = false): Array[Byte] = {
     val plen = 13 + ((id * 37) % 479).toInt
-    cdcGateBytes(20000 + id, plen) ++ cdcGateBytes(90000 + id % 10, 6144)
+    val pseed = (if (probe) 50000L else 20000L) + id
+    cdcGateBytes(pseed, plen) ++ cdcGateBytes(90000 + id % 10, 6144)
   }
 
   private val gateIndexCache =
@@ -2052,6 +2053,39 @@ object SparkEntry {
       graft.ext.TarShard
         .webdatasetSamples(graft.ext.TarShard.extractTarMembers(blobs, "blob"))
         .orderBy("doc_id", "sample_key")
+    }),
+
+    // ---- PERSISTED CDC CHUNK INDEX (build / incremental append /
+    //      pruned probe — the MinHash/Hamming/winnow index family, for
+    //      shift-invariant binary dedup against an accumulated
+    //      corpus): corpus docs carry class payloads behind unique
+    //      shifts; HALF the corpus arrives via appendToCdcIndex, so
+    //      the append boundary is load-bearing. Probes are NEW blobs
+    //      (disjoint prefix seed range) sharing each class payload at
+    //      yet another shift — every probe must find every same-class
+    //      corpus doc through the bucket-pruned, self-verifying
+    //      (hash, size, sum) identity join.
+    "q172_cdc_index_planted" -> ((s, dir) => {
+      val mkC = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte] else cdcGateBlob(id))
+      val mkP = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte] else cdcGateBlob(id, probe = true))
+      val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mkC(col("doc_id")))
+      val idx = withGateIndex(s, dir, "cdcidx") { p =>
+        graft.ext.Cdc.buildCdcIndex(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "blob", p, minSize = 128, avgBits = 8, maxSize = 1024)
+        graft.ext.Cdc.appendToCdcIndex(docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "blob", p)
+      }
+      val probes = t(s, dir, "documents")
+        .where(col("doc_id") >= 120 && col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mkP(col("doc_id")))
+      graft.ext.Cdc.probeCdcIndex(probes, "doc_id", "blob", idx,
+          maxDocsPerChunk = 64)
+        .select(col("id_a"), col("id_b"),
+          (col("n_shared") >= 1).as("matched"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- OGG CODEC IDENTIFICATION (RFC 7845 OpusHead / Vorbis-I id
@@ -5503,6 +5537,20 @@ object SparkEntry {
         |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
         |    AS payload_sum
         |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // every probe pairs every same-class corpus doc (payload shared at
+    // three different shifts: corpus-even, corpus-odd-appended, probe)
+    "q172_cdc_index_planted" ->
+      """WITH c AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0),
+        |p AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id >= 120 AND doc_id < 150 AND doc_id % 41 != 0)
+        |SELECT p.doc_id AS id_a, c.doc_id AS id_b,
+        |       CAST(true AS BOOLEAN) AS matched
+        |FROM p, c WHERE p.doc_id % 10 = c.doc_id % 10
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // id-header fields restated by formula; the unknown stream keeps
     // its row with nulls (quarantine semantics)

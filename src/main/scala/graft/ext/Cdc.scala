@@ -229,6 +229,120 @@ object Cdc {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  // ------------------------------------------------------------------
+  // Persisted chunk index (the [[Winnow.buildWinnowIndex]] /
+  // [[DocDedup]] build/append/probe family, for shift-invariant
+  // binary dedup against an accumulated corpus).
+  // ------------------------------------------------------------------
+
+  private def chunkIdentities(df: DataFrame, idCol: String, binCol: String,
+                              minSize: Int, avgBits: Int,
+                              maxSize: Int): DataFrame =
+    cdcChunks(df.select(col(idCol).as("id"), col(binCol)), binCol,
+        minSize, avgBits, maxSize)
+      .select(col("id"), col("chash"), col("csize"), col("csum"))
+      .distinct()
+
+  /** Persist a corpus's CDC chunk identities partitioned by
+    * `hb = chash mod hashBuckets` — probes prune to their own buckets
+    * at file-listing time (the [[Winnow.buildWinnowIndex]] layout
+    * argument). The identity `(chash, csize, csum)` is self-verifying
+    * — size and byte-sum ride in the join key, so a 64-bit collision
+    * cannot fabricate a match and the index never needs the corpus
+    * bytes back. A `_graft_cdc_meta` sidecar pins
+    * (minSize, avgBits, maxSize, hashBuckets) so appends and probes
+    * can never mix chunking regimes (mixed regimes silently share
+    * nothing — boundaries differ).
+    */
+  def buildCdcIndex(corpus: DataFrame, idCol: String, binCol: String,
+                    path: String, minSize: Int = 2048, avgBits: Int = 13,
+                    maxSize: Int = 65536, hashBuckets: Int = 64): Unit = {
+    require(hashBuckets >= 1 && hashBuckets <= 4096,
+      s"cdc: hashBuckets must be in [1,4096], got $hashBuckets")
+    val ss = corpus.sparkSession
+    chunkIdentities(corpus, idCol, binCol, minSize, avgBits, maxSize)
+      .withColumn("hb", pmod(col("chash"), lit(hashBuckets.toLong)).cast("int"))
+      .repartition(col("hb"))
+      .write.mode("overwrite").partitionBy("hb").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_cdc_meta"), true)
+    try out.write(s"$minSize,$avgBits,$maxSize,$hashBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readCdcMeta(df: DataFrame, path: String): (Int, Int, Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_cdc_meta"))
+    val Array(mn, ab, mx, hb) =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .trim.split(",").map(_.toInt)
+      finally in.close()
+    (mn, ab, mx, hb)
+  }
+
+  /** Append a blob batch into the same (hb) layout — cost ∝ batch
+    * only; existing files are never rewritten. Chunking parameters
+    * come from the sidecar. Callers own id-uniqueness across batches.
+    */
+  def appendToCdcIndex(newDocs: DataFrame, idCol: String, binCol: String,
+                       path: String): Unit = {
+    val (mn, ab, mx, hb) = readCdcMeta(newDocs, path)
+    chunkIdentities(newDocs, idCol, binCol, mn, ab, mx)
+      .withColumn("hb", pmod(col("chash"), lit(hb.toLong)).cast("int"))
+      .repartition(col("hb"))
+      .write.mode("append").partitionBy("hb").parquet(path)
+  }
+
+  /** Shared-chunk matches of a probe batch against the index:
+    * `(id_a = probe id, id_b = indexed id, n_shared)` over distinct
+    * chunk identities. The hot-chunk cap is applied over the pruned
+    * read — an identity's doc count lives entirely inside its own
+    * bucket partition, so the pruned count IS the global count,
+    * appends included.
+    *
+    * Probe batch is the small side by contract: its distinct buckets
+    * are collected driver-side (bounded, ≤ `hashBuckets` values) and
+    * the probe identity set broadcasts into the candidate join.
+    */
+  def probeCdcIndex(probes: DataFrame, idCol: String, binCol: String,
+                    path: String, maxDocsPerChunk: Int = 256,
+                    minShared: Int = 1): DataFrame = {
+    val ss = probes.sparkSession
+    val (mn, ab, mx, hbuckets) = readCdcMeta(probes, path)
+    val p = chunkIdentities(probes, idCol, binCol, mn, ab, mx)
+      .withColumn("hb", pmod(col("chash"), lit(hbuckets.toLong)).cast("int"))
+      .select(col("id").as("id_a"), col("chash"), col("csize"),
+        col("csum"), col("hb"))
+      .persist()
+    try {
+      def emptyResult = probes.select(col(idCol).as("id_a"),
+          col(idCol).as("id_b"), lit(0L).as("n_shared"))
+        .where(lit(false))
+      val buckets = p.select("hb").distinct().collect().map(_.getInt(0))
+      if (buckets.isEmpty) return emptyResult
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(ss.sparkContext.hadoopConfiguration)
+      if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(_.getPath.getName.startsWith("hb="))) return emptyResult
+      val idxRead = ss.read.parquet(path)
+        .where(col("hb").isin(buckets.toSeq: _*))
+      val hot = idxRead.groupBy("chash", "csize", "csum")
+        .agg(countDistinct(col("id")).as("n_docs"))
+        .where(col("n_docs") > maxDocsPerChunk)
+        .select("chash", "csize", "csum")
+      idxRead.join(broadcast(hot), Seq("chash", "csize", "csum"), "left_anti")
+        .join(broadcast(p), Seq("chash", "csize", "csum", "hb"))
+        .where(col("id_a") =!= col("id"))
+        .select(col("id_a"), col("id").as("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+    } finally p.unpersist()
+  }
+
   /** Fixed-size chunk identities of a binary column — the reference's
     * alignment-fragile baseline, exposed for side-by-side gates:
     * `(…keep…, chunk_idx, csize, chash, csum)` with the SAME content

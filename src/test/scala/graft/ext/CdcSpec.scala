@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkFunSuite
+import org.apache.spark.sql.functions.lit
 
 class CdcSpec extends SparkFunSuite {
 
@@ -129,6 +130,40 @@ class CdcSpec extends SparkFunSuite {
       var off = 0
       mine.foreach { r => assert(r._3 == off); off += r._4 }
     }
+  }
+
+  test("cdc index: build + append + pruned probe == the join form") {
+    val s = spark
+    import s.implicits._
+    def doc(seedBase: Long, id: Long): Array[Byte] =
+      blob(seedBase + id, 20 + (id * 31 % 400).toInt) ++
+        blob(90000 + id % 3, 6144)
+    val corpus = (1L to 12L).map(i => (i, doc(100, i))).toDF("id", "bin")
+    val probes = (101L to 106L).map(i => (i, doc(500, i))).toDF("id", "bin")
+    val path = tempDir("cdcidx") + "/index"
+    Cdc.buildCdcIndex(corpus.where($"id" <= 6), "id", "bin", path,
+      128, 8, 1024, hashBuckets = 16)
+    Cdc.appendToCdcIndex(corpus.where($"id" > 6), "id", "bin", path)
+    val got = Cdc.probeCdcIndex(probes, "id", "bin", path,
+        maxDocsPerChunk = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // join form over the union corpus, restricted to probe->corpus pairs
+    val want = (for (p <- 101L to 106L; c <- 1L to 12L
+                     if p % 3 == c % 3) yield (p, c)).toSet
+    assert(got == want, s"got $got")
+    // append contributed: ids > 6 present on the id_b side
+    assert(got.exists(_._2 > 6))
+    // mixed-regime protection: sidecar pins the chunking parameters
+    val (mn, ab, mx, hb) = {
+      val m = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_graft_cdc_meta"))
+      val Array(a, b, c, d) = new String(m, "UTF-8").split(",").map(_.toInt)
+      (a, b, c, d)
+    }
+    assert((mn, ab, mx, hb) == (128, 8, 1024, 16))
+    // empty probe set -> empty result, no read
+    assert(Cdc.probeCdcIndex(probes.where(lit(false)), "id", "bin", path)
+      .count() == 0)
   }
 
   test("sharedChunkPairs: planted classes pair; hot boilerplate chunk is capped out") {
