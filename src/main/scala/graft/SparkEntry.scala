@@ -2055,6 +2055,89 @@ object SparkEntry {
         .orderBy("doc_id", "sample_key")
     }),
 
+    // ---- FLAC FRAME WALK (xiph/RFC 9639 — the lossless audio family
+    //      speech corpora ship in): real bit-level frames (CONSTANT +
+    //      VERBATIM subframes, 1-3 channels, 8/16-bit, sample-rate
+    //      carried via the STREAMINFO-ref and 16-bit-×10 end-of-header
+    //      codes by parity) with real CRC-8 header and CRC-16 frame
+    //      checksums — FLAC frames have NO length field, so the walk
+    //      must actually decode every subframe to find the frame end;
+    //      a parser that skips decode cannot produce sample_sum.
+    //      Poison: %41 empty, %37 one flipped bit in the first frame —
+    //      a CRC catches it and the blob is a typed reject (zero
+    //      rows), so a non-verifying parser keeps rows and fails.
+    "q173_flac_frames" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val nch = 1 + (id % 3).toInt
+          val bps = if (id % 2 == 0) 16 else 8
+          val rate = 8000L * (1 + id % 5)
+          val srCode = if (id % 2 == 0) 0 else 14
+          val nf = (2 + id % 3).toInt
+          val frames = (0 until nf).map { f =>
+            if (f % 2 == 0)
+              graft.ext.Flac.buildFlacFrame(f, 256, rate, srCode, nch, bps,
+                constant = Some(Array.tabulate(nch)(c =>
+                  (id * 7 + f * 13 + c * 31) % 200 - 100)),
+                verbatim = None)
+            else
+              graft.ext.Flac.buildFlacFrame(f, 256, rate, srCode, nch, bps,
+                constant = None,
+                verbatim = Some(Array.tabulate(nch, 256)((c, sx) =>
+                  (id + f * 3 + c * 5 + sx * 11) % 200 - 100)))
+          }
+          val full = graft.ext.Flac.buildFlac(rate, nch, bps,
+            nf * 256L, frames)
+          if (id % 37 == 0) full(50) = (full(50) ^ 0x10).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Flac.extractFlacFrames(blobs, "blob")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- FLAC WRAPPER-INVARIANT DEDUP (the q159/q167 principle on
+    //      the lossless family): one frame stream per class (id%8)
+    //      wrapped with a doc-VARYING padding metadata block — byte
+    //      equality fails every in-class pair; the decoded frame view
+    //      (frame_idx, sample_sum) with full-stream agreement pairs
+    //      them exactly. Class sums are mod-500 decorrelated (37 is
+    //      invertible mod 500), so no cross-class frame ever agrees.
+    "q174_flac_tag_invariant_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val acls = (id % 8).toInt
+          val nf = 2 + acls % 3
+          val frames = (0 until nf).map { f =>
+            graft.ext.Flac.buildFlacFrame(f, 256, 48000L, 10, 1, 16,
+              constant = Some(Array((acls * 37 + f * 11) % 500 - 250L)),
+              verbatim = None)
+          }
+          graft.ext.Flac.buildFlac(48000L, 1, 16, nf * 256L, frames,
+            padding = 16 + (id % 97).toInt)
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val fr = graft.ext.Flac.extractFlacFrames(blobs, "blob")
+        .select(col("doc_id"), col("frame_idx"), col("sample_sum"))
+      val cnt = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val a = fr.toDF("id_a", "fi", "ss")
+      val b = fr.toDF("id_b", "fi", "ss")
+      a.join(b, Seq("fi", "ss")).where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .join(cnt.toDF("id_a", "nf_a"), "id_a")
+        .join(cnt.toDF("id_b", "nf_b"), "id_b")
+        .where(col("n_shared") === col("nf_a") &&
+          col("n_shared") === col("nf_b"))
+        .select(col("id_a"), col("id_b"), col("n_shared").as("n_frames"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- PERSISTED CDC CHUNK INDEX (build / incremental append /
     //      pruned probe — the MinHash/Hamming/winnow index family, for
     //      shift-invariant binary dedup against an accumulated
@@ -5537,6 +5620,52 @@ object SparkEntry {
         |       * ((trk * 31 + clu * 17 + doc_id) % 251) AS BIGINT)
         |    AS payload_sum
         |FROM s ORDER BY doc_id, track_id, sample_idx""".stripMargin,
+
+    // CONSTANT frame sums are per-channel closed forms; VERBATIM sums
+    // expand the full (channel, sample) grid — the oracle re-adds
+    // every decoded sample the bit-walk must reproduce
+    "q173_flac_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf, 1 + doc_id % 3 AS nch,
+        |         CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS bps,
+        |         8000 * (1 + doc_id % 5) AS rate
+        |  FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |fr AS (SELECT d.*, unnest(range(0, nf)) AS fi FROM d),
+        |chs AS (SELECT fr.*, unnest(range(0, nch)) AS c FROM fr),
+        |con AS (
+        |  SELECT doc_id, fi,
+        |         ((doc_id*7 + fi*13 + c*31) % 200 - 100) * 256 AS v
+        |  FROM chs WHERE fi % 2 = 0),
+        |ver AS (
+        |  SELECT doc_id, fi,
+        |         (doc_id + fi*3 + c*5 + t.sx*11) % 200 - 100 AS v
+        |  FROM chs, range(0, 256) AS t(sx) WHERE fi % 2 = 1),
+        |sums AS (
+        |  SELECT doc_id, fi, SUM(v) AS ssum
+        |  FROM (SELECT * FROM con UNION ALL SELECT * FROM ver)
+        |  GROUP BY doc_id, fi)
+        |SELECT fr.doc_id, fi AS frame_idx,
+        |       fi * 256 AS first_sample,
+        |       CAST(256 AS INTEGER) AS block_size,
+        |       CAST(fr.nch AS INTEGER) AS n_channels,
+        |       CAST(fr.bps AS INTEGER) AS bps,
+        |       CAST(fr.rate AS BIGINT) AS sample_rate,
+        |       CAST(sums.ssum AS BIGINT) AS sample_sum
+        |FROM fr JOIN sums USING (doc_id, fi)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // in-class pairs share the full frame stream (2 + class%3 frames);
+    // the padding wrapper differs per doc
+    "q174_flac_tag_invariant_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(2 + a.acls % 3 AS BIGINT) AS n_frames
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // every probe pairs every same-class corpus doc (payload shared at
     // three different shifts: corpus-even, corpus-odd-appended, probe)
