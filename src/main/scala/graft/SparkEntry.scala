@@ -2099,6 +2099,131 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- STREAMING CDC DEDUP (the q163 pattern on the CDC index —
+    //      completing per-family streaming coverage: exact chunks /
+    //      MinHash / image / exact substring / now shift-invariant
+    //      CDC): 3 forced micro-batches; corpus docs id%3==0 carry a
+    //      class payload behind a unique shift, the rest are pure
+    //      unique bytes. Probe batches carry the SAME class payloads
+    //      at NEW shifts (disjoint prefix seeds, +999990-family ids ≡
+    //      0 mod 10 so classes are preserved) — every block doc must
+    //      be found cross-batch through the accumulated index; the
+    //      twin pair (two class-0 probes inside batch 1) pins the
+    //      within-batch join form; cross matches span exactly 2
+    //      batch_ids.
+    "q176_streaming_cdcdup" -> ((s, dir) => {
+      val corpusBlob = udf((id: Long) =>
+        if (id % 3 == 0) cdcGateBlob(id)
+        else cdcGateBytes(70000 + id, 4096))
+      val probeBlob = udf((id: Long) => cdcGateBlob(id, probe = true))
+      val docs = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id").as("id"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-cdc")
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(tmp.toFile))
+      val inDir = tmp.resolve("in"); val work = tmp.resolve("work")
+      java.nio.file.Files.createDirectories(inDir)
+      def feed(name: String, df: DataFrame, order: Int): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + order * 60000L))
+      }
+      feed("f0", docs.select(col("id"), corpusBlob(col("id")).as("blob")), 0)
+      feed("f1", docs.where(col("id") < 30)
+        .select((col("id") + 999990L).as("id"))
+        .unionByName(docs.where(col("id") === 0)
+          .select((col("id") + 2999970L).as("id")))
+        .select(col("id"), probeBlob(col("id")).as("blob")), 1)
+      feed("f2", docs.where(col("id") >= 30)
+        .select((col("id") + 1999980L).as("id"))
+        .select(col("id"), probeBlob(col("id")).as("blob")), 2)
+      graft.streaming.StreamingCdcDup.start(s, inDir.toString,
+          work.toString, minSize = 128, avgBits = 8, maxSize = 1024,
+          maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val m = s.read.parquet(s"$work/matches")
+        .select("batch_id", "id_a", "id_b").localCheckpoint()
+      val cross = m.where(col("id_a") >= 999990L && col("id_b") < 60)
+      val twinBatches = cross.select("batch_id").distinct().count()
+      val withinOk = m.where(
+        (col("id_a") === 999990L && col("id_b") === 2999970L) ||
+          (col("id_a") === 2999970L && col("id_b") === 999990L))
+        .count() > 0
+      val found = cross.select(col("id_b").as("doc_id"),
+        lit(true).as("found")).distinct()
+      docs.select(col("id").as("doc_id"))
+        .join(found, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("found"),
+          lit(withinOk).as("within_ok"),
+          lit(twinBatches).as("n_twin_batches"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- CROSS-FORMAT AUDIO DEDUP (WAV ↔ FLAC, the q158 principle
+    //      on audio): the SAME canonical samples (class-keyed formula)
+    //      are shipped as PCM16 WAV on even doc_ids and as FLAC
+    //      VERBATIM frames on odd doc_ids; both decode paths must land
+    //      on the SAME (n_frames, sample_sum) digest for the pair join
+    //      to find exactly the in-class cross-format pairs — pinning
+    //      that the FLAC bit-walk and the WAV canonical-PCM loop agree
+    //      numerically, sample for sample.
+    "q175_cross_format_audio_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val cls = (id / 2) % 6
+          val samples = Array.tabulate(512)(sx =>
+            (((cls * 7 + sx * 11) % 400) - 200).toInt)
+          if (id % 2 == 0) {
+            val dataLen = samples.length * 2
+            val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            b.put("RIFF".getBytes("US-ASCII")); b.putInt(36 + dataLen)
+            b.put("WAVE".getBytes("US-ASCII"))
+            b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+            b.putShort(1); b.putShort(1)
+            b.putInt(16000); b.putInt(32000); b.putShort(2); b.putShort(16)
+            b.put("data".getBytes("US-ASCII")); b.putInt(dataLen)
+            samples.foreach(v => b.putShort(v.toShort))
+            b.array()
+          } else {
+            val frames = (0 until 2).map { f =>
+              graft.ext.Flac.buildFlacFrame(f, 256, 16000L, 5, 1, 16,
+                constant = None,
+                verbatim = Some(Array(Array.tabulate(256)(sx =>
+                  samples(f * 256 + sx).toLong))))
+            }
+            graft.ext.Flac.buildFlac(16000L, 1, 16, 512L, frames)
+          }
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val wavD = graft.ext.Multimodal
+        .decodeAudio(blobs.where(col("doc_id") % 2 === 0), "blob")
+        .where(col("audio.ok"))
+        .select(col("doc_id").as("id_wav"),
+          col("audio.n_frames").as("n"), col("audio.sample_sum").as("ssum"))
+      val flacD = graft.ext.Flac
+        .extractFlacFrames(blobs.where(col("doc_id") % 2 === 1), "blob")
+        .groupBy("doc_id")
+        .agg(sum(col("block_size").cast("long")).as("n"),
+          sum("sample_sum").as("ssum"))
+        .withColumnRenamed("doc_id", "id_flac")
+      wavD.join(flacD, Seq("n", "ssum"))
+        .select(col("id_wav"), col("id_flac"), lit(true).as("matched"))
+        .orderBy("id_wav", "id_flac")
+    }),
+
     // ---- FLAC WRAPPER-INVARIANT DEDUP (the q159/q167 principle on
     //      the lossless family): one frame stream per class (id%8)
     //      wrapped with a doc-VARYING padding metadata block — byte
@@ -5654,6 +5779,30 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // deterministic by the fixture: every block doc (mod 3) is found
+    // by a same-class probe through the index; the within pair exists;
+    // twin matches span exactly the two probe batches
+    "q176_streaming_cdcdup" ->
+      """SELECT doc_id, CAST(doc_id % 3 = 0 AS BOOLEAN) AS found,
+        |       CAST(true AS BOOLEAN) AS within_ok,
+        |       CAST(2 AS BIGINT) AS n_twin_batches
+        |FROM documents WHERE doc_id < 60
+        |ORDER BY doc_id""".stripMargin,
+
+    // every WAV doc pairs every FLAC doc of its class ((id//2) % 6);
+    // class sums are distinct so no cross-class digest collides
+    "q175_cross_format_audio_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, (doc_id // 2) % 6 AS cls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0 AND doc_id % 2 = 0),
+        |f AS (
+        |  SELECT doc_id, (doc_id // 2) % 6 AS cls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0 AND doc_id % 2 = 1)
+        |SELECT w.doc_id AS id_wav, f.doc_id AS id_flac,
+        |       CAST(true AS BOOLEAN) AS matched
+        |FROM w, f WHERE w.cls = f.cls
+        |ORDER BY id_wav, id_flac""".stripMargin,
 
     // in-class pairs share the full frame stream (2 + class%3 frames);
     // the padding wrapper differs per doc
