@@ -2099,6 +2099,37 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- ZIP CENTRAL-DIRECTORY WALK (PKWARE/ISO 21320 — the second
+    //      crawled-archive family): real archives mixing STORED and
+    //      DEFLATED entries (method by (id+k) parity, so both decode
+    //      paths are load-bearing), walked central-directory-first
+    //      with central/local agreement checks and every entry CRC-32
+    //      VERIFIED against the decompressed payload. Poison: %41
+    //      empty, %37 one flipped payload byte — the CRC catches it
+    //      (zero rows), so a non-verifying reader keeps rows the
+    //      oracle excludes and fails.
+    "q177_zip_entries" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val entries = (0 until (2 + id % 3).toInt).map { k =>
+            val size = (20 + (id * 11 + k * 7) % 300).toInt
+            val payload = new Array[Byte](size)
+            java.util.Arrays.fill(payload, ((id + k * 13) % 251).toByte)
+            (f"e$id%04d_$k%02d.dat",
+              if ((id + k) % 2 == 0) 0 else 8, payload)
+          }
+          val full = graft.ext.ZipArchive.buildZip(entries)
+          if (id % 37 == 0) full(45) = (full(45) ^ 0x08).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.ZipArchive.extractZipEntries(blobs, "blob")
+        .orderBy("doc_id", "entry_idx")
+    }),
+
     // ---- STREAMING CDC DEDUP (the q163 pattern on the CDC index —
     //      completing per-family streaming coverage: exact chunks /
     //      MinHash / image / exact substring / now shift-invariant
@@ -5779,6 +5810,24 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // entry names/methods/sizes/fills are formula-determined; %37 docs
+    // are CRC-poisoned and contribute nothing
+    "q177_zip_entries" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS k FROM d)
+        |SELECT doc_id, CAST(k AS INTEGER) AS entry_idx,
+        |  printf('e%04d_%02d.dat', CAST(doc_id AS INTEGER),
+        |    CAST(k AS INTEGER)) AS name,
+        |  CAST(CASE WHEN (doc_id + k) % 2 = 0 THEN 0 ELSE 8 END
+        |    AS INTEGER) AS method,
+        |  CAST(20 + (doc_id*11 + k*7) % 300 AS BIGINT) AS usize,
+        |  CAST((20 + (doc_id*11 + k*7) % 300) * ((doc_id + k*13) % 251)
+        |    AS BIGINT) AS payload_sum
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
 
     // deterministic by the fixture: every block doc (mod 3) is found
     // by a same-class probe through the index; the within pair exists;

@@ -1,0 +1,291 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ZIP archive ingest (PKWARE APPNOTE.TXT / ISO 21320-1) — the second
+  * crawled-archive family next to tar ([[TarShard]]): datasets and
+  * scraped site bundles overwhelmingly arrive as .zip.
+  *
+  * The walk is CENTRAL-DIRECTORY-FIRST — the structure a scale reader
+  * actually uses: locate the end-of-central-directory record from the
+  * tail (bounded comment scan), walk the central directory, and
+  * verify each entry against its local header before touching
+  * payload bytes. This is what makes ZIP random-access: at 100 TB a
+  * reader lists members from the CD (a few KB at the blob tail)
+  * without streaming the archive — the opposite of tar's sequential
+  * walk, and the reason both families exist.
+  *
+  * Strict and total over untrusted bytes, the container-family
+  * discipline: every offset/size field is bounds-checked before use,
+  * CD and local metadata must AGREE (name, method, sizes), every
+  * entry's CRC-32 is verified against the decompressed payload, and
+  * inflation is capped (`maxInflate`) so a zip bomb cannot allocate
+  * its claimed size — the [[WebArchive]] gzip-bomb argument. Stored
+  * (method 0) and deflated (method 8) entries are decoded; encrypted
+  * entries, data-descriptor streams (flag bit 3), and ZIP64 markers
+  * are typed rejects (quarantine, spec-pinned).
+  */
+object ZipArchive {
+
+  final case class ZipEntry(idx: Int, name: String, method: Int,
+                            usize: Long, csize: Long, payloadSum: Long)
+
+  private def u(b: Byte): Int = b & 0xFF
+
+  private def le16(b: Array[Byte], p: Int): Int = u(b(p)) | (u(b(p + 1)) << 8)
+
+  private def le32(b: Array[Byte], p: Int): Long =
+    (u(b(p)) | (u(b(p + 1)) << 8) | (u(b(p + 2)) << 16)).toLong |
+      (u(b(p + 3)).toLong << 24)
+
+  /** Walk one ZIP blob via its central directory. `maxInflate` caps
+    * the total decompressed bytes per entry.
+    */
+  def zipEntryTable(bytes: Array[Byte],
+                    maxInflate: Long = 64L * 1024 * 1024)
+      : Either[String, Seq[ZipEntry]] = {
+    if (bytes == null || bytes.isEmpty) return Left("empty blob")
+    val n = bytes.length
+    // EOCD: scan back over the (≤ 65535-byte) comment for PK\x05\x06
+    if (n < 22) return Left("too short for eocd")
+    var eocd = -1
+    val scanLimit = math.max(0, n - 22 - 65535)
+    var p = n - 22
+    while (eocd < 0 && p >= scanLimit) {
+      if (bytes(p) == 'P' && bytes(p + 1) == 'K' && bytes(p + 2) == 5 &&
+          bytes(p + 3) == 6 && p + 22 + le16(bytes, p + 20) == n)
+        eocd = p
+      p -= 1
+    }
+    if (eocd < 0) return Left("no end-of-central-directory")
+    if (le16(bytes, eocd + 4) != 0 || le16(bytes, eocd + 6) != 0)
+      return Left("multi-disk archive unsupported")
+    val nEntries = le16(bytes, eocd + 10)
+    if (le16(bytes, eocd + 8) != nEntries)
+      return Left("disk/total entry count mismatch")
+    val cdSize = le32(bytes, eocd + 12)
+    val cdOff = le32(bytes, eocd + 16)
+    if (nEntries == 0xFFFF || cdOff == 0xFFFFFFFFL || cdSize == 0xFFFFFFFFL)
+      return Left("zip64 unsupported")
+    if (cdOff + cdSize > eocd) return Left("central directory out of bounds")
+    val out = scala.collection.mutable.ArrayBuffer.empty[ZipEntry]
+    var cp = cdOff.toInt
+    val cdEnd = (cdOff + cdSize).toInt
+    var idx = 0
+    while (idx < nEntries) {
+      if (cdEnd - cp < 46) return Left("truncated central directory entry")
+      if (!(bytes(cp) == 'P' && bytes(cp + 1) == 'K' && bytes(cp + 2) == 1 &&
+            bytes(cp + 3) == 2)) return Left("bad central directory signature")
+      val flags = le16(bytes, cp + 8)
+      val method = le16(bytes, cp + 10)
+      val crc = le32(bytes, cp + 16)
+      val csize = le32(bytes, cp + 20)
+      val usize = le32(bytes, cp + 24)
+      val nameLen = le16(bytes, cp + 28)
+      val extraLen = le16(bytes, cp + 30)
+      val commentLen = le16(bytes, cp + 32)
+      val lhOff = le32(bytes, cp + 42)
+      if (cdEnd - cp < 46 + nameLen + extraLen + commentLen)
+        return Left("truncated central directory entry")
+      val name = new String(bytes, cp + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (name.isEmpty) return Left("empty entry name")
+      if ((flags & 0x0001) != 0) return Left("encrypted entry unsupported")
+      if ((flags & 0x0008) != 0) return Left("data descriptor unsupported")
+      if (method != 0 && method != 8) return Left("unsupported method")
+      if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL)
+        return Left("zip64 unsupported")
+      if (usize > maxInflate) return Left("entry exceeds inflate cap")
+      // local header agreement + payload location
+      if (lhOff + 30 > n) return Left("local header out of bounds")
+      val lp = lhOff.toInt
+      if (!(bytes(lp) == 'P' && bytes(lp + 1) == 'K' && bytes(lp + 2) == 3 &&
+            bytes(lp + 3) == 4)) return Left("bad local header signature")
+      val lNameLen = le16(bytes, lp + 26)
+      val lExtraLen = le16(bytes, lp + 28)
+      if (lhOff + 30 + lNameLen + lExtraLen + csize > n)
+        return Left("entry payload out of bounds")
+      if (lNameLen != nameLen ||
+          !java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(bytes, lp + 30, lp + 30 + lNameLen),
+            java.util.Arrays.copyOfRange(bytes, cp + 46, cp + 46 + nameLen)))
+        return Left("central/local name mismatch")
+      if (le16(bytes, lp + 8) != method)
+        return Left("central/local method mismatch")
+      val dataOff = lp + 30 + lNameLen + lExtraLen
+      // decode + verify
+      val crcCalc = new java.util.zip.CRC32
+      var sum = 0L
+      var produced = 0L
+      if (method == 0) {
+        if (csize != usize) return Left("stored entry size mismatch")
+        var i = dataOff
+        val lim = dataOff + csize.toInt
+        while (i < lim) { sum += u(bytes(i)); i += 1 }
+        crcCalc.update(bytes, dataOff, csize.toInt)
+        produced = csize
+      } else {
+        val inf = new java.util.zip.Inflater(true) // raw deflate
+        try {
+          inf.setInput(bytes, dataOff, csize.toInt)
+          val buf = new Array[Byte](8192)
+          var done = false
+          while (!done) {
+            val got =
+              try inf.inflate(buf)
+              catch {
+                case _: java.util.zip.DataFormatException =>
+                  return Left("bad deflate stream")
+              }
+            if (got > 0) {
+              produced += got
+              if (produced > maxInflate || produced > usize)
+                return Left("inflated size mismatch")
+              var i = 0
+              while (i < got) { sum += u(buf(i)); i += 1 }
+              crcCalc.update(buf, 0, got)
+            } else if (inf.finished()) done = true
+            else if (inf.needsInput() || inf.needsDictionary())
+              return Left("bad deflate stream")
+          }
+          if (inf.getBytesRead != csize) return Left("deflate length mismatch")
+        } finally inf.end()
+      }
+      if (produced != usize) return Left("inflated size mismatch")
+      if (crcCalc.getValue != crc) return Left("bad entry crc")
+      out += ZipEntry(idx, name, method, usize, csize, sum)
+      cp += 46 + nameLen + extraLen + commentLen
+      idx += 1
+    }
+    if (cp != cdEnd) return Left("central directory size mismatch")
+    Right(out.toSeq)
+  }
+
+  /** Explode a binary ZIP column into one row per entry:
+    * `(…keep…, entry_idx, name, method, usize, payload_sum)`.
+    * Poison blobs yield zero rows; [[zipErrors]] is the error channel.
+    */
+  def extractZipEntries(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("entry_idx", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("method", IntegerType, nullable = false),
+        StructField("usize", LongType, nullable = false),
+        StructField("payload_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        zipEntryTable(r.getAs[Array[Byte]](idx)) match {
+          case Left(_) => Iterator.empty
+          case Right(entries) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            entries.iterator.map { e =>
+              val arr = new Array[Any](nKeep + 5)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = e.idx; arr(nKeep + 1) = e.name
+              arr(nKeep + 2) = e.method; arr(nKeep + 3) = e.usize
+              arr(nKeep + 4) = e.payloadSum
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Error channel: one row per blob, `(n_entries, ok, error)`. */
+  def zipErrors(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("n_entries", IntegerType, nullable = false),
+        StructField("ok", BooleanType, nullable = false),
+        StructField("error", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val res = zipEntryTable(r.getAs[Array[Byte]](idx))
+        val arr = new Array[Any](nKeep + 3)
+        var i = 0
+        while (i < nKeep) { arr(i) = r.get(keepIdx(i)); i += 1 }
+        res match {
+          case Right(es) =>
+            arr(nKeep) = es.length; arr(nKeep + 1) = true; arr(nKeep + 2) = null
+          case Left(e) =>
+            arr(nKeep) = 0; arr(nKeep + 1) = false; arr(nKeep + 2) = e
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // fixture writer
+
+  /** Build a ZIP from (name, method, payload) — method 0 stored or
+    * 8 deflated; real CRC-32s, coherent central directory.
+    */
+  def buildZip(entries: Seq[(String, Int, Array[Byte])],
+               comment: String = ""): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    val metas = entries.map { case (name, method, payload) =>
+      val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val crc = new java.util.zip.CRC32
+      crc.update(payload)
+      val data =
+        if (method == 0) payload
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(payload); d.finish()
+          val buf = new Array[Byte](payload.length + 64)
+          val outB = new java.io.ByteArrayOutputStream()
+          while (!d.finished()) {
+            val got = d.deflate(buf)
+            outB.write(buf, 0, got)
+          }
+          d.end()
+          outB.toByteArray
+        }
+      val off = out.size()
+      out.write(Array[Byte]('P', 'K', 3, 4))
+      w16(20); w16(0); w16(method); w16(0); w16(0)
+      w32(crc.getValue); w32(data.length); w32(payload.length)
+      w16(nameBytes.length); w16(0)
+      out.write(nameBytes); out.write(data)
+      (nameBytes, method, crc.getValue, data.length.toLong,
+        payload.length.toLong, off.toLong)
+    }
+    val cdOff = out.size()
+    metas.foreach { case (nameBytes, method, crc, csize, usize, off) =>
+      out.write(Array[Byte]('P', 'K', 1, 2))
+      w16(20); w16(20); w16(0); w16(method); w16(0); w16(0)
+      w32(crc); w32(csize); w32(usize)
+      w16(nameBytes.length); w16(0); w16(0); w16(0); w16(0)
+      w32(0); w32(off)
+      out.write(nameBytes)
+    }
+    val cdSize = out.size() - cdOff
+    val cb = comment.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(Array[Byte]('P', 'K', 5, 6))
+    w16(0); w16(0); w16(metas.length); w16(metas.length)
+    w32(cdSize); w32(cdOff); w16(cb.length)
+    out.write(cb)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ext
+
+import graft.SparkFunSuite
+
+class ZipArchiveSpec extends SparkFunSuite {
+
+  private def fill(b: Byte, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n); java.util.Arrays.fill(a, b); a
+  }
+
+  test("round-trip: stored + deflated entries, sums, order, comment scan") {
+    val zip = ZipArchive.buildZip(Seq(
+      ("a/x.txt", 0, fill(7, 100)),
+      ("a/y.bin", 8, fill(9, 5000)),
+      ("z.json", 8, Array.tabulate(777)(i => (i % 251).toByte))),
+      comment = "trailing comment to scan over")
+    val Right(es) = ZipArchive.zipEntryTable(zip): @unchecked
+    assert(es.map(_.name) == Seq("a/x.txt", "a/y.bin", "z.json"))
+    assert(es.map(_.idx) == Seq(0, 1, 2))
+    assert(es.map(_.method) == Seq(0, 8, 8))
+    assert(es.map(_.usize) == Seq(100L, 5000L, 777L))
+    assert(es(0).payloadSum == 700L)
+    assert(es(1).payloadSum == 45000L)
+    assert(es(2).payloadSum == (0 until 777).map(_ % 251).sum.toLong)
+    // deflate actually compressed the constant run
+    assert(es(1).csize < 5000L)
+  }
+
+  test("interop: java.util.zip.ZipInputStream reads our fixture") {
+    val zip = ZipArchive.buildZip(Seq(("f.txt", 8, fill(3, 321))))
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(zip))
+    val e = zin.getNextEntry
+    assert(e.getName == "f.txt")
+    val buf = new Array[Byte](1024)
+    var total = 0
+    var got = zin.read(buf)
+    while (got > 0) { total += got; got = zin.read(buf) }
+    assert(total == 321)
+    assert(zin.getNextEntry == null)
+  }
+
+  test("typed rejects: every malformation class") {
+    val good = ZipArchive.buildZip(Seq(
+      ("a.txt", 0, fill(1, 50)), ("b.bin", 8, fill(2, 300))))
+    def mut(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v; b
+    }
+    assert(ZipArchive.zipEntryTable(Array.empty[Byte]) == Left("empty blob"))
+    assert(ZipArchive.zipEntryTable(null) == Left("empty blob"))
+    assert(ZipArchive.zipEntryTable(fill(0, 10)) == Left("too short for eocd"))
+    assert(ZipArchive.zipEntryTable(fill(0, 100)) ==
+      Left("no end-of-central-directory"))
+    // flip a stored payload byte -> entry CRC catches it
+    assert(ZipArchive.zipEntryTable(mut(30 + 5 /* name */ + 3, 99)) ==
+      Left("bad entry crc"))
+    // flip a deflate byte -> either a broken stream or a crc mismatch
+    val lh2 = 30 + 5 + 50 // start of second local header
+    val r = ZipArchive.zipEntryTable(mut(lh2 + 30 + 5 + 2, 99))
+    assert(r.isLeft, s"got $r")
+    // truncate the tail (cd gone)
+    assert(ZipArchive.zipEntryTable(good.take(good.length - 30)).isLeft)
+    // encrypted flag in the CD entry
+    val cdOff = good.length - 22 - 2 * (46 + 5)
+    assert(good(cdOff) == 'P' && good(cdOff + 3) == 2)
+    val enc = good.clone(); enc(cdOff + 8) = 0x01
+    assert(ZipArchive.zipEntryTable(enc) == Left("encrypted entry unsupported"))
+    // data-descriptor flag
+    val dd = good.clone(); dd(cdOff + 8) = 0x08
+    assert(ZipArchive.zipEntryTable(dd) == Left("data descriptor unsupported"))
+    // unsupported method
+    val m9 = good.clone(); m9(cdOff + 10) = 9
+    assert(ZipArchive.zipEntryTable(m9) == Left("unsupported method"))
+    // central/local name mismatch
+    val nm = good.clone(); nm(cdOff + 46) = 'z'
+    assert(ZipArchive.zipEntryTable(nm) == Left("central/local name mismatch"))
+    // truncation totality: never throws
+    (0 to good.length by 13).foreach(k => ZipArchive.zipEntryTable(good.take(k)))
+  }
+
+  test("zip bomb: inflate cap rejects before allocating the claimed size") {
+    // 32 MiB of zeros deflates to ~32 KiB; cap at 1 MiB must reject
+    val bomb = ZipArchive.buildZip(Seq(("zeros.bin", 8,
+      new Array[Byte](32 * 1024 * 1024))))
+    assert(bomb.length < 100 * 1024, s"fixture should be small, ${bomb.length}")
+    assert(ZipArchive.zipEntryTable(bomb, maxInflate = 1024 * 1024) ==
+      Left("entry exceeds inflate cap"))
+    // and parses fine under the default cap
+    val Right(es) = ZipArchive.zipEntryTable(bomb): @unchecked
+    assert(es.head.usize == 32L * 1024 * 1024 && es.head.payloadSum == 0L)
+  }
+
+  test("extractZipEntries/zipErrors: poison -> zero rows + typed error") {
+    val s = spark
+    import s.implicits._
+    val good = ZipArchive.buildZip(Seq(("a.txt", 0, fill(4, 25))))
+    val df = Seq((1L, good), (2L, good.take(20)),
+      (3L, Array.empty[Byte])).toDF("id", "blob")
+    val rows = ZipArchive.extractZipEntries(df, "blob").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L)
+    assert(rows.head.getString(2) == "a.txt" && rows.head.getLong(5) == 100L)
+    val errs = ZipArchive.zipErrors(df, "blob").orderBy("id").collect()
+    assert(errs.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((1L, true), (2L, false), (3L, false)))
+  }
+}
