@@ -2099,6 +2099,47 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- WEBDATASET → IMAGE-DEDUP COMPOSITION: tar shards carrying
+    //      real PNG components (plus txt components the .png filter
+    //      must skip); shard pairs share images by a sliding class
+    //      window ({id, id+1, id+2} mod 6), so n_shared ∈ {1,2,3} is
+    //      determined by the id distance — pinning that tar payload
+    //      extraction is BYTE-FAITHFUL (one corrupted byte changes the
+    //      image hash and the count) and composes with the q130 image
+    //      hash path. %37 shards are checksum-poisoned: their pairs
+    //      vanish entirely.
+    "q178_webdataset_image_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val members = (0 until 3).flatMap { j =>
+            val cls = (id + j) % 6
+            Seq(
+              (f"s$id%04d_$j%02d.png", '0',
+                graft.ext.Multimodal.syntheticPng(24, 16, cls)),
+              (f"s$id%04d_$j%02d.txt", '0',
+                f"caption $cls%d".getBytes("UTF-8")))
+          }
+          val full = graft.ext.TarShard.buildTar(members)
+          if (id % 37 == 0) full(0) = (full(0) ^ 0x01).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val imgs = graft.ext.Multimodal.imageHash(
+          graft.ext.TarShard.extractTarPayloads(blobs, "blob", ".png"),
+          "payload")
+        .where(col("img.ok"))
+        .select(col("doc_id"), col("img.ahash").as("ah"))
+        .distinct()
+      val a = imgs.toDF("id_a", "ah")
+      val b = imgs.toDF("id_b", "ah")
+      a.join(b, "ah").where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- ZIP CENTRAL-DIRECTORY WALK (PKWARE/ISO 21320 — the second
     //      crawled-archive family): real archives mixing STORED and
     //      DEFLATED entries (method by (id+k) parity, so both decode
@@ -5810,6 +5851,20 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // shard a carries classes {a, a+1, a+2} mod 6: the overlap with
+    // shard b is a pure function of (b - a) mod 6
+    "q178_webdataset_image_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0 AND doc_id % 37 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(CASE (b.doc_id - a.doc_id) % 6
+        |    WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 5 THEN 2
+        |    WHEN 2 THEN 1 WHEN 4 THEN 1 END AS BIGINT) AS n_shared
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND (b.doc_id - a.doc_id) % 6 != 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // entry names/methods/sizes/fills are formula-determined; %37 docs
     // are CRC-poisoned and contribute nothing

@@ -32,7 +32,8 @@ import org.apache.spark.sql.types._
 object TarShard {
 
   final case class TarMember(idx: Int, name: String, size: Long,
-                             typeflag: Int, payloadSum: Long)
+                             typeflag: Int, payloadSum: Long,
+                             dataOff: Int)
 
   private def u(b: Byte): Int = b & 0xFF
 
@@ -135,7 +136,7 @@ object TarShard {
         val lim = dataStart + size.toInt
         while (j < lim) { psum += u(bytes(j)); j += 1 }
       }
-      out += TarMember(idx, name, size, tf, psum)
+      out += TarMember(idx, name, size, tf, psum, dataStart)
       idx += 1
       pos = dataStart + (((size + 511) / 512) * 512).toInt
     }
@@ -178,6 +179,52 @@ object TarShard {
               Row.fromSeq(scala.collection.immutable.ArraySeq
                 .unsafeWrapArray(arr))
             }
+        }
+      }
+    }(enc)
+  }
+
+  /** Explode the PAYLOADS of regular-file members whose name ends in
+    * `suffix` (case-sensitive; empty = all files):
+    * `(…keep…, member_idx, name, payload)`. This is the consumption
+    * half of the WebDataset convention — component bytes flow into the
+    * image/audio decode passes ([[Multimodal.imageHash]] etc.). Only
+    * matching members' bytes are copied out; everything else stays a
+    * sum, so a shard of mostly-text with sparse images copies only the
+    * images.
+    */
+  def extractTarPayloads(df: DataFrame, binCol: String,
+                         suffix: String = ""): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("member_idx", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        tarMemberTable(bytes) match {
+          case Left(_) => Iterator.empty
+          case Right(members) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            members.iterator
+              .filter(m => m.typeflag == '0'.toInt &&
+                (suffix.isEmpty || m.name.endsWith(suffix)))
+              .map { m =>
+                val arr = new Array[Any](nKeep + 3)
+                System.arraycopy(prefix, 0, arr, 0, nKeep)
+                arr(nKeep) = m.idx; arr(nKeep + 1) = m.name
+                arr(nKeep + 2) = java.util.Arrays.copyOfRange(bytes,
+                  m.dataOff, m.dataOff + m.size.toInt)
+                Row.fromSeq(scala.collection.immutable.ArraySeq
+                  .unsafeWrapArray(arr))
+              }
         }
       }
     }(enc)

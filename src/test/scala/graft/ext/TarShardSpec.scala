@@ -131,6 +131,26 @@ class TarShardSpec extends SparkFunSuite {
     assert(!err.getBoolean(2) && err.getString(3) == "truncated header")
   }
 
+  test("extractTarPayloads: byte-faithful slices, suffix filter, dirs skipped") {
+    val s = spark
+    import s.implicits._
+    val png = Array.tabulate(513)(i => (i * 31 % 251).toByte)
+    val tar = TarShard.buildTar(Seq(
+      member("d", 0, 0, '5'),
+      ("d/a.png", '0', png),
+      member("d/a.txt", 7, 40),
+      ("d/b.png", '0', png.reverse)))
+    val df = Seq((1L, tar)).toDF("doc_id", "blob")
+    val got = TarShard.extractTarPayloads(df, "blob", ".png")
+      .orderBy("name").collect()
+      .map(r => (r.getString(2), r.getAs[Array[Byte]](3)))
+    assert(got.map(_._1).toSeq == Seq("d/a.png", "d/b.png"))
+    assert(java.util.Arrays.equals(got(0)._2, png))
+    assert(java.util.Arrays.equals(got(1)._2, png.reverse))
+    // empty suffix = every regular file; the dir member never appears
+    assert(TarShard.extractTarPayloads(df, "blob").count() == 3)
+  }
+
   test("syntheticTar parses; member counts follow the formula") {
     (1L to 60L).foreach { id =>
       val Right(ms) = TarShard.tarMemberTable(TarShard.syntheticTar(id)): @unchecked
