@@ -2099,6 +2099,67 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- AVRO OBJECT CONTAINER FILE BLOCK WALK (the data-eng shard
+    //      format): real OCF headers (metadata map with avro.schema +
+    //      avro.codec, 16-byte sync marker) and data blocks under null
+    //      (even ids) and deflate (odd ids) codecs — every block's
+    //      sync marker is verified against the header's (Avro's
+    //      splittable-read contract). Poison: %41 empty, %37 one
+    //      flipped byte in the FINAL sync marker — a reader that skips
+    //      sync verification keeps rows the oracle excludes and fails.
+    "q180_avro_blocks" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val sync = Array.tabulate(16)(i => ((id * 31 + i * 13) % 251).toByte)
+          val blocks = (0 until (1 + id % 3).toInt).map { b =>
+            val size = (30 + (id * 13 + b * 11) % 300).toInt
+            val p = new Array[Byte](size)
+            java.util.Arrays.fill(p, ((id + b * 19) % 251).toByte)
+            ((5 + (id * 3 + b * 7) % 50), p)
+          }
+          val full = graft.ext.AvroOcf.buildAvro("\"bytes\"",
+            if (id % 2 == 0) "null" else "deflate", sync, blocks)
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x01).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.AvroOcf.extractAvroBlocks(blobs, "blob")
+        .orderBy("doc_id", "block_idx")
+    }),
+
+    // ---- TFRECORD SHARD WALK (the TensorFlow training-shard format):
+    //      real length+masked-CRC32C framing — BOTH checksums verified
+    //      per record (Castagnoli polynomial, rotr15+magic mask; the
+    //      published crc32c("123456789") vector is spec-pinned).
+    //      Poison: %41 empty, %37 one flipped payload byte — the data
+    //      CRC catches it and the shard is a typed reject (zero rows);
+    //      a reader using plain CRC32, skipping the mask, or trusting
+    //      lengths keeps rows the oracle excludes and fails.
+    "q179_tfrecord_records" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val payloads = (0 until (2 + id % 4).toInt).map { k =>
+            val size = (15 + (id * 9 + k * 17) % 400).toInt
+            val p = new Array[Byte](size)
+            java.util.Arrays.fill(p, ((id + k * 29) % 251).toByte)
+            p
+          }
+          val full = graft.ext.TfRecord.buildTfRecord(payloads)
+          if (id % 37 == 0) full(13) = (full(13) ^ 0x02).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.TfRecord.extractTfRecords(blobs, "blob")
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     // ---- WEBDATASET → IMAGE-DEDUP COMPOSITION: tar shards carrying
     //      real PNG components (plus txt components the .png filter
     //      must skip); shard pairs share images by a sliding class
@@ -5851,6 +5912,36 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // block counts/sizes/fills are formula-determined and codec-
+    // INDEPENDENT (usize is the decompressed size); %37 blobs are
+    // sync-poisoned and contribute nothing
+    "q180_avro_blocks" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS b FROM d)
+        |SELECT doc_id, CAST(b AS INTEGER) AS block_idx,
+        |  CAST(5 + (doc_id*3 + b*7) % 50 AS BIGINT) AS n_records,
+        |  CAST(30 + (doc_id*13 + b*11) % 300 AS BIGINT) AS usize,
+        |  CAST((30 + (doc_id*13 + b*11) % 300) * ((doc_id + b*19) % 251)
+        |    AS BIGINT) AS payload_sum
+        |FROM e ORDER BY doc_id, block_idx""".stripMargin,
+
+    // record sizes/fills are formula-determined; %37 shards are
+    // CRC-poisoned and contribute nothing
+    "q179_tfrecord_records" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS k FROM d)
+        |SELECT doc_id, CAST(k AS INTEGER) AS rec_idx,
+        |  CAST(15 + (doc_id*9 + k*17) % 400 AS BIGINT) AS rsize,
+        |  CAST((15 + (doc_id*9 + k*17) % 400) * ((doc_id + k*29) % 251)
+        |    AS BIGINT) AS payload_sum
+        |FROM e ORDER BY doc_id, rec_idx""".stripMargin,
 
     // shard a carries classes {a, a+1, a+2} mod 6: the overlap with
     // shard b is a pure function of (b - a) mod 6
