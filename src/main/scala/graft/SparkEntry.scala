@@ -2099,6 +2099,72 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- TFRECORD → PROTOBUF FIELD INVENTORY (the tf.Example shard
+    //      inspection path, schema-free): record payloads are REAL
+    //      protobuf wire messages (varint / length-delimited / fixed32
+    //      / fixed64, field 1 repeated by parity, field 4 present on
+    //      (id+k)%3==0) flowing through extractTfRecordPayloads into
+    //      the wire walk — CRC framing and the field inventory are
+    //      both load-bearing, and value sums pin byte-exact varint and
+    //      fixed-width decoding.
+    "q182_tfrecord_proto_fields" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val msgs = (0 until (2 + id % 3).toInt).map { k =>
+            val b = new graft.ext.ProtoWire.MsgBuilder()
+            val v1 = 100 + (id * 7 + k * 3) % 1000
+            (0 until (1 + (id + k) % 2).toInt).foreach(_ => b.addVarint(1, v1))
+            b.addBytes(2,
+              new Array[Byte]((5 + (id + k * 11) % 50).toInt))
+            b.addFixed32(3, (id * 13 + k) % 100000)
+            if ((id + k) % 3 == 0) b.addFixed64(4, id * 1000 + k)
+            b.bytes
+          }
+          val full = graft.ext.TfRecord.buildTfRecord(msgs)
+          if (id % 37 == 0) full(13) = (full(13) ^ 0x04).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.ProtoWire.protoFields(
+          graft.ext.TfRecord.extractTfRecordPayloads(blobs, "blob"),
+          "payload")
+        .orderBy("doc_id", "rec_idx", "field_no")
+    }),
+
+    // ---- JPEG/EXIF METADATA WALK (JEITA CP-3451 / TIFF 6.0): real
+    //      decodeable JPEGs with an APP1 Exif segment inserted after
+    //      SOI — TIFF IFD0 in BOTH byte orders (II on even ids, MM on
+    //      odd), orientation/width/height plus unknown tags the parser
+    //      must count-but-skip. This gate exercises the FULL in-row
+    //      error channel: %41 empty and %37 length-poisoned blobs keep
+    //      their rows with ok=false and the exact typed reason; %3
+    //      docs carry NO exif and surface has_exif=false with nulls
+    //      (quarantine, not a drop) — all three restated by the
+    //      oracle, so silently dropping any class fails row count.
+    "q181_jpeg_exif" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val base = graft.ext.Multimodal.solidJpeg(16, 12,
+            (40 + id % 100).toInt)
+          val full =
+            if (id % 3 == 0) base
+            else graft.ext.Exif.withExif(base, graft.ext.Exif.exifApp1(
+              le = id % 2 == 0, orientation = (1 + id % 8).toInt,
+              width = 100 + id % 900, height = 80 + id % 700,
+              extraTags = (id % 4).toInt))
+          if (id % 37 == 0) full(4) = 0x7F
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Exif.extractExif(blobs, "blob").orderBy("doc_id")
+    }),
+
     // ---- AVRO OBJECT CONTAINER FILE BLOCK WALK (the data-eng shard
     //      format): real OCF headers (metadata map with avro.schema +
     //      avro.codec, 16-byte sync marker) and data blocks under null
@@ -5912,6 +5978,63 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // one row per (doc, record, field): field 1's occurrence count and
+    // sum, field 2's total length, field 3/4's fixed-width values —
+    // all pure formulas; %37 shards are CRC-poisoned
+    "q182_tfrecord_proto_fields" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |r AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS k FROM d),
+        |f AS (
+        |  SELECT doc_id, k, 1 AS field_no, 0 AS wire_type,
+        |    1 + (doc_id + k) % 2 AS n_occur,
+        |    (1 + (doc_id + k) % 2) * (100 + (doc_id*7 + k*3) % 1000)
+        |      AS value_sum
+        |  FROM r
+        |  UNION ALL
+        |  SELECT doc_id, k, 2, 2, 1, 5 + (doc_id + k*11) % 50 FROM r
+        |  UNION ALL
+        |  SELECT doc_id, k, 3, 5, 1, (doc_id*13 + k) % 100000 FROM r
+        |  UNION ALL
+        |  SELECT doc_id, k, 4, 1, 1, doc_id*1000 + k FROM r
+        |  WHERE (doc_id + k) % 3 = 0)
+        |SELECT doc_id, CAST(k AS INTEGER) AS rec_idx,
+        |  CAST(field_no AS INTEGER) AS field_no,
+        |  CAST(wire_type AS INTEGER) AS wire_type,
+        |  CAST(n_occur AS BIGINT) AS n_occur,
+        |  CAST(value_sum AS BIGINT) AS value_sum
+        |FROM f ORDER BY doc_id, rec_idx, field_no""".stripMargin,
+
+    // three row classes restated exactly: typed errors (%41/%37),
+    // exif-less quarantine (%3), and full metadata rows by formula
+    "q181_jpeg_exif" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    doc_id % 41 = 0 AS empty_p, doc_id % 37 = 0 AS trunc_p,
+        |    doc_id % 3 = 0 AS noexif
+        |  FROM documents WHERE doc_id < 150),
+        |c AS (
+        |  SELECT *, NOT empty_p AND NOT trunc_p AND NOT noexif AS exif_ok
+        |  FROM d)
+        |SELECT doc_id,
+        |  exif_ok AS has_exif,
+        |  CASE WHEN exif_ok AND doc_id % 2 = 0 THEN true ELSE false END
+        |    AS byte_order_le,
+        |  CASE WHEN exif_ok THEN CAST(1 + doc_id % 8 AS INTEGER) END
+        |    AS orientation,
+        |  CASE WHEN exif_ok THEN CAST(100 + doc_id % 900 AS BIGINT) END
+        |    AS width,
+        |  CASE WHEN exif_ok THEN CAST(80 + doc_id % 700 AS BIGINT) END
+        |    AS height,
+        |  CASE WHEN exif_ok THEN CAST(3 + doc_id % 4 AS INTEGER) END
+        |    AS n_entries,
+        |  NOT empty_p AND NOT trunc_p AS ok,
+        |  CASE WHEN empty_p THEN 'empty blob'
+        |       WHEN trunc_p THEN 'truncated segment' END AS error
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // block counts/sizes/fills are formula-determined and codec-
     // INDEPENDENT (usize is the decompressed size); %37 blobs are

@@ -135,6 +135,45 @@ object TfRecord {
     }(enc)
   }
 
+  /** Explode record PAYLOADS: `(…keep…, rec_idx, payload)` — the
+    * consumption half (tf.Example bytes flow into [[ProtoWire]] or a
+    * decoder). CRCs are verified exactly as in [[extractTfRecords]].
+    */
+  def extractTfRecordPayloads(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("rec_idx", IntegerType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        tfRecordTable(bytes) match {
+          case Left(_) => Iterator.empty
+          case Right(recs) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            // record i's payload starts after i prior records' framing
+            var off = 0
+            recs.iterator.map { rec =>
+              val arr = new Array[Any](nKeep + 2)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = rec.idx
+              arr(nKeep + 1) = java.util.Arrays.copyOfRange(bytes,
+                off + 12, off + 12 + rec.size.toInt)
+              off += 12 + rec.size.toInt + 4
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Error channel: one row per blob, `(n_records, ok, error)`. */
   def tfRecordErrors(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
