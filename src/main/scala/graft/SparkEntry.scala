@@ -2099,6 +2099,83 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- ZSTD FRAME WALK (RFC 8878): concatenated zstd frames of
+    //      raw + RLE blocks (legal zstd — the incompressible-data
+    //      shape) plus a SKIPPABLE frame spliced in on id%5==0 that
+    //      shifts later frame indexes; frame-content-size fields
+    //      exercise all four widths (absent/2/4/8 by (id+f)%4) and
+    //      must AGREE with the decoded block total; content checksums
+    //      (id%2==0) are verified with a from-spec XXH64 pinned
+    //      against Spark's own XxHash64 in the specs. Poison: %41
+    //      empty, %37 one flipped content byte under a forced
+    //      checksum — typed reject, zero rows.
+    "q184_zstd_frames" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val withCk = id % 2 == 0 || id % 37 == 0
+          val frames = (0 until (1 + id % 3).toInt).map { f =>
+            val raw = new Array[Byte]((300 + (id * 7 + f * 11) % 200).toInt)
+            java.util.Arrays.fill(raw, ((id + f) % 251).toByte)
+            val blocks =
+              if ((id + f) % 2 == 0) {
+                val rle = new Array[Byte]((100 + (id * 3 + f) % 150).toInt)
+                java.util.Arrays.fill(rle, ((id + f * 13) % 251).toByte)
+                Seq((false, raw), (true, rle))
+              } else Seq((false, raw))
+            graft.ext.Zstd.buildZstdFrame(blocks, withCk,
+              ((id + f) % 4).toInt, singleSegment = false)
+          }
+          val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          parts += frames.head
+          if (id % 5 == 0) {
+            val sp = new Array[Byte]((20 + id % 50).toInt)
+            java.util.Arrays.fill(sp, (id % 251).toByte)
+            parts += graft.ext.Zstd.buildSkippable(sp, (id % 16).toInt)
+          }
+          frames.tail.foreach(parts += _)
+          val full = parts.reduce(_ ++ _)
+          if (id % 37 == 0)
+            full(full.length - 6) = (full(full.length - 6) ^ 0x10).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Zstd.extractZstdFrames(blobs, "blob")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- SUBTITLE CUE EXTRACTION (SubRip + WebVTT — the text track
+    //      of a crawled video corpus): the SAME cues are carried as
+    //      SRT on even ids and WebVTT on odd (with cue identifiers AND
+    //      cue settings on id%4==1, which the parser must strip) under
+    //      a format-INDEPENDENT oracle — comma-vs-dot millisecond
+    //      syntax, hour/minute carries (start formulas cross hour
+    //      boundaries), and header handling are all load-bearing.
+    //      Poison: %41 empty, %37 a cue ending before it starts —
+    //      typed rejects, zero rows.
+    "q183_subtitle_cues" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) ""
+        else {
+          val cues = (0 until (2 + id % 3).toInt).map { c =>
+            val start = id * 977 + c * 90017
+            val end = start + 500 + (id + c * 7) % 2000
+            if (id % 37 == 0 && c == 0) (end, start, f"cue $c of doc $id")
+            else (start, end, f"cue $c of doc $id")
+          }
+          if (id % 2 == 0) graft.ext.Subtitles.buildSrt(cues)
+          else graft.ext.Subtitles.buildVtt(cues,
+            withIds = id % 4 == 1, withSettings = id % 4 == 1)
+        }
+      })
+      val docs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("body", mk(col("doc_id")))
+      graft.ext.Subtitles.extractCues(docs, "body")
+        .orderBy("doc_id", "cue_idx")
+    }),
+
     // ---- TFRECORD → PROTOBUF FIELD INVENTORY (the tf.Example shard
     //      inspection path, schema-free): record payloads are REAL
     //      protobuf wire messages (varint / length-delimited / fixed32
@@ -5978,6 +6055,59 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // zstd rows by formula with the skippable frame shifting indexes;
+    // checksum_ok is true on even ids and NULL (absent) on odd
+    "q184_zstd_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |z AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS f FROM d),
+        |zr AS (
+        |  SELECT doc_id,
+        |    CAST(f + CASE WHEN doc_id % 5 = 0 AND f >= 1 THEN 1 ELSE 0 END
+        |      AS INTEGER) AS frame_idx,
+        |    'zstd' AS kind,
+        |    CAST(300 + (doc_id*7 + f*11) % 200
+        |      + CASE WHEN (doc_id + f) % 2 = 0
+        |             THEN 100 + (doc_id*3 + f) % 150 ELSE 0 END
+        |      AS BIGINT) AS content_size,
+        |    CAST((300 + (doc_id*7 + f*11) % 200) * ((doc_id + f) % 251)
+        |      + CASE WHEN (doc_id + f) % 2 = 0
+        |             THEN (100 + (doc_id*3 + f) % 150)
+        |                  * ((doc_id + f*13) % 251) ELSE 0 END
+        |      AS BIGINT) AS payload_sum,
+        |    CAST(CASE WHEN (doc_id + f) % 2 = 0 THEN 2 ELSE 1 END
+        |      AS INTEGER) AS n_blocks,
+        |    CASE WHEN doc_id % 2 = 0 THEN true END AS checksum_ok
+        |  FROM z),
+        |sk AS (
+        |  SELECT doc_id, CAST(1 AS INTEGER) AS frame_idx,
+        |    'skippable' AS kind,
+        |    CAST(20 + doc_id % 50 AS BIGINT) AS content_size,
+        |    CAST((20 + doc_id % 50) * (doc_id % 251) AS BIGINT)
+        |      AS payload_sum,
+        |    CAST(0 AS INTEGER) AS n_blocks,
+        |    CAST(NULL AS BOOLEAN) AS checksum_ok
+        |  FROM d WHERE doc_id % 5 = 0)
+        |SELECT * FROM (SELECT * FROM zr UNION ALL SELECT * FROM sk)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // cue times/text by formula, identical for both carriage formats
+    "q183_subtitle_cues" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS cue FROM d)
+        |SELECT doc_id, CAST(cue AS INTEGER) AS cue_idx,
+        |  CAST(doc_id * 977 + cue * 90017 AS BIGINT) AS start_ms,
+        |  CAST(doc_id * 977 + cue * 90017 + 500 + (doc_id + cue*7) % 2000
+        |    AS BIGINT) AS end_ms,
+        |  printf('cue %d of doc %d', CAST(cue AS INTEGER),
+        |    CAST(doc_id AS INTEGER)) AS cue_text
+        |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
 
     // one row per (doc, record, field): field 1's occurrence count and
     // sum, field 2's total length, field 3/4's fixed-width values —
