@@ -2099,6 +2099,44 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- ZSTD WRAPPER-INVARIANT DEDUP (the q159/q167/q174 principle
+    //      on the compression wrapper): one class content stream
+    //      (id%8) is carried per-doc with a DIFFERENT block split
+    //      point, checksum presence, frame-content-size width, and an
+    //      appended skippable padding frame on id%5==0 — byte equality
+    //      fails every in-class pair; the DECODED content view
+    //      (length + xxhash64) pairs them exactly.
+    "q185_zstd_wrapper_invariant_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val acls = (id % 8).toInt
+          val content = cdcGateBytes(60000 + acls, 600 + acls * 37)
+          val sp = (50 + (id * 13) % 400).toInt
+          val blocks =
+            if (id % 3 == 0) Seq((false, content))
+            else Seq((false, content.take(sp)), (false, content.drop(sp)))
+          val frame = graft.ext.Zstd.buildZstdFrame(blocks,
+            withChecksum = id % 2 == 0, ((id + 1) % 4).toInt,
+            singleSegment = false)
+          if (id % 5 == 0)
+            frame ++ graft.ext.Zstd.buildSkippable(
+              new Array[Byte]((10 + id % 30).toInt), (id % 16).toInt)
+          else frame
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val ctn = graft.ext.Zstd.extractZstdContent(blobs, "blob")
+        .select(col("doc_id"), length(col("content")).as("clen"),
+          xxhash64(col("content")).as("ch"))
+      val a = ctn.toDF("id_a", "clen", "ch")
+      val b = ctn.toDF("id_b", "clen", "ch")
+      a.join(b, Seq("clen", "ch")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("clen").cast("long").as("clen"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- ZSTD FRAME WALK (RFC 8878): concatenated zstd frames of
     //      raw + RLE blocks (legal zstd — the incompressible-data
     //      shape) plus a SKIPPABLE frame spliced in on id%5==0 that
@@ -6055,6 +6093,18 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // in-class pairs share the decoded content (length 600 + 37·class);
+    // wrappers (split point / checksum / fcs width / padding) differ
+    "q185_zstd_wrapper_invariant_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(600 + a.acls * 37 AS BIGINT) AS clen
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // zstd rows by formula with the skippable frame shifting indexes;
     // checksum_ok is true on even ids and NULL (absent) on odd

@@ -253,6 +253,96 @@ object Zstd {
     }(enc)
   }
 
+  /** Decoded CONTENT of each zstd frame (skippable frames excluded):
+    * `(…keep…, frame_idx, content)` — the consumption half: frame
+    * bytes flow into text/JSONL/dedup passes. Checksums verified
+    * exactly as in [[zstdFrameTable]]; decode capped per frame.
+    */
+  def extractZstdContent(df: DataFrame, binCol: String,
+                         maxDecode: Long = 64L * 1024 * 1024): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("frame_idx", IntegerType, nullable = false),
+        StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        // one validating pass, then a second sliced pass for content —
+        // the table walk already proved every extent in-bounds
+        zstdFrameTable(bytes, maxDecode) match {
+          case Left(_) => Iterator.empty
+          case Right(_) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            contentSlices(bytes).iterator.map { case (fi, content) =>
+              val arr = new Array[Any](nKeep + 2)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = fi; arr(nKeep + 1) = content
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Decoded (frame_idx, content) pairs of a blob the table walk has
+    * already validated.
+    */
+  private def contentSlices(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var pos = 0
+    var idx = 0
+    while (pos < n) {
+      val magic = le32(bytes, pos)
+      if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) {
+        pos += 8 + le32(bytes, pos + 4).toInt
+        idx += 1
+      } else {
+        val fhd = u(bytes(pos + 4))
+        val fcsFlag = (fhd >> 6) & 3
+        val singleSegment = (fhd & 0x20) != 0
+        val hasChecksum = (fhd & 0x04) != 0
+        var p = pos + 5
+        if (!singleSegment) p += 1
+        p += (fhd & 3 match {
+          case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+        })
+        p += (fcsFlag match {
+          case 0 => if (singleSegment) 1 else 0
+          case 1 => 2; case 2 => 4; case _ => 8
+        })
+        val content = new java.io.ByteArrayOutputStream()
+        var last = false
+        while (!last) {
+          val bh = u(bytes(p)) | (u(bytes(p + 1)) << 8) | (u(bytes(p + 2)) << 16)
+          last = (bh & 1) != 0
+          val btype = (bh >> 1) & 3
+          val bsize = bh >>> 3
+          p += 3
+          if (btype == 0) { content.write(bytes, p, bsize); p += bsize }
+          else {
+            val run = new Array[Byte](bsize)
+            java.util.Arrays.fill(run, bytes(p))
+            content.write(run, 0, bsize)
+            p += 1
+          }
+        }
+        if (hasChecksum) p += 4
+        out += ((idx, content.toByteArray))
+        idx += 1
+        pos = p
+      }
+    }
+    out.toSeq
+  }
+
   /** Error channel: one row per blob, `(n_frames, ok, error)`. */
   def zstdErrors(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++

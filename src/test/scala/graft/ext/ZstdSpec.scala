@@ -82,6 +82,24 @@ class ZstdSpec extends SparkFunSuite {
     assert(Zstd.zstdFrameTable(good.dropRight(1)).isLeft)
   }
 
+  test("extractZstdContent: multi-block reassembly, skippable excluded, idx kept") {
+    val s = spark
+    import s.implicits._
+    val payload = Array.tabulate(700)(i => (i * 13 % 251).toByte)
+    val blob = Zstd.buildZstdFrame(
+        Seq((false, payload.take(300)), (false, payload.drop(300))),
+        withChecksum = true, 2, singleSegment = false) ++
+      Zstd.buildSkippable(fill(9, 20)) ++
+      Zstd.buildZstdFrame(Seq((true, fill(4, 90))), withChecksum = false,
+        0, singleSegment = false)
+    val df = Seq((1L, blob)).toDF("id", "blob")
+    val rows = Zstd.extractZstdContent(df, "blob").orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(rows.map(_._1).toSeq == Seq(0, 2)) // skippable idx 1 absent
+    assert(java.util.Arrays.equals(rows(0)._2, payload))
+    assert(java.util.Arrays.equals(rows(1)._2, fill(4, 90)))
+  }
+
   test("extractZstdFrames/zstdErrors: poison -> zero rows + typed error") {
     val s = spark
     import s.implicits._
