@@ -166,6 +166,66 @@ class CdcSpec extends SparkFunSuite {
       .count() == 0)
   }
 
+  test("cdc index probe scan is partition-pruned to the probe's buckets") {
+    val s = spark
+    import s.implicits._
+    val corpus = (1L to 40L)
+      .map(i => (i, blob(i, 300) ++ blob(90000 + i % 5, 6144)))
+      .toDF("id", "bin")
+    val path = tempDir("cdc-prune") + "/index"
+    Cdc.buildCdcIndex(corpus, "id", "bin", path, 128, 8, 1024,
+      hashBuckets = 16)
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = captured.add(qe)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      // a probe that is EXACTLY corpus doc 1's first chunk: same bytes
+      // from the same start -> same first cut -> ONE identity, one
+      // bucket; and it shares that identity with doc 1, so AQE cannot
+      // erase the scan via empty-relation propagation
+      val doc1 = blob(1, 300) ++ blob(90001L, 6144)
+      val firstCut = Cdc.cutPoints(doc1, 128, 8, 1024)(0)
+      val probe = Seq((999L, doc1.take(firstCut))).toDF("id", "bin")
+      val hits = Cdc.probeCdcIndex(probe, "id", "bin", path).collect()
+      assert(hits.nonEmpty)
+      val total = new java.io.File(path).listFiles()
+        .count(_.getName.startsWith("hb="))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          scans(m.relation.cachedPlan)
+        case other => other.children.flatMap(scans)
+      }
+      val deadline = System.currentTimeMillis() + 15000
+      var pruned = Seq.empty[Int]
+      while (pruned.isEmpty && System.currentTimeMillis() < deadline) {
+        import scala.jdk.CollectionConverters._
+        pruned = captured.asScala.toSeq
+          .flatMap(qe => scans(qe.executedPlan))
+          .filter(_.relation.location.rootPaths.exists(
+            _.toString.contains("cdc-prune")))
+          .map(_.selectedPartitions.partitionCount)
+        if (pruned.isEmpty) Thread.sleep(100)
+      }
+      assert(pruned.nonEmpty, "no index file scan captured")
+      assert(pruned.min < total,
+        s"probe scanned ${pruned.min} of $total buckets — pruning lost")
+    } finally s.listenerManager.unregister(listener)
+  }
+
   test("sharedChunkPairs: planted classes pair; hot boilerplate chunk is capped out") {
     val s = spark
     import s.implicits._
