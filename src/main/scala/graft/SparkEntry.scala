@@ -2099,6 +2099,59 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- PNG CHUNK WALK (RFC 2083): REAL ImageIO-encoded PNGs (gray
+    //      on even ids, RGB on odd — color_type is load-bearing)
+    //      walked chunk-by-chunk with EVERY CRC-32 verified and IHDR
+    //      field domains enforced — the integrity pass a tolerant
+    //      decoder skips. Poison: %41 empty, %37 one flipped IHDR
+    //      data byte — the chunk CRC catches what the geometry fields
+    //      alone would accept; rows keep their typed reason.
+    "q187_png_chunks" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val w = (8 + id % 40).toInt
+          val h = (6 + id % 30).toInt
+          val full =
+            if (id % 2 == 0) graft.ext.Multimodal.syntheticGrayPng(w, h, id)
+            else graft.ext.Multimodal.syntheticPng(w, h, id)
+          if (id % 37 == 0) full(20) = (full(20) ^ 0x01).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.PngChunks.extractPngMeta(blobs, "blob")
+        .select("doc_id", "width", "height", "bit_depth", "color_type",
+          "interlace", "ok", "error")
+        .orderBy("doc_id")
+    }),
+
+    // ---- WEBP METADATA WALK (RIFF + the three published WebP
+    //      bitstream headers — the crawl-dominant image format the
+    //      JDK's ImageIO cannot read): lossy VP8 (sync code + 14-bit
+    //      geometry), lossless VP8L (signature + packed bits + alpha),
+    //      extended VP8X (flags + 24-bit canvas, cross-checked against
+    //      the inner still frame) and animated VP8X, cycled by id%4
+    //      with odd-size chunks exercising RIFF padding. Poison: %41
+    //      empty, %37 form field flipped — both keep their rows with
+    //      ok=false and the typed reason.
+    "q186_webp_meta" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val full = graft.ext.WebP.syntheticWebP((id % 4).toInt,
+            (16 + (id * 7) % 2000).toInt, (9 + (id * 11) % 1500).toInt,
+            (id % 40).toInt, (id % 251).toByte)
+          if (id % 37 == 0) full(8) = (full(8) ^ 0x01).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.WebP.extractWebPMeta(blobs, "blob").orderBy("doc_id")
+    }),
+
     // ---- ZSTD WRAPPER-INVARIANT DEDUP (the q159/q167/q174 principle
     //      on the compression wrapper): one class content stream
     //      (id%8) is carried per-doc with a DIFFERENT block split
@@ -6093,6 +6146,53 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // geometry by formula; color_type 0 (gray) on even ids, 2 (RGB)
+    // on odd; poisoned rows keep their typed reason
+    "q187_png_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    doc_id % 41 = 0 AS empty_p, doc_id % 37 = 0 AS crc_p
+        |  FROM documents WHERE doc_id < 150),
+        |c AS (SELECT *, NOT empty_p AND NOT crc_p AS good FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN good THEN CAST(8 + doc_id % 40 AS BIGINT) END AS width,
+        |  CASE WHEN good THEN CAST(6 + doc_id % 30 AS BIGINT) END AS height,
+        |  CASE WHEN good THEN CAST(8 AS INTEGER) END AS bit_depth,
+        |  CASE WHEN good THEN
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS INTEGER)
+        |  END AS color_type,
+        |  CASE WHEN good THEN CAST(0 AS INTEGER) END AS interlace,
+        |  good AS ok,
+        |  CASE WHEN empty_p THEN 'empty blob'
+        |       WHEN crc_p THEN 'bad chunk crc' END AS error
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // variant/geometry/flags/chunk counts by the id%4 style formula;
+    // poisoned rows keep their typed reason
+    "q186_webp_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS style,
+        |    doc_id % 41 = 0 AS empty_p, doc_id % 37 = 0 AS form_p
+        |  FROM documents WHERE doc_id < 150),
+        |c AS (SELECT *, NOT empty_p AND NOT form_p AS good FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN good THEN
+        |    CASE style WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+        |               ELSE 'vp8x' END END AS variant,
+        |  CASE WHEN good THEN CAST(16 + (doc_id*7) % 2000 AS BIGINT) END
+        |    AS width,
+        |  CASE WHEN good THEN CAST(9 + (doc_id*11) % 1500 AS BIGINT) END
+        |    AS height,
+        |  CASE WHEN good THEN style = 1 OR style = 3 END AS has_alpha,
+        |  CASE WHEN good THEN style = 3 END AS has_animation,
+        |  CASE WHEN good THEN
+        |    CAST(CASE style WHEN 2 THEN 3 WHEN 3 THEN 2 ELSE 1 END
+        |      AS INTEGER) END AS n_chunks,
+        |  good AS ok,
+        |  CASE WHEN empty_p THEN 'empty blob'
+        |       WHEN form_p THEN 'not a webp form' END AS error
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // in-class pairs share the decoded content (length 600 + 37·class);
     // wrappers (split point / checksum / fcs width / padding) differ
