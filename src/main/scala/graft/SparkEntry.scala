@@ -2099,6 +2099,137 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- FORMAT SNIFFING over a MIXED corpus (the first pass on an
+    //      unlabeled 100 TB crawl): 16 interleaved format families —
+    //      every blob built by its REAL fixture writer — must each be
+    //      identified from magic bytes alone (tar's magic lives at
+    //      offset 257; TFRecord has NO magic and is identified by its
+    //      masked-CRC32C length header). A sniffer keying on any
+    //      single family, or guessing, mislabels 15/16 of the corpus.
+    "q190_format_sniff" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else (id % 16).toInt match {
+          case 0 => graft.ext.TarShard.syntheticTar(id)
+          case 1 => graft.ext.ZipArchive.buildZip(
+            Seq((f"e$id%04d.dat", 0, Array[Byte](1, 2, 3))))
+          case 2 => graft.ext.Flac.buildFlac(8000L, 1, 16, 256L, Seq(
+            graft.ext.Flac.buildFlacFrame(0, 256, 8000L, 4, 1, 16,
+              constant = Some(Array(id % 100)), verbatim = None)))
+          case 3 => graft.ext.Ogg.syntheticOgg(id)
+          case 4 => graft.ext.Matroska.syntheticWebm(id)
+          case 5 => graft.ext.Multimodal.syntheticWav(8000, 50, id)
+          case 6 => graft.ext.Multimodal.syntheticPng(8, 8, id)
+          case 7 => graft.ext.Multimodal.solidJpeg(8, 8, (40 + id % 100).toInt)
+          case 8 => graft.ext.Multimodal.syntheticGif(8, 8, 2, id)
+          case 9 => graft.ext.WebP.syntheticWebP((id % 4).toInt, 32, 32,
+            10, (id % 251).toByte)
+          case 10 => graft.ext.Zstd.buildZstdFrame(
+            Seq((false, Array.fill[Byte](40)((id % 251).toByte))),
+            withChecksum = true, 2, singleSegment = false)
+          case 11 => graft.ext.AvroOcf.buildAvro("\"bytes\"", "null",
+            Array.tabulate(16)(i => ((id + i) % 251).toByte),
+            Seq((1L, Array[Byte](4, 5))))
+          case 12 =>
+            val o = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(o)
+            g.write(f"doc $id%d".getBytes("UTF-8")); g.close()
+            o.toByteArray
+          case 13 => graft.ext.Mp3.syntheticMp3(id)
+          case 14 => graft.ext.WebArchive.buildWarcArchive(Seq(
+            graft.ext.WebArchive.buildWarcRecord("response",
+              f"<urn:uuid:$id%d>", "http://x/", "2024-01-01T00:00:00Z",
+              "text/plain", f"doc $id%d".getBytes("UTF-8"), null)),
+            memberGzip = false)
+          case _ => graft.ext.TfRecord.buildTfRecord(
+            Seq(Array.fill[Byte]((5 + id % 20).toInt)((id % 251).toByte)))
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.FormatSniffer.sniffFormats(blobs, "blob")
+        .orderBy("doc_id")
+    }),
+
+    // ---- ZIP-CARRIED WEBDATASET GROUPING: the WebDataset sample
+    //      convention is ARCHIVE-AGNOSTIC — the same grouper
+    //      (TarShard.webdatasetSamples) runs over ZIP central-
+    //      directory entries (a trailing-slash directory entry the
+    //      is_file filter must drop, components with formula presence)
+    //      exactly as it does over tar members in q170. Methods mix
+    //      stored/deflated so the CRC-verified decode is still in the
+    //      path; %37 docs are CRC-poisoned and vanish.
+    "q188_zip_webdataset_group" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val entries = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, Array[Byte])]
+          entries += ((f"shard${id % 5}/", 0, Array.empty[Byte]))
+          (0 until (2 + id % 3).toInt).foreach { j =>
+            val exts = Seq(("txt", 0)) ++
+              (if ((id + j) % 2 == 0) Seq(("jpg", 1)) else Nil) ++
+              (if ((id + j) % 3 == 0) Seq(("json", 2)) else Nil)
+            exts.foreach { case (ext, e) =>
+              val size = (10 + (13 * id + 7 * j + 3 * e) % 200).toInt
+              val p = new Array[Byte](size)
+              java.util.Arrays.fill(p, ((id + 31 * j + 17 * e) % 251).toByte)
+              entries += ((f"shard${id % 5}/w${id}%05d_$j%02d.$ext",
+                if ((id + j + e) % 2 == 0) 0 else 8, p))
+            }
+          }
+          val full = graft.ext.ZipArchive.buildZip(entries.toSeq)
+          if (id % 37 == 0)
+            full(full.length - 30) = (full(full.length - 30) ^ 0x01).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val members = graft.ext.ZipArchive.extractZipEntries(blobs, "blob")
+        .select(col("doc_id"), col("name"), col("usize").as("msize"),
+          (!col("name").endsWith("/")).as("is_file"))
+      graft.ext.TarShard.webdatasetSamples(members)
+        .orderBy("doc_id", "sample_key")
+    }),
+
+    // ---- SUBTITLE RE-TIMING-INVARIANT DEDUP: the SAME transcript
+    //      (class id%8) is carried per-doc with a doc-specific time
+    //      offset AND a different format (SRT/VTT by parity) — both
+    //      byte equality and (start, end) timing views fail every
+    //      in-class pair; the ordered cue-TEXT view (the thing a
+    //      training pipeline actually dedups: re-synced subtitles are
+    //      the same document) pairs them exactly, full-sequence
+    //      agreement required.
+    "q189_subtitle_shift_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) ""
+        else {
+          val acls = (id % 8).toInt
+          val cues = (0 until (2 + acls % 3)).map { c =>
+            val start = id * 137 + c * 90017 // doc-specific shift
+            (start, start + 1000 + c * 13,
+              f"line $c%d of class $acls%d")
+          }
+          if (id % 2 == 0) graft.ext.Subtitles.buildSrt(cues)
+          else graft.ext.Subtitles.buildVtt(cues)
+        }
+      })
+      val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("body", mk(col("doc_id")))
+      val sig = graft.ext.Subtitles.extractCues(docs, "body")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nc"),
+          xxhash64(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(cue_idx, cue_text))), " +
+            "x -> x.cue_text), char(1))")).as("sig"))
+      val a = sig.toDF("id_a", "nc", "sig")
+      val b = sig.toDF("id_b", "nc", "sig")
+      a.join(b, Seq("nc", "sig")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("nc").as("n_cues"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- PNG CHUNK WALK (RFC 2083): REAL ImageIO-encoded PNGs (gray
     //      on even ids, RGB on odd — color_type is load-bearing)
     //      walked chunk-by-chunk with EVERY CRC-32 verified and IHDR
@@ -6146,6 +6277,55 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // format is a pure function of doc_id % 16; empties stay 'empty'
+    "q190_format_sniff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 41 = 0 THEN 'empty' ELSE
+        |    CASE CAST(doc_id % 16 AS INTEGER)
+        |      WHEN 0 THEN 'tar' WHEN 1 THEN 'zip' WHEN 2 THEN 'flac'
+        |      WHEN 3 THEN 'ogg' WHEN 4 THEN 'webm' WHEN 5 THEN 'wav'
+        |      WHEN 6 THEN 'png' WHEN 7 THEN 'jpeg' WHEN 8 THEN 'gif'
+        |      WHEN 9 THEN 'webp' WHEN 10 THEN 'zstd' WHEN 11 THEN 'avro'
+        |      WHEN 12 THEN 'gzip' WHEN 13 THEN 'mp3' WHEN 14 THEN 'warc'
+        |      ELSE 'tfrecord' END END AS format
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
+
+    // one sample per (doc, j) exactly as q170, under zip naming; the
+    // dir entry contributes nothing
+    "q188_zip_webdataset_group" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS j FROM d),
+        |c AS (
+        |  SELECT doc_id, j, 'txt' AS ext, 0 AS e FROM s
+        |  UNION ALL
+        |  SELECT doc_id, j, 'jpg', 1 FROM s WHERE (doc_id + j) % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, j, 'json', 2 FROM s WHERE (doc_id + j) % 3 = 0)
+        |SELECT doc_id,
+        |  printf('shard%d/w%05d_%02d', CAST(doc_id % 5 AS INTEGER),
+        |    CAST(doc_id AS INTEGER), CAST(j AS INTEGER)) AS sample_key,
+        |  COUNT(*) AS n_components,
+        |  string_agg(ext, ',' ORDER BY ext) AS exts,
+        |  CAST(SUM(10 + (13*doc_id + 7*j + 3*e) % 200) AS BIGINT)
+        |    AS total_bytes
+        |FROM c GROUP BY doc_id, j ORDER BY doc_id, sample_key""".stripMargin,
+
+    // in-class pairs share the full ordered transcript (2 + class%3
+    // cues); times and formats differ per doc
+    "q189_subtitle_shift_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(2 + a.acls % 3 AS BIGINT) AS n_cues
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // geometry by formula; color_type 0 (gray) on even ids, 2 (RGB)
     // on odd; poisoned rows keep their typed reason

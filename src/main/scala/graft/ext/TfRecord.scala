@@ -73,6 +73,18 @@ object TfRecord {
     v
   }
 
+  /** TFRecord has no magic — but its length header carries a masked
+    * CRC32C of itself, so a valid first header identifies the format
+    * with a ~1-in-2^32 false-positive rate (the [[FormatSniffer]]
+    * rule).
+    */
+  def looksLikeTfRecord(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 16) return false
+    val len = le64(bytes, 0)
+    if (len < 0 || len > bytes.length - 16) return false
+    le32(bytes, 8) == mask(crc32c(bytes, 0, 8))
+  }
+
   /** Walk one TFRecord shard into its record table. */
   def tfRecordTable(bytes: Array[Byte]): Either[String, Seq[TfRec]] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
