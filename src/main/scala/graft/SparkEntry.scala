@@ -2099,6 +2099,61 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- MIXED-ARCHIVE TRIAGE (sniff → route → unified inventory):
+    //      a corpus interleaving tar shards, ZIP archives, and
+    //      TFRecord shards (id%3) flows through the format sniffer,
+    //      each blob is routed to ITS family's walker, and the three
+    //      unit inventories union into one (format, n_units,
+    //      payload_sum) table — the end-to-end crawl-triage shape.
+    //      Routing is load-bearing: feeding any blob to the wrong
+    //      walker yields zero rows and fails the row count.
+    "q191_mixed_archive_triage" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else (id % 3).toInt match {
+          case 0 => graft.ext.TarShard.syntheticTar(id)
+          case 1 => graft.ext.ZipArchive.buildZip(
+            (0 until (2 + id % 3).toInt).map { k =>
+              val size = (20 + (id * 11 + k * 7) % 300).toInt
+              val p = new Array[Byte](size)
+              java.util.Arrays.fill(p, ((id + k * 13) % 251).toByte)
+              (f"e$id%04d_$k%02d.dat", if ((id + k) % 2 == 0) 0 else 8, p)
+            })
+          case _ => graft.ext.TfRecord.buildTfRecord(
+            (0 until (2 + id % 4).toInt).map { k =>
+              val size = (15 + (id * 9 + k * 17) % 400).toInt
+              val p = new Array[Byte](size)
+              java.util.Arrays.fill(p, ((id + k * 29) % 251).toByte)
+              p
+            })
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val sniffed = graft.ext.FormatSniffer.sniffFormats(
+        blobs.select(col("doc_id"), col("blob")), "blob")
+        .join(blobs, "doc_id")
+      val tar = graft.ext.TarShard.extractTarMembers(
+          sniffed.where(col("format") === "tar").drop("format"), "blob")
+        .where(col("is_file"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_units"),
+          sum("payload_sum").as("payload_sum"))
+        .withColumn("format", lit("tar"))
+      val zip = graft.ext.ZipArchive.extractZipEntries(
+          sniffed.where(col("format") === "zip").drop("format"), "blob")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_units"),
+          sum("payload_sum").as("payload_sum"))
+        .withColumn("format", lit("zip"))
+      val tfr = graft.ext.TfRecord.extractTfRecords(
+          sniffed.where(col("format") === "tfrecord").drop("format"), "blob")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_units"),
+          sum("payload_sum").as("payload_sum"))
+        .withColumn("format", lit("tfrecord"))
+      tar.unionByName(zip).unionByName(tfr)
+        .select("doc_id", "format", "n_units", "payload_sum")
+        .orderBy("doc_id")
+    }),
+
     // ---- FORMAT SNIFFING over a MIXED corpus (the first pass on an
     //      unlabeled 100 TB crawl): 16 interleaved format families —
     //      every blob built by its REAL fixture writer — must each be
@@ -6277,6 +6332,45 @@ object SparkEntry {
         |       CAST(sums.ssum AS BIGINT) AS sample_sum
         |FROM fr JOIN sums USING (doc_id, fi)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // per-doc unit counts and payload sums by each family's formula;
+    // the family itself is doc_id % 3
+    "q191_mixed_archive_triage" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0),
+        |ts AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS j
+        |  FROM d WHERE doc_id % 3 = 0),
+        |tc AS (
+        |  SELECT doc_id, j, 0 AS e FROM ts
+        |  UNION ALL SELECT doc_id, j, 1 FROM ts WHERE (doc_id + j) % 2 = 0
+        |  UNION ALL SELECT doc_id, j, 2 FROM ts WHERE (doc_id + j) % 3 = 0),
+        |tarc AS (
+        |  SELECT doc_id, 'tar' AS format, COUNT(*) AS n_units,
+        |    CAST(SUM((10 + (13*doc_id + 7*j + 3*e) % 200)
+        |      * ((doc_id + 31*j + 17*e) % 251)) AS BIGINT) AS payload_sum
+        |  FROM tc GROUP BY doc_id),
+        |zs AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS k
+        |  FROM d WHERE doc_id % 3 = 1),
+        |zipc AS (
+        |  SELECT doc_id, 'zip' AS format, COUNT(*) AS n_units,
+        |    CAST(SUM((20 + (doc_id*11 + k*7) % 300)
+        |      * ((doc_id + k*13) % 251)) AS BIGINT) AS payload_sum
+        |  FROM zs GROUP BY doc_id),
+        |fs AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS k
+        |  FROM d WHERE doc_id % 3 = 2),
+        |tfc AS (
+        |  SELECT doc_id, 'tfrecord' AS format, COUNT(*) AS n_units,
+        |    CAST(SUM((15 + (doc_id*9 + k*17) % 400)
+        |      * ((doc_id + k*29) % 251)) AS BIGINT) AS payload_sum
+        |  FROM fs GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT * FROM tarc UNION ALL SELECT * FROM zipc
+        |  UNION ALL SELECT * FROM tfc)
+        |ORDER BY doc_id""".stripMargin,
 
     // format is a pure function of doc_id % 16; empties stay 'empty'
     "q190_format_sniff" ->
