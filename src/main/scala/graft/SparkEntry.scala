@@ -241,6 +241,167 @@ object SparkEntry {
     * ext/ (LLM-pipeline) surface.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- GZIP MEMBER WALK (RFC 1952 — the `.gz` shard wrapper):
+    //      concatenated members with varying optional header fields
+    //      (FNAME/FCOMMENT/FEXTRA/FHCRC by formula — a walker that
+    //      mis-skips any of them loses every later member boundary),
+    //      FHCRC verified, raw-deflate body inflated under a bomb cap,
+    //      and BOTH trailer fields (CRC-32, ISIZE) verified against
+    //      the decoded bytes. Poison: %41 empty; %37 flips the final
+    //      ISIZE byte — a reader that trusts the trailer keeps rows
+    //      the oracle excludes and fails.
+    "q192_gzip_members" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val members = (0 until (1 + id % 3).toInt).map { m =>
+            val size = (200 + (id * 11 + m * 17) % 300).toInt
+            val content = new Array[Byte](size)
+            java.util.Arrays.fill(content, ((id + m * 7) % 251).toByte)
+            graft.ext.Gzip.buildGzipMember(content,
+              fname = if ((id + m) % 2 == 0) f"doc${id}%05d_m$m%d.txt" else null,
+              comment = if ((id + m) % 5 == 0) f"c$id%d" else null,
+              extra = if ((id + m) % 4 == 0)
+                new Array[Byte]((6 + id % 10).toInt) else null,
+              mtime = id * 1000 + m, os = ((id % 3) * 7).toInt,
+              isText = id % 2 == 0, withHcrc = (id + m) % 3 == 0)
+          }
+          val full = members.reduce(_ ++ _)
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x5A).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Gzip.extractGzipMembers(blobs, "blob")
+        .orderBy("doc_id", "member_idx")
+    }),
+
+    // ---- .TAR.GZ COMPOSITION (the bundled-shard shape): the q169
+    //      ustar archive wrapped in a gzip member flows through
+    //      extractGzipContent into the tar walk — decode fidelity is
+    //      byte-load-bearing (one wrong inflate byte breaks a header
+    //      checksum). The %37 ISIZE poison on the OUTER layer kills
+    //      the whole shard: trailer verification protects downstream.
+    "q193_targz_members" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val full = graft.ext.Gzip.buildGzipMember(
+            graft.ext.TarShard.syntheticTar(id),
+            fname = if (id % 2 == 0) f"shard${id}%05d.tar" else null,
+            mtime = id, os = 3, withHcrc = id % 3 == 0)
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x5A).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val content = graft.ext.Gzip.extractGzipContent(blobs, "blob")
+        .select(col("doc_id"), col("content"))
+      graft.ext.TarShard.extractTarMembers(content, "content")
+        .where(col("is_file"))
+        .select("doc_id", "name", "msize", "payload_sum")
+        .orderBy("doc_id", "name")
+    }),
+
+    // ---- LZ4 FRAME WALK (LZ4 frame + block formats): unlike zstd,
+    //      LZ4 has no entropy stage, so frames are FULLY decoded —
+    //      uncompressed blocks and compressed RLE blocks (1 literal +
+    //      an offset-1 match) mix per frame, and content_len /
+    //      content_sum are decode-load-bearing. Header checksums
+    //      always verified; per-block XXH32 on id%5==0; declared
+    //      content size cross-checked on id%3==0; whole-content XXH32
+    //      on id%2==0; linked-block frames on id%4==0; a skippable
+    //      frame appended on id%6==0. Poison: %41 empty, %37 one
+    //      flipped content-checksum byte — typed reject, zero rows.
+    "q194_lz4_frames" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val withCk = id % 2 == 0 || id % 37 == 0
+          val frames = (0 until (1 + id % 2).toInt).map { f =>
+            val s0 = (150 + (id * 7 + f * 13) % 200).toInt
+            val v0 = ((id + f) % 251).toInt
+            val raw = new Array[Byte](s0)
+            java.util.Arrays.fill(raw, v0.toByte)
+            val l1 = (50 + (id * 11 + f) % 100).toInt
+            val v1 = ((id * 3 + f * 5) % 251).toInt
+            val rle = graft.ext.Lz4.buildLz4Block(Seq(
+              graft.ext.Lz4.Lit(Array(v1.toByte)),
+              graft.ext.Lz4.MatchRef(1, l1 - 1)))
+            val content = raw ++ Array.fill(l1)(v1.toByte)
+            graft.ext.Lz4.buildLz4Frame(
+              Seq((true, raw), (false, rle)), content,
+              withContentChecksum = withCk,
+              withContentSize = id % 3 == 0,
+              withBlockChecksum = id % 5 == 0,
+              blockIndep = id % 4 != 0)
+          }
+          val sk =
+            if (id % 6 == 0) {
+              val p = new Array[Byte]((10 + id % 40).toInt)
+              java.util.Arrays.fill(p, (id % 251).toByte)
+              Seq(graft.ext.Lz4.buildLz4Skippable(p, (id % 16).toInt))
+            } else Nil
+          val full = (frames ++ sk).reduce(_ ++ _)
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x33).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Lz4.extractLz4Frames(blobs, "blob")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- LZ4 WRAPPER-INVARIANT DEDUP (the q185 principle on the LZ4
+    //      layer): one class content (id%8) carried per doc with a
+    //      different block split, raw/compressed-literal mix, checksum
+    //      and size options, and skippable padding — byte equality
+    //      fails every in-class pair; the decoded view (length +
+    //      xxhash64) pairs them exactly.
+    "q195_lz4_wrapper_invariant_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val acls = (id % 8).toInt
+          val content = cdcGateBytes(61000 + acls, 600 + acls * 37)
+          val sp = (50 + (id * 13) % 400).toInt
+          val blocks =
+            if (id % 3 == 0) Seq((true, content))
+            else Seq(
+              (id % 2 == 0, if (id % 2 == 0) content.take(sp)
+                else graft.ext.Lz4.buildLz4Block(
+                  Seq(graft.ext.Lz4.Lit(content.take(sp))))),
+              (false, graft.ext.Lz4.buildLz4Block(
+                Seq(graft.ext.Lz4.Lit(content.drop(sp))))))
+          val frame = graft.ext.Lz4.buildLz4Frame(blocks, content,
+            withContentChecksum = id % 2 == 0,
+            withContentSize = id % 3 == 1,
+            withBlockChecksum = id % 5 == 0)
+          if (id % 5 == 0)
+            frame ++ graft.ext.Lz4.buildLz4Skippable(
+              new Array[Byte]((10 + id % 30).toInt), (id % 16).toInt)
+          else frame
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val ctn = graft.ext.Lz4.extractLz4Content(blobs, "blob")
+        .select(col("doc_id"), length(col("content")).as("clen"),
+          xxhash64(col("content")).as("ch"))
+      val a = ctn.toDF("id_a", "clen", "ch")
+      val b = ctn.toDF("id_b", "clen", "ch")
+      a.join(b, Seq("clen", "ch")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          col("clen").cast("long").as("clen"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5099,6 +5260,92 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // member fields restated by the fixture formulas; %37 (trailer
+    // poison) and %41 (empty) excluded
+    "q192_gzip_members" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |m AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS m FROM d)
+        |SELECT doc_id, CAST(m AS INTEGER) AS member_idx,
+        |  doc_id % 2 = 0 AS is_text,
+        |  CAST(doc_id * 1000 + m AS BIGINT) AS mtime,
+        |  CAST((doc_id % 3) * 7 AS INTEGER) AS os,
+        |  CAST(CASE WHEN (doc_id + m) % 4 = 0 THEN 6 + doc_id % 10
+        |            ELSE 0 END AS INTEGER) AS extra_len,
+        |  CASE WHEN (doc_id + m) % 2 = 0
+        |       THEN printf('doc%05d_m%d.txt', CAST(doc_id AS INTEGER),
+        |                   CAST(m AS INTEGER)) END AS fname,
+        |  CASE WHEN (doc_id + m) % 5 = 0
+        |       THEN printf('c%d', CAST(doc_id AS INTEGER)) END AS comment,
+        |  CAST(200 + (doc_id*11 + m*17) % 300 AS BIGINT) AS decomp_len,
+        |  CAST((200 + (doc_id*11 + m*17) % 300) * ((doc_id + m*7) % 251)
+        |    AS BIGINT) AS content_sum
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
+
+    // per-frame fields restated by the fixture formulas; the skippable
+    // padding frame (id%6==0) indexes after the lz4 frames
+    "q194_lz4_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |f AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 2)) AS f FROM d),
+        |lz AS (
+        |  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, 'lz4' AS kind,
+        |    CAST(2 AS INTEGER) AS n_blocks,
+        |    CAST((150 + (doc_id*7 + f*13) % 200)
+        |      + (50 + (doc_id*11 + f) % 100) AS BIGINT) AS content_len,
+        |    CAST((150 + (doc_id*7 + f*13) % 200) * ((doc_id + f) % 251)
+        |      + (50 + (doc_id*11 + f) % 100) * ((doc_id*3 + f*5) % 251)
+        |      AS BIGINT) AS content_sum,
+        |    doc_id % 4 != 0 AS block_indep,
+        |    CASE WHEN doc_id % 2 = 0 THEN true END AS checksum_ok
+        |  FROM f),
+        |sk AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS frame_idx,
+        |    'skippable' AS kind, CAST(0 AS INTEGER) AS n_blocks,
+        |    CAST(10 + doc_id % 40 AS BIGINT) AS content_len,
+        |    CAST((10 + doc_id % 40) * (doc_id % 251) AS BIGINT)
+        |      AS content_sum,
+        |    true AS block_indep, CAST(NULL AS BOOLEAN) AS checksum_ok
+        |  FROM d WHERE doc_id % 6 = 0)
+        |SELECT * FROM (SELECT * FROM lz UNION ALL SELECT * FROM sk)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // in-class pairs share the decoded content; wrappers differ
+    "q195_lz4_wrapper_invariant_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(600 + a.acls * 37 AS BIGINT) AS clen
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q169 member formulas, reached through the gzip layer
+    "q193_targz_members" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS j FROM d),
+        |c AS (
+        |  SELECT doc_id, j, 'txt' AS ext, 0 AS e FROM s
+        |  UNION ALL
+        |  SELECT doc_id, j, 'jpg', 1 FROM s WHERE (doc_id + j) % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, j, 'json', 2 FROM s WHERE (doc_id + j) % 3 = 0)
+        |SELECT doc_id,
+        |  printf('shard%d/s%05d_%02d.%s', CAST(doc_id % 7 AS INTEGER),
+        |    CAST(doc_id AS INTEGER), CAST(j AS INTEGER), ext) AS name,
+        |  CAST(10 + (13*doc_id + 7*j + 3*e) % 200 AS BIGINT) AS msize,
+        |  CAST((10 + (13*doc_id + 7*j + 3*e) % 200)
+        |    * ((doc_id + 31*j + 17*e) % 251) AS BIGINT) AS payload_sum
+        |FROM c ORDER BY doc_id, name""".stripMargin,
+
     "q01_agg_lineitem" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * Detection rules (most-specific first; all published magics):
   * RIFF forms (WAVE/WEBP/AVI ), ftyp-boxed ISO-BMFF (mp4/mov), EBML
   * (webm/mkv), OggS, fLaC, PNG, JPEG, GIF8, ZIP (PK\x03\x04), gzip
-  * (1F 8B), zstd (28 B5 2F FD) + skippable, Avro (Obj\x01), WARC
+  * (1F 8B), zstd (28 B5 2F FD) + skippable, LZ4 (04 22 4D 18),
+  * Avro (Obj\x01), WARC
   * (`WARC/1.`), ustar (magic at 257 — checked AFTER the
   * offset-0 magics so a tar of a small file can't be shadowed),
   * ID3/MPEG-sync MP3, TFRecord (no magic — identified by its
@@ -60,8 +61,9 @@ object FormatSniffer {
     if (n >= 2 && u(bytes(0)) == 0x1F && u(bytes(1)) == 0x8B) return "gzip"
     if (n >= 4 && u(bytes(0)) == 0x28 && u(bytes(1)) == 0xB5 &&
         u(bytes(2)) == 0x2F && u(bytes(3)) == 0xFD) return "zstd"
+    if (n >= 4 && le32(bytes, 0) == 0x184D2204L) return "lz4"
     if (n >= 4 && (le32(bytes, 0) & 0xFFFFFFF0L) == 0x184D2A50L)
-      return "zstd" // skippable frame opener
+      return "zstd" // skippable opener (magic family shared with lz4)
     if (n >= 4 && ascii(bytes, 0, "Obj") && bytes(3) == 1) return "avro"
     if (ascii(bytes, 0, "WARC/1.")) return "warc"
     if (n >= 263 && ascii(bytes, 257, "ustar")) return "tar"

@@ -1,0 +1,520 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** LZ4 frame walk + block decode (LZ4 Frame Format v1.6.3 / LZ4 block
+  * format, Yann Collet — public specifications). LZ4 is the
+  * throughput-tier wrapper of training-shard storage (WebDataset
+  * `.tar.lz4`, Arrow/Parquet codecs, Kafka). Unlike zstd ([[Zstd]] —
+  * structure-only, entropy blocks quarantined), LZ4 has NO entropy
+  * stage: the block format is pure literal/match sequences, so the
+  * decode here is COMPLETE — every frame's content is reconstructed
+  * byte-exactly in plain Scala and verified against the frame's
+  * declared content size, optional per-block XXH32 checksums, the
+  * header-checksum byte (HC), and the optional whole-content XXH32.
+  *
+  * XXH32 is implemented from the xxHash specification and pinned in
+  * the specs against the published vectors (empty → 0x02CC5D05,
+  * "a" → 0x550D7456, "Nobody inspects the spammish repetition" →
+  * 0xE2293B2F).
+  *
+  * Strict and total: reserved bits/BD sizes reject, every length is
+  * bounds-checked, match offsets are validated against the decoded
+  * window (linked blocks honor cross-block history; independent
+  * blocks must not reach past their own start), and decoded output is
+  * bounded per block by the frame's declared block-max-size — an RLE
+  * bomb (5-byte block claiming megabytes) stops at the declared
+  * budget, and the whole frame is additionally capped by `maxDecode`.
+  */
+object Lz4 {
+
+  final case class Lz4Frame(idx: Int, kind: String, nBlocks: Int,
+                            contentLen: Long, contentSum: Long,
+                            blockIndep: Boolean,
+                            checksumOk: Option[Boolean])
+
+  private def u(b: Byte): Int = b & 0xFF
+
+  private def le32(b: Array[Byte], p: Int): Long =
+    (u(b(p)) | (u(b(p + 1)) << 8) | (u(b(p + 2)) << 16)).toLong |
+      (u(b(p + 3)).toLong << 24)
+
+  private def le64(b: Array[Byte], p: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | u(b(p + i)); i -= 1 }
+    v
+  }
+
+  // ------------------------------------------------------------------
+  // XXH32 (xxHash specification — public domain)
+
+  private val P1 = 0x9E3779B1
+  private val P2 = 0x85EBCA77
+  private val P3 = 0xC2B2AE3D
+  private val P4 = 0x27D4EB2F
+  private val P5 = 0x165667B1
+
+  /** XXH32 of `[from, until)` with `seed`, as an unsigned value in a
+    * Long (so callers compare without sign traps).
+    */
+  def xxh32(b: Array[Byte], from: Int, until: Int, seed: Int): Long = {
+    val len = until - from
+    var p = from
+    var h: Int = 0
+    if (len >= 16) {
+      var a1 = seed + P1 + P2
+      var a2 = seed + P2
+      var a3 = seed
+      var a4 = seed - P1
+      while (until - p >= 16) {
+        a1 = Integer.rotateLeft(a1 + le32(b, p).toInt * P2, 13) * P1
+        a2 = Integer.rotateLeft(a2 + le32(b, p + 4).toInt * P2, 13) * P1
+        a3 = Integer.rotateLeft(a3 + le32(b, p + 8).toInt * P2, 13) * P1
+        a4 = Integer.rotateLeft(a4 + le32(b, p + 12).toInt * P2, 13) * P1
+        p += 16
+      }
+      h = Integer.rotateLeft(a1, 1) + Integer.rotateLeft(a2, 7) +
+        Integer.rotateLeft(a3, 12) + Integer.rotateLeft(a4, 18)
+    } else {
+      h = seed + P5
+    }
+    h += len
+    while (until - p >= 4) {
+      h = Integer.rotateLeft(h + le32(b, p).toInt * P3, 17) * P4
+      p += 4
+    }
+    while (p < until) {
+      h = Integer.rotateLeft(h + u(b(p)) * P5, 11) * P1
+      p += 1
+    }
+    h ^= h >>> 15; h *= P2
+    h ^= h >>> 13; h *= P3
+    h ^= h >>> 16
+    h.toLong & 0xFFFFFFFFL
+  }
+
+  // ------------------------------------------------------------------
+  // LZ4 block decode
+
+  /** Decode one LZ4 block from `src[from, until)` into `dst` starting
+    * at `dstStart` (history before `dstStart` is readable for linked
+    * blocks; `windowFloor` is the lowest offset a match may reach —
+    * `dstStart` for independent blocks, 0 for linked). Returns the new
+    * dst length or a typed error.
+    */
+  private def decodeBlock(src: Array[Byte], from: Int, until: Int,
+                          history: scala.collection.mutable.ArrayBuffer[Byte],
+                          windowFloor: Int, maxOut: Long)
+      : Either[String, Unit] = {
+    var p = from
+    while (p < until) {
+      val token = u(src(p)); p += 1
+      // literal length
+      var litLen = token >>> 4
+      if (litLen == 15) {
+        var more = 255
+        while (more == 255) {
+          if (p >= until) return Left("truncated literal length")
+          more = u(src(p)); p += 1
+          litLen += more
+        }
+      }
+      if (litLen > until - p) return Left("literals out of bounds")
+      if (history.length + litLen > maxOut) return Left("block decode bomb")
+      var i = 0
+      while (i < litLen) { history += src(p + i); i += 1 }
+      p += litLen
+      if (p == until) {
+        // last sequence: literals only — legal end of block
+        return Right(())
+      }
+      if (until - p < 2) return Left("truncated match offset")
+      val offset = u(src(p)) | (u(src(p + 1)) << 8)
+      p += 2
+      if (offset == 0) return Left("zero match offset")
+      if (offset > history.length - windowFloor)
+        return Left("match offset out of window")
+      var matchLen = (token & 0xF) + 4
+      if ((token & 0xF) == 15) {
+        var more = 255
+        while (more == 255) {
+          if (p >= until) return Left("truncated match length")
+          more = u(src(p)); p += 1
+          matchLen += more
+        }
+      }
+      if (history.length + matchLen > maxOut) return Left("block decode bomb")
+      var m = history.length - offset
+      i = 0
+      while (i < matchLen) { history += history(m); m += 1; i += 1 }
+    }
+    Right(()) // empty block (no sequences) — degenerate but total
+  }
+
+  // ------------------------------------------------------------------
+
+  private val Lz4Magic = 0x184D2204L
+
+  private val blockMaxTable = Map(4 -> (64L << 10), 5 -> (256L << 10),
+    6 -> (1L << 20), 7 -> (4L << 20))
+
+  /** Walk one blob of concatenated LZ4 and/or skippable frames,
+    * decoding every block. Total: typed `Left` on any violation.
+    */
+  def lz4FrameTable(bytes: Array[Byte],
+                    maxDecode: Long = 64L * 1024 * 1024)
+      : Either[String, Seq[Lz4Frame]] = {
+    walk(bytes, maxDecode, keepContent = false) match {
+      case Left(e) => Left(e)
+      case Right(fs) => Right(fs.map(_._1))
+    }
+  }
+
+  private def walk(bytes: Array[Byte], maxDecode: Long, keepContent: Boolean)
+      : Either[String, Seq[(Lz4Frame, Array[Byte])]] = {
+    if (bytes == null || bytes.isEmpty) return Left("empty blob")
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Lz4Frame, Array[Byte])]
+    var pos = 0
+    var idx = 0
+    var decodedTotal = 0L
+    while (pos < n) {
+      if (n - pos < 4) return Left("truncated magic")
+      val magic = le32(bytes, pos)
+      if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) {
+        if (n - pos < 8) return Left("truncated skippable frame")
+        val size = le32(bytes, pos + 4)
+        if (size > n - pos - 8) return Left("skippable frame out of bounds")
+        var sum = 0L
+        var i = pos + 8
+        val lim = pos + 8 + size.toInt
+        while (i < lim) { sum += u(bytes(i)); i += 1 }
+        out += ((Lz4Frame(idx, "skippable", 0, size, sum,
+          blockIndep = true, None), Array.empty[Byte]))
+        idx += 1
+        pos = lim
+      } else if (magic == Lz4Magic) {
+        if (n - pos < 7) return Left("truncated frame descriptor")
+        val descStart = pos + 4
+        val flg = u(bytes(descStart))
+        if ((flg >>> 6) != 1) return Left("unsupported frame version")
+        if ((flg & 0x02) != 0) return Left("reserved FLG bit set")
+        val blockIndep = (flg & 0x20) != 0
+        val blockChecksum = (flg & 0x10) != 0
+        val hasContentSize = (flg & 0x08) != 0
+        val hasContentChecksum = (flg & 0x04) != 0
+        val hasDictId = (flg & 0x01) != 0
+        val bd = u(bytes(descStart + 1))
+        if ((bd & 0x8F) != 0) return Left("reserved BD bits set")
+        val bmSize = blockMaxTable.get((bd >>> 4) & 7) match {
+          case Some(v) => v
+          case None => return Left("reserved block max size")
+        }
+        var p = descStart + 2
+        var declaredSize = -1L
+        if (hasContentSize) {
+          if (n - p < 8) return Left("truncated content size")
+          declaredSize = le64(bytes, p)
+          p += 8
+        }
+        if (hasDictId) {
+          if (n - p < 4) return Left("truncated dictionary id")
+          p += 4
+        }
+        if (p >= n) return Left("truncated header checksum")
+        val hc = u(bytes(p))
+        val expectedHc = ((xxh32(bytes, descStart, p, 0) >> 8) & 0xFF).toInt
+        if (hc != expectedHc) return Left("header checksum mismatch")
+        p += 1
+        // blocks
+        val history = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var nBlocks = 0
+        var done = false
+        while (!done) {
+          if (n - p < 4) return Left("truncated block size")
+          val bsRaw = le32(bytes, p)
+          p += 4
+          if (bsRaw == 0L) { done = true }
+          else {
+            val uncompressed = (bsRaw & 0x80000000L) != 0
+            val bs = (bsRaw & 0x7FFFFFFFL).toInt
+            if (bs > bmSize) return Left("block larger than declared max")
+            if (bs > n - p) return Left("block out of bounds")
+            val blockStart = history.length
+            if (uncompressed) {
+              if (decodedTotal + blockStart + bs > maxDecode)
+                return Left("lz4 decode cap")
+              var i = 0
+              while (i < bs) { history += bytes(p + i); i += 1 }
+            } else {
+              val budget = math.min(
+                blockStart.toLong + bmSize,
+                maxDecode - decodedTotal)
+              decodeBlock(bytes, p, p + bs, history,
+                if (blockIndep) blockStart else 0, budget) match {
+                case Left(e) => return Left(e)
+                case Right(_) =>
+              }
+            }
+            if (blockChecksum) {
+              if (n - p - bs < 4) return Left("truncated block checksum")
+              val stored = le32(bytes, p + bs)
+              if (stored != xxh32(bytes, p, p + bs, 0))
+                return Left("block checksum mismatch")
+              p += 4
+            }
+            p += bs
+            nBlocks += 1
+          }
+        }
+        val decoded = history.toArray
+        decodedTotal += decoded.length
+        if (declaredSize >= 0 && declaredSize != decoded.length.toLong)
+          return Left("content size mismatch")
+        var checksumOk: Option[Boolean] = None
+        if (hasContentChecksum) {
+          if (n - p < 4) return Left("truncated content checksum")
+          val stored = le32(bytes, p)
+          if (stored != xxh32(decoded, 0, decoded.length, 0))
+            return Left("content checksum mismatch")
+          checksumOk = Some(true)
+          p += 4
+        }
+        var sum = 0L
+        var i = 0
+        while (i < decoded.length) { sum += u(decoded(i)); i += 1 }
+        out += ((Lz4Frame(idx, "lz4", nBlocks, decoded.length.toLong, sum,
+          blockIndep, checksumOk),
+          if (keepContent) decoded else Array.empty[Byte]))
+        idx += 1
+        pos = p
+      } else {
+        return Left("bad magic")
+      }
+    }
+    Right(out.toSeq)
+  }
+
+  /** Explode a binary column of LZ4/skippable frames into one row per
+    * frame: `(…keep…, frame_idx, kind, n_blocks, content_len,
+    * content_sum, block_indep, checksum_ok)`.
+    */
+  def extractLz4Frames(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("frame_idx", IntegerType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("n_blocks", IntegerType, nullable = false),
+        StructField("content_len", LongType, nullable = false),
+        StructField("content_sum", LongType, nullable = false),
+        StructField("block_indep", BooleanType, nullable = false),
+        StructField("checksum_ok", BooleanType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        lz4FrameTable(r.getAs[Array[Byte]](idx)) match {
+          case Left(_) => Iterator.empty
+          case Right(frames) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            frames.iterator.map { f =>
+              val arr = new Array[Any](nKeep + 7)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = f.idx; arr(nKeep + 1) = f.kind
+              arr(nKeep + 2) = f.nBlocks; arr(nKeep + 3) = f.contentLen
+              arr(nKeep + 4) = f.contentSum
+              arr(nKeep + 5) = f.blockIndep
+              arr(nKeep + 6) = f.checksumOk.map(Boolean.box).orNull
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Decoded content per LZ4 frame (skippable frames excluded):
+    * `(…keep…, frame_idx, content)`.
+    */
+  def extractLz4Content(df: DataFrame, binCol: String,
+                        maxDecode: Long = 64L * 1024 * 1024): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("frame_idx", IntegerType, nullable = false),
+        StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        walk(r.getAs[Array[Byte]](idx), maxDecode, keepContent = true) match {
+          case Left(_) => Iterator.empty
+          case Right(frames) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            frames.iterator.filter(_._1.kind == "lz4").map { case (f, c) =>
+              val arr = new Array[Any](nKeep + 2)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = f.idx; arr(nKeep + 1) = c
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Error channel: `(…keep…, error)`. */
+  def lz4Errors(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("error", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        lz4FrameTable(r.getAs[Array[Byte]](idx)) match {
+          case Left(e) =>
+            val arr = new Array[Any](nKeep + 1)
+            var i = 0
+            while (i < nKeep) { arr(i) = r.get(keepIdx(i)); i += 1 }
+            arr(nKeep) = e
+            Iterator.single(Row.fromSeq(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(arr)))
+          case Right(_) => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture writers
+
+  /** One LZ4 block-format sequence op. */
+  sealed trait Op
+  final case class Lit(bytes: Array[Byte]) extends Op
+  final case class MatchRef(offset: Int, len: Int) extends Op
+
+  /** Encode `ops` as one LZ4 compressed block (byte-level, from the
+    * block spec). The DECODED form is defined by replaying ops against
+    * a history buffer — callers compute expectations independently.
+    */
+  def buildLz4Block(ops: Seq[Op]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def lenBytes(extra: Int): Unit = {
+      var e = extra
+      while (e >= 255) { out.write(255); e -= 255 }
+      out.write(e)
+    }
+    var i = 0
+    while (i < ops.length) {
+      val lit = ops(i) match {
+        case Lit(b) => b
+        case _ => Array.empty[Byte]
+      }
+      val mtch = {
+        val next = if (ops(i).isInstanceOf[Lit]) i + 1 else i
+        if (next < ops.length && ops(next).isInstanceOf[MatchRef])
+          Some(ops(next).asInstanceOf[MatchRef])
+        else None
+      }
+      val litNib = math.min(lit.length, 15)
+      val matNib = mtch.map(m => math.min(m.len - 4, 15)).getOrElse(0)
+      out.write((litNib << 4) | matNib)
+      if (litNib == 15) lenBytes(lit.length - 15)
+      out.write(lit, 0, lit.length)
+      mtch.foreach { m =>
+        out.write(m.offset & 0xFF); out.write((m.offset >> 8) & 0xFF)
+        if (matNib == 15) lenBytes(m.len - 4 - 15)
+      }
+      i += (if (ops(i).isInstanceOf[Lit] && mtch.isDefined) 2 else 1)
+    }
+    out.toByteArray
+  }
+
+  /** Replay ops to the decoded bytes (the spec's history semantics) —
+    * fixture-side ground truth for specs/oracles.
+    */
+  def replayOps(ops: Seq[Op], history: Array[Byte] = Array.empty)
+      : Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    buf ++= history
+    ops.foreach {
+      case Lit(b) => buf ++= b
+      case MatchRef(off, len) =>
+        var m = buf.length - off
+        var i = 0
+        while (i < len) { buf += buf(m); m += 1; i += 1 }
+    }
+    buf.drop(history.length).toArray
+  }
+
+  /** One LZ4 frame. `blocks`: (uncompressedFlag, blockBytes) where
+    * blockBytes is raw content when the flag is set, else an encoded
+    * compressed block. `contentForChecksum` must be the full decoded
+    * content when `withContentChecksum`/`withContentSize` is on.
+    */
+  def buildLz4Frame(blocks: Seq[(Boolean, Array[Byte])],
+                    contentForChecksum: Array[Byte],
+                    withContentChecksum: Boolean = false,
+                    withContentSize: Boolean = false,
+                    withBlockChecksum: Boolean = false,
+                    blockIndep: Boolean = true,
+                    bdCode: Int = 4): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    w32(Lz4Magic)
+    val desc = new java.io.ByteArrayOutputStream()
+    var flg = 0x40 // version 01
+    if (blockIndep) flg |= 0x20
+    if (withBlockChecksum) flg |= 0x10
+    if (withContentSize) flg |= 0x08
+    if (withContentChecksum) flg |= 0x04
+    desc.write(flg)
+    desc.write((bdCode & 7) << 4)
+    if (withContentSize) {
+      var v = contentForChecksum.length.toLong
+      var i = 0
+      while (i < 8) { desc.write((v & 0xFF).toInt); v >>= 8; i += 1 }
+    }
+    val db = desc.toByteArray
+    out.write(db, 0, db.length)
+    out.write(((xxh32(db, 0, db.length, 0) >> 8) & 0xFF).toInt)
+    blocks.foreach { case (uncompressed, data) =>
+      w32(data.length.toLong | (if (uncompressed) 0x80000000L else 0L))
+      out.write(data, 0, data.length)
+      if (withBlockChecksum) w32(xxh32(data, 0, data.length, 0))
+    }
+    w32(0L) // EndMark
+    if (withContentChecksum)
+      w32(xxh32(contentForChecksum, 0, contentForChecksum.length, 0))
+    out.toByteArray
+  }
+
+  /** Skippable frame (shared magic family with zstd). */
+  def buildLz4Skippable(payload: Array[Byte], nibble: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    w32(0x184D2A50L + (nibble & 0xF))
+    w32(payload.length.toLong)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+}

@@ -29,6 +29,8 @@ class FormatSnifferSpec extends SparkFunSuite {
       "zstd" -> Zstd.buildZstdFrame(Seq((false, Array[Byte](1, 2, 3))),
         withChecksum = false, 2, singleSegment = false),
       "zstd" -> Zstd.buildSkippable(Array[Byte](9)),
+      "lz4" -> Lz4.buildLz4Frame(Seq((true, Array[Byte](1, 2, 3))),
+        Array[Byte](1, 2, 3)),
       "avro" -> AvroOcf.buildAvro("\"bytes\"", "null", sync,
         Seq((1L, Array[Byte](4)))),
       "gzip" -> gzBlob,
