@@ -402,6 +402,41 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- AVRO CROSS-CODEC EQUIVALENCE (null / deflate / snappy):
+    //      the SAME logical blocks are carried under all three codecs
+    //      keyed by id%3, under a codec-INDEPENDENT oracle — the
+    //      snappy leg decodes real raw-snappy (from-spec, [[Snappy]])
+    //      and verifies Avro's trailing big-endian CRC-32 of the
+    //      uncompressed data. Poison: %41 empty, %37 one flipped
+    //      trailing-sync byte (caught for every codec) — typed
+    //      reject, zero rows.
+    "q196_avro_codecs" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val sync = Array.tabulate(16)(i => ((id * 29 + i * 17) % 251).toByte)
+          val blocks = (0 until (1 + id % 4).toInt).map { b =>
+            val size = (100 + (id * 7 + b * 13) % 200).toInt
+            val p = new Array[Byte](size)
+            java.util.Arrays.fill(p, ((id + b * 11) % 251).toByte)
+            ((1 + (id + b) % 5), p)
+          }
+          val codec = (id % 3) match {
+            case 0 => "null"; case 1 => "deflate"; case _ => "snappy"
+          }
+          val full = graft.ext.AvroOcf.buildAvro("\"bytes\"", codec,
+            sync, blocks)
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x01).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.AvroOcf.extractAvroBlocks(blobs, "blob")
+        .orderBy("doc_id", "block_idx")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5260,6 +5295,21 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // block inventory is a pure function of (doc, block) — the codec
+    // (null/deflate/snappy by id%3) must not change it
+    "q196_avro_codecs" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |b AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS b FROM d)
+        |SELECT doc_id, CAST(b AS INTEGER) AS block_idx,
+        |  CAST(1 + (doc_id + b) % 5 AS BIGINT) AS n_records,
+        |  CAST(100 + (doc_id*7 + b*13) % 200 AS BIGINT) AS usize,
+        |  CAST((100 + (doc_id*7 + b*13) % 200) * ((doc_id + b*11) % 251)
+        |    AS BIGINT) AS payload_sum
+        |FROM b ORDER BY doc_id, block_idx""".stripMargin,
+
     // member fields restated by the fixture formulas; %37 (trailer
     // poison) and %41 (empty) excluded
     "q192_gzip_members" ->

@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   * byte zigzag long is a typed reject), metadata map blocks support
   * the negative-count + byte-size form, `null` and `deflate` codecs
   * are decoded with an inflate cap (the [[ZipArchive]] bomb
-  * argument), anything else (`snappy`, unknown) is a typed quarantine
-  * reject. Record payloads are never materialized — blocks stream out
+  * argument), `snappy` blocks are decoded with the from-spec raw
+  * decoder ([[Snappy]]) and their trailing 4-byte big-endian CRC-32
+  * of the UNCOMPRESSED data (Avro's snappy framing) verified;
+  * anything else (unknown) is a typed quarantine reject. Record
+  * payloads are never materialized — blocks stream out
   * as (count, decompressed size, byte sum); record-level decoding is
   * schema-driven and belongs to the consumer.
   */
@@ -99,7 +102,7 @@ object AvroOcf {
       }
     }
     if (!sawSchema) return Left("missing avro.schema")
-    if (codec != "null" && codec != "deflate")
+    if (codec != "null" && codec != "deflate" && codec != "snappy")
       return Left("unsupported codec")
     if (n - pos < 16) return Left("truncated sync marker")
     val syncAt = pos
@@ -122,6 +125,26 @@ object AvroOcf {
         val lim = p2 + size.toInt
         while (i < lim) { sum += u(bytes(i)); i += 1 }
         usize = size
+      } else if (codec == "snappy") {
+        // snappy block + 4-byte BIG-endian CRC32 of the uncompressed
+        // data (Avro object-container snappy framing)
+        if (size < 5) return Left("snappy block too short")
+        val dataEnd = p2 + size.toInt - 4
+        Snappy.decode(bytes, p2, dataEnd, maxInflate) match {
+          case Left(e) => return Left(e)
+          case Right(dec) =>
+            val crc = new java.util.zip.CRC32
+            crc.update(dec, 0, dec.length)
+            val stored = ((u(bytes(dataEnd)).toLong << 24) |
+              (u(bytes(dataEnd + 1)).toLong << 16) |
+              (u(bytes(dataEnd + 2)).toLong << 8) |
+              u(bytes(dataEnd + 3)).toLong)
+            if (stored != crc.getValue)
+              return Left("snappy crc mismatch")
+            usize = dec.length.toLong
+            var i = 0
+            while (i < dec.length) { sum += u(dec(i)); i += 1 }
+        }
       } else {
         val inf = new java.util.zip.Inflater(true) // avro deflate is raw
         try {
@@ -261,7 +284,14 @@ object AvroOcf {
     blocks.foreach { case (count, payload) =>
       val data =
         if (codec == "null") payload
-        else {
+        else if (codec == "snappy") {
+          val comp = Snappy.encodeLiteral(payload)
+          val crc = new java.util.zip.CRC32
+          crc.update(payload, 0, payload.length)
+          val v = crc.getValue
+          comp ++ Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+            (v >> 8).toByte, v.toByte)
+        } else {
           val d = new java.util.zip.Deflater(
             java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
           d.setInput(payload); d.finish()

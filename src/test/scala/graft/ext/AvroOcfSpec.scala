@@ -26,7 +26,7 @@ class AvroOcfSpec extends SparkFunSuite {
     }
   }
 
-  test("metadata map: negative-count form parses; snappy is a typed reject") {
+  test("metadata map: negative-count form parses; unknown codec rejects") {
     // hand-build a negative-count metadata block: -2 entries + byte size
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte]('O', 'b', 'j', 1))
@@ -64,9 +64,12 @@ class AvroOcfSpec extends SparkFunSuite {
     val Right(bs) = AvroOcf.avroBlockTable(out.toByteArray): @unchecked
     assert(bs == Seq(AvroOcf.AvroBlock(0, 3L, 4L, 10L)))
     assert(body.size() == 0 && mark >= 0) // silence unused warnings
-    // unsupported codec
+    // snappy now decodes (with CRC verified); unknown codecs still reject
     val sn = AvroOcf.buildAvro("\"bytes\"", "snappy", sync, Seq((1L, fill(1, 4))))
-    assert(AvroOcf.avroBlockTable(sn) == Left("unsupported codec"))
+    val Right(snb) = AvroOcf.avroBlockTable(sn): @unchecked
+    assert(snb == Seq(AvroOcf.AvroBlock(0, 1L, 4L, 4L)))
+    val bz = AvroOcf.buildAvro("\"bytes\"", "bzip2", sync, Seq((1L, fill(1, 4))))
+    assert(AvroOcf.avroBlockTable(bz) == Left("unsupported codec"))
   }
 
   test("typed rejects: sync mismatch, truncation totality, bombs") {
