@@ -437,6 +437,51 @@ object SparkEntry {
         .orderBy("doc_id", "block_idx")
     }),
 
+    // ---- ID3v2 FRAME INVENTORY (id3.org v2.3/v2.4 — the only
+    //      provenance a bare .mp3 carries): text frames in all four
+    //      encodings (Latin-1 / UTF-16-BOM / UTF-16BE / UTF-8, the
+    //      last two v2.4-only so encodings are chosen per version),
+    //      v2.4 syncsafe vs v2.3 plain frame sizes, a binary PRIV
+    //      frame (null text), extended headers on id%5==0, and zero
+    //      padding. Poison: %41 empty; %37 one nonzero byte written
+    //      into the padding region — strict walkers reject the tag.
+    "q197_id3v2_frames" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val major = if (id % 2 == 0) 3 else 4
+          def enc(k: Int): Int =
+            if (major == 3) ((id + k) % 2).toInt else ((id + k) % 4).toInt
+          val frames = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Array[Byte])]
+          frames += (("TIT2", graft.ext.Mp3.id3TextData(f"title $id%d", enc(0))))
+          frames += (("TPE1",
+            graft.ext.Mp3.id3TextData(f"artist ${id % 13}%d", enc(1))))
+          if (id % 3 == 0)
+            frames += (("TALB",
+              graft.ext.Mp3.id3TextData(f"album ${id % 7}%d", enc(2))))
+          if (id % 4 == 0) {
+            val p = new Array[Byte]((5 + id % 20).toInt)
+            java.util.Arrays.fill(p, ((id % 100) + 1).toByte)
+            frames += (("PRIV", p))
+          }
+          frames += (("TRCK",
+            graft.ext.Mp3.id3TextData(f"${id % 20}%d", enc(4))))
+          val pad = if (id % 37 == 0) 9 else ((id % 4) * 7).toInt
+          val full = graft.ext.Mp3.buildId3v2Tag(major, frames.toSeq,
+            pad = pad, withExtHeader = id % 5 == 0)
+          if (id % 37 == 0)
+            full(full.length - 1) = 0x22
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Mp3.extractId3Frames(blobs, "blob")
+        .select("doc_id", "frame_idx", "frame_id", "text")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5295,6 +5340,35 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // frame order is fixed (TIT2, TPE1, [TALB], [PRIV], TRCK); text
+    // round-trips every encoding, so the oracle is encoding-free
+    "q197_id3v2_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |f AS (
+        |  SELECT doc_id, 0 AS frame_idx, 'TIT2' AS frame_id,
+        |    printf('title %d', CAST(doc_id AS INTEGER)) AS text FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'TPE1',
+        |    printf('artist %d', CAST(doc_id % 13 AS INTEGER)) FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'TALB',
+        |    printf('album %d', CAST(doc_id % 7 AS INTEGER))
+        |  FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END, 'PRIV',
+        |    NULL FROM d WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END, 'TRCK',
+        |    printf('%d', CAST(doc_id % 20 AS INTEGER)) FROM d)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  frame_id, text
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
     // block inventory is a pure function of (doc, block) — the codec
     // (null/deflate/snappy by id%3) must not change it
     "q196_avro_codecs" ->

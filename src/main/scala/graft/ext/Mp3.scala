@@ -269,6 +269,232 @@ object Mp3 {
     out
   }
 
+  // ------------------------------------------------------------------
+  // ID3v2 FRAME inventory (id3.org ID3v2.2 / v2.3 / v2.4 informal
+  // standards) — the metadata layer q155 skips as an opaque prefix.
+  // Audio curation reads it: title/artist/album text frames are the
+  // only provenance a bare .mp3 carries.
+  // ------------------------------------------------------------------
+
+  final case class Id3Frame(idx: Int, frameId: String, size: Int,
+                            text: String)
+
+  /** Parse the ID3v2 tag at offset 0 into its frames. Strict and
+    * total: version-correct size coding (v2.4 frame sizes are
+    * syncsafe, v2.3 plain, v2.2 3-byte), extended headers skipped by
+    * their version rules, padding must be all-zero, text-frame
+    * encodings validated per version (0/1 in v2.2/v2.3; 0-3 in
+    * v2.4), and the unsynchronization flag is a typed quarantine
+    * reject. Non-text frames surface with a null `text`.
+    */
+  def id3FrameTable(bytes: Array[Byte]): Either[String, Seq[Id3Frame]] = {
+    if (bytes == null || bytes.length < 10) return Left("no id3v2 tag")
+    if (bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
+      return Left("no id3v2 tag")
+    val major = u(bytes(3))
+    if (major < 2 || major > 4) return Left("unsupported id3v2 version")
+    val flags = u(bytes(5))
+    if ((flags & 0x80) != 0) return Left("unsynchronized tag")
+    if ((u(bytes(6)) | u(bytes(7)) | u(bytes(8)) | u(bytes(9))) >= 0x80)
+      return Left("bad syncsafe size")
+    val size = (u(bytes(6)) << 21) | (u(bytes(7)) << 14) |
+      (u(bytes(8)) << 7) | u(bytes(9))
+    if (10 + size > bytes.length) return Left("truncated id3v2 tag")
+    var p = 10
+    val end = 10 + size
+    if ((flags & 0x40) != 0) { // extended header
+      if (major == 2) return Left("id3v2.2 compression unsupported")
+      if (major == 3) {
+        if (end - p < 4) return Left("truncated extended header")
+        val es = (u(bytes(p)) << 24) | (u(bytes(p + 1)) << 16) |
+          (u(bytes(p + 2)) << 8) | u(bytes(p + 3))
+        if (es < 0 || es > end - p - 4) return Left("extended header out of bounds")
+        p += 4 + es // v2.3 size EXCLUDES the size field
+      } else {
+        if (end - p < 4) return Left("truncated extended header")
+        if ((u(bytes(p)) | u(bytes(p + 1)) | u(bytes(p + 2)) |
+            u(bytes(p + 3))) >= 0x80) return Left("bad syncsafe size")
+        val es = (u(bytes(p)) << 21) | (u(bytes(p + 1)) << 14) |
+          (u(bytes(p + 2)) << 7) | u(bytes(p + 3))
+        if (es < 6 || es > end - p) return Left("extended header out of bounds")
+        p += es // v2.4 size INCLUDES itself
+      }
+    }
+    val idLen = if (major == 2) 3 else 4
+    val hdrLen = if (major == 2) 6 else 10
+    val out = scala.collection.mutable.ArrayBuffer.empty[Id3Frame]
+    var idx = 0
+    while (p < end) {
+      if (bytes(p) == 0) {
+        // padding begins: strict — every remaining byte must be zero
+        var i = p
+        while (i < end) {
+          if (bytes(i) != 0) return Left("nonzero padding")
+          i += 1
+        }
+        p = end
+      } else {
+        if (end - p < hdrLen) return Left("truncated frame header")
+        var ok = true
+        var i = 0
+        while (i < idLen) {
+          val c = bytes(p + i)
+          if (!((c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))) ok = false
+          i += 1
+        }
+        if (!ok) return Left("bad frame id")
+        val fid = new String(bytes, p, idLen,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val fsize =
+          if (major == 2)
+            (u(bytes(p + 3)) << 16) | (u(bytes(p + 4)) << 8) | u(bytes(p + 5))
+          else if (major == 3)
+            (u(bytes(p + 4)) << 24) | (u(bytes(p + 5)) << 16) |
+              (u(bytes(p + 6)) << 8) | u(bytes(p + 7))
+          else {
+            if ((u(bytes(p + 4)) | u(bytes(p + 5)) | u(bytes(p + 6)) |
+                u(bytes(p + 7))) >= 0x80)
+              return Left("bad frame syncsafe size")
+            (u(bytes(p + 4)) << 21) | (u(bytes(p + 5)) << 14) |
+              (u(bytes(p + 6)) << 7) | u(bytes(p + 7))
+          }
+        if (fsize < 0 || fsize > end - p - hdrLen)
+          return Left("frame out of bounds")
+        if (major >= 3) {
+          val f2 = u(bytes(p + 9))
+          // compression/encryption/unsync per-frame formats we can't
+          // byte-walk — quarantine
+          if ((f2 & (if (major == 3) 0xC0 else 0x0E)) != 0)
+            return Left("unsupported frame format flags")
+        }
+        val dataAt = p + hdrLen
+        var text: String = null
+        if (fid.charAt(0) == 'T' && fid != "TXXX" && fid != "TXX" &&
+            fsize >= 1) {
+          val encB = u(bytes(dataAt))
+          val maxEnc = if (major == 4) 3 else 1
+          if (encB > maxEnc) return Left("bad text encoding")
+          val cs = encB match {
+            case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+            case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM
+            case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+            case _ => java.nio.charset.StandardCharsets.UTF_8
+          }
+          var t = new String(bytes, dataAt + 1, fsize - 1, cs)
+          // strip trailing NUL terminator(s)
+          while (t.nonEmpty && t.charAt(t.length - 1) == '\u0000')
+            t = t.substring(0, t.length - 1)
+          text = t
+        }
+        out += Id3Frame(idx, fid, fsize, text)
+        idx += 1
+        p = dataAt + fsize
+      }
+    }
+    Right(out.toSeq)
+  }
+
+  /** Explode the ID3v2 tag of a binary column into one row per frame:
+    * `(…keep…, frame_idx, frame_id, fsize, text)`.
+    */
+  def extractId3Frames(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("frame_idx", IntegerType, nullable = false),
+        StructField("frame_id", StringType, nullable = false),
+        StructField("fsize", IntegerType, nullable = false),
+        StructField("text", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        id3FrameTable(r.getAs[Array[Byte]](idx)) match {
+          case Left(_) => Iterator.empty
+          case Right(frames) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            frames.iterator.map { f =>
+              val arr = new Array[Any](nKeep + 4)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = f.idx; arr(nKeep + 1) = f.frameId
+              arr(nKeep + 2) = f.size; arr(nKeep + 3) = f.text
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Encode one text frame's data bytes (encoding byte + text,
+    * NUL-terminated) in the given encoding.
+    */
+  def id3TextData(text: String, encB: Int): Array[Byte] = {
+    val cs = encB match {
+      case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+      case 1 => java.nio.charset.StandardCharsets.UTF_16 // writes BOM
+      case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
+    val tb = (text + "\u0000").getBytes(cs)
+    Array(encB.toByte) ++ tb
+  }
+
+  /** Build a full ID3v2 tag with explicit frames
+    * `(frameId, dataBytes)`, optional extended header, and `pad`
+    * zero bytes of padding. Frame sizes are coded per `major`'s rule.
+    */
+  def buildId3v2Tag(major: Int, frames: Seq[(String, Array[Byte])],
+                    pad: Int = 0, withExtHeader: Boolean = false)
+      : Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    if (withExtHeader) {
+      if (major == 3) {
+        // size 6 (excl. the field): flags 0, padding size 0
+        body.write(Array[Byte](0, 0, 0, 6, 0, 0, 0, 0, 0, 0))
+      } else {
+        // v2.4: syncsafe size 6 incl. itself, 1 flag byte count, flags 0
+        body.write(Array[Byte](0, 0, 0, 6, 1, 0))
+      }
+    }
+    frames.foreach { case (fid, data) =>
+      body.write(fid.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      if (major == 2) {
+        body.write((data.length >> 16) & 0xFF)
+        body.write((data.length >> 8) & 0xFF)
+        body.write(data.length & 0xFF)
+      } else if (major == 3) {
+        body.write((data.length >> 24) & 0xFF)
+        body.write((data.length >> 16) & 0xFF)
+        body.write((data.length >> 8) & 0xFF)
+        body.write(data.length & 0xFF)
+        body.write(0); body.write(0)
+      } else {
+        body.write((data.length >> 21) & 0x7F)
+        body.write((data.length >> 14) & 0x7F)
+        body.write((data.length >> 7) & 0x7F)
+        body.write(data.length & 0x7F)
+        body.write(0); body.write(0)
+      }
+      body.write(data, 0, data.length)
+    }
+    body.write(new Array[Byte](pad), 0, pad)
+    val bb = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(major); out.write(0)
+    out.write(if (withExtHeader) 0x40 else 0)
+    out.write((bb.length >> 21) & 0x7F)
+    out.write((bb.length >> 14) & 0x7F)
+    out.write((bb.length >> 7) & 0x7F)
+    out.write(bb.length & 0x7F)
+    out.write(bb, 0, bb.length)
+    out.toByteArray
+  }
+
   /** The q155 gate fixture: `4 + id % 5` frames behind an id-sized
     * ID3v2 tag, one of three format classes keyed by `id % 3`
     * (MPEG1 Layer III / MPEG1 Layer II / MPEG2 Layer III — distinct
