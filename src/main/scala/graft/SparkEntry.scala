@@ -482,6 +482,36 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- PARQUET FOOTER TRIAGE (Parquet file format + Thrift compact
+    //      protocol, no Parquet library): shard integrity at the blob
+    //      tail — both magics, bounded footer length, schema leaf
+    //      count, per-row-group sums, declared num_rows cross-checked
+    //      against the row-group sum, created_by provenance. The walk
+    //      is schema-free at the Thrift layer and interop-pinned in
+    //      the specs against a footer Spark itself wrote. Poison: %41
+    //      empty, %37 one flipped tail-magic byte — typed reject.
+    "q198_parquet_footer" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val nG = (1 + id % 3).toInt
+          val rows = (0 until nG).map(g => 10 + (id * 3 + g * 7) % 90)
+          val bts = (0 until nG).map(g => 1000 + (id * 13 + g * 29) % 5000)
+          val cols = (0 until (2 + id % 4).toInt).map(c => f"col$c%d")
+          val full = graft.ext.ParquetMeta.buildParquetBlob(
+            (1 + id % 2).toInt, cols, rows, bts,
+            f"writer ${id % 5}%d", bodyLen = (20 + id % 50).toInt)
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x10).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.ParquetMeta.extractParquetMeta(blobs, "blob")
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5340,6 +5370,27 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // footer fields are pure (doc, group) formulas; num_rows and
+    // total_bytes are row-group sums
+    "q198_parquet_footer" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |g AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS g FROM d),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(10 + (doc_id*3 + g*7) % 90) AS BIGINT) AS num_rows,
+        |    CAST(COUNT(*) AS INTEGER) AS n_row_groups,
+        |    CAST(SUM(1000 + (doc_id*13 + g*29) % 5000) AS BIGINT)
+        |      AS total_bytes
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS version,
+        |  num_rows, n_row_groups,
+        |  CAST(2 + doc_id % 4 AS INTEGER) AS n_columns, total_bytes,
+        |  printf('writer %d', CAST(doc_id % 5 AS INTEGER)) AS created_by
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // frame order is fixed (TIT2, TPE1, [TALB], [PRIV], TRCK); text
     // round-trips every encoding, so the oracle is encoding-free
     "q197_id3v2_frames" ->
