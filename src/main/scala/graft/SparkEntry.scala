@@ -512,6 +512,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- COMPRESSED-SHARD TRIAGE (the q191 shape one layer up): the
+    //      SAME ustar shard arrives wrapped in gzip, LZ4, or zstd by
+    //      id%3; the sniffer routes each blob to ITS decoder, the
+    //      three decoded streams union, and ONE tar walk inventories
+    //      members under a wrapper-independent oracle — byte-exact
+    //      decode across all three codecs is load-bearing (tar header
+    //      checksums catch any slip). Poison: %41 empty.
+    "q199_compressed_shard_triage" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val tar = graft.ext.TarShard.syntheticTar(id)
+          (id % 3).toInt match {
+            case 0 => graft.ext.Gzip.buildGzipMember(tar,
+              fname = f"s$id%05d.tar", withHcrc = id % 2 == 0)
+            case 1 =>
+              val sp = (512 + (id * 31) % 1024).toInt
+              graft.ext.Lz4.buildLz4Frame(
+                Seq((true, tar.take(sp)), (true, tar.drop(sp))), tar,
+                withContentChecksum = true, withContentSize = id % 2 == 0)
+            case _ => graft.ext.Zstd.buildZstdFrame(
+              Seq((false, tar)), withChecksum = id % 2 == 0,
+              ((id + 1) % 4).toInt, singleSegment = false)
+          }
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val sniffed = graft.ext.FormatSniffer.sniffFormats(blobs, "blob")
+        .join(blobs, "doc_id")
+      def inner(fmt: String, decoded: DataFrame): DataFrame =
+        decoded.select(col("doc_id"), lit(fmt).as("outer"), col("content"))
+      val gz = inner("gzip", graft.ext.Gzip.extractGzipContent(
+        sniffed.where(col("format") === "gzip").drop("format"), "blob"))
+      val lz = inner("lz4", graft.ext.Lz4.extractLz4Content(
+        sniffed.where(col("format") === "lz4").drop("format"), "blob"))
+      val zs = inner("zstd", graft.ext.Zstd.extractZstdContent(
+        sniffed.where(col("format") === "zstd").drop("format"), "blob"))
+      val content = gz.unionByName(lz).unionByName(zs)
+      graft.ext.TarShard.extractTarMembers(content, "content")
+        .where(col("is_file"))
+        .select("doc_id", "outer", "name", "msize", "payload_sum")
+        .orderBy("doc_id", "name")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5370,6 +5415,30 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // the q169 member formulas under a codec column; decode must be
+    // byte-exact for the tar checksums to hold
+    "q199_compressed_shard_triage" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0),
+        |s AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS j FROM d),
+        |c AS (
+        |  SELECT doc_id, j, 'txt' AS ext, 0 AS e FROM s
+        |  UNION ALL
+        |  SELECT doc_id, j, 'jpg', 1 FROM s WHERE (doc_id + j) % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, j, 'json', 2 FROM s WHERE (doc_id + j) % 3 = 0)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'gzip'
+        |       WHEN 1 THEN 'lz4' ELSE 'zstd' END AS outer,
+        |  printf('shard%d/s%05d_%02d.%s', CAST(doc_id % 7 AS INTEGER),
+        |    CAST(doc_id AS INTEGER), CAST(j AS INTEGER), ext) AS name,
+        |  CAST(10 + (13*doc_id + 7*j + 3*e) % 200 AS BIGINT) AS msize,
+        |  CAST((10 + (13*doc_id + 7*j + 3*e) % 200)
+        |    * ((doc_id + 31*j + 17*e) % 251) AS BIGINT) AS payload_sum
+        |FROM c ORDER BY doc_id, name""".stripMargin,
+
     // footer fields are pure (doc, group) formulas; num_rows and
     // total_bytes are row-group sums
     "q198_parquet_footer" ->

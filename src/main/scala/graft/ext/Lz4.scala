@@ -98,14 +98,35 @@ object Lz4 {
   // ------------------------------------------------------------------
   // LZ4 block decode
 
-  /** Decode one LZ4 block from `src[from, until)` into `dst` starting
-    * at `dstStart` (history before `dstStart` is readable for linked
-    * blocks; `windowFloor` is the lowest offset a match may reach —
-    * `dstStart` for independent blocks, 0 for linked). Returns the new
-    * dst length or a typed error.
+  /** Primitive growable byte buffer — the decode hot path must not box
+    * bytes (an `ArrayBuffer[Byte]` would) at corpus scale.
+    */
+  private final class ByteBuf(initial: Int) {
+    var a: Array[Byte] = new Array[Byte](math.max(initial, 64))
+    var length: Int = 0
+    def ensure(extra: Int): Unit = {
+      val need = length + extra
+      if (need > a.length) {
+        var cap = a.length
+        while (cap < need) cap = cap << 1
+        a = java.util.Arrays.copyOf(a, cap)
+      }
+    }
+    def append(src: Array[Byte], from: Int, len: Int): Unit = {
+      ensure(len)
+      System.arraycopy(src, from, a, length, len)
+      length += len
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, length)
+  }
+
+  /** Decode one LZ4 block from `src[from, until)` appending to
+    * `history` (bytes before the block start are readable for linked
+    * blocks; `windowFloor` is the lowest position a match may reach —
+    * the block start for independent blocks, 0 for linked).
     */
   private def decodeBlock(src: Array[Byte], from: Int, until: Int,
-                          history: scala.collection.mutable.ArrayBuffer[Byte],
+                          history: ByteBuf,
                           windowFloor: Int, maxOut: Long)
       : Either[String, Unit] = {
     var p = from
@@ -123,8 +144,7 @@ object Lz4 {
       }
       if (litLen > until - p) return Left("literals out of bounds")
       if (history.length + litLen > maxOut) return Left("block decode bomb")
-      var i = 0
-      while (i < litLen) { history += src(p + i); i += 1 }
+      history.append(src, p, litLen)
       p += litLen
       if (p == until) {
         // last sequence: literals only — legal end of block
@@ -146,9 +166,13 @@ object Lz4 {
         }
       }
       if (history.length + matchLen > maxOut) return Left("block decode bomb")
+      history.ensure(matchLen)
       var m = history.length - offset
-      i = 0
-      while (i < matchLen) { history += history(m); m += 1; i += 1 }
+      val a = history.a
+      var o = history.length
+      var i = 0
+      while (i < matchLen) { a(o) = a(m); o += 1; m += 1; i += 1 }
+      history.length = o
     }
     Right(()) // empty block (no sequences) — degenerate but total
   }
@@ -230,7 +254,7 @@ object Lz4 {
         if (hc != expectedHc) return Left("header checksum mismatch")
         p += 1
         // blocks
-        val history = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        val history = new ByteBuf(1024)
         var nBlocks = 0
         var done = false
         while (!done) {
@@ -247,8 +271,7 @@ object Lz4 {
             if (uncompressed) {
               if (decodedTotal + blockStart + bs > maxDecode)
                 return Left("lz4 decode cap")
-              var i = 0
-              while (i < bs) { history += bytes(p + i); i += 1 }
+              history.append(bytes, p, bs)
             } else {
               val budget = math.min(
                 blockStart.toLong + bmSize,
