@@ -557,6 +557,102 @@ object SparkEntry {
         .orderBy("doc_id", "name")
     }),
 
+    // ---- SAFETENSORS TENSOR INVENTORY (huggingface safetensors —
+    //      the embedding/weight shard format): byte layer (8-byte LE
+    //      header length, offsets contract, per-tensor byte sums) in
+    //      one narrow pass; header SCHEMA parsed by Spark's own
+    //      from_json and validated in Catalyst expressions
+    //      (dtype·shape ≡ byte extent, try_* forms so crafted headers
+    //      quarantine instead of throwing). Poison: %41 empty, %37 one
+    //      unclaimed trailing data byte — offsets must cover the data
+    //      region exactly, typed reject.
+    "q200_safetensors" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val n = (4 + id % 4)
+          val tensors = Seq(
+            ("emb", "F32", Seq(n, 8L), ((id % 251)).toInt),
+            ("ids", "I64", Seq(n), ((id * 3) % 251).toInt)) ++
+            (if (id % 2 == 0)
+              Seq(("mask", "U8", Seq(n), ((id * 7) % 251).toInt))
+            else Nil)
+          val full = graft.ext.SafeTensors.buildSafeTensors(tensors,
+            metadata = if (id % 3 == 0) Seq("format" -> "pt") else Nil)
+          if (id % 37 == 0) full ++ Array[Byte](0) else full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.SafeTensors.safeTensorTable(blobs, "blob")
+        .select("doc_id", "tensor_name", "dtype", "n_elems", "nbytes",
+          "byte_sum", "extent_ok")
+        .orderBy("doc_id", "tensor_name")
+    }),
+
+    // ---- NUMPY .NPY TENSOR METADATA + INTEGER DECODE (NumPy NEP-1):
+    //      dtype width rotates by id%4 (u1/i2/i4/i8) while values stay
+    //      < 256, so elem_sum ≡ byte_sum pins little-endian width-
+    //      correct decoding — a big-endian or wrong-width reader
+    //      inflates byte_sum. Header versions 1/2, fortran flag, and
+    //      2-D shapes all by formula. Poison: %41 empty, %37 one
+    //      stray trailing byte — data region must be exactly
+    //      product(shape)·itemsize, typed reject.
+    "q201_npy_tensors" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val descr = (id % 4).toInt match {
+            case 0 => "|u1"; case 1 => "<i2"; case 2 => "<i4"; case _ => "<i8"
+          }
+          val n = 2 + id % 3
+          val m = 3 + id % 2
+          val vals = (0L until n * m).map(k => (id * 3 + k * 7) % 101)
+          val full = graft.ext.Npy.buildNpy(descr, Seq(n, m), vals,
+            fortran = id % 5 == 0, version = if (id % 6 < 3) 1 else 2)
+          if (id % 37 == 0) full ++ Array[Byte](1) else full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Npy.extractNpyMeta(blobs, "blob")
+        .orderBy("doc_id")
+    }),
+
+    // ---- .NPZ TENSOR STORE (ZIP of .npy members — numpy.savez):
+    //      extractZipPayloads (CRC-verified, stored + deflated mix)
+    //      feeds each member into the npy walk; one flipped payload
+    //      byte (%37) fails the entry CRC and kills the whole store.
+    "q202_npz_tensor_store" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val n = (2 + id % 4).toInt
+          val m = (3 + id % 3).toInt
+          val emb = graft.ext.Npy.buildNpy("<i4", Seq(n.toLong),
+            (0 until n).map(k => (id + k * 3) % 97))
+          val ids = graft.ext.Npy.buildNpy("<i8", Seq(m.toLong),
+            (0 until m).map(k => (id * 5 + k) % 89))
+          val full = graft.ext.ZipArchive.buildZip(Seq(
+            ("emb.npy", if (id % 2 == 0) 0 else 8, emb),
+            ("ids.npy", if (id % 2 == 0) 8 else 0, ids)))
+          if (id % 37 == 0) {
+            // flip a byte inside the FIRST entry's payload region
+            full(40) = (full(40) ^ 0x10).toByte
+          }
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val payloads = graft.ext.ZipArchive
+        .extractZipPayloads(blobs, "blob", ".npy")
+        .select(col("doc_id"), col("name"), col("content"))
+      graft.ext.Npy.extractNpyMeta(payloads, "content")
+        .select("doc_id", "name", "descr", "n_elems", "elem_sum")
+        .orderBy("doc_id", "name")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5415,6 +5511,70 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // values < 256 make elem_sum == byte_sum for every width — the
+    // LE-decode pin
+    "q201_npy_tensors" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS n, 3 + doc_id % 2 AS m
+        |  FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |s AS (
+        |  SELECT doc_id, n, m, SUM((doc_id*3 + k*7) % 101) AS es
+        |  FROM d, range(0, 16) t(k) WHERE k < n * m
+        |  GROUP BY doc_id, n, m)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN '|u1'
+        |       WHEN 1 THEN '<i2' WHEN 2 THEN '<i4' ELSE '<i8' END AS descr,
+        |  doc_id % 5 = 0 AS fortran,
+        |  CAST(2 AS INTEGER) AS ndim,
+        |  CAST(n AS BIGINT) AS shape0, CAST(m AS BIGINT) AS shape1,
+        |  CAST(n * m AS BIGINT) AS n_elems,
+        |  CAST(es AS BIGINT) AS elem_sum, CAST(es AS BIGINT) AS byte_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // per-member range sums through the CRC-verified zip layer
+    "q202_npz_tensor_store" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS n, 3 + doc_id % 3 AS m
+        |  FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |r AS (
+        |  SELECT doc_id, 'emb.npy' AS name, '<i4' AS descr,
+        |    CAST(n AS BIGINT) AS n_elems,
+        |    SUM((doc_id + k*3) % 97) AS elem_sum
+        |  FROM d, range(0, 6) t(k) WHERE k < n
+        |  GROUP BY doc_id, n
+        |  UNION ALL
+        |  SELECT doc_id, 'ids.npy', '<i8', CAST(m AS BIGINT),
+        |    SUM((doc_id*5 + k) % 89)
+        |  FROM d, range(0, 6) t(k) WHERE k < m
+        |  GROUP BY doc_id, m)
+        |SELECT doc_id, name, descr, n_elems,
+        |  CAST(elem_sum AS BIGINT) AS elem_sum
+        |FROM r ORDER BY doc_id, name""".stripMargin,
+
+    // three tensors with formula shapes/fills; __metadata__ excluded
+    "q200_safetensors" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 4 AS n FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |t AS (
+        |  SELECT doc_id, 'emb' AS tensor_name, 'F32' AS dtype,
+        |    n * 8 AS n_elems, n * 32 AS nbytes,
+        |    n * 32 * (doc_id % 251) AS byte_sum FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'ids', 'I64', n, n * 8,
+        |    n * 8 * ((doc_id * 3) % 251) FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'mask', 'U8', n, n,
+        |    n * ((doc_id * 7) % 251) FROM d WHERE doc_id % 2 = 0)
+        |SELECT doc_id, tensor_name, dtype,
+        |  CAST(n_elems AS BIGINT) AS n_elems,
+        |  CAST(nbytes AS BIGINT) AS nbytes,
+        |  CAST(byte_sum AS BIGINT) AS byte_sum,
+        |  true AS extent_ok
+        |FROM t ORDER BY doc_id, tensor_name""".stripMargin,
+
     // the q169 member formulas under a codec column; decode must be
     // byte-exact for the tar checksums to hold
     "q199_compressed_shard_triage" ->

@@ -163,6 +163,99 @@ object ZipArchive {
     Right(out.toSeq)
   }
 
+  /** Decoded payloads of entries whose name ends with `suffix`
+    * (empty = all files): `(idx, name, content)`. Validates via
+    * [[zipEntryTable]] first (every CRC verified), then re-walks
+    * collecting content — the [[Gzip]] two-pass convention.
+    */
+  private def zipPayloads(bytes: Array[Byte], suffix: String,
+                          maxInflate: Long)
+      : Seq[(Int, String, Array[Byte])] = {
+    val res = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Array[Byte])]
+    val n = bytes.length
+    // locate EOCD again (validated to exist)
+    var p = n - 22
+    while (!(bytes(p) == 'P' && bytes(p + 1) == 'K' && bytes(p + 2) == 5 &&
+        bytes(p + 3) == 6)) p -= 1
+    val nEntries = le16(bytes, p + 10)
+    var cp = le32(bytes, p + 16).toInt
+    var idx = 0
+    while (idx < nEntries) {
+      val method = le16(bytes, cp + 10)
+      val csize = le32(bytes, cp + 20)
+      val nameLen = le16(bytes, cp + 28)
+      val extraLen = le16(bytes, cp + 30)
+      val commentLen = le16(bytes, cp + 32)
+      val lp = le32(bytes, cp + 42).toInt
+      val name = new String(bytes, cp + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if ((suffix.isEmpty || name.endsWith(suffix)) && !name.endsWith("/")) {
+        val dataOff = lp + 30 + le16(bytes, lp + 26) + le16(bytes, lp + 28)
+        val content =
+          if (method == 0)
+            java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + csize.toInt)
+          else {
+            val inf = new java.util.zip.Inflater(true)
+            inf.setInput(bytes, dataOff, csize.toInt)
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val got = inf.inflate(buf)
+              if (got == 0 && !inf.finished()) { inf.end(); return res.toSeq }
+              bos.write(buf, 0, got)
+            }
+            inf.end()
+            bos.toByteArray
+          }
+        res += ((idx, name, content))
+      }
+      cp += 46 + nameLen + extraLen + commentLen
+      idx += 1
+    }
+    res.toSeq
+  }
+
+  /** Explode decoded entry payloads of a ZIP column:
+    * `(…keep…, entry_idx, name, content)` — the composition half
+    * (`.npz` → [[Npy]], zip WebDataset → image hashing). Poison blobs
+    * yield zero rows.
+    */
+  def extractZipPayloads(df: DataFrame, binCol: String,
+                         suffix: String = "",
+                         maxInflate: Long = 64L * 1024 * 1024): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("entry_idx", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        zipEntryTable(bytes, maxInflate) match {
+          case Left(_) => Iterator.empty
+          case Right(_) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            zipPayloads(bytes, suffix, maxInflate).iterator.map {
+              case (ei, name, content) =>
+                val arr = new Array[Any](nKeep + 3)
+                System.arraycopy(prefix, 0, arr, 0, nKeep)
+                arr(nKeep) = ei; arr(nKeep + 1) = name
+                arr(nKeep + 2) = content
+                Row.fromSeq(scala.collection.immutable.ArraySeq
+                  .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Explode a binary ZIP column into one row per entry:
     * `(…keep…, entry_idx, name, method, usize, payload_sum)`.
     * Poison blobs yield zero rows; [[zipErrors]] is the error channel.
