@@ -653,6 +653,51 @@ object SparkEntry {
         .orderBy("doc_id", "name")
     }),
 
+    // ---- SAFETENSORS → ANN COMPOSITION: real embedding vectors ride
+    //      a safetensors sidecar (10 shards, one F32 matrix + row-id
+    //      tensor naming per vector) and are decoded bit-exactly back
+    //      to Array[Float]; the q43 twin-recall gate then runs exact
+    //      brute-force top-9 over the RAW table vs over the DECODED
+    //      vectors — identical rankings (the constant (9, 9) row per
+    //      query) iff the byte→float reconstruction is exact. One
+    //      wrong byte anywhere in the tensor plumbing breaks a cosine
+    //      and reorders a top-k.
+    "q203_safetensors_ann" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
+        .select("vec_id", "embedding")
+      val mkShard = udf((vs: Seq[org.apache.spark.sql.Row]) => {
+        val tensors = vs.sortBy(_.getLong(0)).map { r =>
+          val vid = r.getLong(0)
+          val vec = r.getSeq[Float](1)
+          val bb = java.nio.ByteBuffer.allocate(vec.length * 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vec.foreach(bb.putFloat)
+          (f"v$vid%d", "F32", Seq(vec.length.toLong), bb.array())
+        }
+        graft.ext.SafeTensors.buildSafeTensorsRaw(tensors)
+      })
+      val shards = base
+        .groupBy((col("vec_id") % 10).as("shard"))
+        .agg(collect_list(struct(col("vec_id"), col("embedding")))
+          .as("vs"))
+        .select(col("shard"), mkShard(col("vs")).as("blob"))
+      val decoded = graft.ext.SafeTensors
+        .extractTensorVectors(shards, "blob")
+        .select(regexp_extract(col("tensor_name"), "v(\\d+)", 1)
+          .cast("long").as("vec_id"), col("vector").as("embedding"))
+      def planted(b: DataFrame): (DataFrame, DataFrame) = {
+        val corpus = (0 until 10).map(j =>
+          b.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+            col("embedding"))).reduce(_ unionByName _)
+        (corpus, corpus.where(col("vec_id") < 5))
+      }
+      val (rawCorpus, rawQ) = planted(base)
+      val (decCorpus, _) = planted(decoded)
+      annRecallRows(
+        Similarity.bruteForceTopK(rawCorpus, rawQ, "vec_id", "embedding", 9),
+        Similarity.bruteForceTopK(decCorpus, rawQ, "vec_id", "embedding", 9))
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5511,6 +5556,13 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // the q43/q44 twin constant: decoded-vector ranking must equal
+    // raw-table ranking exactly
+    "q203_safetensors_ann" ->
+      """SELECT vec_id AS query_id, CAST(9 AS BIGINT) AS n_exact,
+        |       CAST(9 AS BIGINT) AS n_found
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
     // values < 256 make elem_sum == byte_sum for every width — the
     // LE-decode pin
     "q201_npy_tensors" ->

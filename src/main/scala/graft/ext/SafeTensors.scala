@@ -259,8 +259,132 @@ object SafeTensors {
     Right(out.toSeq)
   }
 
+  /** Decode every F32 tensor into float vectors:
+    * `(…keep…, tensor_name, row_idx, vector)` — 1-D tensors emit one
+    * row (row_idx 0), 2-D `(n, d)` tensors emit `n` rows of length
+    * `d`. This is the embedding-sidecar loader: the output column
+    * plugs straight into [[Similarity]] (brute force / LSH / IVF /
+    * PQ). Bit-exact: floats are rebuilt from the raw little-endian
+    * data region, so a recall gate over decoded vectors reproduces
+    * the raw-table ranking exactly.
+    */
+  def extractTensorVectors(df: DataFrame, binCol: String,
+                           maxHeader: Long = 16L << 20): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("tensor_name", StringType, nullable = false),
+        StructField("row_idx", IntegerType, nullable = false),
+        StructField("vector", ArrayType(FloatType, containsNull = false),
+          nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        parseWithShapes(bytes, maxHeader) match {
+          case Left(_) => Iterator.empty
+          case Right(entries) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            entries.iterator
+              .filter(e => e.dtype == "F32" && e.shape.length <= 2 &&
+                (e.off1 - e.off0) ==
+                  e.shape.product * 4 && e.shape.product > 0)
+              .flatMap { e =>
+                val d = if (e.shape.length == 2) e.shape(1).toInt
+                  else e.shape.head.toInt
+                val nRows = if (e.shape.length == 2) e.shape.head.toInt else 1
+                val dataStart = e.dataStart
+                (0 until nRows).iterator.map { ri =>
+                  val vec = new Array[Float](d)
+                  var k = 0
+                  var p = dataStart + (ri.toLong * d * 4).toInt
+                  while (k < d) {
+                    val bits = (u(bytes(p)) | (u(bytes(p + 1)) << 8) |
+                      (u(bytes(p + 2)) << 16) | (u(bytes(p + 3)) << 24))
+                    vec(k) = java.lang.Float.intBitsToFloat(bits)
+                    k += 1
+                    p += 4
+                  }
+                  val arr = new Array[Any](nKeep + 3)
+                  System.arraycopy(prefix, 0, arr, 0, nKeep)
+                  arr(nKeep) = e.name; arr(nKeep + 1) = ri
+                  arr(nKeep + 2) = vec
+                  Row.fromSeq(scala.collection.immutable.ArraySeq
+                    .unsafeWrapArray(arr))
+                }
+              }
+        }
+      }
+    }(enc)
+  }
+
+  private final case class TensorEntry(name: String, dtype: String,
+                                       shape: Seq[Long], off0: Long,
+                                       off1: Long, dataStart: Int)
+
+  /** Like [[parse]] but also captures dtype + shape per entry (still
+    * a structural scan; validation contract identical).
+    */
+  private def parseWithShapes(bytes: Array[Byte], maxHeader: Long)
+      : Either[String, Seq[TensorEntry]] = {
+    parse(bytes, maxHeader) match {
+      case Left(e) => Left(e)
+      case Right((json, tensors)) =>
+        var hl = 0L
+        var i = 7
+        while (i >= 0) { hl = (hl << 8) | u(bytes(i)); i -= 1 }
+        val dataStart = 8 + hl.toInt
+        val dtypeRe =
+          "\"([^\"]+)\"\\s*:\\s*\\{[^{}]*\"dtype\"\\s*:\\s*\"([^\"]+)\"[^{}]*\"shape\"\\s*:\\s*\\[([0-9,\\s]*)\\][^{}]*\\}".r
+        val meta = dtypeRe.findAllMatchIn(json).map { m =>
+          val shape = m.group(3).split(',').toSeq.map(_.trim)
+            .filter(_.nonEmpty).map(_.toLong)
+          m.group(1) -> ((m.group(2), shape))
+        }.toMap
+        Right(tensors.flatMap { case (name, o0, o1, _) =>
+          meta.get(name).map { case (dtype, shape) =>
+            TensorEntry(name, dtype, shape, o0, o1,
+              dataStart + o0.toInt)
+          }
+        })
+    }
+  }
+
   // ------------------------------------------------------------------
   // Fixture writer
+
+  /** Build a safetensors blob from explicit raw data bytes per tensor
+    * `(name, dtype, shape, data)` — what the float fixtures use
+    * (little-endian F32 rows serialized by the caller).
+    */
+  def buildSafeTensorsRaw(tensors: Seq[(String, String, Seq[Long], Array[Byte])])
+      : Array[Byte] = {
+    val sb = new StringBuilder("{")
+    var off = 0L
+    val data = new java.io.ByteArrayOutputStream()
+    var first = true
+    tensors.foreach { case (name, dtype, shape, bytes) =>
+      if (!first) sb.append(",")
+      first = false
+      sb.append(s""""$name":{"dtype":"$dtype","shape":[${shape.mkString(",")}],""")
+      sb.append(s""""data_offsets":[$off,${off + bytes.length}]}""")
+      data.write(bytes, 0, bytes.length)
+      off += bytes.length
+    }
+    sb.append("}")
+    val hdr = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream()
+    var hl = hdr.length.toLong
+    var i = 0
+    while (i < 8) { out.write((hl & 0xFF).toInt); hl >>= 8; i += 1 }
+    out.write(hdr, 0, hdr.length)
+    out.write(data.toByteArray, 0, data.size())
+    out.toByteArray
+  }
 
   /** Build a safetensors blob from `(name, dtype, shape, fill)`
     * tensors — data bytes are `fill`-valued so sums are formulas.

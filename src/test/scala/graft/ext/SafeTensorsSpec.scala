@@ -74,6 +74,29 @@ class SafeTensorsSpec extends SparkFunSuite {
     assert(r2.length == 1 && !r2(0).getAs[Boolean]("extent_ok"))
   }
 
+  test("extractTensorVectors: bit-exact F32 decode, 1-D and 2-D") {
+    import spark.implicits._
+    val v1 = Array(1.5f, -2.25f, 3.0e-7f, Float.MinPositiveValue)
+    val mat = Array(Array(0.1f, 0.2f), Array(-0.3f, 0.4f), Array(5f, 6f))
+    def le(fs: Array[Float]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(fs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fs.foreach(bb.putFloat); bb.array()
+    }
+    val blob = SafeTensors.buildSafeTensorsRaw(Seq(
+      ("vec", "F32", Seq(4L), le(v1)),
+      ("mat", "F32", Seq(3L, 2L), le(mat.flatten)),
+      ("ids", "I64", Seq(1L), new Array[Byte](8)))) // non-F32: skipped
+    val df = Seq((1L, blob)).toDF("doc_id", "blob")
+    val rows = SafeTensors.extractTensorVectors(df, "blob")
+      .orderBy("tensor_name", "row_idx").collect()
+    assert(rows.length == 4) // 3 mat rows + 1 vec
+    val matRows = rows.take(3).map(_.getSeq[Float](3).toArray)
+    assert(matRows.zip(mat).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) })
+    assert(java.util.Arrays.equals(rows(3).getSeq[Float](3).toArray, v1))
+  }
+
   test("typed rejects") {
     assert(errOf(Array.empty[Byte]) == "too short")
     assert(errOf(new Array[Byte](5)) == "too short")
