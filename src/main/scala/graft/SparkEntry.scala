@@ -698,6 +698,45 @@ object SparkEntry {
         Similarity.bruteForceTopK(decCorpus, rawQ, "vec_id", "embedding", 9))
     }),
 
+    // ---- CROSS-FORMAT TENSOR DEDUP (the q158/q175 principle on the
+    //      tensor layer): the SAME u8 tensor data ships as safetensors
+    //      on even ids and .npy on odd ids; the decoded-content view
+    //      (nbytes + byte_sum) pairs exactly the in-class docs ACROSS
+    //      formats — pins that the two data-region walks land on
+    //      identical bytes. Class lengths are pairwise distinct, so
+    //      the identity is exact, not probabilistic.
+    "q204_cross_format_tensor_dedup" -> ((s, dir) => {
+      val mkSt = udf((id: Long) => {
+        val acls = (id % 8).toInt
+        val data = cdcGateBytes(62000 + acls, 500 + acls * 37)
+        graft.ext.SafeTensors.buildSafeTensorsRaw(
+          Seq((f"t$acls%d", "U8", Seq(data.length.toLong), data)))
+      })
+      val mkNpy = udf((id: Long) => {
+        val acls = (id % 8).toInt
+        val data = cdcGateBytes(62000 + acls, 500 + acls * 37)
+        graft.ext.Npy.buildNpy("|u1", Seq(data.length.toLong),
+          data.toSeq.map(b => (b & 0xFF).toLong))
+      })
+      val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .where(col("doc_id") % 41 =!= 0).select("doc_id")
+      val st = graft.ext.SafeTensors.safeTensorTable(
+        docs.where(col("doc_id") % 2 === 0)
+          .withColumn("blob", mkSt(col("doc_id"))), "blob")
+        .select(col("doc_id"), col("nbytes"), col("byte_sum"))
+      val np = graft.ext.Npy.extractNpyMeta(
+        docs.where(col("doc_id") % 2 === 1)
+          .withColumn("blob", mkNpy(col("doc_id"))), "blob")
+        .select(col("doc_id"), col("n_elems").as("nbytes"), col("byte_sum"))
+      val all = st.unionByName(np)
+      val a = all.toDF("id_a", "nbytes", "byte_sum")
+      val b = all.toDF("id_b", "nbytes", "byte_sum")
+      a.join(b, Seq("nbytes", "byte_sum"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("nbytes"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5556,6 +5595,17 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // in-class pairs share the data region regardless of carrier
+    "q204_cross_format_tensor_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(500 + a.acls * 37 AS BIGINT) AS nbytes
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // the q43/q44 twin constant: decoded-vector ranking must equal
     // raw-table ranking exactly
     "q203_safetensors_ann" ->

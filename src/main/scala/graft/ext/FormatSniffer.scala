@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * RIFF forms (WAVE/WEBP/AVI ), ftyp-boxed ISO-BMFF (mp4/mov), EBML
   * (webm/mkv), OggS, fLaC, PNG, JPEG, GIF8, ZIP (PK\x03\x04), gzip
   * (1F 8B), zstd (28 B5 2F FD) + skippable, LZ4 (04 22 4D 18),
-  * Avro (Obj\x01), WARC
+  * Avro (Obj\x01), Parquet (PAR1), NumPy (\x93NUMPY), safetensors
+  * (no magic — in-bounds brace-delimited LE header length, the
+  * TFRecord structural-check precedent), WARC
   * (`WARC/1.`), ustar (magic at 257 — checked AFTER the
   * offset-0 magics so a tar of a small file can't be shadowed),
   * ID3/MPEG-sync MP3, TFRecord (no magic — identified by its
@@ -65,12 +67,26 @@ object FormatSniffer {
     if (n >= 4 && (le32(bytes, 0) & 0xFFFFFFF0L) == 0x184D2A50L)
       return "zstd" // skippable opener (magic family shared with lz4)
     if (n >= 4 && ascii(bytes, 0, "Obj") && bytes(3) == 1) return "avro"
+    if (n >= 12 && ascii(bytes, 0, "PAR1")) return "parquet"
+    if (n >= 8 && u(bytes(0)) == 0x93 && ascii(bytes, 1, "NUMPY"))
+      return "npy"
     if (ascii(bytes, 0, "WARC/1.")) return "warc"
     if (n >= 263 && ascii(bytes, 257, "ustar")) return "tar"
     if (ascii(bytes, 0, "ID3")) return "mp3"
     if (n >= 2 && u(bytes(0)) == 0xFF && (u(bytes(1)) & 0xE0) == 0xE0)
       return "mp3" // bare MPEG audio sync
     if (TfRecord.looksLikeTfRecord(bytes)) return "tfrecord"
+    // safetensors has NO magic: 8-byte LE header length whose region
+    // is in-bounds and brace-delimited (the TFRecord no-magic
+    // precedent — structural, not a guess; checked AFTER the
+    // CRC-verified TFRecord test, which is the stronger check)
+    if (n >= 10 && bytes(8) == '{') {
+      var hl = 0L
+      var i = 7
+      while (i >= 0) { hl = (hl << 8) | u(bytes(i)); i -= 1 }
+      if (hl >= 2 && hl <= n - 8 && bytes(8 + hl.toInt - 1) == '}')
+        return "safetensors"
+    }
     // printable-prefix fallback
     val lim = math.min(n, 512)
     var i = 0

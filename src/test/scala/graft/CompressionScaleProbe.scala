@@ -102,6 +102,31 @@ object CompressionScaleProbe {
     }
     println(f"[probe] parquet-meta: $pqRows rows, ${nBlobs / pqSec}%.0f blobs/s")
 
+    val mkSt = udf((id: Long) => graft.ext.SafeTensors.buildSafeTensorsRaw(
+      Seq(("emb", "F32", Seq(125L, 32L), mkContent(id))))) // 125·32·4 = 16000
+    val st = spark.range(nBlobs)
+      .select(col("id").as("doc_id"), mkSt(col("id")).as("blob"))
+      .localCheckpoint()
+    val (stRows, stSec) = time(f"safetensors vector decode, 20k") {
+      graft.ext.SafeTensors.extractTensorVectors(st, "blob").count()
+    }
+    println(f"[probe] safetensors: $stRows vec rows, " +
+      f"${nBlobs / stSec}%.0f blobs/s, ${outMb / stSec}%.0f MB/s decoded")
+
+    val mkNp = udf((id: Long) => {
+      val c = mkContent(id)
+      graft.ext.Npy.buildNpy("|u1", Seq(c.length.toLong),
+        c.toSeq.map(b => (b & 0xFF).toLong))
+    })
+    val np = spark.range(nBlobs)
+      .select(col("id").as("doc_id"), mkNp(col("id")).as("blob"))
+      .localCheckpoint()
+    val (npRows, npSec) = time(f"npy integer decode, 20k") {
+      graft.ext.Npy.extractNpyMeta(np, "blob").count()
+    }
+    println(f"[probe] npy: $npRows rows, ${nBlobs / npSec}%.0f blobs/s, " +
+      f"${outMb / npSec}%.0f MB/s decoded")
+
     spark.stop()
   }
 }

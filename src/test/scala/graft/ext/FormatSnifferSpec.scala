@@ -31,6 +31,11 @@ class FormatSnifferSpec extends SparkFunSuite {
       "zstd" -> Zstd.buildSkippable(Array[Byte](9)),
       "lz4" -> Lz4.buildLz4Frame(Seq((true, Array[Byte](1, 2, 3))),
         Array[Byte](1, 2, 3)),
+      "parquet" -> ParquetMeta.buildParquetBlob(1, Seq("a"), Seq(3L),
+        Seq(30L), "w", bodyLen = 8),
+      "npy" -> Npy.buildNpy("<i4", Seq(2L), Seq(1L, 2L)),
+      "safetensors" -> SafeTensors.buildSafeTensors(
+        Seq(("t", "U8", Seq(3L), 1))),
       "avro" -> AvroOcf.buildAvro("\"bytes\"", "null", sync,
         Seq((1L, Array[Byte](4)))),
       "gzip" -> gzBlob,
