@@ -737,6 +737,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- ORC FOOTER TRIAGE (Apache ORC, no ORC library): postscript
+    //      parse (footer length, codec, trailing magic), the footer
+    //      protobuf dechunked under ORC's 3-byte chunk framing with
+    //      OUR from-spec codecs (raw deflate / Snappy / LZ4 block by
+    //      id%4), stripes + type tree + row counts read and the
+    //      declared numberOfRows cross-checked against the stripe
+    //      sum. Interop-pinned in specs against footers Spark itself
+    //      wrote. Poison: %41 empty, %37 one flipped postscript-magic
+    //      byte — typed reject.
+    "q205_orc_footer" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val codec = (id % 4).toInt match {
+            case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+          }
+          val nG = (1 + id % 3).toInt
+          val rows = (0 until nG).map(g => 100 + (id * 7 + g * 13) % 400)
+          val full = graft.ext.Orc.buildOrc(codec, (2 + id % 3).toInt,
+            rows, contentLength = 5000 + id * 3,
+            bodyLen = (10 + id % 40).toInt,
+            chunkEvery = if (id % 5 == 0) 48 else 1 << 14)
+          if (id % 37 == 0)
+            full(full.length - 2) = (full(full.length - 2) ^ 0x01).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Orc.extractOrcMeta(blobs, "blob")
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5595,6 +5628,26 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // footer fields are pure (doc, stripe) formulas, codec-independent
+    "q205_orc_footer" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |g AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS g FROM d),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(100 + (doc_id*7 + g*13) % 400) AS BIGINT) AS num_rows,
+        |    CAST(COUNT(*) AS INTEGER) AS n_stripes
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'NONE'
+        |       WHEN 1 THEN 'ZLIB' WHEN 2 THEN 'SNAPPY'
+        |       ELSE 'LZ4' END AS compression,
+        |  n_stripes, CAST(2 + doc_id % 3 AS INTEGER) AS n_cols,
+        |  num_rows, CAST(5000 + doc_id * 3 AS BIGINT) AS content_length
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // in-class pairs share the data region regardless of carrier
     "q204_cross_format_tensor_dedup" ->
       """WITH d AS (

@@ -177,6 +177,18 @@ object Lz4 {
     Right(()) // empty block (no sequences) — degenerate but total
   }
 
+  /** Standalone LZ4 BLOCK decode (no frame) — what ORC/Hadoop-style
+    * chunk framings carry. Bounded by `maxOut`.
+    */
+  def decodeRawBlock(src: Array[Byte], from: Int, until: Int,
+                     maxOut: Long): Either[String, Array[Byte]] = {
+    val buf = new ByteBuf(math.min(maxOut, 4096L).toInt)
+    decodeBlock(src, from, until, buf, 0, maxOut) match {
+      case Left(e) => Left(e)
+      case Right(_) => Right(buf.toArray)
+    }
+  }
+
   // ------------------------------------------------------------------
 
   private val Lz4Magic = 0x184D2204L

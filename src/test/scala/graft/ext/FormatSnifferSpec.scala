@@ -33,6 +33,7 @@ class FormatSnifferSpec extends SparkFunSuite {
         Array[Byte](1, 2, 3)),
       "parquet" -> ParquetMeta.buildParquetBlob(1, Seq("a"), Seq(3L),
         Seq(30L), "w", bodyLen = 8),
+      "orc" -> Orc.buildOrc(2, 2, Seq(5L), 10L, bodyLen = 8),
       "npy" -> Npy.buildNpy("<i4", Seq(2L), Seq(1L, 2L)),
       "safetensors" -> SafeTensors.buildSafeTensors(
         Seq(("t", "U8", Seq(3L), 1))),
