@@ -770,6 +770,59 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- COLUMNAR-SHARD TRIAGE (the q191/q199 shape on the table
+    //      formats): parquet, ORC, and Avro shards interleave by id%3;
+    //      the sniffer routes each to ITS footer/block walk and the
+    //      three row-count inventories union into one
+    //      (format, num_rows) table — the dataset-manifest audit a
+    //      100 TB ingest runs before trusting shard metadata.
+    //      Wrong routing zeroes a third of the corpus.
+    "q206_columnar_triage" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val nG = (1 + id % 3).toInt
+          val rows = (0 until nG).map(g => 50 + (id * 11 + g * 7) % 300)
+          (id % 3).toInt match {
+            case 0 => graft.ext.ParquetMeta.buildParquetBlob(1,
+              (0 until (2 + id % 3).toInt).map(c => f"c$c%d"),
+              rows, rows.map(_ * 100), f"w${id % 5}%d",
+              bodyLen = (10 + id % 30).toInt)
+            case 1 => graft.ext.Orc.buildOrc(
+              if (id % 2 == 0) 1 else 2, (2 + id % 3).toInt, rows,
+              contentLength = 400 + id, bodyLen = (10 + id % 30).toInt)
+            case _ =>
+              val sync = Array.tabulate(16)(i =>
+                ((id * 29 + i * 17) % 251).toByte)
+              graft.ext.AvroOcf.buildAvro("\"bytes\"",
+                if (id % 2 == 0) "deflate" else "snappy", sync,
+                rows.zipWithIndex.map { case (r, g) =>
+                  val p = new Array[Byte]((40 + (id + g * 13) % 100).toInt)
+                  java.util.Arrays.fill(p, ((id + g) % 251).toByte)
+                  (r, p)
+                })
+          }
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val sniffed = graft.ext.FormatSniffer.sniffFormats(blobs, "blob")
+        .join(blobs, "doc_id")
+      val pq = graft.ext.ParquetMeta.extractParquetMeta(
+          sniffed.where(col("format") === "parquet").drop("format"), "blob")
+        .select(col("doc_id"), lit("parquet").as("format"), col("num_rows"))
+      val orc = graft.ext.Orc.extractOrcMeta(
+          sniffed.where(col("format") === "orc").drop("format"), "blob")
+        .select(col("doc_id"), lit("orc").as("format"), col("num_rows"))
+      val avro = graft.ext.AvroOcf.extractAvroBlocks(
+          sniffed.where(col("format") === "avro").drop("format"), "blob")
+        .groupBy("doc_id")
+        .agg(sum("n_records").as("num_rows"))
+        .select(col("doc_id"), lit("avro").as("format"), col("num_rows"))
+      pq.unionByName(orc).unionByName(avro)
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5628,6 +5681,24 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // one (format, num_rows) row per shard; num_rows is the same
+    // stripe/row-group/block sum for every family
+    "q206_columnar_triage" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0),
+        |g AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS g FROM d),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(50 + (doc_id*11 + g*7) % 300) AS BIGINT) AS num_rows
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'parquet'
+        |       WHEN 1 THEN 'orc' ELSE 'avro' END AS format,
+        |  num_rows
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // footer fields are pure (doc, stripe) formulas, codec-independent
     "q205_orc_footer" ->
       """WITH d AS (
