@@ -823,6 +823,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CROSS-FORMAT IMAGE DEDUP (the q158 principle on still
+    //      images): the SAME grayscale pixel field ships as PNG on
+    //      even ids and BMP on odd ids (class = id%8, geometry varies
+    //      per class); both decode through the one real-codec
+    //      imageHash path, and pairing on (w, h, ahash) finds exactly
+    //      the in-class pairs ACROSS formats — byte-level views find
+    //      none. A crawled image corpus is exactly this mix.
+    "q207_cross_format_image_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val acls = (id % 8)
+          graft.ext.Multimodal.syntheticGrayImage(
+            30 + (acls % 5).toInt * 7, 26 + (acls % 3).toInt * 9, acls,
+            if (id % 2 == 0) "png" else "bmp")
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val sig = Multimodal.imageHash(blobs, "blob")
+        .where(col("img.ok"))
+        .select(col("doc_id"), col("img.w").as("w"),
+          col("img.h").as("h"), col("img.ahash").as("ahash"))
+      val a = sig.toDF("id_a", "w", "h", "ahash")
+      val b = sig.toDF("id_b", "w", "h", "ahash")
+      a.join(b, Seq("w", "h", "ahash")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("w").cast("long").as("w"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5681,6 +5711,18 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // in-class pairs share the pixel field regardless of carrier;
+    // w is the class geometry formula
+    "q207_cross_format_image_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(30 + (a.acls % 5) * 7 AS BIGINT) AS w
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // one (format, num_rows) row per shard; num_rows is the same
     // stripe/row-group/block sum for every family
     "q206_columnar_triage" ->

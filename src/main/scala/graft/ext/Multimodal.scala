@@ -157,7 +157,16 @@ object Multimodal {
     * one (saturating) — the planted near-duplicate perturbation.
     */
   def syntheticGrayPng(w: Int, h: Int, seed: Long,
-                       tweakMod: Int = 0): Array[Byte] = {
+                       tweakMod: Int = 0): Array[Byte] =
+    syntheticGrayImage(w, h, seed, "png", tweakMod)
+
+  /** The same exact pixel field under any lossless ImageIO encoder
+    * ("png", "bmp", …) — the cross-format image-dedup fixture: two
+    * carriers of one field must decode to identical samples, so their
+    * perceptual hashes agree bit-for-bit.
+    */
+  def syntheticGrayImage(w: Int, h: Int, seed: Long, format: String,
+                         tweakMod: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, s"bad geometry ${w}x$h")
     require(seed >= 0, s"seed must be non-negative: $seed")
     imageIoInit
@@ -176,7 +185,8 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ok = javax.imageio.ImageIO.write(img, format, out)
+    require(ok, s"no ImageIO writer for format $format")
     out.toByteArray
   }
 
