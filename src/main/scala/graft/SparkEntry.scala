@@ -853,6 +853,45 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- AVI STREAM INVENTORY (RIFF/AVI — legacy crawled video):
+    //      per-stream metadata (type, timebase, declared length) joined
+    //      with the movi chunk inventory (count + payload sum per
+    //      stream), across JUNK padding (id%3==0), 'rec ' grouping
+    //      (id%5==0), and odd-size chunks whose RIFF pad byte is
+    //      load-bearing. Poison: %41 empty; %37 a lying avih
+    //      dwStreams — declared-vs-found cross-check rejects.
+    "q208_avi_streams" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val hasAudio = id % 2 == 0
+          val streams = Seq(("vids", 1L, 24 + id % 10, 10 + id % 20)) ++
+            (if (hasAudio) Seq(("auds", 1L, 8000 * (1 + id % 3),
+              100 + id % 50)) else Nil)
+          val nvc = (2 + id % 3).toInt
+          val movi = (0 until nvc).map { c =>
+            val p = new Array[Byte]((20 + (id * 7 + c * 13) % 100).toInt)
+            java.util.Arrays.fill(p, ((id + c) % 251).toByte)
+            (0, "dc", p)
+          } ++ (if (hasAudio) (0 until 2).map { c =>
+            val p = new Array[Byte]((30 + (id * 11 + c * 17) % 80).toInt)
+            java.util.Arrays.fill(p, ((id * 3 + c) % 251).toByte)
+            (1, "wb", p)
+          } else Nil)
+          val full = graft.ext.Avi.buildAvi(
+            160 + (id % 16) * 8, 120 + (id % 9) * 8,
+            nvc.toLong, 33333 + id, streams, movi,
+            withJunk = id % 3 == 0, recGroup = id % 5 == 0)
+          if (id % 37 == 0) full(56) = 9 // lie in avih dwStreams
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Avi.extractAviStreams(blobs, "blob")
+        .orderBy("doc_id", "stream_idx")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5711,6 +5750,44 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // stream and chunk fields restated by the fixture formulas; the
+    // audio stream exists on even ids only
+    "q208_avi_streams" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |vc AS (
+        |  SELECT doc_id, SUM((20 + (doc_id*7 + c*13) % 100)
+        |    * ((doc_id + c) % 251)) AS vsum,
+        |    COUNT(*) AS vn
+        |  FROM d, range(0, 5) t(c) WHERE c < 2 + doc_id % 3
+        |  GROUP BY doc_id),
+        |ac AS (
+        |  SELECT doc_id, SUM((30 + (doc_id*11 + c*17) % 80)
+        |    * ((doc_id*3 + c) % 251)) AS asum
+        |  FROM d, range(0, 2) t(c) WHERE doc_id % 2 = 0
+        |  GROUP BY doc_id),
+        |s AS (
+        |  SELECT d.doc_id, 0 AS stream_idx, 'vids' AS fcc_type,
+        |    CAST(1 AS BIGINT) AS scale,
+        |    CAST(24 + d.doc_id % 10 AS BIGINT) AS rate,
+        |    CAST(10 + d.doc_id % 20 AS BIGINT) AS length,
+        |    CAST(vn AS INTEGER) AS n_chunks, CAST(vsum AS BIGINT)
+        |      AS payload_sum
+        |  FROM d JOIN vc ON d.doc_id = vc.doc_id
+        |  UNION ALL
+        |  SELECT d.doc_id, 1, 'auds', CAST(1 AS BIGINT),
+        |    CAST(8000 * (1 + d.doc_id % 3) AS BIGINT),
+        |    CAST(100 + d.doc_id % 50 AS BIGINT),
+        |    CAST(2 AS INTEGER), CAST(asum AS BIGINT)
+        |  FROM d JOIN ac ON d.doc_id = ac.doc_id)
+        |SELECT s.doc_id, CAST(stream_idx AS INTEGER) AS stream_idx,
+        |  fcc_type, scale, rate, length, n_chunks, payload_sum,
+        |  CAST(160 + (s.doc_id % 16) * 8 AS BIGINT) AS width,
+        |  CAST(120 + (s.doc_id % 9) * 8 AS BIGINT) AS height,
+        |  CAST(2 + s.doc_id % 3 AS BIGINT) AS total_frames
+        |FROM s ORDER BY doc_id, stream_idx""".stripMargin,
+
     // in-class pairs share the pixel field regardless of carrier;
     // w is the class geometry formula
     "q207_cross_format_image_dedup" ->
