@@ -892,6 +892,43 @@ object SparkEntry {
         .orderBy("doc_id", "stream_idx")
     }),
 
+    // ---- FLV TAG WALK (Adobe FLV — the other legacy web-video
+    //      wrapper): audio/video/script tags under the VERIFIED
+    //      back-pointer chain (FLV's only integrity device — a reader
+    //      that skips it resynchronizes on garbage), timestamps
+    //      crossing the 24-bit boundary so the extended byte is
+    //      load-bearing, and header flags cross-checked against the
+    //      tag types actually present. Poison: %41 empty; %37 one
+    //      flipped back-pointer byte — typed reject.
+    "q209_flv_tags" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val nv = (2 + id % 3).toInt
+          val tags = Seq((18, 0L,
+            Array.fill((20 + id % 30).toInt)(((id * 3) % 251).toByte))) ++
+            (0 until nv).map { k =>
+              (9, 20000000L * (id % 2) + k * 40L,
+                Array.fill((40 + (id * 7 + k * 13) % 200).toInt)(
+                  ((id + k) % 251).toByte))
+            } ++
+            (if (id % 2 == 0) (0 until 2).map { k =>
+              (8, k * 23L,
+                Array.fill((25 + (id * 11 + k * 5) % 90).toInt)(
+                  ((id * 5 + k) % 251).toByte))
+            } else Nil)
+          val full = graft.ext.Flv.buildFlv(tags)
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x01).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Flv.extractFlvTags(blobs, "blob")
+        .orderBy("doc_id", "tag_idx")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5750,6 +5787,39 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // tag order is script, videos, audios (even ids only); the odd-id
+    // video timestamps start past 2^24 so the extended byte matters
+    "q209_flv_tags" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |sc AS (
+        |  SELECT doc_id, 0 AS tag_idx, 18 AS tag_type,
+        |    CAST(20 + doc_id % 30 AS BIGINT) AS data_size,
+        |    CAST(0 AS BIGINT) AS timestamp_ms,
+        |    CAST((20 + doc_id % 30) * ((doc_id*3) % 251) AS BIGINT)
+        |      AS payload_sum
+        |  FROM d),
+        |v AS (
+        |  SELECT doc_id, CAST(1 + k AS INTEGER) AS tag_idx, 9 AS tag_type,
+        |    CAST(40 + (doc_id*7 + k*13) % 200 AS BIGINT) AS data_size,
+        |    CAST(20000000 * (doc_id % 2) + k * 40 AS BIGINT)
+        |      AS timestamp_ms,
+        |    CAST((40 + (doc_id*7 + k*13) % 200) * ((doc_id + k) % 251)
+        |      AS BIGINT) AS payload_sum
+        |  FROM d, range(0, 5) t(k) WHERE k < 2 + doc_id % 3),
+        |a AS (
+        |  SELECT doc_id, CAST(1 + (2 + doc_id % 3) + k AS INTEGER),
+        |    8, CAST(25 + (doc_id*11 + k*5) % 90 AS BIGINT),
+        |    CAST(k * 23 AS BIGINT),
+        |    CAST((25 + (doc_id*11 + k*5) % 90) * ((doc_id*5 + k) % 251)
+        |      AS BIGINT)
+        |  FROM d, range(0, 2) t(k) WHERE doc_id % 2 = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM sc UNION ALL SELECT * FROM v
+        |  UNION ALL SELECT * FROM a)
+        |ORDER BY doc_id, tag_idx""".stripMargin,
+
     // stream and chunk fields restated by the fixture formulas; the
     // audio stream exists on even ids only
     "q208_avi_streams" ->

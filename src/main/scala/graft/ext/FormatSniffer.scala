@@ -70,6 +70,7 @@ object FormatSniffer {
     if (n >= 12 && ascii(bytes, 0, "PAR1")) return "parquet"
     if (n >= 8 && ascii(bytes, 0, "ORC") && u(bytes(n - 1)) >= 4 &&
         u(bytes(n - 1)) < n - 4) return "orc" // head magic + sane psLen
+    if (n >= 9 && ascii(bytes, 0, "FLV") && u(bytes(3)) == 1) return "flv"
     if (n >= 8 && u(bytes(0)) == 0x93 && ascii(bytes, 1, "NUMPY"))
       return "npy"
     if (ascii(bytes, 0, "WARC/1.")) return "warc"
