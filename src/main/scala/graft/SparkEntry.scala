@@ -929,6 +929,52 @@ object SparkEntry {
         .orderBy("doc_id", "tag_idx")
     }),
 
+    // ---- LEGACY-VIDEO CROSS-CONTAINER DEDUP (q158's MP4↔WebM
+    //      principle on the legacy wrappers): the SAME PNG keyframes
+    //      ride an AVI movi stream on even ids and FLV video tags on
+    //      odd ids (class = id%8); frame payloads extract through each
+    //      container's walk, hash through the ONE real-codec imageHash
+    //      path, and docs pair on the sorted keyframe-hash fingerprint
+    //      — across containers. Byte views of the blobs share nothing.
+    "q210_legacy_video_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val acls = (id % 8)
+          val frames = (0 until 2).map(f =>
+            Multimodal.syntheticGrayPng(
+              30 + (acls % 4).toInt * 5, 24 + (acls % 3).toInt * 6,
+              acls * 100 + f))
+          if (id % 2 == 0)
+            graft.ext.Avi.buildAvi(64, 48, 2, 33333,
+              Seq(("vids", 1L, 25L, 2L)),
+              frames.zipWithIndex.map { case (p, i) => (0, "dc", p) })
+          else
+            graft.ext.Flv.buildFlv(
+              frames.zipWithIndex.map { case (p, i) => (9, i * 40L, p) })
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val aviFrames = graft.ext.Avi.extractAviPayloads(
+        blobs.where(col("doc_id") % 2 === 0), "blob", 0)
+      val flvFrames = graft.ext.Flv.extractFlvPayloads(
+        blobs.where(col("doc_id") % 2 === 1), "blob", 9)
+      val payloads = aviFrames.unionByName(flvFrames)
+        .select(col("doc_id"), col("content"))
+      val sig = Multimodal.imageHash(payloads, "content")
+        .where(col("img.ok"))
+        .groupBy("doc_id")
+        .agg(xxhash64(concat_ws(",",
+          array_sort(collect_list(col("img.ahash").cast("string")))))
+          .as("fp"), count(lit(1)).as("nf"))
+      val a = sig.toDF("id_a", "fp", "nf")
+      val b = sig.toDF("id_b", "fp", "nf")
+      a.join(b, Seq("fp", "nf")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("nf").cast("long").as("nf"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5787,6 +5833,17 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // in-class docs share both keyframes regardless of container
+    "q210_legacy_video_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(2 AS BIGINT) AS nf
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // tag order is script, videos, audios (even ids only); the odd-id
     // video timestamps start past 2^24 so the extended byte matters
     "q209_flv_tags" ->

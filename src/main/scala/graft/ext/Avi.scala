@@ -204,6 +204,65 @@ object Avi {
     }(enc)
   }
 
+  /** Decoded movi payloads of stream `streamIdx`:
+    * `(…keep…, chunk_idx, content)` — the composition half (video
+    * frame payloads into the image-hash / content-dedup paths).
+    * Validates via [[aviTable]] first; poison blobs yield zero rows.
+    */
+  def extractAviPayloads(df: DataFrame, binCol: String,
+                         streamIdx: Int): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("chunk_idx", IntegerType, nullable = false),
+        StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        aviTable(bytes) match {
+          case Left(_) => Iterator.empty
+          case Right(_) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            // second pass trusting validation: collect the stream's
+            // movi chunk extents (the Gzip/Zip two-pass convention)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[Array[Byte]]
+            def walk(from: Int, until: Int): Unit = {
+              var p = from
+              while (p < until) {
+                val id = fourcc(bytes, p)
+                val sz = le32(bytes, p + 4).toInt
+                val body = p + 8
+                if (id == "LIST") {
+                  val lt = fourcc(bytes, body)
+                  if (lt == "movi" || lt == "rec ")
+                    walk(body + 4, body + sz)
+                } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
+                    (id.charAt(0) - '0') * 10 + (id.charAt(1) - '0')
+                      == streamIdx) {
+                  out += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+                }
+                p = body + sz + (sz & 1)
+              }
+            }
+            walk(12, (le32(bytes, 4) + 8).toInt)
+            out.iterator.zipWithIndex.map { case (c, ci) =>
+              val arr = new Array[Any](nKeep + 2)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = ci; arr(nKeep + 1) = c
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Error channel: `(…keep…, error)`. */
   def aviErrors(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++

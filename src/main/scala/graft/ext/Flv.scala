@@ -118,6 +118,52 @@ object Flv {
     }(enc)
   }
 
+  /** Decoded payloads of tags of `tagType`:
+    * `(…keep…, chunk_idx, content)` — the composition half. Validates
+    * via [[flvTagTable]] first; poison blobs yield zero rows.
+    */
+  def extractFlvPayloads(df: DataFrame, binCol: String,
+                         tagType: Int): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("chunk_idx", IntegerType, nullable = false),
+        StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        flvTagTable(bytes) match {
+          case Left(_) => Iterator.empty
+          case Right(_) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[Array[Byte]]
+            var p = be32(bytes, 5).toInt + 4
+            while (p < bytes.length) {
+              val tt = u(bytes(p))
+              val sz = be24(bytes, p + 1).toInt
+              if (tt == tagType)
+                out += java.util.Arrays.copyOfRange(bytes, p + 11,
+                  p + 11 + sz)
+              p += 11 + sz + 4
+            }
+            out.iterator.zipWithIndex.map { case (c, ci) =>
+              val arr = new Array[Any](nKeep + 2)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = ci; arr(nKeep + 1) = c
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Error channel: `(…keep…, error)`. */
   def flvErrors(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
