@@ -975,6 +975,45 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- ZIP64 CODING EQUIVALENCE (APPNOTE 4.5 — what any >4 GiB
+    //      shard or >65535-entry store carries): the SAME logical
+    //      entries are written with classic 32-bit records on even ids
+    //      and FORCED zip64 markers (EOCD64 locator/record, 0x0001
+    //      extra fields) on odd ids, under a coding-INDEPENDENT
+    //      oracle — marker resolution and re-bounds-checking are
+    //      load-bearing. Poison: %41 empty; %37 one flipped EOCD64
+    //      signature byte on the zip64 leg (classic leg: one flipped
+    //      payload byte under the entry CRC) — typed rejects.
+    "q211_zip64_members" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val entries = (0 until (2 + id % 3).toInt).map { k =>
+            val size = (20 + (id * 11 + k * 7) % 300).toInt
+            val payload = new Array[Byte](size)
+            java.util.Arrays.fill(payload, ((id + k * 13) % 251).toByte)
+            (f"e$id%04d_$k%02d.dat",
+              if ((id + k) % 2 == 0) 0 else 8, payload)
+          }
+          val full = graft.ext.ZipArchive.buildZip(entries,
+            forceZip64 = id % 2 == 1)
+          if (id % 37 == 0) {
+            if (id % 2 == 1) {
+              val at = (0 until full.length - 4).indexWhere(i =>
+                full(i) == 'P' && full(i + 1) == 'K' &&
+                  full(i + 2) == 6 && full(i + 3) == 6)
+              full(at + 3) = 9
+            } else full(45) = (full(45) ^ 0x08).toByte
+          }
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.ZipArchive.extractZipEntries(blobs, "blob")
+        .orderBy("doc_id", "entry_idx")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5833,6 +5872,23 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // the q177 entry formulas, identical under both codings
+    "q211_zip64_members" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS k FROM d)
+        |SELECT doc_id, CAST(k AS INTEGER) AS entry_idx,
+        |  printf('e%04d_%02d.dat', CAST(doc_id AS INTEGER),
+        |    CAST(k AS INTEGER)) AS name,
+        |  CAST(CASE WHEN (doc_id + k) % 2 = 0 THEN 0 ELSE 8 END
+        |    AS INTEGER) AS method,
+        |  CAST(20 + (doc_id*11 + k*7) % 300 AS BIGINT) AS usize,
+        |  CAST((20 + (doc_id*11 + k*7) % 300) * ((doc_id + k*13) % 251)
+        |    AS BIGINT) AS payload_sum
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
+
     // in-class docs share both keyframes regardless of container
     "q210_legacy_video_dedup" ->
       """WITH d AS (

@@ -23,9 +23,13 @@ import org.apache.spark.sql.types._
   * entry's CRC-32 is verified against the decompressed payload, and
   * inflation is capped (`maxInflate`) so a zip bomb cannot allocate
   * its claimed size — the [[WebArchive]] gzip-bomb argument. Stored
-  * (method 0) and deflated (method 8) entries are decoded; encrypted
-  * entries, data-descriptor streams (flag bit 3), and ZIP64 markers
-  * are typed rejects (quarantine, spec-pinned).
+  * (method 0) and deflated (method 8) entries are decoded; ZIP64
+  * (APPNOTE 4.5 — what any >4 GiB shard or >65535-entry store
+  * carries) is fully supported: EOCD64 locator/record and per-entry
+  * 0x0001 extra fields resolve the 0xFFFF/0xFFFFFFFF markers, with
+  * every resolved value re-bounds-checked. Encrypted entries and
+  * data-descriptor streams stay typed rejects (quarantine,
+  * spec-pinned).
   */
 object ZipArchive {
 
@@ -39,6 +43,75 @@ object ZipArchive {
   private def le32(b: Array[Byte], p: Int): Long =
     (u(b(p)) | (u(b(p + 1)) << 8) | (u(b(p + 2)) << 16)).toLong |
       (u(b(p + 3)).toLong << 24)
+
+  private def le64(b: Array[Byte], p: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | u(b(p + i)); i -= 1 }
+    v
+  }
+
+  /** One central-directory entry with ZIP64 (APPNOTE 4.5) extra-field
+    * resolution: 0xFFFFFFFF-marked usize/csize/lhOff are read from the
+    * 0x0001 extra field in spec order. `entryLen` is the full CD
+    * record length (for cursor advance).
+    */
+  private final case class CdEntry(name: String, nameLen: Int, flags: Int,
+                                   method: Int, crc: Long, csize: Long,
+                                   usize: Long, lhOff: Long, entryLen: Int)
+
+  private def readCdEntry(bytes: Array[Byte], cp: Int, cdEnd: Int)
+      : Either[String, CdEntry] = {
+    if (cdEnd - cp < 46) return Left("truncated central directory entry")
+    if (!(bytes(cp) == 'P' && bytes(cp + 1) == 'K' && bytes(cp + 2) == 1 &&
+          bytes(cp + 3) == 2)) return Left("bad central directory signature")
+    val flags = le16(bytes, cp + 8)
+    val method = le16(bytes, cp + 10)
+    val crc = le32(bytes, cp + 16)
+    var csize = le32(bytes, cp + 20)
+    var usize = le32(bytes, cp + 24)
+    val nameLen = le16(bytes, cp + 28)
+    val extraLen = le16(bytes, cp + 30)
+    val commentLen = le16(bytes, cp + 32)
+    var lhOff = le32(bytes, cp + 42)
+    if (cdEnd - cp < 46 + nameLen + extraLen + commentLen)
+      return Left("truncated central directory entry")
+    val name = new String(bytes, cp + 46, nameLen,
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (usize == 0xFFFFFFFFL || csize == 0xFFFFFFFFL ||
+        lhOff == 0xFFFFFFFFL) {
+      // walk extra fields for the ZIP64 record
+      var ep = cp + 46 + nameLen
+      val eEnd = ep + extraLen
+      var found = false
+      while (ep + 4 <= eEnd && !found) {
+        val id = le16(bytes, ep)
+        val sz = le16(bytes, ep + 2)
+        if (ep + 4 + sz > eEnd) return Left("extra field out of bounds")
+        if (id == 0x0001) {
+          var fp = ep + 4
+          val fEnd = ep + 4 + sz
+          def take8(): Either[String, Long] = {
+            if (fp + 8 > fEnd) Left("zip64 extra too short")
+            else { val v = le64(bytes, fp); fp += 8; Right(v) }
+          }
+          if (usize == 0xFFFFFFFFL) take8() match {
+            case Left(e) => return Left(e); case Right(v) => usize = v
+          }
+          if (csize == 0xFFFFFFFFL) take8() match {
+            case Left(e) => return Left(e); case Right(v) => csize = v
+          }
+          if (lhOff == 0xFFFFFFFFL) take8() match {
+            case Left(e) => return Left(e); case Right(v) => lhOff = v
+          }
+          found = true
+        } else ep += 4 + sz
+      }
+      if (!found) return Left("missing zip64 extra field")
+    }
+    Right(CdEntry(name, nameLen, flags, method, crc, csize, usize, lhOff,
+      46 + nameLen + extraLen + commentLen))
+  }
 
   /** Walk one ZIP blob via its central directory. `maxInflate` caps
     * the total decompressed bytes per entry.
@@ -62,55 +135,73 @@ object ZipArchive {
     if (eocd < 0) return Left("no end-of-central-directory")
     if (le16(bytes, eocd + 4) != 0 || le16(bytes, eocd + 6) != 0)
       return Left("multi-disk archive unsupported")
-    val nEntries = le16(bytes, eocd + 10)
-    if (le16(bytes, eocd + 8) != nEntries)
+    var nEntries = le16(bytes, eocd + 10).toLong
+    if (le16(bytes, eocd + 8).toLong != nEntries)
       return Left("disk/total entry count mismatch")
-    val cdSize = le32(bytes, eocd + 12)
-    val cdOff = le32(bytes, eocd + 16)
-    if (nEntries == 0xFFFF || cdOff == 0xFFFFFFFFL || cdSize == 0xFFFFFFFFL)
-      return Left("zip64 unsupported")
-    if (cdOff + cdSize > eocd) return Left("central directory out of bounds")
+    var cdSize = le32(bytes, eocd + 12)
+    var cdOff = le32(bytes, eocd + 16)
+    if (nEntries == 0xFFFFL || cdOff == 0xFFFFFFFFL ||
+        cdSize == 0xFFFFFFFFL) {
+      // ZIP64 (APPNOTE 4.5): EOCD64 locator immediately precedes EOCD
+      if (eocd < 20) return Left("missing zip64 locator")
+      val loc = eocd - 20
+      if (!(bytes(loc) == 'P' && bytes(loc + 1) == 'K' &&
+            bytes(loc + 2) == 6 && bytes(loc + 3) == 7))
+        return Left("missing zip64 locator")
+      if (le32(bytes, loc + 4) != 0L || le32(bytes, loc + 16) != 1L)
+        return Left("multi-disk archive unsupported")
+      val e64 = le64(bytes, loc + 8)
+      if (e64 < 0 || e64 + 56 > loc) return Left("zip64 eocd out of bounds")
+      val ep = e64.toInt
+      if (!(bytes(ep) == 'P' && bytes(ep + 1) == 'K' &&
+            bytes(ep + 2) == 6 && bytes(ep + 3) == 6))
+        return Left("bad zip64 eocd signature")
+      if (le32(bytes, ep + 16) != 0L || le32(bytes, ep + 20) != 0L)
+        return Left("multi-disk archive unsupported")
+      nEntries = le64(bytes, ep + 32)
+      if (le64(bytes, ep + 24) != nEntries)
+        return Left("disk/total entry count mismatch")
+      cdSize = le64(bytes, ep + 40)
+      cdOff = le64(bytes, ep + 48)
+      if (nEntries < 0 || nEntries > Int.MaxValue)
+        return Left("zip64 entry count out of bounds")
+      if (cdSize < 0 || cdOff < 0 || cdOff + cdSize > e64)
+        return Left("central directory out of bounds")
+    } else if (cdOff + cdSize > eocd)
+      return Left("central directory out of bounds")
     val out = scala.collection.mutable.ArrayBuffer.empty[ZipEntry]
     var cp = cdOff.toInt
     val cdEnd = (cdOff + cdSize).toInt
     var idx = 0
     while (idx < nEntries) {
-      if (cdEnd - cp < 46) return Left("truncated central directory entry")
-      if (!(bytes(cp) == 'P' && bytes(cp + 1) == 'K' && bytes(cp + 2) == 1 &&
-            bytes(cp + 3) == 2)) return Left("bad central directory signature")
-      val flags = le16(bytes, cp + 8)
-      val method = le16(bytes, cp + 10)
-      val crc = le32(bytes, cp + 16)
-      val csize = le32(bytes, cp + 20)
-      val usize = le32(bytes, cp + 24)
-      val nameLen = le16(bytes, cp + 28)
-      val extraLen = le16(bytes, cp + 30)
-      val commentLen = le16(bytes, cp + 32)
-      val lhOff = le32(bytes, cp + 42)
-      if (cdEnd - cp < 46 + nameLen + extraLen + commentLen)
-        return Left("truncated central directory entry")
-      val name = new String(bytes, cp + 46, nameLen,
-        java.nio.charset.StandardCharsets.UTF_8)
+      val e = readCdEntry(bytes, cp, cdEnd) match {
+        case Left(err) => return Left(err)
+        case Right(v) => v
+      }
+      val name = e.name
+      val method = e.method
+      val csize = e.csize
+      val usize = e.usize
+      val crc = e.crc
       if (name.isEmpty) return Left("empty entry name")
-      if ((flags & 0x0001) != 0) return Left("encrypted entry unsupported")
-      if ((flags & 0x0008) != 0) return Left("data descriptor unsupported")
+      if ((e.flags & 0x0001) != 0) return Left("encrypted entry unsupported")
+      if ((e.flags & 0x0008) != 0) return Left("data descriptor unsupported")
       if (method != 0 && method != 8) return Left("unsupported method")
-      if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL)
-        return Left("zip64 unsupported")
       if (usize > maxInflate) return Left("entry exceeds inflate cap")
       // local header agreement + payload location
-      if (lhOff + 30 > n) return Left("local header out of bounds")
-      val lp = lhOff.toInt
+      if (e.lhOff < 0 || e.lhOff + 30 > n)
+        return Left("local header out of bounds")
+      val lp = e.lhOff.toInt
       if (!(bytes(lp) == 'P' && bytes(lp + 1) == 'K' && bytes(lp + 2) == 3 &&
             bytes(lp + 3) == 4)) return Left("bad local header signature")
       val lNameLen = le16(bytes, lp + 26)
       val lExtraLen = le16(bytes, lp + 28)
-      if (lhOff + 30 + lNameLen + lExtraLen + csize > n)
+      if (csize < 0 || e.lhOff + 30 + lNameLen + lExtraLen + csize > n)
         return Left("entry payload out of bounds")
-      if (lNameLen != nameLen ||
+      if (lNameLen != e.nameLen ||
           !java.util.Arrays.equals(
             java.util.Arrays.copyOfRange(bytes, lp + 30, lp + 30 + lNameLen),
-            java.util.Arrays.copyOfRange(bytes, cp + 46, cp + 46 + nameLen)))
+            java.util.Arrays.copyOfRange(bytes, cp + 46, cp + 46 + e.nameLen)))
         return Left("central/local name mismatch")
       if (le16(bytes, lp + 8) != method)
         return Left("central/local method mismatch")
@@ -156,7 +247,7 @@ object ZipArchive {
       if (produced != usize) return Left("inflated size mismatch")
       if (crcCalc.getValue != crc) return Left("bad entry crc")
       out += ZipEntry(idx, name, method, usize, csize, sum)
-      cp += 46 + nameLen + extraLen + commentLen
+      cp += e.entryLen
       idx += 1
     }
     if (cp != cdEnd) return Left("central directory size mismatch")
@@ -178,18 +269,24 @@ object ZipArchive {
     var p = n - 22
     while (!(bytes(p) == 'P' && bytes(p + 1) == 'K' && bytes(p + 2) == 5 &&
         bytes(p + 3) == 6)) p -= 1
-    val nEntries = le16(bytes, p + 10)
-    var cp = le32(bytes, p + 16).toInt
+    var nEntries = le16(bytes, p + 10).toLong
+    var cpL = le32(bytes, p + 16)
+    if (nEntries == 0xFFFFL || cpL == 0xFFFFFFFFL) {
+      val ep = le64(bytes, p - 20 + 8).toInt // EOCD64 via its locator
+      nEntries = le64(bytes, ep + 32)
+      cpL = le64(bytes, ep + 48)
+    }
+    var cp = cpL.toInt
     var idx = 0
     while (idx < nEntries) {
-      val method = le16(bytes, cp + 10)
-      val csize = le32(bytes, cp + 20)
-      val nameLen = le16(bytes, cp + 28)
-      val extraLen = le16(bytes, cp + 30)
-      val commentLen = le16(bytes, cp + 32)
-      val lp = le32(bytes, cp + 42).toInt
-      val name = new String(bytes, cp + 46, nameLen,
-        java.nio.charset.StandardCharsets.UTF_8)
+      val e = readCdEntry(bytes, cp, n) match {
+        case Left(_) => return res.toSeq
+        case Right(v) => v
+      }
+      val method = e.method
+      val csize = e.csize
+      val lp = e.lhOff.toInt
+      val name = e.name
       if ((suffix.isEmpty || name.endsWith(suffix)) && !name.endsWith("/")) {
         val dataOff = lp + 30 + le16(bytes, lp + 26) + le16(bytes, lp + 28)
         val content =
@@ -210,7 +307,7 @@ object ZipArchive {
           }
         res += ((idx, name, content))
       }
-      cp += 46 + nameLen + extraLen + commentLen
+      cp += e.entryLen
       idx += 1
     }
     res.toSeq
@@ -329,7 +426,8 @@ object ZipArchive {
     * 8 deflated; real CRC-32s, coherent central directory.
     */
   def buildZip(entries: Seq[(String, Int, Array[Byte])],
-               comment: String = ""): Array[Byte] = {
+               comment: String = "",
+               forceZip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def w32(v: Long): Unit = {
@@ -364,20 +462,50 @@ object ZipArchive {
       (nameBytes, method, crc.getValue, data.length.toLong,
         payload.length.toLong, off.toLong)
     }
+    def w64(v: Long): Unit = {
+      var x = v
+      var i = 0
+      while (i < 8) { out.write((x & 0xFF).toInt); x >>= 8; i += 1 }
+    }
     val cdOff = out.size()
     metas.foreach { case (nameBytes, method, crc, csize, usize, off) =>
       out.write(Array[Byte]('P', 'K', 1, 2))
-      w16(20); w16(20); w16(0); w16(method); w16(0); w16(0)
-      w32(crc); w32(csize); w32(usize)
-      w16(nameBytes.length); w16(0); w16(0); w16(0); w16(0)
-      w32(0); w32(off)
-      out.write(nameBytes)
+      w16(if (forceZip64) 45 else 20); w16(if (forceZip64) 45 else 20)
+      w16(0); w16(method); w16(0); w16(0)
+      if (forceZip64) {
+        // 0xFFFFFFFF markers; real values live in the 0x0001 extra
+        w32(crc); w32(0xFFFFFFFFL); w32(0xFFFFFFFFL)
+        w16(nameBytes.length); w16(4 + 24); w16(0); w16(0); w16(0)
+        w32(0); w32(0xFFFFFFFFL)
+        out.write(nameBytes)
+        w16(0x0001); w16(24)
+        w64(usize); w64(csize); w64(off)
+      } else {
+        w32(crc); w32(csize); w32(usize)
+        w16(nameBytes.length); w16(0); w16(0); w16(0); w16(0)
+        w32(0); w32(off)
+        out.write(nameBytes)
+      }
     }
     val cdSize = out.size() - cdOff
     val cb = comment.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    out.write(Array[Byte]('P', 'K', 5, 6))
-    w16(0); w16(0); w16(metas.length); w16(metas.length)
-    w32(cdSize); w32(cdOff); w16(cb.length)
+    if (forceZip64) {
+      val e64 = out.size()
+      out.write(Array[Byte]('P', 'K', 6, 6))
+      w64(44L) // size of remaining record
+      w16(45); w16(45); w32(0L); w32(0L)
+      w64(metas.length.toLong); w64(metas.length.toLong)
+      w64(cdSize.toLong); w64(cdOff.toLong)
+      out.write(Array[Byte]('P', 'K', 6, 7)) // locator
+      w32(0L); w64(e64.toLong); w32(1L)
+      out.write(Array[Byte]('P', 'K', 5, 6))
+      w16(0); w16(0); w16(0xFFFF); w16(0xFFFF)
+      w32(0xFFFFFFFFL); w32(0xFFFFFFFFL); w16(cb.length)
+    } else {
+      out.write(Array[Byte]('P', 'K', 5, 6))
+      w16(0); w16(0); w16(metas.length); w16(metas.length)
+      w32(cdSize); w32(cdOff); w16(cb.length)
+    }
     out.write(cb)
     out.toByteArray
   }

@@ -26,6 +26,56 @@ class ZipArchiveSpec extends SparkFunSuite {
     assert(es(1).csize < 5000L)
   }
 
+  test("zip64: forced markers resolve to the same entry table") {
+    val entries = Seq(
+      ("a/x.txt", 0, fill(7, 100)),
+      ("big.bin", 8, Array.tabulate(5000)(i => (i % 251).toByte)))
+    val plain = ZipArchive.buildZip(entries)
+    val z64 = ZipArchive.buildZip(entries, forceZip64 = true)
+    val Right(ep) = ZipArchive.zipEntryTable(plain): @unchecked
+    val Right(e64) = ZipArchive.zipEntryTable(z64): @unchecked
+    assert(e64 == ep) // identical logical table through both codings
+    // payload extraction resolves the markers too
+    import spark.implicits._
+    val df = Seq((1L, z64)).toDF("id", "blob")
+    val pay = ZipArchive.extractZipPayloads(df, "blob").collect()
+    assert(pay.length == 2)
+    assert(java.util.Arrays.equals(
+      pay(0).getAs[Array[Byte]]("content"), fill(7, 100)))
+    // typed rejects on mangled zip64 structures
+    val noLoc = z64.clone()
+    val locAt = (0 until noLoc.length - 4).find(i =>
+      noLoc(i) == 'P' && noLoc(i + 1) == 'K' && noLoc(i + 2) == 6 &&
+        noLoc(i + 3) == 7).get
+    noLoc(locAt + 3) = 9
+    assert(ZipArchive.zipEntryTable(noLoc) == Left("missing zip64 locator"))
+    val badSig = z64.clone()
+    val e64At = (0 until badSig.length - 4).find(i =>
+      badSig(i) == 'P' && badSig(i + 1) == 'K' && badSig(i + 2) == 6 &&
+        badSig(i + 3) == 6).get
+    badSig(e64At + 3) = 9
+    assert(ZipArchive.zipEntryTable(badSig) ==
+      Left("bad zip64 eocd signature"))
+    // truncation totality over the zip64 coding
+    (0 until z64.length by 3).foreach(k => ZipArchive.zipEntryTable(z64.take(k)))
+  }
+
+  test("zip64 interop: java.util.zip.ZipFile reads our forced fixture") {
+    val z64 = ZipArchive.buildZip(Seq(("f.txt", 8, fill(3, 321))),
+      forceZip64 = true)
+    val tmp = java.io.File.createTempFile("graftz64", ".zip")
+    try {
+      java.nio.file.Files.write(tmp.toPath, z64)
+      val zf = new java.util.zip.ZipFile(tmp)
+      try {
+        val e = zf.getEntry("f.txt")
+        assert(e != null && e.getSize == 321L)
+        val got = zf.getInputStream(e).readAllBytes()
+        assert(java.util.Arrays.equals(got, fill(3, 321)))
+      } finally zf.close()
+    } finally tmp.delete()
+  }
+
   test("interop: java.util.zip.ZipInputStream reads our fixture") {
     val zip = ZipArchive.buildZip(Seq(("f.txt", 8, fill(3, 321))))
     val zin = new java.util.zip.ZipInputStream(
