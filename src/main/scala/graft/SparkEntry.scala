@@ -1014,6 +1014,45 @@ object SparkEntry {
         .orderBy("doc_id", "entry_idx")
     }),
 
+    // ---- MESSAGEPACK FIELD INVENTORY (the msgpack spec — binary-JSON
+    //      record shards, schema-free like the protobuf walk q182):
+    //      records are maps mixing every reachable family — fixint /
+    //      uint16 / uint32 ids, negative fixints, fixstr/str8 text,
+    //      fixarrays of ints, bools, float64 on even ids, nils by
+    //      (id+r)%3 — and the walk's per-family (count, value-mass)
+    //      inventory is restated formula-by-formula. Poison: %41
+    //      empty, %37 the reserved byte 0xC1 spliced at the end —
+    //      typed reject.
+    "q212_msgpack_fields" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val pk = new graft.ext.MsgPack.Packer
+          val nr = (2 + id % 3).toInt
+          (0 until nr).foreach { r =>
+            val score = id % 2 == 0
+            val opt = (id + r) % 3 == 0
+            pk.mapHeader(5 + (if (score) 1 else 0) + (if (opt) 1 else 0))
+            pk.str("id").int(id * 1000 + r)
+            pk.str("neg").int(-(1 + (id + r * 7) % 200))
+            pk.str("text").str("t" * (10 + (id * 3 + r) % 40).toInt)
+            val m = (1 + (id + r) % 4).toInt
+            pk.str("tags").arrHeader(m)
+            (0 until m).foreach(t => pk.int((id + t * 11) % 100))
+            pk.str("flag").bool((id + r) % 2 == 0)
+            if (score) pk.str("score").float64(0.5)
+            if (opt) { pk.str("opt"); pk.nil() }
+          }
+          val body = pk.bytes
+          if (id % 37 == 0) body ++ Array[Byte](0xC1.toByte) else body
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.MsgPack.extractMsgPackStats(blobs, "blob")
+        .orderBy("doc_id", "family")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5872,6 +5911,63 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // per-family counts and value masses, summed over the (doc,
+    // record) grid; families with zero occurrences emit no row
+    "q212_msgpack_fields" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nr FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |r AS (
+        |  SELECT doc_id, nr, k AS r,
+        |    doc_id % 2 = 0 AS score,
+        |    (doc_id + k) % 3 = 0 AS opt,
+        |    1 + (doc_id + k) % 4 AS m,
+        |    10 + (doc_id*3 + k) % 40 AS tl
+        |  FROM d, range(0, 4) t(k) WHERE k < nr),
+        |tags AS (
+        |  SELECT doc_id, SUM((doc_id + t*11) % 100) AS tag_sum,
+        |    COUNT(*) AS tag_n
+        |  FROM r, range(0, 4) u(t) WHERE t < m GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    COUNT(*) AS nr,
+        |    SUM(5 + CASE WHEN score THEN 1 ELSE 0 END
+        |          + CASE WHEN opt THEN 1 ELSE 0 END) AS pair_sum,
+        |    SUM(5 + CASE WHEN score THEN 1 ELSE 0 END
+        |          + CASE WHEN opt THEN 1 ELSE 0 END + 1) AS str_n,
+        |    SUM(17 + CASE WHEN score THEN 5 ELSE 0 END
+        |          + CASE WHEN opt THEN 3 ELSE 0 END + tl) AS str_sum,
+        |    SUM(doc_id * 1000 + r) AS id_sum,
+        |    SUM(-(1 + (doc_id + r*7) % 200)) AS neg_sum,
+        |    SUM(m) AS m_sum,
+        |    SUM(CASE WHEN (doc_id + r) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS true_n,
+        |    SUM(CASE WHEN opt THEN 1 ELSE 0 END) AS nil_n,
+        |    MAX(CASE WHEN score THEN 1 ELSE 0 END) AS has_score
+        |  FROM r GROUP BY doc_id),
+        |fam AS (
+        |  SELECT b.doc_id, 'map' AS family, b.nr AS n,
+        |    b.pair_sum AS val_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'str', b.str_n, b.str_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'int', 2 * b.nr + g.tag_n,
+        |    b.id_sum + b.neg_sum + g.tag_sum
+        |  FROM base b JOIN tags g ON b.doc_id = g.doc_id
+        |  UNION ALL
+        |  SELECT b.doc_id, 'array', b.nr, b.m_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'bool', b.nr, b.true_n FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'float', b.nr, 0 FROM base b
+        |  WHERE b.has_score = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, 'nil', b.nil_n, 0 FROM base b
+        |  WHERE b.nil_n > 0)
+        |SELECT doc_id, family, CAST(n AS BIGINT) AS n,
+        |  CAST(val_sum AS BIGINT) AS val_sum
+        |FROM fam ORDER BY doc_id, family""".stripMargin,
+
     // the q177 entry formulas, identical under both codings
     "q211_zip64_members" ->
       """WITH d AS (
