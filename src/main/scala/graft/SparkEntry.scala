@@ -1053,6 +1053,47 @@ object SparkEntry {
         .orderBy("doc_id", "family")
     }),
 
+    // ---- CBOR FIELD INVENTORY (RFC 8949 — the IETF binary-JSON
+    //      family): the q212 record shape under CBOR coding, with the
+    //      text value carried INDEFINITE-length (chunked + break) on
+    //      (id+r)%5==0 — chunk reassembly is stats-invariant, so one
+    //      oracle covers both carriages — plus tagged timestamps
+    //      (tag 1) on id%4==0 and nulls by (id+r)%3. Poison: %41
+    //      empty, %37 a lone break byte appended — typed reject.
+    "q213_cbor_fields" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val w = new graft.ext.Cbor.Writer
+          val nr = (2 + id % 3).toInt
+          (0 until nr).foreach { r =>
+            val ts = id % 4 == 0
+            val opt = (id + r) % 3 == 0
+            w.mapHeader(5 + (if (ts) 1 else 0) + (if (opt) 1 else 0))
+            w.text("id").int(id * 1000 + r)
+            w.text("neg").int(-(1 + (id + r * 7) % 200))
+            val l = (10 + (id * 3 + r) % 40).toInt
+            w.text("text")
+            if ((id + r) % 5 == 0)
+              w.textIndef(Seq("t" * (l / 2), "t" * (l - l / 2)))
+            else w.text("t" * l)
+            val m = (1 + (id + r) % 4).toInt
+            w.text("tags").arrHeader(m)
+            (0 until m).foreach(t => w.int((id + t * 11) % 100))
+            w.text("flag").bool((id + r) % 2 == 0)
+            if (ts) { w.text("ts").tag(1L); w.int(1600000000L + id + r) }
+            if (opt) { w.text("opt"); w.nullV() }
+          }
+          val body = w.bytes
+          if (id % 37 == 0) body ++ Array[Byte](0xFF.toByte) else body
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Cbor.extractCborStats(blobs, "blob")
+        .orderBy("doc_id", "family")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5911,6 +5952,66 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // the q212 inventory shape under CBOR coding; indefinite text
+    // reassembles to the same length, so the oracle is carriage-free
+    "q213_cbor_fields" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nr FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |r AS (
+        |  SELECT doc_id, nr, k AS r,
+        |    doc_id % 4 = 0 AS ts,
+        |    (doc_id + k) % 3 = 0 AS opt,
+        |    1 + (doc_id + k) % 4 AS m,
+        |    10 + (doc_id*3 + k) % 40 AS tl
+        |  FROM d, range(0, 4) t(k) WHERE k < nr),
+        |tags AS (
+        |  SELECT doc_id, SUM((doc_id + t*11) % 100) AS tag_sum,
+        |    COUNT(*) AS tag_n
+        |  FROM r, range(0, 4) u(t) WHERE t < m GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    COUNT(*) AS nr,
+        |    SUM(5 + CASE WHEN ts THEN 1 ELSE 0 END
+        |          + CASE WHEN opt THEN 1 ELSE 0 END) AS pair_sum,
+        |    SUM(5 + CASE WHEN ts THEN 1 ELSE 0 END
+        |          + CASE WHEN opt THEN 1 ELSE 0 END + 1) AS text_n,
+        |    SUM(17 + CASE WHEN ts THEN 2 ELSE 0 END
+        |          + CASE WHEN opt THEN 3 ELSE 0 END + tl) AS text_sum,
+        |    SUM(doc_id * 1000 + r) AS id_sum,
+        |    SUM(-(1 + (doc_id + r*7) % 200)) AS neg_sum,
+        |    SUM(CASE WHEN ts THEN 1600000000 + doc_id + r ELSE 0 END)
+        |      AS ts_sum,
+        |    SUM(m) AS m_sum,
+        |    SUM(CASE WHEN (doc_id + r) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS true_n,
+        |    SUM(CASE WHEN opt THEN 1 ELSE 0 END) AS null_n,
+        |    MAX(CASE WHEN ts THEN 1 ELSE 0 END) AS has_ts
+        |  FROM r GROUP BY doc_id),
+        |fam AS (
+        |  SELECT b.doc_id, 'map' AS family, b.nr AS n,
+        |    b.pair_sum AS val_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'text', b.text_n, b.text_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'int',
+        |    (2 + b.has_ts) * b.nr + g.tag_n,
+        |    b.id_sum + b.neg_sum + b.ts_sum + g.tag_sum
+        |  FROM base b JOIN tags g ON b.doc_id = g.doc_id
+        |  UNION ALL
+        |  SELECT b.doc_id, 'array', b.nr, b.m_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'bool', b.nr, b.true_n FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'tag', b.nr, b.nr FROM base b
+        |  WHERE b.has_ts = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, 'null', b.null_n, 0 FROM base b
+        |  WHERE b.null_n > 0)
+        |SELECT doc_id, family, CAST(n AS BIGINT) AS n,
+        |  CAST(val_sum AS BIGINT) AS val_sum
+        |FROM fam ORDER BY doc_id, family""".stripMargin,
+
     // per-family counts and value masses, summed over the (doc,
     // record) grid; families with zero occurrences emit no row
     "q212_msgpack_fields" ->
