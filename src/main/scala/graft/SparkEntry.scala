@@ -1094,6 +1094,41 @@ object SparkEntry {
         .orderBy("doc_id", "family")
     }),
 
+    // ---- TFRECORD → MESSAGEPACK COMPOSITION (the q182 shape with a
+    //      msgpack record body — binary-JSON training shards): each
+    //      CRC-verified record payload is ONE msgpack map (id int +
+    //      text str + flag bool), and the per-shard family inventory
+    //      aggregates across records — framing checksums and the
+    //      structural decode are both load-bearing. Poison: %41
+    //      empty, %37 one flipped payload byte (the record's masked
+    //      CRC32C catches it) — typed reject, zero rows.
+    "q214_tfrecord_msgpack" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val recs = (0 until (2 + id % 3).toInt).map { r =>
+            val pk = new graft.ext.MsgPack.Packer
+            pk.mapHeader(3)
+            pk.str("id").int(id * 100 + r)
+            pk.str("text").str("x" * (5 + (id + r * 3) % 20).toInt)
+            pk.str("flag").bool((id + r) % 2 == 0)
+            pk.bytes
+          }
+          val full = graft.ext.TfRecord.buildTfRecord(recs)
+          if (id % 37 == 0) full(14) = (full(14) ^ 0x20).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val payloads = graft.ext.TfRecord.extractTfRecordPayloads(blobs, "blob")
+        .select(col("doc_id"), col("payload"))
+      graft.ext.MsgPack.extractMsgPackStats(payloads, "payload")
+        .groupBy("doc_id", "family")
+        .agg(sum("n").as("n"), sum("val_sum").as("val_sum"))
+        .orderBy("doc_id", "family")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5952,6 +5987,35 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // per-shard family sums across the CRC-framed record payloads;
+    // keys id(2)+text(4)+flag(4)=10 bytes of str per record
+    "q214_tfrecord_msgpack" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nr FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |r AS (
+        |  SELECT doc_id, nr, k AS r, 5 + (doc_id + k*3) % 20 AS tl
+        |  FROM d, range(0, 4) t(k) WHERE k < nr),
+        |base AS (
+        |  SELECT doc_id, COUNT(*) AS nr,
+        |    SUM(doc_id * 100 + r) AS id_sum,
+        |    SUM(10 + tl) AS str_sum,
+        |    SUM(CASE WHEN (doc_id + r) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS true_n
+        |  FROM r GROUP BY doc_id),
+        |fam AS (
+        |  SELECT doc_id, 'bool' AS family, nr AS n, true_n AS val_sum
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'int', nr, id_sum FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'map', nr, 3 * nr FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'str', 4 * nr, str_sum FROM base)
+        |SELECT doc_id, family, CAST(n AS BIGINT) AS n,
+        |  CAST(val_sum AS BIGINT) AS val_sum
+        |FROM fam ORDER BY doc_id, family""".stripMargin,
+
     // the q212 inventory shape under CBOR coding; indefinite text
     // reassembles to the same length, so the oracle is carriage-free
     "q213_cbor_fields" ->
