@@ -1129,6 +1129,27 @@ object SparkEntry {
         .orderBy("doc_id", "family")
     }),
 
+    // ---- G.711 COMPANDED AUDIO (CCITT G.711 — the telephony/speech-
+    //      corpus WAV encodings): mu-law on even ids, A-law on odd,
+    //      decoded to linear 16-bit in the canonical PCM loop via the
+    //      published segment/mantissa expansion (spec-pinned
+    //      byte-for-byte against the JDK's own converter); the oracle
+    //      RESTATES the expansion in integer SQL over the byte
+    //      formula. Poison: %41 empty.
+    "q215_audio_g711" -> ((s, dir) => {
+      val mk = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte]
+        else Multimodal.syntheticWavG711(8000,
+          (200 + (id * 3) % 300).toInt, id, alaw = id % 2 == 1))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      Multimodal.decodeAudio(blobs, "blob")
+        .where(col("audio.ok"))
+        .select(col("doc_id"), col("audio.n_frames").as("n_frames"),
+          col("audio.sample_sum").as("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -5987,6 +6008,37 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // the G.711 expansions as integer SQL: mu-law complements the
+    // byte, A-law xors with 0x55; both expand segment/mantissa
+    "q215_audio_g711" ->
+      """WITH d AS (
+        |  SELECT doc_id, 200 + (doc_id*3) % 300 AS n FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0),
+        |s AS (
+        |  SELECT doc_id, n, (doc_id*7 + k*13) % 256 AS b
+        |  FROM d, range(0, 500) t(k) WHERE k < n),
+        |v AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE WHEN (255 - b) >= 128
+        |        THEN 132 - ((((255 - b) & 15) * 8 + 132)
+        |                    * (1 << (((255 - b) & 112) // 16)))
+        |        ELSE ((((255 - b) & 15) * 8 + 132)
+        |              * (1 << (((255 - b) & 112) // 16))) - 132 END
+        |    ELSE
+        |      CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+        |      CASE WHEN ((xor(b, 85) & 112) // 16) = 0
+        |             THEN ((xor(b, 85) & 15) * 16) + 8
+        |           WHEN ((xor(b, 85) & 112) // 16) = 1
+        |             THEN ((xor(b, 85) & 15) * 16) + 264
+        |           ELSE (((xor(b, 85) & 15) * 16) + 264)
+        |                * (1 << (((xor(b, 85) & 112) // 16) - 1)) END
+        |    END AS dec
+        |  FROM s)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+        |  CAST(SUM(dec) AS BIGINT) AS sample_sum
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // per-shard family sums across the CRC-framed record payloads;
     // keys id(2)+text(4)+flag(4)=10 bytes of str per record
     "q214_tfrecord_msgpack" ->

@@ -684,6 +684,30 @@ object Multimodal {
     buf.array()
   }
 
+  /** G.711 WAV fixture: fmt tag 7 (mu-law) or 6 (A-law), 8-bit mono,
+    * byte k = `(seed*7 + k*13) % 256` — a pure formula both the
+    * walker and a SQL oracle can expand through the published decode.
+    */
+  def syntheticWavG711(sampleRate: Int, nFrames: Int, seed: Long,
+                       alaw: Boolean): Array[Byte] = {
+    require(sampleRate > 0 && nFrames >= 0 && seed >= 0)
+    val buf = java.nio.ByteBuffer.allocate(44 + nFrames)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + nFrames)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(if (alaw) 6 else 7)
+      .putShort(1.toShort)
+      .putInt(sampleRate).putInt(sampleRate)
+      .putShort(1.toShort).putShort(8.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(nFrames)
+    var k = 0
+    while (k < nFrames) {
+      buf.put(((seed * 7 + k * 13) % 256).toByte)
+      k += 1
+    }
+    buf.array()
+  }
+
   /** Real audio decode through `javax.sound.sampled` (WAV/AU/AIFF —
     * the JDK's built-in SPIs; a real deployment registers ffmpeg-backed
     * SPIs for MP3/FLAC and this code is unchanged, which is the point
@@ -763,7 +787,8 @@ object Multimodal {
     * export format), any channel count ≥ 1, either endianness.
     */
   private[ext] final case class PcmLayout(bytesPerSample: Int,
-    channels: Int, unsigned: Boolean, big: Boolean, fp: Boolean = false)
+    channels: Int, unsigned: Boolean, big: Boolean, fp: Boolean = false,
+    law: Int = 0) // 0 = linear, 1 = G.711 mu-law, 2 = G.711 A-law
   private[ext] def pcmLayout(
       f: javax.sound.sampled.AudioFormat): PcmLayout = {
     val enc = f.getEncoding
@@ -777,14 +802,23 @@ object Multimodal {
     val floatOk =
       enc == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT &&
         (bits == 32 || bits == 64)
+    // G.711 companded bytes (WAVE_FORMAT_MULAW 7 / WAVE_FORMAT_ALAW 6
+    // — the telephony/speech-corpus encodings the JDK WAV SPI exposes
+    // as ULAW/ALAW): decoded to linear 16-bit in the canonical loop
+    val law =
+      if (enc == javax.sound.sampled.AudioFormat.Encoding.ULAW &&
+        bits == 8) 1
+      else if (enc == javax.sound.sampled.AudioFormat.Encoding.ALAW &&
+        bits == 8) 2
+      else 0
     // channel count is UNTRUSTED header data (a 3rd-party SPI decodes
     // it from the blob): cap it so frameBytes can never drive a
     // multi-GB buffer allocation or overflow to a negative size — the
     // same allocation-bomb class as the stsz uniform-size bound.
-    if ((!signedOk && !unsignedOk && !floatOk) || f.getChannels < 1 ||
-      f.getChannels > 4096) null
+    if ((!signedOk && !unsignedOk && !floatOk && law == 0) ||
+      f.getChannels < 1 || f.getChannels > 4096) null
     else PcmLayout(bits / 8, f.getChannels, unsignedOk, f.isBigEndian,
-      fp = floatOk)
+      fp = floatOk, law = law)
   }
 
   /** Streams the CANONICAL 16-BIT MONO view of any supported PCM
@@ -808,6 +842,30 @@ object Multimodal {
     * later sample. Up to frameBytes−1 remainder bytes are carried to
     * the front of the buffer across reads.
     */
+  /** G.711 mu-law byte → linear 16-bit (CCITT G.711, the published
+    * segment/mantissa expansion; spec-pinned byte-for-byte against the
+    * JDK's own ULAW→PCM converter).
+    */
+  private[ext] def ulaw2linear(b: Byte): Int = {
+    val u = (~b) & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → linear 16-bit (CCITT G.711; sign bit SET means
+    * positive in A-law, the inverse of mu-law's convention).
+    */
+  private[ext] def alaw2linear(b: Byte): Int = {
+    val a = (b & 0xFF) ^ 0x55
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
   private[ext] def canonicalPcmLoop(
       in: javax.sound.sampled.AudioInputStream)(emit: Int => Unit)
       : Boolean = {
@@ -829,7 +887,9 @@ object Multimodal {
         while (ch < nCh) {
           val o = i + ch * bps
           val v =
-            if (bps == 1) ((chunk(o) & 0xFF) - 128) << 8
+            if (bps == 1 && lay.law == 1) ulaw2linear(chunk(o))
+            else if (bps == 1 && lay.law == 2) alaw2linear(chunk(o))
+            else if (bps == 1) ((chunk(o) & 0xFF) - 128) << 8
             else if (bps == 2) {
               if (big) (chunk(o) << 8) | (chunk(o + 1) & 0xFF)
               else (chunk(o + 1) << 8) | (chunk(o) & 0xFF)
