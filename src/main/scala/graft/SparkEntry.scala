@@ -1150,6 +1150,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BSON FIELD INVENTORY (bsonspec.org — mongodump corpora):
+    //      concatenated documents with int32/int64 values, strings,
+    //      bools, nested int arrays, datetimes on even ids, and nulls
+    //      by (id+r)%3 — declared document lengths must equal walked
+    //      lengths exactly (BSON's only integrity device), and the
+    //      per-family inventory includes the key-name byte mass.
+    //      Poison: %41 empty, %37 one flipped trailing terminator —
+    //      typed reject.
+    "q216_bson_fields" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val docs = (0 until (2 + id % 3).toInt).map { r =>
+            val d = new graft.ext.Bson.DocBuilder
+            d.int32("id", (id * 100 + r).toInt)
+            d.int64("big", id * 1000000 + r)
+            d.string("name", "u" * (5 + (id + r * 3) % 20).toInt)
+            d.boolV("ok", (id + r) % 2 == 0)
+            val m = (1 + (id + r) % 4).toInt
+            val arr = new graft.ext.Bson.DocBuilder
+            (0 until m).foreach(t =>
+              arr.int32(t.toString, ((id + t * 7) % 50).toInt))
+            d.array("tags", arr)
+            if (id % 2 == 0) d.datetime("ts", id * 10 + r)
+            if ((id + r) % 3 == 0) d.nullV("opt")
+            d.bytes
+          }
+          val full = docs.reduce(_ ++ _)
+          if (id % 37 == 0)
+            full(full.length - 1) = 0x77
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Bson.extractBsonStats(blobs, "blob")
+        .orderBy("doc_id", "family")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6008,6 +6047,66 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // the q212/q213 inventory shape under BSON coding, plus the
+    // key-name byte mass (top keys 15B + ts/opt; array keys 1B each)
+    "q216_bson_fields" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nr FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |r AS (
+        |  SELECT doc_id, nr, k AS r,
+        |    doc_id % 2 = 0 AS ts,
+        |    (doc_id + k) % 3 = 0 AS opt,
+        |    1 + (doc_id + k) % 4 AS m,
+        |    5 + (doc_id + k*3) % 20 AS sl
+        |  FROM d, range(0, 4) t(k) WHERE k < nr),
+        |tags AS (
+        |  SELECT doc_id, SUM((doc_id + t*7) % 50) AS tag_sum,
+        |    COUNT(*) AS tag_n
+        |  FROM r, range(0, 4) u(t) WHERE t < m GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, COUNT(*) AS nr,
+        |    SUM(5 + CASE WHEN ts THEN 1 ELSE 0 END
+        |          + CASE WHEN opt THEN 1 ELSE 0 END) AS elem_sum,
+        |    SUM(5 + CASE WHEN ts THEN 1 ELSE 0 END
+        |          + CASE WHEN opt THEN 1 ELSE 0 END + m) AS key_n,
+        |    SUM(15 + CASE WHEN ts THEN 2 ELSE 0 END
+        |          + CASE WHEN opt THEN 3 ELSE 0 END + m) AS key_sum,
+        |    SUM(doc_id * 100 + r) AS id_sum,
+        |    SUM(doc_id * 1000000 + r) AS big_sum,
+        |    SUM(sl) AS sl_sum,
+        |    SUM(m) AS m_sum,
+        |    SUM(CASE WHEN (doc_id + r) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS true_n,
+        |    SUM(CASE WHEN ts THEN doc_id * 10 + r ELSE 0 END) AS ts_sum,
+        |    SUM(CASE WHEN opt THEN 1 ELSE 0 END) AS null_n,
+        |    MAX(CASE WHEN ts THEN 1 ELSE 0 END) AS has_ts
+        |  FROM r GROUP BY doc_id),
+        |fam AS (
+        |  SELECT b.doc_id, 'doc' AS family, b.nr AS n,
+        |    b.elem_sum AS val_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'array', b.nr, b.m_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'int', 2 * b.nr + g.tag_n,
+        |    b.id_sum + b.big_sum + g.tag_sum
+        |  FROM base b JOIN tags g ON b.doc_id = g.doc_id
+        |  UNION ALL
+        |  SELECT b.doc_id, 'string', b.nr, b.sl_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'bool', b.nr, b.true_n FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'key', b.key_n, b.key_sum FROM base b
+        |  UNION ALL
+        |  SELECT b.doc_id, 'datetime', b.nr, b.ts_sum FROM base b
+        |  WHERE b.has_ts = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, 'null', b.null_n, 0 FROM base b
+        |  WHERE b.null_n > 0)
+        |SELECT doc_id, family, CAST(n AS BIGINT) AS n,
+        |  CAST(val_sum AS BIGINT) AS val_sum
+        |FROM fam ORDER BY doc_id, family""".stripMargin,
+
     // the G.711 expansions as integer SQL: mu-law complements the
     // byte, A-law xors with 0x55; both expand segment/mantissa
     "q215_audio_g711" ->
