@@ -127,6 +127,49 @@ object CompressionScaleProbe {
     println(f"[probe] npy: $npRows rows, ${nBlobs / npSec}%.0f blobs/s, " +
       f"${outMb / npSec}%.0f MB/s decoded")
 
+    // record-format walks: 200 records per shard, mixed families
+    val mkMp = udf((id: Long) => {
+      val pk = new graft.ext.MsgPack.Packer
+      (0 until 200).foreach { r =>
+        pk.mapHeader(3)
+        pk.str("id").int(id * 1000 + r)
+        pk.str("text").str("x" * (20 + (id + r) % 40).toInt)
+        pk.str("flag").bool((id + r) % 2 == 0)
+      }
+      pk.bytes
+    })
+    val mp = spark.range(nBlobs)
+      .select(col("id").as("doc_id"), mkMp(col("id")).as("blob"))
+      .localCheckpoint()
+    val mpMb = mp.select(sum(length(col("blob")))).collect()(0).getLong(0) / 1e6
+    val (mpRows, mpSec) = time(f"msgpack walk, 20k x 200 rec ($mpMb%.0f MB)") {
+      graft.ext.MsgPack.extractMsgPackStats(mp, "blob").count()
+    }
+    println(f"[probe] msgpack: $mpRows rows, ${nBlobs / mpSec}%.0f blobs/s, " +
+      f"${mpMb / mpSec}%.0f MB/s")
+
+    val mkBs = udf((id: Long) => {
+      val docs = (0 until 200).map { r =>
+        val d = new graft.ext.Bson.DocBuilder
+        d.int32("id", (id * 100 + r).toInt)
+        d.string("text", "x" * (20 + (id + r) % 40).toInt)
+        d.boolV("flag", (id + r) % 2 == 0)
+        d.bytes
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      docs.foreach(b => out.write(b, 0, b.length))
+      out.toByteArray
+    })
+    val bs = spark.range(nBlobs)
+      .select(col("id").as("doc_id"), mkBs(col("id")).as("blob"))
+      .localCheckpoint()
+    val bsMb = bs.select(sum(length(col("blob")))).collect()(0).getLong(0) / 1e6
+    val (bsRows, bsSec) = time(f"bson walk, 20k x 200 docs ($bsMb%.0f MB)") {
+      graft.ext.Bson.extractBsonStats(bs, "blob").count()
+    }
+    println(f"[probe] bson: $bsRows rows, ${nBlobs / bsSec}%.0f blobs/s, " +
+      f"${bsMb / bsSec}%.0f MB/s")
+
     spark.stop()
   }
 }
