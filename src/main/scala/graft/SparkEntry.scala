@@ -1189,6 +1189,39 @@ object SparkEntry {
         .orderBy("doc_id", "family")
     }),
 
+    // ---- AIFF ↔ WAV CONTAINER EQUIVALENCE: the SAME PCM16 samples
+    //      ship as little-endian WAV on even ids and big-endian AIFF
+    //      on odd ids (transcoded through the JDK's own AIFF writer —
+    //      real 80-bit-extended sample-rate headers), under one
+    //      container-independent oracle — the canonical PCM loop's
+    //      endianness handling is load-bearing. Poison: %41 empty.
+    "q217_audio_aiff" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val wav = Multimodal.syntheticWavEx(8000,
+            (300 + (id % 5) * 100).toInt, id, bits = 16, channels = 1)
+          if (id % 2 == 0) wav
+          else {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(wav))
+            val out = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(in,
+              javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+            out.toByteArray
+          }
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      Multimodal.decodeAudio(blobs, "blob")
+        .where(col("audio.ok"))
+        .select(col("doc_id"), col("audio.n_frames").as("n_frames"),
+          col("audio.sample_sum").as("sample_sum"),
+          col("audio.peak").as("peak"))
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6047,6 +6080,22 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // the q99 sample formulas, container-independent
+    "q217_audio_aiff" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(300 + (doc_id % 5) * 100 AS BIGINT) AS n
+        |           FROM documents
+        |           WHERE doc_id < 150 AND doc_id % 41 != 0)
+        |SELECT d.doc_id, d.n AS n_frames,
+        |       CAST(sum(((d.doc_id * 2654435761 + t.i * 40503)
+        |                 % 65536) - 32768) AS BIGINT) AS sample_sum,
+        |       CAST(max(abs(((d.doc_id * 2654435761 + t.i * 40503)
+        |                 % 65536) - 32768)) AS INT) AS peak
+        |FROM d CROSS JOIN generate_series(0, 699) AS t(i)
+        |WHERE t.i < d.n
+        |GROUP BY d.doc_id, d.n
+        |ORDER BY d.doc_id""".stripMargin,
+
     // the q212/q213 inventory shape under BSON coding, plus the
     // key-name byte mass (top keys 15B + ts/opt; array keys 1B each)
     "q216_bson_fields" ->
