@@ -1222,6 +1222,70 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- STREAMING EMBEDDING DEDUP (the q106/q137/q163/q176 fold on
+    //      the vector family, completing per-family streaming
+    //      coverage): three forced micro-batches of embeddings; twin
+    //      vectors planted in later batches must be found against the
+    //      accumulated IVF index (identical vectors assign to the
+    //      query's own argmax cell — deterministic recall, the q44
+    //      argument — and score cosine 1.0 over the threshold), a
+    //      same-batch twin pair must surface through the within-batch
+    //      LSH form, and each batch then appends into the index
+    //      against the PINNED sidecar centroids.
+    "q218_streaming_vecdup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 30)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-vd")
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(tmp.toFile))
+      val inDir = tmp.resolve("in"); val work = tmp.resolve("work")
+      java.nio.file.Files.createDirectories(inDir)
+      def feed(name: String, df: DataFrame, order: Int): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + order * 60000L))
+      }
+      feed("f0", base, 0)
+      feed("f1", base.where(col("id") < 15)
+        .select((col("id") + 1000000L).as("id"), col("vec"))
+        .unionByName(base.where(col("id") === 0)
+          .select((col("id") + 3000000L).as("id"), col("vec"))), 1)
+      feed("f2", base.where(col("id") >= 15)
+        .select((col("id") + 2000000L).as("id"), col("vec")), 2)
+      graft.streaming.StreamingVecDup.start(s, inDir.toString,
+          work.toString, threshold = 0.9999, k = 9, nlist = 8,
+          nprobe = 4, maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val m = s.read.parquet(s"$work/matches")
+        .select("batch_id", "id_a", "id_b").localCheckpoint()
+      val twinBatches = m
+        .where(col("id_a") >= 1000000L || col("id_b") >= 1000000L)
+        .select("batch_id").distinct().count()
+      val withinOk = m.where(
+        (col("id_a") === 1000000L && col("id_b") === 3000000L) ||
+          (col("id_a") === 3000000L && col("id_b") === 1000000L))
+        .count() > 0
+      val twinPairs = m.where(col("id_a") === col("id_b") + 1000000L ||
+          col("id_a") === col("id_b") + 2000000L)
+        .select(col("id_b").as("vec_id"), lit(true).as("found"))
+        .distinct()
+      base.select(col("id").as("vec_id"))
+        .join(twinPairs, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("found"), lit(false)).as("found"),
+          lit(withinOk).as("within_ok"),
+          lit(twinBatches).as("n_twin_batches"))
+        .orderBy("vec_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6080,6 +6144,13 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // the q106-family constant: every base vector's twin found, the
+    // same-batch pair surfaced, twins confined to exactly 2 batches
+    "q218_streaming_vecdup" ->
+      """SELECT vec_id, true AS found, true AS within_ok,
+        |       CAST(2 AS BIGINT) AS n_twin_batches
+        |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin,
+
     // the q99 sample formulas, container-independent
     "q217_audio_aiff" ->
       """WITH d AS (SELECT doc_id,

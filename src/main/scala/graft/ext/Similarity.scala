@@ -432,6 +432,39 @@ object Similarity {
     } finally c.unpersist()
   }
 
+  /** Incremental batch append into a [[buildIvfIndex]] layout: new
+    * vectors are assigned to their argmax-cosine cell against the
+    * SIDECAR centroids (never re-clustered — the cell geometry is
+    * pinned at build time, so existing partitions stay valid) and
+    * appended into the same `cid=` partitioning. Append cost ∝ batch;
+    * existing files are never rewritten.
+    */
+  def appendToIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val ss = corpus.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta"))
+    val lines =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").getLines().toArray
+      finally metaIn.close()
+    val cents: Array[Array[Float]] = lines.drop(1).filter(_.nonEmpty)
+      .map(_.split(",").map(b =>
+        java.lang.Float.intBitsToFloat(b.trim.toInt)))
+    require(cents.nonEmpty, "cannot append into an empty-centroid index")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cells = c.crossJoin(centroidsDf(ss, cents))
+      .select(col("id"), col("cid"),
+        cosine(col("vec"), col("cvec")).as("csim"))
+      .groupBy("id")
+      .agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
+    c.join(cells, "id")
+      .select("cid", "id", "vec")
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** Approximate top-k against a [[buildIvfIndex]] index: assign each
     * query to its `nprobe` nearest persisted centroids, read ONLY
     * those cell partitions (an `isin` over the cell id — pruned at
