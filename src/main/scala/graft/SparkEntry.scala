@@ -1286,6 +1286,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- AU CONTAINER (Sun/NeXT .snd — the third JDK audio SPI, all
+    //      big-endian): 16-bit linear PCM on even ids (big-endian
+    //      byte order is load-bearing — a LE reader sign-flips every
+    //      sample) and G.711 mu-law on odd ids (the AU-native
+    //      telephony encoding, composing the container with the q215
+    //      decode tables). Poison: %41 empty.
+    "q219_audio_au" -> ((s, dir) => {
+      val mk = udf((id: Long) =>
+        if (id % 41 == 0) Array.empty[Byte]
+        else Multimodal.syntheticAu(8000,
+          (200 + (id * 3) % 300).toInt, id, ulaw = id % 2 == 1))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      Multimodal.decodeAudio(blobs, "blob")
+        .where(col("audio.ok"))
+        .select(col("doc_id"), col("audio.n_frames").as("n_frames"),
+          col("audio.sample_sum").as("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6144,6 +6164,32 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // even ids: the q99 PCM16 sum formula; odd ids: the q215 mu-law
+    // expansion — one container, both encodings
+    "q219_audio_au" ->
+      """WITH d AS (
+        |  SELECT doc_id, 200 + (doc_id*3) % 300 AS n FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0),
+        |s AS (
+        |  SELECT doc_id, n, k,
+        |    (doc_id*7 + k*13) % 256 AS b,
+        |    ((doc_id * 2654435761 + k * 40503) % 65536) - 32768 AS pcm
+        |  FROM d, range(0, 500) t(k) WHERE k < n),
+        |v AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN doc_id % 2 = 0 THEN pcm
+        |    ELSE
+        |      CASE WHEN (255 - b) >= 128
+        |        THEN 132 - ((((255 - b) & 15) * 8 + 132)
+        |                    * (1 << (((255 - b) & 112) // 16)))
+        |        ELSE ((((255 - b) & 15) * 8 + 132)
+        |              * (1 << (((255 - b) & 112) // 16))) - 132 END
+        |    END AS dec
+        |  FROM s)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+        |  CAST(SUM(dec) AS BIGINT) AS sample_sum
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // the q106-family constant: every base vector's twin found, the
     // same-batch pair surfaced, twins confined to exactly 2 batches
     "q218_streaming_vecdup" ->

@@ -708,6 +708,31 @@ object Multimodal {
     buf.array()
   }
 
+  /** Sun/NeXT `.au` fixture (the third JDK-SPI audio container, all
+    * big-endian): encoding 1 = G.711 mu-law bytes by the G.711 fixture
+    * formula, encoding 3 = 16-bit linear PCM by the [[syntheticWavEx]]
+    * sample formula.
+    */
+  def syntheticAu(sampleRate: Int, nFrames: Int, seed: Long,
+                  ulaw: Boolean): Array[Byte] = {
+    require(sampleRate > 0 && nFrames >= 0 && seed >= 0)
+    val bps = if (ulaw) 1 else 2
+    val buf = java.nio.ByteBuffer.allocate(24 + nFrames * bps)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(".snd".getBytes("US-ASCII"))
+      .putInt(24).putInt(nFrames * bps)
+      .putInt(if (ulaw) 1 else 3)
+      .putInt(sampleRate).putInt(1)
+    var k = 0
+    while (k < nFrames) {
+      if (ulaw) buf.put(((seed * 7 + k * 13) % 256).toByte)
+      else buf.putShort(((((seed * 2654435761L + k * 40503L) % 65536L)
+        - 32768L)).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
   /** Real audio decode through `javax.sound.sampled` (WAV/AU/AIFF —
     * the JDK's built-in SPIs; a real deployment registers ffmpeg-backed
     * SPIs for MP3/FLAC and this code is unchanged, which is the point
