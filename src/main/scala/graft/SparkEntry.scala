@@ -1306,6 +1306,77 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CROSS-FORMAT IMAGE DEDUP, TIFF LEG (extends q207): the
+    //      same grayscale field as PNG (id%3==0), BMP (1), or TIFF
+    //      (2 — via the JDK's bundled TIFF plugin) through the one
+    //      imageHash path, pairing in-class across all three lossless
+    //      carriers.
+    "q220_tiff_image_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val acls = (id % 8)
+          graft.ext.Multimodal.syntheticGrayImage(
+            30 + (acls % 4).toInt * 6, 24 + (acls % 3).toInt * 7, acls,
+            (id % 3).toInt match {
+              case 0 => "png"; case 1 => "bmp"; case _ => "tiff"
+            })
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val sig = Multimodal.imageHash(blobs, "blob")
+        .where(col("img.ok"))
+        .select(col("doc_id"), col("img.w").as("w"),
+          col("img.h").as("h"), col("img.ahash").as("ahash"))
+      val a = sig.toDF("id_a", "w", "h", "ahash")
+      val b = sig.toDF("id_b", "w", "h", "ahash")
+      a.join(b, Seq("w", "h", "ahash")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("w").cast("long").as("w"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- CROSS-CONTAINER AUDIO DEDUP, THREE CARRIERS: the same
+    //      PCM16 samples (class = id%6) ship as little-endian WAV
+    //      (id%3==0), big-endian AIFF via the JDK writer (1), or
+    //      big-endian AU (2); the canonical-PCM digest
+    //      (n_frames, sample_sum, peak) pairs exactly the in-class
+    //      docs across all three containers.
+    "q221_audio_container_dedup" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val acls = id % 6
+          val n = (150 + acls * 50).toInt
+          (id % 3).toInt match {
+            case 0 => Multimodal.syntheticWavEx(8000, n, acls,
+              bits = 16, channels = 1)
+            case 1 =>
+              val wav = Multimodal.syntheticWavEx(8000, n, acls,
+                bits = 16, channels = 1)
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(wav))
+              val out = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(in,
+                javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+              out.toByteArray
+            case _ => Multimodal.syntheticAu(8000, n, acls, ulaw = false)
+          }
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val sig = Multimodal.decodeAudio(blobs, "blob")
+        .where(col("audio.ok"))
+        .select(col("doc_id"), col("audio.n_frames").as("nf"),
+          col("audio.sample_sum").as("ss"), col("audio.peak").as("pk"))
+      val a = sig.toDF("id_a", "nf", "ss", "pk")
+      val b = sig.toDF("id_b", "nf", "ss", "pk")
+      a.join(b, Seq("nf", "ss", "pk")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("nf").cast("long").as("nf"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6164,6 +6235,28 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // in-class pairs regardless of carrier (png/bmp/tiff by id%3)
+    "q220_tiff_image_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(30 + (a.acls % 4) * 6 AS BIGINT) AS w
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // in-class pairs regardless of container (wav/aiff/au by id%3)
+    "q221_audio_container_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 6 AS acls FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 41 != 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(150 + a.acls * 50 AS BIGINT) AS nf
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.acls = b.acls
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // even ids: the q99 PCM16 sum formula; odd ids: the q215 mu-law
     // expansion — one container, both encodings
     "q219_audio_au" ->

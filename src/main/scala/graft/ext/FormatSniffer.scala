@@ -71,6 +71,11 @@ object FormatSniffer {
     if (n >= 8 && ascii(bytes, 0, "ORC") && u(bytes(n - 1)) >= 4 &&
         u(bytes(n - 1)) < n - 4) return "orc" // head magic + sane psLen
     if (n >= 9 && ascii(bytes, 0, "FLV") && u(bytes(3)) == 1) return "flv"
+    if (n >= 24 && ascii(bytes, 0, ".snd")) return "au"
+    if (n >= 8 && ((u(bytes(0)) == 'I' && u(bytes(1)) == 'I' &&
+        u(bytes(2)) == 42 && u(bytes(3)) == 0) ||
+      (u(bytes(0)) == 'M' && u(bytes(1)) == 'M' && u(bytes(2)) == 0 &&
+        u(bytes(3)) == 42))) return "tiff"
     if (n >= 8 && u(bytes(0)) == 0x93 && ascii(bytes, 1, "NUMPY"))
       return "npy"
     if (ascii(bytes, 0, "WARC/1.")) return "warc"
