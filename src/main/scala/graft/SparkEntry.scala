@@ -454,7 +454,10 @@ object SparkEntry {
             if (major == 3) ((id + k) % 2).toInt else ((id + k) % 4).toInt
           val frames = scala.collection.mutable.ArrayBuffer
             .empty[(String, Array[Byte])]
-          frames += (("TIT2", graft.ext.Mp3.id3TextData(f"title $id%d", enc(0))))
+          // id%6==5 docs get a 0xFF-bearing title and ride the
+          // UNSYNCHRONIZED coding (v2.3 §5 FF-00 stuffing) below
+          val title = f"title $id%d" + (if (id % 6 == 5) "ÿ" else "")
+          frames += (("TIT2", graft.ext.Mp3.id3TextData(title, enc(0))))
           frames += (("TPE1",
             graft.ext.Mp3.id3TextData(f"artist ${id % 13}%d", enc(1))))
           if (id % 3 == 0)
@@ -468,8 +471,11 @@ object SparkEntry {
           frames += (("TRCK",
             graft.ext.Mp3.id3TextData(f"${id % 20}%d", enc(4))))
           val pad = if (id % 37 == 0) 9 else ((id % 4) * 7).toInt
-          val full = graft.ext.Mp3.buildId3v2Tag(major, frames.toSeq,
+          val built = graft.ext.Mp3.buildId3v2Tag(major, frames.toSeq,
             pad = pad, withExtHeader = id % 5 == 0)
+          val full =
+            if (id % 6 == 5) graft.ext.Mp3.unsynchronizeTag(built)
+            else built
           if (id % 37 == 0)
             full(full.length - 1) = 0x22
           full
@@ -6827,7 +6833,9 @@ object SparkEntry {
         |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
         |f AS (
         |  SELECT doc_id, 0 AS frame_idx, 'TIT2' AS frame_id,
-        |    printf('title %d', CAST(doc_id AS INTEGER)) AS text FROM d
+        |    printf('title %d', CAST(doc_id AS INTEGER))
+        |      || CASE WHEN doc_id % 6 = 5 THEN chr(255) ELSE '' END
+        |      AS text FROM d
         |  UNION ALL
         |  SELECT doc_id, 1, 'TPE1',
         |    printf('artist %d', CAST(doc_id % 13 AS INTEGER)) FROM d

@@ -294,14 +294,38 @@ object Mp3 {
     val major = u(bytes(3))
     if (major < 2 || major > 4) return Left("unsupported id3v2 version")
     val flags = u(bytes(5))
-    if ((flags & 0x80) != 0) return Left("unsynchronized tag")
     if ((u(bytes(6)) | u(bytes(7)) | u(bytes(8)) | u(bytes(9))) >= 0x80)
       return Left("bad syncsafe size")
     val size = (u(bytes(6)) << 21) | (u(bytes(7)) << 14) |
       (u(bytes(8)) << 7) | u(bytes(9))
     if (10 + size > bytes.length) return Left("truncated id3v2 tag")
-    var p = 10
-    val end = 10 + size
+    // Unsynchronization (id3v2.3 §5 whole-tag scheme; in v2.4 the tag
+    // flag means every frame was unsynchronized the same way): every
+    // FF 00 pair in the stored body decodes to FF. Frame sizes in the
+    // tag refer to the DE-unsynchronized data.
+    val (body, bodyEnd) =
+      if ((flags & 0x80) != 0) {
+        val out = new Array[Byte](size)
+        var i = 10
+        var o = 0
+        val lim = 10 + size
+        while (i < lim) {
+          out(o) = bytes(i)
+          o += 1
+          if (u(bytes(i)) == 0xFF && i + 1 < lim && bytes(i + 1) == 0)
+            i += 2
+          else i += 1
+        }
+        (out, o)
+      } else (bytes, 10 + size)
+    parseFrames(body, if ((flags & 0x80) != 0) 0 else 10, bodyEnd,
+      major, flags)
+  }
+
+  private def parseFrames(bytes: Array[Byte], start: Int, end: Int,
+                          major: Int, flags: Int)
+      : Either[String, Seq[Id3Frame]] = {
+    var p = start
     if ((flags & 0x40) != 0) { // extended header
       if (major == 2) return Left("id3v2.2 compression unsupported")
       if (major == 3) {
@@ -487,6 +511,34 @@ object Mp3 {
     out.write('I'); out.write('D'); out.write('3')
     out.write(major); out.write(0)
     out.write(if (withExtHeader) 0x40 else 0)
+    out.write((bb.length >> 21) & 0x7F)
+    out.write((bb.length >> 14) & 0x7F)
+    out.write((bb.length >> 7) & 0x7F)
+    out.write(bb.length & 0x7F)
+    out.write(bb, 0, bb.length)
+    out.toByteArray
+  }
+
+  /** Unsynchronize a built ID3v2 tag (fixture side of the v2.3 §5
+    * scheme): every 0xFF byte in the body gets a 0x00 stuffed after
+    * it, the header grows the syncsafe size accordingly, and the
+    * unsync flag is set.
+    */
+  def unsynchronizeTag(tag: Array[Byte]): Array[Byte] = {
+    val size = (u(tag(6)) << 21) | (u(tag(7)) << 14) |
+      (u(tag(8)) << 7) | u(tag(9))
+    val body = new java.io.ByteArrayOutputStream()
+    var i = 10
+    val lim = 10 + size
+    while (i < lim) {
+      body.write(tag(i))
+      if (u(tag(i)) == 0xFF) body.write(0)
+      i += 1
+    }
+    val bb = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(tag, 0, 5)
+    out.write(u(tag(5)) | 0x80)
     out.write((bb.length >> 21) & 0x7F)
     out.write((bb.length >> 14) & 0x7F)
     out.write((bb.length >> 7) & 0x7F)

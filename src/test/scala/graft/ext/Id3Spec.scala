@@ -55,10 +55,14 @@ class Id3Spec extends SparkFunSuite {
     val padded = Mp3.buildId3v2Tag(4, Seq(tf("TIT2", "t", 0)), pad = 8)
     padded(padded.length - 1) = 0x11
     assert(Mp3.id3FrameTable(padded) == Left("nonzero padding"))
-    // unsynchronization flag
-    val unsync = Mp3.buildId3v2Tag(4, Seq(tf("TIT2", "t", 0)))
-    unsync(5) = (unsync(5) | 0x80).toByte
-    assert(Mp3.id3FrameTable(unsync) == Left("unsynchronized tag"))
+    // unsynchronization round-trip: text with 0xFF bytes ('ÿ' in
+    // Latin-1) survives the FF-00 stuffing scheme
+    val ff = Mp3.buildId3v2Tag(3, Seq(tf("TIT2", "aÿbÿ", 0),
+      tf("TPE1", "plain", 0)))
+    val unsync = Mp3.unsynchronizeTag(ff)
+    assert(unsync.length > ff.length) // stuffing actually happened
+    val Right(uf) = Mp3.id3FrameTable(unsync): @unchecked
+    assert(uf.map(_.text) == Seq("aÿbÿ", "plain"))
     // frame size overruns the tag
     val good = Mp3.buildId3v2Tag(3, Seq(tf("TIT2", "title", 0)))
     val over = good.clone()
