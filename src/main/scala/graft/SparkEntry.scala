@@ -1383,6 +1383,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- 7Z SIGNATURE-HEADER TRIAGE: both CRCs verified (the
+    //      locator CRC over the 20 locator bytes, the next-header CRC
+    //      over the actual end-header bytes) before trusting any
+    //      extent — the route/quarantine decision for `.7z` blobs
+    //      without an LZMA dependency. Poison: %41 empty, %37 one
+    //      flipped next-header byte — the CRC catches it.
+    "q222_sevenzip_header" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val nh = new Array[Byte]((20 + (id * 7) % 100).toInt)
+          java.util.Arrays.fill(nh, ((id * 3) % 251).toByte)
+          val full = graft.ext.SevenZip.buildSevenZip(
+            (30 + id % 200).toInt, nh)
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x11).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.SevenZip.extractSevenZipMeta(blobs, "blob")
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6241,6 +6266,19 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // locator fields by formula; sums over the fill byte
+    "q222_sevenzip_header" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS ver_major,
+        |  CAST(4 AS INTEGER) AS ver_minor,
+        |  CAST(30 + doc_id % 200 AS BIGINT) AS next_header_offset,
+        |  CAST(20 + (doc_id*7) % 100 AS BIGINT) AS next_header_size,
+        |  CAST((20 + (doc_id*7) % 100) * ((doc_id*3) % 251) AS BIGINT)
+        |    AS next_header_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // in-class pairs regardless of carrier (png/bmp/tiff by id%3)
     "q220_tiff_image_dedup" ->
       """WITH d AS (
