@@ -1408,6 +1408,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- XZ CONTAINER TRIAGE (tukaani .xz — public-data dumps):
+    //      header/footer/index CRCs all verified, header and footer
+    //      stream flags cross-checked, and the block region accounted
+    //      EXACTLY against the index's per-block unpadded sizes —
+    //      integrity + decompressed-size inventory with the LZMA2
+    //      payload quarantined. Poison: %41 empty, %37 one flipped
+    //      footer-magic byte — typed reject.
+    "q223_xz_streams" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val blocks = (0 until (1 + id % 3).toInt).map { g =>
+            val up = 50 + (id * 7 + g * 11) % 200
+            (up, up * 3 + id % 17)
+          }
+          val ct = (id % 3).toInt match {
+            case 0 => 0; case 1 => 1; case _ => 4
+          }
+          val full = graft.ext.Xz.buildXz(ct, blocks, (id % 251).toInt)
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x04).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Xz.extractXzMeta(blobs, "blob")
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6266,6 +6296,22 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // per-block size formulas summed; check type by id%3
+    "q223_xz_streams" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |g AS (
+        |  SELECT doc_id, 50 + (doc_id*7 + k*11) % 200 AS up
+        |  FROM d, range(0, 3) t(k) WHERE k < 1 + doc_id % 3)
+        |SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 0
+        |       WHEN 1 THEN 1 ELSE 4 END AS INTEGER) AS check_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(up) AS BIGINT) AS unpadded_sum,
+        |  CAST(SUM(up * 3 + doc_id % 17) AS BIGINT) AS uncompressed_sum
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // locator fields by formula; sums over the fill byte
     "q222_sevenzip_header" ->
       """WITH d AS (

@@ -72,6 +72,9 @@ object FormatSniffer {
         u(bytes(n - 1)) < n - 4) return "orc" // head magic + sane psLen
     if (n >= 9 && ascii(bytes, 0, "FLV") && u(bytes(3)) == 1) return "flv"
     if (n >= 24 && ascii(bytes, 0, ".snd")) return "au"
+    if (n >= 12 && u(bytes(0)) == 0xFD && bytes(1) == '7' &&
+        bytes(2) == 'z' && bytes(3) == 'X' && bytes(4) == 'Z' &&
+        bytes(5) == 0) return "xz"
     if (n >= 32 && u(bytes(0)) == '7' && u(bytes(1)) == 'z' &&
         u(bytes(2)) == 0xBC && u(bytes(3)) == 0xAF &&
         u(bytes(4)) == 0x27 && u(bytes(5)) == 0x1C) return "7z"
