@@ -1438,6 +1438,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BZIP2 SPLIT-POINT DISCOVERY (what Wikipedia-class dumps
+    //      ship in): bzip2 blocks are BIT-aligned, so splittable
+    //      readers find boundaries by scanning for the 48-bit block
+    //      magic at every bit phase — this gate plants blocks at
+    //      formula bit offsets and requires the census (count + the
+    //      end-of-stream magic's exact bit position) to match.
+    //      Poison: %41 empty, %37 one flipped byte inside the EOS
+    //      magic — typed reject.
+    "q224_bzip2_blocks" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val gaps = (0 until (1 + id % 3).toInt).map(j =>
+            (7 + (id * 5 + j * 13) % 40).toInt)
+          val full = graft.ext.Bzip2.buildBzip2((1 + id % 9).toInt, gaps)
+          if (id % 37 == 0)
+            full(full.length - 7) = (full(full.length - 7) ^ 0xFF).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Bzip2.extractBzip2Meta(blobs, "blob")
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6296,6 +6322,22 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // the census is exact: eos bit position = 32 header bits + every
+    // planted (gap + 48-bit magic)
+    "q224_bzip2_blocks" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |g AS (
+        |  SELECT doc_id, SUM(7 + (doc_id*5 + j*13) % 40 + 48) AS span,
+        |    COUNT(*) AS k
+        |  FROM d, range(0, 3) t(j) WHERE j < 1 + doc_id % 3
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(1 + doc_id % 9 AS INTEGER) AS level,
+        |  CAST(k AS BIGINT) AS n_blocks,
+        |  CAST(32 + span AS BIGINT) AS eos_at_bit
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // per-block size formulas summed; check type by id%3
     "q223_xz_streams" ->
       """WITH d AS (

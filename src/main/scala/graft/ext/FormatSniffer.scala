@@ -72,6 +72,8 @@ object FormatSniffer {
         u(bytes(n - 1)) < n - 4) return "orc" // head magic + sane psLen
     if (n >= 9 && ascii(bytes, 0, "FLV") && u(bytes(3)) == 1) return "flv"
     if (n >= 24 && ascii(bytes, 0, ".snd")) return "au"
+    if (n >= 14 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h' &&
+        bytes(3) >= '1' && bytes(3) <= '9') return "bzip2"
     if (n >= 12 && u(bytes(0)) == 0xFD && bytes(1) == '7' &&
         bytes(2) == 'z' && bytes(3) == 'X' && bytes(4) == 'Z' &&
         bytes(5) == 0) return "xz"
