@@ -1464,6 +1464,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- FORMAT SNIFFING, ROUND-12 FAMILIES (extends q190): the 11
+    //      families added this round — LZ4, parquet, ORC, npy,
+    //      safetensors (the no-magic structural check), FLV, AU,
+    //      TIFF, 7z, XZ, bzip2 — interleaved by id%11, every blob
+    //      built by its REAL fixture writer and identified from
+    //      magic/structure alone.
+    "q225_format_sniff_extended" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        (id % 11).toInt match {
+          case 0 => graft.ext.Lz4.buildLz4Frame(
+            Seq((true, Array[Byte](1, 2, 3))), Array[Byte](1, 2, 3))
+          case 1 => graft.ext.ParquetMeta.buildParquetBlob(1, Seq("a"),
+            Seq(3L), Seq(30L), "w", bodyLen = 8)
+          case 2 => graft.ext.Orc.buildOrc(0, 1, Seq(5L), 10L, bodyLen = 4)
+          case 3 => graft.ext.Npy.buildNpy("<i4", Seq(2L), Seq(1L, 2L))
+          case 4 => graft.ext.SafeTensors.buildSafeTensors(
+            Seq(("t", "U8", Seq(3L), 1)))
+          case 5 => graft.ext.Flv.buildFlv(
+            Seq((9, 0L, Array[Byte](1, 2, 3))))
+          case 6 => Multimodal.syntheticAu(8000, 20, id, ulaw = true)
+          case 7 => graft.ext.Multimodal.syntheticGrayImage(
+            8, 8, id, "tiff")
+          case 8 => graft.ext.SevenZip.buildSevenZip(10,
+            Array[Byte](1, 2, 3, 4))
+          case 9 => graft.ext.Xz.buildXz(1, Seq((40L, 99L)), 3)
+          case _ => graft.ext.Bzip2.buildBzip2(5, Seq(7, 12))
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.FormatSniffer.sniffFormats(blobs, "blob")
+        .orderBy("doc_id")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6322,6 +6356,16 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // eleven new families keyed by id%11
+    "q225_format_sniff_extended" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 11 AS INTEGER)
+        |    WHEN 0 THEN 'lz4' WHEN 1 THEN 'parquet' WHEN 2 THEN 'orc'
+        |    WHEN 3 THEN 'npy' WHEN 4 THEN 'safetensors' WHEN 5 THEN 'flv'
+        |    WHEN 6 THEN 'au' WHEN 7 THEN 'tiff' WHEN 8 THEN '7z'
+        |    WHEN 9 THEN 'xz' ELSE 'bzip2' END AS format
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
     // the census is exact: eos bit position = 32 header bits + every
     // planted (gap + 48-bit magic)
     "q224_bzip2_blocks" ->
