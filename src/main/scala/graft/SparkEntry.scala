@@ -1498,6 +1498,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- PARQUET COLUMN STATISTICS (q198's footer walk one level
+    //      deeper): per-column-chunk num_values / null_count /
+    //      LE-int64 min_value/max_value from the Statistics struct —
+    //      the zone-map audit a 100 TB reader runs before trusting
+    //      predicate pushdown to third-party files. Interop-pinned
+    //      in specs against statistics Spark itself wrote. Poison:
+    //      %41 empty, %37 one flipped tail-magic byte.
+    "q226_parquet_stats" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        if (id % 41 == 0) Array.empty[Byte]
+        else {
+          val nG = (1 + id % 3).toInt
+          val rows = (0 until nG).map(g => 10 + (id * 3 + g * 7) % 90)
+          val cols = (0 until (2 + id % 2).toInt).map(c => f"c$c%d")
+          val full = graft.ext.ParquetMeta.buildParquetBlobStats(
+            1, cols, rows, f"w${id % 5}%d", bodyLen = (10 + id % 30).toInt,
+            stats = (g, c) => (
+              10 + (id * 3 + g * 7) % 90,
+              (id + g + c) % 5,
+              id * 10 + g * 100 + c,
+              id * 10 + g * 100 + c + 500 + (id + g) % 50))
+          if (id % 37 == 0)
+            full(full.length - 1) = (full(full.length - 1) ^ 0x10).toByte
+          full
+        }
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.ParquetMeta.extractParquetColumnStats(blobs, "blob")
+        .orderBy("doc_id", "rg_idx", "column")
+    }),
+
     // ---- A1/A3: group-aggregate (partial/final hash agg, one shuffle)
     "q01_agg_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6356,6 +6388,26 @@ object SparkEntry {
     * to `<sfDir>/<table>.parquet` on the driver side.
     */
   def oracleSql: Map[String, String] = Map(
+    // per-(doc, rowgroup, column) statistics formulas
+    "q226_parquet_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 != 0 AND doc_id % 37 != 0),
+        |g AS (
+        |  SELECT doc_id, k AS g FROM d, range(0, 3) t(k)
+        |  WHERE k < 1 + doc_id % 3),
+        |c AS (
+        |  SELECT doc_id, g, k AS c FROM g, range(0, 3) u(k)
+        |  WHERE k < 2 + doc_id % 2)
+        |SELECT doc_id, CAST(g AS INTEGER) AS rg_idx,
+        |  printf('c%d', CAST(c AS INTEGER)) AS "column",
+        |  CAST(10 + (doc_id*3 + g*7) % 90 AS BIGINT) AS num_values,
+        |  CAST((doc_id + g + c) % 5 AS BIGINT) AS null_count,
+        |  CAST(doc_id*10 + g*100 + c AS BIGINT) AS min_v,
+        |  CAST(doc_id*10 + g*100 + c + 500 + (doc_id + g) % 50 AS BIGINT)
+        |    AS max_v
+        |FROM c ORDER BY doc_id, rg_idx, "column"""".stripMargin,
+
     // eleven new families keyed by id%11
     "q225_format_sniff_extended" ->
       """SELECT doc_id,

@@ -270,6 +270,149 @@ object ParquetMeta {
     }(enc)
   }
 
+  final case class PqColStat(rgIdx: Int, column: String, numValues: Long,
+                             nullCount: Long, minV: Option[Long],
+                             maxV: Option[Long])
+
+  /** Per-column-chunk statistics from the footer (ColumnMetaData
+    * field 12): num_values, null_count, and min_value/max_value
+    * decoded as little-endian INT64 when 8 bytes wide (the physical
+    * encoding Spark writes for LongType) — the zone-map layer a
+    * 100 TB reader audits before trusting predicate pushdown to
+    * someone else's files.
+    */
+  def parquetColumnStats(bytes: Array[Byte])
+      : Either[String, Seq[PqColStat]] = {
+    if (bytes == null || bytes.length < 12) return Left("too short")
+    val n = bytes.length
+    if (!(bytes(0) == 'P' && bytes(1) == 'A' && bytes(2) == 'R' &&
+        bytes(3) == '1')) return Left("bad head magic")
+    if (!(bytes(n - 4) == 'P' && bytes(n - 3) == 'A' && bytes(n - 2) == 'R' &&
+        bytes(n - 1) == '1')) return Left("bad tail magic")
+    val flen = (u(bytes(n - 8)) | (u(bytes(n - 7)) << 8) |
+      (u(bytes(n - 6)) << 16) | (u(bytes(n - 5)) << 24)).toLong
+    if (flen < 0 || flen > n - 12) return Left("footer length out of bounds")
+    val c = new Cursor(bytes, n - 8 - flen.toInt, n - 8)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PqColStat]
+    var rgIdx = 0
+    try {
+      walkStruct(c, 0) { (fid, tpe) =>
+        if (fid == 4L && tpe == 9) { // row_groups
+          val (cnt, et) = listHeader(c)
+          if (et != 12) throw Walk("bad row group type")
+          var i = 0L
+          while (i < cnt) {
+            walkStruct(c, 1) { (rfid, rtpe) =>
+              if (rfid == 1L && rtpe == 9) { // columns
+                val (ccnt, cet) = listHeader(c)
+                if (cet != 12) throw Walk("bad column chunk type")
+                var j = 0L
+                while (j < ccnt) {
+                  var colName: String = null
+                  var numValues = -1L
+                  var nullCount = -1L
+                  var minV: Option[Long] = None
+                  var maxV: Option[Long] = None
+                  walkStruct(c, 2) { (cfid, ctpe) =>
+                    if (cfid == 3L && ctpe == 12) { // ColumnMetaData
+                      walkStruct(c, 3) { (mfid, mtpe) =>
+                        (mfid, mtpe) match {
+                          case (3L, 9) => // path_in_schema
+                            val (pn, pet) = listHeader(c)
+                            if (pet != 8) throw Walk("bad path type")
+                            val parts = new Array[String](pn.toInt)
+                            var k = 0L
+                            while (k < pn) {
+                              parts(k.toInt) = readBinary(c); k += 1
+                            }
+                            colName = parts.mkString(".")
+                          case (5L, 6) => numValues = zig(c)
+                          case (12L, 12) => // Statistics
+                            walkStruct(c, 4) { (sfid, stpe) =>
+                              (sfid, stpe) match {
+                                case (3L, 6) => nullCount = zig(c)
+                                case (5L, 8) => maxV = leI64Binary(c)
+                                case (6L, 8) => minV = leI64Binary(c)
+                                case (_, w) => skipValue(c, w, 5)
+                              }
+                            }
+                          case (_, w) => skipValue(c, w, 4)
+                        }
+                      }
+                    } else skipValue(c, ctpe, 3)
+                  }
+                  out += PqColStat(rgIdx, colName, numValues, nullCount,
+                    minV, maxV)
+                  j += 1
+                }
+              } else skipValue(c, rtpe, 2)
+            }
+            rgIdx += 1
+            i += 1
+          }
+        } else skipValue(c, tpe, 0)
+      }
+    } catch {
+      case Walk(m) => return Left(m)
+      case _: ArrayIndexOutOfBoundsException => return Left("footer overrun")
+    }
+    Right(out.toSeq)
+  }
+
+  /** Read a binary stat field; decode as LE int64 when 8 bytes. */
+  private def leI64Binary(c: Cursor): Option[Long] = {
+    val len = varU(c)
+    if (len < 0 || len > c.end - c.p) throw Walk("binary out of bounds")
+    val r =
+      if (len == 8L) {
+        var v = 0L
+        var i = 7
+        while (i >= 0) { v = (v << 8) | u(c.b(c.p + i)); i -= 1 }
+        Some(v)
+      } else None
+    c.p += len.toInt
+    r
+  }
+
+  /** One row per column chunk: `(…keep…, rg_idx, column, num_values,
+    * null_count, min_v, max_v)`.
+    */
+  def extractParquetColumnStats(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("rg_idx", IntegerType, nullable = false),
+        StructField("column", StringType, nullable = true),
+        StructField("num_values", LongType, nullable = false),
+        StructField("null_count", LongType, nullable = false),
+        StructField("min_v", LongType, nullable = true),
+        StructField("max_v", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parquetColumnStats(r.getAs[Array[Byte]](idx)) match {
+          case Left(_) => Iterator.empty
+          case Right(stats) =>
+            val prefix = new Array[Any](nKeep)
+            var i = 0
+            while (i < nKeep) { prefix(i) = r.get(keepIdx(i)); i += 1 }
+            stats.iterator.map { s =>
+              val arr = new Array[Any](nKeep + 6)
+              System.arraycopy(prefix, 0, arr, 0, nKeep)
+              arr(nKeep) = s.rgIdx; arr(nKeep + 1) = s.column
+              arr(nKeep + 2) = s.numValues; arr(nKeep + 3) = s.nullCount
+              arr(nKeep + 4) = s.minV.map(Long.box).orNull
+              arr(nKeep + 5) = s.maxV.map(Long.box).orNull
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(arr))
+            }
+        }
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------------------------
   // Fixture writer (Thrift compact encode of a minimal FileMetaData)
 
@@ -295,12 +438,101 @@ object ParquetMeta {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       varu(b.length.toLong); out.write(b, 0, b.length)
     }
-    def listOfStructs(id: Long, n: Int): Unit = {
+    def listOfStructs(id: Long, n: Int): Unit = listOf(id, n, 12)
+    def listOf(id: Long, n: Int, elemType: Int): Unit = {
       header(id, 9)
-      if (n < 15) out.write((n << 4) | 12)
-      else { out.write((15 << 4) | 12); varu(n.toLong) }
+      if (n < 15) out.write((n << 4) | elemType)
+      else { out.write((15 << 4) | elemType); varu(n.toLong) }
+    }
+    def rawBinary(id: Long, b: Array[Byte]): Unit = {
+      header(id, 8); varu(b.length.toLong); out.write(b, 0, b.length)
     }
     def stop(): Unit = out.write(0)
+  }
+
+  private def le8(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var x = v
+    var i = 0
+    while (i < 8) { b(i) = (x & 0xFF).toByte; x >>= 8; i += 1 }
+    b
+  }
+
+  /** Like [[buildParquetBlob]] but each column chunk carries full
+    * ColumnMetaData with `path_in_schema`, `num_values`, and a
+    * Statistics struct (`null_count`, LE-int64 `min_value` /
+    * `max_value`) — the zone-map fixture. `stats(g, c)` returns
+    * (numValues, nullCount, min, max) for row group `g`, column `c`.
+    */
+  def buildParquetBlobStats(version: Int, columnNames: Seq[String],
+                            rowGroupRows: Seq[Long],
+                            createdBy: String, bodyLen: Int,
+                            stats: (Int, Int) => (Long, Long, Long, Long))
+      : Array[Byte] = {
+    val w = new W
+    w.i32(1, version.toLong)
+    w.listOfStructs(2, 1 + columnNames.length)
+    locally {
+      val e = new W
+      e.binary(4, "root")
+      e.i32(5, columnNames.length.toLong)
+      e.stop()
+      w.out.write(e.out.toByteArray, 0, e.out.size())
+    }
+    columnNames.foreach { name =>
+      val e = new W
+      e.i32(1, 6L); e.i32(3, 1L); e.binary(4, name)
+      e.stop()
+      w.out.write(e.out.toByteArray, 0, e.out.size())
+    }
+    w.i64(3, rowGroupRows.sum)
+    w.listOfStructs(4, rowGroupRows.length)
+    rowGroupRows.zipWithIndex.foreach { case (rows, g) =>
+      val rg = new W
+      rg.listOfStructs(1, columnNames.length)
+      columnNames.zipWithIndex.foreach { case (name, ci) =>
+        val (nv, nc, mn, mx) = stats(g, ci)
+        val cc = new W
+        cc.i64(2, (ci * 100).toLong) // file_offset
+        locally { // field 3: ColumnMetaData
+          cc.header(3, 12)
+          val md = new W
+          md.listOf(3, 1, 8)
+          md.varu(name.getBytes("UTF-8").length.toLong)
+          md.out.write(name.getBytes("UTF-8"))
+          md.i64(5, nv)
+          locally { // field 12: Statistics
+            md.header(12, 12)
+            val st = new W
+            st.i64(3, nc)
+            st.rawBinary(5, le8(mx))
+            st.rawBinary(6, le8(mn))
+            st.stop()
+            md.out.write(st.out.toByteArray, 0, st.out.size())
+          }
+          md.stop()
+          cc.out.write(md.out.toByteArray, 0, md.out.size())
+        }
+        cc.stop()
+        rg.out.write(cc.out.toByteArray, 0, cc.out.size())
+      }
+      rg.i64(2, 1000L + g)
+      rg.i64(3, rows)
+      rg.stop()
+      w.out.write(rg.out.toByteArray, 0, rg.out.size())
+    }
+    w.binary(6, createdBy)
+    w.stop()
+    val footer = w.out.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+    out.write(new Array[Byte](bodyLen), 0, bodyLen)
+    out.write(footer, 0, footer.length)
+    val fl = footer.length
+    out.write(fl & 0xFF); out.write((fl >> 8) & 0xFF)
+    out.write((fl >> 16) & 0xFF); out.write((fl >> 24) & 0xFF)
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+    out.toByteArray
   }
 
   /** A minimal, spec-conformant Parquet blob: head magic, `bodyLen`

@@ -36,6 +36,35 @@ class ParquetMetaSpec extends SparkFunSuite {
     assert(m.totalBytes > 0L)
   }
 
+  test("column statistics: synthetic round-trip + Spark-written interop") {
+    val blob = ParquetMeta.buildParquetBlobStats(1, Seq("a", "b"),
+      Seq(10L, 20L), "w", bodyLen = 8,
+      stats = (g, c) => (10L + g, g + c.toLong, g * 100L + c,
+        g * 100L + c + 50L))
+    val Right(st) = ParquetMeta.parquetColumnStats(blob): @unchecked
+    assert(st.length == 4)
+    assert(st.map(_.column) == Seq("a", "b", "a", "b"))
+    assert(st.map(_.rgIdx) == Seq(0, 0, 1, 1))
+    assert(st(3).numValues == 11L && st(3).nullCount == 2L)
+    assert(st(3).minV.contains(101L) && st(3).maxV.contains(151L))
+    // the general footer walk still reads the richer footer
+    val Right(m) = ParquetMeta.parquetFooterTable(blob): @unchecked
+    assert(m.numRows == 30L && m.nColumns == 2)
+    // interop: Spark's own statistics for a LongType column
+    import spark.implicits._
+    val dir = tempDir("pqstats")
+    (0 until 777).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/t")
+    val part = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val Right(real) = ParquetMeta.parquetColumnStats(bytes): @unchecked
+    val idStat = real.find(_.column == "id").get
+    assert(idStat.numValues == 777L)
+    assert(idStat.nullCount == 0L)
+    assert(idStat.minV.contains(0L) && idStat.maxV.contains(776L))
+  }
+
   test("typed rejects: magics, footer length, row-count consistency") {
     val good = ParquetMeta.buildParquetBlob(1, Seq("a"), Seq(10L),
       Seq(100L), "w", bodyLen = 16)
