@@ -167,9 +167,15 @@ object Gzip {
       inf.setInput(bytes, p, n - p)
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](64 << 10)
+      var produced = 0L
       while (!inf.finished()) {
         val k = inf.inflate(buf)
         if (k == 0 && !inf.finished()) { inf.end(); return res.toSeq }
+        produced += k
+        // bomb guard enforced HERE too, not only in the validating
+        // gzipMemberTable pass — a future caller that skips the
+        // validation pass must not inherit an unbounded inflate loop
+        if (produced > cap) { inf.end(); return res.toSeq }
         bos.write(buf, 0, k)
       }
       val consumed = inf.getBytesRead

@@ -140,7 +140,16 @@ object SafeTensors {
     * (name, off0, off1, byteSum)) or a typed error.
     */
   private def parse(bytes: Array[Byte], maxHeader: Long)
-      : Either[String, (String, Seq[(String, Long, Long, Long)])] = {
+      : Either[String, (String, Seq[(String, Long, Long, Long)])] =
+    parseScan(bytes, maxHeader).map { case (json, _, entries) =>
+      (json, entries.map { case (e, sum) => (e.name, e.off0, e.off1, sum) })
+    }
+
+  private final case class ScanEntry(name: String, off0: Long, off1: Long,
+                                     dtype: String, shape: Seq[Long])
+
+  private def parseScan(bytes: Array[Byte], maxHeader: Long)
+      : Either[String, (String, Int, Seq[(ScanEntry, Long)])] = {
     if (bytes == null || bytes.length < 9) return Left("too short")
     var hl = 0L
     var i = 7
@@ -159,27 +168,27 @@ object SafeTensors {
       case Right(entries) =>
         // offsets contract: sorted by off0, start 0, contiguous
         // (spec: offsets are non-overlapping and cover the region)
-        val sorted = entries.sortBy(_._2)
+        val sorted = entries.sortBy(_.off0)
         var expect = 0L
         var k = 0
         while (k < sorted.length) {
-          val (_, o0, o1) = sorted(k)
-          if (o0 != expect) return Left("offsets not contiguous")
-          if (o1 < o0) return Left("negative tensor extent")
-          if (o1 > dataLen) return Left("offsets out of bounds")
-          expect = o1
+          val e = sorted(k)
+          if (e.off0 != expect) return Left("offsets not contiguous")
+          if (e.off1 < e.off0) return Left("negative tensor extent")
+          if (e.off1 > dataLen) return Left("offsets out of bounds")
+          expect = e.off1
           k += 1
         }
         if (sorted.nonEmpty && expect != dataLen)
           return Left("data region not covered")
         if (sorted.isEmpty && dataLen != 0)
           return Left("data region not covered")
-        Right((json, entries.map { case (name, o0, o1) =>
+        Right((json, dataStart, entries.map { e =>
           var sum = 0L
-          var p = dataStart + o0.toInt
-          val end = dataStart + o1.toInt
+          var p = dataStart + e.off0.toInt
+          val end = dataStart + e.off1.toInt
           while (p < end) { sum += u(bytes(p)); p += 1 }
-          (name, o0, o1, sum)
+          (e, sum)
         }))
     }
   }
@@ -190,8 +199,8 @@ object SafeTensors {
     * parser — `from_json` does the real parsing downstream.
     */
   private def offsetsScan(json: String)
-      : Either[String, Seq[(String, Long, Long)]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      : Either[String, Seq[ScanEntry]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ScanEntry]
     val n = json.length
     var p = 0
     def skipWs(): Unit = { while (p < n && json.charAt(p).isWhitespace) p += 1 }
@@ -248,9 +257,18 @@ object SafeTensors {
           off0 = mm.group(1).toLong; off1 = mm.group(2).toLong
           sawOffsets = true
         }
+        // dtype and shape matched INDEPENDENTLY per entry object —
+        // JSON keys are unordered, so a dtype-before-shape combined
+        // pattern would silently drop spec-valid headers written in a
+        // different key order
+        val dtype = "\"dtype\"\\s*:\\s*\"([^\"\\\\]+)\""
+          .r.findFirstMatchIn(vJson).map(_.group(1)).orNull
+        val shape = "\"shape\"\\s*:\\s*\\[([0-9,\\s]*)\\]"
+          .r.findFirstMatchIn(vJson).map(_.group(1).split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty).map(_.toLong)).orNull
         if (key != "__metadata__") {
           if (!sawOffsets) return Left("missing data_offsets")
-          out += ((key, off0, off1))
+          out += ScanEntry(key, off0, off1, dtype, shape)
         }
         skipWs()
         if (p < n && json.charAt(p) == ',') p += 1
@@ -331,26 +349,12 @@ object SafeTensors {
     */
   private def parseWithShapes(bytes: Array[Byte], maxHeader: Long)
       : Either[String, Seq[TensorEntry]] = {
-    parse(bytes, maxHeader) match {
-      case Left(e) => Left(e)
-      case Right((json, tensors)) =>
-        var hl = 0L
-        var i = 7
-        while (i >= 0) { hl = (hl << 8) | u(bytes(i)); i -= 1 }
-        val dataStart = 8 + hl.toInt
-        val dtypeRe =
-          "\"([^\"]+)\"\\s*:\\s*\\{[^{}]*\"dtype\"\\s*:\\s*\"([^\"]+)\"[^{}]*\"shape\"\\s*:\\s*\\[([0-9,\\s]*)\\][^{}]*\\}".r
-        val meta = dtypeRe.findAllMatchIn(json).map { m =>
-          val shape = m.group(3).split(',').toSeq.map(_.trim)
-            .filter(_.nonEmpty).map(_.toLong)
-          m.group(1) -> ((m.group(2), shape))
-        }.toMap
-        Right(tensors.flatMap { case (name, o0, o1, _) =>
-          meta.get(name).map { case (dtype, shape) =>
-            TensorEntry(name, dtype, shape, o0, o1,
-              dataStart + o0.toInt)
-          }
-        })
+    parseScan(bytes, maxHeader).map { case (_, dataStart, entries) =>
+      entries.collect {
+        case (e, _) if e.dtype != null && e.shape != null =>
+          TensorEntry(e.name, e.dtype, e.shape, e.off0, e.off1,
+            dataStart + e.off0.toInt)
+      }
     }
   }
 

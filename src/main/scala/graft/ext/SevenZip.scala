@@ -36,7 +36,14 @@ object SevenZip {
   }
 
   /** Parse one 7z blob's signature header. */
-  def sevenZipTable(bytes: Array[Byte]): Either[String, SevenZipMeta] = {
+  def sevenZipTable(bytes: Array[Byte]): Either[String, SevenZipMeta] =
+    try sevenZipWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+    }
+
+  private def sevenZipWalk(bytes: Array[Byte])
+      : Either[String, SevenZipMeta] = {
     if (bytes == null || bytes.length < 32) return Left("too short")
     if (!(u(bytes(0)) == '7' && u(bytes(1)) == 'z' && u(bytes(2)) == 0xBC &&
         u(bytes(3)) == 0xAF && u(bytes(4)) == 0x27 && u(bytes(5)) == 0x1C))
@@ -51,8 +58,13 @@ object SevenZip {
     val nhOffset = le64(bytes, 12)
     val nhSize = le64(bytes, 20)
     val nhCrc = le32(bytes, 28)
-    if (nhOffset < 0 || nhSize < 0 ||
-        nhOffset + nhSize > bytes.length - 32L)
+    // subtraction form: nhOffset/nhSize are attacker-controlled 64-bit
+    // values whose sum can wrap negative and bypass a combined check;
+    // also reject nhSize = 0 so a forged nhCrc = 0 (the CRC32 of zero
+    // bytes) cannot pass the "both CRCs verified" gate
+    if (nhOffset < 0 || nhSize <= 0 ||
+        nhSize > bytes.length - 32L ||
+        nhOffset > bytes.length - 32L - nhSize)
       return Left("next header out of bounds")
     val at = (32 + nhOffset).toInt
     val crc2 = new java.util.zip.CRC32

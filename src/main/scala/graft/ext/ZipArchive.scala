@@ -118,6 +118,18 @@ object ZipArchive {
     */
   def zipEntryTable(bytes: Array[Byte],
                     maxInflate: Long = 64L * 1024 * 1024)
+      : Either[String, Seq[ZipEntry]] =
+    // Defense in depth: every offset below is checked in subtraction
+    // form against the blob length, but a crafted archive must never
+    // crash a task — one poison blob yields a typed reject, not a
+    // failed Spark job (the Xz.xzTable discipline).
+    try zipEntryWalk(bytes, maxInflate)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def zipEntryWalk(bytes: Array[Byte], maxInflate: Long)
       : Either[String, Seq[ZipEntry]] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
@@ -151,7 +163,9 @@ object ZipArchive {
       if (le32(bytes, loc + 4) != 0L || le32(bytes, loc + 16) != 1L)
         return Left("multi-disk archive unsupported")
       val e64 = le64(bytes, loc + 8)
-      if (e64 < 0 || e64 + 56 > loc) return Left("zip64 eocd out of bounds")
+      // subtraction form: e64 is attacker-controlled 64-bit, a sum
+      // with 56 could wrap negative and bypass the check
+      if (e64 < 0 || e64 > loc - 56L) return Left("zip64 eocd out of bounds")
       val ep = e64.toInt
       if (!(bytes(ep) == 'P' && bytes(ep + 1) == 'K' &&
             bytes(ep + 2) == 6 && bytes(ep + 3) == 6))
@@ -165,7 +179,7 @@ object ZipArchive {
       cdOff = le64(bytes, ep + 48)
       if (nEntries < 0 || nEntries > Int.MaxValue)
         return Left("zip64 entry count out of bounds")
-      if (cdSize < 0 || cdOff < 0 || cdOff + cdSize > e64)
+      if (cdSize < 0 || cdOff < 0 || cdSize > e64 || cdOff > e64 - cdSize)
         return Left("central directory out of bounds")
     } else if (cdOff + cdSize > eocd)
       return Left("central directory out of bounds")
@@ -189,14 +203,14 @@ object ZipArchive {
       if (method != 0 && method != 8) return Left("unsupported method")
       if (usize > maxInflate) return Left("entry exceeds inflate cap")
       // local header agreement + payload location
-      if (e.lhOff < 0 || e.lhOff + 30 > n)
+      if (e.lhOff < 0 || e.lhOff > n - 30L)
         return Left("local header out of bounds")
       val lp = e.lhOff.toInt
       if (!(bytes(lp) == 'P' && bytes(lp + 1) == 'K' && bytes(lp + 2) == 3 &&
             bytes(lp + 3) == 4)) return Left("bad local header signature")
       val lNameLen = le16(bytes, lp + 26)
       val lExtraLen = le16(bytes, lp + 28)
-      if (csize < 0 || e.lhOff + 30 + lNameLen + lExtraLen + csize > n)
+      if (csize < 0 || csize > n - 30L - lNameLen - lExtraLen - e.lhOff)
         return Left("entry payload out of bounds")
       if (lNameLen != e.nameLen ||
           !java.util.Arrays.equals(

@@ -97,6 +97,22 @@ class SafeTensorsSpec extends SparkFunSuite {
     assert(java.util.Arrays.equals(rows(3).getSeq[Float](3).toArray, v1))
   }
 
+  test("extractTensorVectors: shape-before-dtype key order still decodes") {
+    // JSON keys are unordered; the spec permits any entry key order.
+    import spark.implicits._
+    val v = Array(1.0f, -2.0f, 0.5f)
+    val bb = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    v.foreach(bb.putFloat)
+    val blob = raw(
+      """{"vec":{"shape":[3],"data_offsets":[0,12],"dtype":"F32"}}""",
+      bb.array())
+    val df = Seq((1L, blob)).toDF("doc_id", "blob")
+    val rows = SafeTensors.extractTensorVectors(df, "blob").collect()
+    assert(rows.length == 1)
+    assert(java.util.Arrays.equals(rows(0).getSeq[Float](3).toArray, v))
+  }
+
   test("typed rejects") {
     assert(errOf(Array.empty[Byte]) == "too short")
     assert(errOf(new Array[Byte](5)) == "too short")

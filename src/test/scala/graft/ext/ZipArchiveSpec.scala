@@ -60,6 +60,35 @@ class ZipArchiveSpec extends SparkFunSuite {
     (0 until z64.length by 3).foreach(k => ZipArchive.zipEntryTable(z64.take(k)))
   }
 
+  test("zip64 overflow-crafted offsets reject, never crash") {
+    // EOCD64 locator pointing at e64 near Long.MaxValue: the sum
+    // e64 + 56 wraps negative; the subtraction-form check must reject
+    def le(v: Long, w: Int): Array[Byte] =
+      Array.tabulate(w)(i => ((v >> (8 * i)) & 0xFF).toByte)
+    def craftedEocd(e64: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte]('P', 'K', 6, 7), 0, 4) // zip64 locator
+      out.write(le(0L, 4), 0, 4)                   // disk 0
+      out.write(le(e64, 8), 0, 8)                  // eocd64 offset
+      out.write(le(1L, 4), 0, 4)                   // total disks 1
+      out.write(Array[Byte]('P', 'K', 5, 6), 0, 4) // EOCD
+      out.write(le(0L, 4), 0, 4)                   // disk fields
+      out.write(le(0xFFFFL, 2), 0, 2)              // entries: zip64 marker
+      out.write(le(0xFFFFL, 2), 0, 2)
+      out.write(le(0xFFFFFFFFL, 4), 0, 4)          // cd size marker
+      out.write(le(0xFFFFFFFFL, 4), 0, 4)          // cd offset marker
+      out.write(le(0L, 2), 0, 2)                   // no comment
+      out.toByteArray
+    }
+    assert(ZipArchive.zipEntryTable(craftedEocd(Long.MaxValue - 8)) ==
+      Left("zip64 eocd out of bounds"))
+    assert(ZipArchive.zipEntryTable(craftedEocd(1L << 62)) ==
+      Left("zip64 eocd out of bounds"))
+    // in-bounds pointer to garbage: typed reject (catch-all backstop)
+    val r = ZipArchive.zipEntryTable(craftedEocd(0L))
+    assert(r.isLeft)
+  }
+
   test("zip64 interop: java.util.zip.ZipFile reads our forced fixture") {
     val z64 = ZipArchive.buildZip(Seq(("f.txt", 8, fill(3, 321))),
       forceZip64 = true)
