@@ -574,11 +574,20 @@ object DocDedup {
     * (band, sb) coordinates are collected driver-side to build the
     * partition-pruning filter, exactly like
     * [[graft.ext.Similarity.probeLshIndex]] (bounded, fails loudly
-    * past 65536 coordinates).
+    * past 65536 coordinates). The broadcast contract is ENFORCED on
+    * ROWS, not just coordinates: `pBanded` holds probes × bands rows,
+    * so a caller with few buckets but millions of probes would OOM
+    * the driver inside `broadcast(...)` — above `broadcastLimit` rows
+    * the candidate join falls back to a shuffle join (same
+    * partition-pruned scan, same result), the
+    * [[probeHammingIndex]] discipline.
     */
   def probeMinHashIndex(probes: DataFrame, corpus: DataFrame,
                         idCol: String, textCol: String, path: String,
-                        num: Int, den: Int): DataFrame = {
+                        num: Int, den: Int,
+                        broadcastLimit: Long = 4L << 20): DataFrame = {
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
     val ss = probes.sparkSession
     graft.functions.VecExpressions.register(ss)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -593,7 +602,8 @@ object DocDedup {
       .withColumn("sb", pmod(col("bsig"), lit(sigBuckets.toLong)).cast("int"))
       .persist()
     try {
-      pBanded.count() // materialize once: coords collect + candidate join
+      // materialize once: coords collect + candidate join
+      val nProbeRows = pBanded.count()
       def emptyResult = probes.select(col(idCol).as("id_a"),
           col(idCol).as("id_b"), lit(0L).as("common"),
           lit(0L).as("na"), lit(0L).as("nb"))
@@ -614,8 +624,10 @@ object DocDedup {
       val bucketFilter = (col("band").cast("long") * 4096L +
         col("sb").cast("long")).isin(
         coords.map { case (b, s) => b.toLong * 4096L + s }.toSeq: _*)
+      val probeSide =
+        if (nProbeRows <= broadcastLimit) broadcast(pBanded) else pBanded
       val cand = ss.read.parquet(path).where(bucketFilter)
-        .join(broadcast(pBanded), Seq("band", "bsig", "sb"))
+        .join(probeSide, Seq("band", "bsig", "sb"))
         .where(col("id_a") =!= col("id"))
         .select(col("id_a"), col("id").as("id_b")).distinct()
         .persist()

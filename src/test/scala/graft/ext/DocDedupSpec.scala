@@ -682,6 +682,74 @@ class DocDedupSpec extends SparkFunSuite {
     assert(one == plain)
   }
 
+  test("probeMinHashIndex above broadcastLimit: shuffle fallback " +
+    "equals the broadcast path, no broadcast hint in the executed join") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("mh-bcast-guard")
+    val path = s"$dir/index"
+    DocDedup.buildMinHashIndex(docs, "doc_id", "text", path,
+      bands = 8, rows = 4, sigBuckets = 4)
+    val twins = docs.where(col("doc_id") === 1 || col("doc_id") === 4)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = captured.add(qe)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    // the hinted candidate join hides inside the persisted `cand`
+    // cache; disable auto-broadcast so the HINT is the only source of
+    // a BroadcastHashJoin in any captured (cached) physical plan
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("common")))
+        .toSet
+      import scala.jdk.CollectionConverters._
+      // the listener fires asynchronously; wait until the queue is
+      // stable across two polls (bounded, ~10 s worst case)
+      def drain(): Unit = {
+        var last = -1
+        var tries = 0
+        while (tries < 100 && captured.size != last) {
+          last = captured.size; Thread.sleep(100); tries += 1
+        }
+      }
+      def sawBroadcastJoin(): Boolean = captured.asScala.exists { qe =>
+        val cached = qe.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            r.cachedPlan.toString
+        }
+        (qe.optimizedPlan.toString +: cached)
+          .exists(p => p.contains("strategy=broadcast") ||
+            p.contains("BroadcastHashJoin"))
+      }
+      captured.clear()
+      val small = rows(DocDedup.probeMinHashIndex(twins, docs, "doc_id",
+        "text", path, 7, 10)) // default limit: broadcast path
+      drain()
+      assert(sawBroadcastJoin(), "small probe must broadcast")
+      captured.clear()
+      // twins explode to 2 probes x 8 bands = 16 rows > limit of 1
+      val big = rows(DocDedup.probeMinHashIndex(twins, docs, "doc_id",
+        "text", path, 7, 10, broadcastLimit = 1))
+      drain()
+      assert(!sawBroadcastJoin(),
+        "over-limit probe must not broadcast the probe side")
+      assert(big == small && big.nonEmpty,
+        s"fallback path diverged: $big != $small")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.listenerManager.unregister(listener)
+    }
+  }
+
   test("probeHammingIndex above broadcastLimit: shuffle fallback, " +
     "result equals the broadcast path, no broadcast hint survives") {
     val s = spark; import s.implicits._
