@@ -2658,41 +2658,125 @@ object SparkEntry {
             .cast("binary")).as("tok_md5"))
         .orderBy("doc_id")),
 
-    // -------- rows-only checks below (not expressible in ANSI/DuckDB SQL:
-    // xxhash64 permutations, LSH banding, stub decoder) --------
+    // -------- r13: the 7 legacy rows-only queries, restated in their
+    // oracle-able twins' planted form (round-12 verdict ask #8) so the
+    // driver report carries zero no_oracle rows. Each keeps its name
+    // and keeps exercising the SAME operator through a construction
+    // whose output DuckDB can predict.
 
-    // ---- ext/DocDedup: MinHash banded LSH + exact verify
-    "q19_dedup_minhash_lsh" -> ((s, dir) =>
-      DocDedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", 7, 10)),
-
-    // ---- ext/DocDedup: SimHash + quarter blocking, Hamming <= 3
-    "q20_dedup_simhash" -> ((s, dir) =>
-      DocDedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)),
-
-    // ---- ext/Similarity: LSH-bucketed approximate top-k
-    "q21_ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
-        "vec_id", "embedding", 10)
+    // ---- ext/DocDedup: MinHash banded LSH + exact verify, PLANTED.
+    //      Identical twins collide in every band (recall 1 by
+    //      construction), and the emitted set is exactly the pairs
+    //      passing the EXACT Jaccard >= 0.7 verify — which DuckDB
+    //      computes directly (q15's oracle over the planted union).
+    //      Unlike q40 (aggregate recall counts), this gate pins the
+    //      full pair rows (id_a, id_b, common, na, nb).
+    "q19_dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text")))
+      DocDedup.minHashPairs(planted, "doc_id", "text", 7, 10,
+        bands = 32, rows = 4)
     }),
 
-    // ---- ext/Similarity: embedding-cosine near-dup pairs via LSH blocking
-    "q22_ann_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", 0.25)),
+    // ---- ext/DocDedup: SimHash + quarter blocking, PLANTED twins,
+    //      STRUCTURAL-INVARIANT gate over the UNFILTERED output. The
+    //      tiny-vocab corpus produces organic Hamming<=3 pairs between
+    //      docs with different word bags (measured: 68 at sf0.01, some
+    //      at distance 0), so the emitted SET is not SQL-predictable —
+    //      but two exact consequences of the semantics are:
+    //      (1) twin recall: every planted twin pair (a, a+1M) is
+    //          emitted at hamming 0 (quarter blocking is complete to
+    //          distance 3) — exactly count(docs) rows;
+    //      (2) shift symmetry: simhash depends only on text, so every
+    //          ORGANIC base relation (a, b) must appear in EXACTLY the
+    //          4 shifted variants {(a,b),(a,b+1M),(b,a+1M),(a+1M,b+1M)}
+    //          with identical hamming — a recall asymmetry or a
+    //          nondeterministic signature breaks the 4-count.
+    //      Unlike q47 (twin filter), false positives and asymmetric
+    //      candidate generation are visible here.
+    "q20_dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+        .select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text")))
+      val pairs = DocDedup.simHashPairs(planted, "doc_id", "text", 3)
+        .localCheckpoint() // two aggregates below: band once
+      val twins = pairs
+        .where(col("id_b") - col("id_a") === 1000000L)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("twin_pairs").as("probe"), col("value"))
+      val violations = pairs
+        .where(col("id_b") - col("id_a") =!= 1000000L)
+        .select(pmod(col("id_a"), lit(1000000L)).as("ra"),
+          pmod(col("id_b"), lit(1000000L)).as("rb"), col("hamming"))
+        .select(least(col("ra"), col("rb")).as("a"),
+          greatest(col("ra"), col("rb")).as("b"), col("hamming"))
+        .groupBy("a", "b", "hamming").agg(count(lit(1)).as("n"))
+        .where(col("n") =!= 4)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("organic_variant_violations").as("probe"), col("value"))
+      violations.unionByName(twins).orderBy("probe")
+    }),
 
-    // ---- ext/Multimodal: decode binary blobs → typed metadata (stub codec)
-    "q23_multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeMeta(
-          t(s, dir, "documents")
-            .select(col("doc_id"), col("text").cast("binary").as("blob")),
-          "blob")
+    // ---- ext/Similarity: LSH-bucketed approximate top-k over the
+    //      planted-cluster corpus (q43's construction): each query's
+    //      9 twins score cosine exactly 1.0 (strictly above every
+    //      cross-base sim) and share every table signature, so the
+    //      top-9 IS the twin set with probability 1 — DuckDB predicts
+    //      the (query_id, neighbor_id) rows arithmetically. Unlike
+    //      q43 (recall counts), this pins the actual neighbor ids.
+    "q21_ann_lsh" -> ((s, dir) => {
+      val (corpus, q) = plantedAnnCorpus(s, dir)
+      Similarity.lshTopK(corpus, q, "vec_id", "embedding", 9)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // ---- ext/Similarity: embedding-cosine near-dup pairs via LSH
+    //      blocking, PLANTED SCALED copies (x2): cosine is scale
+    //      invariant and doubling is exact in binary floating point
+    //      (exponent bump), so each (v, 2v) twin scores exactly 1.0 in
+    //      both engines while organic cross-pairs stay far below the
+    //      0.9 threshold — membership cannot be flipped by float ulps.
+    //      Distinct from q41 (exact copies): this additionally pins
+    //      scale invariance of the cosine kernel.
+    "q22_ann_cosine_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.unionByName(
+        emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      Similarity.cosineNearDupPairs(planted, "vec_id", "embedding", 0.9)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- ext/Multimodal: REAL-codec decode through the GIF container
+    //      (q46's planted form, different format: q46 pins PNG).
+    //      Deterministic animated GIFs with id-derived geometry are
+    //      decoded by the real javax.imageio path; the oracle predicts
+    //      width/height arithmetically. channels is a palette detail
+    //      (the q50 adjudication) and stays out of the row.
+    "q23_multimodal_decode" -> ((s, dir) => {
+      val gif = udf((id: Long) => Multimodal.syntheticGif(
+        8 + (id % 5).toInt, 5 + (id % 3).toInt, 2 + (id % 7).toInt, id))
+      val blobs = t(s, dir, "documents")
+        .where(col("doc_id") < 100).select("doc_id")
+        .withColumn("blob", gif(col("doc_id")))
+      Multimodal.decodeMeta(blobs, "blob", Multimodal.ImageIoDecoder)
         .select(col("doc_id"), col("media.width").as("width"),
-          col("media.height").as("height"),
-          col("media.channels").as("channels"), col("media.ok").as("ok"))
-        .orderBy("doc_id")),
+          col("media.height").as("height"), col("media.ok").as("ok"))
+        .orderBy("doc_id")
+    }),
 
-    // ---- ext/Multimodal: frame sampling over binary blobs
+    // ---- ext/Multimodal: frame sampling over OPAQUE blobs (the
+    //      byte-window path for containers no in-JVM codec opens) —
+    //      semantics unchanged since r1, now ORACLED: the window count
+    //      is pure arithmetic over the blob length, which DuckDB
+    //      computes from octet_length.
     "q24_multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           t(s, dir, "documents")
@@ -2711,12 +2795,30 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")))
         .orderBy("doc_id")),
 
-    // ---- ext/TextAnalysis: order-sensitive rolling-hash fingerprint
-    "q27_text_rolling_hash" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.rollingHash(col("text")).as("rh"))
-        .orderBy("doc_id")),
+    // ---- ext/TextAnalysis: order-sensitive rolling-hash fingerprint,
+    //      PLANTED token-swap property gate (q52's planted form,
+    //      different transform: q52 pins copy-same + reverse-differs;
+    //      this pins that swapping just the FIRST TWO tokens — same
+    //      multiset, same length — changes the hash unless the swap is
+    //      the identity). The corpus is single-space tokenized (the
+    //      q15/q52 oracle convention), so swap-is-identity is exactly
+    //      `len < 2 OR t[1] = t[2]`, which DuckDB evaluates directly.
+    "q27_text_rolling_hash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+        .select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val swapped = when(size(toks) >= 2,
+        array_join(concat(
+          array(element_at(toks, 2), element_at(toks, 1)),
+          slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))), " "))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"),
+        (TextAnalysis.rollingHash(col("text")) ===
+          TextAnalysis.rollingHash(swapped)).as("swap_same_hash"),
+        (size(toks) < 2 ||
+          element_at(toks, 1) === element_at(toks, 2)).as("swap_identity"))
+        .orderBy("doc_id")
+    }),
 
     // ---- ext/DocDedup: PLANTED exact dedup — the sf corpora contain no
     //      duplicate documents, so q12/q13 never exercise the dedup
@@ -7316,6 +7418,80 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // r13 restatements of the legacy rows-only queries (verdict ask #8)
+    "q19_dedup_minhash_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |pl AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM pl),
+        |sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |           i -> t[i] || ' ' || t[i + 1])) AS shingle
+        |  FROM toks),
+        |cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.id < b.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, common, na, nb FROM (
+        |  SELECT c.id_a, c.id_b, c.common, ca.n AS na, cb.n AS nb
+        |  FROM cand c
+        |  JOIN cnt ca ON ca.id = c.id_a
+        |  JOIN cnt cb ON cb.id = c.id_b)
+        |WHERE 10 * common >= 7 * (na + nb - common)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q20_dedup_simhash" ->
+      """SELECT 'organic_variant_violations' AS probe,
+        |       CAST(0 AS BIGINT) AS value
+        |UNION ALL
+        |SELECT 'twin_pairs' AS probe,
+        |       (SELECT count(*) FROM documents WHERE doc_id < 1000)
+        |ORDER BY probe""".stripMargin,
+
+    "q21_ann_lsh" ->
+      """SELECT vec_id AS query_id,
+        |       vec_id + 1000000 * t.j AS neighbor_id
+        |FROM embeddings CROSS JOIN generate_series(1, 9) AS t(j)
+        |WHERE vec_id < 5 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q22_ann_cosine_neardup" ->
+      """WITH av AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, x -> x * 2) AS embedding
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM av a JOIN av b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q23_multimodal_decode" ->
+      """SELECT doc_id,
+        |       CAST(8 + doc_id % 5 AS INT) AS width,
+        |       CAST(5 + doc_id % 3 AS INT) AS height,
+        |       TRUE AS ok
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q24_multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(floor((greatest(octet_length(CAST(text AS BLOB)), 1) - 1)
+        |             / 1024) + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_text_rolling_hash" ->
+      """WITH tt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 1000)
+        |SELECT doc_id,
+        |  (len(t) < 2 OR t[1] = t[2]) AS swap_same_hash,
+        |  (len(t) < 2 OR t[1] = t[2]) AS swap_identity
+        |FROM tt ORDER BY doc_id""".stripMargin,
 
     "q25_text_quality" ->
       """WITH f AS (
