@@ -45,7 +45,12 @@ object Bench {
     // for the same workload).
     calibrate(spark)
     val calStart = calibrate(spark)
+    // Local-iteration subset (the driver never sets this): run only the
+    // named queries, e.g. SPARK_GRAFT_BENCH_ONLY=q55_neardup_index_planted
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSet)
     val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     val mid = allQueries.size / 2
     var calMid = -1.0
     val results = allQueries.zipWithIndex.map { case ((name, fn), i) =>
@@ -88,7 +93,16 @@ object Bench {
     val dedup = dedupPipelineStats(spark)
     val calEnd = calibrate(spark)
     val cal = f"""{"workload":"in-memory 2M-row hash/groupBy/sort, constant size, no I/O","start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f,"unit":"sec"}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-sink, min of 2 runs per query (the fresh-state evidence gates q97/q103/q106 rebuild their state in BOTH runs — their min is the JIT-warmed build+probe cost, not a cached-state probe); calibration samples are single raw runs","calibration":$cal,"queries":$qs,"errors":$nErr,"flaky":$flaky,"dedup":$dedup,"sf":"$sfDir"}"""
+    // Per-stage samples from the index gates (graft.Instr): each key
+    // lists one sample per invocation — two bench runs → two samples
+    // (for the session-cached q51/q53/q55 indexes, sample 1 is the
+    // build and sample 2 a ~0 s cache hit; probe samples time real
+    // work in both). Units: *.build/*.probe/*.count* seconds,
+    // *.index_files a file count.
+    val stages = Instr.snapshot().map { case (k, vs) =>
+      s"${jsonStr(k)}:${vs.map(v => f"$v%.3f").mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-sink, min of 2 runs per query (the fresh-state evidence gates q97/q103/q106 rebuild their state in BOTH runs — their min is the JIT-warmed build+probe cost, not a cached-state probe); calibration samples are single raw runs","calibration":$cal,"gate_stages":$stages,"queries":$qs,"errors":$nErr,"flaky":$flaky,"dedup":$dedup,"sf":"$sfDir"}"""
     // Print the JSON line and flush BEFORE any shutdown/footer noise,
     // and keep a file copy: BENCH_r07.json's stdout tail was truncated
     // mid-JSON, losing the headline total (round-7 verdict, "What's
@@ -169,6 +183,26 @@ object Bench {
       val ok = attempts.flatMap(_.toOption)
       if (ok.isEmpty) throw attempts.head.failed.get
       val (sec, res) = ok.minBy(_._1)
+      // Split the fused scan+hash+probe+write action (r12 verdict ask
+      // #5): three cumulative probes over the SAME fixture — chunk scan
+      // alone, + digest, + batch-first groupBy — so the w64 MB/s number
+      // decomposes into tiny-chunk scan cost vs hash cost vs shuffle
+      // cost. One-off (not min-of-2): runs JIT-warm, right after the
+      // timed attempts. Samples land in gate_stages as dedup.wN.attrib_*.
+      locally {
+        import org.apache.spark.sql.functions.{col, count, lit, min, struct}
+        val algo = graft.functions.Hashing.resolve("sha")
+        val chunked = graft.sources.ChunkSource.chunksOfFiles(
+          spark, Seq(input.toString), width)
+        Instr.timed(s"dedup.w$width.attrib_scan")(chunked.count())
+        val hashed = chunked.withColumn("hash", algo.digest(col("chunk")))
+        Instr.timed(s"dedup.w$width.attrib_scan_hash")(hashed.count())
+        Instr.timed(s"dedup.w$width.attrib_scan_hash_group")(
+          hashed.groupBy("hash")
+            .agg(min(struct(col("pos"))).as("first"),
+              count(lit(1)).as("occ")).count())
+        resetSessionState(spark)
+      }
       val mb = data.length / 1e6
       val ratio = res.pointers.toDouble / math.max(1, res.chunks)
       val flaky = ok.size < attempts.size // a swallowed run failed

@@ -177,9 +177,16 @@ class Deduplicator(spark: SparkSession, workDir: String,
         when(isPtr, refFile).otherwise(lit(null).cast("long")).as("cat_file_id"))
 
       // ---- data first: one partitioned write, renamed per file ----
+      // Instr brackets (r12 verdict ask #5): the per-stage split of a
+      // dedup run, keyed by chunk width, surfaces in BENCH_LOCAL.json's
+      // gate_stages. This first action FUSES scan + hash + probe join +
+      // zstd write (one pass is the pipeline's shape); the bench's
+      // attrib_* probes split the fused stage separately.
+      val w = opts.chunkBytes
       val staging = s"$workDir/encoded/.staging-${java.util.UUID.randomUUID()}"
-      encodedAll.write.option("compression", "zstd")
-        .partitionBy("fidx").parquet(staging)
+      graft.Instr.timed(s"dedup.w$w.encoded_write")(
+        encodedAll.write.option("compression", "zstd")
+          .partitionBy("fidx").parquet(staging))
       val fs = new org.apache.hadoop.fs.Path(staging)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val emptyEncoded = Dedup.encode(
@@ -224,11 +231,12 @@ class Deduplicator(spark: SparkSession, workDir: String,
       // and deltas are complementary slices of the same batch-first-
       // occurrence rows, so materializing them separately would run the
       // probe lineage twice (per micro-batch, forever, in streaming).
-      val contrib = probed
-        .where(struct(col("fidx"), col("pos")) === col("first"))
-        .select(col("fidx"), col("hash"), col("pos"), col("occ"),
-          col("cat_line").isNotNull.as("known"))
-        .localCheckpoint()
+      val contrib = graft.Instr.timed(s"dedup.w$w.contrib_checkpoint")(
+        probed
+          .where(struct(col("fidx"), col("pos")) === col("first"))
+          .select(col("fidx"), col("hash"), col("pos"), col("occ"),
+            col("cat_line").isNotNull.as("known"))
+          .localCheckpoint())
       val newLinksAll = contrib.where(!col("known"))
         .select(col("fidx"), col("hash"), col("pos").as("line"),
           col("occ").as("refs_num"))
@@ -237,10 +245,11 @@ class Deduplicator(spark: SparkSession, workDir: String,
       cpPinned =
         spark.sparkContext.getPersistentRDDs
           .filterNot(kv => beforeCp(kv._1)).values.toSeq
-      val countRows = probed.groupBy("fidx")
-        .agg(count(lit(1)).as("n"),
-          sum(when(isPtr, 1L).otherwise(0L)).as("ptrs"))
-        .collect()
+      val countRows = graft.Instr.timed(s"dedup.w$w.counts")(
+        probed.groupBy("fidx")
+          .agg(count(lit(1)).as("n"),
+            sum(when(isPtr, 1L).otherwise(0L)).as("ptrs"))
+          .collect())
         .map(r => r.getAs[Int]("fidx") ->
           (r.getAs[Long]("n"), r.getAs[Long]("ptrs"))).toMap
       // Commit the batch-wide links AS ONE DataFrame (file_id = fidx +
@@ -250,14 +259,15 @@ class Deduplicator(spark: SparkSession, workDir: String,
       // micro-batch this method documents. refs_num of in-batch new
       // links already counts the whole batch, so catalog deltas exist
       // only for pre-batch hashes.
-      catalog.commitRunsPrelinked(
-        names.zipWithIndex.map { case (name, i) =>
-          Catalog.RunMeta(fidBase + i, name, opts.chunkBytes, algo.name)
-        },
-        newLinksAll.select(col("hash"),
-          (col("fidx").cast("long") + fidBase).as("file_id"),
-          col("line"), col("refs_num")),
-        deltasAll)
+      graft.Instr.timed(s"dedup.w$w.commit")(
+        catalog.commitRunsPrelinked(
+          names.zipWithIndex.map { case (name, i) =>
+            Catalog.RunMeta(fidBase + i, name, opts.chunkBytes, algo.name)
+          },
+          newLinksAll.select(col("hash"),
+            (col("fidx").cast("long") + fidBase).as("file_id"),
+            col("line"), col("refs_num")),
+          deltasAll))
       names.zipWithIndex.map { case (name, i) =>
         val (n, p) = countRows.getOrElse(i, (0L, 0L))
         DedupResult(name, fidBase + i, n, p)

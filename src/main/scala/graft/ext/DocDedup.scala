@@ -593,6 +593,12 @@ object DocDedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
     val (bands, rows, sigBuckets) = readMinHashMeta(ss, path)
+    // NOT persisted: the probe batch is small by contract, re-banding
+    // it costs one narrow map — and the r12 bench attribution showed
+    // this function's cost is ACTION COUNT (per-job scheduling floor ×
+    // 6 jobs), not compute. Stages below are folded to 3 actions:
+    // one groupBy-collect (coords AND row count), one cache-warming
+    // count over the UNION of both shingle sides, the final checkpoint.
     val pBanded = spread(probes).select(col(idCol).as("id_a"),
         call_function("graft_minhash_band_sigs",
           TextAnalysis.wordBigrams(col(textCol)),
@@ -600,62 +606,71 @@ object DocDedup {
       .where(col("bs").isNotNull)
       .select(col("id_a"), posexplode(col("bs")).as(Seq("band", "bsig")))
       .withColumn("sb", pmod(col("bsig"), lit(sigBuckets.toLong)).cast("int"))
+    // one action: distinct (band, sb) coordinates + exploded row count
+    val coordCounts = graft.Instr.timed("probeMinHash.coords")(
+      pBanded.groupBy("band", "sb").agg(count(lit(1)).as("n")).collect())
+    val nProbeRows = coordCounts.map(_.getLong(2)).sum
+    val coords = coordCounts.map(r => (r.getInt(0), r.getInt(1)))
+    def emptyResult = probes.select(col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0L).as("common"),
+        lit(0L).as("na"), lit(0L).as("nb"))
+      .where(lit(false))
+    if (coords.isEmpty) return emptyResult
+    // An index built from a shingle-less corpus has the sidecar but
+    // zero part files; read.parquet would fail schema inference.
+    if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .exists(_.getPath.getName.startsWith("band="))) return emptyResult
+    require(coords.length <= 65536,
+      s"probeMinHashIndex: ${coords.length} distinct (band, sb) " +
+        "coordinates exceed the small-probe-side contract (<= 65536); " +
+        "batch the probe set or use minHashPairs' join form")
+    // one In-expression over a combined key, partition columns only →
+    // evaluated against partition values at file-listing time
+    val bucketFilter = (col("band").cast("long") * 4096L +
+      col("sb").cast("long")).isin(
+      coords.map { case (b, s) => b.toLong * 4096L + s }.toSeq: _*)
+    val probeSide =
+      if (nProbeRows <= broadcastLimit) broadcast(pBanded) else pBanded
+    val cand = ss.read.parquet(path).where(bucketFilter)
+      .join(probeSide, Seq("band", "bsig", "sb"))
+      .where(col("id_a") =!= col("id"))
+      .select(col("id_a"), col("id").as("id_b")).distinct()
       .persist()
     try {
-      // materialize once: coords collect + candidate join
-      val nProbeRows = pBanded.count()
-      def emptyResult = probes.select(col(idCol).as("id_a"),
-          col(idCol).as("id_b"), lit(0L).as("common"),
-          lit(0L).as("na"), lit(0L).as("nb"))
-        .where(lit(false))
-      val coords = pBanded.select("band", "sb").distinct().collect()
-        .map(r => (r.getInt(0), r.getInt(1)))
-      if (coords.isEmpty) return emptyResult
-      // An index built from a shingle-less corpus has the sidecar but
-      // zero part files; read.parquet would fail schema inference.
-      if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .exists(_.getPath.getName.startsWith("band="))) return emptyResult
-      require(coords.length <= 65536,
-        s"probeMinHashIndex: ${coords.length} distinct (band, sb) " +
-          "coordinates exceed the small-probe-side contract (<= 65536); " +
-          "batch the probe set or use minHashPairs' join form")
-      // one In-expression over a combined key, partition columns only →
-      // evaluated against partition values at file-listing time
-      val bucketFilter = (col("band").cast("long") * 4096L +
-        col("sb").cast("long")).isin(
-        coords.map { case (b, s) => b.toLong * 4096L + s }.toSeq: _*)
-      val probeSide =
-        if (nProbeRows <= broadcastLimit) broadcast(pBanded) else pBanded
-      val cand = ss.read.parquet(path).where(bucketFilter)
-        .join(probeSide, Seq("band", "bsig", "sb"))
-        .where(col("id_a") =!= col("id"))
-        .select(col("id_a"), col("id").as("id_b")).distinct()
+      val corpusCand = corpus.select(col(idCol), col(textCol))
+        .join(cand.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
+          "left_semi")
+      // BOTH shingle sides in one cache so one count materializes
+      // everything (cand included, via the semi-join inside side "b") —
+      // eager warming still matters: concurrent first-computation of
+      // the same persisted blocks from several exchange threads
+      // serializes on the block locks (observed multi-minute stalls).
+      val sh = shingles(probes, idCol, textCol)
+        .withColumn("side", lit("a"))
+        .unionByName(shingles(corpusCand, idCol, textCol)
+          .withColumn("side", lit("b")))
         .persist()
+      val shA = sh.where(col("side") === "a").drop("side")
+      val shB = sh.where(col("side") === "b").drop("side")
       try {
-        val shA = shingles(probes, idCol, textCol).persist()
-        val corpusCand = corpus.select(col(idCol), col(textCol))
-          .join(cand.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
-            "left_semi")
-        val shB = shingles(corpusCand, idCol, textCol).persist()
-        try {
-          shA.count(); shB.count()
-          val common = shA.toDF("id_a", "shingle")
-            .join(cand, "id_a")
-            .join(shB.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
-            .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-          val na = shA.groupBy("id").agg(count(lit(1)).as("na"))
-            .toDF("id_a", "na")
-          val nb = shB.groupBy("id").agg(count(lit(1)).as("nb"))
-            .toDF("id_b", "nb")
+        graft.Instr.timed("probeMinHash.warm")(sh.count())
+        val common = shA.toDF("id_a", "shingle")
+          .join(cand, "id_a")
+          .join(shB.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+        val na = shA.groupBy("id").agg(count(lit(1)).as("na"))
+          .toDF("id_a", "na")
+        val nb = shB.groupBy("id").agg(count(lit(1)).as("nb"))
+          .toDF("id_b", "nb")
+        graft.Instr.timed("probeMinHash.verify")(
           common.join(na, "id_a").join(nb, "id_b")
             .where(lit(den) * col("common") >=
               lit(num) * (col("na") + col("nb") - col("common")))
             .select("id_a", "id_b", "common", "na", "nb")
             .orderBy("id_a", "id_b")
-            .localCheckpoint() // materialize while the caches are alive
-        } finally { shB.unpersist(); shA.unpersist() }
-      } finally cand.unpersist()
-    } finally pBanded.unpersist()
+            .localCheckpoint()) // materialize while the caches are alive
+      } finally sh.unpersist()
+    } finally cand.unpersist()
   }
 
   // ------------------------------------------------------- clustering

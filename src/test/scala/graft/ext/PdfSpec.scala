@@ -1,0 +1,96 @@
+package graft.ext
+
+import graft.SparkFunSuite
+
+class PdfSpec extends SparkFunSuite {
+
+  private val pages = Seq(
+    Seq("hello world", "second line"),
+    Seq("page two only"))
+
+  private def textOf(b: Array[Byte]): Seq[String] = {
+    val Right((_, pgs)) = Pdf.parsePdf(b): @unchecked
+    pgs.map(_.text)
+  }
+
+  test("classic xref round-trip: pages, lines, meta") {
+    val b = Pdf.buildPdf(pages)
+    val Right((m, pgs)) = Pdf.parsePdf(b): @unchecked
+    assert(m.version == "1.4" && m.xrefKind == "table" && m.nPages == 2)
+    assert(pgs.map(_.text) ==
+      Seq("hello world\nsecond line", "page two only"))
+  }
+
+  test("FlateDecode content + TJ arrays reproduce the same text") {
+    assert(textOf(Pdf.buildPdf(pages, flate = true)) ==
+      textOf(Pdf.buildPdf(pages)))
+    assert(textOf(Pdf.buildPdf(pages, useTJ = true)) ==
+      textOf(Pdf.buildPdf(pages)))
+    assert(textOf(Pdf.buildPdf(pages, flate = true, useTJ = true)) ==
+      textOf(Pdf.buildPdf(pages)))
+  }
+
+  test("xref stream (PNG Up predictor) and ObjStm routes") {
+    val viaStream = Pdf.buildPdf(pages, flate = true, xrefStream = true)
+    val Right((m1, p1)) = Pdf.parsePdf(viaStream): @unchecked
+    assert(m1.version == "1.5" && m1.xrefKind == "stream")
+    assert(p1.map(_.text) == textOf(Pdf.buildPdf(pages)))
+    val viaObjStm = Pdf.buildPdf(pages, flate = true, objStm = true)
+    val Right((m2, p2)) = Pdf.parsePdf(viaObjStm): @unchecked
+    assert(m2.xrefKind == "stream")
+    assert(p2.map(_.text) == textOf(Pdf.buildPdf(pages)))
+  }
+
+  test("string escapes: parens, backslashes, nested parens") {
+    val tricky = Seq(Seq("""a(b)c\d""", "x (y) z"))
+    assert(textOf(Pdf.buildPdf(tricky)) == Seq("a(b)c\\d\nx (y) z"))
+    assert(textOf(Pdf.buildPdf(tricky, flate = true, useTJ = true)) ==
+      Seq("a(b)c\\d\nx (y) z"))
+  }
+
+  test("typed rejects, never a crash") {
+    assert(Pdf.parsePdf(null).isLeft)
+    assert(Pdf.parsePdf(Array.emptyByteArray) == Left("too short"))
+    assert(Pdf.parsePdf("not a pdf at all".getBytes) == Left("bad magic"))
+    val good = Pdf.buildPdf(pages, flate = true)
+    // truncation totality: a prefix cut before the startxref anchor is
+    // a typed reject; one cut after it (losing only the %%EOF marker)
+    // may legitimately still parse — but NOTHING may throw
+    val anchor = new String(good,
+      java.nio.charset.StandardCharsets.ISO_8859_1).indexOf("startxref")
+    (0 until good.length by 7).foreach { k =>
+      val r = Pdf.parsePdf(good.take(k))
+      if (k <= anchor) assert(r.isLeft, s"prefix $k parsed")
+    }
+    // bit flips: typed reject or a parse that still terminates
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) = (rnd.nextInt(256) - 128).toByte
+      Pdf.parsePdf(m) // must not throw
+    }
+  }
+
+  test("decompression bomb: inflate cap is a typed reject") {
+    val big = Seq(Seq("x" * 400, "y" * 400))
+    val b = Pdf.buildPdf(big, flate = true)
+    assert(Pdf.parsePdf(b, maxInflate = 64).isLeft)
+    assert(Pdf.parsePdf(b).isRight)
+  }
+
+  test("DataFrame layer: pages out, poison to error channel") {
+    import spark.implicits._
+    val good = Pdf.buildPdf(pages, flate = true)
+    val bad = "%PDF-1.4 broken".getBytes
+    val df = Seq((1L, good), (2L, bad)).toDF("doc_id", "blob")
+    val rows = Pdf.extractPdfText(df, "blob")
+      .orderBy("doc_id", "page_idx").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("text")).toSeq ==
+      Seq("hello world\nsecond line", "page two only"))
+    val meta = Pdf.extractPdfMeta(df, "blob").collect()
+    assert(meta.length == 1 && meta(0).getAs[Int]("n_pages") == 2)
+    val errs = Pdf.pdfErrors(df, "blob").collect()
+    assert(errs.length == 1 && errs(0).getAs[Long]("doc_id") == 2L)
+  }
+}
