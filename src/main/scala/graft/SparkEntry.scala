@@ -80,6 +80,15 @@ object SparkEntry {
     }
   })
 
+  /** q230 fixture: id-derived paragraphs, each carrying XML-hostile
+    * chars, a tab, and enough length to split into two runs.
+    */
+  private val docxFixture = udf((id: Long) => {
+    val n = 1 + (id % 3).toInt
+    graft.ext.Docx.buildDocx((0 until n).map(p =>
+      s"doc $id para $p a&b\tx<y end"))
+  })
+
   private def plantedAnnCorpus(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
@@ -6570,6 +6579,44 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---- ext/Docx: OPC / WordprocessingML text extraction (r12
+    //      verdict ask #4). Deterministic containers with id-derived
+    //      paragraph counts, every paragraph carrying XML-hostile
+    //      characters (& <), a tab, and multi-run splitting — the
+    //      oracle predicts each paragraph string arithmetically, so a
+    //      regression in the ZIP layer, the tag walk, the entity
+    //      decoder, or tab/break handling hash-mismatches.
+    "q230_docx_text" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .where(col("doc_id") < 100).select("doc_id")
+        .withColumn("blob", docxFixture(col("doc_id")))
+      graft.ext.Docx.extractDocxText(blobs, "blob")
+        .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+          col("text"))
+        .orderBy("doc_id", "para_idx")
+    }),
+
+    // ---- ext/Docx → corpus-pipeline COMPOSITION gate (the q229 shape
+    //      through the other document format): real corpus text →
+    //      DOCX encode → extraction → planted exact dedup → token
+    //      count, verified against the same pipeline on raw text.
+    "q231_docx_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text")))
+      val docx = udf((text: String) =>
+        graft.ext.Docx.buildDocx(Seq(text)))
+      val blobs = planted.withColumn("blob", docx(col("text"))).drop("text")
+      val extracted = graft.ext.Docx.extractDocxText(blobs, "blob")
+        .select(col("doc_id"), col("text"))
+      DocDedup.exactDedup(extracted, "doc_id", "text")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6601,6 +6648,26 @@ object SparkEntry {
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q229_pdf_corpus_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |planted AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base)
+        |SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM planted
+        |WHERE doc_id IN (SELECT min(doc_id) FROM planted GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q230_docx_text" ->
+      """SELECT d.doc_id, t.p AS para_idx,
+        |  'doc ' || d.doc_id || ' para ' || t.p || ' a&b' || chr(9) ||
+        |  'x<y end' AS text
+        |FROM documents d CROSS JOIN generate_series(0, 2) AS t(p)
+        |WHERE d.doc_id < 100 AND t.p < 1 + d.doc_id % 3
+        |ORDER BY doc_id, para_idx""".stripMargin,
+
+    "q231_docx_corpus_pipeline" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |planted AS (

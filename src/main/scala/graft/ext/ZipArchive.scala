@@ -273,6 +273,16 @@ object ZipArchive {
     * [[zipEntryTable]] first (every CRC verified), then re-walks
     * collecting content — the [[Gzip]] two-pass convention.
     */
+  /** Validated payload fetch for sibling modules ([[Docx]]): runs the
+    * full CRC-verified [[zipEntryTable]] walk first, then returns the
+    * decoded entries whose name ends with `suffix`.
+    */
+  private[ext] def payloadsOf(bytes: Array[Byte], suffix: String,
+                              maxInflate: Long = 64L * 1024 * 1024)
+      : Either[String, Seq[(Int, String, Array[Byte])]] =
+    zipEntryTable(bytes, maxInflate)
+      .map(_ => zipPayloads(bytes, suffix, maxInflate))
+
   private def zipPayloads(bytes: Array[Byte], suffix: String,
                           maxInflate: Long)
       : Seq[(Int, String, Array[Byte])] = {

@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.SparkFunSuite
+
+class DocxSpec extends SparkFunSuite {
+
+  private val paras = Seq(
+    "hello world this is paragraph one",
+    "tabs\there and\nbreaks",
+    "entities & <angles> survive",
+    "")
+
+  test("round-trip: paragraphs, runs, tabs, breaks, entities") {
+    val b = Docx.buildDocx(paras)
+    val Right(out) = Docx.parseDocx(b): @unchecked
+    assert(out == paras)
+  }
+
+  test("multi-run paragraphs reassemble exactly") {
+    val long = Seq("x" * 100, "a b c d e f g h i j")
+    val Right(out) = Docx.parseDocx(Docx.buildDocx(long)): @unchecked
+    assert(out == long)
+  }
+
+  test("poison XML: typed rejects, never a crash") {
+    // not a zip
+    assert(Docx.parseDocx("plain text".getBytes).isLeft)
+    assert(Docx.parseDocx(Array.emptyByteArray) == Left("too short"))
+    // a valid zip with no word/document.xml
+    val noDoc = ZipArchive.buildZip(Seq(("other.xml", 8, "<a/>".getBytes)))
+    assert(Docx.parseDocx(noDoc) == Left("no word/document.xml"))
+    // malformed XML payloads: each a typed reject
+    def withXml(xml: String): Array[Byte] =
+      ZipArchive.buildZip(Seq(("word/document.xml", 8, xml.getBytes)))
+    assert(Docx.parseDocx(withXml("<w:p><w:t")) ==
+      Left("unterminated tag"))
+    assert(Docx.parseDocx(withXml("<w:p><w:t>unclosed")) ==
+      Left("unterminated w:t"))
+    assert(Docx.parseDocx(withXml("<w:p><w:t>no close tag</w:p>")) ==
+      Left("unterminated w:t"))
+    assert(Docx.parseDocx(withXml("<w:p><w:t>bad &entity;</w:t></w:p>")) ==
+      Left("unknown entity"))
+    assert(Docx.parseDocx(withXml("<w:p><w:t>bad &amp</w:t></w:p>")) ==
+      Left("unterminated entity"))
+    assert(Docx.parseDocx(withXml("<w:p><w:t>x</w:t>")) ==
+      Left("unterminated paragraph"))
+    assert(Docx.parseDocx(withXml("<w:p><w:t>&#x110000;</w:t></w:p>")) ==
+      Left("char ref out of range"))
+    // truncation totality over the container: typed or valid, no throw
+    val good = Docx.buildDocx(paras)
+    (0 until good.length by 5).foreach(k => Docx.parseDocx(good.take(k)))
+  }
+
+  test("numeric character references decode") {
+    val b = ZipArchive.buildZip(Seq(("word/document.xml", 8,
+      "<w:p><w:t>&#65;&#x42;c</w:t></w:p>".getBytes)))
+    assert(Docx.parseDocx(b) == Right(Seq("ABc")))
+  }
+
+  test("DataFrame layer: paragraph rows + error channel") {
+    import spark.implicits._
+    val good = Docx.buildDocx(Seq("para one", "para two"))
+    val bad = "PKbroken".getBytes
+    val df = Seq((1L, good), (2L, bad)).toDF("doc_id", "blob")
+    val rows = Docx.extractDocxText(df, "blob")
+      .orderBy("doc_id", "para_idx").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1L, 0, "para one"), (1L, 1, "para two")))
+    val errs = Docx.docxErrors(df, "blob").collect()
+    assert(errs.length == 1 && errs(0).getAs[Long]("doc_id") == 2L)
+  }
+
+  test("java.util.zip interop: our OPC container opens as a zip") {
+    val b = Docx.buildDocx(paras)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val names = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toSeq
+    assert(names.contains("word/document.xml") &&
+      names.contains("[Content_Types].xml"))
+  }
+}
