@@ -89,6 +89,13 @@ object SparkEntry {
       s"doc $id para $p a&b\tx<y end"))
   })
 
+  /** q232/q233 fixture: real arrow-java files — rows = 3 + id%5 in
+    * batches of 2; even ids add a float64 `score` field.
+    */
+  private val arrowFixture = udf((id: Long) =>
+    graft.ext.ArrowIpc.buildArrowFile((3 + id % 5).toInt, 2, id,
+      withScore = id % 2 == 0))
+
   private def plantedAnnCorpus(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
@@ -814,6 +821,8 @@ object SparkEntry {
     "q206_columnar_triage" -> ((s, dir) => {
       val mk = udf((id: Long) => {
         if (id % 41 == 0) Array.empty[Byte]
+        else if (id >= 150) // r13: arrow joins the triage (ids 150-199)
+          graft.ext.ArrowIpc.buildArrowFile((3 + id % 5).toInt, 2, id)
         else {
           val nG = (1 + id % 3).toInt
           val rows = (0 until nG).map(g => 50 + (id * 11 + g * 7) % 300)
@@ -838,7 +847,7 @@ object SparkEntry {
           }
         }
       })
-      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 200)
         .select("doc_id").withColumn("blob", mk(col("doc_id")))
       val sniffed = graft.ext.FormatSniffer.sniffFormats(blobs, "blob")
         .join(blobs, "doc_id")
@@ -853,7 +862,11 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(sum("n_records").as("num_rows"))
         .select(col("doc_id"), lit("avro").as("format"), col("num_rows"))
-      pq.unionByName(orc).unionByName(avro)
+      val arrow = graft.ext.ArrowIpc.extractArrowMeta(
+          sniffed.where(col("format") === "arrow").drop("format"), "blob")
+        .select(col("doc_id"), lit("arrow").as("format"),
+          col("n_rows").as("num_rows"))
+      pq.unionByName(orc).unionByName(avro).unionByName(arrow)
         .orderBy("doc_id")
     }),
 
@@ -1500,7 +1513,7 @@ object SparkEntry {
     //      magic/structure alone.
     "q225_format_sniff_extended" -> ((s, dir) => {
       val mk = udf((id: Long) => {
-        (id % 11).toInt match {
+        (id % 12).toInt match {
           case 0 => graft.ext.Lz4.buildLz4Frame(
             Seq((true, Array[Byte](1, 2, 3))), Array[Byte](1, 2, 3))
           case 1 => graft.ext.ParquetMeta.buildParquetBlob(1, Seq("a"),
@@ -1517,7 +1530,8 @@ object SparkEntry {
           case 8 => graft.ext.SevenZip.buildSevenZip(10,
             Array[Byte](1, 2, 3, 4))
           case 9 => graft.ext.Xz.buildXz(1, Seq((40L, 99L)), 3)
-          case _ => graft.ext.Bzip2.buildBzip2(5, Seq(7, 12))
+          case 10 => graft.ext.Bzip2.buildBzip2(5, Seq(7, 12))
+          case _ => graft.ext.ArrowIpc.buildArrowFile(2, 2, id)
         }
       })
       val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
@@ -6617,6 +6631,36 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---- ext/ArrowIpc: file-level walk metadata (r12 verdict ask
+    //      #6). Fixtures are written by the REAL apache arrow-java
+    //      writer Spark bundles, so this gate is an interop check:
+    //      row/batch/field counts the official writer produced must
+    //      fall out of our library-free flatbuffer walk.
+    "q232_arrow_meta" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .where(col("doc_id") < 100).select("doc_id")
+        .withColumn("blob", arrowFixture(col("doc_id")))
+      graft.ext.ArrowIpc.extractArrowMeta(blobs, "blob")
+        .select(col("doc_id"),
+          col("n_fields").cast("long").as("n_fields"),
+          col("n_batches").cast("long").as("n_batches"),
+          col("n_dicts").cast("long").as("n_dicts"), col("n_rows"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ext/ArrowIpc: per-field schema rows (names, type-union
+    //      tags, nullability) out of the footer flatbuffer.
+    "q233_arrow_fields" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .where(col("doc_id") < 100).select("doc_id")
+        .withColumn("blob", arrowFixture(col("doc_id")))
+      graft.ext.ArrowIpc.extractArrowFields(blobs, "blob")
+        .select(col("doc_id"),
+          col("field_idx").cast("long").as("field_idx"),
+          col("name"), col("type"), col("nullable"))
+        .orderBy("doc_id", "field_idx")
     })
   )
 
@@ -6658,6 +6702,26 @@ object SparkEntry {
         |FROM planted
         |WHERE doc_id IN (SELECT min(doc_id) FROM planted GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
+
+    "q232_arrow_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_fields,
+        |  CAST((3 + doc_id % 5 + 1) // 2 AS BIGINT) AS n_batches,
+        |  CAST(0 AS BIGINT) AS n_dicts,
+        |  CAST(3 + doc_id % 5 AS BIGINT) AS n_rows
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q233_arrow_fields" ->
+      """SELECT d.doc_id, t.i AS field_idx,
+        |  CASE t.i WHEN 0 THEN 'id' WHEN 1 THEN 'txt' ELSE 'score'
+        |  END AS name,
+        |  CASE t.i WHEN 0 THEN 'int' WHEN 1 THEN 'utf8'
+        |  ELSE 'floatingpoint' END AS type,
+        |  t.i <> 0 AS nullable
+        |FROM documents d CROSS JOIN generate_series(0, 2) AS t(i)
+        |WHERE d.doc_id < 100 AND t.i < 2 + (1 - d.doc_id % 2)
+        |ORDER BY doc_id, field_idx""".stripMargin,
 
     "q230_docx_text" ->
       """SELECT d.doc_id, t.p AS para_idx,
@@ -6702,11 +6766,12 @@ object SparkEntry {
     // eleven new families keyed by id%11
     "q225_format_sniff_extended" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 11 AS INTEGER)
+        |  CASE CAST(doc_id % 12 AS INTEGER)
         |    WHEN 0 THEN 'lz4' WHEN 1 THEN 'parquet' WHEN 2 THEN 'orc'
         |    WHEN 3 THEN 'npy' WHEN 4 THEN 'safetensors' WHEN 5 THEN 'flv'
         |    WHEN 6 THEN 'au' WHEN 7 THEN 'tiff' WHEN 8 THEN '7z'
-        |    WHEN 9 THEN 'xz' ELSE 'bzip2' END AS format
+        |    WHEN 9 THEN 'xz' WHEN 10 THEN 'bzip2' ELSE 'arrow'
+        |  END AS format
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // the census is exact: eos bit position = 32 header bits + every
@@ -7184,12 +7249,21 @@ object SparkEntry {
         |a AS (
         |  SELECT doc_id,
         |    CAST(SUM(50 + (doc_id*11 + g*7) % 300) AS BIGINT) AS num_rows
-        |  FROM g GROUP BY doc_id)
-        |SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'parquet'
-        |       WHEN 1 THEN 'orc' ELSE 'avro' END AS format,
-        |  num_rows
-        |FROM a ORDER BY doc_id""".stripMargin,
+        |  FROM g GROUP BY doc_id),
+        |classic AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'parquet'
+        |         WHEN 1 THEN 'orc' ELSE 'avro' END AS format,
+        |    num_rows
+        |  FROM a),
+        |arrowed AS (
+        |  SELECT doc_id, 'arrow' AS format,
+        |         CAST(3 + doc_id % 5 AS BIGINT) AS num_rows
+        |  FROM documents
+        |  WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 41 != 0)
+        |SELECT doc_id, format, num_rows FROM classic
+        |UNION ALL SELECT doc_id, format, num_rows FROM arrowed
+        |ORDER BY doc_id""".stripMargin,
 
     // footer fields are pure (doc, stripe) formulas, codec-independent
     "q205_orc_footer" ->

@@ -68,6 +68,8 @@ object FormatSniffer {
       return "zstd" // skippable opener (magic family shared with lz4)
     if (n >= 4 && ascii(bytes, 0, "Obj") && bytes(3) == 1) return "avro"
     if (n >= 12 && ascii(bytes, 0, "PAR1")) return "parquet"
+    if (n >= 32 && ascii(bytes, 0, "ARROW1") && bytes(6) == 0 &&
+        bytes(7) == 0) return "arrow"
     if (n >= 8 && ascii(bytes, 0, "ORC") && u(bytes(n - 1)) >= 4 &&
         u(bytes(n - 1)) < n - 4) return "orc" // head magic + sane psLen
     if (n >= 9 && ascii(bytes, 0, "FLV") && u(bytes(3)) == 1) return "flv"
