@@ -446,4 +446,25 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"no single-partition collapse:\n$plan")
   }
+
+  test("document/columnar extractors (PDF, DOCX, Arrow) are shuffle-free " +
+    "narrow maps: blob in, rows out, no Exchange") {
+    import spark.implicits._
+    val pdf = Seq((1L, graft.ext.Pdf.buildPdf(Seq(Seq("a b c")))))
+      .toDF("doc_id", "blob")
+    val docx = Seq((1L, graft.ext.Docx.buildDocx(Seq("a b c"))))
+      .toDF("doc_id", "blob")
+    val arrow = Seq((1L, graft.ext.ArrowIpc.buildArrowFile(3, 2, 1L)))
+      .toDF("doc_id", "blob")
+    Seq(
+      graft.ext.Pdf.extractPdfText(pdf, "blob"),
+      graft.ext.Docx.extractDocxText(docx, "blob"),
+      graft.ext.ArrowIpc.extractArrowMeta(arrow, "blob"),
+      graft.ext.ArrowIpc.extractArrowFields(arrow, "blob")
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"extractor must be a narrow per-partition map:\n$plan")
+    }
+  }
 }
