@@ -24,11 +24,12 @@ private[graft] object OracleSql {
 
     "q228_pdf_meta" ->
       """WITH f AS (
-        |  SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 4 AS m
+        |  SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 6 AS m
         |  FROM documents WHERE doc_id < 100)
         |SELECT doc_id,
-        |  CASE WHEN m >= 2 THEN '1.5' ELSE '1.4' END AS version,
-        |  CASE WHEN m >= 2 THEN 'stream' ELSE 'table' END AS xref_kind,
+        |  CASE WHEN m IN (2, 3) THEN '1.5' ELSE '1.4' END AS version,
+        |  CASE WHEN m IN (2, 3) THEN 'stream' ELSE 'table' END
+        |    AS xref_kind,
         |  CASE WHEN m = 3 THEN 2 * n + 5
         |       WHEN m = 2 THEN 2 * n + 4
         |       ELSE 2 * n + 3 END AS n_objects,

@@ -70,13 +70,17 @@ object SparkEntry {
     val pages = (0 until n).map(p =>
       Seq(s"doc $id page $p line 0", s"doc $id page $p line 1"))
     val tj = id % 2 == 0
-    (id % 4) match {
+    (id % 6) match {
       case 0 => graft.ext.Pdf.buildPdf(pages, useTJ = tj)
       case 1 => graft.ext.Pdf.buildPdf(pages, flate = true, useTJ = tj)
       case 2 => graft.ext.Pdf.buildPdf(pages, flate = true,
         xrefStream = true, useTJ = tj)
-      case _ => graft.ext.Pdf.buildPdf(pages, flate = true,
+      case 3 => graft.ext.Pdf.buildPdf(pages, flate = true,
         objStm = true, useTJ = tj)
+      case 4 => graft.ext.Pdf.buildPdf(pages, flate = true,
+        asciiFilter = Some("AHx"), useTJ = tj)
+      case _ => graft.ext.Pdf.buildPdf(pages,
+        asciiFilter = Some("A85"), hexUtf16 = true)
     }
   })
 
@@ -846,10 +850,12 @@ object SparkEntry {
           .select((col("id") + 3000000L).as("id"), col("vec"))), 1)
       feed("f2", base.where(col("id") >= 15)
         .select((col("id") + 2000000L).as("id"), col("vec")), 2)
-      graft.streaming.StreamingVecDup.start(s, inDir.toString,
-          work.toString, threshold = 0.9999, k = 9, nlist = 8,
-          nprobe = 4, maxFilesPerTrigger = Some(1))
-        .awaitTermination()
+      graft.Instr.timed("q218.stream")(
+        graft.streaming.StreamingVecDup.start(s, inDir.toString,
+            work.toString, threshold = 0.9999, k = 9, nlist = 8,
+            nprobe = 4, maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+      )
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val twinBatches = m
@@ -3256,10 +3262,12 @@ object SparkEntry {
       feed("f2", docs.where(col("id") >= 30)
         .select((col("id") + 1999980L).as("id"))
         .select(col("id"), probeBlob(col("id")).as("blob")), 2)
-      graft.streaming.StreamingCdcDup.start(s, inDir.toString,
-          work.toString, minSize = 128, avgBits = 8, maxSize = 1024,
-          maxFilesPerTrigger = Some(1))
-        .awaitTermination()
+      graft.Instr.timed("q176.stream")(
+        graft.streaming.StreamingCdcDup.start(s, inDir.toString,
+            work.toString, minSize = 128, avgBits = 8, maxSize = 1024,
+            maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+      )
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val cross = m.where(col("id_a") >= 999990L && col("id_b") < 60)
@@ -3618,9 +3626,11 @@ object SparkEntry {
       feed("f2", docs.where(col("id") >= 30)
         .select((col("id") + 1999980L).as("id"))
         .select(col("id"), probeText(col("id")).as("text")), 2)
-      graft.streaming.StreamingExactDup.start(s, inDir.toString,
-          work.toString, maxFilesPerTrigger = Some(1))
-        .awaitTermination()
+      graft.Instr.timed("q163.stream")(
+        graft.streaming.StreamingExactDup.start(s, inDir.toString,
+            work.toString, maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+      )
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val cross = m.where(col("id_a") >= 999990L && col("id_b") < 60)
@@ -3763,10 +3773,12 @@ object SparkEntry {
       }
       // bloomItems = 0: the probe prefilter has its own gate (q70); here
       // it would only add a sketch-build job to each of the 3 commits.
-      graft.streaming.StreamingDedup.start(s, inDir.toString, work.toString,
-        graft.api.DedupOptions(chunkBytes = 64, algorithm = "md5"),
-        maxFilesPerTrigger = Some(4), bucketChars = 1, bloomItems = 0L)
-        .awaitTermination()
+      graft.Instr.timed("q97.stream")(
+        graft.streaming.StreamingDedup.start(s, inDir.toString, work.toString,
+          graft.api.DedupOptions(chunkBytes = 64, algorithm = "md5"),
+          maxFilesPerTrigger = Some(4), bucketChars = 1, bloomItems = 0L)
+          .awaitTermination()
+      )
       val cat = new graft.operators.Catalog(s, s"$work/catalog", 1)
       cat.chunkRepetition()
         .select(col("refs_num"), lit(cat.currentVersion).as("n_batches"))
@@ -4040,10 +4052,12 @@ object SparkEntry {
           .select((col("id") + 3000000L).as("id"), col("text"))), 1)
       feed("f2", docs.where(col("id") >= 25)
         .select((col("id") + 2000000L).as("id"), col("text")), 2)
-      graft.streaming.StreamingNearDup.start(s, inDir.toString,
-          work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 8,
-          maxFilesPerTrigger = Some(1))
-        .awaitTermination()
+      graft.Instr.timed("q106.stream")(
+        graft.streaming.StreamingNearDup.start(s, inDir.toString,
+            work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 8,
+            maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+      )
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val twinBatches = m
@@ -4895,10 +4909,12 @@ object SparkEntry {
           .select((col("id") + 3000000L).as("id"))), 1)
       feed("f2", ids.where(col("id") >= 20)
         .select((col("id") + 2000000L).as("id")), 2)
-      graft.streaming.StreamingImageDedup.start(s, inDir.toString,
-          work.toString, maxDist = 3, qBuckets = 16,
-          maxFilesPerTrigger = Some(1))
-        .awaitTermination()
+      graft.Instr.timed("q137.stream")(
+        graft.streaming.StreamingImageDedup.start(s, inDir.toString,
+            work.toString, maxDist = 3, qBuckets = 16,
+            maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+      )
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val twinBatches = m

@@ -315,6 +315,73 @@ object Pdf {
     } finally inf.end()
   }
 
+  /** ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace ignored,
+    * `>` is EOD, a trailing odd digit pads with 0.
+    */
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val c = data(i) & 0xFF
+      i += 1
+      if (c == '>') done = true
+      else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) fail("bad hex digit in ASCIIHexDecode")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars `!`..`u` → 4 bytes;
+    * `z` = four zero bytes (group start only); `~>` is EOD; a partial
+    * group of n chars yields n−1 bytes (pad with `u`).
+    */
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var k = 0
+    var i = 0
+    var done = false
+    def emit(nChars: Int): Unit = {
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < nChars) grp(j) else 84); j += 1 }
+      if (v > 0xFFFFFFFFL) fail("ascii85 group overflow")
+      val nBytes = nChars - 1
+      var sh = 24
+      var b2 = 0
+      while (b2 < nBytes) {
+        out.write(((v >> sh) & 0xFF).toInt); sh -= 8; b2 += 1
+      }
+    }
+    while (!done && i < data.length) {
+      val c = data(i) & 0xFF
+      i += 1
+      if (c == '~') {
+        if (i >= data.length || (data(i) & 0xFF) != '>')
+          fail("bad ascii85 EOD")
+        done = true
+      } else if (c == 'z') {
+        if (k != 0) fail("z inside ascii85 group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!isWs(c)) {
+        if (c < '!' || c > 'u') fail("bad ascii85 character")
+        grp(k) = c - '!'
+        k += 1
+        if (k == 5) { emit(5); k = 0 }
+      }
+      if (out.size > (64 << 20)) fail("ascii85 output cap")
+    }
+    if (k == 1) fail("lone trailing ascii85 character")
+    if (k > 1) emit(k)
+    out.toByteArray
+  }
+
   /** Undo PNG predictors (ISO 32000 §7.4.4.4 via RFC 2083): each row
     * carries a filter tag byte; columns = bytes per row. Only the
     * byte-wide case (colors·bpc = 8) xref streams use is needed.
@@ -439,6 +506,8 @@ object Pdf {
         case "FlateDecode" | "Fl" =>
           data = inflate(data, 0, data.length, maxInflate)
           budgetInflate(data.length.toLong)
+        case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
+        case "ASCII85Decode" | "A85" => data = ascii85Decode(data)
         case other => fail(s"unsupported filter $other")
       }
       // DecodeParms predictor (xref streams routinely use PNG Up)
@@ -708,8 +777,19 @@ object Pdf {
     // operand stack: we only care about strings/numbers near operators
     val stack = scala.collection.mutable.ArrayBuffer.empty[PVal]
     def show(v: PVal): Unit = v match {
-      case PStr(bs) => cur.append(new String(bs,
-        java.nio.charset.StandardCharsets.ISO_8859_1))
+      case PStr(bs) =>
+        // text-string encodings (ISO 32000 §7.9.2): UTF-16BE with BOM,
+        // UTF-8 with BOM (PDF 2.0), else the simple 8-bit case
+        if (bs.length >= 2 && (bs(0) & 0xFF) == 0xFE &&
+            (bs(1) & 0xFF) == 0xFF)
+          cur.append(new String(bs, 2, bs.length - 2,
+            java.nio.charset.StandardCharsets.UTF_16BE))
+        else if (bs.length >= 3 && (bs(0) & 0xFF) == 0xEF &&
+            (bs(1) & 0xFF) == 0xBB && (bs(2) & 0xFF) == 0xBF)
+          cur.append(new String(bs, 3, bs.length - 3,
+            java.nio.charset.StandardCharsets.UTF_8))
+        else cur.append(new String(bs,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
       case _ => ()
     }
     var steps = 0
@@ -918,7 +998,8 @@ object Pdf {
     */
   def buildPdf(pages: Seq[Seq[String]], flate: Boolean = false,
                xrefStream: Boolean = false, objStm: Boolean = false,
-               useTJ: Boolean = false): Array[Byte] = {
+               useTJ: Boolean = false, hexUtf16: Boolean = false,
+               asciiFilter: Option[String] = None): Array[Byte] = {
     require(pages.nonEmpty, "at least one page")
     val useXrefStream = xrefStream || objStm
     val out = new java.io.ByteArrayOutputStream()
@@ -938,7 +1019,10 @@ object Pdf {
       val sb = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
       lines.zipWithIndex.foreach { case (line, i) =>
         if (i > 0) sb.append("0 -14 Td\n")
-        if (useTJ && line.length > 1) {
+        if (hexUtf16) {
+          val hx = ("FEFF" +: line.map(c => f"${c.toInt}%04X")).mkString
+          sb.append(s"<$hx> Tj\n")
+        } else if (useTJ && line.length > 1) {
           val cut = line.length / 2
           sb.append(s"[(${esc(line.take(cut))}) -250 (${esc(line.drop(cut))})] TJ\n")
         } else sb.append(s"(${esc(line)}) Tj\n")
@@ -976,13 +1060,48 @@ object Pdf {
       offsets(num) = out.size
       w(s"$num 0 obj\n$body\nendobj\n")
     }
+    def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < data.length) {
+        val n = math.min(4, data.length - i)
+        var v = 0L
+        var j = 0
+        while (j < 4) {
+          v = (v << 8) | (if (j < n) data(i + j) & 0xFF else 0); j += 1
+        }
+        if (v == 0 && n == 4) sb.append('z')
+        else {
+          val cs = new Array[Char](5)
+          var k = 4
+          while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+          sb.appendAll(cs, 0, n + 1)
+        }
+        i += n
+      }
+      sb.append("~>")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
     // content streams (always standalone objects)
     pages.zipWithIndex.foreach { case (lines, i) =>
       val num = contentObj(i)
       offsets(num) = out.size
       val raw = contentBytes(lines)
-      val data = if (flate) deflate(raw) else raw
-      val filter = if (flate) " /Filter /FlateDecode" else ""
+      val deflated = if (flate) deflate(raw) else raw
+      val (data, filter) = asciiFilter match {
+        case Some("AHx") =>
+          val hx = (deflated.map(b => f"${b & 0xFF}%02X").mkString + ">")
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          (hx, if (flate) " /Filter [/ASCIIHexDecode /FlateDecode]"
+          else " /Filter /ASCIIHexDecode")
+        case Some("A85") =>
+          (ascii85Encode(deflated),
+            if (flate) " /Filter [/ASCII85Decode /FlateDecode]"
+            else " /Filter /ASCII85Decode")
+        case Some(other) =>
+          throw new IllegalArgumentException(s"unknown asciiFilter $other")
+        case None => (deflated, if (flate) " /Filter /FlateDecode" else "")
+      }
       w(s"$num 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
       out.write(data)
       w("\nendstream\nendobj\n")

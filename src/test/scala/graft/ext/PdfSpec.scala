@@ -48,6 +48,48 @@ class PdfSpec extends SparkFunSuite {
       Seq("a(b)c\\d\nx (y) z"))
   }
 
+  test("UTF-16BE hex text strings decode (BOM-dispatched)") {
+    val uni = Seq(Seq("héllo wörld", "ascii too"), Seq("päge twö"))
+    assert(textOf(Pdf.buildPdf(uni, hexUtf16 = true)) ==
+      Seq("héllo wörld\nascii too", "päge twö"))
+    assert(textOf(Pdf.buildPdf(uni, hexUtf16 = true, flate = true)) ==
+      Seq("héllo wörld\nascii too", "päge twö"))
+  }
+
+  test("ASCIIHexDecode and ASCII85Decode filters, alone and chained " +
+    "with FlateDecode") {
+    val want = textOf(Pdf.buildPdf(pages))
+    assert(textOf(Pdf.buildPdf(pages, asciiFilter = Some("AHx"))) == want)
+    assert(textOf(Pdf.buildPdf(pages, asciiFilter = Some("A85"))) == want)
+    assert(textOf(Pdf.buildPdf(pages, flate = true,
+      asciiFilter = Some("AHx"))) == want)
+    assert(textOf(Pdf.buildPdf(pages, flate = true,
+      asciiFilter = Some("A85"))) == want)
+    // corrupt ascii85: typed reject
+    val b = Pdf.buildPdf(pages, asciiFilter = Some("A85"))
+    val i = (0 until b.length - 1).find(j =>
+      b(j) == '~' && b(j + 1) == '>').get
+    val bad = b.clone(); bad(i - 1) = 'v' // outside '!'..'u'
+    assert(Pdf.parsePdf(bad).isLeft)
+  }
+
+  test("real-world interop: the reference's own pdf_example.pdf " +
+    "(212 KB, classic xref, FlateDecode, 73 objects) walks clean") {
+    // test/deduplicator_test.exs:28 reads this file as chunk bytes;
+    // we additionally EXTRACT it. Guarded: skips where the reference
+    // checkout is absent.
+    val f = new java.io.File(
+      "/root/reference/test/resources/pdf_example.pdf")
+    assume(f.exists, "reference resources not present")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val Right((m, pages)) = Pdf.parsePdf(bytes): @unchecked
+    assert(m.version == "1.5" && m.xrefKind == "table")
+    assert(m.nObjects == 72, s"expected 72 located objects, got ${m.nObjects}")
+    assert(m.nPages > 0 && pages.nonEmpty)
+    assert(pages.map(_.text.length).sum > 100,
+      "a real text PDF must yield substantial text")
+  }
+
   test("typed rejects, never a crash") {
     assert(Pdf.parsePdf(null).isLeft)
     assert(Pdf.parsePdf(Array.emptyByteArray) == Left("too short"))
