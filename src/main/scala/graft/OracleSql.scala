@@ -68,6 +68,14 @@ private[graft] object OracleSql {
         |WHERE d.doc_id < 100 AND t.i < 2 + (1 - d.doc_id % 2)
         |ORDER BY doc_id, field_idx""".stripMargin,
 
+    "q234_pdf_cid_text" ->
+      """SELECT d.doc_id, t.p AS page_idx,
+        |  'cid doc ' || d.doc_id || ' page ' || t.p || chr(10) ||
+        |  'second line!' AS text
+        |FROM documents d CROSS JOIN generate_series(0, 1) AS t(p)
+        |WHERE d.doc_id < 100 AND t.p < 1 + d.doc_id % 2
+        |ORDER BY doc_id, page_idx""".stripMargin,
+
     "q230_docx_text" ->
       """SELECT d.doc_id, t.p AS para_idx,
         |  'doc ' || d.doc_id || ' para ' || t.p || ' a&b' || chr(9) ||

@@ -5468,6 +5468,30 @@ object SparkEntry {
           col("field_idx").cast("long").as("field_idx"),
           col("name"), col("type"), col("nullable"))
         .orderBy("doc_id", "field_idx")
+    }),
+
+    // ---- ext/Pdf: Type0/CID + ToUnicode CMap route — how MODERN
+    //      writers encode text (subsetted fonts, Identity-H, string
+    //      bytes are CIDs, meaning lives in the per-font /ToUnicode
+    //      CMap; the reference's own pdf_example.pdf is 100% this
+    //      class). Fixture strings are CID codes under a synthetic
+    //      CMap (bfchar + bfrange); the oracle predicts the decoded
+    //      text arithmetically, so a regression in CMap parsing, code
+    //      widths, or the Tf font-state tracking hash-mismatches.
+    "q234_pdf_cid_text" -> ((s, dir) => {
+      val pdf = udf((id: Long) => {
+        val n = 1 + (id % 2).toInt
+        graft.ext.Pdf.buildPdf((0 until n).map(p =>
+          Seq(s"cid doc $id page $p", "second line!")),
+          cidFont = true, flate = id % 2 == 0)
+      })
+      val blobs = t(s, dir, "documents")
+        .where(col("doc_id") < 100).select("doc_id")
+        .withColumn("blob", pdf(col("doc_id")))
+      graft.ext.Pdf.extractPdfText(blobs, "blob")
+        .select(col("doc_id"), col("page_idx").cast("long").as("page_idx"),
+          col("text"))
+        .orderBy("doc_id", "page_idx")
     })
   )
 

@@ -721,25 +721,144 @@ object Pdf {
     kind
   }
 
+  // -------------------------------------------------- ToUnicode CMaps
+
+  /** Decoded ToUnicode CMap: code width in bytes + code → text. */
+  private final case class ToUni(width: Int, map: Map[Int, String])
+
+  /** Parse a ToUnicode CMap stream (ISO 32000 §9.10.3): codespace
+    * ranges fix the code width; bfchar pairs and bfrange triples map
+    * codes to UTF-16BE target strings. PostScript framing tokens are
+    * skipped; caps bound a hostile CMap.
+    */
+  private def parseToUnicode(data: Array[Byte]): ToUni = {
+    val lx = new Lex(data, 0)
+    var width = 2
+    var sawCodespace = false
+    val map = scala.collection.mutable.Map.empty[Int, String]
+    val pend = scala.collection.mutable.ArrayBuffer.empty[PVal]
+    def codeOf(bs: Array[Byte]): Int = {
+      if (bs.length > 4) fail("cmap code too wide")
+      var v = 0
+      bs.foreach(b => v = (v << 8) | (b & 0xFF))
+      v
+    }
+    def dstOf(bs: Array[Byte]): String =
+      new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+    var steps = 0
+    while ({ lx.skipWs(); !lx.eof }) {
+      steps += 1
+      if (steps > 1000000) fail("cmap too long")
+      val c = lx.peek
+      if (c == '<') {
+        // could be a dict (<<) inside CMap framing — parseVal handles both
+        pend += parseVal(lx, 0)
+      } else if (c == '[' || c == '(' || c == '/' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        pend += parseVal(lx, 0)
+      } else if (c == ']' || c == ')' || c == '>' || c == '{' || c == '}') {
+        lx.p += 1
+      } else {
+        val kw = lx.token()
+        kw match {
+          case "begincodespacerange" | "beginbfchar" | "beginbfrange" =>
+            pend.clear()
+          case "endcodespacerange" =>
+            pend.collectFirst { case PStr(lo) => lo }
+              .foreach { lo => width = math.max(1, math.min(4, lo.length)) }
+            sawCodespace = true
+            pend.clear()
+          case "endbfchar" =>
+            pend.grouped(2).foreach {
+              case scala.collection.mutable.ArrayBuffer(PStr(src), PStr(dst)) =>
+                if (map.size < 65536) map(codeOf(src)) = dstOf(dst)
+              case _ => () // tolerate framing noise
+            }
+            pend.clear()
+          case "endbfrange" =>
+            pend.grouped(3).foreach {
+              case scala.collection.mutable.ArrayBuffer(
+                  PStr(lo), PStr(hi), dst) =>
+                val l = codeOf(lo); val h = codeOf(hi)
+                if (h < l || h - l > 65535) fail("cmap range too large")
+                dst match {
+                  case PStr(d0) =>
+                    val base = dstOf(d0)
+                    if (base.nonEmpty) {
+                      var c2 = l
+                      while (c2 <= h && map.size < 65536) {
+                        // spec: increment the LAST code unit
+                        map(c2) = base.init +
+                          (base.last + (c2 - l)).toChar
+                        c2 += 1
+                      }
+                    }
+                  case PArr(ds) =>
+                    var c2 = l
+                    ds.foreach {
+                      case PStr(d) =>
+                        if (c2 <= h && map.size < 65536) map(c2) = dstOf(d)
+                        c2 += 1
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            pend.clear()
+          case _ => () // framing: findresource/begincmap/def/…
+        }
+      }
+      if (pend.size > 8192) fail("cmap operand flood")
+    }
+    val _ = sawCodespace
+    ToUni(width, map.toMap)
+  }
+
+  /** Font-name → ToUnicode table from a page's /Resources /Font. */
+  private def fontsOf(doc: Doc, resources: PVal): Map[String, ToUni] =
+    doc.resolve(resources) match {
+      case PDict(r) => doc.resolve(r.getOrElse("Font", PNull)) match {
+        case PDict(fonts) =>
+          if (fonts.size > 256) fail("too many fonts")
+          fonts.flatMap { case (name, fref) =>
+            doc.resolve(fref) match {
+              case PDict(fd) =>
+                doc.resolve(fd.getOrElse("ToUnicode", PNull)) match {
+                  case s: PStream =>
+                    Some(name -> parseToUnicode(doc.streamData(s)))
+                  case _ => None
+                }
+              case _ => None
+            }
+          }
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+
   // ---------------------------------------------------- page-tree walk
 
-  /** Page content-object refs in document order. */
-  private def pageContents(doc: Doc): Vector[Vector[PStream]] = {
+  /** Page content-object refs + font tables, in document order. */
+  private def pageContents(doc: Doc)
+      : Vector[(Vector[PStream], Map[String, ToUni])] = {
     val root = doc.resolve(doc.trailer.getOrElse("Root", fail("trailer missing Root"))) match {
       case PDict(m) => m
       case _ => fail("bad Root")
     }
     val pagesRef = root.getOrElse("Pages", fail("catalog missing Pages"))
-    val out = Vector.newBuilder[Vector[PStream]]
+    val out = Vector.newBuilder[(Vector[PStream], Map[String, ToUni])]
     var nPages = 0
-    def walk(node: PVal, depth: Int): Unit = {
+    // /Resources inherits down the page tree (ISO 32000 §7.7.3.4)
+    def walk(node: PVal, inherited: PVal, depth: Int): Unit = {
       if (depth > MaxTreeDepth) fail("page tree too deep")
       doc.resolve(node) match {
         case PDict(m) =>
+          val res = if (m.contains("Resources")) m("Resources") else inherited
           doc.resolve(m.getOrElse("Type", PNull)) match {
             case PName("Pages") =>
               doc.resolve(m.getOrElse("Kids", fail("Pages missing Kids"))) match {
-                case PArr(kids) => kids.foreach(walk(_, depth + 1))
+                case PArr(kids) => kids.foreach(walk(_, res, depth + 1))
                 case _ => fail("bad Kids")
               }
             case PName("Page") =>
@@ -754,21 +873,27 @@ object Pdf {
                 })
                 case _ => fail("bad Contents")
               }
-              out += streams
+              out += ((streams, fontsOf(doc, res)))
             case _ => fail("page tree node with unknown type")
           }
         case _ => fail("page tree node is not a dict")
       }
     }
-    walk(pagesRef, 0)
+    walk(pagesRef, PNull, 0)
     out.result()
   }
 
   // ----------------------------------------------------- text operators
 
-  /** Extract text from one decoded content stream, appending lines. */
+  /** Extract text from one decoded content stream, appending lines.
+    * `fonts` carries the page's ToUnicode tables; `fontState` threads
+    * the active font across the page's content streams (font
+    * selection is graphics state, which spans stream boundaries).
+    */
   private def extractOps(content: Array[Byte],
-                         lines: scala.collection.mutable.ArrayBuffer[String])
+                         lines: scala.collection.mutable.ArrayBuffer[String],
+                         fonts: Map[String, ToUni],
+                         fontState: Array[ToUni])
       : Unit = {
     val lx = new Lex(content, 0)
     val cur = new StringBuilder
@@ -778,9 +903,24 @@ object Pdf {
     val stack = scala.collection.mutable.ArrayBuffer.empty[PVal]
     def show(v: PVal): Unit = v match {
       case PStr(bs) =>
+        val tu = fontState(0)
+        if (tu != null) {
+          // CID/simple font with a ToUnicode CMap: the string is
+          // width-byte CODES, mapped through the font's table;
+          // unmapped codes contribute nothing (standard behavior)
+          val w = tu.width
+          var i = 0
+          while (i + w <= bs.length) {
+            var c = 0
+            var j = 0
+            while (j < w) { c = (c << 8) | (bs(i + j) & 0xFF); j += 1 }
+            tu.map.get(c).foreach(cur.append)
+            i += w
+          }
+        }
         // text-string encodings (ISO 32000 §7.9.2): UTF-16BE with BOM,
         // UTF-8 with BOM (PDF 2.0), else the simple 8-bit case
-        if (bs.length >= 2 && (bs(0) & 0xFF) == 0xFE &&
+        else if (bs.length >= 2 && (bs(0) & 0xFF) == 0xFE &&
             (bs(1) & 0xFF) == 0xFF)
           cur.append(new String(bs, 2, bs.length - 2,
             java.nio.charset.StandardCharsets.UTF_16BE))
@@ -820,6 +960,11 @@ object Pdf {
           case "\"" =>
             flush()
             if (stack.nonEmpty) show(stack.last)
+          case "Tf" =>
+            // operands: /FontName size — switch the active ToUnicode
+            stack.collectFirst { case PName(fn) => fn }.foreach { fn =>
+              fontState(0) = fonts.getOrElse(fn, null)
+            }
           case "Td" | "TD" =>
             // vertical move = line break (simplified typography)
             if (stack.size >= 2) stack.last match {
@@ -869,9 +1014,11 @@ object Pdf {
       val doc = new Doc(bytes, maxInflate)
       val kind = walkXref(doc, findStartXref(bytes))
       val contents = pageContents(doc)
-      val pages = contents.zipWithIndex.map { case (streams, i) =>
+      val pages = contents.zipWithIndex.map { case ((streams, fonts), i) =>
         val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-        streams.foreach(s => extractOps(doc.streamData(s), lines))
+        val fontState = new Array[ToUni](1)
+        streams.foreach(s =>
+          extractOps(doc.streamData(s), lines, fonts, fontState))
         PdfPage(i, lines.mkString("\n"))
       }
       Right((PdfMeta(version, kind, doc.loc.size, pages.length), pages))
@@ -999,8 +1146,13 @@ object Pdf {
   def buildPdf(pages: Seq[Seq[String]], flate: Boolean = false,
                xrefStream: Boolean = false, objStm: Boolean = false,
                useTJ: Boolean = false, hexUtf16: Boolean = false,
-               asciiFilter: Option[String] = None): Array[Byte] = {
+               asciiFilter: Option[String] = None,
+               cidFont: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "at least one page")
+    // CID route: text chars c >= '!' must fit the synthetic mapping
+    if (cidFont) require(pages.forall(_.forall(_.forall(ch =>
+      ch == ' ' || (ch >= '!' && ch <= 0xFF)))),
+      "cidFont fixture supports ' ' and '!'..'\\u00FF' only")
     val useXrefStream = xrefStream || objStm
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit =
@@ -1010,16 +1162,26 @@ object Pdf {
     w("%âãÏÓ\n") // binary-marker comment line
     val n = pages.length
     // object numbering: 1 catalog, 2 pages, 3..2+n page dicts,
-    // 3+n..2+2n content streams, 3+2n font, [4+2n objstm, 5+2n xref]
+    // 3+n..2+2n content streams, 3+2n font; cidFont adds a descendant
+    // dict and a ToUnicode stream; then [objstm, xref stream]
     val contentObj = (i: Int) => 3 + n + i
     val fontObj = 3 + 2 * n
+    val descObj = fontObj + 1 // cidFont only
+    val tuObj = fontObj + 2   // cidFont only
+    val lastFontObj = if (cidFont) tuObj else fontObj
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
 
     def contentBytes(lines: Seq[String]): Array[Byte] = {
       val sb = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
       lines.zipWithIndex.foreach { case (line, i) =>
         if (i > 0) sb.append("0 -14 Td\n")
-        if (hexUtf16) {
+        if (cidFont) {
+          // synthetic CID coding: ' ' → 0003, else code = char + 3
+          // (the ToUnicode CMap below inverts it)
+          val hx = line.map(ch =>
+            f"${if (ch == ' ') 3 else ch.toInt + 3}%04X").mkString
+          sb.append(s"<$hx> Tj\n")
+        } else if (hexUtf16) {
           val hx = ("FEFF" +: line.map(c => f"${c.toInt}%04X")).mkString
           sb.append(s"<$hx> Tj\n")
         } else if (useTJ && line.length > 1) {
@@ -1052,7 +1214,16 @@ object Pdf {
           s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
           "/MediaBox [0 0 612 792] >>"
     }
-    dictObjs(fontObj) =
+    if (cidFont) {
+      dictObjs(fontObj) =
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /Synth " +
+          s"/Encoding /Identity-H /DescendantFonts [$descObj 0 R] " +
+          s"/ToUnicode $tuObj 0 R >>"
+      dictObjs(descObj) =
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+          "/Supplement 0 >> >>"
+    } else dictObjs(fontObj) =
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     // dict objects: inline (classic / xref-stream) or packed in ObjStm
@@ -1106,7 +1277,33 @@ object Pdf {
       out.write(data)
       w("\nendstream\nendobj\n")
     }
-    val objStmNum = 4 + 2 * n
+    if (cidFont) {
+      val cmap =
+        s"""/CIDInit /ProcSet findresource begin
+           |12 dict begin
+           |begincmap
+           |/CMapName /SynthToUni def
+           |/CMapType 2 def
+           |1 begincodespacerange
+           |<0000> <FFFF>
+           |endcodespacerange
+           |1 beginbfchar
+           |<0003> <0020>
+           |endbfchar
+           |1 beginbfrange
+           |<0024> <0102> <0021>
+           |endbfrange
+           |endcmap
+           |CMap currentdict /CMap defineresource pop
+           |end end
+           |""".stripMargin
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      offsets(tuObj) = out.size
+      w(s"$tuObj 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+      out.write(cmap)
+      w("\nendstream\nendobj\n")
+    }
+    val objStmNum = lastFontObj + 1
     if (objStm) {
       // object stream packing every dict object
       val parts = dictObjs.toSeq
@@ -1128,7 +1325,7 @@ object Pdf {
     }
 
     if (!useXrefStream) {
-      val maxObj = fontObj
+      val maxObj = lastFontObj
       val xrefOff = out.size
       w(s"xref\n0 ${maxObj + 1}\n")
       w(f"${0}%010d 65535 f \n")
@@ -1138,7 +1335,7 @@ object Pdf {
       w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n")
       w(s"startxref\n$xrefOff\n%%EOF\n")
     } else {
-      val xrefNum = 5 + 2 * n
+      val xrefNum = lastFontObj + 2
       val maxObj = xrefNum
       val xrefOff = out.size
       offsets(xrefNum) = xrefOff
@@ -1161,6 +1358,7 @@ object Pdf {
         } else put(num, 1, offsets(num), 0)
       }
       (0 until n).foreach(i => put(contentObj(i), 1, offsets(contentObj(i)), 0))
+      if (cidFont) put(tuObj, 1, offsets(tuObj), 0)
       if (objStm) put(objStmNum, 1, offsets(objStmNum), 0)
       put(xrefNum, 1, xrefOff, 0)
       // PNG Up predictor rows (tag 2): delta vs previous row

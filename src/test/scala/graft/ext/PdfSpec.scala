@@ -73,6 +73,18 @@ class PdfSpec extends SparkFunSuite {
     assert(Pdf.parsePdf(bad).isLeft)
   }
 
+  test("Type0/CID fonts with ToUnicode CMaps decode to real text") {
+    val uni = Seq(Seq("hello cid world", "line two!"), Seq("page 2"))
+    assert(textOf(Pdf.buildPdf(uni, cidFont = true)) ==
+      Seq("hello cid world\nline two!", "page 2"))
+    assert(textOf(Pdf.buildPdf(uni, cidFont = true, flate = true)) ==
+      Seq("hello cid world\nline two!", "page 2"))
+    // xref-stream coding composes with the CID route
+    assert(textOf(Pdf.buildPdf(uni, cidFont = true, flate = true,
+      xrefStream = true)) ==
+      Seq("hello cid world\nline two!", "page 2"))
+  }
+
   test("real-world interop: the reference's own pdf_example.pdf " +
     "(212 KB, classic xref, FlateDecode, 73 objects) walks clean") {
     // test/deduplicator_test.exs:28 reads this file as chunk bytes;
@@ -85,9 +97,19 @@ class PdfSpec extends SparkFunSuite {
     val Right((m, pages)) = Pdf.parsePdf(bytes): @unchecked
     assert(m.version == "1.5" && m.xrefKind == "table")
     assert(m.nObjects == 72, s"expected 72 located objects, got ${m.nObjects}")
-    assert(m.nPages > 0 && pages.nonEmpty)
-    assert(pages.map(_.text.length).sum > 100,
-      "a real text PDF must yield substantial text")
+    assert(m.nPages == 6 && pages.length == 6)
+    // every font in this file is Type0/Identity-H with a ToUnicode
+    // CMap — readable text out PROVES the CMap path on real data:
+    // the title page is Russian ("Санкт-Петербургский политехнический
+    // университет…"), so the decoded text must be dominated by
+    // Cyrillic, not raw CID bytes
+    val t = pages.head.text
+    val cyr = t.count(c => c >= 0x400 && c <= 0x4FF)
+    val nonWs = t.count(!_.isWhitespace)
+    assert(nonWs > 100 && cyr * 10 > nonWs * 9,
+      s"expected mostly-Cyrillic decoded text, got $cyr/$nonWs")
+    assert(t.contains("Петербургский"),
+      "a known title-page word must survive extraction verbatim")
   }
 
   test("typed rejects, never a crash") {
