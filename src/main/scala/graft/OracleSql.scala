@@ -24,7 +24,7 @@ private[graft] object OracleSql {
 
     "q228_pdf_meta" ->
       """WITH f AS (
-        |  SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 6 AS m
+        |  SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 7 AS m
         |  FROM documents WHERE doc_id < 100)
         |SELECT doc_id,
         |  CASE WHEN m IN (2, 3) THEN '1.5' ELSE '1.4' END AS version,

@@ -70,7 +70,7 @@ object SparkEntry {
     val pages = (0 until n).map(p =>
       Seq(s"doc $id page $p line 0", s"doc $id page $p line 1"))
     val tj = id % 2 == 0
-    (id % 6) match {
+    (id % 7) match {
       case 0 => graft.ext.Pdf.buildPdf(pages, useTJ = tj)
       case 1 => graft.ext.Pdf.buildPdf(pages, flate = true, useTJ = tj)
       case 2 => graft.ext.Pdf.buildPdf(pages, flate = true,
@@ -79,8 +79,10 @@ object SparkEntry {
         objStm = true, useTJ = tj)
       case 4 => graft.ext.Pdf.buildPdf(pages, flate = true,
         asciiFilter = Some("AHx"), useTJ = tj)
-      case _ => graft.ext.Pdf.buildPdf(pages,
+      case 5 => graft.ext.Pdf.buildPdf(pages,
         asciiFilter = Some("A85"), hexUtf16 = true)
+      case _ => graft.ext.Pdf.buildPdf(pages,
+        asciiFilter = Some("LZW"), useTJ = tj)
     }
   })
 

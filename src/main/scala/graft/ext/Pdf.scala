@@ -382,6 +382,60 @@ object Pdf {
     out.toByteArray
   }
 
+  /** LZWDecode (ISO 32000 §7.4.4.2, the TIFF variant legacy PDFs
+    * use): MSB-first variable-width codes growing 9→12 bits, clear
+    * code 256 resets the table, EOD 257; code-width change happens
+    * one code EARLY (EarlyChange 1, the default — the only variant
+    * Acrobat ever wrote). Output hard-capped.
+    */
+  private[ext] def lzwDecode(data: Array[Byte], cap: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val entries = new Array[Array[Byte]](4096)
+    var nEntries = 0
+    def reset(): Unit = {
+      nEntries = 258 // 0-255 literals + 256 clear + 257 EOD
+    }
+    reset()
+    def entryOf(code: Int): Array[Byte] =
+      if (code < 256) Array((code & 0xFF).toByte)
+      else {
+        if (code < 258 || code >= nEntries) fail("bad lzw code")
+        entries(code)
+      }
+    var width = 9
+    var acc = 0L
+    var bits = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    var done = false
+    while (!done) {
+      while (bits < width && i < data.length) {
+        acc = (acc << 8) | (data(i) & 0xFF); bits += 8; i += 1
+      }
+      if (bits < width) fail("truncated lzw stream")
+      val code = ((acc >> (bits - width)) & ((1 << width) - 1)).toInt
+      bits -= width
+      if (code == 257) done = true
+      else if (code == 256) { reset(); width = 9; prev = null }
+      else {
+        val cur =
+          if (code < nEntries) entryOf(code)
+          else if (code == nEntries && prev != null) prev :+ prev(0)
+          else fail("lzw code out of sequence")
+        if (out.size.toLong + cur.length > cap) fail("lzw output cap")
+        out.write(cur, 0, cur.length)
+        if (prev != null && nEntries < 4096) {
+          entries(nEntries) = prev :+ cur(0)
+          nEntries += 1
+        }
+        prev = cur
+        // EarlyChange 1: widen when the NEXT add would need more bits
+        if (nEntries + 1 >= (1 << width) && width < 12) width += 1
+      }
+    }
+    out.toByteArray
+  }
+
   /** Undo PNG predictors (ISO 32000 §7.4.4.4 via RFC 2083): each row
     * carries a filter tag byte; columns = bytes per row. Only the
     * byte-wide case (colors·bpc = 8) xref streams use is needed.
@@ -508,6 +562,9 @@ object Pdf {
           budgetInflate(data.length.toLong)
         case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
         case "ASCII85Decode" | "A85" => data = ascii85Decode(data)
+        case "LZWDecode" | "LZW" =>
+          data = lzwDecode(data, maxInflate)
+          budgetInflate(data.length.toLong)
         case other => fail(s"unsupported filter $other")
       }
       // DecodeParms predictor (xref streams routinely use PNG Up)
@@ -1231,6 +1288,45 @@ object Pdf {
       offsets(num) = out.size
       w(s"$num 0 obj\n$body\nendobj\n")
     }
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var bits = 0
+      var width = 9
+      def emit(code: Int): Unit = {
+        acc = (acc << width) | code
+        bits += width
+        while (bits >= 8) {
+          out.write(((acc >> (bits - 8)) & 0xFF).toInt); bits -= 8
+        }
+      }
+      def pad(): Unit =
+        if (bits > 0) { out.write(((acc << (8 - bits)) & 0xFF).toInt); bits = 0 }
+      val dict = scala.collection.mutable.HashMap.empty[String, Int]
+      var dictN = 258
+      emit(256) // clear
+      var w = ""
+      def codeOf(s: String): Int =
+        if (s.length == 1) s.charAt(0) else dict(s)
+      data.foreach { b =>
+        val c = (b & 0xFF).toChar
+        val wc = w + c
+        if (wc.length == 1 || dict.contains(wc)) w = wc
+        else {
+          emit(codeOf(w))
+          dict(wc) = dictN
+          dictN += 1
+          // EarlyChange 1, mirrored against lzwDecode's widen rule
+          if (dictN >= (1 << width) && width < 12) width += 1
+          require(dictN < 4095, "fixture exceeds one LZW table")
+          w = c.toString
+        }
+      }
+      if (w.nonEmpty) emit(codeOf(w))
+      emit(257) // EOD
+      pad()
+      out.toByteArray
+    }
     def ascii85Encode(data: Array[Byte]): Array[Byte] = {
       val sb = new StringBuilder
       var i = 0
@@ -1269,6 +1365,9 @@ object Pdf {
           (ascii85Encode(deflated),
             if (flate) " /Filter [/ASCII85Decode /FlateDecode]"
             else " /Filter /ASCII85Decode")
+        case Some("LZW") =>
+          require(!flate, "LZW fixture route replaces Flate")
+          (lzwEncode(raw), " /Filter /LZWDecode")
         case Some(other) =>
           throw new IllegalArgumentException(s"unknown asciiFilter $other")
         case None => (deflated, if (flate) " /Filter /FlateDecode" else "")

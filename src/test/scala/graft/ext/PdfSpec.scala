@@ -73,6 +73,44 @@ class PdfSpec extends SparkFunSuite {
     assert(Pdf.parsePdf(bad).isLeft)
   }
 
+  test("LZWDecode: spec-semantics hand vector + fixture route + " +
+    "width-boundary roundtrip") {
+    // hand-packed code sequence [256, 'A', 'B', 258, 257] at width 9:
+    // clear, literal A, literal B (table adds 258="AB"), code 258
+    // ("AB", table adds 259="BA"), EOD → "ABAB"
+    def pack(codes: Seq[Int], width: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var bits = 0
+      codes.foreach { c =>
+        acc = (acc << width) | c; bits += width
+        while (bits >= 8) {
+          out.write(((acc >> (bits - 8)) & 0xFF).toInt); bits -= 8
+        }
+      }
+      if (bits > 0) out.write(((acc << (8 - bits)) & 0xFF).toInt)
+      out.toByteArray
+    }
+    val v = Pdf.lzwDecode(pack(Seq(256, 'A', 'B', 258, 257), 9), 1 << 20)
+    assert(new String(v, "ISO-8859-1") == "ABAB")
+    // the deferred-code case: code == next table entry (KwKwK)
+    val v2 = Pdf.lzwDecode(pack(Seq(256, 'A', 258, 257), 9), 1 << 20)
+    assert(new String(v2, "ISO-8859-1") == "AAA")
+    // malformed: code beyond the table is a typed reject
+    assert(Pdf.parsePdf(Array.emptyByteArray).isLeft) // (smoke)
+    intercept[Exception](Pdf.lzwDecode(pack(Seq(256, 300, 257), 9), 1 << 20))
+    // fixture route: LZW-coded content streams extract identically;
+    // the long page crosses the 9->10 bit width boundary (needs >253
+    // dictionary entries), proving encoder/decoder width sync
+    val long = Seq(
+      (0 until 40).map(i => s"line $i with some repeated words " +
+        ("abcdefghij" * 3).drop(i % 7)),
+      Seq("short second page"))
+    assert(textOf(Pdf.buildPdf(long, asciiFilter = Some("LZW"))) ==
+      textOf(Pdf.buildPdf(long)))
+    assert(textOf(Pdf.buildPdf(pages, asciiFilter = Some("LZW"))) ==
+      textOf(Pdf.buildPdf(pages)))
+  }
+
   test("Type0/CID fonts with ToUnicode CMaps decode to real text") {
     val uni = Seq(Seq("hello cid world", "line two!"), Seq("page 2"))
     assert(textOf(Pdf.buildPdf(uni, cidFont = true)) ==
