@@ -382,6 +382,35 @@ object Pdf {
     out.toByteArray
   }
 
+  /** RunLengthDecode (ISO 32000 §7.4.5): length byte L — L ≤ 127 →
+    * copy L+1 literal bytes; L ≥ 129 → repeat next byte 257−L times;
+    * 128 = EOD.
+    */
+  private[ext] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (!done) {
+      if (i >= data.length) fail("truncated runlength stream")
+      val l = data(i) & 0xFF
+      i += 1
+      if (l == 128) done = true
+      else if (l <= 127) {
+        if (i + l + 1 > data.length) fail("truncated runlength literal")
+        out.write(data, i, l + 1)
+        i += l + 1
+      } else {
+        if (i >= data.length) fail("truncated runlength run")
+        val b = data(i)
+        i += 1
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+      if (out.size > (64 << 20)) fail("runlength output cap")
+    }
+    out.toByteArray
+  }
+
   /** LZWDecode (ISO 32000 §7.4.4.2, the TIFF variant legacy PDFs
     * use): MSB-first variable-width codes growing 9→12 bits, clear
     * code 256 resets the table, EOD 257; code-width change happens
@@ -565,6 +594,7 @@ object Pdf {
         case "LZWDecode" | "LZW" =>
           data = lzwDecode(data, maxInflate)
           budgetInflate(data.length.toLong)
+        case "RunLengthDecode" | "RL" => data = runLengthDecode(data)
         case other => fail(s"unsupported filter $other")
       }
       // DecodeParms predictor (xref streams routinely use PNG Up)

@@ -111,6 +111,22 @@ class PdfSpec extends SparkFunSuite {
       textOf(Pdf.buildPdf(pages)))
   }
 
+  test("RunLengthDecode: literals, runs, EOD, truncation rejects") {
+    def enc(parts: Array[Byte]*): Array[Byte] = {
+      // naive literal-only encoder + explicit runs where asked
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach { p => out.write(p, 0, p.length) }
+      out.write(128) // EOD
+      out.toByteArray
+    }
+    // literal block "abc" + run of 5 'x'
+    val data = enc(Array[Byte](2, 'a', 'b', 'c'),
+      Array[Byte]((257 - 5).toByte, 'x'))
+    assert(new String(Pdf.runLengthDecode(data), "ISO-8859-1") == "abcxxxxx")
+    intercept[Exception](Pdf.runLengthDecode(Array[Byte](2, 'a')))
+    intercept[Exception](Pdf.runLengthDecode(Array[Byte](200.toByte)))
+  }
+
   test("Type0/CID fonts with ToUnicode CMaps decode to real text") {
     val uni = Seq(Seq("hello cid world", "line two!"), Seq("page 2"))
     assert(textOf(Pdf.buildPdf(uni, cidFont = true)) ==
@@ -148,6 +164,37 @@ class PdfSpec extends SparkFunSuite {
       s"expected mostly-Cyrillic decoded text, got $cyr/$nonWs")
     assert(t.contains("Петербургский"),
       "a known title-page word must survive extraction verbatim")
+  }
+
+  test("incremental update: a second generation overrides an object " +
+    "through /Prev, first-seen (newest) wins") {
+    // real-world "save in place": new objects + a new xref section
+    // whose trailer /Prev points at the previous startxref
+    val base = Pdf.buildPdf(Seq(Seq("original text")))
+    val s = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val oldStart = s.lastIndexOf("startxref")
+    val oldXrefOff = s.substring(oldStart + 9).trim.split("\\s+")(0)
+    // object 4 is the single page's content stream (1 catalog, 2
+    // pages, 3 page, 4 content, 5 font)
+    val newContent = "BT /F1 12 Tf 72 720 Td (updated text) Tj ET\n"
+    val upd = new StringBuilder()
+    val updOff = base.length
+    upd.append(s"4 0 obj\n<< /Length ${newContent.length} >>\nstream\n")
+    upd.append(newContent)
+    upd.append("endstream\nendobj\n")
+    val xrefOff = base.length + upd.length
+    upd.append("xref\n0 1\n0000000000 65535 f \n")
+    upd.append(f"4 1\n$updOff%010d 00000 n \n")
+    upd.append(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $oldXrefOff >>\n")
+    upd.append(s"startxref\n$xrefOff\n%%EOF\n")
+    val twoGen = base ++ upd.toString
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val Right((m, pages)) = Pdf.parsePdf(twoGen): @unchecked
+    assert(m.xrefKind == "table" && m.nPages == 1)
+    assert(pages.head.text == "updated text",
+      s"newest generation must win, got '${pages.head.text}'")
+    // and the ORIGINAL file, unmodified, still reads the old text
+    assert(textOf(base) == Seq("original text"))
   }
 
   test("typed rejects, never a crash") {
