@@ -76,6 +76,22 @@ private[graft] object OracleSql {
         |WHERE d.doc_id < 100 AND t.p < 1 + d.doc_id % 2
         |ORDER BY doc_id, page_idx""".stripMargin,
 
+    "q235_docx_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 'Title & <' || doc_id || '>' END AS title,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 'author' || doc_id END AS creator,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+        |                               2, '0') || 'T00:00:00Z'
+        |  END AS created,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+        |                               2, '0') || 'T00:00:00Z'
+        |  END AS modified
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
     "q230_docx_text" ->
       """SELECT d.doc_id, t.p AS para_idx,
         |  'doc ' || d.doc_id || ' para ' || t.p || ' a&b' || chr(9) ||

@@ -5494,6 +5494,23 @@ object SparkEntry {
         .select(col("doc_id"), col("page_idx").cast("long").as("page_idx"),
           col("text"))
         .orderBy("doc_id", "page_idx")
+    }),
+
+    // ---- ext/Docx: core document properties (OPC Dublin Core) — the
+    //      provenance fields a corpus pipeline keys on. Odd ids omit
+    //      the part entirely (optional in OPC → null columns).
+    "q235_docx_meta" -> ((s, dir) => {
+      val mk = udf((id: Long) => graft.ext.Docx.buildDocx(
+        Seq(s"body of $id"),
+        coreProps = if (id % 2 == 0) Some((s"Title & <$id>", s"author$id",
+          f"2024-01-${1 + id % 28}%02dT00:00:00Z")) else None))
+      val blobs = t(s, dir, "documents")
+        .where(col("doc_id") < 100).select("doc_id")
+        .withColumn("blob", mk(col("doc_id")))
+      graft.ext.Docx.extractDocxMeta(blobs, "blob")
+        .select(col("doc_id"), col("title"), col("creator"),
+          col("created"), col("modified"))
+        .orderBy("doc_id")
     })
   )
 

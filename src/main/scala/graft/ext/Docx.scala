@@ -207,6 +207,70 @@ object Docx {
     }(enc)
   }
 
+  /** Core document properties from `docProps/core.xml` (OPC Dublin
+    * Core): title, creator, created, modified — the provenance fields
+    * a corpus pipeline keys on. Absent part or absent element → null
+    * column, not an error (properties are optional in OPC).
+    */
+  def extractDocxMeta(df: DataFrame, binCol: String,
+                      maxInflate: Long = 64L << 20): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      Seq(StructField("title", StringType, nullable = true),
+        StructField("creator", StringType, nullable = true),
+        StructField("created", StringType, nullable = true),
+        StructField("modified", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == binCol).map(_._2)
+    val nKeep = keepIdx.length
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val props =
+          try {
+            // container must be a valid docx (has word/document.xml)
+            parseDocx(bytes, maxInflate) match {
+              case Left(_) => None
+              case Right(_) =>
+                val core = ZipArchive
+                  .payloadsOf(bytes, "docProps/core.xml", maxInflate)
+                  .toOption.flatMap(_.headOption).map(_._3)
+                Some(core match {
+                  case None => (null, null, null, null)
+                  case Some(payload) =>
+                    val xml = new String(payload,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    def el(tag: String): String = {
+                      val open = xml.indexOf(s"<$tag")
+                      if (open < 0) return null
+                      val gt = xml.indexOf('>', open)
+                      if (gt < 0) fail("unterminated tag")
+                      if (xml.charAt(gt - 1) == '/') return ""
+                      val close = xml.indexOf(s"</$tag>", gt)
+                      if (close < 0) fail(s"unterminated $tag")
+                      decodeEntities(xml.substring(gt + 1, close))
+                    }
+                    (el("dc:title"), el("dc:creator"),
+                      el("dcterms:created"), el("dcterms:modified"))
+                })
+            }
+          } catch { case Walk(_) => None }
+        props match {
+          case None => Iterator.empty
+          case Some((ti, cr, cd, mo)) =>
+            val arr = new Array[Any](nKeep + 4)
+            var i = 0
+            while (i < nKeep) { arr(i) = r.get(keepIdx(i)); i += 1 }
+            arr(nKeep) = ti; arr(nKeep + 1) = cr
+            arr(nKeep + 2) = cd; arr(nKeep + 3) = mo
+            Iterator.single(Row.fromSeq(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(arr)))
+        }
+      }
+    }(enc)
+  }
+
   // --------------------------------------------------- fixture writer
 
   private def escXml(s: String): String =
@@ -222,7 +286,9 @@ object Docx {
     * paragraph (runs split mid-text so multi-run paragraphs are
     * exercised; tabs/newlines become `<w:tab/>`/`<w:br/>`).
     */
-  def buildDocx(paragraphs: Seq[String]): Array[Byte] = {
+  def buildDocx(paragraphs: Seq[String],
+                coreProps: Option[(String, String, String)] = None)
+      : Array[Byte] = {
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -263,12 +329,25 @@ object Docx {
          |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
          |<w:body>$body<w:sectPr/></w:body>
          |</w:document>""".stripMargin
+    val coreEntry = coreProps.map { case (title, creator, created) =>
+      val core =
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/" xmlns:dcterms="http://purl.org/dc/terms/">
+           |<dc:title>${escXml(title)}</dc:title>
+           |<dc:creator>${escXml(creator)}</dc:creator>
+           |<dcterms:created>${escXml(created)}</dcterms:created>
+           |<dcterms:modified>${escXml(created)}</dcterms:modified>
+           |</cp:coreProperties>""".stripMargin
+      ("docProps/core.xml", 8,
+        core.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     ZipArchive.buildZip(Seq(
       ("[Content_Types].xml", 8,
         contentTypes.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       ("_rels/.rels", 8,
         rels.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       ("word/document.xml", 8,
-        document.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        document.getBytes(java.nio.charset.StandardCharsets.UTF_8))) ++
+      coreEntry)
   }
 }

@@ -70,6 +70,25 @@ class DocxSpec extends SparkFunSuite {
     assert(errs.length == 1 && errs(0).getAs[Long]("doc_id") == 2L)
   }
 
+  test("core properties: present, absent part, absent elements, " +
+    "entities") {
+    import spark.implicits._
+    val withProps = Docx.buildDocx(Seq("body"),
+      coreProps = Some(("T&T <draft>", "a creator", "2024-01-02T03:04:05Z")))
+    val noProps = Docx.buildDocx(Seq("body"))
+    val df = Seq((1L, withProps), (2L, noProps)).toDF("doc_id", "blob")
+    val rows = Docx.extractDocxMeta(df, "blob").orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("title") == "T&T <draft>")
+    assert(rows(0).getAs[String]("creator") == "a creator")
+    assert(rows(0).getAs[String]("created") == "2024-01-02T03:04:05Z")
+    assert(rows(1).getAs[String]("title") == null)
+    // a non-docx zip yields no metadata row (strict container gate)
+    val notDocx = ZipArchive.buildZip(Seq(("other.xml", 8, "<a/>".getBytes)))
+    val df2 = Seq((3L, notDocx)).toDF("doc_id", "blob")
+    assert(Docx.extractDocxMeta(df2, "blob").collect().isEmpty)
+  }
+
   test("java.util.zip interop: our OPC container opens as a zip") {
     val b = Docx.buildDocx(paras)
     val zin = new java.util.zip.ZipInputStream(
