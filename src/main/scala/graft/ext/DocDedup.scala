@@ -1011,35 +1011,37 @@ object DocDedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
     val qBuckets = readHammingMeta(ss, path)
+    // NOT persisted: re-deriving the 4-rows-per-signature explode is a
+    // narrow map; one groupBy-collect yields coordinates AND the row
+    // count for the broadcast guard (the probeMinHashIndex discipline —
+    // fewer Spark actions dominate these gates' cost, r13 attribution)
     val p = probes.select(col(idCol).as("id_a"), col(hashCol).as("sh_a"))
       .select(col("id_a"), col("sh_a"),
         posexplode(array((0 until 4).map(q =>
           shiftright(col("sh_a"), q * 16).bitwiseAND(0xFFFFL)): _*))
           .as(Seq("q", "qv")))
       .withColumn("qb", pmod(col("qv"), lit(qBuckets.toLong)).cast("int"))
-      .persist()
-    try {
-      val nProbeRows = p.count()
-      def emptyResult = probes.select(col(idCol).as("id_a"),
-          col(idCol).as("id_b"), lit(0).as("hamming")).where(lit(false))
-      val coords = p.select("q", "qb").distinct().collect()
-        .map(r => (r.getInt(0), r.getInt(1)))
-      if (coords.isEmpty) return emptyResult
-      if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .exists(_.getPath.getName.startsWith("q="))) return emptyResult
-      // partition-column-only predicate → evaluated at file listing
-      val bucketFilter = (col("q").cast("long") * 4096L +
-        col("qb").cast("long")).isin(
-        coords.map { case (q, b) => q.toLong * 4096L + b }.toSeq: _*)
-      val probeSide = if (nProbeRows <= broadcastLimit) broadcast(p) else p
-      ss.read.parquet(path).where(bucketFilter)
-        .join(probeSide, Seq("q", "qv"))
-        .where(col("id_a") =!= col("id"))
-        .select(col("id_a"), col("id").as("id_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh"))).as("hamming"))
-        .where(col("hamming") <= maxDist)
-        .distinct()
-    } finally p.unpersist()
+    val coordCounts = p.groupBy("q", "qb")
+      .agg(count(lit(1)).as("n")).collect()
+    val nProbeRows = coordCounts.map(_.getLong(2)).sum
+    val coords = coordCounts.map(r => (r.getInt(0), r.getInt(1)))
+    def emptyResult = probes.select(col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0).as("hamming")).where(lit(false))
+    if (coords.isEmpty) return emptyResult
+    if (!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .exists(_.getPath.getName.startsWith("q="))) return emptyResult
+    // partition-column-only predicate → evaluated at file listing
+    val bucketFilter = (col("q").cast("long") * 4096L +
+      col("qb").cast("long")).isin(
+      coords.map { case (q, b) => q.toLong * 4096L + b }.toSeq: _*)
+    val probeSide = if (nProbeRows <= broadcastLimit) broadcast(p) else p
+    ss.read.parquet(path).where(bucketFilter)
+      .join(probeSide, Seq("q", "qv"))
+      .where(col("id_a") =!= col("id"))
+      .select(col("id_a"), col("id").as("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Prefix-blocked candidate generation + exact edit-distance

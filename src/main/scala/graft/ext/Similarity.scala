@@ -233,7 +233,10 @@ object Similarity {
     * result; SimilaritySpec pins the equivalence.
     */
   def probeLshIndex(queries: DataFrame, idCol: String, vecCol: String,
-                    path: String, k: Int): DataFrame = {
+                    path: String, k: Int,
+                    broadcastLimit: Long = 4L << 20): DataFrame = {
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
     val ss = queries.sparkSession
     graft.functions.VecExpressions.register(ss)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -249,8 +252,13 @@ object Similarity {
     def emptyResult = qsig
       .select(col("query_id"), col("query_id").as("neighbor_id"),
         lit(1).as("rank"), lit(0.0).as("sim")).where(lit(false))
-    val probes = qsig.select("tbl", "sig").distinct().collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
+    // one action: distinct (tbl, sig) buckets AND the exploded row
+    // count — the broadcast guard below is on ROWS, not coordinates
+    // (the r12 minhash-probe adjudication, applied to every sibling)
+    val bucketCounts = qsig.groupBy("tbl", "sig")
+      .agg(count(lit(1)).as("n")).collect()
+    val nQsigRows = bucketCounts.map(_.getLong(2)).sum
+    val probes = bucketCounts.map(r => (r.getInt(0), r.getLong(1)))
     if (probes.isEmpty) return emptyResult
     // An index built from an EMPTY corpus has the sidecar but no data
     // files (zero rows → zero part files); read.parquet would fail
@@ -275,15 +283,17 @@ object Similarity {
     val bucketFilter = (col("tbl").cast("long") * 2147483648L +
       col("sig").cast("long")).isin(
       probes.map { case (t, s) => t.toLong * 2147483648L + s }.toSeq: _*)
+    def guarded(df: DataFrame): DataFrame =
+      if (nQsigRows <= broadcastLimit) broadcast(df) else df
     val cand = ss.read.parquet(path).where(bucketFilter)
-      .join(broadcast(qsig.drop("qv")), Seq("tbl", "sig"))
+      .join(guarded(qsig.drop("qv")), Seq("tbl", "sig"))
       .where(col("query_id") =!= col("id"))
       // the index carries the vector, so scoring needs no corpus join;
       // same-pair rows from several tables are identical — dedup keeps one
       .select(col("query_id"), col("id").as("neighbor_id"), col("vec"))
       .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(
-      cand.join(broadcast(queries.select(col(idCol).as("query_id"),
+      cand.join(guarded(queries.select(col(idCol).as("query_id"),
           col(vecCol).as("qv"))), "query_id")
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("vec"), col("qv")).as("sim")),
@@ -477,7 +487,10 @@ object Similarity {
     * result; SimilaritySpec pins the equivalence.
     */
   def probeIvfIndex(queries: DataFrame, idCol: String, vecCol: String,
-                    path: String, k: Int, nprobe: Int = 4): DataFrame = {
+                    path: String, k: Int, nprobe: Int = 4,
+                    broadcastLimit: Long = 4L << 20): DataFrame = {
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
     val ss = queries.sparkSession
     graft.functions.VecExpressions.register(ss)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -510,18 +523,25 @@ object Similarity {
         cosine(col("qv"), col("cvec")).as("csim"))
       .withColumn("r", row_number().over(w)).where(col("r") <= nprobe)
       .select("query_id", "cid")
-    val cids = qCells.select("cid").distinct().collect().map(_.getInt(0))
+    // one action: touched cells AND the qCells row count — broadcasts
+    // below are row-guarded (q rows <= qCells rows = queries · nprobe)
+    val cellCounts = qCells.groupBy("cid")
+      .agg(count(lit(1)).as("n")).collect()
+    val nQCellRows = cellCounts.map(_.getLong(1)).sum
+    val cids = cellCounts.map(_.getInt(0))
     if (cids.isEmpty) return emptyResult
+    def guarded(df: DataFrame): DataFrame =
+      if (nQCellRows <= broadcastLimit) broadcast(df) else df
     // ≤ nlist literals; references only the partition column, so
     // Catalyst prunes at file-listing time (asserted by SimilaritySpec).
     val cand = ss.read.parquet(path).where(col("cid").isin(cids.toSeq: _*))
-      .join(broadcast(qCells), "cid")
+      .join(guarded(qCells), "cid")
       .where(col("query_id") =!= col("id"))
       // a corpus vector lives in exactly ONE cell, so (query, id) pairs
       // are already distinct — no dedup stage needed (unlike LSH)
       .select(col("query_id"), col("id").as("neighbor_id"), col("vec"))
     topKPerQuery(
-      cand.join(broadcast(q), "query_id")
+      cand.join(guarded(q), "query_id")
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("vec"), col("qv")).as("sim")),
       k)
@@ -715,12 +735,16 @@ object Similarity {
     * (adc, neighbor_id).
     */
   private def adcTopK(codes: DataFrame, q: DataFrame, cw: DataFrame,
-                      dsub: Int, m: Int, k: Int): DataFrame = {
-    val dtable = broadcast(q.crossJoin(cw)
+                      dsub: Int, m: Int, k: Int,
+                      broadcastDtable: Boolean = true): DataFrame = {
+    // distance table = queries × m·ksub rows — broadcast only while
+    // the caller's row arithmetic says it fits (row-guard discipline)
+    val dtableRaw = q.crossJoin(cw)
       .select(col("query_id").as("dq"), col("s").as("qs"),
         col("cid").as("qcid"),
         sqdist(expr(s"slice(qv, s * $dsub + 1, $dsub)"), col("cw"))
-          .as("d2")))
+          .as("d2"))
+    val dtable = if (broadcastDtable) broadcast(dtableRaw) else dtableRaw
     // code rows already bound to a probing query (the IVF-PQ pruned
     // path) keep that binding; unbound rows (flat PQ) score against
     // every query
@@ -826,7 +850,10 @@ object Similarity {
     * (SimilaritySpec pins the equivalence).
     */
   def probePqIndex(queries: DataFrame, idCol: String, vecCol: String,
-                   path: String, k: Int): DataFrame = {
+                   path: String, k: Int,
+                   broadcastLimit: Long = 4L << 20): DataFrame = {
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
     val ss = queries.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
@@ -847,8 +874,12 @@ object Similarity {
     if (sample.isEmpty || fs.globStatus(
       new org.apache.hadoop.fs.Path(path, "*.parquet")).isEmpty)
       return emptyResult
+    // flat PQ has no coordinate collect to reuse: one count on the
+    // (small by contract) probe batch prices the distance table
+    val nQ = q.count()
     adcTopK(ss.read.parquet(path), q,
-      codewordsDf(ss, sample, m, dsub), dsub, m, k)
+      codewordsDf(ss, sample, m, dsub), dsub, m, k,
+      broadcastDtable = nQ * m * sample.length <= broadcastLimit)
   }
 
   // ------------------------------------------------------------- IVF-PQ
@@ -927,8 +958,11 @@ object Similarity {
     * distance-table sum — vectors appear nowhere in the plan.
     */
   def probeIvfPqIndex(queries: DataFrame, idCol: String, vecCol: String,
-                      path: String, k: Int, nprobe: Int = 4)
+                      path: String, k: Int, nprobe: Int = 4,
+                      broadcastLimit: Long = 4L << 20)
       : DataFrame = {
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
     val ss = queries.sparkSession
     graft.functions.VecExpressions.register(ss)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -964,15 +998,24 @@ object Similarity {
         cosine(col("qv"), col("cvec")).as("csim"))
       .withColumn("r", row_number().over(w)).where(col("r") <= nprobe)
       .select("query_id", "cid")
-    val cids = qCells.select("cid").distinct().collect().map(_.getInt(0))
+    // one action: touched cells AND the qCells row count (row-guard)
+    val cellCounts = qCells.groupBy("cid")
+      .agg(count(lit(1)).as("n")).collect()
+    val nQCellRows = cellCounts.map(_.getLong(1)).sum
+    val cids = cellCounts.map(_.getInt(0))
     if (cids.isEmpty) return emptyResult
     // partition-column-only predicate → pruned at file-listing time;
     // joining qCells binds each code row to exactly the queries that
     // probed its cell, so adcTopK scores only pruned candidates
+    val qCellsSide =
+      if (nQCellRows <= broadcastLimit) broadcast(qCells) else qCells
     val codes = ss.read.parquet(path)
       .where(col("cid").isin(cids.toSeq: _*))
-      .join(broadcast(qCells), Seq("cid"))
-    adcTopK(codes, q, codewordsDf(ss, sample, m, dsub), dsub, m, k)
+      .join(qCellsSide, Seq("cid"))
+    // dtable rows = queries × m·ksub; nQueries = qCells rows / nprobe
+    adcTopK(codes, q, codewordsDf(ss, sample, m, dsub), dsub, m, k,
+      broadcastDtable =
+        (nQCellRows / nprobe) * m * sample.length <= broadcastLimit)
   }
 
   private def readPqMeta(ss: org.apache.spark.sql.SparkSession,

@@ -155,6 +155,40 @@ class SimilaritySpec extends SparkFunSuite {
       "vec_id", "embedding", emptyPath, 5).isEmpty)
   }
 
+  test("probe broadcast guards: over-limit shuffle fallback equals the " +
+    "broadcast path for LSH, IVF, PQ and IVF-PQ probes") {
+    val corpus = randomCorpus(120, 16)
+    val queries = corpus.where(col("vec_id") < 5)
+    val dir = tempDir("probe-bcast-guard")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSeq
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding",
+      s"$dir/lsh", bits = 4, tables = 4)
+    assert(rows(Similarity.probeLshIndex(queries, "vec_id", "embedding",
+      s"$dir/lsh", 5, broadcastLimit = 1)) ==
+      rows(Similarity.probeLshIndex(queries, "vec_id", "embedding",
+        s"$dir/lsh", 5)))
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      s"$dir/ivf", nlist = 8)
+    assert(rows(Similarity.probeIvfIndex(queries, "vec_id", "embedding",
+      s"$dir/ivf", 5, nprobe = 3, broadcastLimit = 1)) ==
+      rows(Similarity.probeIvfIndex(queries, "vec_id", "embedding",
+        s"$dir/ivf", 5, nprobe = 3)))
+    Similarity.buildPqIndex(corpus, "vec_id", "embedding",
+      s"$dir/pq", m = 4, ksub = 8)
+    assert(rows(Similarity.probePqIndex(queries, "vec_id", "embedding",
+      s"$dir/pq", 5, broadcastLimit = 1)) ==
+      rows(Similarity.probePqIndex(queries, "vec_id", "embedding",
+        s"$dir/pq", 5)))
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+      s"$dir/ivfpq", nlist = 8, m = 4, ksub = 8)
+    assert(rows(Similarity.probeIvfPqIndex(queries, "vec_id", "embedding",
+      s"$dir/ivfpq", 5, nprobe = 3, broadcastLimit = 1)) ==
+      rows(Similarity.probeIvfPqIndex(queries, "vec_id", "embedding",
+        s"$dir/ivfpq", 5, nprobe = 3)))
+  }
+
   test("buildIvfIndex/probeIvfIndex: result-identical to ivfTopK; the probe " +
     "reads only the queries' nprobe cell partitions") {
     val corpus = randomCorpus(200, 16)
