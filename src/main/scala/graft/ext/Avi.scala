@@ -36,7 +36,16 @@ object Avi {
     new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Parse one AVI blob. */
-  def aviTable(bytes: Array[Byte]): Either[String, AviMeta] = {
+  def aviTable(bytes: Array[Byte]): Either[String, AviMeta] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try aviTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def aviTableWalk(bytes: Array[Byte]): Either[String, AviMeta] = {
     if (bytes == null || bytes.length < 12) return Left("too short")
     if (fourcc(bytes, 0) != "RIFF") return Left("bad riff magic")
     val riffSize = le32(bytes, 4)

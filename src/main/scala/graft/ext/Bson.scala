@@ -28,7 +28,7 @@ object Bson {
 
   private final class Cur(val b: Array[Byte], var p: Int) {
     def need(k: Int): Unit =
-      if (p + k > b.length) throw Walk("truncated element")
+      if (k < 0 || k > b.length - p) throw Walk("truncated element")
   }
 
   private def le32(c: Cur): Long = {

@@ -33,7 +33,16 @@ object Bzip2 {
     * the bit position of the end-of-stream magic (-1 = absent →
     * reject).
     */
-  def bzip2Table(bytes: Array[Byte]): Either[String, Bz2Meta] = {
+  def bzip2Table(bytes: Array[Byte]): Either[String, Bz2Meta] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try bzip2TableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def bzip2TableWalk(bytes: Array[Byte]): Either[String, Bz2Meta] = {
     if (bytes == null || bytes.length < 14) return Left("too short")
     if (!(bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h'))
       return Left("bad magic")

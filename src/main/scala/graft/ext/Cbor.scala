@@ -30,7 +30,7 @@ object Cbor {
 
   private final class Cur(val b: Array[Byte], var p: Int) {
     def need(k: Int): Unit =
-      if (p + k > b.length) throw Walk("truncated item")
+      if (k < 0 || k > b.length - p) throw Walk("truncated item")
   }
 
   private def be(b: Array[Byte], p: Int, k: Int): Long = {

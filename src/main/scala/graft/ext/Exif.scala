@@ -32,7 +32,16 @@ object Exif {
   private def be16(b: Array[Byte], p: Int): Int = (u(b(p)) << 8) | u(b(p + 1))
 
   /** Walk one JPEG blob. */
-  def exifMeta(bytes: Array[Byte]): Either[String, ExifMeta] = {
+  def exifMeta(bytes: Array[Byte]): Either[String, ExifMeta] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try exifMetaWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def exifMetaWalk(bytes: Array[Byte]): Either[String, ExifMeta] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
     if (n < 2 || u(bytes(0)) != 0xFF || u(bytes(1)) != 0xD8)

@@ -134,7 +134,16 @@ object Flac {
   }
 
   /** Walk one FLAC blob. */
-  def flacFrameTable(bytes: Array[Byte]): Either[String, FlacDoc] = {
+  def flacFrameTable(bytes: Array[Byte]): Either[String, FlacDoc] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try flacFrameTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def flacFrameTableWalk(bytes: Array[Byte]): Either[String, FlacDoc] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
     if (n < 4 || bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' ||

@@ -34,7 +34,16 @@ object Flv {
       (u(b(p + 2)) << 8).toLong | u(b(p + 3)).toLong
 
   /** Walk one FLV blob. */
-  def flvTagTable(bytes: Array[Byte]): Either[String, Seq[FlvTag]] = {
+  def flvTagTable(bytes: Array[Byte]): Either[String, Seq[FlvTag]] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try flvTagTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def flvTagTableWalk(bytes: Array[Byte]): Either[String, Seq[FlvTag]] = {
     if (bytes == null || bytes.length < 13) return Left("too short")
     if (!(bytes(0) == 'F' && bytes(1) == 'L' && bytes(2) == 'V'))
       return Left("bad magic")

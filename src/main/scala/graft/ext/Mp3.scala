@@ -105,7 +105,16 @@ object Mp3 {
     * where a frame should start) rejects the blob with a typed reason.
     * A trailing 128-byte ID3v1 `TAG` block is legal and skipped.
     */
-  def mp3FrameTable(bytes: Array[Byte]): Either[String, Seq[Mp3Frame]] = {
+  def mp3FrameTable(bytes: Array[Byte]): Either[String, Seq[Mp3Frame]] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try mp3FrameTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def mp3FrameTableWalk(bytes: Array[Byte]): Either[String, Seq[Mp3Frame]] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val skip = id3v2Length(bytes)
     if (skip < 0) return Left("truncated id3v2 tag")
@@ -287,7 +296,16 @@ object Mp3 {
     * v2.4), and the unsynchronization flag is a typed quarantine
     * reject. Non-text frames surface with a null `text`.
     */
-  def id3FrameTable(bytes: Array[Byte]): Either[String, Seq[Id3Frame]] = {
+  def id3FrameTable(bytes: Array[Byte]): Either[String, Seq[Id3Frame]] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try id3FrameTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def id3FrameTableWalk(bytes: Array[Byte]): Either[String, Seq[Id3Frame]] = {
     if (bytes == null || bytes.length < 10) return Left("no id3v2 tag")
     if (bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
       return Left("no id3v2 tag")

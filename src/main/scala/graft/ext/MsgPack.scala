@@ -28,7 +28,7 @@ object MsgPack {
 
   private final class Cur(val b: Array[Byte], var p: Int) {
     def need(k: Int): Unit =
-      if (p + k > b.length) throw Walk("truncated value")
+      if (k < 0 || k > b.length - p) throw Walk("truncated value")
   }
 
   private def be(b: Array[Byte], p: Int, k: Int): Long = {

@@ -80,7 +80,16 @@ object Ogg {
     * truncation, and an unterminated packet at stream end are typed
     * rejects.
     */
-  def oggPacketTable(bytes: Array[Byte]): Either[String, Seq[OggPacket]] = {
+  def oggPacketTable(bytes: Array[Byte]): Either[String, Seq[OggPacket]] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try oggPacketTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def oggPacketTableWalk(bytes: Array[Byte]): Either[String, Seq[OggPacket]] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
     val out = scala.collection.mutable.ArrayBuffer.empty[OggPacket]
@@ -234,7 +243,16 @@ object Ogg {
     * Streams whose first packet matches neither codec surface as
     * `unknown` with null fields — the quarantine signal, not a drop.
     */
-  def oggStreamCodecs(bytes: Array[Byte]): Either[String, Seq[OggCodec]] = {
+  def oggStreamCodecs(bytes: Array[Byte]): Either[String, Seq[OggCodec]] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try oggStreamCodecsWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def oggStreamCodecsWalk(bytes: Array[Byte]): Either[String, Seq[OggCodec]] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
     val out = scala.collection.mutable.ArrayBuffer.empty[OggCodec]

@@ -142,7 +142,16 @@ object ParquetMeta {
   }
 
   /** Parse the footer of one Parquet blob. */
-  def parquetFooterTable(bytes: Array[Byte]): Either[String, PqMeta] = {
+  def parquetFooterTable(bytes: Array[Byte]): Either[String, PqMeta] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try parquetFooterTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def parquetFooterTableWalk(bytes: Array[Byte]): Either[String, PqMeta] = {
     if (bytes == null || bytes.length < 12) return Left("too short")
     val n = bytes.length
     if (!(bytes(0) == 'P' && bytes(1) == 'A' && bytes(2) == 'R' &&

@@ -30,7 +30,16 @@ object PngChunks {
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
   /** Walk one PNG blob. */
-  def pngMeta(bytes: Array[Byte]): Either[String, PngMeta] = {
+  def pngMeta(bytes: Array[Byte]): Either[String, PngMeta] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try pngMetaWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def pngMetaWalk(bytes: Array[Byte]): Either[String, PngMeta] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
     if (n < 8 || !java.util.Arrays.equals(

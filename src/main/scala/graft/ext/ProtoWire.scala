@@ -45,7 +45,16 @@ object ProtoWire {
   /** Aggregate field inventory of ONE message, ordered by
     * (fieldNo, wireType) first appearance.
     */
-  def protoFieldTable(bytes: Array[Byte]): Either[String, Seq[ProtoField]] = {
+  def protoFieldTable(bytes: Array[Byte]): Either[String, Seq[ProtoField]] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try protoFieldTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def protoFieldTableWalk(bytes: Array[Byte]): Either[String, Seq[ProtoField]] = {
     if (bytes == null) return Left("empty message")
     val n = bytes.length
     val order = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]

@@ -80,7 +80,16 @@ object TarShard {
     * with size-0 payload semantics (typeflag preserved, NUL normalized
     * to '0').
     */
-  def tarMemberTable(bytes: Array[Byte]): Either[String, Seq[TarMember]] = {
+  def tarMemberTable(bytes: Array[Byte]): Either[String, Seq[TarMember]] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try tarMemberTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def tarMemberTableWalk(bytes: Array[Byte]): Either[String, Seq[TarMember]] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
     val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]

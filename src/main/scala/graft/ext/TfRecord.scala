@@ -86,7 +86,16 @@ object TfRecord {
   }
 
   /** Walk one TFRecord shard into its record table. */
-  def tfRecordTable(bytes: Array[Byte]): Either[String, Seq[TfRec]] = {
+  def tfRecordTable(bytes: Array[Byte]): Either[String, Seq[TfRec]] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try tfRecordTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def tfRecordTableWalk(bytes: Array[Byte]): Either[String, Seq[TfRec]] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
     val out = scala.collection.mutable.ArrayBuffer.empty[TfRec]

@@ -113,7 +113,16 @@ object WebArchive {
     * `Content-Length`, missing record terminator, truncation) rejects
     * the whole blob with a typed reason — total, never throws.
     */
-  def warcRecordTable(bytes: Array[Byte]): Either[String, Seq[WarcRecord]] = {
+  def warcRecordTable(bytes: Array[Byte]): Either[String, Seq[WarcRecord]] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try warcRecordTableWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def warcRecordTableWalk(bytes: Array[Byte]): Either[String, Seq[WarcRecord]] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val data0 =
       if (isGzip(bytes)) inflateAll(bytes) match {

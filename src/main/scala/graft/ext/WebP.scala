@@ -43,7 +43,16 @@ object WebP {
     new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Parse one WebP blob's metadata. */
-  def webpMeta(bytes: Array[Byte]): Either[String, WebPMeta] = {
+  def webpMeta(bytes: Array[Byte]): Either[String, WebPMeta] =
+    // total under ANY malformation: a crafted blob that slips past a
+    // bounds check is a typed reject, never a task crash
+    try webpMetaWalk(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => Left("structural overrun")
+      case _: NegativeArraySizeException => Left("structural overrun")
+    }
+
+  private def webpMetaWalk(bytes: Array[Byte]): Either[String, WebPMeta] = {
     if (bytes == null || bytes.isEmpty) return Left("empty blob")
     val n = bytes.length
     if (n < 12 || fourCC(bytes, 0) != "RIFF") return Left("bad riff magic")
