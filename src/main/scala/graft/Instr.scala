@@ -10,11 +10,43 @@ package graft
   * Every record is a SAMPLE (appended, never overwritten): the bench
   * runs each query twice, and the two runs differ structurally for
   * cached-index gates (run 1 builds + probes, run 2 probes a warm
-  * index), so both values matter. Thread-safe; zero cost when unused.
+  * index), so both values matter. Thread-safe.
+  *
+  * Retention is BOUNDED: each key keeps the most recent
+  * [[MaxSamplesPerKey]] samples in a ring buffer. Production paths
+  * (per-batch Deduplicator timers, index-probe timers) record on
+  * every invocation, so an unbounded list would be a slow memory
+  * leak in a long-lived streaming job — and appends here are O(1),
+  * not the O(n)-per-add a copy-on-write list would cost at that call
+  * rate. Bench gates record a handful of samples per key, far below
+  * the cap, so `gate_stages` output is unaffected.
   */
 object Instr {
+  /** Ring capacity per key — generous for any bench run (each gate
+    * records ~2 samples per key per run) while bounding a streaming
+    * job's footprint to caps × keys doubles.
+    */
+  val MaxSamplesPerKey: Int = 1024
+
+  /** Fixed-capacity ring: O(1) append, keeps the newest `cap` values
+    * in insertion order. All access synchronized on the instance.
+    */
+  private final class Ring(cap: Int) {
+    private val buf = new Array[Double](cap)
+    private var next = 0L // total appends ever; next % cap = write slot
+    def add(v: Double): Unit = synchronized {
+      buf((next % cap).toInt) = v
+      next += 1
+    }
+    def toSeq: Seq[Double] = synchronized {
+      val n = math.min(next, cap.toLong).toInt
+      val start = if (next <= cap) 0 else (next % cap).toInt
+      (0 until n).map(i => buf((start + i) % cap))
+    }
+  }
+
   private val samples = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]]()
+    String, Ring]()
 
   /** Time `body`, appending the elapsed seconds under `key`. */
   def timed[T](key: String)(body: => T): T = {
@@ -25,9 +57,7 @@ object Instr {
 
   /** Append one sample (a duration, a file count, a row count). */
   def record(key: String, v: Double): Unit =
-    samples.computeIfAbsent(key,
-      _ => new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]())
-      .add(java.lang.Double.valueOf(v))
+    samples.computeIfAbsent(key, _ => new Ring(MaxSamplesPerKey)).add(v)
 
   /** Count of regular files under a local directory tree — the index
     * layout gauge (file explosion is a probe-cost driver: every probe
@@ -43,11 +73,13 @@ object Instr {
       path.stripPrefix("file:").stripPrefix("//")))
   }
 
-  /** All samples recorded so far, insertion-ordered per key. */
+  /** All retained samples, insertion-ordered per key (newest
+    * [[MaxSamplesPerKey]] per key).
+    */
   def snapshot(): Seq[(String, Seq[Double])] = {
     import scala.jdk.CollectionConverters._
     samples.asScala.toSeq.sortBy(_._1)
-      .map { case (k, v) => k -> v.asScala.toSeq.map(_.doubleValue) }
+      .map { case (k, v) => k -> v.toSeq }
   }
 
   def clear(): Unit = samples.clear()

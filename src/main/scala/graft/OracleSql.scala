@@ -76,6 +76,14 @@ private[graft] object OracleSql {
         |WHERE d.doc_id < 100 AND t.p < 1 + d.doc_id % 2
         |ORDER BY doc_id, page_idx""".stripMargin,
 
+    // locked vs corrupt separable: error strings predicted from the id
+    "q236_pdf_error_triage" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'encrypted'
+        |       ELSE 'bad magic' END AS error
+        |FROM documents WHERE doc_id < 100 AND doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
     "q235_docx_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0

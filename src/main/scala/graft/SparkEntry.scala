@@ -5511,6 +5511,32 @@ object SparkEntry {
         .select(col("doc_id"), col("title"), col("creator"),
           col("created"), col("modified"))
         .orderBy("doc_id")
+    }),
+
+    // ---- ext/Pdf ERROR TRIAGE: locked vs corrupt are SEPARABLE
+    //      classes in the error channel (r13 verdict ask #5). Three
+    //      planted classes per id: valid (no error row), /Encrypt in
+    //      the trailer (typed "encrypted" — the document is otherwise
+    //      well-formed), and non-PDF bytes (typed "bad magic"). The
+    //      oracle predicts both the row set and each error string
+    //      arithmetically from the id.
+    "q236_pdf_error_triage" -> ((s, dir) => {
+      val mk = udf((id: Long) => (id % 3) match {
+        case 0 => graft.ext.Pdf.buildPdf(Seq(Seq(s"ok $id")))
+        case 1 =>
+          // /Encrypt planted by byte surgery on the classic trailer
+          // dict (after the xref table — startxref stays valid)
+          new String(graft.ext.Pdf.buildPdf(Seq(Seq(s"locked $id"))),
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            .replace("/Root 1 0 R >>", "/Root 1 0 R /Encrypt 99 0 R >>")
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        case _ => Array.fill[Byte](20)('x')
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 100)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Pdf.pdfErrors(blobs, "blob")
+        .select(col("doc_id"), col("error"))
+        .orderBy("doc_id")
     })
   )
 

@@ -296,6 +296,14 @@ object Cdc {
       .write.mode("append").partitionBy("hb").parquet(path)
   }
 
+  /** Compact a [[buildCdcIndex]] layout back to one file per (hb)
+    * partition — probe results bit-identical, sidecar preserved; see
+    * [[IndexMaintenance.compactIndex]] for the single-writer contract.
+    */
+  def compactCdcIndex(ss: org.apache.spark.sql.SparkSession,
+                      path: String): IndexMaintenance.CompactStats =
+    IndexMaintenance.compactIndex(ss, path, Seq("hb"))
+
   /** Shared-chunk matches of a probe batch against the index:
     * `(id_a = probe id, id_b = indexed id, n_shared)` over distinct
     * chunk identities. The hot-chunk cap is applied over the pruned

@@ -364,8 +364,8 @@ object DocDedup {
   /** Filter candidate pairs (id_a, id_b, common) by exact Jaccard ≥
     * num/den using per-doc shingle counts. Integer-exact.
     */
-  private def jaccardVerify(sh: DataFrame, cand: DataFrame,
-                            num: Int, den: Int): DataFrame = {
+  private[graft] def jaccardVerify(sh: DataFrame, cand: DataFrame,
+                                   num: Int, den: Int): DataFrame = {
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     cand
       .join(counts.toDF("id_a", "na"), "id_a")
@@ -498,13 +498,7 @@ object DocDedup {
       s"sigBuckets must be in [1,4096], got $sigBuckets")
     val ss = corpus.sparkSession
     graft.functions.VecExpressions.register(ss)
-    spread(corpus).select(col(idCol).as("id"),
-        call_function("graft_minhash_band_sigs",
-          TextAnalysis.wordBigrams(col(textCol)),
-          lit(bands), lit(rows)).as("bs"))
-      .where(col("bs").isNotNull) // shingle-less docs have no buckets
-      .select(col("id"), posexplode(col("bs")).as(Seq("band", "bsig")))
-      .withColumn("sb", pmod(col("bsig"), lit(sigBuckets.toLong)).cast("int"))
+    bandedSignatures(corpus, idCol, textCol, bands, rows, sigBuckets)
       // cluster by partition cols before the partitioned write: files ≈
       // max(bands·sigBuckets, shuffle partitions), not tasks × dirs
       .repartition(col("band"), col("sb"))
@@ -516,6 +510,22 @@ object DocDedup {
     try out.write(s"$bands,$rows,$sigBuckets".getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** The index/probe banding projection all minhash-index ops share:
+    * one narrow map → (id, band, bsig, sb); shingle-less docs emit no
+    * rows.
+    */
+  private[graft] def bandedSignatures(df: DataFrame, idCol: String,
+                                      textCol: String, bands: Int,
+                                      rows: Int, sigBuckets: Int)
+      : DataFrame =
+    spread(df).select(col(idCol).as("id"),
+        call_function("graft_minhash_band_sigs",
+          TextAnalysis.wordBigrams(col(textCol)),
+          lit(bands), lit(rows)).as("bs"))
+      .where(col("bs").isNotNull) // shingle-less docs have no buckets
+      .select(col("id"), posexplode(col("bs")).as(Seq("band", "bsig")))
+      .withColumn("sb", pmod(col("bsig"), lit(sigBuckets.toLong)).cast("int"))
 
   /** Incrementally extend a [[buildMinHashIndex]] index with a new
     * document batch — the operation a 100 TB deployment actually runs:
@@ -546,6 +556,18 @@ object DocDedup {
       .repartition(col("band"), col("sb"))
       .write.mode("append").partitionBy("band", "sb").parquet(path)
   }
+
+  /** Compact a [[buildMinHashIndex]] layout back to one file per
+    * (band, sb) partition — the maintenance op a long-running append/
+    * streaming index needs (every append adds a file set per touched
+    * partition; probes pay listing + a footer read per file). Probe
+    * results are bit-identical across the swap; sidecar and layout are
+    * preserved. See [[IndexMaintenance.compactIndex]] for the
+    * single-writer/maintenance-window contract.
+    */
+  def compactMinHashIndex(ss: SparkSession, path: String)
+      : IndexMaintenance.CompactStats =
+    IndexMaintenance.compactIndex(ss, path, Seq("band", "sb"))
 
   private def readMinHashMeta(ss: SparkSession,
                               path: String): (Int, Int, Int) = {
@@ -986,6 +1008,13 @@ object DocDedup {
       .repartition(col("q"), col("qb"))
       .write.mode("append").partitionBy("q", "qb").parquet(path)
   }
+
+  /** Compact a [[buildHammingIndex]] layout back to one file per
+    * (q, qb) partition — same contract as [[compactMinHashIndex]].
+    */
+  def compactHammingIndex(ss: SparkSession, path: String)
+      : IndexMaintenance.CompactStats =
+    IndexMaintenance.compactIndex(ss, path, Seq("q", "qb"))
 
   /** Probe the [[buildHammingIndex]] layout: candidates from quarter
     * equality against ONLY the touched (q, qb) partitions, then the

@@ -146,8 +146,18 @@ object Gzip {
     Right(out.toSeq)
   }
 
-  /** Decoded content of member `wantIdx` (re-walks to it; the table
-    * walk has already validated the blob when callers compose).
+  /** Decoded contents of every member, in order.
+    *
+    * CONTRACT — validate first, same cap: callers MUST have run the
+    * validating [[gzipMemberTable]] walk over the same bytes with the
+    * SAME `cap` before calling this. This walk assumes well-formed
+    * input (no per-field bounds checks) and, when its own backstop
+    * bomb guard trips, it returns the members decoded SO FAR rather
+    * than an error — a caller that skipped validation, or validated
+    * with a larger cap, would silently drop the remaining members.
+    * The guard here is a defense-in-depth backstop against unbounded
+    * inflation, not an error channel; the validating pass is where
+    * poison becomes a typed `Left`.
     */
   private def memberContents(bytes: Array[Byte], cap: Long)
       : Seq[(Int, String, Array[Byte])] = {

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Layout-preserving compaction for the persisted append-index
+  * families (MinHash, Hamming, Winnow, CDC, IVF, PQ, IVF-PQ — r13
+  * verdict ask #1), modeled on [[graft.operators.Catalog.compact]].
+  *
+  * Why it exists: every [[graft.ext.DocDedup.appendToMinHashIndex]]-
+  * style append (and every streaming micro-batch that calls one)
+  * writes a fresh file set into the touched partitions and never
+  * rewrites existing files — append cost ∝ batch, the property the
+  * ingest path needs. The flip side is unbounded small-file
+  * accumulation: a month-old streaming index carries one file per
+  * (partition × batch), and every probe pays listing + a parquet
+  * footer read per file. Compaction is the amortizing counterpart:
+  * one full rewrite that clusters each partition back to a single
+  * file, paid once per N appends.
+  *
+  * What it does: read the whole index, shuffle-cluster rows by the
+  * index's own partition columns (one task and therefore one file per
+  * partition directory — the same small-files discipline as the
+  * builds), stage the rewrite in a hidden temp sibling, verify the
+  * ROW COUNT matches before anything becomes visible, copy the
+  * `_graft_*` sidecars byte-for-byte (banding/centroid/codebook
+  * parameters are immutable across a compaction by construction),
+  * then swap directories. Probe results are bit-identical before and
+  * after — compaction changes the file layout, never the row set —
+  * and IndexMaintenanceSpec plus the q237/q238 gates pin that.
+  *
+  * Concurrency contract (inherited from Catalog.compact): run it from
+  * the maintenance window of the ONE writer that owns the index — it
+  * swaps the index directory out from under concurrent readers, and a
+  * concurrent append's files would be lost with the old directory.
+  * The streaming folds honor this by compacting between micro-batches
+  * on the foreachBatch thread (the stream IS the single writer).
+  *
+  * Crash safety: the rewrite stages into `.compact_tmp_*` (invisible
+  * to parquet partition discovery, idempotently re-runnable); the
+  * vulnerable window is the two renames of the swap, and a crash
+  * between them leaves the index at `.compact_old_*` — recoverable by
+  * hand, never silently corrupt (the live path is either the old
+  * layout, the new layout, or absent; it never mixes the two).
+  */
+object IndexMaintenance {
+
+  /** Before/after layout gauge returned by [[compactIndex]]. */
+  final case class CompactStats(filesBefore: Long, filesAfter: Long,
+                                rows: Long)
+
+  private def maxPartBytes(spark: SparkSession): Long =
+    spark.sessionState.conf.filesMaxPartitionBytes
+
+  /** Count of data files under `path` (sidecars and `_SUCCESS`
+    * markers excluded) — the probe-cost gauge gate_stages tracks.
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long =
+    dataFilesAndBytes(spark, path)._1
+
+  /** (file count, total bytes) of data files under `path`. */
+  private def dataFilesAndBytes(spark: SparkSession,
+                                path: String): (Long, Long) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0L, 0L)
+    def walk(p: Path): (Long, Long) = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).iterator
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+          .map(s => walk(s.getPath))
+          .foldLeft((0L, 0L)) { case ((f, b), (f2, b2)) => (f + f2, b + b2) }
+      else (1L, st.getLen)
+    }
+    walk(root)
+  }
+
+  /** Rewrite the index at `path` so each partition directory holds a
+    * single file (or, for an unpartitioned index like flat PQ, so the
+    * root holds `ceil(bytes / maxPartitionBytes)` right-sized files —
+    * one per scan split, never one set per append). Returns the
+    * before/after file counts and the (verified-preserved) row count.
+    * A sidecar-only index (built from an empty corpus) is a no-op.
+    */
+  def compactIndex(spark: SparkSession, path: String,
+                   partitionCols: Seq[String]): CompactStats = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no index at $path")
+    val entries = fs.listStatus(root)
+    val hasData = entries.exists(s => !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith("."))
+    val (filesBefore, bytesBefore) = dataFilesAndBytes(spark, path)
+    if (!hasData) return CompactStats(filesBefore, filesBefore, 0L)
+
+    val uuid = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(root.getParent, s".compact_tmp_${root.getName}-$uuid")
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val clustered =
+      if (partitionCols.nonEmpty)
+        // all rows of one partition value land in one task → one file
+        // per partition dir, the builds' own write discipline
+        df.repartition(partitionCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partitionCols: _*)
+      else {
+        // right-size by bytes, not by shuffle-partition count: a tiny
+        // flat index collapses to one file; a big one gets one file per
+        // scan split (maxPartitionBytes), which is what the probe reads
+        val target = math.max(1L, math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          (bytesBefore + maxPartBytes(spark) - 1) / maxPartBytes(spark)))
+        df.repartition(target.toInt).write.mode("overwrite")
+      }
+    clustered.parquet(tmp.toString)
+    // row-preservation check BEFORE anything becomes visible: a lost
+    // or duplicated row aborts with the fragmented-but-correct index
+    // untouched. Parquet count() is footer-metadata cheap.
+    val rowsAfter = spark.read.parquet(tmp.toString).count()
+    if (rowsAfter != rows) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactIndex: rewrite of $path produced $rowsAfter rows, " +
+          s"expected $rows; aborted, index unchanged")
+    }
+    // sidecars carry the index's immutable parameters — copy verbatim
+    entries.iterator.filter(_.getPath.getName.startsWith("_graft_"))
+      .foreach { s =>
+        val in = fs.open(s.getPath)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        val out = fs.create(new Path(tmp, s.getPath.getName), true)
+        try out.write(bytes) finally out.close()
+      }
+    // swap: old layout aside, new layout in, old layout gone
+    val old = new Path(root.getParent, s".compact_old_${root.getName}-$uuid")
+    if (!fs.rename(root, old)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactIndex: could not move $path aside; index unchanged")
+    }
+    if (!fs.rename(tmp, root)) {
+      // roll back so the index is never absent past this call
+      fs.rename(old, root)
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactIndex: could not publish compacted layout at $path; " +
+          "rolled back to the fragmented layout")
+    }
+    fs.delete(old, true)
+    CompactStats(filesBefore, dataFileCount(spark, path), rows)
+  }
+}

@@ -1100,6 +1100,13 @@ object Pdf {
         java.nio.charset.StandardCharsets.ISO_8859_1)
       val doc = new Doc(bytes, maxInflate)
       val kind = walkXref(doc, findStartXref(bytes))
+      // Encrypted documents (ISO 32000-1 §7.6: an /Encrypt entry in the
+      // trailer dictionary) are a TYPED reject, distinct from structural
+      // poison: corpus accounting needs "locked" separable from
+      // "corrupt" (an encrypted PDF is usually well-formed — decoding
+      // its strings/streams without the crypt filter would just emit
+      // ciphertext garbage as text).
+      if (doc.trailer.contains("Encrypt")) return Left("encrypted")
       val contents = pageContents(doc)
       val pages = contents.zipWithIndex.map { case ((streams, fonts), i) =>
         val lines = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -474,6 +474,31 @@ object Similarity {
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(path)
   }
+
+  /** Compact a [[buildIvfIndex]] layout back to one file per (cid)
+    * partition — probe results bit-identical, centroid sidecar
+    * preserved; see [[graft.ext.IndexMaintenance.compactIndex]] for
+    * the single-writer contract.
+    */
+  def compactIvfIndex(ss: SparkSession, path: String)
+      : IndexMaintenance.CompactStats =
+    IndexMaintenance.compactIndex(ss, path, Seq("cid"))
+
+  /** Compact a flat [[buildPqIndex]] code table — appends stack file
+    * sets at the root; this rewrites them into at most
+    * `spark.sql.shuffle.partitions` files. Probe results
+    * bit-identical, codebook sidecar preserved.
+    */
+  def compactPqIndex(ss: SparkSession, path: String)
+      : IndexMaintenance.CompactStats =
+    IndexMaintenance.compactIndex(ss, path, Seq.empty)
+
+  /** Compact a [[buildIvfPqIndex]] layout back to one file per (cid)
+    * partition — probe results bit-identical, sidecar preserved.
+    */
+  def compactIvfPqIndex(ss: SparkSession, path: String)
+      : IndexMaintenance.CompactStats =
+    IndexMaintenance.compactIndex(ss, path, Seq("cid"))
 
   /** Approximate top-k against a [[buildIvfIndex]] index: assign each
     * query to its `nprobe` nearest persisted centroids, read ONLY
@@ -1002,6 +1027,12 @@ object Similarity {
     val cellCounts = qCells.groupBy("cid")
       .agg(count(lit(1)).as("n")).collect()
     val nQCellRows = cellCounts.map(_.getLong(1)).sum
+    // exact query count by construction, no extra action: row_number
+    // over the crossJoin with ALL centroids gives every query exactly
+    // min(nprobe, |centroids|) qCells rows — dividing by nprobe alone
+    // would undercount queries (and under-guard the dtable broadcast)
+    // whenever the index was built from fewer than nlist vectors
+    val nQueries = nQCellRows / math.min(nprobe, cents.length)
     val cids = cellCounts.map(_.getInt(0))
     if (cids.isEmpty) return emptyResult
     // partition-column-only predicate → pruned at file-listing time;
@@ -1012,10 +1043,9 @@ object Similarity {
     val codes = ss.read.parquet(path)
       .where(col("cid").isin(cids.toSeq: _*))
       .join(qCellsSide, Seq("cid"))
-    // dtable rows = queries × m·ksub; nQueries = qCells rows / nprobe
+    // dtable rows = queries × m·ksub, with the EXACT query count
     adcTopK(codes, q, codewordsDf(ss, sample, m, dsub), dsub, m, k,
-      broadcastDtable =
-        (nQCellRows / nprobe) * m * sample.length <= broadcastLimit)
+      broadcastDtable = nQueries * m * sample.length <= broadcastLimit)
   }
 
   private def readPqMeta(ss: org.apache.spark.sql.SparkSession,

@@ -225,6 +225,14 @@ object Winnow {
       .write.mode("append").partitionBy("fb").parquet(path)
   }
 
+  /** Compact a [[buildWinnowIndex]] layout back to one file per (fb)
+    * partition — probe results bit-identical, sidecar preserved; see
+    * [[IndexMaintenance.compactIndex]] for the single-writer contract.
+    */
+  def compactWinnowIndex(ss: org.apache.spark.sql.SparkSession,
+                         path: String): IndexMaintenance.CompactStats =
+    IndexMaintenance.compactIndex(ss, path, Seq("fb"))
+
   /** Exact-substring matches of a probe batch against the index:
     * `(id_a = probe id, id_b = indexed id, n_matches)` with every
     * match gram-verified against the STORED gram (no corpus re-read,

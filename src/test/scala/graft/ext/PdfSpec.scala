@@ -227,6 +227,30 @@ class PdfSpec extends SparkFunSuite {
     assert(Pdf.parsePdf(b).isRight)
   }
 
+  test("encrypted PDF is a TYPED reject, distinct from structural " +
+    "poison") {
+    // Plant an /Encrypt entry in the classic trailer dict (ISO 32000-1
+    // §7.6) by byte surgery: the trailer sits AFTER the xref table, so
+    // the startxref offset stays valid.
+    val plain = Pdf.buildPdf(pages)
+    val s = new String(plain, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val enc = s.replace("/Root 1 0 R >>", "/Root 1 0 R /Encrypt 99 0 R >>")
+    assert(enc != s, "surgery must hit the trailer dict")
+    val encrypted = enc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Pdf.parsePdf(encrypted) == Left("encrypted"))
+    // corrupt stays its own class
+    assert(Pdf.parsePdf("%PDF-1.4 broken".getBytes).isLeft)
+    assert(Pdf.parsePdf("%PDF-1.4 broken".getBytes) != Left("encrypted"))
+    // error channel separates locked from corrupt
+    import spark.implicits._
+    val df = Seq((1L, plain), (2L, encrypted),
+      (3L, "%PDF-1.4 broken".getBytes)).toDF("doc_id", "blob")
+    val errs = Pdf.pdfErrors(df, "blob").orderBy("doc_id").collect()
+    assert(errs.length == 2)
+    assert(errs(0).getLong(0) == 2L && errs(0).getString(1) == "encrypted")
+    assert(errs(1).getLong(0) == 3L && errs(1).getString(1) != "encrypted")
+  }
+
   test("DataFrame layer: pages out, poison to error channel") {
     import spark.implicits._
     val good = Pdf.buildPdf(pages, flate = true)
