@@ -76,6 +76,25 @@ private[graft] object OracleSql {
         |WHERE d.doc_id < 100 AND t.p < 1 + d.doc_id % 2
         |ORDER BY doc_id, page_idx""".stripMargin,
 
+    // compaction changes file layout, never the row set: probes are
+    // bit-identical pre/post (pre_eq_post), fragmentation drops
+    // (files_dropped), and the q103 probability-1 twin constant is
+    // answered by the compacted index (found)
+    "q237_minhash_index_compact" ->
+      """SELECT doc_id, CAST(1 AS BOOLEAN) AS found,
+        |       CAST(1 AS BOOLEAN) AS pre_eq_post,
+        |       CAST(1 AS BOOLEAN) AS files_dropped
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // the q106 constants must survive a mid-stream compaction (batch 3
+    // probes the compacted index), and the compaction must have fired
+    "q238_streaming_neardup_compact" ->
+      """SELECT doc_id, CAST(1 AS BOOLEAN) AS found,
+        |       CAST(1 AS BOOLEAN) AS within_ok,
+        |       CAST(2 AS BIGINT) AS n_twin_batches,
+        |       CAST(1 AS BOOLEAN) AS compact_ran
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
     // locked vs corrupt separable: error strings predicted from the id
     "q236_pdf_error_triage" ->
       """SELECT doc_id,

@@ -5537,6 +5537,133 @@ object SparkEntry {
       graft.ext.Pdf.pdfErrors(blobs, "blob")
         .select(col("doc_id"), col("error"))
         .orderBy("doc_id")
+    }),
+
+    // ---- INDEX COMPACTION gate (r13 verdict ask #1): build + two
+    //      appends fragment the MinHash index (one file set per
+    //      touched (band, sb) partition per write), probe, COMPACT,
+    //      probe again. `pre_eq_post` pins bit-identical probe results
+    //      across the swap (any row the compaction lost, duplicated,
+    //      or invented lands in the symmetric difference and flips the
+    //      column); `files_dropped` pins that the rewrite actually
+    //      de-fragmented; `found` is the q103 probability-1 twin
+    //      constant, now answered by the COMPACTED index. File counts
+    //      land in gate_stages (q237.files_before/after).
+    "q237_minhash_index_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 400)
+        .select("doc_id", "text")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-mhcompact").toString
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp)))
+      val idx = s"$tmp/index"
+      Instr.timed("q237.build")(
+        DocDedup.buildMinHashIndex(docs.where(col("doc_id") < 150),
+          "doc_id", "text", idx, bands = 8, rows = 4, sigBuckets = 8))
+      Instr.timed("q237.appends") {
+        DocDedup.appendToMinHashIndex(
+          docs.where(col("doc_id") >= 150 && col("doc_id") < 280),
+          "doc_id", "text", idx)
+        DocDedup.appendToMinHashIndex(docs.where(col("doc_id") >= 280),
+          "doc_id", "text", idx)
+      }
+      val probes = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      // probeMinHashIndex returns a localCheckpoint — `pre` is fully
+      // materialized BEFORE the compaction swaps the directory
+      val pre = Instr.timed("q237.probe_pre")(DocDedup.probeMinHashIndex(
+        probes, docs, "doc_id", "text", idx, 7, 10))
+      val stats = Instr.timed("q237.compact")(
+        DocDedup.compactMinHashIndex(s, idx))
+      Instr.record("q237.files_before", stats.filesBefore.toDouble)
+      Instr.record("q237.files_after", stats.filesAfter.toDouble)
+      val post = Instr.timed("q237.probe_post")(
+        DocDedup.probeMinHashIndex(
+          probes, docs, "doc_id", "text", idx, 7, 10))
+      val nDiff = pre.exceptAll(post).unionByName(post.exceptAll(pre))
+        .count()
+      docs.select(col("doc_id"))
+        .join(post.where(col("id_a") === col("id_b") + 1000000L)
+            .select(col("id_b").as("doc_id"), lit(true).as("found"))
+            .distinct(),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("found"),
+          lit(nDiff == 0L).as("pre_eq_post"),
+          lit(stats.filesAfter < stats.filesBefore).as("files_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- STREAMING MID-STREAM COMPACTION gate: the q106 three-batch
+    //      equivalence protocol with compactEvery=2 — the index is
+    //      compacted ON the foreachBatch thread after the second
+    //      micro-batch, so batch 3 probes the COMPACTED index. Every
+    //      q106 constant must still hold (compaction changes layout,
+    //      never the row set), and `compact_ran` pins that the
+    //      maintenance really fired mid-stream (via the gauge samples
+    //      the stream records).
+    "q238_streaming_neardup_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id").as("id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-ndc")
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(tmp.toFile))
+      val inDir = tmp.resolve("in"); val work = tmp.resolve("work")
+      java.nio.file.Files.createDirectories(inDir)
+      def feed(name: String, df: DataFrame, order: Int): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + order * 60000L))
+      }
+      feed("f0", docs, 0)
+      feed("f1", docs.where(col("id") < 25)
+        .select((col("id") + 1000000L).as("id"), col("text"))
+        .unionByName(docs.where(col("id") === 0)
+          .select((col("id") + 3000000L).as("id"), col("text"))), 1)
+      feed("f2", docs.where(col("id") >= 25)
+        .select((col("id") + 2000000L).as("id"), col("text")), 2)
+      def nCompactSamples: Int = graft.Instr.snapshot().toMap
+        .get("streamNearDup.compact_files_before").map(_.size)
+        .getOrElse(0)
+      val samplesBefore = nCompactSamples
+      graft.Instr.timed("q238.stream")(
+        graft.streaming.StreamingNearDup.start(s, inDir.toString,
+            work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 8,
+            maxFilesPerTrigger = Some(1), compactEvery = Some(2))
+          .awaitTermination()
+      )
+      val compactRan = nCompactSamples > samplesBefore
+      Instr.record("q238.index_files",
+        Instr.fileCount(s"$work/index").toDouble)
+      val m = s.read.parquet(s"$work/matches")
+        .select("batch_id", "id_a", "id_b").localCheckpoint()
+      val twinBatches = m
+        .where(col("id_a") >= 1000000L || col("id_b") >= 1000000L)
+        .select("batch_id").distinct().count()
+      val withinOk = m.where(
+        (col("id_a") === 1000000L && col("id_b") === 3000000L) ||
+          (col("id_a") === 3000000L && col("id_b") === 1000000L))
+        .count() > 0
+      val twinPairs = m.where(col("id_a") === col("id_b") + 1000000L ||
+          col("id_a") === col("id_b") + 2000000L)
+        .select(col("id_b").as("doc_id"), lit(true).as("found"))
+        .distinct()
+      docs.select(col("id").as("doc_id"))
+        .join(twinPairs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("found"),
+          lit(withinOk).as("within_ok"),
+          lit(twinBatches).as("n_twin_batches"),
+          lit(compactRan).as("compact_ran"))
+        .orderBy("doc_id")
     })
   )
 

@@ -695,6 +695,162 @@ object DocDedup {
     } finally cand.unpersist()
   }
 
+  /** The streaming micro-batch kernel behind
+    * [[graft.streaming.StreamingNearDup]]: cross-index matches,
+    * within-batch matches, the matches write, AND the index
+    * append/build — banding and shingling the batch ONCE and spending
+    * exactly four Spark actions. The unfused form (probeMinHashIndex +
+    * minHashPairs + two writes) costs eight: the r13 bench attribution
+    * showed the per-micro-batch cost of the streaming gates is ACTION
+    * COUNT (per-job scheduling floor), not compute — the q55 lesson
+    * applied to q106.
+    *
+    * Actions: (1) one groupBy-collect over the batch's banded
+    * signatures — the probe's pruning coordinates, its broadcast
+    * row-guard, and the banded cache's materialization in one job;
+    * (2) one cache-warming count over the union of both shingle sides;
+    * (3) the matches WRITE, which doubles as the verify plan's
+    * materialization (no separate checkpoint); (4) the index
+    * append — reusing the same banded cache, so the batch is banded
+    * once, not three times.
+    *
+    * Match rows are the [[probeMinHashIndex]] shape. Cross-index pairs
+    * come out (id_a = batch id, id_b = indexed id); within-batch pairs
+    * (id_a < id_b, both batch ids) reuse the banded cache via a
+    * self-join on the exact band signature — byte-identical candidate
+    * semantics to [[minHashPairs]] (same banding expression, same
+    * exact-Jaccard verify). Batch ids must be distinct from corpus ids
+    * (the streaming caller appends the batch to the corpus AFTER this
+    * fold, and id-uniqueness across batches is the caller's contract).
+    *
+    * When no index exists at `indexPath` yet (first batch), the
+    * cross-index side is empty and the append becomes the initial
+    * [[buildMinHashIndex]]-layout write plus the parameter sidecar;
+    * afterwards the sidecar's pinned (bands, rows, sigBuckets) always
+    * win over the caller's, exactly like [[appendToMinHashIndex]].
+    */
+  def foldMinHashBatch(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       indexPath: String, matchesPath: String,
+                       num: Int, den: Int,
+                       bands: Int = 16, rows: Int = 8,
+                       sigBuckets: Int = 8,
+                       broadcastLimit: Long = 4L << 20): Unit = {
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
+    val ss = batch.sparkSession
+    graft.functions.VecExpressions.register(ss)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val indexExists = fs.exists(
+      new org.apache.hadoop.fs.Path(indexPath, "_graft_minhash_meta"))
+    val (eBands, eRows, eSigBuckets) =
+      if (indexExists) readMinHashMeta(ss, indexPath)
+      else (bands, rows, sigBuckets)
+    require(eBands >= 1 && eRows >= 1 && eBands * eRows <= 4096,
+      s"bands*rows must be in [1,4096], got $eBands*$eRows")
+    require(eSigBuckets >= 1 && eSigBuckets <= 4096,
+      s"sigBuckets must be in [1,4096], got $eSigBuckets")
+    // persisted PRE-CLUSTERED by the index partition cols: the append
+    // then writes straight from the cache (no per-batch re-shuffle),
+    // and each task holds whole (band, sb) groups → one file per
+    // touched partition dir, the small-files discipline of the builds
+    val banded = bandedSignatures(batch, idCol, textCol,
+      eBands, eRows, eSigBuckets)
+      .repartition(col("band"), col("sb")).persist()
+    try {
+      // action 1: pruning coordinates + banded row count (row-guard),
+      // materializing the banded cache as a side effect
+      val coordCounts = graft.Instr.timed("foldMinHash.coords")(
+        banded.groupBy("band", "sb").agg(count(lit(1)).as("n")).collect())
+      val nBatchRows = coordCounts.map(_.getLong(2)).sum
+      val coords = coordCounts.map(r => (r.getInt(0), r.getInt(1)))
+      require(coords.length <= 65536,
+        s"foldMinHashBatch: ${coords.length} distinct (band, sb) " +
+          "coordinates exceed the small-batch contract (<= 65536)")
+      val hasIndexData = indexExists && fs.listStatus(
+        new org.apache.hadoop.fs.Path(indexPath))
+        .exists(_.getPath.getName.startsWith("band="))
+      val pBanded = banded.select(col("id").as("id_a"),
+        col("band"), col("bsig"), col("sb"))
+      def noPairs = banded.select(col("id").as("id_a"),
+          col("id").as("id_b")).where(lit(false))
+      val crossCand =
+        if (!hasIndexData || coords.isEmpty) noPairs
+        else {
+          // partition-column-only In over a combined key → pruned at
+          // file-listing time, the probeMinHashIndex discipline
+          val bucketFilter = (col("band").cast("long") * 4096L +
+            col("sb").cast("long")).isin(
+            coords.map { case (b, sb) => b.toLong * 4096L + sb }
+              .toSeq: _*)
+          val probeSide =
+            if (nBatchRows <= broadcastLimit) broadcast(pBanded)
+            else pBanded
+          ss.read.parquet(indexPath).where(bucketFilter)
+            .join(probeSide, Seq("band", "bsig", "sb"))
+            .where(col("id_a") =!= col("id"))
+            .select(col("id_a"), col("id").as("id_b"))
+        }
+      // same proven self-join form as minHashPairs (toDF re-aliasing)
+      val bandedIds = banded.select("id", "band", "bsig")
+      val withinCand = bandedIds.toDF("id_a", "band", "bsig")
+        .join(bandedIds.toDF("id_b", "band", "bsig"), Seq("band", "bsig"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val cand = crossCand.unionByName(withinCand).distinct().persist()
+      try {
+        // corpus text only for the ids the cross side actually hit —
+        // batch-id id_b values simply never match (ids are disjoint)
+        val corpusCand = corpus.select(col(idCol), col(textCol))
+          .join(cand.select(col("id_b").as(idCol)).distinct(),
+            Seq(idCol), "left_semi")
+        // BOTH shingle sides in one cache so one count materializes
+        // everything, cand included via the semi-join inside side "b"
+        val sh = shingles(batch, idCol, textCol)
+          .withColumn("side", lit("a"))
+          .unionByName(shingles(corpusCand, idCol, textCol)
+            .withColumn("side", lit("b")))
+          .persist()
+        // within-pair id_b values are BATCH docs: resolve id_b shingle
+        // counts against both sides (ids are disjoint across sides)
+        val shA = sh.where(col("side") === "a").drop("side")
+        val shAll = sh.drop("side")
+        try {
+          // action 2: warm the shingle + candidate caches in one job
+          graft.Instr.timed("foldMinHash.warm")(sh.count())
+          val common = shA.toDF("id_a", "shingle")
+            .join(cand, "id_a")
+            .join(shAll.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
+            .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+          val na = shA.groupBy("id").agg(count(lit(1)).as("na"))
+            .toDF("id_a", "na")
+          val nb = shAll.groupBy("id").agg(count(lit(1)).as("nb"))
+            .toDF("id_b", "nb")
+          // action 3: the matches write IS the verify materialization
+          graft.Instr.timed("foldMinHash.matches")(
+            common.join(na, "id_a").join(nb, "id_b")
+              .where(lit(den) * col("common") >=
+                lit(num) * (col("na") + col("nb") - col("common")))
+              .select("id_a", "id_b", "common", "na", "nb")
+              .write.mode("overwrite").parquet(matchesPath))
+        } finally sh.unpersist()
+      } finally cand.unpersist()
+      // action 4: fold the batch into the index straight from the
+      // banded cache — already clustered by (band, sb), so this is a
+      // shuffle-free write (no third banding pass, no re-shuffle)
+      graft.Instr.timed("foldMinHash.append")(
+        banded.write.mode(if (indexExists) "append" else "overwrite")
+          .partitionBy("band", "sb").parquet(indexPath))
+      if (!indexExists) {
+        val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
+          "_graft_minhash_meta"), true)
+        try out.write(s"$eBands,$eRows,$eSigBuckets".getBytes("UTF-8"))
+        finally out.close()
+      }
+    } finally banded.unpersist()
+  }
+
   // ------------------------------------------------------- clustering
 
   /** Connected components over near-dup pairs → (id, cluster), where

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.ext.DocDedup
@@ -15,10 +14,27 @@ import graft.ext.DocDedup
   * the whole history), then appended to the index and the corpus so
   * later batches dedup against it.
   *
+  * The per-batch pipeline is the FUSED
+  * [[graft.ext.DocDedup.foldMinHashBatch]] kernel — cross-index
+  * matches, within-batch matches, the matches write, and the index
+  * append in four Spark actions, banding and shingling the batch once
+  * (the unfused probe + pairs + two writes form cost eight actions,
+  * and the r13 bench attribution showed action count, not compute,
+  * dominates the micro-batch floor). Two more actions per batch here:
+  * the batch checkpoint and the corpus append.
+  *
   * State lives entirely in external storage (index + corpus parquet),
   * not the state store — the same unbounded-key trade as
   * [[StreamingDedup]]: the corpus grows forever; per-batch cost is
-  * probe (∝ batch) + append (∝ batch), never ∝ history.
+  * probe (∝ batch) + append (∝ batch), never ∝ history. The flip side
+  * of per-batch appends is small-file accumulation (one file set per
+  * touched partition per batch); `compactEvery = Some(n)` runs
+  * [[graft.ext.DocDedup.compactMinHashIndex]] after every n-th batch
+  * ON the foreachBatch thread — the stream is the index's single
+  * writer, so the between-batches window is exactly the maintenance
+  * window the compaction contract requires. Probe results are
+  * bit-identical across a compaction, so match output is unaffected
+  * (IndexMaintenanceSpec + the q238 gate pin this).
   *
   * Delivery semantics: match emission is at-least-once (a replayed
   * batch re-emits its `batch_id`-tagged matches), while index/corpus
@@ -39,7 +55,10 @@ object StreamingNearDup {
             num: Int, den: Int,
             bands: Int = 16, rows: Int = 8, sigBuckets: Int = 8,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+            maxFilesPerTrigger: Option[Int] = None,
+            compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1, got $compactEvery")
     val indexPath = s"$workDir/index"
     val corpusPath = s"$workDir/corpus"
     val matchesPath = s"$workDir/matches"
@@ -55,59 +74,47 @@ object StreamingNearDup {
       .trigger(trigger)
       .option("checkpointLocation", s"$workDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Registry-delta cleanup: the batch checkpoint and the pair
-        // operators' internal localCheckpoints would otherwise pin
-        // storage blocks for the stream's whole lifetime (the round-7
-        // per-commit leak class). Everything this batch produces is
-        // written out below, so freeing all of it at batch end is safe.
+        // Registry-delta cleanup: the batch checkpoint and the fold's
+        // internal persists would otherwise pin storage blocks for the
+        // stream's whole lifetime (the round-7 per-commit leak class).
+        // Everything this batch produces is written out below, so
+        // freeing all of it at batch end is safe.
         val sc = spark.sparkContext
         val beforeCp = sc.getPersistentRDDs.keySet
         try {
-          val b = batch.localCheckpoint() // several consumers below
-          val indexExists = fs.exists(
-            new org.apache.hadoop.fs.Path(indexPath, "_graft_minhash_meta"))
-          // An existing index's pinned (bands, rows, sigBuckets) win
-          // over the caller's: appends banded with different parameters
-          // would silently corrupt the bucket layout.
-          val (eBands, eRows, eSigBuckets) =
-            if (!indexExists) (bands, rows, sigBuckets)
-            else {
-              val in = fs.open(new org.apache.hadoop.fs.Path(indexPath,
-                "_graft_minhash_meta"))
-              val Array(bb, rr, sbk) =
-                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                  .trim.split(",").map(_.toInt)
-                finally in.close()
-              (bb, rr, sbk)
-            }
-          // 1. cross-batch matches: probe the accumulated index; plus
-          //    the batch's own within-batch pairs (the join form on the
-          //    small batch), so a dup arriving twice in ONE batch is
-          //    not missed.
-          val cross =
-            if (indexExists)
-              DocDedup.probeMinHashIndex(b, spark.read.parquet(corpusPath),
-                "id", "text", indexPath, num, den)
-            else
-              b.select(col("id").as("id_a"), col("id").as("id_b"),
-                lit(0L).as("common"), lit(0L).as("na"), lit(0L).as("nb"))
-                .where(lit(false))
-          val within = DocDedup.minHashPairs(b, "id", "text", num, den,
-            eBands, eRows)
-          // batch_id comes back as a partition column on read; writing
-          // it into the files too would collide with partition discovery
-          cross.unionByName(within)
-            .write.mode("overwrite")
-            .parquet(s"$matchesPath/batch_id=$batchId")
-          // 2. fold the batch into state — overwrite-per-batch is
-          //    replay-safe for matches (above); index/corpus appends
-          //    rely on the distinct()-collapse argument in the scaladoc.
-          if (indexExists)
-            DocDedup.appendToMinHashIndex(b, "id", "text", indexPath)
-          else
-            DocDedup.buildMinHashIndex(b, "id", "text", indexPath,
-              eBands, eRows, eSigBuckets)
+          // No batch checkpoint: a FILE-source micro-batch re-reads its
+          // own parquet files deterministically and cheaply (narrow
+          // scan), so materializing it would spend an extra action per
+          // batch for nothing — the fold persists the banded projection,
+          // which is the one genuinely multi-consumed intermediate.
+          val b = batch
+          // The fused kernel: cross-index + within-batch matches →
+          // matches/batch_id=N (batch_id comes back as a partition
+          // column on read; writing it into the files too would collide
+          // with partition discovery), then the index append — from ONE
+          // banding of the batch. First batch: builds the index with
+          // the caller's (bands, rows, sigBuckets); afterwards the
+          // index sidecar's pinned parameters win, so a replayed or
+          // later batch can never mix banding regimes.
+          DocDedup.foldMinHashBatch(b,
+            if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
+              spark.read.parquet(corpusPath)
+            else b.where(org.apache.spark.sql.functions.lit(false)),
+            "id", "text", indexPath, s"$matchesPath/batch_id=$batchId",
+            num, den, bands, rows, sigBuckets)
           b.write.mode("append").parquet(corpusPath)
+          // Maintenance window: between micro-batches this thread is
+          // the index's only writer. Count is (batchId + 1) so
+          // compactEvery=2 compacts after batches 1, 3, 5, …
+          compactEvery.foreach { n =>
+            if ((batchId + 1) % n == 0) {
+              val stats = DocDedup.compactMinHashIndex(spark, indexPath)
+              graft.Instr.record("streamNearDup.compact_files_before",
+                stats.filesBefore.toDouble)
+              graft.Instr.record("streamNearDup.compact_files_after",
+                stats.filesAfter.toDouble)
+            }
+          }
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))
