@@ -95,6 +95,45 @@ private[graft] object OracleSql {
         |       CAST(1 AS BOOLEAN) AS compact_ran
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
 
+    // every wire encoding, the detected charset, AND the confidence
+    // flag predicted from id arithmetic; the Cyrillic planted string
+    // is chr(0x430 + (id+k)%30) — а..ъ, no 0xFE/0xFF cp1251 bytes that
+    // would collide with BOM sniffing — so the round-trip is exact
+    "q239_charset_transcode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, 12),
+        |      k -> chr(1072 + CAST((doc_id + k) % 30 AS INT))), '')
+        |      || ' ' || CAST(doc_id AS VARCHAR) AS cyr
+        |  FROM documents WHERE doc_id < 350)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN 'plain ascii document ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 6 THEN 'summary ' || CAST(doc_id AS VARCHAR) || ' caf'
+        |      || chr(CAST(224 + doc_id % 16 AS INT))
+        |    ELSE cyr END AS text,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN 'us-ascii' WHEN 1 THEN 'utf-8' WHEN 2 THEN 'utf-8'
+        |    WHEN 3 THEN 'utf-16le' WHEN 4 THEN 'utf-16be'
+        |    WHEN 5 THEN 'windows-1251' ELSE 'windows-1252' END AS charset,
+        |  (doc_id % 7 <> 6) AS confident
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // one page content, three wire encodings -> one clean text; the
+    // 1251 arm is tag-diluted below the confidence margin
+    "q240_charset_web_pipeline" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, 12),
+        |      k -> chr(1072 + CAST((doc_id + k) % 30 AS INT))), '')
+        |      || ' ' || CAST(doc_id AS VARCHAR) AS cyr
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, cyr || ' ' || cyr || ' ' || cyr AS clean,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'utf-8'
+        |    WHEN 1 THEN 'windows-1251' ELSE 'utf-16le' END AS charset,
+        |  (doc_id % 3 <> 1) AS confident
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // locked vs corrupt separable: error strings predicted from the id
     "q236_pdf_error_triage" ->
       """SELECT doc_id,

@@ -5664,6 +5664,71 @@ object SparkEntry {
           lit(twinBatches).as("n_twin_batches"),
           lit(compactRan).as("compact_ran"))
         .orderBy("doc_id")
+    }),
+
+    // ---- CHARSET SNIFF + TRANSCODE (r13 verdict ask #2): seven
+    //      planted encodings per id — ASCII, UTF-8 ± BOM, UTF-16LE/BE
+    //      BOM, windows-1251 (dense Cyrillic, the reference's own
+    //      corpus encoding), windows-1252 (sparse accents, the
+    //      non-confident arm). The planted Cyrillic string is pure
+    //      id arithmetic (12 letters chr(0x430 + (id+k)%30), а..ъ only —
+    //      never 0xFE/0xFF, which would collide with UTF-16 BOM
+    //      sniffing in cp1251). The DuckDB oracle reproduces the decoded UTF-8 text, the
+    //      detected charset, AND the confidence flag per row.
+    "q239_charset_transcode" -> ((s, dir) => {
+      def planted(id: Long): String =
+        (0 until 12).map(k => (0x430 + ((id + k) % 30)).toChar)
+          .mkString + " " + id
+      val mk = udf((id: Long) => (id % 7) match {
+        case 0 => s"plain ascii document $id"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        case 1 => planted(id)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case 2 => Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          planted(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case 3 => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+          planted(id).getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+        case 4 => Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+          planted(id).getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        case 5 => planted(id).getBytes("windows-1251")
+        case _ => (s"summary $id caf" + (224 + (id % 16)).toChar)
+          .getBytes("windows-1252")
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 350)
+        .select("doc_id").withColumn("raw", mk(col("doc_id")))
+      graft.ext.Charset.transcodeToUtf8(blobs, "raw")
+        .select("doc_id", "text", "charset", "confident")
+        .orderBy("doc_id")
+    }),
+
+    // ---- CHARSET → HTML-STRIP COMPOSITION (the decode stage wired in
+    //      front of the web pipeline): the SAME HTML page content
+    //      shipped in three wire encodings — UTF-8, windows-1251, and
+    //      BOM'd UTF-16LE — must converge to ONE clean text after
+    //      sniff + transcode + stripHtml, with the wire charset
+    //      reported per row. The 1251 arm's high-byte density is
+    //      diluted by the ASCII tags (ratio ≈ 0.43–0.47 by id
+    //      arithmetic), pinning the classified-but-not-confident path.
+    "q240_charset_web_pipeline" -> ((s, dir) => {
+      def planted(id: Long): String =
+        (0 until 12).map(k => (0x430 + ((id + k) % 30)).toChar)
+          .mkString + " " + id
+      def page(id: Long): String =
+        "<html><body><p>" + Seq.fill(3)(planted(id)).mkString(" ") +
+          "</p></body></html>"
+      val mk = udf((id: Long) => (id % 3) match {
+        case 0 => page(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case 1 => page(id).getBytes("windows-1251")
+        case _ => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+          page(id).getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select("doc_id").withColumn("raw", mk(col("doc_id")))
+      graft.ext.Charset.transcodeToUtf8(blobs, "raw")
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.stripHtml(col("text")).as("clean"),
+          col("charset"), col("confident"))
+        .orderBy("doc_id")
     })
   )
 

@@ -1,0 +1,94 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import java.nio.charset.StandardCharsets
+
+class CharsetSpec extends SparkFunSuite {
+
+  private val cyr = "привет мир это кириллический текст"
+  private val fr = "document summary with sparse accents: café déjà reçu"
+
+  test("BOM dispatch: UTF-8/16LE/16BE/32LE/32BE, BOM stripped") {
+    def bom(prefix: Array[Int], body: Array[Byte]): Array[Byte] =
+      prefix.map(_.toByte) ++ body
+    val cases = Seq(
+      (bom(Array(0xEF, 0xBB, 0xBF), cyr.getBytes(StandardCharsets.UTF_8)),
+        "utf-8"),
+      (bom(Array(0xFF, 0xFE), cyr.getBytes(StandardCharsets.UTF_16LE)),
+        "utf-16le"),
+      (bom(Array(0xFE, 0xFF), cyr.getBytes(StandardCharsets.UTF_16BE)),
+        "utf-16be"),
+      (bom(Array(0xFF, 0xFE, 0, 0), cyr.getBytes("UTF-32LE")), "utf-32le"),
+      (bom(Array(0, 0, 0xFE, 0xFF), cyr.getBytes("UTF-32BE")), "utf-32be"))
+    cases.foreach { case (bytes, want) =>
+      val d = Charset.decodeToUtf8(bytes)
+      assert(d.charset == want, s"want $want got ${d.charset}")
+      assert(d.confident)
+      assert(d.text == cyr, s"[$want] round-trip broke: ${d.text}")
+    }
+  }
+
+  test("BOM-less: strict UTF-8 validation, ASCII, and the high-byte " +
+    "single-byte discriminator") {
+    val u8 = Charset.decodeToUtf8(cyr.getBytes(StandardCharsets.UTF_8))
+    assert(u8.charset == "utf-8" && u8.confident && u8.text == cyr)
+    val asc = Charset.decodeToUtf8(
+      "plain ascii".getBytes(StandardCharsets.US_ASCII))
+    assert(asc.charset == "us-ascii" && asc.confident &&
+      asc.text == "plain ascii")
+    // dense Cyrillic in windows-1251: invalid as UTF-8, high-byte-dense
+    val w1251 = Charset.decodeToUtf8(cyr.getBytes("windows-1251"))
+    assert(w1251.charset == "windows-1251", w1251.toString)
+    assert(w1251.confident)
+    assert(w1251.text == cyr, s"1251 round-trip broke: ${w1251.text}")
+    // sparse accents in windows-1252: the non-confident Latin arm
+    val w1252 = Charset.decodeToUtf8(fr.getBytes("windows-1252"))
+    assert(w1252.charset == "windows-1252" && !w1252.confident)
+    assert(w1252.text == fr)
+  }
+
+  test("BOM-less UTF-16 via the NUL-parity heuristic") {
+    val latin = "this is plain latin text in utf sixteen"
+    val le = Charset.decodeToUtf8(latin.getBytes(StandardCharsets.UTF_16LE))
+    assert(le.charset == "utf-16le" && le.confident && le.text == latin)
+    val be = Charset.decodeToUtf8(latin.getBytes(StandardCharsets.UTF_16BE))
+    assert(be.charset == "utf-16be" && be.confident && be.text == latin)
+  }
+
+  test("totality: arbitrary bytes always decode to exactly one row, " +
+    "never an exception") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { i =>
+      val bytes = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val d = Charset.decodeToUtf8(bytes) // must not throw
+      assert(d.charset.nonEmpty)
+      val _ = (d.text, d.confident)
+    }
+    assert(Charset.decodeToUtf8(Array.emptyByteArray) ==
+      Charset.Decoded("", "us-ascii", true))
+    // odd-length "UTF-16" poison: REPLACE, not crash
+    val odd = Array[Byte](0xFF.toByte, 0xFE.toByte, 0x41)
+    assert(Charset.decodeToUtf8(odd).charset == "utf-16le")
+  }
+
+  test("DataFrame layer: one output row per input row, keep columns " +
+    "preserved") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, cyr.getBytes(StandardCharsets.UTF_8)),
+      (2L, cyr.getBytes("windows-1251")),
+      (3L, fr.getBytes("windows-1252")),
+      (4L, "ascii only".getBytes(StandardCharsets.US_ASCII)))
+      .toDF("doc_id", "raw")
+    val out = Charset.transcodeToUtf8(df, "raw")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    // schema: (doc_id, text, charset, confident)
+    assert(out.map(_.getString(2)).toSeq ==
+      Seq("utf-8", "windows-1251", "windows-1252", "us-ascii"))
+    assert(out(0).getString(1) == cyr && out(1).getString(1) == cyr)
+    assert(out(2).getString(1) == fr)
+    assert(out.map(_.getBoolean(3)).toSeq ==
+      Seq(true, true, false, true))
+  }
+}
