@@ -134,6 +134,58 @@ private[graft] object OracleSql {
         |  (doc_id % 3 <> 1) AS confident
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // every cell's sheet/ref/coords/kind/value from id arithmetic;
+    // A is always a shared-table string, C always inline (the
+    // builder's alternation), B a number
+    "q241_xlsx_cells" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |r AS (SELECT d.doc_id, t.ri
+        |      FROM d CROSS JOIN generate_series(0, 1) AS t(ri)
+        |      WHERE t.ri < 1 + d.doc_id % 2),
+        |cells AS (
+        |  SELECT doc_id, 'data' AS sheet, 'A' || (ri + 1) AS ref,
+        |    ri + 1 AS row, 1 AS col, 'shared' AS kind,
+        |    'cell ' || doc_id || ' r' || ri || ' alpha' AS value FROM r
+        |  UNION ALL
+        |  SELECT doc_id, 'data', 'B' || (ri + 1), ri + 1, 2, 'num',
+        |    CAST(doc_id * 3 + ri AS VARCHAR) FROM r
+        |  UNION ALL
+        |  SELECT doc_id, 'data', 'C' || (ri + 1), ri + 1, 3, 'inline',
+        |    'v ' || doc_id || ' r' || ri || ' beta' FROM r
+        |  UNION ALL
+        |  SELECT doc_id, 'notes', 'A1', 1, 1, 'shared',
+        |    'note ' || doc_id FROM d)
+        |SELECT doc_id, sheet, ref, CAST(row AS BIGINT) AS row,
+        |       CAST(col AS BIGINT) AS col, kind, value
+        |FROM cells ORDER BY doc_id, sheet, ref""".stripMargin,
+
+    // slide and paragraph indices and text from id arithmetic
+    "q242_pptx_text" ->
+      """SELECT d.doc_id, s.k AS slide_idx, p.j AS para_idx,
+        |  CASE p.j WHEN 0
+        |    THEN 'deck ' || d.doc_id || ' slide ' || s.k || ' title'
+        |    ELSE 'point a&b ' || d.doc_id END AS text
+        |FROM documents d
+        |CROSS JOIN generate_series(0, 2) AS s(k)
+        |CROSS JOIN generate_series(0, 1) AS p(j)
+        |WHERE d.doc_id < 120 AND s.k < 1 + d.doc_id % 3
+        |ORDER BY doc_id, slide_idx, para_idx""".stripMargin,
+
+    // the q231 corpus algebra — the oracle never sees a container;
+    // the engine must recover identical text from three formats for
+    // the cross-format dedup to produce this row set
+    "q243_office_corpus_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |planted AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base)
+        |SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM planted
+        |WHERE doc_id IN (SELECT min(doc_id) FROM planted GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
     // locked vs corrupt separable: error strings predicted from the id
     "q236_pdf_error_triage" ->
       """SELECT doc_id,

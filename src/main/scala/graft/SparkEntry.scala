@@ -5729,6 +5729,86 @@ object SparkEntry {
           graft.ext.TextAnalysis.stripHtml(col("text")).as("clean"),
           col("charset"), col("confident"))
         .orderBy("doc_id")
+    }),
+
+    // ---- XLSX cell extraction (r13 verdict ask #3, the q230 shape):
+    //      two sheets per planted workbook; every cell's sheet, ref,
+    //      coordinates, KIND (shared-table vs inline string vs
+    //      number — the builder alternates the two string paths, so
+    //      column A is always shared and column C always inline), and
+    //      value are id arithmetic the oracle reproduces.
+    "q241_xlsx_cells" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        val nRows = 1 + (id % 2).toInt
+        graft.ext.Xlsx.buildXlsx(Seq(
+          ("data", (0 until nRows).map(ri => Seq(
+            graft.ext.Xlsx.Text(s"cell $id r$ri alpha"),
+            graft.ext.Xlsx.Num((id * 3 + ri).toString),
+            graft.ext.Xlsx.Text(s"v $id r$ri beta")))),
+          ("notes", Seq(Seq(graft.ext.Xlsx.Text(s"note $id"))))))
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Xlsx.extractXlsxCells(blobs, "blob")
+        .select(col("doc_id"), col("sheet"), col("ref"),
+          col("row").cast("long").as("row"),
+          col("col").cast("long").as("col"), col("kind"), col("value"))
+        .orderBy("doc_id", "sheet", "ref")
+    }),
+
+    // ---- PPTX slide-text extraction (q230 shape): 1 + id%3 slides,
+    //      two paragraphs each (multi-run + an XML entity), slide and
+    //      paragraph indices and text all id arithmetic.
+    "q242_pptx_text" -> ((s, dir) => {
+      val mk = udf((id: Long) => {
+        val nSlides = 1 + (id % 3).toInt
+        graft.ext.Pptx.buildPptx((0 until nSlides).map(k =>
+          Seq(s"deck $id slide $k title", s"point a&b $id")))
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      graft.ext.Pptx.extractPptxText(blobs, "blob")
+        .select(col("doc_id"),
+          col("slide_idx").cast("long").as("slide_idx"),
+          col("para_idx").cast("long").as("para_idx"), col("text"))
+        .orderBy("doc_id", "slide_idx", "para_idx")
+    }),
+
+    // ---- CROSS-FORMAT OFFICE corpus composition (the q231 shape,
+    //      widened): each document ships as docx, xlsx, OR pptx by
+    //      id%3, and the planted +1M twin lands in a DIFFERENT format
+    //      (1000000 % 3 = 1) — so the exact-dedup stage must match
+    //      content across container formats. Extract per format,
+    //      union, dedup, token-count; the oracle never sees a
+    //      container, only the planted text algebra.
+    "q243_office_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text")))
+      val mk = udf((id: Long, text: String) => (id % 3) match {
+        case 0 => graft.ext.Docx.buildDocx(Seq(text))
+        case 1 => graft.ext.Xlsx.buildXlsx(
+          Seq(("s", Seq(Seq(graft.ext.Xlsx.Text(text))))))
+        case _ => graft.ext.Pptx.buildPptx(Seq(Seq(text)))
+      })
+      val blobs = planted
+        .withColumn("blob", mk(col("doc_id"), col("text"))).drop("text")
+      val m = pmod(col("doc_id"), lit(3))
+      val extracted = graft.ext.Docx
+        .extractDocxText(blobs.where(m === 0), "blob")
+        .select(col("doc_id"), col("text"))
+        .unionByName(graft.ext.Xlsx
+          .extractXlsxCells(blobs.where(m === 1), "blob")
+          .select(col("doc_id"), col("value").as("text")))
+        .unionByName(graft.ext.Pptx
+          .extractPptxText(blobs.where(m === 2), "blob")
+          .select(col("doc_id"), col("text")))
+      DocDedup.exactDedup(extracted, "doc_id", "text")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
     })
   )
 

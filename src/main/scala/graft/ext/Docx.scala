@@ -31,9 +31,14 @@ object Docx {
   private val MaxParagraphs = 100000
   private val MaxTextBytes = 16 << 20
 
-  private final case class Walk(msg: String)
+  private[ext] final case class Walk(msg: String)
     extends RuntimeException(msg, null, false, false)
   private def fail(msg: String): Nothing = throw Walk(msg)
+
+  /** [[decodeEntities]] for the sibling OPC walks ([[Xlsx]], [[Pptx]])
+    * — throws [[Walk]], which the siblings catch alongside their own.
+    */
+  private[ext] def decodeEntitiesOf(s: String): String = decodeEntities(s)
 
   /** Decode the XML entities WordprocessingML text runs may carry. */
   private def decodeEntities(s: String): String = {

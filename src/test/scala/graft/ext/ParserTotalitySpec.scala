@@ -37,6 +37,9 @@ class ParserTotalitySpec extends SparkFunSuite {
     "cbor" -> (b => Cbor.cborTable(b)),
     "pdf" -> (b => Pdf.parsePdf(b)),
     "docx" -> (b => Docx.parseDocx(b)),
+    "xlsx" -> (b => Xlsx.parseXlsx(b)),
+    "pptx" -> (b => Pptx.parsePptx(b)),
+    "charset" -> (b => Charset.decodeToUtf8(b)),
     "arrow" -> (b => ArrowIpc.parseArrow(b)),
     "sniff" -> (b => FormatSniffer.sniff(b)))
 
