@@ -199,7 +199,6 @@ object ZipArchive {
       val crc = e.crc
       if (name.isEmpty) return Left("empty entry name")
       if ((e.flags & 0x0001) != 0) return Left("encrypted entry unsupported")
-      if ((e.flags & 0x0008) != 0) return Left("data descriptor unsupported")
       if (method != 0 && method != 8) return Left("unsupported method")
       if (usize > maxInflate) return Left("entry exceeds inflate cap")
       // local header agreement + payload location
@@ -260,6 +259,29 @@ object ZipArchive {
       }
       if (produced != usize) return Left("inflated size mismatch")
       if (crcCalc.getValue != crc) return Left("bad entry crc")
+      if ((e.flags & 0x0008) != 0) {
+        // GP bit 3: a STREAMING writer (java.util.zip on a non-seekable
+        // sink, most network writers) zeroed the local header's
+        // crc/sizes and appended a data descriptor after the payload
+        // (APPNOTE 4.3.9). The central directory above carries the
+        // authoritative values — here we additionally require the
+        // descriptor to agree with them, in either its 32-bit or
+        // zip64 (64-bit sizes) form, optional signature included.
+        val dd = dataOff.toLong + csize
+        if (dd + 12 > n) return Left("truncated data descriptor")
+        var d = dd.toInt
+        if (le32(bytes, d) == 0x08074b50L) {
+          if (dd + 16 > n) return Left("truncated data descriptor")
+          d += 4
+        }
+        val dCrc = le32(bytes, d)
+        val ok32 = dCrc == crc &&
+          le32(bytes, d + 4) == (csize & 0xFFFFFFFFL) &&
+          le32(bytes, d + 8) == (usize & 0xFFFFFFFFL)
+        val ok64 = d + 20 <= n && dCrc == crc &&
+          le64(bytes, d + 4) == csize && le64(bytes, d + 12) == usize
+        if (!ok32 && !ok64) return Left("data descriptor mismatch")
+      }
       out += ZipEntry(idx, name, method, usize, csize, sum)
       cp += e.entryLen
       idx += 1

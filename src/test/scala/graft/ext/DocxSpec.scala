@@ -98,4 +98,34 @@ class DocxSpec extends SparkFunSuite {
     assert(names.contains("word/document.xml") &&
       names.contains("[Content_Types].xml"))
   }
+
+  test("external-writer interop: the committed JDK-toolchain artifact " +
+    "(streaming zip with data descriptors + DOM-serialized XML, " +
+    "LibreOffice-class part inventory) walks clean") {
+    // Pins the literal `w:`-prefix assumption (Docx.scala) against an
+    // INDEPENDENT writer pipeline: java.util.zip.ZipOutputStream on a
+    // non-seekable sink sets GP bit 3 (zero-size local headers + data
+    // descriptors — a layout our own builder never emits), and
+    // javax.xml's namespace-aware Transformer serializes the
+    // WordprocessingML with its own conventions. Guarded: skips if the
+    // artifact is absent; regenerate with
+    // `sbt "Test/runMain graft.ext.ExternalWriterFixture"`.
+    val f = new java.io.File("src/test/resources/interop/external-writer.docx")
+    assume(f.exists, "interop artifact not present")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // the committed artifact really is the streaming layout
+    assert((bytes(6) & 0x08) != 0, "expected GP bit 3 (data descriptor)")
+    val Right(paras) = Docx.parseDocx(bytes): @unchecked
+    assert(paras == ExternalWriterFixture.paragraphs,
+      s"external-writer paragraphs did not round-trip: $paras")
+    // core properties through the same artifact
+    import spark.implicits._
+    val df = Seq((1L, bytes)).toDF("doc_id", "blob")
+    val meta = Docx.extractDocxMeta(df, "blob").collect()
+    assert(meta.length == 1 &&
+      meta(0).getAs[String]("title") == "Interop fixture" &&
+      meta(0).getAs[String]("creator") == "jdk-toolchain")
+    // and the error channel stays silent
+    assert(Docx.docxErrors(df, "blob").collect().isEmpty)
+  }
 }

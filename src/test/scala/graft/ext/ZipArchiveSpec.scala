@@ -144,9 +144,11 @@ class ZipArchiveSpec extends SparkFunSuite {
     assert(good(cdOff) == 'P' && good(cdOff + 3) == 2)
     val enc = good.clone(); enc(cdOff + 8) = 0x01
     assert(ZipArchive.zipEntryTable(enc) == Left("encrypted entry unsupported"))
-    // data-descriptor flag
+    // data-descriptor flag on an archive with NO real descriptor: the
+    // bytes after the payload (the next local header) must not pass as
+    // one — supported layouts are validated, forged flags are caught
     val dd = good.clone(); dd(cdOff + 8) = 0x08
-    assert(ZipArchive.zipEntryTable(dd) == Left("data descriptor unsupported"))
+    assert(ZipArchive.zipEntryTable(dd) == Left("data descriptor mismatch"))
     // unsupported method
     val m9 = good.clone(); m9(cdOff + 10) = 9
     assert(ZipArchive.zipEntryTable(m9) == Left("unsupported method"))
@@ -155,6 +157,40 @@ class ZipArchiveSpec extends SparkFunSuite {
     assert(ZipArchive.zipEntryTable(nm) == Left("central/local name mismatch"))
     // truncation totality: never throws
     (0 to good.length by 13).foreach(k => ZipArchive.zipEntryTable(good.take(k)))
+  }
+
+  test("streaming zip (GP bit 3, data descriptors, zero-size local " +
+    "headers) walks clean — the java.util.zip streaming layout") {
+    val bos = new java.io.ByteArrayOutputStream()
+    // FilterOutputStream hides seekability → ZipOutputStream must
+    // write zero sizes in local headers + data descriptors after
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FilterOutputStream(bos))
+    val payloads = Seq(
+      "first.txt" -> "streamed entry one contents",
+      "dir/second.txt" -> ("x" * 5000)) // long enough to really deflate
+    payloads.foreach { case (name, text) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(text.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val bytes = bos.toByteArray
+    assert((bytes(6) & 0x08) != 0, "expected GP bit 3 in the fixture")
+    val Right(entries) = ZipArchive.zipEntryTable(bytes): @unchecked
+    assert(entries.map(_.name) == payloads.map(_._1))
+    assert(entries.map(_.usize) == payloads.map(_._2.length.toLong))
+    val Right(contents) = ZipArchive.payloadsOf(bytes, ".txt"): @unchecked
+    assert(contents.map(c => c._2 -> new String(c._3, "UTF-8")) == payloads)
+    // a corrupted descriptor is caught, not ignored: zero the crc field
+    // of the FIRST entry's descriptor (sits right after its payload)
+    val Right(all) = ZipArchive.zipEntryTable(bytes): @unchecked
+    val firstCsize = all.head.csize.toInt
+    val nameLen = "first.txt".length
+    val ddOff = 30 + nameLen + firstCsize + 4 // past the PK\7\8 signature
+    val bad = bytes.clone()
+    (0 until 4).foreach(i => bad(ddOff + i) = 0x5A)
+    assert(ZipArchive.zipEntryTable(bad) == Left("data descriptor mismatch"))
   }
 
   test("zip bomb: inflate cap rejects before allocating the claimed size") {
