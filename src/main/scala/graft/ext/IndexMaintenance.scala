@@ -53,6 +53,27 @@ object IndexMaintenance {
   private def maxPartBytes(spark: SparkSession): Long =
     spark.sessionState.conf.filesMaxPartitionBytes
 
+  /** The streaming maintenance window: run `compact` after every
+    * `every`-th micro-batch (counting from 1, so `Some(2)` compacts
+    * after batches 1, 3, 5, …). Called from a foreachBatch body
+    * BETWEEN batches — the stream is the index's single writer there,
+    * which is exactly the concurrency contract [[compactIndex]]
+    * requires. Gauges land in gate_stages as
+    * `<prefix>.compact_files_before/after`.
+    */
+  def maybeCompact(every: Option[Int], batchId: Long,
+                   gaugePrefix: String)
+                  (compact: => CompactStats): Unit =
+    every.foreach { n =>
+      if ((batchId + 1) % n == 0) {
+        val stats = compact
+        graft.Instr.record(s"$gaugePrefix.compact_files_before",
+          stats.filesBefore.toDouble)
+        graft.Instr.record(s"$gaugePrefix.compact_files_after",
+          stats.filesAfter.toDouble)
+      }
+    }
+
   /** Count of data files under `path` (sidecars and `_SUCCESS`
     * markers excluded) — the probe-cost gauge gate_stages tracks.
     */

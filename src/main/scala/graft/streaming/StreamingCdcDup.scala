@@ -41,7 +41,10 @@ object StreamingCdcDup {
             hashBuckets: Int = 64, maxDocsPerChunk: Int = 256,
             minShared: Int = 1,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+            maxFilesPerTrigger: Option[Int] = None,
+            compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1, got $compactEvery")
     val indexPath = s"$workDir/index"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
@@ -84,6 +87,9 @@ object StreamingCdcDup {
           else
             Cdc.buildCdcIndex(b, "id", "blob", indexPath,
               minSize, avgBits, maxSize, hashBuckets)
+          // between-batches = the single writer's maintenance window
+          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
+            "streamCdcDup")(Cdc.compactCdcIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))

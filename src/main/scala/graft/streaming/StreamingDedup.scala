@@ -38,7 +38,10 @@ object StreamingDedup {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
             bucketChars: Int = 2,
-            bloomItems: Long = 1000000L): StreamingQuery = {
+            bloomItems: Long = 1000000L,
+            compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1, got $compactEvery")
     val dedup = new Deduplicator(spark, workDir, bucketChars = bucketChars,
       bloomItems = bloomItems)
     val reader = spark.readStream
@@ -78,6 +81,16 @@ object StreamingDedup {
         if (paths.nonEmpty) {
           dedup.deduplicateBatch(paths.toSeq, opts,
             outputNames = paths.toSeq.map(nameFor(_, batchId)))
+        }
+        // the catalog has its OWN versioned compaction (touched-bucket
+        // rewrite + atomic version swap); between micro-batches this
+        // thread is the catalog's single writer, so the streaming
+        // maintenance window applies to it exactly like the ext/
+        // indexes' compactIndex
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            graft.Instr.record("streamDedup.compacted_buckets",
+              dedup.catalog.compact().toDouble)
         }
         ()
       }

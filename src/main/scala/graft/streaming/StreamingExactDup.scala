@@ -40,7 +40,10 @@ object StreamingExactDup {
             k: Int = 8, w: Int = 16, fpBuckets: Int = 64,
             maxDocsPerFp: Int = 256, minMatches: Int = 1,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+            maxFilesPerTrigger: Option[Int] = None,
+            compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1, got $compactEvery")
     val indexPath = s"$workDir/index"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
@@ -85,6 +88,9 @@ object StreamingExactDup {
           else
             Winnow.buildWinnowIndex(b, "id", "text", indexPath,
               k, w, fpBuckets)
+          // between-batches = the single writer's maintenance window
+          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
+            "streamExactDup")(Winnow.compactWinnowIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))

@@ -35,7 +35,10 @@ object StreamingImageDedup {
   def start(spark: SparkSession, inputDir: String, workDir: String,
             maxDist: Int, qBuckets: Int = 64,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+            maxFilesPerTrigger: Option[Int] = None,
+            compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1, got $compactEvery")
     val indexPath = s"$workDir/index"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
@@ -80,6 +83,10 @@ object StreamingImageDedup {
           else
             DocDedup.buildHammingIndex(sig, "id", "ahash", indexPath,
               qBuckets)
+          // between-batches = the single writer's maintenance window
+          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
+            "streamImageDedup")(
+            DocDedup.compactHammingIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))

@@ -103,18 +103,8 @@ object StreamingNearDup {
             "id", "text", indexPath, s"$matchesPath/batch_id=$batchId",
             num, den, bands, rows, sigBuckets)
           b.write.mode("append").parquet(corpusPath)
-          // Maintenance window: between micro-batches this thread is
-          // the index's only writer. Count is (batchId + 1) so
-          // compactEvery=2 compacts after batches 1, 3, 5, …
-          compactEvery.foreach { n =>
-            if ((batchId + 1) % n == 0) {
-              val stats = DocDedup.compactMinHashIndex(spark, indexPath)
-              graft.Instr.record("streamNearDup.compact_files_before",
-                stats.filesBefore.toDouble)
-              graft.Instr.record("streamNearDup.compact_files_after",
-                stats.filesAfter.toDouble)
-            }
-          }
+          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
+            "streamNearDup")(DocDedup.compactMinHashIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))

@@ -37,7 +37,10 @@ object StreamingVecDup {
             threshold: Double, k: Int = 9,
             nlist: Int = 8, nprobe: Int = 4,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+            maxFilesPerTrigger: Option[Int] = None,
+            compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1, got $compactEvery")
     val indexPath = s"$workDir/index"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
@@ -82,6 +85,9 @@ object StreamingVecDup {
             Similarity.appendToIvfIndex(b, "id", "vec", indexPath)
           else
             Similarity.buildIvfIndex(b, "id", "vec", indexPath, nlist)
+          // between-batches = the single writer's maintenance window
+          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
+            "streamVecDup")(Similarity.compactIvfIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))

@@ -456,11 +456,20 @@ class PlanSpec extends SparkFunSuite {
       .toDF("doc_id", "blob")
     val arrow = Seq((1L, graft.ext.ArrowIpc.buildArrowFile(3, 2, 1L)))
       .toDF("doc_id", "blob")
+    val xlsx = Seq((1L, graft.ext.Xlsx.buildXlsx(
+      Seq(("s", Seq(Seq(graft.ext.Xlsx.Text("a"), graft.ext.Xlsx.Num("1"))))))))
+      .toDF("doc_id", "blob")
+    val pptx = Seq((1L, graft.ext.Pptx.buildPptx(Seq(Seq("a b c")))))
+      .toDF("doc_id", "blob")
+    val raw = Seq((1L, "plain text".getBytes)).toDF("doc_id", "blob")
     Seq(
       graft.ext.Pdf.extractPdfText(pdf, "blob"),
       graft.ext.Docx.extractDocxText(docx, "blob"),
       graft.ext.ArrowIpc.extractArrowMeta(arrow, "blob"),
-      graft.ext.ArrowIpc.extractArrowFields(arrow, "blob")
+      graft.ext.ArrowIpc.extractArrowFields(arrow, "blob"),
+      graft.ext.Xlsx.extractXlsxCells(xlsx, "blob"),
+      graft.ext.Pptx.extractPptxText(pptx, "blob"),
+      graft.ext.Charset.transcodeToUtf8(raw, "blob")
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
