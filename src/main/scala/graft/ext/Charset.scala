@@ -22,11 +22,16 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructT
   *      valid input with at least one multi-byte sequence is `utf-8`;
   *      both confident (a multi-byte-valid buffer is UTF-8 with
   *      near-certainty, and ASCII is every candidate's common subset).
-  *   3. BOM-less UTF-16 heuristic — Latin-script UTF-16 shows NUL in
+  *   3. BOM-less UTF-16 heuristics — Latin-script UTF-16 shows NUL in
   *      every other byte (the high byte of each code unit); if NULs
   *      cover ≥ 25% of the buffer and ≥ 90% sit on one parity, the
-  *      parity names the endianness. Confident only when the parity
-  *      is unanimous.
+  *      parity names the endianness (confident only when unanimous).
+  *      NON-Latin single-script UTF-16 (Cyrillic 0x04xx — the
+  *      reference's own corpus script) has almost no NULs but a
+  *      UNIFORM high-byte parity: ≤ 2 distinct values, all BMP plane
+  *      prefixes ≤ 0x07, against a freely-varying low-byte parity.
+  *      Both run BEFORE the UTF-8 verdict — byte-wise, Latin UTF-16
+  *      is NUL-studded ASCII and Cyrillic UTF-16LE is plain ASCII.
   *   4. Single-byte fallback — the two-family discriminator: dense
   *      high-byte text (ratio ≥ 0.3) reads as `windows-1251` (a
   *      non-Latin one-byte script is mostly high bytes — Cyrillic is
@@ -79,6 +84,33 @@ object Charset {
         return ("utf-16be", zEven == zTotal, 0)
       if (zOdd * 10 >= zTotal * 9)
         return ("utf-16le", zOdd == zTotal, 0)
+    }
+    // 2b. high-byte UNIFORMITY — BOM-less UTF-16 of a non-Latin
+    // single-script text (Cyrillic is 0x04xx: byte-wise its LE form is
+    // "valid ASCII", and NULs only appear under spaces): the high-byte
+    // parity carries at most two values, both BMP script-plane
+    // prefixes ≤ 0x07 (0x00 for ASCII punctuation + the script's row —
+    // 0x04 Cyrillic, 0x03 Greek, 0x05 Hebrew, 0x06 Arabic), while the
+    // low-byte parity varies freely. Real text never concentrates
+    // ≤ 0x07 control bytes on one parity, and ≥ 8 distinct values on
+    // the other side excludes short repetitive patterns.
+    if (n >= 32) {
+      def stats(par: Int): (Int, Boolean) = {
+        val seen = new Array[Long](4); var planes = true; var i = par
+        while (i < n) {
+          val v = b(i)
+          seen(v >> 6) |= 1L << (v & 63)
+          if (v > 0x07) planes = false
+          i += 2
+        }
+        (seen.map(java.lang.Long.bitCount).sum, planes)
+      }
+      val (dEven, planesEven) = stats(0)
+      val (dOdd, planesOdd) = stats(1)
+      if (planesEven && dEven <= 2 && dOdd >= 8)
+        return ("utf-16be", true, 0)
+      if (planesOdd && dOdd <= 2 && dEven >= 8)
+        return ("utf-16le", true, 0)
     }
     // 3. strict UTF-8 scan
     i = 0; var multi = false; var validUtf8 = true

@@ -546,13 +546,7 @@ object DocDedup {
     val ss = newDocs.sparkSession
     graft.functions.VecExpressions.register(ss)
     val (bands, rows, sigBuckets) = readMinHashMeta(ss, path)
-    spread(newDocs).select(col(idCol).as("id"),
-        call_function("graft_minhash_band_sigs",
-          TextAnalysis.wordBigrams(col(textCol)),
-          lit(bands), lit(rows)).as("bs"))
-      .where(col("bs").isNotNull)
-      .select(col("id"), posexplode(col("bs")).as(Seq("band", "bsig")))
-      .withColumn("sb", pmod(col("bsig"), lit(sigBuckets.toLong)).cast("int"))
+    bandedSignatures(newDocs, idCol, textCol, bands, rows, sigBuckets)
       .repartition(col("band"), col("sb"))
       .write.mode("append").partitionBy("band", "sb").parquet(path)
   }
@@ -621,13 +615,8 @@ object DocDedup {
     // 6 jobs), not compute. Stages below are folded to 3 actions:
     // one groupBy-collect (coords AND row count), one cache-warming
     // count over the UNION of both shingle sides, the final checkpoint.
-    val pBanded = spread(probes).select(col(idCol).as("id_a"),
-        call_function("graft_minhash_band_sigs",
-          TextAnalysis.wordBigrams(col(textCol)),
-          lit(bands), lit(rows)).as("bs"))
-      .where(col("bs").isNotNull)
-      .select(col("id_a"), posexplode(col("bs")).as(Seq("band", "bsig")))
-      .withColumn("sb", pmod(col("bsig"), lit(sigBuckets.toLong)).cast("int"))
+    val pBanded = bandedSignatures(probes, idCol, textCol,
+      bands, rows, sigBuckets).withColumnRenamed("id", "id_a")
     // one action: distinct (band, sb) coordinates + exploded row count
     val coordCounts = graft.Instr.timed("probeMinHash.coords")(
       pBanded.groupBy("band", "sb").agg(count(lit(1)).as("n")).collect())

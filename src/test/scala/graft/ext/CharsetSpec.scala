@@ -71,6 +71,34 @@ class CharsetSpec extends SparkFunSuite {
     assert(Charset.decodeToUtf8(odd).charset == "utf-16le")
   }
 
+  test("real-corpus interop: the reference's own Cyrillic fixture " +
+    "(6.4 KB) round-trips through every single-byte and UTF-16 wire " +
+    "encoding") {
+    // /root/reference/test/resources/text.txt is real Russian prose —
+    // the one-byte-encoding world this detector exists for. Re-encode
+    // it into each wire charset and require detection + bit-exact
+    // transcode back to the UTF-8 original. Guarded: skips where the
+    // reference checkout is absent.
+    val f = new java.io.File("/root/reference/test/resources/text.txt")
+    assume(f.exists, "reference resources not present")
+    val original = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8)
+    assert(original.count(c => c >= 0x400 && c <= 0x4FF) > 1000,
+      "fixture must be Cyrillic-dominated")
+    val cases = Seq(
+      ("utf-8", original.getBytes(StandardCharsets.UTF_8)),
+      ("windows-1251", original.getBytes("windows-1251")),
+      ("utf-16le", original.getBytes(StandardCharsets.UTF_16LE)),
+      ("utf-16be", original.getBytes(StandardCharsets.UTF_16BE)))
+    cases.foreach { case (want, bytes) =>
+      val d = Charset.decodeToUtf8(bytes)
+      assert(d.charset == want, s"want $want got ${d.charset}")
+      assert(d.text == original, s"[$want] real-corpus round-trip broke")
+    }
+    // dense Cyrillic → the confident 1251 arm
+    assert(Charset.decodeToUtf8(original.getBytes("windows-1251")).confident)
+  }
+
   test("DataFrame layer: one output row per input row, keep columns " +
     "preserved") {
     val s = spark; import s.implicits._
