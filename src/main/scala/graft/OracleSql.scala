@@ -186,6 +186,21 @@ private[graft] object OracleSql {
         |WHERE doc_id IN (SELECT min(doc_id) FROM planted GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
 
+    // the q240 constants through the WARC layer too: container,
+    // gunzip, charset, and tag stripping all replayed arithmetically
+    "q244_warc_charset_pipeline" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, 12),
+        |      k -> chr(1072 + CAST((doc_id + k) % 30 AS INT))), '')
+        |      || ' ' || CAST(doc_id AS VARCHAR) AS cyr
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT doc_id, cyr || ' ' || cyr || ' ' || cyr AS clean,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'utf-8'
+        |    WHEN 1 THEN 'windows-1251' ELSE 'utf-16le' END AS charset,
+        |  (doc_id % 3 <> 1) AS confident
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // locked vs corrupt separable: error strings predicted from the id
     "q236_pdf_error_triage" ->
       """SELECT doc_id,

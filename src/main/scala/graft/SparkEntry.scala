@@ -5809,6 +5809,49 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---- WARC → CHARSET → HTML-STRIP composition (three format
+    //      layers of a real crawl pipeline in one plan): each archive
+    //      carries one HTTP-200 response whose HTML body ships in a
+    //      wire encoding by id%3 (UTF-8 / windows-1251 / BOM'd
+    //      UTF-16LE), half the archives member-gzipped (the Common
+    //      Crawl layout). Extraction, transparent gunzip, charset
+    //      sniff+transcode, and tag stripping must converge on the
+    //      q240 constants — the decode stage sitting exactly where it
+    //      belongs: between the container and the text tier.
+    "q244_warc_charset_pipeline" -> ((s, dir) => {
+      def planted(id: Long): String =
+        (0 until 12).map(k => (0x430 + ((id + k) % 30)).toChar)
+          .mkString + " " + id
+      def page(id: Long): String =
+        "<html><body><p>" + Seq.fill(3)(planted(id)).mkString(" ") +
+          "</p></body></html>"
+      val mk = udf((id: Long) => {
+        val bodyBytes = (id % 3) match {
+          case 0 => page(id)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case 1 => page(id).getBytes("windows-1251")
+          case _ => Array[Byte](0xFF.toByte, 0xFE.toByte) ++ page(id)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+        }
+        val rec = WebArchive.buildWarcRecord("response",
+          s"<urn:uuid:$id-0>", s"http://ex.com/$id",
+          "2026-01-02T03:04:05Z", "application/http; msgtype=response",
+          WebArchive.buildHttpResponse(200, "OK", "text/html", bodyBytes))
+        WebArchive.buildWarcArchive(Seq(rec), memberGzip = id % 2 == 1)
+      })
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").withColumn("blob", mk(col("doc_id")))
+      val resp = WebArchive.extractWarcRecords(blobs, "blob")
+        .where(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(col("doc_id"), col("body"))
+      graft.ext.Charset.transcodeToUtf8(resp, "body")
+        .select(col("doc_id"),
+          TextAnalysis.stripHtml(col("text")).as("clean"),
+          col("charset"), col("confident"))
+        .orderBy("doc_id")
     })
   )
 

@@ -38,15 +38,23 @@ object Xlsx {
                         row: Int, colNum: Int, kind: String, value: String)
 
   /** `name="value"` attribute of a tag body (literal match, quotes
-    * per ECMA-376's own serialization).
+    * per ECMA-376's own serialization). The match must start a token
+    * (preceded by whitespace), so `name="…"` can never resolve from
+    * inside a longer attribute like `longname="…"` or a quoted value.
     */
   private def attr(tag: String, name: String): Option[String] = {
-    val k = tag.indexOf(s"""$name="""")
-    if (k < 0) return None
-    val start = k + name.length + 2
-    val end = tag.indexOf('"', start)
-    if (end < 0) fail("unterminated attribute")
-    Some(tag.substring(start, end))
+    val needle = s"""$name=""""
+    var k = tag.indexOf(needle)
+    while (k >= 0) {
+      if (k > 0 && Character.isWhitespace(tag.charAt(k - 1))) {
+        val start = k + needle.length
+        val end = tag.indexOf('"', start)
+        if (end < 0) fail("unterminated attribute")
+        return Some(tag.substring(start, end))
+      }
+      k = tag.indexOf(needle, k + 1)
+    }
+    None
   }
 
   /** All `<t>`-run texts inside one element body, concatenated —

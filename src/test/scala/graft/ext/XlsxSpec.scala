@@ -30,6 +30,20 @@ class XlsxSpec extends SparkFunSuite {
     assert(byRef(("notes", "A1")).sheetIdx == 1)
   }
 
+  test("attribute lookup never resolves from inside a longer " +
+    "attribute name") {
+    // a sheet tag whose FIRST `name="` substring sits inside
+    // `longname="…"` — the walk must take the real `name` attribute
+    val wb = """<workbook><sheets><sheet longname="WRONG" name="right" sheetId="1"/></sheets></workbook>"""
+    val b = ZipArchive.buildZip(Seq(
+      ("xl/workbook.xml", 8, wb.getBytes),
+      ("xl/worksheets/sheet1.xml", 8,
+        """<worksheet><sheetData><row r="1"><c r="A1"><v>7</v></c></row></sheetData></worksheet>"""
+          .getBytes)))
+    val Right(cells) = Xlsx.parseXlsx(b): @unchecked
+    assert(cells.head.sheet == "right", cells.head.toString)
+  }
+
   test("cell ref arithmetic incl. multi-letter columns") {
     assert(Xlsx.parseRef("A1") == (1, 1))
     assert(Xlsx.parseRef("Z9") == (9, 26))
