@@ -43,6 +43,7 @@ object Instr {
       val start = if (next <= cap) 0 else (next % cap).toInt
       (0 until n).map(i => buf((start + i) % cap))
     }
+    def total: Long = synchronized(next)
   }
 
   private val samples = new java.util.concurrent.ConcurrentHashMap[
@@ -58,6 +59,16 @@ object Instr {
   /** Append one sample (a duration, a file count, a row count). */
   def record(key: String, v: Double): Unit =
     samples.computeIfAbsent(key, _ => new Ring(MaxSamplesPerKey)).add(v)
+
+  /** Total samples EVER recorded under `key` — monotone even after
+    * the ring saturates at [[MaxSamplesPerKey]]. Count-delta consumers
+    * (e.g. "did a compaction fire during this run?") must use this,
+    * not `snapshot()` sizes, which stop growing at the cap.
+    */
+  def totalCount(key: String): Long = {
+    val r = samples.get(key)
+    if (r == null) 0L else r.total
+  }
 
   /** Count of regular files under a local directory tree — the index
     * layout gauge (file explosion is a probe-cost driver: every probe

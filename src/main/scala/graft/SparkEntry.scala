@@ -5630,9 +5630,10 @@ object SparkEntry {
           .select((col("id") + 3000000L).as("id"), col("text"))), 1)
       feed("f2", docs.where(col("id") >= 25)
         .select((col("id") + 2000000L).as("id"), col("text")), 2)
-      def nCompactSamples: Int = graft.Instr.snapshot().toMap
-        .get("streamNearDup.compact_files_before").map(_.size)
-        .getOrElse(0)
+      // monotone total, not snapshot size: snapshot saturates at the
+      // ring cap, totalCount keeps counting
+      def nCompactSamples: Long =
+        graft.Instr.totalCount("streamNearDup.compact_files_before")
       val samplesBefore = nCompactSamples
       graft.Instr.timed("q238.stream")(
         graft.streaming.StreamingNearDup.start(s, inDir.toString,

@@ -159,9 +159,12 @@ object Charset {
     "windows-1251" -> "windows-1251", "windows-1252" -> "windows-1252")
 
   /** Sniff + decode to a UTF-8 String. Total: malformed bytes under
-    * the detected charset become U+FFFD, never an exception.
+    * the detected charset become U+FFFD, and a null blob decodes like
+    * an empty one (the decode of nothing is certainly nothing) —
+    * never an exception.
     */
   def decodeToUtf8(bytes: Array[Byte]): Decoded = {
+    if (bytes == null) return Decoded("", "us-ascii", true)
     val (label, confident, bomLen) = sniff(bytes)
     val cs = java.nio.charset.Charset.forName(jdkName(label))
     val dec = cs.newDecoder()

@@ -278,11 +278,17 @@ object Docx {
 
   // --------------------------------------------------- fixture writer
 
-  private def escXml(s: String): String =
+  /** XML escaping shared by the OPC fixture writers ([[Xlsx]],
+    * [[Pptx]] reuse it like [[decodeEntitiesOf]]): all four named
+    * entities, so the output is safe in BOTH element text and quoted
+    * attribute values (Xlsx writes sheet names into attributes).
+    */
+  private[ext] def escXml(s: String): String =
     s.flatMap {
       case '&' => "&amp;"
       case '<' => "&lt;"
       case '>' => "&gt;"
+      case '"' => "&quot;"
       case c => c.toString
     }
 

@@ -80,23 +80,26 @@ object IndexMaintenance {
   def dataFileCount(spark: SparkSession, path: String): Long =
     dataFilesAndBytes(spark, path)._1
 
-  /** (file count, total bytes) of data files under `path`. */
+  /** (file count, total bytes) of data files under `path`. Recurses
+    * on the FileStatus objects listStatus already returned — one
+    * metadata RPC per DIRECTORY, not per file (this runs twice per
+    * compaction on exactly the many-thousand-file layouts compaction
+    * targets).
+    */
   private def dataFilesAndBytes(spark: SparkSession,
                                 path: String): (Long, Long) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0L, 0L)
-    def walk(p: Path): (Long, Long) = {
-      val st = fs.getFileStatus(p)
+    def walk(st: org.apache.hadoop.fs.FileStatus): (Long, Long) =
       if (st.isDirectory)
-        fs.listStatus(p).iterator
+        fs.listStatus(st.getPath).iterator
           .filterNot(s => s.getPath.getName.startsWith("_") ||
             s.getPath.getName.startsWith("."))
-          .map(s => walk(s.getPath))
+          .map(walk)
           .foldLeft((0L, 0L)) { case ((f, b), (f2, b2)) => (f + f2, b + b2) }
       else (1L, st.getLen)
-    }
-    walk(root)
+    walk(fs.getFileStatus(root))
   }
 
   /** Rewrite the index at `path` so each partition directory holds a
@@ -164,12 +167,19 @@ object IndexMaintenance {
         s"compactIndex: could not move $path aside; index unchanged")
     }
     if (!fs.rename(tmp, root)) {
-      // roll back so the index is never absent past this call
-      fs.rename(old, root)
+      // roll back so the index is never absent past this call — and if
+      // even the rollback rename fails, say WHERE the data actually is
+      // instead of falsely reporting a successful rollback
+      val rolledBack = fs.rename(old, root)
       fs.delete(tmp, true)
       throw new IllegalStateException(
-        s"compactIndex: could not publish compacted layout at $path; " +
-          "rolled back to the fragmented layout")
+        if (rolledBack)
+          s"compactIndex: could not publish compacted layout at $path; " +
+            "rolled back to the fragmented layout"
+        else
+          s"compactIndex: could not publish compacted layout at $path " +
+            s"AND the rollback rename failed — the index data is intact " +
+            s"at $old; restore it by hand before retrying")
     }
     fs.delete(old, true)
     CompactStats(filesBefore, dataFileCount(spark, path), rows)

@@ -174,13 +174,7 @@ object Pptx {
 
   // --------------------------------------------------- fixture writer
 
-  private def escXml(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case c => c.toString
-    }
+  private def escXml(s: String): String = Docx.escXml(s)
 
   /** Minimal valid OPC container: presentation.xml + one slide part
     * per entry of `slides` (each a list of paragraph texts; runs split

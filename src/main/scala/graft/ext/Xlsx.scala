@@ -335,14 +335,7 @@ object Xlsx {
 
   // --------------------------------------------------- fixture writer
 
-  private def escXml(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case '"' => "&quot;"
-      case c => c.toString
-    }
+  private def escXml(s: String): String = Docx.escXml(s)
 
   /** A cell value for [[buildXlsx]]: text cells alternate between the
     * shared-string table and inline strings so both read paths are

@@ -96,9 +96,19 @@ object StreamingNearDup {
           // the caller's (bands, rows, sigBuckets); afterwards the
           // index sidecar's pinned parameters win, so a replayed or
           // later batch can never mix banding regimes.
+          // gate on COMMITTED corpus data, not directory existence: a
+          // crash between the committer creating the directory and the
+          // first task commit would otherwise leave every replay dying
+          // on parquet schema inference over an empty dir
+          val corpusHasData = {
+            val p = new org.apache.hadoop.fs.Path(corpusPath)
+            fs.exists(p) && fs.listStatus(p).exists { s =>
+              val nm = s.getPath.getName
+              !nm.startsWith("_") && !nm.startsWith(".")
+            }
+          }
           DocDedup.foldMinHashBatch(b,
-            if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
-              spark.read.parquet(corpusPath)
+            if (corpusHasData) spark.read.parquet(corpusPath)
             else b.where(org.apache.spark.sql.functions.lit(false)),
             "id", "text", indexPath, s"$matchesPath/batch_id=$batchId",
             num, den, bands, rows, sigBuckets)
