@@ -351,6 +351,118 @@ object Cdc {
     } finally p.unpersist()
   }
 
+  /** The streaming micro-batch kernel behind
+    * [[graft.streaming.StreamingCdcDup]] — the [[DocDedup
+    * .foldMinHashBatch]] discipline applied to the CDC family: the
+    * batch is CHUNKED ONCE (FastCDC over every blob byte is the
+    * CPU-heavy step; the unfused probe + within-pairs + append form
+    * chunked it four times), persisted pre-clustered by the index
+    * partition column, and spent across exactly three Spark actions:
+    * (1) one groupBy-collect for the pruning buckets + the broadcast
+    * row-guard, materializing the cache; (2) the matches WRITE (cross
+    * pairs with the index-side hot cap ∪ within-batch pairs with the
+    * batch-side hot cap — the [[probeCdcIndex]] and
+    * [[sharedChunkPairs]] semantics verbatim, on the shared cache);
+    * (3) the index append straight from the cache — shuffle-free.
+    * First batch: the append becomes the initial [[buildCdcIndex]]
+    * layout + sidecar; afterwards the sidecar's pinned chunking
+    * parameters win, exactly like [[appendToCdcIndex]].
+    */
+  def foldCdcBatch(batch: DataFrame, idCol: String, binCol: String,
+                   indexPath: String, matchesPath: String,
+                   minSize: Int = 2048, avgBits: Int = 13,
+                   maxSize: Int = 65536, hashBuckets: Int = 64,
+                   maxDocsPerChunk: Int = 256, minShared: Int = 1,
+                   broadcastLimit: Long = 4L << 20): Unit = {
+    require(maxDocsPerChunk >= 2,
+      s"cdc: maxDocsPerChunk >= 2, got $maxDocsPerChunk")
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
+    val ss = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val indexExists = fs.exists(
+      new org.apache.hadoop.fs.Path(indexPath, "_graft_cdc_meta"))
+    val (mn, ab, mx, hbuckets) =
+      if (indexExists) readCdcMeta(batch, indexPath)
+      else (minSize, avgBits, maxSize, hashBuckets)
+    require(hbuckets >= 1 && hbuckets <= 4096,
+      s"cdc: hashBuckets must be in [1,4096], got $hbuckets")
+    val pChunks = chunkIdentities(batch, idCol, binCol, mn, ab, mx)
+      .withColumn("hb", pmod(col("chash"), lit(hbuckets.toLong)).cast("int"))
+      .repartition(col("hb")).persist()
+    try {
+      // action 1: pruning buckets + row count, materializing the cache
+      val bucketCounts = graft.Instr.timed("foldCdc.buckets")(
+        pChunks.groupBy("hb").agg(count(lit(1)).as("n")).collect())
+      val buckets = bucketCounts.map(_.getInt(0))
+      val nRows = bucketCounts.map(_.getLong(1)).sum
+      val hasIndexData = indexExists && fs.listStatus(
+        new org.apache.hadoop.fs.Path(indexPath))
+        .exists(_.getPath.getName.startsWith("hb="))
+      val pA = pChunks.select(col("id").as("id_a"), col("chash"),
+        col("csize"), col("csum"), col("hb"))
+      def noPairs = pChunks.select(col("id").as("id_a"),
+          col("id").as("id_b"), lit(0L).as("n_shared"))
+        .where(lit(false))
+      val cross =
+        if (!hasIndexData || buckets.isEmpty) noPairs
+        else {
+          val idxRead = ss.read.parquet(indexPath)
+            .where(col("hb").isin(buckets.toSeq: _*))
+          // the hot cap over the pruned read IS the global count: an
+          // identity's docs all live in its own bucket partition
+          val hot = idxRead.groupBy("chash", "csize", "csum")
+            .agg(countDistinct(col("id")).as("n_docs"))
+            .where(col("n_docs") > maxDocsPerChunk)
+            .select("chash", "csize", "csum")
+          val probeSide =
+            if (nRows <= broadcastLimit) broadcast(pA) else pA
+          idxRead.join(broadcast(hot), Seq("chash", "csize", "csum"),
+              "left_anti")
+            .join(probeSide, Seq("chash", "csize", "csum", "hb"))
+            .where(col("id_a") =!= col("id"))
+            .select(col("id_a"), col("id").as("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(count(lit(1)).as("n_shared"))
+            .where(col("n_shared") >= minShared)
+        }
+      // within-batch pairs: sharedChunkPairs semantics on the SAME
+      // chunk cache (batch-side hot cap; rows are per-doc distinct)
+      val hotW = pChunks.groupBy("chash", "csize", "csum")
+        .agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") > maxDocsPerChunk)
+        .select("chash", "csize", "csum")
+      val keptIds = pChunks.select("id", "chash", "csize", "csum")
+        .join(broadcast(hotW), Seq("chash", "csize", "csum"), "left_anti")
+        // re-pin column ORDER: a usingColumns join fronts the join
+        // keys, and the positional toDF renames below depend on it
+        .select("id", "chash", "csize", "csum")
+      val within = keptIds.toDF("id_a", "chash", "csize", "csum")
+        .join(keptIds.toDF("id_b", "chash", "csize", "csum"),
+          Seq("chash", "csize", "csum"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+      // action 2: the matches write IS the pair-plan materialization
+      graft.Instr.timed("foldCdc.matches")(
+        cross.unionByName(within)
+          .write.mode("overwrite").parquet(matchesPath))
+      // action 3: fold the batch into the index straight from the
+      // pre-clustered cache — no re-chunk, no re-shuffle
+      graft.Instr.timed("foldCdc.append")(
+        pChunks.write.mode(if (indexExists) "append" else "overwrite")
+          .partitionBy("hb").parquet(indexPath))
+      if (!indexExists) {
+        val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
+          "_graft_cdc_meta"), true)
+        try out.write(s"$mn,$ab,$mx,$hbuckets".getBytes("UTF-8"))
+        finally out.close()
+      }
+    } finally pChunks.unpersist()
+  }
+
   /** Fixed-size chunk identities of a binary column — the reference's
     * alignment-fragile baseline, exposed for side-by-side gates:
     * `(…keep…, chunk_idx, csize, chash, csum)` with the SAME content

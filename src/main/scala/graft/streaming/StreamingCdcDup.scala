@@ -62,31 +62,19 @@ object StreamingCdcDup {
         val sc = spark.sparkContext
         val beforeCp = sc.getPersistentRDDs.keySet
         try {
-          val b = batch.localCheckpoint()
-          val indexExists = fs.exists(
-            new org.apache.hadoop.fs.Path(indexPath, "_graft_cdc_meta"))
-          val cross =
-            if (indexExists)
-              Cdc.probeCdcIndex(b, "id", "blob", indexPath,
-                maxDocsPerChunk, minShared)
-            else
-              b.select(col("id").as("id_a"), col("id").as("id_b"),
-                lit(0L).as("n_shared")).where(lit(false))
-          val within = Cdc.sharedChunkPairs(b, "id", "blob",
-              minSize, avgBits, maxSize, maxDocsPerChunk)
-            .where(col("n_shared") >= minShared)
-          cross.unionByName(within)
-            .write.mode("overwrite")
-            .parquet(s"$matchesPath/batch_id=$batchId")
-          // fold the batch into state AFTER matching: a batch never
-          // probes its own rows through the index (the join form above
-          // owns within-batch pairs). An existing index's sidecar wins
-          // over the caller's parameters on append.
-          if (indexExists)
-            Cdc.appendToCdcIndex(b, "id", "blob", indexPath)
-          else
-            Cdc.buildCdcIndex(b, "id", "blob", indexPath,
-              minSize, avgBits, maxSize, hashBuckets)
+          // The fused kernel: cross-index + within-batch pairs →
+          // matches/batch_id=N, then the index append — from ONE
+          // chunking of the batch (the unfused probe + pairs + append
+          // form chunked every blob four times). First batch builds
+          // the index with the caller's parameters; afterwards the
+          // sidecar's pinned chunking regime wins. No batch
+          // checkpoint: file-source micro-batches re-read cheaply, and
+          // the fold persists the chunk cache, the one genuinely
+          // multi-consumed intermediate.
+          Cdc.foldCdcBatch(batch, "id", "blob", indexPath,
+            s"$matchesPath/batch_id=$batchId",
+            minSize, avgBits, maxSize, hashBuckets,
+            maxDocsPerChunk, minShared)
           // between-batches = the single writer's maintenance window
           graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
             "streamCdcDup")(Cdc.compactCdcIndex(spark, indexPath))
