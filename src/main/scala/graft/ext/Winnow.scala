@@ -233,6 +233,114 @@ object Winnow {
                          path: String): IndexMaintenance.CompactStats =
     IndexMaintenance.compactIndex(ss, path, Seq("fb"))
 
+  /** The streaming micro-batch kernel behind
+    * [[graft.streaming.StreamingExactDup]] — the
+    * [[graft.ext.DocDedup.foldMinHashBatch]] discipline for the
+    * winnow family: the batch is FINGERPRINTED ONCE (with grams),
+    * persisted pre-clustered by the index partition column, and spent
+    * across three actions: (1) one groupBy-collect for the pruning
+    * buckets + broadcast row-guard, materializing the cache; (2) the
+    * matches write — cross pairs with the index-side hot cap
+    * ([[probeWinnowIndex]] semantics) ∪ within-batch pairs with the
+    * batch-side hot cap, verified gram-vs-gram straight from the
+    * cache (`gram_a = gram_b` IS [[verifiedPairs]]' substring check —
+    * the gram is `text.substring(pos, pos+k)` — so no text re-join);
+    * (3) the index append from the same cache, shuffle-free. First
+    * batch: the append becomes the initial [[buildWinnowIndex]]
+    * layout + sidecar; afterwards the sidecar's pinned (k, w,
+    * fpBuckets) win, exactly like [[appendToWinnowIndex]].
+    */
+  def foldWinnowBatch(batch: DataFrame, idCol: String, textCol: String,
+                      indexPath: String, matchesPath: String,
+                      k: Int = 8, w: Int = 16, fpBuckets: Int = 64,
+                      maxDocsPerFp: Int = 256, minMatches: Int = 1,
+                      broadcastLimit: Long = 4L << 20): Unit = {
+    require(maxDocsPerFp >= 2,
+      s"winnow: maxDocsPerFp >= 2, got $maxDocsPerFp")
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
+    val ss = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val indexExists = fs.exists(
+      new org.apache.hadoop.fs.Path(indexPath, "_graft_winnow_meta"))
+    val (ek, ew, eBuckets) =
+      if (indexExists) readWinnowMeta(batch, indexPath)
+      else (k, w, fpBuckets)
+    require(eBuckets >= 1 && eBuckets <= 4096,
+      s"fpBuckets must be in [1,4096], got $eBuckets")
+    val pFps = fingerprintsWithGrams(batch, idCol, textCol, ek, ew)
+      .withColumn("fb", pmod(col("fp"), lit(eBuckets.toLong)).cast("int"))
+      .repartition(col("fb")).persist()
+    try {
+      // action 1: pruning buckets + row count, materializing the cache
+      val bucketCounts = graft.Instr.timed("foldWinnow.buckets")(
+        pFps.groupBy("fb").agg(count(lit(1)).as("n")).collect())
+      val buckets = bucketCounts.map(_.getInt(0))
+      val nRows = bucketCounts.map(_.getLong(1)).sum
+      val hasIndexData = indexExists && fs.listStatus(
+        new org.apache.hadoop.fs.Path(indexPath))
+        .exists(_.getPath.getName.startsWith("fb="))
+      val pA = pFps.select(col("id").as("id_a"), col("fp"),
+        col("gram"), col("fb"))
+      def noPairs = pFps.select(col("id").as("id_a"),
+          col("id").as("id_b"), lit(0L).as("n_matches"))
+        .where(lit(false))
+      val cross =
+        if (!hasIndexData || buckets.isEmpty) noPairs
+        else {
+          val idxRead = ss.read.parquet(indexPath)
+            .where(col("fb").isin(buckets.toSeq: _*))
+          // hot cap over the pruned read (== the global per-fp count)
+          val hot = idxRead.groupBy("fp")
+            .agg(countDistinct(col("id")).as("n_docs"))
+            .where(col("n_docs") > maxDocsPerFp)
+            .select("fp")
+          val probeSide =
+            if (nRows <= broadcastLimit) broadcast(pA) else pA
+          idxRead.join(broadcast(hot), Seq("fp"), "left_anti")
+            .join(probeSide, Seq("fp", "gram", "fb")) // gram-verified
+            .where(col("id_a") =!= col("id"))
+            .select(col("id_a"), col("id").as("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(count(lit(1)).as("n_matches"))
+            .where(col("n_matches") >= minMatches)
+        }
+      // within-batch pairs: verifiedPairs semantics on the cache —
+      // batch-side hot cap, then gram-verified candidates
+      val hotW = pFps.groupBy("fp")
+        .agg(countDistinct(col("id")).as("n_docs"))
+        .where(col("n_docs") > maxDocsPerFp)
+        .select("fp")
+      val keptFps = pFps.select("id", "fp", "gram")
+        .join(broadcast(hotW), Seq("fp"), "left_anti")
+        // re-pin column ORDER: a usingColumns join fronts the join
+        // keys, and the positional toDF renames below depend on it
+        .select("id", "fp", "gram")
+      val within = keptFps.toDF("id_a", "fp", "gram")
+        .join(keptFps.toDF("id_b", "fp", "gram"), Seq("fp", "gram"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_matches"))
+        .where(col("n_matches") >= minMatches)
+      // action 2: the matches write IS the pair-plan materialization
+      graft.Instr.timed("foldWinnow.matches")(
+        cross.unionByName(within)
+          .write.mode("overwrite").parquet(matchesPath))
+      // action 3: fold the batch into the index straight from the
+      // pre-clustered cache — no re-fingerprint, no re-shuffle
+      graft.Instr.timed("foldWinnow.append")(
+        pFps.write.mode(if (indexExists) "append" else "overwrite")
+          .partitionBy("fb").parquet(indexPath))
+      if (!indexExists) {
+        val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
+          "_graft_winnow_meta"), true)
+        try out.write(s"$ek,$ew,$eBuckets".getBytes("UTF-8"))
+        finally out.close()
+      }
+    } finally pFps.unpersist()
+  }
+
   /** Exact-substring matches of a probe batch against the index:
     * `(id_a = probe id, id_b = indexed id, n_matches)` with every
     * match gram-verified against the STORED gram (no corpus re-read,

@@ -63,31 +63,18 @@ object StreamingExactDup {
         val sc = spark.sparkContext
         val beforeCp = sc.getPersistentRDDs.keySet
         try {
-          val b = batch.localCheckpoint() // probe + within + append below
-          val indexExists = fs.exists(
-            new org.apache.hadoop.fs.Path(indexPath, "_graft_winnow_meta"))
-          val cross =
-            if (indexExists)
-              Winnow.probeWinnowIndex(b, "id", "text", indexPath,
-                maxDocsPerFp, minMatches)
-            else
-              b.select(col("id").as("id_a"), col("id").as("id_b"),
-                lit(0L).as("n_matches")).where(lit(false))
-          val within = Winnow.verifiedPairs(b, "id", "text", k, w,
-              maxDocsPerFp)
-            .where(col("n_matches") >= minMatches)
-          cross.unionByName(within)
-            .write.mode("overwrite")
-            .parquet(s"$matchesPath/batch_id=$batchId")
-          // fold the batch into state AFTER matching: a batch never
-          // probes its own rows through the index (the join form above
-          // owns within-batch pairs). An existing index's (k, w,
-          // fpBuckets) sidecar wins over the caller's on append.
-          if (indexExists)
-            Winnow.appendToWinnowIndex(b, "id", "text", indexPath)
-          else
-            Winnow.buildWinnowIndex(b, "id", "text", indexPath,
-              k, w, fpBuckets)
+          // The fused kernel: cross-index + within-batch matches →
+          // matches/batch_id=N, then the index append — from ONE
+          // fingerprinting of the batch (the unfused probe + pairs +
+          // append form fingerprinted it three times and re-joined the
+          // texts to verify; the fold verifies gram-vs-gram from its
+          // own cache). First batch builds the index with the caller's
+          // parameters; afterwards the sidecar's pinned regime wins.
+          // No batch checkpoint: file-source micro-batches re-read
+          // cheaply.
+          Winnow.foldWinnowBatch(batch, "id", "text", indexPath,
+            s"$matchesPath/batch_id=$batchId",
+            k, w, fpBuckets, maxDocsPerFp, minMatches)
           // between-batches = the single writer's maintenance window
           graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
             "streamExactDup")(Winnow.compactWinnowIndex(spark, indexPath))
