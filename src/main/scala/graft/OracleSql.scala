@@ -201,6 +201,16 @@ private[graft] object OracleSql {
         |  (doc_id % 3 <> 1) AS confident
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // hiragana text, detected charset, and confidence from id
+    // arithmetic (chr(12354 + (id+k)%20) = U+3042..U+3055)
+    "q245_charset_shiftjis" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(range(0, 12),
+        |    k -> chr(12354 + CAST((doc_id + k) % 20 AS INT))), '')
+        |    || ' ' || CAST(doc_id AS VARCHAR) AS text,
+        |  'shift_jis' AS charset, CAST(1 AS BOOLEAN) AS confident
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
     // locked vs corrupt separable: error strings predicted from the id
     "q236_pdf_error_triage" ->
       """SELECT doc_id,

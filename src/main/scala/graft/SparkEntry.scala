@@ -5853,6 +5853,24 @@ object SparkEntry {
           TextAnalysis.stripHtml(col("text")).as("clean"),
           col("charset"), col("confident"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Shift-JIS detection + transcode (the last encoding family
+    //      the r13 verdict named): planted hiragana by id arithmetic
+    //      (12 chars chr(0x3042 + (id+k)%20)), wire-encoded Shift_JIS.
+    //      Detection rides the 0x81–0x9F lead density (kana rows) —
+    //      the discriminator validity alone cannot provide, since
+    //      dense Cyrillic also walks as SJIS pairs; the oracle
+    //      reproduces text, charset, and confidence per row.
+    "q245_charset_shiftjis" -> ((s, dir) => {
+      val mk = udf((id: Long) =>
+        ((0 until 12).map(k => (0x3042 + ((id + k) % 20)).toChar)
+          .mkString + " " + id).getBytes("Shift_JIS"))
+      val blobs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id").withColumn("raw", mk(col("doc_id")))
+      graft.ext.Charset.transcodeToUtf8(blobs, "raw")
+        .select("doc_id", "text", "charset", "confident")
+        .orderBy("doc_id")
     })
   )
 

@@ -32,7 +32,13 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructT
   *      prefixes ≤ 0x07, against a freely-varying low-byte parity.
   *      Both run BEFORE the UTF-8 verdict — byte-wise, Latin UTF-16
   *      is NUL-studded ASCII and Cyrillic UTF-16LE is plain ASCII.
-  *   4. Single-byte fallback — the two-family discriminator: dense
+  *   4. Shift-JIS — the buffer walks cleanly as SJIS code units AND
+  *      lead bytes 0x81–0x9F (the kana/kanji rows real Japanese text
+  *      is full of) cover ≥ 10% of it. Validity alone cannot
+  *      discriminate — dense Cyrillic pairs also validate as
+  *      lead-0xE0 kanji — but no single-byte European text
+  *      concentrates 0x81–0x9F leads. Confident at ≥ 20% density.
+  *   5. Single-byte fallback — the two-family discriminator: dense
   *      high-byte text (ratio ≥ 0.3) reads as `windows-1251` (a
   *      non-Latin one-byte script is mostly high bytes — Cyrillic is
   *      the family this engine targets, the reference's home turf),
@@ -145,7 +151,29 @@ object Charset {
     // confidence so downstream can route it to review
     if (validUtf8)
       return (if (multi) "utf-8" else "us-ascii", zTotal == 0, 0)
-    // 4. single-byte fallback by high-byte density
+    // 4. Shift-JIS: walk the buffer as SJIS code units (JIS X 0208
+    // §appendix 1 byte ranges). Real Japanese text is FULL of lead
+    // bytes 0x81–0x9F (hiragana/katakana live on lead 0x82/0x83), a
+    // range single-byte Cyrillic (0xC0–0xFF letters) and Latin text
+    // (sparse ≥0xC0 accents) essentially never concentrates — dense
+    // Cyrillic pairs DO validate as SJIS lead-0xE0 kanji, so validity
+    // alone cannot discriminate; the 0x81–0x9F density can.
+    var sjisValid = true; var lead9F = 0; i = 0
+    while (sjisValid && i < n) {
+      val c = b(i)
+      if (c < 0x80 || (c >= 0xA1 && c <= 0xDF)) i += 1 // ASCII or kana
+      else if (((c >= 0x81 && c <= 0x9F) || (c >= 0xE0 && c <= 0xEF)) &&
+        i + 1 < n && {
+          val t = b(i + 1)
+          (t >= 0x40 && t <= 0x7E) || (t >= 0x80 && t <= 0xFC)
+        }) {
+        if (c <= 0x9F) lead9F += 1
+        i += 2
+      } else sjisValid = false
+    }
+    if (sjisValid && lead9F * 10 >= n)
+      return ("shift_jis", lead9F * 5 >= n, 0)
+    // 5. single-byte fallback by high-byte density
     var high = 0; i = 0
     while (i < n) { if (b(i) >= 0x80) high += 1; i += 1 }
     if (high * 10 >= n * 3) ("windows-1251", high * 2 >= n, 0)
@@ -153,7 +181,7 @@ object Charset {
   }
 
   private val jdkName = Map(
-    "utf-8" -> "UTF-8", "us-ascii" -> "US-ASCII",
+    "utf-8" -> "UTF-8", "us-ascii" -> "US-ASCII", "shift_jis" -> "Shift_JIS",
     "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE",
     "utf-32le" -> "UTF-32LE", "utf-32be" -> "UTF-32BE",
     "windows-1251" -> "windows-1251", "windows-1252" -> "windows-1252")

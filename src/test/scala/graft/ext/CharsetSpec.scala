@@ -55,6 +55,24 @@ class CharsetSpec extends SparkFunSuite {
     assert(be.charset == "utf-16be" && be.confident && be.text == latin)
   }
 
+  test("Shift-JIS: dense kana/kanji leads detected, round-trips; " +
+    "Cyrillic look-alikes stay windows-1251") {
+    val jp = "こんにちは世界 これは日本語のテキストです 12"
+    val d = Charset.decodeToUtf8(jp.getBytes("Shift_JIS"))
+    assert(d.charset == "shift_jis", d.toString)
+    assert(d.confident)
+    assert(d.text == jp, s"SJIS round-trip broke: ${d.text}")
+    // dense Cyrillic VALIDATES as SJIS pairs for some strings, but has
+    // zero 0x81-0x9F leads — must stay windows-1251
+    val ru = "привет мир это кириллический текст"
+    assert(Charset.decodeToUtf8(ru.getBytes("windows-1251")).charset ==
+      "windows-1251")
+    // sparse-accent Latin stays 1252 (its 0xE0-0xEF accents pair as
+    // SJIS leads but never as 0x81-0x9F ones)
+    assert(Charset.decodeToUtf8(fr.getBytes("windows-1252")).charset ==
+      "windows-1252")
+  }
+
   test("totality: arbitrary bytes always decode to exactly one row, " +
     "never an exception") {
     val rnd = new scala.util.Random(42)
