@@ -1154,6 +1154,106 @@ object DocDedup {
       .write.mode("append").partitionBy("q", "qb").parquet(path)
   }
 
+  /** The streaming micro-batch kernel behind
+    * [[graft.streaming.StreamingImageDedup]] — the [[foldMinHashBatch]]
+    * discipline for the Hamming family: the batch's signatures are
+    * quarter-exploded ONCE into a cache persisted pre-clustered by the
+    * index partition columns, then spent across three actions:
+    * (1) one groupBy-collect for the pruning coordinates + broadcast
+    * row-guard, materializing the cache; (2) the matches write —
+    * cross pairs against the pruned index read
+    * ([[probeHammingIndex]] semantics) ∪ within-batch pairs via the
+    * quarter self-join with the signature carried in-row (so
+    * [[hammingPairs]]' two re-joins back to the signature table are
+    * gone — verification happens inside the candidate join);
+    * (3) the index append straight from the cache, shuffle-free.
+    * First batch: the append becomes the initial
+    * [[buildHammingIndex]] layout + sidecar; afterwards the sidecar's
+    * pinned qBuckets win, exactly like [[appendToHammingIndex]].
+    */
+  def foldHammingBatch(sig: DataFrame, idCol: String, hashCol: String,
+                       indexPath: String, matchesPath: String,
+                       maxDist: Int, qBuckets: Int = 64,
+                       broadcastLimit: Long = 4L << 20): Unit = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"quarter blocking guarantees recall only to distance 3, got $maxDist")
+    require(broadcastLimit >= 1,
+      s"broadcastLimit must be >= 1, got $broadcastLimit")
+    val ss = sig.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val indexExists = fs.exists(
+      new org.apache.hadoop.fs.Path(indexPath, "_graft_hamming_meta"))
+    val eQBuckets =
+      if (indexExists) readHammingMeta(ss, indexPath) else qBuckets
+    require(eQBuckets >= 1 && eQBuckets <= 4096,
+      s"qBuckets must be in [1,4096], got $eQBuckets")
+    val quarters = sig.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(q =>
+          shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("q", "qv")))
+      .withColumn("qb", pmod(col("qv"), lit(eQBuckets.toLong)).cast("int"))
+      .repartition(col("q"), col("qb")).persist()
+    try {
+      // action 1: pruning coordinates + row count, materializing the
+      // cache (one image decode / signature pass total)
+      val coordCounts = graft.Instr.timed("foldHamming.coords")(
+        quarters.groupBy("q", "qb").agg(count(lit(1)).as("n")).collect())
+      val coords = coordCounts.map(r => (r.getInt(0), r.getInt(1)))
+      val nRows = coordCounts.map(_.getLong(2)).sum
+      val hasIndexData = indexExists && fs.listStatus(
+        new org.apache.hadoop.fs.Path(indexPath))
+        .exists(_.getPath.getName.startsWith("q="))
+      val pA = quarters.select(col("id").as("id_a"),
+        col("sh").as("sh_a"), col("q"), col("qv"))
+      def noPairs = quarters.select(col("id").as("id_a"),
+          col("id").as("id_b"), lit(0).as("hamming"))
+        .where(lit(false))
+      val cross =
+        if (!hasIndexData || coords.isEmpty) noPairs
+        else {
+          val bucketFilter = (col("q").cast("long") * 4096L +
+            col("qb").cast("long")).isin(
+            coords.map { case (q, b) => q.toLong * 4096L + b }.toSeq: _*)
+          val probeSide =
+            if (nRows <= broadcastLimit) broadcast(pA) else pA
+          ss.read.parquet(indexPath).where(bucketFilter)
+            .join(probeSide, Seq("q", "qv"))
+            .where(col("id_a") =!= col("id"))
+            .select(col("id_a"), col("id").as("id_b"),
+              bit_count(col("sh_a").bitwiseXOR(col("sh"))).as("hamming"))
+            .where(col("hamming") <= maxDist)
+            .distinct()
+        }
+      // within-batch pairs: hammingPairs semantics with the signature
+      // carried through the candidate join (hamming is a function of
+      // the pair, so distinct over the triple == distinct candidates)
+      val qIds = quarters.select("id", "sh", "q", "qv")
+      val within = qIds.toDF("id_a", "sh_a", "q", "qv")
+        .join(qIds.toDF("id_b", "sh_b", "q", "qv"), Seq("q", "qv"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .where(col("hamming") <= maxDist)
+        .distinct()
+      // action 2: the matches write IS the pair-plan materialization
+      graft.Instr.timed("foldHamming.matches")(
+        cross.unionByName(within)
+          .write.mode("overwrite").parquet(matchesPath))
+      // action 3: append straight from the pre-clustered cache
+      graft.Instr.timed("foldHamming.append")(
+        quarters.write.mode(if (indexExists) "append" else "overwrite")
+          .partitionBy("q", "qb").parquet(indexPath))
+      if (!indexExists) {
+        val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
+          "_graft_hamming_meta"), true)
+        try out.write(s"$eQBuckets".getBytes("UTF-8"))
+        finally out.close()
+      }
+    } finally quarters.unpersist()
+  }
+
   /** Compact a [[buildHammingIndex]] layout back to one file per
     * (q, qb) partition — same contract as [[compactMinHashIndex]].
     */

@@ -58,31 +58,19 @@ object StreamingImageDedup {
         val sc = spark.sparkContext
         val beforeCp = sc.getPersistentRDDs.keySet
         try {
+          // The fused kernel: cross-index + within-batch matches →
+          // matches/batch_id=N, then the index append — the batch's
+          // images are DECODED ONCE into the fold's quarter cache (the
+          // unfused probe + pairs + append form checkpointed the
+          // signatures and still exploded them three times, and
+          // hammingPairs re-joined the signature table twice to
+          // verify). First batch builds the index with the caller's
+          // qBuckets; afterwards the sidecar's pinned value wins.
           val sig = Multimodal.imageHash(batch, "blob")
             .where(col("img.ok"))
             .select(col("id"), col("img.ahash").as("ahash"))
-            .localCheckpoint() // consumed by probe, within, and append
-          val indexExists = fs.exists(
-            new org.apache.hadoop.fs.Path(indexPath, "_graft_hamming_meta"))
-          // cross-batch matches against the accumulated index, plus the
-          // batch's own within-batch pairs (a dup arriving twice in ONE
-          // batch must not be missed)
-          val cross =
-            if (indexExists)
-              DocDedup.probeHammingIndex(sig, "id", "ahash", indexPath,
-                maxDist)
-            else
-              sig.select(col("id").as("id_a"), col("id").as("id_b"),
-                lit(0).as("hamming")).where(lit(false))
-          val within = DocDedup.hammingPairs(sig, "id", "ahash", maxDist)
-          cross.unionByName(within)
-            .write.mode("overwrite")
-            .parquet(s"$matchesPath/batch_id=$batchId")
-          if (indexExists)
-            DocDedup.appendToHammingIndex(sig, "id", "ahash", indexPath)
-          else
-            DocDedup.buildHammingIndex(sig, "id", "ahash", indexPath,
-              qBuckets)
+          DocDedup.foldHammingBatch(sig, "id", "ahash", indexPath,
+            s"$matchesPath/batch_id=$batchId", maxDist, qBuckets)
           // between-batches = the single writer's maintenance window
           graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
             "streamImageDedup")(
