@@ -273,6 +273,7 @@ object Cdc {
   }
 
   private def readCdcMeta(df: DataFrame, path: String): (Int, Int, Int, Int) = {
+    IndexMaintenance.ensureReadable(df.sparkSession, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_cdc_meta"))
@@ -288,13 +289,15 @@ object Cdc {
     * come from the sidecar. Callers own id-uniqueness across batches.
     */
   def appendToCdcIndex(newDocs: DataFrame, idCol: String, binCol: String,
-                       path: String): Unit = {
-    val (mn, ab, mx, hb) = readCdcMeta(newDocs, path)
-    chunkIdentities(newDocs, idCol, binCol, mn, ab, mx)
-      .withColumn("hb", pmod(col("chash"), lit(hb.toLong)).cast("int"))
-      .repartition(col("hb"))
-      .write.mode("append").partitionBy("hb").parquet(path)
-  }
+                       path: String): Unit =
+    WriterLock.withLock(newDocs.sparkSession, path, "appendToCdcIndex") {
+      IndexMaintenance.ensureReadable(newDocs.sparkSession, path)
+      val (mn, ab, mx, hb) = readCdcMeta(newDocs, path)
+      chunkIdentities(newDocs, idCol, binCol, mn, ab, mx)
+        .withColumn("hb", pmod(col("chash"), lit(hb.toLong)).cast("int"))
+        .repartition(col("hb"))
+        .write.mode("append").partitionBy("hb").parquet(path)
+    }
 
   /** Compact a [[buildCdcIndex]] layout back to one file per (hb)
     * partition — probe results bit-identical, sidecar preserved; see
@@ -451,14 +454,18 @@ object Cdc {
           .write.mode("overwrite").parquet(matchesPath))
       // action 3: fold the batch into the index straight from the
       // pre-clustered cache — no re-chunk, no re-shuffle
-      graft.Instr.timed("foldCdc.append")(
-        pChunks.write.mode(if (indexExists) "append" else "overwrite")
-          .partitionBy("hb").parquet(indexPath))
-      if (!indexExists) {
-        val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
-          "_graft_cdc_meta"), true)
-        try out.write(s"$mn,$ab,$mx,$hbuckets".getBytes("UTF-8"))
-        finally out.close()
+      // (index mutation → writer lock, reentrant on the stream thread)
+      WriterLock.withLock(batch.sparkSession, indexPath,
+        "foldCdcBatch.append") {
+        graft.Instr.timed("foldCdc.append")(
+          pChunks.write.mode(if (indexExists) "append" else "overwrite")
+            .partitionBy("hb").parquet(indexPath))
+        if (!indexExists) {
+          val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
+            "_graft_cdc_meta"), true)
+          try out.write(s"$mn,$ab,$mx,$hbuckets".getBytes("UTF-8"))
+          finally out.close()
+        }
       }
     } finally pChunks.unpersist()
   }

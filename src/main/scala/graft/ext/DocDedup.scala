@@ -545,10 +545,13 @@ object DocDedup {
                            textCol: String, path: String): Unit = {
     val ss = newDocs.sparkSession
     graft.functions.VecExpressions.register(ss)
-    val (bands, rows, sigBuckets) = readMinHashMeta(ss, path)
-    bandedSignatures(newDocs, idCol, textCol, bands, rows, sigBuckets)
-      .repartition(col("band"), col("sb"))
-      .write.mode("append").partitionBy("band", "sb").parquet(path)
+    WriterLock.withLock(ss, path, "appendToMinHashIndex") {
+      IndexMaintenance.ensureReadable(ss, path)
+      val (bands, rows, sigBuckets) = readMinHashMeta(ss, path)
+      bandedSignatures(newDocs, idCol, textCol, bands, rows, sigBuckets)
+        .repartition(col("band"), col("sb"))
+        .write.mode("append").partitionBy("band", "sb").parquet(path)
+    }
   }
 
   /** Compact a [[buildMinHashIndex]] layout back to one file per
@@ -565,6 +568,7 @@ object DocDedup {
 
   private def readMinHashMeta(ss: SparkSession,
                               path: String): (Int, Int, Int) = {
+    IndexMaintenance.ensureReadable(ss, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
     val metaIn = fs.open(
@@ -827,15 +831,19 @@ object DocDedup {
       } finally cand.unpersist()
       // action 4: fold the batch into the index straight from the
       // banded cache — already clustered by (band, sb), so this is a
-      // shuffle-free write (no third banding pass, no re-shuffle)
-      graft.Instr.timed("foldMinHash.append")(
-        banded.write.mode(if (indexExists) "append" else "overwrite")
-          .partitionBy("band", "sb").parquet(indexPath))
-      if (!indexExists) {
-        val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
-          "_graft_minhash_meta"), true)
-        try out.write(s"$eBands,$eRows,$eSigBuckets".getBytes("UTF-8"))
-        finally out.close()
+      // shuffle-free write (no third banding pass, no re-shuffle).
+      // Index mutation → writer lock (reentrant on the stream's
+      // foreachBatch thread, which may also hold it around compaction).
+      WriterLock.withLock(ss, indexPath, "foldMinHashBatch.append") {
+        graft.Instr.timed("foldMinHash.append")(
+          banded.write.mode(if (indexExists) "append" else "overwrite")
+            .partitionBy("band", "sb").parquet(indexPath))
+        if (!indexExists) {
+          val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
+            "_graft_minhash_meta"), true)
+          try out.write(s"$eBands,$eRows,$eSigBuckets".getBytes("UTF-8"))
+          finally out.close()
+        }
       }
     } finally banded.unpersist()
   }
@@ -1125,6 +1133,7 @@ object DocDedup {
   }
 
   private def readHammingMeta(ss: SparkSession, path: String): Int = {
+    IndexMaintenance.ensureReadable(ss, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
     val metaIn = fs.open(
@@ -1142,17 +1151,19 @@ object DocDedup {
     * day's images, append, probe — never re-index the corpus.
     */
   def appendToHammingIndex(sig: DataFrame, idCol: String, hashCol: String,
-                           path: String): Unit = {
-    val qBuckets = readHammingMeta(sig.sparkSession, path)
-    sig.select(col(idCol).as("id"), col(hashCol).as("sh"))
-      .select(col("id"), col("sh"),
-        posexplode(array((0 until 4).map(q =>
-          shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*))
-          .as(Seq("q", "qv")))
-      .withColumn("qb", pmod(col("qv"), lit(qBuckets.toLong)).cast("int"))
-      .repartition(col("q"), col("qb"))
-      .write.mode("append").partitionBy("q", "qb").parquet(path)
-  }
+                           path: String): Unit =
+    WriterLock.withLock(sig.sparkSession, path, "appendToHammingIndex") {
+      IndexMaintenance.ensureReadable(sig.sparkSession, path)
+      val qBuckets = readHammingMeta(sig.sparkSession, path)
+      sig.select(col(idCol).as("id"), col(hashCol).as("sh"))
+        .select(col("id"), col("sh"),
+          posexplode(array((0 until 4).map(q =>
+            shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*))
+            .as(Seq("q", "qv")))
+        .withColumn("qb", pmod(col("qv"), lit(qBuckets.toLong)).cast("int"))
+        .repartition(col("q"), col("qb"))
+        .write.mode("append").partitionBy("q", "qb").parquet(path)
+    }
 
   /** The streaming micro-batch kernel behind
     * [[graft.streaming.StreamingImageDedup]] — the [[foldMinHashBatch]]
@@ -1242,14 +1253,18 @@ object DocDedup {
         cross.unionByName(within)
           .write.mode("overwrite").parquet(matchesPath))
       // action 3: append straight from the pre-clustered cache
-      graft.Instr.timed("foldHamming.append")(
-        quarters.write.mode(if (indexExists) "append" else "overwrite")
-          .partitionBy("q", "qb").parquet(indexPath))
-      if (!indexExists) {
-        val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
-          "_graft_hamming_meta"), true)
-        try out.write(s"$eQBuckets".getBytes("UTF-8"))
-        finally out.close()
+      // (index mutation → writer lock, reentrant on the stream thread)
+      WriterLock.withLock(sig.sparkSession, indexPath,
+        "foldHammingBatch.append") {
+        graft.Instr.timed("foldHamming.append")(
+          quarters.write.mode(if (indexExists) "append" else "overwrite")
+            .partitionBy("q", "qb").parquet(indexPath))
+        if (!indexExists) {
+          val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
+            "_graft_hamming_meta"), true)
+          try out.write(s"$eQBuckets".getBytes("UTF-8"))
+          finally out.close()
+        }
       }
     } finally quarters.unpersist()
   }

@@ -30,19 +30,27 @@ import org.apache.spark.sql.functions.col
   * after — compaction changes the file layout, never the row set —
   * and IndexMaintenanceSpec plus the q237/q238 gates pin that.
   *
-  * Concurrency contract (inherited from Catalog.compact): run it from
-  * the maintenance window of the ONE writer that owns the index — it
-  * swaps the index directory out from under concurrent readers, and a
-  * concurrent append's files would be lost with the old directory.
-  * The streaming folds honor this by compacting between micro-batches
-  * on the foreachBatch thread (the stream IS the single writer).
+  * Concurrency contract — ENFORCED since r15 (r14 verdict ask #4): run
+  * it from the maintenance window of the ONE writer that owns the
+  * index — it swaps the index directory out from under concurrent
+  * readers, and a concurrent append's files would be lost with the old
+  * directory. [[compactIndex]] and every family's append helper take
+  * the [[WriterLock]] sentinel for the duration of the mutation, so a
+  * second overlapping writer fails loudly instead of silently losing
+  * files. The streaming folds honor the contract by compacting between
+  * micro-batches on the foreachBatch thread (the stream IS the single
+  * writer; the lock is reentrant on that thread).
   *
   * Crash safety: the rewrite stages into `.compact_tmp_*` (invisible
   * to parquet partition discovery, idempotently re-runnable); the
   * vulnerable window is the two renames of the swap, and a crash
-  * between them leaves the index at `.compact_old_*` — recoverable by
-  * hand, never silently corrupt (the live path is either the old
-  * layout, the new layout, or absent; it never mixes the two).
+  * between them leaves the index at `.compact_old_*` — never silently
+  * corrupt (the live path is either the old layout, the new layout, or
+  * absent; it never mixes the two), and AUTO-HEALED since r15 (r14
+  * verdict ask #3): [[recoverInterruptedSwap]] detects the residue and
+  * deterministically completes or rolls back; probes and appends call
+  * [[ensureReadable]] at open, so a month-old unattended stream
+  * recovers on its next touch instead of needing a human.
   */
 object IndexMaintenance {
 
@@ -50,29 +58,72 @@ object IndexMaintenance {
   final case class CompactStats(filesBefore: Long, filesAfter: Long,
                                 rows: Long)
 
+  /** WHEN the streaming maintenance window fires (r14 verdict ask #2).
+    * `every` is the fixed cadence (compact after every n-th batch);
+    * `maxDataFiles` is the COST trigger — compact when the index's data
+    * file count exceeds the threshold, whatever the batch cadence. A
+    * real stream's fragmentation rate varies with batch size and bucket
+    * touch patterns, so cadence alone over- or under-compacts; the
+    * file-count signal is the probe's actual cost driver (listing + a
+    * parquet footer read per file). Either alone or both together
+    * (fire on whichever comes first).
+    */
+  final case class CompactPolicy(every: Option[Int] = None,
+                                 maxDataFiles: Option[Long] = None) {
+    require(every.forall(_ >= 1),
+      s"compactEvery must be >= 1, got $every")
+    require(maxDataFiles.forall(_ >= 1),
+      s"compactMaxFiles must be >= 1, got $maxDataFiles")
+    def isDefined: Boolean = every.isDefined || maxDataFiles.isDefined
+  }
+
   private def maxPartBytes(spark: SparkSession): Long =
     spark.sessionState.conf.filesMaxPartitionBytes
 
-  /** The streaming maintenance window: run `compact` after every
-    * `every`-th micro-batch (counting from 1, so `Some(2)` compacts
-    * after batches 1, 3, 5, …). Called from a foreachBatch body
-    * BETWEEN batches — the stream is the index's single writer there,
-    * which is exactly the concurrency contract [[compactIndex]]
-    * requires. Gauges land in gate_stages as
-    * `<prefix>.compact_files_before/after`.
+  /** The streaming maintenance window: run `compact` after a micro-batch
+    * when `policy` says so. Called from a foreachBatch body BETWEEN
+    * batches — the stream is the index's single writer there, which is
+    * exactly the concurrency contract [[compactIndex]] requires.
+    * `dataFiles` is evaluated lazily, only when the cost trigger is
+    * configured and the cadence has not already fired (one directory
+    * listing per micro-batch — metadata-cheap next to the batch's own
+    * parquet commits, and it IS the quantity the trigger is about).
+    * Gauges land in gate_stages: `<prefix>.compact_files_before/after`
+    * on a fire; `<prefix>.compact_skipped_files` with the observed
+    * count on a cost-check that declined — so a gate can prove both the
+    * skip and the fire from the recorded samples.
+    */
+  def maybeCompact(policy: CompactPolicy, batchId: Long,
+                   gaugePrefix: String, dataFiles: => Long)
+                  (compact: => CompactStats): Unit = {
+    if (!policy.isDefined) return
+    val cadenceDue = policy.every.exists(n => (batchId + 1) % n == 0)
+    val costDue = !cadenceDue && policy.maxDataFiles.exists { threshold =>
+      val files = dataFiles
+      val due = files > threshold
+      if (!due)
+        graft.Instr.record(s"$gaugePrefix.compact_skipped_files",
+          files.toDouble)
+      due
+    }
+    if (cadenceDue || costDue) {
+      val stats = compact
+      graft.Instr.record(s"$gaugePrefix.compact_files_before",
+        stats.filesBefore.toDouble)
+      graft.Instr.record(s"$gaugePrefix.compact_files_after",
+        stats.filesAfter.toDouble)
+    }
+  }
+
+  /** Fixed-cadence form (the pre-r15 signature; the five index-backed
+    * streams pass their `compactEvery` knob through here when no cost
+    * threshold is configured).
     */
   def maybeCompact(every: Option[Int], batchId: Long,
                    gaugePrefix: String)
                   (compact: => CompactStats): Unit =
-    every.foreach { n =>
-      if ((batchId + 1) % n == 0) {
-        val stats = compact
-        graft.Instr.record(s"$gaugePrefix.compact_files_before",
-          stats.filesBefore.toDouble)
-        graft.Instr.record(s"$gaugePrefix.compact_files_after",
-          stats.filesAfter.toDouble)
-      }
-    }
+    maybeCompact(CompactPolicy(every = every), batchId, gaugePrefix, 0L)(
+      compact)
 
   /** Count of data files under `path` (sidecars and `_SUCCESS`
     * markers excluded) — the probe-cost gauge gate_stages tracks.
@@ -110,9 +161,19 @@ object IndexMaintenance {
     * A sidecar-only index (built from an empty corpus) is a no-op.
     */
   def compactIndex(spark: SparkSession, path: String,
-                   partitionCols: Seq[String]): CompactStats = {
+                   partitionCols: Seq[String]): CompactStats =
+    WriterLock.withLock(spark, path, "compactIndex") {
+      compactLocked(spark, path, partitionCols)
+    }
+
+  private def compactLocked(spark: SparkSession, path: String,
+                            partitionCols: Seq[String]): CompactStats = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A previous compaction of this index may have crashed mid-swap —
+    // heal first (we hold the writer lock), so the rewrite below reads
+    // the healed live layout and stale residue can't accumulate.
+    recoverLocked(spark, fs, root)
     require(fs.exists(root), s"no index at $path")
     val entries = fs.listStatus(root)
     val hasData = entries.exists(s => !s.getPath.getName.startsWith("_") &&
@@ -183,5 +244,106 @@ object IndexMaintenance {
     }
     fs.delete(old, true)
     CompactStats(filesBefore, dataFileCount(spark, path), rows)
+  }
+
+  /** Open-time guard every probe/append path calls: when the index
+    * directory is readable this is ONE `exists` RPC and nothing else
+    * (the overwhelmingly common case — residue sweeping next to a
+    * healthy live layout stays the writer's job, done at its next
+    * compaction, so readers never mutate under a live writer). When the
+    * directory is ABSENT, the only non-bug explanation is a compaction
+    * that crashed between its two swap renames — heal it
+    * deterministically via [[recoverInterruptedSwap]] (which takes the
+    * writer lock: if a live compactor is mid-swap right now, this
+    * throws loudly instead of racing it).
+    */
+  def ensureReadable(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) recoverInterruptedSwap(spark, path)
+  }
+
+  /** Deterministic recovery from a compaction crash (r14 verdict ask
+    * #3) — resolves `.compact_tmp_*` / `.compact_old_*` residue around
+    * the index at `path`:
+    *
+    *  - live layout PRESENT: any residue is garbage — a `tmp` is an
+    *    unpublished staging rewrite (crash before the swap began), an
+    *    `old` is the already-replaced layout (crash after publish,
+    *    before its delete). Both are swept; the live rows are untouched.
+    *  - live layout ABSENT with matching (old, tmp): the crash hit
+    *    BETWEEN the two swap renames. The tmp rewrite was row-count
+    *    verified BEFORE the swap began (compactIndex's invariant), so
+    *    recovery COMPLETES the swap forward — publish tmp, delete old.
+    *  - live layout ABSENT with only `old` (or a tmp from a different
+    *    swap attempt): roll back — `old` is the authoritative data.
+    *
+    * Takes the [[WriterLock]] (healing is a mutation): concurrent
+    * healers serialize, and a probe that reaches this while a live
+    * compactor is inside its microsecond swap window fails loudly
+    * rather than renaming under it. Returns a description of what was
+    * done, or None when no residue exists.
+    */
+  def recoverInterruptedSwap(spark: SparkSession,
+                             path: String): Option[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    WriterLock.withLock(spark, path, "recoverInterruptedSwap") {
+      recoverLocked(spark, fs, root)
+    }
+  }
+
+  private def recoverLocked(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path): Option[String] = {
+    val parent = root.getParent
+    val name = root.getName
+    if (parent == null || !fs.exists(parent)) return None
+    val entries = fs.listStatus(parent)
+    val tmps = entries.filter(
+      _.getPath.getName.startsWith(s".compact_tmp_$name-"))
+    val olds = entries.filter(
+      _.getPath.getName.startsWith(s".compact_old_$name-"))
+    if (tmps.isEmpty && olds.isEmpty) return None
+    def uuidOf(p: Path): String =
+      p.getName.substring(p.getName.lastIndexOf('-') + 1)
+    if (fs.exists(root)) {
+      (tmps ++ olds).foreach(s => fs.delete(s.getPath, true))
+      Some(s"swept ${tmps.length} staging + ${olds.length} " +
+        s"replaced-layout leftovers next to live index $root")
+    } else {
+      // One interrupted swap at most under the single-writer contract;
+      // more residue than that means the contract was violated — stop
+      // and make a human look rather than guess which data is current.
+      require(olds.length <= 1 && tmps.length <= 1,
+        s"ambiguous compaction residue at $parent for $name: " +
+          s"${olds.length} old + ${tmps.length} tmp dirs — " +
+          "single-writer contract violated, recover by hand")
+      (olds.headOption, tmps.headOption) match {
+        case (Some(old), Some(tmp))
+            if uuidOf(old.getPath) == uuidOf(tmp.getPath) =>
+          if (!fs.rename(tmp.getPath, root))
+            throw new IllegalStateException(
+              s"recoverInterruptedSwap: could not publish ${tmp.getPath} " +
+                s"as $root; data intact at ${old.getPath} and ${tmp.getPath}")
+          fs.delete(old.getPath, true)
+          Some(s"completed interrupted swap: published ${tmp.getPath}")
+        case (Some(old), strayTmp) =>
+          if (!fs.rename(old.getPath, root))
+            throw new IllegalStateException(
+              s"recoverInterruptedSwap: could not roll ${old.getPath} " +
+                s"back to $root; data intact at ${old.getPath}")
+          strayTmp.foreach(s => fs.delete(s.getPath, true))
+          Some(s"rolled back interrupted swap from ${old.getPath}")
+        case (None, Some(tmp)) =>
+          // no live layout and no old: the swap never started, so this
+          // staging dir belongs to no recoverable index — sweep it, the
+          // (absent) index stays absent and the caller's open fails
+          // with the honest "no index" error
+          fs.delete(tmp.getPath, true)
+          Some(s"swept orphan staging dir ${tmp.getPath} (no live index)")
+        case (None, None) => None
+      }
+    }
   }
 }

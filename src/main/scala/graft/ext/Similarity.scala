@@ -241,6 +241,7 @@ object Similarity {
     graft.functions.VecExpressions.register(ss)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    IndexMaintenance.ensureReadable(ss, path)
     val metaIn = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_lsh_meta"))
     val Array(bits, tables) =
       try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
@@ -453,6 +454,8 @@ object Similarity {
                        path: String): Unit = {
     val ss = corpus.sparkSession
     graft.functions.VecExpressions.register(ss)
+    WriterLock.withLock(ss, path, "appendToIvfIndex") {
+    IndexMaintenance.ensureReadable(ss, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
     val metaIn = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta"))
@@ -473,6 +476,7 @@ object Similarity {
       .select("cid", "id", "vec")
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(path)
+    }
   }
 
   /** Compact a [[buildIvfIndex]] layout back to one file per (cid)
@@ -520,6 +524,7 @@ object Similarity {
     graft.functions.VecExpressions.register(ss)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    IndexMaintenance.ensureReadable(ss, path)
     val metaIn = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta"))
     val lines =
       try scala.io.Source.fromInputStream(metaIn, "UTF-8").getLines().toArray
@@ -882,6 +887,7 @@ object Similarity {
     val ss = queries.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    IndexMaintenance.ensureReadable(ss, path)
     val metaIn = fs.open(
       new org.apache.hadoop.fs.Path(path, "_graft_pq_meta"))
     val lines =
@@ -992,6 +998,7 @@ object Similarity {
     graft.functions.VecExpressions.register(ss)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    IndexMaintenance.ensureReadable(ss, path)
     val metaIn = fs.open(
       new org.apache.hadoop.fs.Path(path, "_graft_ivfpq_meta"))
     val lines =
@@ -1051,6 +1058,7 @@ object Similarity {
   private def readPqMeta(ss: org.apache.spark.sql.SparkSession,
                          path: String, metaFile: String)
       : (Array[Int], Array[Array[Float]], Array[Array[Float]]) = {
+    IndexMaintenance.ensureReadable(ss, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
     val metaIn = fs.open(new org.apache.hadoop.fs.Path(path, metaFile))
@@ -1076,12 +1084,15 @@ object Similarity {
   def appendToPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String): Unit = {
     val ss = corpus.sparkSession
-    val (header, _, sample) = readPqMeta(ss, path, "_graft_pq_meta")
-    val Array(m, _, dsub) = header
-    require(sample.nonEmpty, "cannot append to an empty-codebook index")
-    pqEncode(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
-        codewordsDf(ss, sample, m, dsub), dsub)
-      .write.mode("append").parquet(path)
+    WriterLock.withLock(ss, path, "appendToPqIndex") {
+      IndexMaintenance.ensureReadable(ss, path)
+      val (header, _, sample) = readPqMeta(ss, path, "_graft_pq_meta")
+      val Array(m, _, dsub) = header
+      require(sample.nonEmpty, "cannot append to an empty-codebook index")
+      pqEncode(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+          codewordsDf(ss, sample, m, dsub), dsub)
+        .write.mode("append").parquet(path)
+    }
   }
 
   /** Incremental batch append into a [[buildIvfPqIndex]] layout: cell
@@ -1093,6 +1104,8 @@ object Similarity {
                          vecCol: String, path: String): Unit = {
     val ss = corpus.sparkSession
     graft.functions.VecExpressions.register(ss)
+    WriterLock.withLock(ss, path, "appendToIvfPqIndex") {
+    IndexMaintenance.ensureReadable(ss, path)
     val (header, cents, sample) = readPqMeta(ss, path, "_graft_ivfpq_meta")
     val Array(_, m, _, dsub) = header
     require(cents.nonEmpty && sample.nonEmpty,
@@ -1115,5 +1128,6 @@ object Similarity {
         .repartition(col("cid"))
         .write.mode("append").partitionBy("cid").parquet(path)
     } finally c.unpersist()
+    }
   }
 }

@@ -202,6 +202,7 @@ object Winnow {
   }
 
   private def readWinnowMeta(df: DataFrame, path: String): (Int, Int, Int) = {
+    IndexMaintenance.ensureReadable(df.sparkSession, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(path, "_graft_winnow_meta"))
@@ -217,13 +218,15 @@ object Winnow {
     * the sidecar. Callers own id-uniqueness across batches.
     */
   def appendToWinnowIndex(newDocs: DataFrame, idCol: String,
-                          textCol: String, path: String): Unit = {
-    val (k, w, fpBuckets) = readWinnowMeta(newDocs, path)
-    fingerprintsWithGrams(newDocs, idCol, textCol, k, w)
-      .withColumn("fb", pmod(col("fp"), lit(fpBuckets.toLong)).cast("int"))
-      .repartition(col("fb"))
-      .write.mode("append").partitionBy("fb").parquet(path)
-  }
+                          textCol: String, path: String): Unit =
+    WriterLock.withLock(newDocs.sparkSession, path, "appendToWinnowIndex") {
+      IndexMaintenance.ensureReadable(newDocs.sparkSession, path)
+      val (k, w, fpBuckets) = readWinnowMeta(newDocs, path)
+      fingerprintsWithGrams(newDocs, idCol, textCol, k, w)
+        .withColumn("fb", pmod(col("fp"), lit(fpBuckets.toLong)).cast("int"))
+        .repartition(col("fb"))
+        .write.mode("append").partitionBy("fb").parquet(path)
+    }
 
   /** Compact a [[buildWinnowIndex]] layout back to one file per (fb)
     * partition — probe results bit-identical, sidecar preserved; see
@@ -329,14 +332,18 @@ object Winnow {
           .write.mode("overwrite").parquet(matchesPath))
       // action 3: fold the batch into the index straight from the
       // pre-clustered cache — no re-fingerprint, no re-shuffle
-      graft.Instr.timed("foldWinnow.append")(
-        pFps.write.mode(if (indexExists) "append" else "overwrite")
-          .partitionBy("fb").parquet(indexPath))
-      if (!indexExists) {
-        val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
-          "_graft_winnow_meta"), true)
-        try out.write(s"$ek,$ew,$eBuckets".getBytes("UTF-8"))
-        finally out.close()
+      // (index mutation → writer lock, reentrant on the stream thread)
+      WriterLock.withLock(batch.sparkSession, indexPath,
+        "foldWinnowBatch.append") {
+        graft.Instr.timed("foldWinnow.append")(
+          pFps.write.mode(if (indexExists) "append" else "overwrite")
+            .partitionBy("fb").parquet(indexPath))
+        if (!indexExists) {
+          val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
+            "_graft_winnow_meta"), true)
+          try out.write(s"$ek,$ew,$eBuckets".getBytes("UTF-8"))
+          finally out.close()
+        }
       }
     } finally pFps.unpersist()
   }

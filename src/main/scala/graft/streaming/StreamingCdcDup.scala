@@ -42,9 +42,11 @@ object StreamingCdcDup {
             minShared: Int = 1,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
-            compactEvery: Option[Int] = None): StreamingQuery = {
-    require(compactEvery.forall(_ >= 1),
-      s"compactEvery must be >= 1, got $compactEvery")
+            compactEvery: Option[Int] = None,
+            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+    // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
+    val policy = graft.ext.IndexMaintenance.CompactPolicy(
+      every = compactEvery, maxDataFiles = compactMaxFiles)
     val indexPath = s"$workDir/index"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
@@ -76,8 +78,10 @@ object StreamingCdcDup {
             minSize, avgBits, maxSize, hashBuckets,
             maxDocsPerChunk, minShared)
           // between-batches = the single writer's maintenance window
-          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
-            "streamCdcDup")(Cdc.compactCdcIndex(spark, indexPath))
+          graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
+            "streamCdcDup",
+            graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
+            Cdc.compactCdcIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))

@@ -41,9 +41,11 @@ object StreamingExactDup {
             maxDocsPerFp: Int = 256, minMatches: Int = 1,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
-            compactEvery: Option[Int] = None): StreamingQuery = {
-    require(compactEvery.forall(_ >= 1),
-      s"compactEvery must be >= 1, got $compactEvery")
+            compactEvery: Option[Int] = None,
+            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+    // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
+    val policy = graft.ext.IndexMaintenance.CompactPolicy(
+      every = compactEvery, maxDataFiles = compactMaxFiles)
     val indexPath = s"$workDir/index"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
@@ -76,8 +78,10 @@ object StreamingExactDup {
             s"$matchesPath/batch_id=$batchId",
             k, w, fpBuckets, maxDocsPerFp, minMatches)
           // between-batches = the single writer's maintenance window
-          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
-            "streamExactDup")(Winnow.compactWinnowIndex(spark, indexPath))
+          graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
+            "streamExactDup",
+            graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
+            Winnow.compactWinnowIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))

@@ -36,9 +36,11 @@ object StreamingImageDedup {
             maxDist: Int, qBuckets: Int = 64,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
-            compactEvery: Option[Int] = None): StreamingQuery = {
-    require(compactEvery.forall(_ >= 1),
-      s"compactEvery must be >= 1, got $compactEvery")
+            compactEvery: Option[Int] = None,
+            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+    // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
+    val policy = graft.ext.IndexMaintenance.CompactPolicy(
+      every = compactEvery, maxDataFiles = compactMaxFiles)
     val indexPath = s"$workDir/index"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
@@ -72,8 +74,9 @@ object StreamingImageDedup {
           DocDedup.foldHammingBatch(sig, "id", "ahash", indexPath,
             s"$matchesPath/batch_id=$batchId", maxDist, qBuckets)
           // between-batches = the single writer's maintenance window
-          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
-            "streamImageDedup")(
+          graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
+            "streamImageDedup",
+            graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
             DocDedup.compactHammingIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values

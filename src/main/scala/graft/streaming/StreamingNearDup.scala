@@ -56,9 +56,13 @@ object StreamingNearDup {
             bands: Int = 16, rows: Int = 8, sigBuckets: Int = 8,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
-            compactEvery: Option[Int] = None): StreamingQuery = {
-    require(compactEvery.forall(_ >= 1),
-      s"compactEvery must be >= 1, got $compactEvery")
+            compactEvery: Option[Int] = None,
+            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+    // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
+    // (compactMaxFiles fires on the index's measured data-file count,
+    // the probe-cost signal, instead of a fixed batch cadence)
+    val policy = graft.ext.IndexMaintenance.CompactPolicy(
+      every = compactEvery, maxDataFiles = compactMaxFiles)
     val indexPath = s"$workDir/index"
     val corpusPath = s"$workDir/corpus"
     val matchesPath = s"$workDir/matches"
@@ -113,8 +117,10 @@ object StreamingNearDup {
             "id", "text", indexPath, s"$matchesPath/batch_id=$batchId",
             num, den, bands, rows, sigBuckets)
           b.write.mode("append").parquet(corpusPath)
-          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
-            "streamNearDup")(DocDedup.compactMinHashIndex(spark, indexPath))
+          graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
+            "streamNearDup",
+            graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
+            DocDedup.compactMinHashIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))

@@ -38,9 +38,11 @@ object StreamingVecDup {
             nlist: Int = 8, nprobe: Int = 4,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
-            compactEvery: Option[Int] = None): StreamingQuery = {
-    require(compactEvery.forall(_ >= 1),
-      s"compactEvery must be >= 1, got $compactEvery")
+            compactEvery: Option[Int] = None,
+            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+    // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
+    val policy = graft.ext.IndexMaintenance.CompactPolicy(
+      every = compactEvery, maxDataFiles = compactMaxFiles)
     val indexPath = s"$workDir/index"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
@@ -86,8 +88,10 @@ object StreamingVecDup {
           else
             Similarity.buildIvfIndex(b, "id", "vec", indexPath, nlist)
           // between-batches = the single writer's maintenance window
-          graft.ext.IndexMaintenance.maybeCompact(compactEvery, batchId,
-            "streamVecDup")(Similarity.compactIvfIndex(spark, indexPath))
+          graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
+            "streamVecDup",
+            graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
+            Similarity.compactIvfIndex(spark, indexPath))
         } finally {
           sc.getPersistentRDDs.filterNot(kv => beforeCp(kv._1)).values
             .foreach(_.unpersist(false))

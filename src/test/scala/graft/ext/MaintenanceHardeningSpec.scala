@@ -1,0 +1,272 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import graft.operators.Catalog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** r14 verdict asks #2/#3/#4: cost-triggered compaction policy,
+  * deterministic auto-heal of an interrupted compaction swap (the swap
+  * killed at EACH of its two windows), and single-writer enforcement
+  * (two interleaved committers — the loser throws, the survivor's rows
+  * verify) for both the ext/ indexes (lock sentinel) and the catalog
+  * (the pre-existing version-rename CAS, pinned here).
+  */
+class MaintenanceHardeningSpec extends SparkFunSuite {
+
+  private def docs(lo: Int, hi: Int): DataFrame = {
+    val s = spark; import s.implicits._
+    (lo until hi).map(i =>
+      (i.toLong, s"document number $i about topic ${i % 7} with shared " +
+        s"phrasing token$i end")).toDF("id", "text")
+  }
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def probe(idx: String): Seq[String] = sorted(
+    DocDedup.probeMinHashIndex(
+      docs(0, 10).select((col("id") + 1000L).as("id"), col("text")),
+      docs(0, 40), "id", "text", idx, 7, 10))
+
+  private def freshIndex(tag: String): (String, Seq[String], Long) = {
+    val idx = tempDir(tag) + "/index"
+    DocDedup.buildMinHashIndex(docs(0, 40), "id", "text", idx,
+      bands = 4, rows = 2, sigBuckets = 4)
+    val pre = probe(idx)
+    assert(pre.nonEmpty)
+    (idx, pre, spark.read.parquet(idx).count())
+  }
+
+  // ------------------------------------------------ compaction policy
+
+  test("maybeCompact policy: cadence, cost-threshold skip/fire, lazy " +
+    "file count") {
+    var fires = 0
+    var evals = 0
+    def stats = IndexMaintenance.CompactStats(10, 1, 5)
+    def run(policy: IndexMaintenance.CompactPolicy, batchId: Long,
+            files: Long): Unit =
+      IndexMaintenance.maybeCompact(policy, batchId, "mhs-policy",
+        { evals += 1; files }) { fires += 1; stats }
+
+    // fixed cadence every 2: fires after batches 1 and 3 only, and the
+    // file count is never consulted
+    (0L to 3L).foreach(b =>
+      run(IndexMaintenance.CompactPolicy(every = Some(2)), b, 999L))
+    assert(fires == 2 && evals == 0)
+
+    // cost threshold: at/below skips (and records the observed count),
+    // above fires — regardless of batch id
+    fires = 0
+    val skipsBefore = graft.Instr.totalCount("mhs-policy.compact_skipped_files")
+    run(IndexMaintenance.CompactPolicy(maxDataFiles = Some(100L)), 0L, 100L)
+    assert(fires == 0 && evals == 1)
+    assert(graft.Instr.totalCount("mhs-policy.compact_skipped_files") ==
+      skipsBefore + 1)
+    run(IndexMaintenance.CompactPolicy(maxDataFiles = Some(100L)), 0L, 101L)
+    assert(fires == 1 && evals == 2)
+
+    // both: cadence already due → the cost check is not even evaluated
+    run(IndexMaintenance.CompactPolicy(every = Some(1),
+      maxDataFiles = Some(100L)), 0L, 0L)
+    assert(fires == 2 && evals == 2)
+
+    // neither configured → nothing runs
+    run(IndexMaintenance.CompactPolicy(), 0L, 0L)
+    assert(fires == 2 && evals == 2)
+
+    intercept[IllegalArgumentException](
+      IndexMaintenance.CompactPolicy(maxDataFiles = Some(0L)))
+    intercept[IllegalArgumentException](
+      IndexMaintenance.CompactPolicy(every = Some(0)))
+  }
+
+  // ------------------------------------------- interrupted-swap heal
+
+  test("heal: crash BETWEEN the two swap renames (old + verified tmp) " +
+    "completes forward; probes read a consistent row set") {
+    val (idx, pre, rows) = freshIndex("mhs-heal-mid")
+    val fs = fsOf(idx)
+    val root = new Path(idx)
+    // Reproduce compactIndex's exact on-disk state at the inter-rename
+    // window: a verified staged rewrite at .compact_tmp_* and the live
+    // layout moved aside to .compact_old_* with the SAME uuid, root
+    // absent. (The tmp here is a full identical layout — rename the
+    // build aside, rebuild, rename the rebuild aside too.)
+    val tmp = new Path(root.getParent, ".compact_tmp_index-abc12345")
+    val old = new Path(root.getParent, ".compact_old_index-abc12345")
+    assert(fs.rename(root, tmp))
+    DocDedup.buildMinHashIndex(docs(0, 40), "id", "text", idx,
+      bands = 4, rows = 2, sigBuckets = 4)
+    assert(fs.rename(root, old))
+    assert(!fs.exists(root) && fs.exists(tmp) && fs.exists(old))
+    // open-time heal: the probe's index open detects and completes
+    assert(probe(idx) == pre)
+    assert(fs.exists(root) && !fs.exists(tmp) && !fs.exists(old))
+    assert(spark.read.parquet(idx).count() == rows)
+  }
+
+  test("heal: crash AFTER aside-rename with no publishable tmp (the " +
+    "rollback window) restores the old layout") {
+    val (idx, pre, rows) = freshIndex("mhs-heal-old")
+    val fs = fsOf(idx)
+    val root = new Path(idx)
+    val old = new Path(root.getParent, ".compact_old_index-beadfeed")
+    assert(fs.rename(root, old))
+    assert(probe(idx) == pre) // heal rolled the old layout back
+    assert(fs.exists(root) && !fs.exists(old))
+    assert(spark.read.parquet(idx).count() == rows)
+  }
+
+  test("heal: crash BEFORE the swap (stray tmp, live root) leaves " +
+    "probes untouched; the next compaction sweeps the residue") {
+    val (idx, pre, rows) = freshIndex("mhs-heal-pre")
+    val fs = fsOf(idx)
+    val root = new Path(idx)
+    val tmp = new Path(root.getParent, ".compact_tmp_index-cafe0000")
+    fs.mkdirs(tmp)
+    val junk = fs.create(new Path(tmp, "part-junk.parquet"), true)
+    try junk.write(Array.fill(8)(0x5A.toByte)) finally junk.close()
+    // live root is authoritative: reads ignore the dot-dir entirely
+    assert(probe(idx) == pre)
+    val stats = DocDedup.compactMinHashIndex(spark, idx)
+    assert(stats.rows == rows)
+    assert(!fs.exists(tmp), "compaction must sweep pre-swap residue")
+    assert(probe(idx) == pre)
+  }
+
+  test("heal: ambiguous residue (two interrupted swaps) fails loudly " +
+    "instead of guessing") {
+    val (idx, _, _) = freshIndex("mhs-heal-ambig")
+    val fs = fsOf(idx)
+    val root = new Path(idx)
+    assert(fs.rename(root, new Path(root.getParent,
+      ".compact_old_index-11111111")))
+    fs.mkdirs(new Path(root.getParent, ".compact_old_index-22222222"))
+    val ex = intercept[IllegalArgumentException](
+      IndexMaintenance.recoverInterruptedSwap(spark, idx))
+    assert(ex.getMessage.contains("ambiguous"))
+  }
+
+  // -------------------------------------------- single-writer locks
+
+  test("writer lock: a foreign holder makes append AND compact fail " +
+    "loudly; breakLock remediates") {
+    val (idx, pre, rows) = freshIndex("mhs-lock")
+    val fs = fsOf(idx)
+    // a crashed (or live foreign) writer's sentinel
+    fs.create(WriterLock.lockPath(new Path(idx)), false).close()
+    assert(WriterLock.isLocked(spark, idx))
+    intercept[WriterLock.ConcurrentWriterException](
+      DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx))
+    intercept[WriterLock.ConcurrentWriterException](
+      DocDedup.compactMinHashIndex(spark, idx))
+    // nothing was written by the losers
+    assert(spark.read.parquet(idx).count() == rows)
+    assert(probe(idx) == pre)
+    // remediation: break the stale sentinel, writers work again
+    assert(WriterLock.breakLock(spark, idx))
+    assert(!WriterLock.isLocked(spark, idx))
+    DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx)
+    assert(spark.read.parquet(idx).count() > rows)
+  }
+
+  test("writer lock: two interleaved committers — the loser throws " +
+    "while the survivor completes and its rows verify") {
+    val (idx, _, rows) = freshIndex("mhs-lock-race")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    var survivorDone = false
+    val survivor = new Thread(() =>
+      WriterLock.withLock(spark, idx, "survivor") {
+        entered.countDown()
+        release.await()
+        // the survivor is the single writer: its append lands
+        DocDedup.appendToMinHashIndex(docs(40, 60), "id", "text", idx)
+        survivorDone = true
+      })
+    survivor.start()
+    entered.await()
+    // the interleaved second committer loses LOUDLY, before writing
+    intercept[WriterLock.ConcurrentWriterException](
+      DocDedup.appendToMinHashIndex(docs(60, 80), "id", "text", idx))
+    release.countDown()
+    survivor.join(120000)
+    assert(survivorDone)
+    val after = spark.read.parquet(idx)
+    assert(after.count() > rows)
+    // survivor's ids present, loser's absent
+    assert(after.where(col("id") >= 40 && col("id") < 60).count() > 0)
+    assert(after.where(col("id") >= 60).count() == 0)
+    // sentinel released: a later (properly serialized) writer proceeds
+    DocDedup.appendToMinHashIndex(docs(60, 80), "id", "text", idx)
+    assert(spark.read.parquet(idx).where(col("id") >= 60).count() > 0)
+  }
+
+  test("writer lock: reentrant on the owning thread (fold append " +
+    "inside the stream's maintenance window), released on exit and " +
+    "on exception") {
+    val dir = tempDir("mhs-lock-reent")
+    val got = WriterLock.withLock(spark, dir, "outer") {
+      WriterLock.withLock(spark, dir, "inner") { 42 }
+    }
+    assert(got == 42)
+    assert(!WriterLock.isLocked(spark, dir))
+    intercept[RuntimeException](
+      WriterLock.withLock(spark, dir, "boom") {
+        throw new RuntimeException("boom")
+      })
+    assert(!WriterLock.isLocked(spark, dir))
+  }
+
+  test("heal under a held lock: a reader that would heal an unreadable " +
+    "index fails loudly instead of racing a live compactor") {
+    val (idx, _, _) = freshIndex("mhs-lock-heal")
+    val fs = fsOf(idx)
+    val root = new Path(idx)
+    assert(fs.rename(root, new Path(root.getParent,
+      ".compact_old_index-feedf00d")))
+    fs.create(WriterLock.lockPath(root), false).close()
+    intercept[WriterLock.ConcurrentWriterException](probe(idx))
+    WriterLock.breakLock(spark, idx)
+    assert(probe(idx).nonEmpty) // now heals and reads
+  }
+
+  // ------------------------------------------------ catalog CAS pin
+
+  test("catalog: two interleaved committers — version-rename CAS makes " +
+    "the loser throw; the survivor's rows verify") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("mhs-cat-race") + "/catalog"
+    val noDeltas = Seq.empty[(String, Long)].toDF("hash", "delta")
+    val cat = new Catalog(s, dir, 1, 0L)
+    cat.commitRuns(Seq(Catalog.RunSpec(1L, "a.bin", 64, "sha",
+      Seq(("aa00", 0L, 2L)).toDF("hash", "line", "refs_num"), noDeltas)))
+    assert(cat.currentVersion == 1L)
+    // A committer whose base version is STALE (it read the catalog
+    // before the commit above landed) — the deterministic form of the
+    // interleaving, since commitRuns re-reads currentVersion at entry.
+    val stale = new Catalog(s, dir, 1, 0L) {
+      override def currentVersion: Long = 0L
+    }
+    val ex = intercept[IllegalStateException](
+      stale.commitRuns(Seq(Catalog.RunSpec(2L, "b.bin", 64, "sha",
+        Seq(("bb00", 0L, 1L)).toDF("hash", "line", "refs_num"), noDeltas))))
+    assert(ex.getMessage.contains("concurrent commit"))
+    // loser's bytes never became visible; survivor intact
+    assert(cat.currentVersion == 1L)
+    assert(cat.files().count() == 1L)
+    assert(cat.links().where(col("hash") === "bb00").count() == 0L)
+    assert(cat.links().where(col("hash") === "aa00").count() == 1L)
+    // and a properly re-based retry of the loser succeeds at v2
+    cat.commitRuns(Seq(Catalog.RunSpec(2L, "b.bin", 64, "sha",
+      Seq(("bb00", 0L, 1L)).toDF("hash", "line", "refs_num"), noDeltas)))
+    assert(cat.currentVersion == 2L)
+    assert(cat.links().where(col("hash") === "bb00").count() == 1L)
+  }
+}
