@@ -4881,6 +4881,31 @@ private[graft] object OracleSql {
         |  SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text)
         |  FROM k1 a JOIN k1 b ON a.p1 = b.p1 AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(d AS INTEGER) AS dist, d <= 1 AS is_dup
-        |FROM p ORDER BY id_a, id_b""".stripMargin
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    // Bounded-retention streaming dedup: kept = first occurrence per
+    // (key, episode) — within an episode, key k's first firing is at
+    // offset k (offsets cycle k, k+10 … k+40 over 50 ids), so kept ⇔
+    // doc_id % 50 < 10; the episode column re-emits each key once per
+    // 10 000 s epoch after the watermark evicts the previous state.
+    "q246_streaming_watermark_dedup" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 10 AS BIGINT) AS key,
+        |       CAST(doc_id // 50 AS BIGINT) AS episode
+        |FROM documents
+        |WHERE doc_id < 150 AND doc_id % 50 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    // Cost-triggered compaction: deterministic one-file-per-band layout
+    // (sigBuckets = 1) gives post-batch counts 8/16/24 against the
+    // 20-file threshold — two skips, one fire, 8 files after the
+    // rewrite; match constants are the q238 protocol's.
+    "q247_streaming_cost_compact" ->
+      """SELECT doc_id, CAST(1 AS BOOLEAN) AS found,
+        |       CAST(1 AS BOOLEAN) AS within_ok,
+        |       CAST(2 AS BIGINT) AS n_skips,
+        |       CAST(1 AS BIGINT) AS n_fires,
+        |       CAST(8 AS BIGINT) AS files_final
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
   )
 }

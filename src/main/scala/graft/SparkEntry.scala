@@ -5871,6 +5871,155 @@ object SparkEntry {
       graft.ext.Charset.transcodeToUtf8(blobs, "raw")
         .select("doc_id", "text", "charset", "confident")
         .orderBy("doc_id")
+    }),
+
+    // ---- BOUNDED-RETENTION STREAMING DEDUP gate (r14 verdict ask #6):
+    //      `dedupWithinWatermark` (the built-in state-store
+    //      `dropDuplicatesWithinWatermark` path — SURVEY §2.8's
+    //      bounded-retention variant) driven through a real
+    //      MemoryStream, with its kept-set predicted EXACTLY by the
+    //      DuckDB oracle. The fixture is three "episodes" of the same
+    //      10 keys: within an episode each key fires 5 times across
+    //      TWO micro-batches (offsets k, k+10 … k+40 over 50 ids), all
+    //      inside the 100 s watermark delay, so only the first
+    //      occurrence (offset == key ⇔ doc_id % 50 < 10) survives —
+    //      including the cross-batch duplicates, which only the state
+    //      store can drop. Episodes sit 10 000 s apart, and two
+    //      sentinel batches between episodes push the watermark past
+    //      the previous episode's state expiry (eviction applies the
+    //      PREVIOUS batch's max event time, hence two), so every key
+    //      re-emits once per episode — the "bounded retention" half of
+    //      the semantics, pinned by the episode column the oracle
+    //      derives arithmetically. 30 rows: first occurrence per
+    //      (key, episode).
+    "q246_streaming_watermark_dedup" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      // 150 fixture ids, driver-side by design (MemoryStream feeds
+      // from the driver; the kept SET is what the gate verifies)
+      val ids = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      // +86 400 s base: the stream's initial watermark is epoch 0, and
+      // a row whose event time does not EXCEED the watermark is late-
+      // filtered — doc 0 at ts = 0 would silently lose to doc 10
+      def ev(id: Long): (Long, Long, Long) =
+        (id, id % 10, 86400L + (id / 50) * 10000L + (id % 50))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val src = mem.toDF().toDF("doc_id", "key", "ts_sec")
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      val sink = "q246_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingDedup.dedupWithinWatermark(
+          src, "ts", Seq("key"), "100 seconds")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      def feed(rows: Seq[(Long, Long, Long)]): Unit = {
+        mem.addData(rows: _*); q.processAllAvailable()
+      }
+      graft.Instr.timed("q246.stream") {
+        (0 until 3).foreach { ep =>
+          val epIds = ids.filter(id => id / 50 == ep)
+          feed(epIds.take(25).map(ev).toSeq)  // first occurrences emit
+          feed(epIds.drop(25).map(ev).toSeq)  // cross-batch dups drop
+          // sentinel 1 advances the watermark past the episode's state
+          // expiry (49 + 100 s); sentinel 2 is the batch in which that
+          // watermark is APPLIED to eviction (the watermark used by a
+          // batch comes from the previous batch's max event time)
+          feed(Seq((-1L - ep * 2, 1000L + ep * 2, 86400L + ep * 10000L + 9000L)))
+          feed(Seq((-2L - ep * 2, 1001L + ep * 2, 86400L + ep * 10000L + 9100L)))
+        }
+      }
+      val out = s.table(sink).where(col("key") < 1000L)
+        .select(col("doc_id"), col("key"),
+          expr("(ts_sec - 86400) div 10000").as("episode"))
+        .orderBy("doc_id").localCheckpoint()
+      q.stop()
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
+    // ---- COST-TRIGGERED COMPACTION gate (r14 verdict ask #2's done
+    //      condition): the q238 protocol with compactEvery = None and
+    //      compactMaxFiles = 20 — the maintenance window fires on the
+    //      index's MEASURED data-file count, not a batch cadence. With
+    //      sigBuckets = 1 the layout is exactly one (band, sb=0)
+    //      partition per band and every write is pre-clustered to one
+    //      file per touched partition (build AND fold append), so the
+    //      file count after each of the three single-file batches is
+    //      deterministic: 8, 16, 24. Threshold 20 ⇒ the cost check
+    //      SKIPS at batches 1–2 (gauged with the observed count) and
+    //      FIRES at batch 3 (24 > 20, compacting back to 8) — n_skips,
+    //      n_fires, and files_final pin all three from the Instr
+    //      samples, while found/within_ok keep the q238 correctness
+    //      constants (candidates with sigBuckets = 1 are a superset;
+    //      exact-Jaccard verification yields the same match set).
+    "q247_streaming_cost_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id").as("id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-costc")
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(tmp.toFile))
+      val inDir = tmp.resolve("in"); val work = tmp.resolve("work")
+      java.nio.file.Files.createDirectories(inDir)
+      def feed(name: String, df: DataFrame, order: Int): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + order * 60000L))
+      }
+      feed("f0", docs, 0)
+      feed("f1", docs.where(col("id") < 25)
+        .select((col("id") + 1000000L).as("id"), col("text"))
+        .unionByName(docs.where(col("id") === 0)
+          .select((col("id") + 3000000L).as("id"), col("text"))), 1)
+      feed("f2", docs.where(col("id") >= 25)
+        .select((col("id") + 2000000L).as("id"), col("text")), 2)
+      val skipsBefore =
+        graft.Instr.totalCount("streamNearDup.compact_skipped_files")
+      val firesBefore =
+        graft.Instr.totalCount("streamNearDup.compact_files_before")
+      graft.Instr.timed("q247.stream")(
+        graft.streaming.StreamingNearDup.start(s, inDir.toString,
+            work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 1,
+            maxFilesPerTrigger = Some(1), compactEvery = None,
+            compactMaxFiles = Some(20L))
+          .awaitTermination()
+      )
+      val nSkips =
+        graft.Instr.totalCount("streamNearDup.compact_skipped_files") -
+          skipsBefore
+      val nFires =
+        graft.Instr.totalCount("streamNearDup.compact_files_before") -
+          firesBefore
+      val filesFinal = graft.ext.IndexMaintenance.dataFileCount(
+        s, s"$work/index")
+      val m = s.read.parquet(s"$work/matches")
+        .select("id_a", "id_b").localCheckpoint()
+      val withinOk = m.where(
+        (col("id_a") === 1000000L && col("id_b") === 3000000L) ||
+          (col("id_a") === 3000000L && col("id_b") === 1000000L))
+        .count() > 0
+      val twinPairs = m.where(col("id_a") === col("id_b") + 1000000L ||
+          col("id_a") === col("id_b") + 2000000L)
+        .select(col("id_b").as("doc_id"), lit(true).as("found"))
+        .distinct()
+      docs.select(col("id").as("doc_id"))
+        .join(twinPairs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("found"),
+          lit(withinOk).as("within_ok"),
+          lit(nSkips).as("n_skips"),
+          lit(nFires).as("n_fires"),
+          lit(filesFinal).as("files_final"))
+        .orderBy("doc_id")
     })
   )
 

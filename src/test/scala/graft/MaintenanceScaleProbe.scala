@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch probe (main, not a test): slope evidence for the r14
+  * additions the verdict asked to MEASURE rather than assert (r14
+  * ask #5) — index COMPACTION (the q237/q238 machinery) across a 4×
+  * corpus doubling ladder. For each size n:
+  *
+  *   build (n docs) → 4 appends (n/10 docs each, the fragmentation a
+  *   streaming month accumulates in miniature) → probe the fragmented
+  *   index → compact → probe the compacted index,
+  *
+  * timing each stage and recording the data-file counts. What a
+  * healthy slope looks like: build/append/compact wall-time grows
+  * ~linearly with n (compaction is one clustered full rewrite — its
+  * cost IS ∝ rows); the file count before compaction is ∝ appends
+  * (layout, not data), the count after is the partition count
+  * (constant in n); probe-post ≤ probe-pre at every size, and the
+  * probe is sub-linear in n (pruned to the probe's buckets).
+  *
+  * Run: sbt "Test/runMain graft.MaintenanceScaleProbe"
+  */
+object MaintenanceScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label%-52s $sec%8.2f s")
+      (r, sec)
+    }
+
+    // CorpusScaleProbe's corpus shape: unique 30-token bodies drawn
+    // from a 50k vocabulary, boilerplate planted in every 10th doc so
+    // the LSH buckets hold real duplicate populations.
+    def corpus(from: Long, n: Long) = spark.range(from, from + n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        when(col("id") % 10 === 0,
+          lit("the quick brown fox jumps over the lazy dog again and again"))
+          .otherwise(concat(lit("u"), col("id"))),
+        array_join(transform(sequence(lit(0), lit(29)),
+          i => concat(lit("w"), pmod(col("id") * 7 + i * 13, lit(50000)))),
+          " ")).as("text"))
+
+    for (n <- Seq(50000L, 100000L, 200000L)) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-maint-probe-$n").toString
+      val idx = s"$tmp/index"
+      val base = corpus(0L, n).localCheckpoint()
+      val (_, buildSec) = time(s"build minhash index, $n docs") {
+        graft.ext.DocDedup.buildMinHashIndex(base, "doc_id", "text", idx,
+          bands = 16, rows = 8, sigBuckets = 8)
+      }
+      val (_, appendSec) = time(s"4 appends of ${n / 10} docs") {
+        (1 to 4).foreach { k =>
+          graft.ext.DocDedup.appendToMinHashIndex(
+            corpus(n * k, n / 10), "doc_id", "text", idx)
+        }
+      }
+      val filesBefore = graft.ext.IndexMaintenance.dataFileCount(spark, idx)
+      val probes = corpus(0L, 1000L)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      val all = base.unionByName(
+        (1 to 4).map(k => corpus(n * k, n / 10))
+          .reduce(_ unionByName _)).localCheckpoint()
+      val (preRows, preSec) = time(s"probe 1k docs, fragmented") {
+        graft.ext.DocDedup.probeMinHashIndex(probes, all,
+          "doc_id", "text", idx, 7, 10).count()
+      }
+      val (stats, compactSec) = time(s"compact, $n + 4x${n / 10} docs") {
+        graft.ext.DocDedup.compactMinHashIndex(spark, idx)
+      }
+      val (postRows, postSec) = time(s"probe 1k docs, compacted") {
+        graft.ext.DocDedup.probeMinHashIndex(probes, all,
+          "doc_id", "text", idx, 7, 10).count()
+      }
+      require(preRows == postRows,
+        s"probe row drift across compaction: $preRows vs $postRows")
+      println(f"[probe] n=$n%7d  build $buildSec%6.2f  append $appendSec%6.2f" +
+        f"  compact $compactSec%6.2f  files $filesBefore%5d -> ${stats.filesAfter}%4d" +
+        f"  probe pre $preSec%5.2f post $postSec%5.2f  rows $preRows%d")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    spark.stop()
+  }
+}
