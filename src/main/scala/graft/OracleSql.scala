@@ -4906,6 +4906,19 @@ private[graft] object OracleSql {
         |       CAST(2 AS BIGINT) AS n_skips,
         |       CAST(1 AS BIGINT) AS n_fires,
         |       CAST(8 AS BIGINT) AS files_final
-        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // Pure-streaming state-store resolve: 200 events, hash = id % 40,
+    // batch = id // 50, pos = id % 50 ⇒ first occurrence of hash h is
+    // id h (batch 0, pos h); every id ≥ 40 is a pointer at it.
+    "q248_streaming_state_resolve" ->
+      """SELECT concat('h', doc_id % 40) AS hash,
+        |       concat('f', doc_id // 50) AS file,
+        |       CAST(doc_id % 50 AS BIGINT) AS pos,
+        |       doc_id >= 40 AS is_pointer,
+        |       'f0' AS target_file,
+        |       CAST(doc_id % 40 AS BIGINT) AS target_pos
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY file, pos""".stripMargin
   )
 }

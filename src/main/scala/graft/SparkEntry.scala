@@ -6020,6 +6020,49 @@ object SparkEntry {
           lit(nFires).as("n_fires"),
           lit(filesFinal).as("files_final"))
         .orderBy("doc_id")
+    }),
+
+    // ---- PURE-STREAMING STATE-STORE RESOLVE gate: SURVEY §2.8's third
+    //      mapping (`flatMapGroupsWithState`, state = each hash's first
+    //      occurrence — the catalog IN the state store) driven through
+    //      a real MemoryStream, its full output predicted by the DuckDB
+    //      oracle. 200 chunk events in 4 micro-batches of 50 (file fK,
+    //      pos = id % 50), hashes id % 40 — so batch 0 carries BOTH the
+    //      40 first occurrences AND 10 in-batch duplicates (ids 40–49,
+    //      resolved against state updated earlier in the same batch, in
+    //      deterministic (file, pos) order), and every later batch's
+    //      chunk must point into batch 0's state: the reference's
+    //      cross-run pointer semantics with no external table. Pointer
+    //      targets are pure id arithmetic: first occurrence of hash h
+    //      is id h, always in f0 at pos h.
+    "q248_streaming_state_resolve" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.StreamingDedup.ChunkEvent
+      val ids = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[ChunkEvent]
+      val sink = "q248_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingDedup
+        .firstOccurrenceResolve(mem.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      graft.Instr.timed("q248.stream") {
+        (0 until 4).foreach { b =>
+          mem.addData(ids.filter(id => id / 50 == b).map(id =>
+            ChunkEvent(s"h${id % 40}", s"f$b", id % 50)).toSeq: _*)
+          q.processAllAvailable()
+        }
+      }
+      val out = s.table(sink)
+        .select(col("hash"), col("file"), col("pos"), col("is_pointer"),
+          col("target_file"), col("target_pos"))
+        .orderBy("file", "pos").localCheckpoint()
+      q.stop()
+      s.catalog.dropTempView(sink)
+      out
     })
   )
 
