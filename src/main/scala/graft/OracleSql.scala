@@ -4919,6 +4919,48 @@ private[graft] object OracleSql {
         |       'f0' AS target_file,
         |       CAST(doc_id % 40 AS BIGINT) AS target_pos
         |FROM documents WHERE doc_id < 200
-        |ORDER BY file, pos""".stripMargin
+        |ORDER BY file, pos""".stripMargin,
+
+    // Streaming as-of enrichment: query generation j (ids 100-199,
+    // qq = id-100, key qq % 5, us = 1000j+500+k) enriches from state
+    // generation j-1 (id (j-1)*5+k at us = 1000j+k); generation 0 has
+    // no at-or-before state.
+    "q249_streaming_asof" ->
+      """SELECT concat('k', (doc_id - 100) % 5) AS key,
+        |       doc_id AS id,
+        |       CAST(1000 * ((doc_id - 100) // 5) + 500
+        |            + (doc_id - 100) % 5 AS BIGINT) AS us,
+        |       (doc_id - 100) // 5 > 0 AS matched,
+        |       CAST(CASE WHEN (doc_id - 100) // 5 > 0
+        |            THEN 1000 * ((doc_id - 100) // 5) + (doc_id - 100) % 5
+        |            ELSE 0 END AS BIGINT) AS state_us,
+        |       CAST(CASE WHEN (doc_id - 100) // 5 > 0
+        |            THEN ((doc_id - 100) // 5 - 1) * 5 + (doc_id - 100) % 5
+        |            ELSE 0 END AS DOUBLE) AS state_value
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 200
+        |ORDER BY id""".stripMargin,
+
+    // Streaming session windows: per (key = id % 10, group g =
+    // (id // 10) // 3) one session of 3 events at offsets 0/4/8 from
+    // 100000 + 100g; session end = last event + the 30 s gap.
+    "q250_streaming_sessions" ->
+      """SELECT CAST(100000 + g * 100 AS BIGINT) AS ss,
+        |       CAST(100000 + g * 100 + 8 + 30 AS BIGINT) AS se,
+        |       concat('k', k) AS key, CAST(3 AS BIGINT) AS n
+        |FROM (SELECT DISTINCT doc_id % 10 AS k,
+        |             (doc_id // 10) // 3 AS g
+        |      FROM documents WHERE doc_id < 300) t
+        |ORDER BY ss, key""".stripMargin,
+
+    // Streaming tumbling windows: per (key = id % 8, window w =
+    // (id // 8) // 5) five events at 7 s offsets inside the 1-minute
+    // window starting 300000 + 60w.
+    "q251_streaming_windowed_counts" ->
+      """SELECT CAST(300000 + w * 60 AS BIGINT) AS ws,
+        |       concat('k', k) AS key, CAST(5 AS BIGINT) AS n
+        |FROM (SELECT DISTINCT doc_id % 8 AS k,
+        |             (doc_id // 8) // 5 AS w
+        |      FROM documents WHERE doc_id < 240) t
+        |ORDER BY ws, key""".stripMargin
   )
 }

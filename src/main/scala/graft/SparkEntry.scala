@@ -6063,6 +6063,139 @@ object SparkEntry {
       q.stop()
       s.catalog.dropTempView(sink)
       out
+    }),
+
+    // ---- STREAMING AS-OF ENRICHMENT gate: `streamAsOf` (the streaming
+    //      twin of TemporalOps.asOfJoin — one O(1) state record per
+    //      key) with its full output DuckDB-predicted. Batch 1 plants
+    //      20 state generations per key (gen j at us = 1000·(j+1)+k)
+    //      interleaved with 20 queries per key at us = 1000·j+500+k,
+    //      split into two batches at the us = 10 000 boundary (state is
+    //      ONE record per key — the newest — so arrival must respect
+    //      event time; the split still exercises cross-batch state:
+    //      batch 2's gen-10 query enriches from batch 1 state lineage).
+    //      Query gen j must enrich from state gen j−1 (the latest with
+    //      state.us ≤ query.us), and gen 0 has nothing at-or-before it
+    //      (matched = false). Every target is id arithmetic: state id
+    //      (j−1)·5+k, state_us 1000·j+k.
+    "q249_streaming_asof" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.StreamingDedup.AsOfEvent
+      val ids = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[AsOfEvent]
+      val sink = "q249_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingDedup.streamAsOf(mem.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      val evs = ids.map { i =>
+        if (i < 100)
+          AsOfEvent(s"k${i % 5}", 1000L * (i / 5 + 1) + i % 5,
+            isState = true, i, i.toDouble)
+        else {
+          val qq = i - 100
+          AsOfEvent(s"k${qq % 5}", 1000L * (qq / 5) + 500 + qq % 5,
+            isState = false, i, 0.0)
+        }
+      }
+      val (b1, b2) = evs.partition(_.us < 10000L)
+      graft.Instr.timed("q249.stream") {
+        mem.addData(b1.toSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      }
+      val out = s.table(sink)
+        .select(col("key"), col("id"), col("us"), col("matched"),
+          col("state_us"), col("state_value"))
+        .orderBy("id").localCheckpoint()
+      q.stop()
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
+    // ---- STREAMING SESSION-WINDOW gate: `sessionCounts`
+    //      (session_window + watermark, state = one open session per
+    //      key) over 300 planted events — per key, groups of 3 events
+    //      at offsets 0/4/8 s every 100 s, gap 30 s, so each group is
+    //      one closed session (in-group gaps 4 s < 30 s; between-group
+    //      gap 92 s > 30 s): 10 keys × 10 sessions of n = 3, ss/se =
+    //      pure arithmetic (se = last event + gap). Two far-future
+    //      sentinel batches advance and then APPLY the watermark so
+    //      every session finalizes and emits in append mode; the
+    //      sentinel's own (still-open) session never emits.
+    "q250_streaming_sessions" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ids = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val src = mem.toDF().toDF("ts_sec", "key")
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      val sink = "q250_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingDedup.sessionCounts(
+          src, "ts", "key", "30 seconds", "10 seconds")
+        .select(unix_seconds(col("ss")).as("ss"),
+          unix_seconds(col("se")).as("se"), col("key"), col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      graft.Instr.timed("q250.stream") {
+        mem.addData(ids.map { i =>
+          val m = i / 10
+          (100000L + (m / 3) * 100 + (m % 3) * 4, s"k${i % 10}")
+        }.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData((200000L, "zz")); q.processAllAvailable()
+        mem.addData((200100L, "zz")); q.processAllAvailable()
+      }
+      val out = s.table(sink).where(col("key") =!= "zz")
+        .select("ss", "se", "key", "n")
+        .orderBy("ss", "key").localCheckpoint()
+      q.stop()
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
+    // ---- STREAMING TUMBLING-WINDOW gate: `windowedCounts` (watermark
+    //      + window — the standard event-time aggregation shape) over
+    //      240 planted events: per key (8 keys), 6 one-minute windows
+    //      of 5 events at 7 s offsets, so every (window, key) count is
+    //      the constant 5 and every window start is arithmetic. Same
+    //      sentinel-flush protocol as q250.
+    "q251_streaming_windowed_counts" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ids = t(s, dir, "documents").where(col("doc_id") < 240)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val src = mem.toDF().toDF("ts_sec", "key")
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      val sink = "q251_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingDedup.windowedCounts(
+          src, "ts", "key", "1 minute", "10 seconds")
+        .select(unix_seconds(col("ws")).as("ws"), col("key"), col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      graft.Instr.timed("q251.stream") {
+        mem.addData(ids.map { i =>
+          val m = i / 8
+          (300000L + (m / 5) * 60 + (m % 5) * 7, s"k${i % 8}")
+        }.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData((400000L, "zz")); q.processAllAvailable()
+        mem.addData((400100L, "zz")); q.processAllAvailable()
+      }
+      val out = s.table(sink).where(col("key") =!= "zz")
+        .select("ws", "key", "n")
+        .orderBy("ws", "key").localCheckpoint()
+      q.stop()
+      s.catalog.dropTempView(sink)
+      out
     })
   )
 
