@@ -35,6 +35,30 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** MemoryStream gate protocol knobs: a stateful micro-batch costs
+    * ~(state partitions × state-store commits) per batch, and the
+    * MemoryStream gates (q246/q248–q251) run 2–10 tiny batches over
+    * fixture-sized state — 4 state partitions instead of the session's
+    * 32, and no no-data micro-batches (each gate's sentinel batches
+    * carry watermark application explicitly, so the extra empty batch
+    * after every data batch buys nothing), cut a 12-batch stateful
+    * gate several-fold. Session values are restored even on failure;
+    * gates run sequentially by contract (Verify and Bench drive one
+    * query at a time), so the temporary session-conf flip cannot race
+    * another query.
+    */
+  private def withGateStreamConf[T](s: SparkSession)(body: => T): T = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions")
+    val nd = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", sp)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", nd)
+    }
+  }
+
   /** `events.ts` as epoch microseconds, robust to BOTH encodings the
     * driver's generator has produced across rounds: TIMESTAMP(NANOS)
     * (which Spark 4 reads as long nanos under
@@ -5910,31 +5934,39 @@ object SparkEntry {
         .withColumn("ts", timestamp_seconds(col("ts_sec")))
       val sink = "q246_sink_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamingDedup.dedupWithinWatermark(
-          src, "ts", Seq("key"), "100 seconds")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      def feed(rows: Seq[(Long, Long, Long)]): Unit = {
-        mem.addData(rows: _*); q.processAllAvailable()
-      }
-      graft.Instr.timed("q246.stream") {
-        (0 until 3).foreach { ep =>
-          val epIds = ids.filter(id => id / 50 == ep)
-          feed(epIds.take(25).map(ev).toSeq)  // first occurrences emit
-          feed(epIds.drop(25).map(ev).toSeq)  // cross-batch dups drop
-          // sentinel 1 advances the watermark past the episode's state
-          // expiry (49 + 100 s); sentinel 2 is the batch in which that
-          // watermark is APPLIED to eviction (the watermark used by a
-          // batch comes from the previous batch's max event time)
-          feed(Seq((-1L - ep * 2, 1000L + ep * 2, 86400L + ep * 10000L + 9000L)))
-          feed(Seq((-2L - ep * 2, 1001L + ep * 2, 86400L + ep * 10000L + 9100L)))
+      withGateStreamConf(s) {
+        val q = graft.streaming.StreamingDedup.dedupWithinWatermark(
+            src, "ts", Seq("key"), "100 seconds")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        def feed(rows: Seq[(Long, Long, Long)]): Unit = {
+          mem.addData(rows: _*); q.processAllAvailable()
         }
+        graft.Instr.timed("q246.stream") {
+          (0 until 3).foreach { ep =>
+            val epIds = ids.filter(id => id / 50 == ep)
+            feed(epIds.take(25).map(ev).toSeq) // first occurrences emit
+            feed(epIds.drop(25).map(ev).toSeq) // cross-batch dups drop
+            // sentinel 1 advances the watermark past the episode's
+            // state expiry (49 + 100 s); sentinel 2 is the batch in
+            // which that watermark is APPLIED to eviction (the
+            // watermark a batch uses comes from the previous batch's
+            // max event time). After the last episode nothing needs
+            // evicting, so the sentinels are skipped.
+            if (ep < 2) {
+              feed(Seq((-1L - ep * 2, 1000L + ep * 2,
+                86400L + ep * 10000L + 9000L)))
+              feed(Seq((-2L - ep * 2, 1001L + ep * 2,
+                86400L + ep * 10000L + 9100L)))
+            }
+          }
+        }
+        q.stop()
       }
       val out = s.table(sink).where(col("key") < 1000L)
         .select(col("doc_id"), col("key"),
           expr("(ts_sec - 86400) div 10000").as("episode"))
         .orderBy("doc_id").localCheckpoint()
-      q.stop()
       s.catalog.dropTempView(sink)
       out
     }),
@@ -6045,22 +6077,24 @@ object SparkEntry {
         .MemoryStream[ChunkEvent]
       val sink = "q248_sink_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamingDedup
-        .firstOccurrenceResolve(mem.toDS())
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      graft.Instr.timed("q248.stream") {
-        (0 until 4).foreach { b =>
-          mem.addData(ids.filter(id => id / 50 == b).map(id =>
-            ChunkEvent(s"h${id % 40}", s"f$b", id % 50)).toSeq: _*)
-          q.processAllAvailable()
+      withGateStreamConf(s) {
+        val q = graft.streaming.StreamingDedup
+          .firstOccurrenceResolve(mem.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        graft.Instr.timed("q248.stream") {
+          (0 until 4).foreach { b =>
+            mem.addData(ids.filter(id => id / 50 == b).map(id =>
+              ChunkEvent(s"h${id % 40}", s"f$b", id % 50)).toSeq: _*)
+            q.processAllAvailable()
+          }
         }
+        q.stop()
       }
       val out = s.table(sink)
         .select(col("hash"), col("file"), col("pos"), col("is_pointer"),
           col("target_file"), col("target_pos"))
         .orderBy("file", "pos").localCheckpoint()
-      q.stop()
       s.catalog.dropTempView(sink)
       out
     }),
@@ -6088,9 +6122,6 @@ object SparkEntry {
         .MemoryStream[AsOfEvent]
       val sink = "q249_sink_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamingDedup.streamAsOf(mem.toDS())
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
       val evs = ids.map { i =>
         if (i < 100)
           AsOfEvent(s"k${i % 5}", 1000L * (i / 5 + 1) + i % 5,
@@ -6102,15 +6133,20 @@ object SparkEntry {
         }
       }
       val (b1, b2) = evs.partition(_.us < 10000L)
-      graft.Instr.timed("q249.stream") {
-        mem.addData(b1.toSeq: _*); q.processAllAvailable()
-        mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      withGateStreamConf(s) {
+        val q = graft.streaming.StreamingDedup.streamAsOf(mem.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        graft.Instr.timed("q249.stream") {
+          mem.addData(b1.toSeq: _*); q.processAllAvailable()
+          mem.addData(b2.toSeq: _*); q.processAllAvailable()
+        }
+        q.stop()
       }
       val out = s.table(sink)
         .select(col("key"), col("id"), col("us"), col("matched"),
           col("state_us"), col("state_value"))
         .orderBy("id").localCheckpoint()
-      q.stop()
       s.catalog.dropTempView(sink)
       out
     }),
@@ -6136,25 +6172,27 @@ object SparkEntry {
         .withColumn("ts", timestamp_seconds(col("ts_sec")))
       val sink = "q250_sink_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamingDedup.sessionCounts(
-          src, "ts", "key", "30 seconds", "10 seconds")
-        .select(unix_seconds(col("ss")).as("ss"),
-          unix_seconds(col("se")).as("se"), col("key"), col("n"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      graft.Instr.timed("q250.stream") {
-        mem.addData(ids.map { i =>
-          val m = i / 10
-          (100000L + (m / 3) * 100 + (m % 3) * 4, s"k${i % 10}")
-        }.toSeq: _*)
-        q.processAllAvailable()
-        mem.addData((200000L, "zz")); q.processAllAvailable()
-        mem.addData((200100L, "zz")); q.processAllAvailable()
+      withGateStreamConf(s) {
+        val q = graft.streaming.StreamingDedup.sessionCounts(
+            src, "ts", "key", "30 seconds", "10 seconds")
+          .select(unix_seconds(col("ss")).as("ss"),
+            unix_seconds(col("se")).as("se"), col("key"), col("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        graft.Instr.timed("q250.stream") {
+          mem.addData(ids.map { i =>
+            val m = i / 10
+            (100000L + (m / 3) * 100 + (m % 3) * 4, s"k${i % 10}")
+          }.toSeq: _*)
+          q.processAllAvailable()
+          mem.addData((200000L, "zz")); q.processAllAvailable()
+          mem.addData((200100L, "zz")); q.processAllAvailable()
+        }
+        q.stop()
       }
       val out = s.table(sink).where(col("key") =!= "zz")
         .select("ss", "se", "key", "n")
         .orderBy("ss", "key").localCheckpoint()
-      q.stop()
       s.catalog.dropTempView(sink)
       out
     }),
@@ -6176,24 +6214,26 @@ object SparkEntry {
         .withColumn("ts", timestamp_seconds(col("ts_sec")))
       val sink = "q251_sink_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamingDedup.windowedCounts(
-          src, "ts", "key", "1 minute", "10 seconds")
-        .select(unix_seconds(col("ws")).as("ws"), col("key"), col("n"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      graft.Instr.timed("q251.stream") {
-        mem.addData(ids.map { i =>
-          val m = i / 8
-          (300000L + (m / 5) * 60 + (m % 5) * 7, s"k${i % 8}")
-        }.toSeq: _*)
-        q.processAllAvailable()
-        mem.addData((400000L, "zz")); q.processAllAvailable()
-        mem.addData((400100L, "zz")); q.processAllAvailable()
+      withGateStreamConf(s) {
+        val q = graft.streaming.StreamingDedup.windowedCounts(
+            src, "ts", "key", "1 minute", "10 seconds")
+          .select(unix_seconds(col("ws")).as("ws"), col("key"), col("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        graft.Instr.timed("q251.stream") {
+          mem.addData(ids.map { i =>
+            val m = i / 8
+            (300000L + (m / 5) * 60 + (m % 5) * 7, s"k${i % 8}")
+          }.toSeq: _*)
+          q.processAllAvailable()
+          mem.addData((400000L, "zz")); q.processAllAvailable()
+          mem.addData((400100L, "zz")); q.processAllAvailable()
+        }
+        q.stop()
       }
       val out = s.table(sink).where(col("key") =!= "zz")
         .select("ws", "key", "n")
         .orderBy("ws", "key").localCheckpoint()
-      q.stop()
       s.catalog.dropTempView(sink)
       out
     })
