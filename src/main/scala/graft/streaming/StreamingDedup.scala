@@ -39,9 +39,17 @@ object StreamingDedup {
             maxFilesPerTrigger: Option[Int] = None,
             bucketChars: Int = 2,
             bloomItems: Long = 1000000L,
-            compactEvery: Option[Int] = None): StreamingQuery = {
-    require(compactEvery.forall(_ >= 1),
-      s"compactEvery must be >= 1, got $compactEvery")
+            compactEvery: Option[Int] = None,
+            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+    // cadence and/or cost trigger, the same CompactPolicy contract as
+    // the five index-backed streams (r15: the catalog stream was the
+    // one stream still cadence-only). The cost signal counts EVERY
+    // non-hidden file under the catalog root — version markers
+    // (MANIFEST/COMMIT/BLOOM) included, which is deliberate: they are
+    // part of the per-version listing cost a reader pays, and they
+    // grow with exactly the fragmentation compact() reclaims.
+    val policy = graft.ext.IndexMaintenance.CompactPolicy(
+      every = compactEvery, maxDataFiles = compactMaxFiles)
     val dedup = new Deduplicator(spark, workDir, bucketChars = bucketChars,
       bloomItems = bloomItems)
     val reader = spark.readStream
@@ -86,11 +94,20 @@ object StreamingDedup {
         // rewrite + atomic version swap); between micro-batches this
         // thread is the catalog's single writer, so the streaming
         // maintenance window applies to it exactly like the ext/
-        // indexes' compactIndex
-        compactEvery.foreach { n =>
-          if ((batchId + 1) % n == 0)
-            graft.Instr.record("streamDedup.compacted_buckets",
-              dedup.catalog.compact().toDouble)
+        // indexes' compactIndex. maybeCompact records the skip/fire
+        // gauges; CompactStats.rows is not recomputed for the catalog
+        // (compact() already row-verifies through writeVersion).
+        val catalogDir = s"$workDir/catalog"
+        graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
+          "streamDedup",
+          graft.ext.IndexMaintenance.dataFileCount(spark, catalogDir)) {
+          val before =
+            graft.ext.IndexMaintenance.dataFileCount(spark, catalogDir)
+          graft.Instr.record("streamDedup.compacted_buckets",
+            dedup.catalog.compact().toDouble)
+          graft.ext.IndexMaintenance.CompactStats(before,
+            graft.ext.IndexMaintenance.dataFileCount(spark, catalogDir),
+            -1L)
         }
         ()
       }

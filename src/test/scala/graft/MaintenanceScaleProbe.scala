@@ -52,44 +52,64 @@ object MaintenanceScaleProbe {
           i => concat(lit("w"), pmod(col("id") * 7 + i * 13, lit(50000)))),
           " ")).as("text"))
 
+    // This VM shows multi-second host-steal stall epochs (the bench
+    // mirror's calibration samples have caught 2.5x); a single-run
+    // slope table would measure the epochs, not the operators. Each
+    // ladder runs twice with fresh state and the per-stage MIN is the
+    // reported number — the same min-of-2 protocol as Bench.
     for (n <- Seq(50000L, 100000L, 200000L)) {
-      val tmp = java.nio.file.Files
-        .createTempDirectory(s"graft-maint-probe-$n").toString
-      val idx = s"$tmp/index"
-      val base = corpus(0L, n).localCheckpoint()
-      val (_, buildSec) = time(s"build minhash index, $n docs") {
-        graft.ext.DocDedup.buildMinHashIndex(base, "doc_id", "text", idx,
-          bands = 16, rows = 8, sigBuckets = 8)
-      }
-      val (_, appendSec) = time(s"4 appends of ${n / 10} docs") {
-        (1 to 4).foreach { k =>
-          graft.ext.DocDedup.appendToMinHashIndex(
-            corpus(n * k, n / 10), "doc_id", "text", idx)
+      var best = Map.empty[String, Double].withDefaultValue(1e9)
+      var filesBefore = 0L; var filesAfter = 0L; var rows = 0L
+      for (rep <- 1 to 2) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft-maint-probe-$n-$rep").toString
+        val idx = s"$tmp/index"
+        val base = corpus(0L, n).localCheckpoint()
+        val (_, buildSec) = time(s"build minhash index, $n docs (rep $rep)") {
+          graft.ext.DocDedup.buildMinHashIndex(base, "doc_id", "text", idx,
+            bands = 16, rows = 8, sigBuckets = 8)
         }
+        val (_, appendSec) = time(s"4 appends of ${n / 10} docs (rep $rep)") {
+          (1 to 4).foreach { k =>
+            graft.ext.DocDedup.appendToMinHashIndex(
+              corpus(n * k, n / 10), "doc_id", "text", idx)
+          }
+        }
+        filesBefore = graft.ext.IndexMaintenance.dataFileCount(spark, idx)
+        val probes = corpus(0L, 1000L)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        val all = base.unionByName(
+          (1 to 4).map(k => corpus(n * k, n / 10))
+            .reduce(_ unionByName _)).localCheckpoint()
+        val (preRows, preSec) = time(s"probe 1k docs, fragmented (rep $rep)") {
+          graft.ext.DocDedup.probeMinHashIndex(probes, all,
+            "doc_id", "text", idx, 7, 10).count()
+        }
+        val (stats, compactSec) = time(s"compact (rep $rep)") {
+          graft.ext.DocDedup.compactMinHashIndex(spark, idx)
+        }
+        val (postRows, postSec) = time(s"probe 1k docs, compacted (rep $rep)") {
+          graft.ext.DocDedup.probeMinHashIndex(probes, all,
+            "doc_id", "text", idx, 7, 10).count()
+        }
+        require(preRows == postRows,
+          s"probe row drift across compaction: $preRows vs $postRows")
+        filesAfter = stats.filesAfter; rows = preRows
+        best = best ++ Seq(
+          "build" -> math.min(best("build"), buildSec),
+          "append" -> math.min(best("append"), appendSec),
+          "pre" -> math.min(best("pre"), preSec),
+          "compact" -> math.min(best("compact"), compactSec),
+          "post" -> math.min(best("post"), postSec))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(false))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
-      val filesBefore = graft.ext.IndexMaintenance.dataFileCount(spark, idx)
-      val probes = corpus(0L, 1000L)
-        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
-      val all = base.unionByName(
-        (1 to 4).map(k => corpus(n * k, n / 10))
-          .reduce(_ unionByName _)).localCheckpoint()
-      val (preRows, preSec) = time(s"probe 1k docs, fragmented") {
-        graft.ext.DocDedup.probeMinHashIndex(probes, all,
-          "doc_id", "text", idx, 7, 10).count()
-      }
-      val (stats, compactSec) = time(s"compact, $n + 4x${n / 10} docs") {
-        graft.ext.DocDedup.compactMinHashIndex(spark, idx)
-      }
-      val (postRows, postSec) = time(s"probe 1k docs, compacted") {
-        graft.ext.DocDedup.probeMinHashIndex(probes, all,
-          "doc_id", "text", idx, 7, 10).count()
-      }
-      require(preRows == postRows,
-        s"probe row drift across compaction: $preRows vs $postRows")
-      println(f"[probe] n=$n%7d  build $buildSec%6.2f  append $appendSec%6.2f" +
-        f"  compact $compactSec%6.2f  files $filesBefore%5d -> ${stats.filesAfter}%4d" +
-        f"  probe pre $preSec%5.2f post $postSec%5.2f  rows $preRows%d")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      println(f"[probe] n=$n%7d MIN-OF-2  build ${best("build")}%6.2f" +
+        f"  append ${best("append")}%6.2f  compact ${best("compact")}%6.2f" +
+        f"  files $filesBefore%5d -> $filesAfter%4d" +
+        f"  probe pre ${best("pre")}%5.2f post ${best("post")}%5.2f" +
+        f"  rows $rows%d")
     }
     spark.stop()
   }

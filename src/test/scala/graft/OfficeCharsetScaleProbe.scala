@@ -25,11 +25,19 @@ object OfficeCharsetScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // min-of-2 per measurement: this VM's host-steal stall epochs can
+    // inflate a single run 10-30x (same protocol as Bench and
+    // MaintenanceScaleProbe); the second run also absorbs JIT warmup,
+    // which otherwise masquerades as a super-linear first step.
     def time[T](label: String)(f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] $label%-52s $sec%8.2f s")
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      f
+      val s2 = (System.nanoTime() - t1) / 1e9
+      val sec = math.min(s1, s2)
+      println(f"[probe] $label%-52s $sec%8.2f s (runs $s1%.2f/$s2%.2f)")
       (r, sec)
     }
     def mb(df: org.apache.spark.sql.DataFrame): Double =

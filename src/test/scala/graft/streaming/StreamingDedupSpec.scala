@@ -152,6 +152,42 @@ class StreamingDedupSpec extends SparkFunSuite {
     }
   }
 
+  test("compactMaxFiles drives the catalog maintenance window on the " +
+    "MEASURED file count: skips under the threshold, fires over it, " +
+    "output invariant either way") {
+    val data = Fixtures.alignedDuplicated(blocks = 96, distinct = 12, seed = 7)
+    def run(tag: String, maxFiles: Long): (Seq[org.apache.spark.sql.Row], Long, Long) = {
+      val dir = tempDir(s"scostc-$tag")
+      val inDir = s"$dir/in"
+      Files.createDirectories(Paths.get(inDir))
+      val work = s"$dir/work"
+      val skips0 = graft.Instr.totalCount("streamDedup.compact_skipped_files")
+      val fires0 = graft.Instr.totalCount("streamDedup.compact_files_before")
+      (0 until 3).foreach { i =>
+        Fixtures.writeTemp(inDir, s"f$i.dat", data)
+        StreamingDedup.start(spark, inDir, work,
+          DedupOptions(chunkBytes = 64),
+          compactMaxFiles = Some(maxFiles)).awaitTermination()
+      }
+      val cat = new Catalog(spark, s"$work/catalog")
+      (cat.links().orderBy("hash", "file_id", "line").collect().toSeq,
+        graft.Instr.totalCount("streamDedup.compact_skipped_files") - skips0,
+        graft.Instr.totalCount("streamDedup.compact_files_before") - fires0)
+    }
+    // threshold no 3-batch catalog can reach: every check declines,
+    // each decline recording the observed count
+    val (linksHi, skipsHi, firesHi) = run("hi", 1000000L)
+    assert(skipsHi == 3L && firesHi == 0L,
+      s"expected 3 skips / 0 fires, got $skipsHi / $firesHi")
+    // threshold every non-empty catalog exceeds: fires after every batch
+    val (linksLo, skipsLo, firesLo) = run("lo", 1L)
+    assert(skipsLo == 0L && firesLo == 3L,
+      s"expected 0 skips / 3 fires, got $skipsLo / $firesLo")
+    // compaction changes layout, never the row set
+    assert(linksHi == linksLo,
+      "links must be row-identical with and without cost-fired compaction")
+  }
+
   test("dedupWithinWatermark drops in-stream duplicate keys") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
