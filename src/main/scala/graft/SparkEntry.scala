@@ -876,12 +876,17 @@ object SparkEntry {
           .select((col("id") + 3000000L).as("id"), col("vec"))), 1)
       feed("f2", base.where(col("id") >= 15)
         .select((col("id") + 2000000L).as("id"), col("vec")), 2)
-      graft.Instr.timed("q218.stream")(
-        graft.streaming.StreamingVecDup.start(s, inDir.toString,
-            work.toString, threshold = 0.9999, k = 9, nlist = 8,
-            nprobe = 4, maxFilesPerTrigger = Some(1))
-          .awaitTermination()
-      )
+      // gate-size the stream: 50-doc micro-batches over 32-partition
+      // shuffles are harness mis-sizing (AQE cannot downsize streaming
+      // shuffles); see withGateStreamConf
+      withGateStreamConf(s) {
+        graft.Instr.timed("q218.stream")(
+          graft.streaming.StreamingVecDup.start(s, inDir.toString,
+              work.toString, threshold = 0.9999, k = 9, nlist = 8,
+              nprobe = 4, maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+        )
+      }
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val twinBatches = m
@@ -3288,12 +3293,17 @@ object SparkEntry {
       feed("f2", docs.where(col("id") >= 30)
         .select((col("id") + 1999980L).as("id"))
         .select(col("id"), probeBlob(col("id")).as("blob")), 2)
-      graft.Instr.timed("q176.stream")(
-        graft.streaming.StreamingCdcDup.start(s, inDir.toString,
-            work.toString, minSize = 128, avgBits = 8, maxSize = 1024,
-            maxFilesPerTrigger = Some(1))
-          .awaitTermination()
-      )
+      // gate-size the stream: 50-doc micro-batches over 32-partition
+      // shuffles are harness mis-sizing (AQE cannot downsize streaming
+      // shuffles); see withGateStreamConf
+      withGateStreamConf(s) {
+        graft.Instr.timed("q176.stream")(
+          graft.streaming.StreamingCdcDup.start(s, inDir.toString,
+              work.toString, minSize = 128, avgBits = 8, maxSize = 1024,
+              maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+        )
+      }
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val cross = m.where(col("id_a") >= 999990L && col("id_b") < 60)
@@ -3652,11 +3662,16 @@ object SparkEntry {
       feed("f2", docs.where(col("id") >= 30)
         .select((col("id") + 1999980L).as("id"))
         .select(col("id"), probeText(col("id")).as("text")), 2)
-      graft.Instr.timed("q163.stream")(
-        graft.streaming.StreamingExactDup.start(s, inDir.toString,
-            work.toString, maxFilesPerTrigger = Some(1))
-          .awaitTermination()
-      )
+      // gate-size the stream: 50-doc micro-batches over 32-partition
+      // shuffles are harness mis-sizing (AQE cannot downsize streaming
+      // shuffles); see withGateStreamConf
+      withGateStreamConf(s) {
+        graft.Instr.timed("q163.stream")(
+          graft.streaming.StreamingExactDup.start(s, inDir.toString,
+              work.toString, maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+        )
+      }
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val cross = m.where(col("id_a") >= 999990L && col("id_b") < 60)
@@ -3799,12 +3814,17 @@ object SparkEntry {
       }
       // bloomItems = 0: the probe prefilter has its own gate (q70); here
       // it would only add a sketch-build job to each of the 3 commits.
-      graft.Instr.timed("q97.stream")(
-        graft.streaming.StreamingDedup.start(s, inDir.toString, work.toString,
-          graft.api.DedupOptions(chunkBytes = 64, algorithm = "md5"),
-          maxFilesPerTrigger = Some(4), bucketChars = 1, bloomItems = 0L)
-          .awaitTermination()
-      )
+      // gate-size the stream: 50-doc micro-batches over 32-partition
+      // shuffles are harness mis-sizing (AQE cannot downsize streaming
+      // shuffles); see withGateStreamConf
+      withGateStreamConf(s) {
+        graft.Instr.timed("q97.stream")(
+          graft.streaming.StreamingDedup.start(s, inDir.toString, work.toString,
+            graft.api.DedupOptions(chunkBytes = 64, algorithm = "md5"),
+            maxFilesPerTrigger = Some(4), bucketChars = 1, bloomItems = 0L)
+            .awaitTermination()
+        )
+      }
       val cat = new graft.operators.Catalog(s, s"$work/catalog", 1)
       cat.chunkRepetition()
         .select(col("refs_num"), lit(cat.currentVersion).as("n_batches"))
@@ -4078,12 +4098,17 @@ object SparkEntry {
           .select((col("id") + 3000000L).as("id"), col("text"))), 1)
       feed("f2", docs.where(col("id") >= 25)
         .select((col("id") + 2000000L).as("id"), col("text")), 2)
-      graft.Instr.timed("q106.stream")(
-        graft.streaming.StreamingNearDup.start(s, inDir.toString,
-            work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 8,
-            maxFilesPerTrigger = Some(1))
-          .awaitTermination()
-      )
+      // gate-size the stream: 50-doc micro-batches over 32-partition
+      // shuffles are harness mis-sizing (AQE cannot downsize streaming
+      // shuffles); see withGateStreamConf
+      withGateStreamConf(s) {
+        graft.Instr.timed("q106.stream")(
+          graft.streaming.StreamingNearDup.start(s, inDir.toString,
+              work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 8,
+              maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+        )
+      }
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val twinBatches = m
@@ -4935,12 +4960,17 @@ object SparkEntry {
           .select((col("id") + 3000000L).as("id"))), 1)
       feed("f2", ids.where(col("id") >= 20)
         .select((col("id") + 2000000L).as("id")), 2)
-      graft.Instr.timed("q137.stream")(
-        graft.streaming.StreamingImageDedup.start(s, inDir.toString,
-            work.toString, maxDist = 3, qBuckets = 16,
-            maxFilesPerTrigger = Some(1))
-          .awaitTermination()
-      )
+      // gate-size the stream: 50-doc micro-batches over 32-partition
+      // shuffles are harness mis-sizing (AQE cannot downsize streaming
+      // shuffles); see withGateStreamConf
+      withGateStreamConf(s) {
+        graft.Instr.timed("q137.stream")(
+          graft.streaming.StreamingImageDedup.start(s, inDir.toString,
+              work.toString, maxDist = 3, qBuckets = 16,
+              maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+        )
+      }
       val m = s.read.parquet(s"$work/matches")
         .select("batch_id", "id_a", "id_b").localCheckpoint()
       val twinBatches = m
@@ -5659,12 +5689,17 @@ object SparkEntry {
       def nCompactSamples: Long =
         graft.Instr.totalCount("streamNearDup.compact_files_before")
       val samplesBefore = nCompactSamples
-      graft.Instr.timed("q238.stream")(
-        graft.streaming.StreamingNearDup.start(s, inDir.toString,
-            work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 8,
-            maxFilesPerTrigger = Some(1), compactEvery = Some(2))
-          .awaitTermination()
-      )
+      // gate-size the stream: 50-doc micro-batches over 32-partition
+      // shuffles are harness mis-sizing (AQE cannot downsize streaming
+      // shuffles); see withGateStreamConf
+      withGateStreamConf(s) {
+        graft.Instr.timed("q238.stream")(
+          graft.streaming.StreamingNearDup.start(s, inDir.toString,
+              work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 8,
+              maxFilesPerTrigger = Some(1), compactEvery = Some(2))
+            .awaitTermination()
+        )
+      }
       val compactRan = nCompactSamples > samplesBefore
       Instr.record("q238.index_files",
         Instr.fileCount(s"$work/index").toDouble)
@@ -6018,13 +6053,18 @@ object SparkEntry {
         graft.Instr.totalCount("streamNearDup.compact_skipped_files")
       val firesBefore =
         graft.Instr.totalCount("streamNearDup.compact_files_before")
-      graft.Instr.timed("q247.stream")(
-        graft.streaming.StreamingNearDup.start(s, inDir.toString,
-            work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 1,
-            maxFilesPerTrigger = Some(1), compactEvery = None,
-            compactMaxFiles = Some(20L))
-          .awaitTermination()
-      )
+      // gate-size the stream: 50-doc micro-batches over 32-partition
+      // shuffles are harness mis-sizing (AQE cannot downsize streaming
+      // shuffles); see withGateStreamConf
+      withGateStreamConf(s) {
+        graft.Instr.timed("q247.stream")(
+          graft.streaming.StreamingNearDup.start(s, inDir.toString,
+              work.toString, 7, 10, bands = 8, rows = 4, sigBuckets = 1,
+              maxFilesPerTrigger = Some(1), compactEvery = None,
+              compactMaxFiles = Some(20L))
+            .awaitTermination()
+        )
+      }
       val nSkips =
         graft.Instr.totalCount("streamNearDup.compact_skipped_files") -
           skipsBefore
