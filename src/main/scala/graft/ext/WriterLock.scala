@@ -25,12 +25,22 @@ import org.apache.spark.sql.SparkSession
   *
   * Crash story: a JVM that dies MID-MUTATION leaves the sentinel behind
   * (exactly when it may also leave a half-appended file set or an
-  * interrupted swap). The next writer fails loudly with the holder's
-  * identity and the remediation — confirm the holder is dead, run
-  * [[breakLock]], then let [[IndexMaintenance.recoverInterruptedSwap]]
-  * heal any swap residue. Deliberately NOT auto-expiring: a lease
-  * timeout shorter than the slowest real compaction would steal a live
-  * writer's lock, which is the corruption this exists to prevent.
+  * interrupted swap). The sentinel records (host, pid); on conflict the
+  * next writer auto-recovers the ONE case it can decide soundly — the
+  * holder ran on THIS host and its pid is provably dead
+  * (`ProcessHandle.of(pid)` empty): the common unattended-restart
+  * story, a stream whose own previous incarnation crashed. Takeover is
+  * race-safe via atomic rename (two healers both finding the same dead
+  * holder race the rename of THAT sentinel; exactly one wins, the loser
+  * re-enters the normal conflict path against the winner's fresh lock).
+  * Every other case — holder alive, foreign host, unreadable info —
+  * fails loudly with the holder's identity and the manual remediation
+  * ([[breakLock]] after confirming death;
+  * [[IndexMaintenance.recoverInterruptedSwap]] heals swap residue at
+  * the next open either way). Deliberately NOT lease/TTL-expiring: a
+  * timeout shorter than the slowest real compaction would steal a LIVE
+  * writer's lock, which is the corruption this exists to prevent —
+  * dead-pid-on-this-host is a proof of death, a timeout is a guess.
   *
   * The catalog needs no sentinel: [[graft.operators.Catalog]] commits
   * through a version-directory rename CAS (writeVersion's `v_NNNNNN`
@@ -79,30 +89,76 @@ object WriterLock {
     }
   }
 
+  private def localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown-host" }
+
   private def acquire(fs: FileSystem, lock: Path, op: String,
                       dir: String): Unit = {
     val info =
-      s"op=$op pid=${ProcessHandle.current().pid()} " +
+      s"op=$op host=$localHost pid=${ProcessHandle.current().pid()} " +
         s"thread=${Thread.currentThread().getName} " +
         s"acquired_ms=${System.currentTimeMillis()}"
-    val out =
-      try fs.create(lock, false) // atomic create-if-absent: the CAS
-      catch {
-        case _: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(lock)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-            } catch { case _: java.io.IOException => "(holder unreadable)" }
-          throw new ConcurrentWriterException(
-            s"$op on $dir: another writer holds the lock [$holder]. " +
-              "Index maintenance is single-writer; if that holder " +
-              "crashed, remove the sentinel with WriterLock.breakLock " +
-              "and re-run (IndexMaintenance.recoverInterruptedSwap heals " +
-              "any swap residue it left).")
-      }
+    def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
+      try Some(fs.create(lock, false)) // atomic create-if-absent: the CAS
+      catch { case _: java.io.IOException => None }
+    val out = tryCreate().orElse {
+      // one stale-takeover attempt, then one re-create attempt — never
+      // a loop (a live contender winning the re-create must lose us)
+      if (takeOverIfProvablyDead(fs, lock)) tryCreate() else None
+    }.getOrElse {
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "(holder unreadable)" }
+      throw new ConcurrentWriterException(
+        s"$op on $dir: another writer holds the lock [$holder]. " +
+          "Index maintenance is single-writer; if that holder " +
+          "crashed, remove the sentinel with WriterLock.breakLock " +
+          "and re-run (IndexMaintenance.recoverInterruptedSwap heals " +
+          "any swap residue it left).")
+    }
     try out.write(info.getBytes("UTF-8")) finally out.close()
+  }
+
+  private val HostPidRe = """.*\bhost=(\S+)\s.*\bpid=(\d+)\b.*""".r
+
+  /** Sound-and-safe stale-lock recovery: true iff the sentinel named a
+    * holder on THIS host whose pid no longer exists, and WE won the
+    * atomic rename of that exact sentinel (the loser of a takeover race
+    * sees rename fail and falls back to the loud conflict path).
+    * Everything undecidable from here — foreign host, live pid,
+    * unreadable/unparseable info — is false: manual remediation only.
+    */
+  private def takeOverIfProvablyDead(fs: FileSystem, lock: Path): Boolean = {
+    val holderInfo =
+      try {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch { case _: java.io.IOException => return false }
+    holderInfo match {
+      case HostPidRe(host, pidStr) if host == localHost =>
+        val dead =
+          try ProcessHandle.of(pidStr.toLong)
+            .map[Boolean](p => !p.isAlive).orElse(true)
+          catch { case _: NumberFormatException => false }
+        if (!dead) return false
+        val tomb = new Path(lock.getParent,
+          s"${lock.getName}.stale_${ProcessHandle.current().pid()}_" +
+            s"${System.nanoTime()}")
+        val won =
+          try fs.rename(lock, tomb)
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          fs.delete(tomb, false)
+          graft.Instr.record("writerLock.stale_taken_over", 1.0)
+        }
+        won
+      case _ => false
+    }
   }
 
   /** Remove a stale sentinel left by a crashed writer. MANUAL

@@ -176,6 +176,44 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     assert(spark.read.parquet(idx).count() > rows)
   }
 
+  test("writer lock: a dead same-host holder's sentinel is taken over " +
+    "automatically (the unattended-restart story); live-pid and " +
+    "foreign-host sentinels still require manual remediation") {
+    val (idx, _, rows) = freshIndex("mhs-lock-stale")
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    def plant(info: String): Unit = {
+      val out = fs.create(lock, false)
+      try out.write(info.getBytes("UTF-8")) finally out.close()
+    }
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val deadPid = {
+      var p = 999999L
+      while (ProcessHandle.of(p).isPresent) p -= 1
+      p
+    }
+    val t0 = graft.Instr.totalCount("writerLock.stale_taken_over")
+    plant(s"op=crashed host=$host pid=$deadPid thread=x acquired_ms=0")
+    assert(WriterLock.isLocked(spark, idx))
+    // the restart proceeds: provably-dead holder, sentinel taken over
+    DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx)
+    assert(spark.read.parquet(idx).count() > rows)
+    assert(graft.Instr.totalCount("writerLock.stale_taken_over") == t0 + 1)
+    assert(!WriterLock.isLocked(spark, idx))
+    // live pid on this host: loud, manual only
+    plant(s"op=live host=$host pid=${ProcessHandle.current().pid()} " +
+      "thread=x acquired_ms=0")
+    intercept[WriterLock.ConcurrentWriterException](
+      DocDedup.appendToMinHashIndex(docs(50, 60), "id", "text", idx))
+    assert(WriterLock.breakLock(spark, idx))
+    // foreign host, even with a dead-looking pid: undecidable, loud
+    plant(s"op=foreign host=some-other-box pid=$deadPid " +
+      "thread=x acquired_ms=0")
+    intercept[WriterLock.ConcurrentWriterException](
+      DocDedup.compactMinHashIndex(spark, idx))
+    assert(WriterLock.breakLock(spark, idx))
+  }
+
   test("writer lock: two interleaved committers — the loser throws " +
     "while the survivor completes and its rows verify") {
     val (idx, _, rows) = freshIndex("mhs-lock-race")
