@@ -47,7 +47,7 @@ object SparkEntry {
     * query at a time), so the temporary session-conf flip cannot race
     * another query.
     */
-  private def withGateStreamConf[T](s: SparkSession)(body: => T): T = {
+  private[graft] def withGateStreamConf[T](s: SparkSession)(body: => T): T = {
     val sp = s.conf.get("spark.sql.shuffle.partitions")
     val nd = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -5980,8 +5980,18 @@ object SparkEntry {
         graft.Instr.timed("q246.stream") {
           (0 until 3).foreach { ep =>
             val epIds = ids.filter(id => id / 50 == ep)
-            feed(epIds.take(25).map(ev).toSeq) // first occurrences emit
-            feed(epIds.drop(25).map(ev).toSeq) // cross-batch dups drop
+            // one occurrence WAVE per micro-batch (offset k, k+10, …
+            // each in its own feed): within any single batch each key
+            // then appears at most once, so the kept row can never
+            // depend on intra-batch processing order — the operator
+            // keeps the first row PROCESSED per key, and row order
+            // inside a batch is not guaranteed across the shuffle into
+            // the state store (r15 advisor). Cross-BATCH first-wins IS
+            // the state store's contract: wave 0 emits, waves 1–4 drop.
+            (0 until 5).foreach { w =>
+              val wave = epIds.filter(id => (id % 50) / 10 == w)
+              if (wave.nonEmpty) feed(wave.map(ev).toSeq)
+            }
             // sentinel 1 advances the watermark past the episode's
             // state expiry (49 + 100 s); sentinel 2 is the batch in
             // which that watermark is APPLIED to eviction (the

@@ -91,19 +91,24 @@ object IndexMaintenance {
     * Gauges land in gate_stages: `<prefix>.compact_files_before/after`
     * on a fire; `<prefix>.compact_skipped_files` with the observed
     * count on a cost-check that declined — so a gate can prove both the
-    * skip and the fire from the recorded samples.
+    * skip and the fire from the recorded samples. `dir` (the maintained
+    * directory) additionally keys the always-on [[MaintenanceEvents]]
+    * skip/fire counters and log lines (r15 verdict ask #2).
     */
   def maybeCompact(policy: CompactPolicy, batchId: Long,
-                   gaugePrefix: String, dataFiles: => Long)
+                   gaugePrefix: String, dir: String, dataFiles: => Long)
                   (compact: => CompactStats): Unit = {
     if (!policy.isDefined) return
     val cadenceDue = policy.every.exists(n => (batchId + 1) % n == 0)
     val costDue = !cadenceDue && policy.maxDataFiles.exists { threshold =>
       val files = dataFiles
       val due = files > threshold
-      if (!due)
+      if (!due) {
         graft.Instr.record(s"$gaugePrefix.compact_skipped_files",
           files.toDouble)
+        MaintenanceEvents.record(dir, MaintenanceEvents.CompactSkip,
+          s"batch=$batchId files=$files threshold=$threshold")
+      }
       due
     }
     if (cadenceDue || costDue) {
@@ -112,6 +117,9 @@ object IndexMaintenance {
         stats.filesBefore.toDouble)
       graft.Instr.record(s"$gaugePrefix.compact_files_after",
         stats.filesAfter.toDouble)
+      MaintenanceEvents.record(dir, MaintenanceEvents.CompactFire,
+        s"batch=$batchId trigger=${if (cadenceDue) "cadence" else "cost"} " +
+          s"files_before=${stats.filesBefore} files_after=${stats.filesAfter}")
     }
   }
 
@@ -120,10 +128,10 @@ object IndexMaintenance {
     * threshold is configured).
     */
   def maybeCompact(every: Option[Int], batchId: Long,
-                   gaugePrefix: String)
+                   gaugePrefix: String, dir: String)
                   (compact: => CompactStats): Unit =
-    maybeCompact(CompactPolicy(every = every), batchId, gaugePrefix, 0L)(
-      compact)
+    maybeCompact(CompactPolicy(every = every), batchId, gaugePrefix, dir,
+      0L)(compact)
 
   /** Count of data files under `path` (sidecars and `_SUCCESS`
     * markers excluded) — the probe-cost gauge gate_stages tracks.
@@ -309,6 +317,8 @@ object IndexMaintenance {
       p.getName.substring(p.getName.lastIndexOf('-') + 1)
     if (fs.exists(root)) {
       (tmps ++ olds).foreach(s => fs.delete(s.getPath, true))
+      MaintenanceEvents.record(root.toString, MaintenanceEvents.HealSwept,
+        s"tmps=${tmps.length} olds=${olds.length}")
       Some(s"swept ${tmps.length} staging + ${olds.length} " +
         s"replaced-layout leftovers next to live index $root")
     } else {
@@ -327,6 +337,8 @@ object IndexMaintenance {
               s"recoverInterruptedSwap: could not publish ${tmp.getPath} " +
                 s"as $root; data intact at ${old.getPath} and ${tmp.getPath}")
           fs.delete(old.getPath, true)
+          MaintenanceEvents.record(root.toString,
+            MaintenanceEvents.HealCompleted, s"published=${tmp.getPath}")
           Some(s"completed interrupted swap: published ${tmp.getPath}")
         case (Some(old), strayTmp) =>
           if (!fs.rename(old.getPath, root))
@@ -334,6 +346,8 @@ object IndexMaintenance {
               s"recoverInterruptedSwap: could not roll ${old.getPath} " +
                 s"back to $root; data intact at ${old.getPath}")
           strayTmp.foreach(s => fs.delete(s.getPath, true))
+          MaintenanceEvents.record(root.toString,
+            MaintenanceEvents.HealRolledBack, s"restored=${old.getPath}")
           Some(s"rolled back interrupted swap from ${old.getPath}")
         case (None, Some(tmp)) =>
           // no live layout and no old: the swap never started, so this

@@ -23,24 +23,53 @@ import org.apache.spark.sql.SparkSession
   * same-thread maintenance window that then compacts; a thread that
   * already holds a lock re-enters without touching the FS.
   *
-  * Crash story: a JVM that dies MID-MUTATION leaves the sentinel behind
-  * (exactly when it may also leave a half-appended file set or an
-  * interrupted swap). The sentinel records (host, pid); on conflict the
-  * next writer auto-recovers the ONE case it can decide soundly — the
-  * holder ran on THIS host and its pid is provably dead
-  * (`ProcessHandle.of(pid)` empty): the common unattended-restart
-  * story, a stream whose own previous incarnation crashed. Takeover is
-  * race-safe via atomic rename (two healers both finding the same dead
-  * holder race the rename of THAT sentinel; exactly one wins, the loser
-  * re-enters the normal conflict path against the winner's fresh lock).
-  * Every other case — holder alive, foreign host, unreadable info —
-  * fails loudly with the holder's identity and the manual remediation
-  * ([[breakLock]] after confirming death;
-  * [[IndexMaintenance.recoverInterruptedSwap]] heals swap residue at
-  * the next open either way). Deliberately NOT lease/TTL-expiring: a
-  * timeout shorter than the slowest real compaction would steal a LIVE
-  * writer's lock, which is the corruption this exists to prevent —
-  * dead-pid-on-this-host is a proof of death, a timeout is a guess.
+  * == Crash story (two unattended-recovery tiers, r15 verdict ask #1) ==
+  *
+  * A JVM that dies MID-MUTATION leaves the sentinel behind (exactly when
+  * it may also leave a half-appended file set or an interrupted swap —
+  * [[IndexMaintenance.recoverInterruptedSwap]] heals those at the next
+  * open either way). The next writer recovers the sentinel unattended
+  * through whichever of two SOUND paths applies:
+  *
+  *  1. '''Dead-pid fast path''' (same machine, same OS boot): the
+  *     sentinel records the holder's pid and the machine's boot id
+  *     (`/proc/sys/kernel/random/boot_id` — unique per boot, so equality
+  *     proves "my machine, my boot" where a hostname string cannot:
+  *     hostnames collide across fleets and `getLocalHost` fails into a
+  *     constant, the silent-takeover hazard the r15 advisor flagged).
+  *     Boot ids equal + `ProcessHandle.of(pid)` empty is a PROOF of
+  *     death — takeover is immediate. Boot id unreadable or different:
+  *     undecidable here, fall to tier 2.
+  *
+  *  2. '''Heartbeat lease''' (any machine — the normal cluster failover,
+  *     where the restarted driver lands on a different node): every
+  *     holder promises a beat interval in its sentinel (`lease_ms`) and
+  *     refreshes a beat file from a daemon thread. A contender that
+  *     finds the sentinel held observes it for the HOLDER's whole
+  *     declared stale window (`stale_ms`, default 60× the beat — a
+  *     wedged-but-alive JVM silent that long is indistinguishable from
+  *     dead for every practical purpose): any observed change (a beat,
+  *     a new sentinel, a release) aborts the takeover immediately; a
+  *     full window of bit-identical silence earns ONE takeover attempt.
+  *     The decision uses only `System.nanoTime` deltas and content
+  *     comparison — no wall-clock reads — so a clock-skewed or paused
+  *     observer can never mistake a live holder for dead (a final
+  *     re-read after the window catches beats that landed during a GC
+  *     pause or VM suspension of the OBSERVER).
+  *
+  * Both tiers funnel into the same atomic-rename CAS of the exact
+  * sentinel observed: racing healers rename the same file, exactly one
+  * wins, the loser re-enters the normal conflict path against the
+  * winner's fresh lock. Everything still undecidable — holder alive,
+  * no lease declared and boot undecidable, unreadable info — fails
+  * loudly with the holder's identity and the manual remediation
+  * ([[breakLock]] after confirming death). A fixed TTL (compare the
+  * sentinel's timestamp to the reader's clock) remains deliberately
+  * rejected: it steals a LIVE writer's lock under clock skew; the
+  * observation window above has no clock in it.
+  *
+  * Every conflict/takeover records a [[MaintenanceEvents]] counter and
+  * structured log line (r15 verdict ask #2).
   *
   * The catalog needs no sentinel: [[graft.operators.Catalog]] commits
   * through a version-directory rename CAS (writeVersion's `v_NNNNNN`
@@ -56,6 +85,19 @@ object WriterLock {
   final class ConcurrentWriterException(msg: String)
     extends IllegalStateException(msg)
 
+  /** The holder's heartbeat promise, written into the sentinel.
+    * `beatMs` is the refresh interval; `staleBeats` scales the window a
+    * contender must observe in silence before takeover (≫ 1 so a beat
+    * delayed by load/GC can never look like death — 60× per the r15
+    * verdict's sizing).
+    */
+  final case class Lease(beatMs: Long = 1000L, staleBeats: Int = 60) {
+    require(beatMs >= 1 && staleBeats >= 2,
+      s"lease must beat (beatMs=$beatMs) and observe multiple beats " +
+        s"(staleBeats=$staleBeats)")
+    def staleMs: Long = beatMs * staleBeats
+  }
+
   /** Sentinel path for a guarded directory: a dot-prefixed SIBLING
     * (invisible to parquet partition discovery, stable across the
     * compaction swap's renames of the directory itself).
@@ -63,28 +105,52 @@ object WriterLock {
   def lockPath(root: Path): Path =
     new Path(root.getParent, s"._graft_writer_lock_${root.getName}")
 
-  // Locks this thread currently holds (qualified sentinel paths) — the
-  // reentrancy set for fold→append→compact chains on one thread.
-  private val held = new ThreadLocal[Set[String]] {
-    override def initialValue(): Set[String] = Set.empty
+  private def beatPath(lock: Path, token: String): Path =
+    new Path(lock.getParent, s"${lock.getName}.hb_$token")
+
+  /** This OS boot's unique id — the machine identity the dead-pid fast
+    * path matches on (hostname equality is NOT identity: names collide
+    * and resolution failures collapse to a constant). Absent on
+    * non-Linux or unreadable /proc: the fast path is then undecidable
+    * and recovery rides the heartbeat lease alone.
+    */
+  private[graft] lazy val bootToken: Option[String] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")),
+        "UTF-8").trim
+      if (s.nonEmpty) Some(s) else None
+    } catch { case _: Exception => None }
+
+  // Locks this thread currently holds (qualified sentinel path → the
+  // outermost acquisition's heartbeat, null for reentrant frames) —
+  // the reentrancy map for fold→append→compact chains on one thread.
+  private val held = new ThreadLocal[Map[String, Heartbeat]] {
+    override def initialValue(): Map[String, Heartbeat] = Map.empty
   }
 
   /** Run `body` as the single writer of `dir`: acquire the sentinel (or
-    * throw [[ConcurrentWriterException]] if another writer holds it),
-    * release on every exit path. Reentrant within the owning thread.
+    * throw [[ConcurrentWriterException]] if another writer holds it and
+    * neither recovery tier applies), heartbeat while held, release on
+    * every exit path. Reentrant within the owning thread.
     */
-  def withLock[T](spark: SparkSession, dir: String, op: String)
-                 (body: => T): T = {
+  def withLock[T](spark: SparkSession, dir: String, op: String,
+                  lease: Lease = Lease())(body: => T): T = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = lockPath(root)
     val key = fs.makeQualified(lock).toString
     if (held.get().contains(key)) return body
-    acquire(fs, lock, op, dir)
-    held.set(held.get() + key)
+    val hb = acquire(fs, lock, op, dir, lease)
+    held.set(held.get() + (key -> hb))
     try body
     finally {
       held.set(held.get() - key)
+      hb.shutdown()
+      // beat file FIRST: a crash between the two deletes leaves a
+      // sentinel without beats — exactly the lease-recoverable shape —
+      // where the reverse order would orphan beat files forever
+      fs.delete(hb.path, false)
       fs.delete(lock, false)
     }
   }
@@ -93,26 +159,74 @@ object WriterLock {
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: java.net.UnknownHostException => "unknown-host" }
 
-  private def acquire(fs: FileSystem, lock: Path, op: String,
-                      dir: String): Unit = {
+  /** Holder-side beat: rewrites the beat file with a strictly
+    * increasing counter every `beatMs` from a daemon thread (plus one
+    * SYNCHRONOUS first beat during acquire, so a sentinel without a
+    * beat file is itself proof the holder died inside acquire).
+    * Content change — not any timestamp — is what observers watch.
+    */
+  private final class Heartbeat(fs: FileSystem, val path: Path,
+                                token: String, beatMs: Long)
+    extends Thread(s"graft-writer-lock-heartbeat-${path.getName}") {
+    setDaemon(true)
+    @volatile private var stopped = false
+    private var n = 0L
+    def beat(): Unit = {
+      n += 1
+      try {
+        val out = fs.create(path, true)
+        try out.write(s"token=$token beat=$n".getBytes("UTF-8"))
+        finally out.close()
+      } catch { case _: java.io.IOException => () /* next beat retries */ }
+    }
+    override def run(): Unit =
+      while (!stopped) {
+        try Thread.sleep(beatMs)
+        catch { case _: InterruptedException => () }
+        if (!stopped) beat()
+      }
+    def shutdown(): Unit = { stopped = true; interrupt(); join(5000) }
+  }
+
+  private def readQuietly(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def fields(info: String): Map[String, String] =
+    info.split("\\s+").iterator.filter(_.contains('='))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+      .toMap
+
+  private def acquire(fs: FileSystem, lock: Path, op: String, dir: String,
+                      lease: Lease): Heartbeat = {
+    val token = java.util.UUID.randomUUID().toString.take(13)
     val info =
       s"op=$op host=$localHost pid=${ProcessHandle.current().pid()} " +
+        bootToken.map(b => s"boot=$b ").getOrElse("") +
+        s"token=$token lease_ms=${lease.beatMs} stale_ms=${lease.staleMs} " +
         s"thread=${Thread.currentThread().getName} " +
         s"acquired_ms=${System.currentTimeMillis()}"
+    // Atomic create-if-absent: the CAS. Any IOException reads as "lock
+    // held" — deliberately conservative: a transient FS error therefore
+    // surfaces as a conflict whose message shows the real holder info
+    // (or "unreadable"), never as a second writer proceeding.
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
-      try Some(fs.create(lock, false)) // atomic create-if-absent: the CAS
+      try Some(fs.create(lock, false))
       catch { case _: java.io.IOException => None }
     val out = tryCreate().orElse {
-      // one stale-takeover attempt, then one re-create attempt — never
-      // a loop (a live contender winning the re-create must lose us)
-      if (takeOverIfProvablyDead(fs, lock)) tryCreate() else None
+      // one takeover attempt (fast path, then lease observation), then
+      // one re-create attempt — never a loop (a live contender winning
+      // the re-create must lose us)
+      if (takeOverIfProvablyDead(fs, lock, dir) ||
+          takeOverIfLeaseExpired(fs, lock, dir)) tryCreate()
+      else None
     }.getOrElse {
-      val holder =
-        try {
-          val in = fs.open(lock)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        } catch { case _: java.io.IOException => "(holder unreadable)" }
+      val holder = readQuietly(fs, lock).getOrElse("(holder unreadable)")
+      MaintenanceEvents.record(dir, MaintenanceEvents.LockConflict,
+        s"op=$op holder=[$holder]")
       throw new ConcurrentWriterException(
         s"$op on $dir: another writer holds the lock [$holder]. " +
           "Index maintenance is single-writer; if that holder " +
@@ -121,55 +235,123 @@ object WriterLock {
           "any swap residue it left).")
     }
     try out.write(info.getBytes("UTF-8")) finally out.close()
+    val hb = new Heartbeat(fs, beatPath(lock, token), token, lease.beatMs)
+    hb.beat() // synchronous first beat: sentinel ⇒ beat file exists
+    hb.start()
+    hb
   }
 
-  private val HostPidRe = """.*\bhost=(\S+)\s.*\bpid=(\d+)\b.*""".r
-
-  /** Sound-and-safe stale-lock recovery: true iff the sentinel named a
-    * holder on THIS host whose pid no longer exists, and WE won the
-    * atomic rename of that exact sentinel (the loser of a takeover race
-    * sees rename fail and falls back to the loud conflict path).
-    * Everything undecidable from here — foreign host, live pid,
-    * unreadable/unparseable info — is false: manual remediation only.
+  /** Tier-1 recovery: true iff the sentinel named a holder from THIS
+    * machine's CURRENT boot (boot-id equality — never hostname) whose
+    * pid no longer exists, and WE won the atomic rename of that exact
+    * sentinel. Everything undecidable from here — live pid, different
+    * or absent boot id, unreadable/unparseable info — is false.
     */
-  private def takeOverIfProvablyDead(fs: FileSystem, lock: Path): Boolean = {
-    val holderInfo =
-      try {
-        val in = fs.open(lock)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      } catch { case _: java.io.IOException => return false }
-    holderInfo match {
-      case HostPidRe(host, pidStr) if host == localHost =>
-        val dead =
-          try ProcessHandle.of(pidStr.toLong)
-            .map[Boolean](p => !p.isAlive).orElse(true)
-          catch { case _: NumberFormatException => false }
-        if (!dead) return false
-        val tomb = new Path(lock.getParent,
-          s"${lock.getName}.stale_${ProcessHandle.current().pid()}_" +
-            s"${System.nanoTime()}")
-        val won =
-          try fs.rename(lock, tomb)
-          catch { case _: java.io.IOException => false }
-        if (won) {
-          fs.delete(tomb, false)
-          graft.Instr.record("writerLock.stale_taken_over", 1.0)
-        }
-        won
-      case _ => false
+  private def takeOverIfProvablyDead(fs: FileSystem, lock: Path,
+                                     dir: String): Boolean = {
+    val holderInfo = readQuietly(fs, lock).getOrElse(return false)
+    val f = fields(holderInfo)
+    val sameBoot = (f.get("boot"), bootToken) match {
+      case (Some(theirs), Some(ours)) => theirs == ours
+      case _ => false // unreadable on either side: undecidable
     }
+    if (!sameBoot) return false
+    val dead = f.get("pid").exists { pidStr =>
+      try ProcessHandle.of(pidStr.toLong)
+        .map[Boolean](p => !p.isAlive).orElse(true)
+      catch { case _: NumberFormatException => false }
+    }
+    if (!dead) return false
+    val won = renameTakeover(fs, lock, f.get("token"))
+    if (won) {
+      graft.Instr.record("writerLock.stale_taken_over", 1.0)
+      MaintenanceEvents.record(dir, MaintenanceEvents.StaleTakeover,
+        s"holder=[$holderInfo]")
+    }
+    won
   }
 
-  /** Remove a stale sentinel left by a crashed writer. MANUAL
-    * remediation by an operator who has confirmed the holder is dead —
-    * breaking a LIVE writer's lock reintroduces the silent-loss race.
-    * Returns whether a sentinel existed.
+  /** Tier-2 recovery: observe a lease-declaring sentinel for its
+    * holder's whole declared stale window; bit-identical silence earns
+    * one rename-takeover attempt. Observed progress of any kind — a
+    * beat, a different sentinel, a release — returns false immediately
+    * (release lets the caller's re-create win naturally). Monotonic
+    * time + content comparison only; see the scaladoc up top for why
+    * this survives clock skew and observer pauses.
+    */
+  private def takeOverIfLeaseExpired(fs: FileSystem, lock: Path,
+                                     dir: String): Boolean = {
+    val info0 = readQuietly(fs, lock).getOrElse(return true) // vanished
+    val f = fields(info0)
+    val staleMs: Long = f.get("stale_ms").flatMap(_.toLongOption)
+      .orElse(f.get("lease_ms").flatMap(_.toLongOption).map(_ * 60L))
+      .filter(_ >= 1L)
+      .getOrElse(return false) // no lease declared: manual only
+    val token = f.getOrElse("token", return false)
+    val hb = beatPath(lock, token)
+    val beat0 = readQuietly(fs, hb)
+    val pollMs = math.max(50L, math.min(staleMs / 4,
+      f.get("lease_ms").flatMap(s => s.toLongOption).getOrElse(1000L)))
+    def changed(): Boolean = {
+      val infoNow = readQuietly(fs, lock)
+      infoNow.isEmpty || infoNow.get != info0 ||
+        readQuietly(fs, hb) != beat0
+    }
+    val deadline = System.nanoTime() + staleMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      try Thread.sleep(pollMs)
+      catch { case ie: InterruptedException =>
+        Thread.currentThread().interrupt(); return false }
+      if (changed()) {
+        // released (sentinel gone) → let the re-create attempt win;
+        // any other progress → the holder lives, refuse
+        return !fs.exists(lock)
+      }
+    }
+    // Final verification AFTER the window: if the OBSERVER was paused
+    // mid-loop, beats that landed during the pause are caught here.
+    if (changed()) return !fs.exists(lock)
+    val won = renameTakeover(fs, lock, Some(token))
+    if (won) {
+      graft.Instr.record("writerLock.lease_taken_over", 1.0)
+      MaintenanceEvents.record(dir, MaintenanceEvents.LeaseTakeover,
+        s"observed_silence_ms=$staleMs holder=[$info0]")
+    }
+    won
+  }
+
+  /** The shared CAS both tiers funnel into: rename the observed
+    * sentinel to a unique tombstone. Exactly one of racing healers
+    * wins; the loser falls back to the loud conflict path. The winner
+    * sweeps the tombstone and the dead holder's beat file.
+    */
+  private def renameTakeover(fs: FileSystem, lock: Path,
+                             token: Option[String]): Boolean = {
+    val tomb = new Path(lock.getParent,
+      s"${lock.getName}.stale_${ProcessHandle.current().pid()}_" +
+        s"${System.nanoTime()}")
+    val won =
+      try fs.rename(lock, tomb)
+      catch { case _: java.io.IOException => false }
+    if (won) {
+      fs.delete(tomb, false)
+      token.foreach(t => fs.delete(beatPath(lock, t), false))
+    }
+    won
+  }
+
+  /** Remove a stale sentinel left by a crashed writer (beat file
+    * included). MANUAL remediation by an operator who has confirmed the
+    * holder is dead — breaking a LIVE writer's lock reintroduces the
+    * silent-loss race. Returns whether a sentinel existed.
     */
   def breakLock(spark: SparkSession, dir: String): Boolean = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(lockPath(root), false)
+    val lock = lockPath(root)
+    readQuietly(fs, lock).map(fields).flatMap(_.get("token"))
+      .foreach(t => fs.delete(beatPath(lock, t), false))
+    fs.delete(lock, false)
   }
 
   /** Whether a writer currently holds `dir`'s sentinel. */

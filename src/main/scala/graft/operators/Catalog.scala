@@ -532,6 +532,17 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     * directory holding a still-referenced bucket. Returns the
     * committed versions deleted (orphan sweeps are not reported).
     *
+    * Retention (r15 verdict ask #3, the long-lived-stream knob): the
+    * newest `retainLast` committed versions, plus every version whose
+    * commit is younger than `retainMs`, stay TIME-TRAVEL READABLE —
+    * i.e. each retained head keeps alive every older version its
+    * manifest still references, so [[linksAt]]/[[changes]] hold their
+    * contract on the whole retained window, not just its head
+    * versions. The defaults (`retainLast = 1`, `retainMs = 0`) are
+    * exactly the pre-retention behavior: only the current version's
+    * reference set survives. Cost: one directory listing plus one
+    * manifest read per retained head — metadata, never data.
+    *
     * NOT safe concurrently with everything: a lazily-evaluated DataFrame
     * planned from [[links]]/[[getHashLink]] under an OLDER manifest still
     * references version dirs this may delete (FileNotFound at its next
@@ -539,7 +550,9 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     * it when no queries planned against earlier versions are still
     * pending and no commit is in flight.
     */
-  def vacuum(): Seq[Long] = {
+  def vacuum(retainLast: Int = 1, retainMs: Long = 0L): Seq[Long] = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
     val base = new Path(dir)
     if (!fs.exists(base)) return Seq.empty
     val current = currentVersion
@@ -588,14 +601,37 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     // permanently block the FIRST commit and this method is the
     // designated remediation.
     if (current == 0) return Seq.empty
-    val referenced = readManifest(current).values.toSet + current
-    val deletable = entries.iterator
+    val committed = entries.iterator
       .map(_.getPath.getName)
       .collect { case VersionRe(n) => n.toLong }
-      .filter(v => v < current && !referenced.contains(v) &&
-        fs.exists(new Path(versionDir(v), "COMMIT")))
-      .toSeq.sorted
+      .filter(v => fs.exists(new Path(versionDir(v), "COMMIT")))
+      .toSeq
+    // Retained heads: newest `retainLast` + age window + current. Each
+    // head pins its manifest's whole reference closure (readability is
+    // a property of the head's manifest, not of the head's own dir).
+    val ageKept: Set[Long] =
+      if (retainMs <= 0) Set.empty
+      else {
+        val cutoff = System.currentTimeMillis() - retainMs
+        committed.filter { v =>
+          try fs.getFileStatus(new Path(versionDir(v), "COMMIT"))
+            .getModificationTime >= cutoff
+          catch { case _: java.io.FileNotFoundException => false }
+        }.toSet
+      }
+    val heads = committed.filter(_ > current - retainLast).toSet ++
+      ageKept + current
+    val referenced = heads.flatMap(h => readManifest(h).values.toSet + h)
+    val deletable = committed
+      .filter(v => v < current && !referenced.contains(v))
+      .sorted
     deletable.foreach(v => fs.delete(versionDir(v), true))
+    if (deletable.nonEmpty)
+      graft.ext.MaintenanceEvents.record(dir,
+        graft.ext.MaintenanceEvents.VacuumRemoved,
+        s"versions=${deletable.mkString(",")} retained_heads=" +
+          heads.toSeq.sorted.mkString(","),
+        n = deletable.size.toLong)
     deletable
   }
 
@@ -616,16 +652,19 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     * lose a race with a concurrent writer, failing loudly) and vacuums
     * (invalidates DataFrames planned against older manifests), so run
     * it from the maintenance window, not alongside live writers or
-    * long-running readers. Returns the new current version.
+    * long-running readers. `retainLast`/`retainMs` pass through to the
+    * closing [[vacuum]], so a stream with a retention policy keeps its
+    * time-travel window across a compaction fire. Returns the new
+    * current version.
     */
-  def compact(): Long = {
+  def compact(retainLast: Int = 1, retainMs: Long = 0L): Long = {
     val v = currentVersion
     if (v == 0) return 0L
     val allLinks = links().repartition(bucketCol(col("hash")))
     // the bloom is append-only truth (links are never deleted), so the
     // compacted version carries the current filter forward unchanged
     writeVersion(v + 1, files(), Some(allLinks), Map.empty, readBloom(v))
-    vacuum()
+    vacuum(retainLast, retainMs)
     v + 1
   }
 

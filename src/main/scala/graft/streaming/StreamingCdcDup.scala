@@ -43,7 +43,7 @@ object StreamingCdcDup {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
             compactEvery: Option[Int] = None,
-            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+            compactMaxFiles: Option[Long] = None): MaintainedStream = {
     // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
     val policy = graft.ext.IndexMaintenance.CompactPolicy(
       every = compactEvery, maxDataFiles = compactMaxFiles)
@@ -55,7 +55,7 @@ object StreamingCdcDup {
       .schema(StructType(Seq(StructField("id", LongType),
         StructField("blob", BinaryType))))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
+    val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"$workDir/_checkpoint")
@@ -79,7 +79,7 @@ object StreamingCdcDup {
             maxDocsPerChunk, minShared)
           // between-batches = the single writer's maintenance window
           graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
-            "streamCdcDup",
+            "streamCdcDup", indexPath,
             graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
             Cdc.compactCdcIndex(spark, indexPath))
         } finally {
@@ -89,5 +89,6 @@ object StreamingCdcDup {
         ()
       }
       .start()
+    new MaintainedStream(q, Seq(indexPath))
   }
 }

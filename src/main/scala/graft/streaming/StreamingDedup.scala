@@ -40,7 +40,9 @@ object StreamingDedup {
             bucketChars: Int = 2,
             bloomItems: Long = 1000000L,
             compactEvery: Option[Int] = None,
-            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+            compactMaxFiles: Option[Long] = None,
+            retainVersions: Option[Int] = None,
+            retainWindowMs: Option[Long] = None): MaintainedStream = {
     // cadence and/or cost trigger, the same CompactPolicy contract as
     // the five index-backed streams (r15: the catalog stream was the
     // one stream still cadence-only). The cost signal counts EVERY
@@ -50,6 +52,22 @@ object StreamingDedup {
     // grow with exactly the fragmentation compact() reclaims.
     val policy = graft.ext.IndexMaintenance.CompactPolicy(
       every = compactEvery, maxDataFiles = compactMaxFiles)
+    // Version-history retention (r15 verdict ask #3): a long-lived
+    // stream commits one catalog version per micro-batch, and without
+    // retention only a maintenance-window compact() ever reclaims the
+    // superseded version dirs — history between fires grows ∝ batches.
+    // When either knob is set, the maintenance window runs the
+    // RETENTION vacuum after every commit (metadata-cheap: one listing
+    // + K manifest reads) keeping the last `retainVersions` versions
+    // and everything committed within `retainWindowMs` TIME-TRAVEL
+    // READABLE (linksAt/changes contract — see Catalog.vacuum), and the
+    // compact() fire honors the same policy instead of reclaiming all
+    // history. Unset (the default), behavior is unchanged: no per-batch
+    // vacuum, compact() keeps only the current version's references.
+    val retainLast = retainVersions.getOrElse(1)
+    val retainMs = retainWindowMs.getOrElse(0L)
+    val retentionOn = retainVersions.isDefined || retainWindowMs.isDefined
+    val catalogDir = s"$workDir/catalog"
     val dedup = new Deduplicator(spark, workDir, bucketChars = bucketChars,
       bloomItems = bloomItems)
     val reader = spark.readStream
@@ -73,7 +91,7 @@ object StreamingDedup {
     // keeps a huge backlog from becoming one huge first batch.
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    reader
+    val q = reader
       .load(inputDir)
       .writeStream
       .trigger(trigger)
@@ -97,21 +115,30 @@ object StreamingDedup {
         // indexes' compactIndex. maybeCompact records the skip/fire
         // gauges; CompactStats.rows is not recomputed for the catalog
         // (compact() already row-verifies through writeVersion).
-        val catalogDir = s"$workDir/catalog"
         graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
-          "streamDedup",
+          "streamDedup", catalogDir,
           graft.ext.IndexMaintenance.dataFileCount(spark, catalogDir)) {
           val before =
             graft.ext.IndexMaintenance.dataFileCount(spark, catalogDir)
           graft.Instr.record("streamDedup.compacted_buckets",
-            dedup.catalog.compact().toDouble)
+            dedup.catalog.compact(retainLast, retainMs).toDouble)
           graft.ext.IndexMaintenance.CompactStats(before,
             graft.ext.IndexMaintenance.dataFileCount(spark, catalogDir),
             -1L)
         }
+        // retention vacuum between batches (same single-writer window);
+        // compact() above already vacuumed when it fired, but firing is
+        // the rare path — this bounds history growth BETWEEN fires
+        if (retentionOn) {
+          val removed = dedup.catalog.vacuum(retainLast, retainMs)
+          if (removed.nonEmpty)
+            graft.Instr.record("streamDedup.vacuum_versions_removed",
+              removed.size.toDouble)
+        }
         ()
       }
       .start()
+    new MaintainedStream(q, Seq(catalogDir))
   }
 
   private def nameFor(path: String, batchId: Long): String = {

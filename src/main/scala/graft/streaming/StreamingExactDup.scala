@@ -42,7 +42,7 @@ object StreamingExactDup {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
             compactEvery: Option[Int] = None,
-            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+            compactMaxFiles: Option[Long] = None): MaintainedStream = {
     // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
     val policy = graft.ext.IndexMaintenance.CompactPolicy(
       every = compactEvery, maxDataFiles = compactMaxFiles)
@@ -54,7 +54,7 @@ object StreamingExactDup {
       .schema(StructType(Seq(StructField("id", LongType),
         StructField("text", StringType))))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
+    val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"$workDir/_checkpoint")
@@ -79,7 +79,7 @@ object StreamingExactDup {
             k, w, fpBuckets, maxDocsPerFp, minMatches)
           // between-batches = the single writer's maintenance window
           graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
-            "streamExactDup",
+            "streamExactDup", indexPath,
             graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
             Winnow.compactWinnowIndex(spark, indexPath))
         } finally {
@@ -89,5 +89,6 @@ object StreamingExactDup {
         ()
       }
       .start()
+    new MaintainedStream(q, Seq(indexPath))
   }
 }

@@ -37,7 +37,7 @@ object StreamingImageDedup {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
             compactEvery: Option[Int] = None,
-            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+            compactMaxFiles: Option[Long] = None): MaintainedStream = {
     // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
     val policy = graft.ext.IndexMaintenance.CompactPolicy(
       every = compactEvery, maxDataFiles = compactMaxFiles)
@@ -50,7 +50,7 @@ object StreamingImageDedup {
         StructField("blob", BinaryType))))
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
+    val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"$workDir/_checkpoint")
@@ -75,7 +75,7 @@ object StreamingImageDedup {
             s"$matchesPath/batch_id=$batchId", maxDist, qBuckets)
           // between-batches = the single writer's maintenance window
           graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
-            "streamImageDedup",
+            "streamImageDedup", indexPath,
             graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
             DocDedup.compactHammingIndex(spark, indexPath))
         } finally {
@@ -85,5 +85,6 @@ object StreamingImageDedup {
         ()
       }
       .start()
+    new MaintainedStream(q, Seq(indexPath))
   }
 }

@@ -57,7 +57,7 @@ object StreamingNearDup {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
             compactEvery: Option[Int] = None,
-            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+            compactMaxFiles: Option[Long] = None): MaintainedStream = {
     // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
     // (compactMaxFiles fires on the index's measured data-file count,
     // the probe-cost signal, instead of a fixed batch cadence)
@@ -73,7 +73,7 @@ object StreamingNearDup {
         StructField("text", StringType))))
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
+    val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"$workDir/_checkpoint")
@@ -118,7 +118,7 @@ object StreamingNearDup {
             num, den, bands, rows, sigBuckets)
           b.write.mode("append").parquet(corpusPath)
           graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
-            "streamNearDup",
+            "streamNearDup", indexPath,
             graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
             DocDedup.compactMinHashIndex(spark, indexPath))
         } finally {
@@ -128,5 +128,6 @@ object StreamingNearDup {
         ()
       }
       .start()
+    new MaintainedStream(q, Seq(indexPath))
   }
 }

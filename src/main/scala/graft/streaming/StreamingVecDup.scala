@@ -39,7 +39,7 @@ object StreamingVecDup {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
             compactEvery: Option[Int] = None,
-            compactMaxFiles: Option[Long] = None): StreamingQuery = {
+            compactMaxFiles: Option[Long] = None): MaintainedStream = {
     // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
     val policy = graft.ext.IndexMaintenance.CompactPolicy(
       every = compactEvery, maxDataFiles = compactMaxFiles)
@@ -51,7 +51,7 @@ object StreamingVecDup {
       .schema(StructType(Seq(StructField("id", LongType),
         StructField("vec", ArrayType(FloatType)))))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
+    val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"$workDir/_checkpoint")
@@ -89,7 +89,7 @@ object StreamingVecDup {
             Similarity.buildIvfIndex(b, "id", "vec", indexPath, nlist)
           // between-batches = the single writer's maintenance window
           graft.ext.IndexMaintenance.maybeCompact(policy, batchId,
-            "streamVecDup",
+            "streamVecDup", indexPath,
             graft.ext.IndexMaintenance.dataFileCount(spark, indexPath))(
             Similarity.compactIvfIndex(spark, indexPath))
         } finally {
@@ -99,5 +99,6 @@ object StreamingVecDup {
         ()
       }
       .start()
+    new MaintainedStream(q, Seq(indexPath))
   }
 }

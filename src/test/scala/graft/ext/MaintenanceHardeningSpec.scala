@@ -52,7 +52,7 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     def run(policy: IndexMaintenance.CompactPolicy, batchId: Long,
             files: Long): Unit =
       IndexMaintenance.maybeCompact(policy, batchId, "mhs-policy",
-        { evals += 1; files }) { fires += 1; stats }
+        "/tmp/mhs-policy-dir", { evals += 1; files }) { fires += 1; stats }
 
     // fixed cadence every 2: fires after batches 1 and 3 only, and the
     // file count is never consulted
@@ -176,42 +176,203 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     assert(spark.read.parquet(idx).count() > rows)
   }
 
-  test("writer lock: a dead same-host holder's sentinel is taken over " +
-    "automatically (the unattended-restart story); live-pid and " +
-    "foreign-host sentinels still require manual remediation") {
-    val (idx, _, rows) = freshIndex("mhs-lock-stale")
-    val fs = fsOf(idx)
+  private def plantSentinel(idx: String, info: String): Path = {
     val lock = WriterLock.lockPath(new Path(idx))
-    def plant(info: String): Unit = {
-      val out = fs.create(lock, false)
-      try out.write(info.getBytes("UTF-8")) finally out.close()
-    }
+    val out = fsOf(idx).create(lock, false)
+    try out.write(info.getBytes("UTF-8")) finally out.close()
+    lock
+  }
+
+  private def deadPid: Long = {
+    var p = 999999L
+    while (ProcessHandle.of(p).isPresent) p -= 1
+    p
+  }
+
+  test("writer lock: a dead same-BOOT holder's sentinel is taken over " +
+    "automatically (the unattended-restart fast path); live-pid, " +
+    "boot-less, and foreign-boot sentinels require the lease or " +
+    "manual remediation — hostname equality decides NOTHING") {
+    val (idx, _, rows) = freshIndex("mhs-lock-stale")
     val host = java.net.InetAddress.getLocalHost.getHostName
-    val deadPid = {
-      var p = 999999L
-      while (ProcessHandle.of(p).isPresent) p -= 1
-      p
-    }
+    val boot = WriterLock.bootToken.getOrElse(
+      cancel("no /proc boot_id on this platform"))
     val t0 = graft.Instr.totalCount("writerLock.stale_taken_over")
-    plant(s"op=crashed host=$host pid=$deadPid thread=x acquired_ms=0")
+    val c0 = MaintenanceEvents.count(idx, MaintenanceEvents.StaleTakeover)
+    plantSentinel(idx, s"op=crashed host=$host pid=$deadPid boot=$boot " +
+      "token=deadtok thread=x acquired_ms=0")
     assert(WriterLock.isLocked(spark, idx))
     // the restart proceeds: provably-dead holder, sentinel taken over
     DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx)
     assert(spark.read.parquet(idx).count() > rows)
     assert(graft.Instr.totalCount("writerLock.stale_taken_over") == t0 + 1)
+    assert(MaintenanceEvents.count(idx,
+      MaintenanceEvents.StaleTakeover) == c0 + 1)
     assert(!WriterLock.isLocked(spark, idx))
-    // live pid on this host: loud, manual only
-    plant(s"op=live host=$host pid=${ProcessHandle.current().pid()} " +
-      "thread=x acquired_ms=0")
+    // live pid, same boot: loud, manual only
+    plantSentinel(idx, s"op=live host=$host boot=$boot " +
+      s"pid=${ProcessHandle.current().pid()} thread=x acquired_ms=0")
     intercept[WriterLock.ConcurrentWriterException](
       DocDedup.appendToMinHashIndex(docs(50, 60), "id", "text", idx))
     assert(WriterLock.breakLock(spark, idx))
-    // foreign host, even with a dead-looking pid: undecidable, loud
-    plant(s"op=foreign host=some-other-box pid=$deadPid " +
+    // SAME hostname but a different boot id and a dead-looking pid:
+    // the r15 advisor's silent-takeover hazard (hostname collision on
+    // shared storage) — undecidable, loud. No lease declared, so the
+    // lease tier cannot fire either.
+    plantSentinel(idx, s"op=imposter host=$host pid=$deadPid " +
+      "boot=00000000-dead-beef-0000-000000000000 thread=x acquired_ms=0")
+    intercept[WriterLock.ConcurrentWriterException](
+      DocDedup.appendToMinHashIndex(docs(50, 60), "id", "text", idx))
+    assert(WriterLock.breakLock(spark, idx))
+    // no boot id at all (legacy/manual sentinel): undecidable, loud
+    plantSentinel(idx, s"op=legacy host=$host pid=$deadPid " +
       "thread=x acquired_ms=0")
     intercept[WriterLock.ConcurrentWriterException](
       DocDedup.compactMinHashIndex(spark, idx))
     assert(WriterLock.breakLock(spark, idx))
+  }
+
+  test("writer lock lease: a non-heartbeating sentinel from a FOREIGN " +
+    "machine is taken over after its own declared stale window (the " +
+    "cluster-failover story the dead-pid path cannot decide)") {
+    val (idx, _, rows) = freshIndex("mhs-lease-dead")
+    val l0 = graft.Instr.totalCount("writerLock.lease_taken_over")
+    val c0 = MaintenanceEvents.count(idx, MaintenanceEvents.LeaseTakeover)
+    // foreign boot, live-looking pid, a lease promise of 50 ms beats —
+    // and NO beat file at all: the holder died before/with its first
+    // beat, on a machine we cannot inspect
+    plantSentinel(idx, "op=failover host=node-7 pid=1 " +
+      "boot=11111111-2222-3333-4444-555555555555 token=goneTok " +
+      "lease_ms=50 stale_ms=400 thread=x acquired_ms=0")
+    val t0 = System.nanoTime()
+    DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx)
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    assert(spark.read.parquet(idx).count() > rows)
+    // the takeover OBSERVED the full declared window (not a shortcut)
+    assert(waitedMs >= 400, s"took over after only $waitedMs ms")
+    assert(graft.Instr.totalCount("writerLock.lease_taken_over") == l0 + 1)
+    assert(MaintenanceEvents.count(idx,
+      MaintenanceEvents.LeaseTakeover) == c0 + 1)
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
+  test("writer lock lease: a LIVE heartbeating holder is never stolen, " +
+    "even by a reader whose clock would call the sentinel ancient — " +
+    "the decision is beat-content observation, never wall-clock math") {
+    val (idx, pre, rows) = freshIndex("mhs-lease-live")
+    val fs = fsOf(idx)
+    // a foreign holder whose acquired_ms is ABSURDLY old (epoch 0) and
+    // whose stale window a timestamp-comparing reader would call long
+    // expired — but whose heartbeat is actively advancing
+    val lock = plantSentinel(idx, "op=remote host=node-9 pid=1 " +
+      "boot=99999999-8888-7777-6666-555555555555 token=liveTok " +
+      "lease_ms=50 stale_ms=600 thread=x acquired_ms=0")
+    val hb = new Path(lock.getParent, s"${lock.getName}.hb_liveTok")
+    @volatile var beating = true
+    val beater = new Thread(() => {
+      var n = 0L
+      while (beating) {
+        n += 1
+        val out = fs.create(hb, true)
+        try out.write(s"token=liveTok beat=$n".getBytes("UTF-8"))
+        finally out.close()
+        Thread.sleep(50)
+      }
+    })
+    beater.setDaemon(true)
+    beater.start()
+    try {
+      intercept[WriterLock.ConcurrentWriterException](
+        DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx))
+      // nothing stolen, nothing written
+      assert(WriterLock.isLocked(spark, idx))
+      assert(spark.read.parquet(idx).count() == rows)
+      assert(probe(idx) == pre)
+    } finally {
+      beating = false
+      beater.join(5000)
+    }
+    assert(WriterLock.breakLock(spark, idx))
+    fs.delete(hb, false)
+  }
+
+  test("writer lock lease: racing healers of the same expired sentinel " +
+    "— the rename CAS yields exactly one winner; the loser fails " +
+    "loudly against the winner's fresh lock") {
+    val (idx, _, _) = freshIndex("mhs-lease-race")
+    plantSentinel(idx, "op=failover host=node-3 pid=1 " +
+      "boot=aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee token=raceTok " +
+      "lease_ms=50 stale_ms=300 thread=x acquired_ms=0")
+    val bodyRelease = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def contender(name: String) = new Thread(() =>
+      try WriterLock.withLock(spark, idx, name) {
+        results.add("won")
+        // hold the lock until BOTH outcomes are decided, so the loser
+        // always races a live winner, never an already-released one
+        bodyRelease.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      } catch {
+        case _: WriterLock.ConcurrentWriterException => results.add("lost")
+      })
+    val ts = Seq(contender("healer-a"), contender("healer-b"))
+    ts.foreach(_.start())
+    // wait until both outcomes exist (the loser throws while the winner
+    // is still inside the body)
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (results.size < 2 && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    bodyRelease.countDown()
+    ts.foreach(_.join(60000))
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSeq.sorted == Seq("lost", "won"),
+      s"expected exactly one winner, got $results")
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
+  test("maintenance observability: a forced conflict + heal + " +
+    "compaction fire sequence lands in the MaintenanceEvents counters " +
+    "(and only against the touched directory)") {
+    val (idx, pre, rows) = freshIndex("mhs-events")
+    val fs = fsOf(idx)
+    val root = new Path(idx)
+    val before = Seq(MaintenanceEvents.LockConflict,
+      MaintenanceEvents.HealCompleted, MaintenanceEvents.CompactFire,
+      MaintenanceEvents.CompactSkip)
+      .map(e => e -> MaintenanceEvents.count(idx, e)).toMap
+    // 1. forced conflict: an opaque foreign sentinel
+    fs.create(WriterLock.lockPath(root), false).close()
+    intercept[WriterLock.ConcurrentWriterException](
+      DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx))
+    WriterLock.breakLock(spark, idx)
+    // 2. heal: interrupted swap (both halves present, root absent)
+    val tmp = new Path(root.getParent, ".compact_tmp_index-0bs11111")
+    val old = new Path(root.getParent, ".compact_old_index-0bs11111")
+    assert(fs.rename(root, tmp))
+    DocDedup.buildMinHashIndex(docs(0, 40), "id", "text", idx,
+      bands = 4, rows = 2, sigBuckets = 4)
+    assert(fs.rename(root, old))
+    assert(probe(idx) == pre) // open-time heal completes the swap
+    // 3. maintenance window: one gauged skip, then one fire
+    IndexMaintenance.maybeCompact(
+      IndexMaintenance.CompactPolicy(maxDataFiles = Some(100000L)), 0L,
+      "mhs-events", idx,
+      IndexMaintenance.dataFileCount(spark, idx))(
+      sys.error("must not fire"))
+    IndexMaintenance.maybeCompact(
+      IndexMaintenance.CompactPolicy(maxDataFiles = Some(1L)), 1L,
+      "mhs-events", idx,
+      IndexMaintenance.dataFileCount(spark, idx))(
+      DocDedup.compactMinHashIndex(spark, idx))
+    assert(spark.read.parquet(idx).count() == rows)
+    def delta(e: String) = MaintenanceEvents.count(idx, e) - before(e)
+    assert(delta(MaintenanceEvents.LockConflict) == 1)
+    assert(delta(MaintenanceEvents.HealCompleted) == 1)
+    assert(delta(MaintenanceEvents.CompactSkip) == 1)
+    assert(delta(MaintenanceEvents.CompactFire) == 1)
+    // per-directory isolation: an untouched sibling dir reads zero
+    assert(MaintenanceEvents.count(idx + "-never-touched",
+      MaintenanceEvents.LockConflict) == 0)
   }
 
   test("writer lock: two interleaved committers — the loser throws " +

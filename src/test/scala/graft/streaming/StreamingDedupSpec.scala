@@ -188,6 +188,60 @@ class StreamingDedupSpec extends SparkFunSuite {
       "links must be row-identical with and without cost-fired compaction")
   }
 
+  test("retention on a long-lived stream: retainVersions bounds version " +
+    "history between compaction fires, keeps the retained window " +
+    "time-travel readable, and reports through maintenanceStats()") {
+    val dir = tempDir("sretain")
+    val inDir = s"$dir/in"
+    Files.createDirectories(Paths.get(inDir))
+    val work = s"$dir/work"
+    val cat = new Catalog(spark, s"$work/catalog")
+    val data = Fixtures.alignedDuplicated(blocks = 96, distinct = 12, seed = 9)
+    // 5 micro-batches = 5 versions, all rewriting the same buckets
+    // (identical content → pure refs_num delta commits) — without
+    // retention every superseded version dir survives until a
+    // compaction fire; with retainVersions = 2 each batch's window
+    // reclaims exactly the version that just aged out
+    var handle: MaintainedStream = null
+    (0 until 5).foreach { i =>
+      Fixtures.writeTemp(inDir, s"f$i.dat", data)
+      handle = StreamingDedup.start(spark, inDir, work,
+        DedupOptions(chunkBytes = 64), retainVersions = Some(2))
+      handle.awaitTermination()
+    }
+    assert(cat.currentVersion == 5L)
+    def vdirs(): Seq[String] =
+      new java.io.File(s"$work/catalog").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("v_")).sorted
+    // batches 3/4/5 each reclaimed one aged-out version (v1, v2, v3)
+    assert(vdirs() == Seq("v_000004", "v_000005"),
+      s"expected only the retained window on disk, got ${vdirs()}")
+    // the retained window is fully time-travel readable...
+    val at4 = cat.linksAt(4L).orderBy("hash").collect().toSeq
+    val at5 = cat.linksAt(5L).orderBy("hash").collect().toSeq
+    assert(at4.map(_.getAs[String]("hash")) ==
+      at5.map(_.getAs[String]("hash")))
+    // ...and refs_num actually differs between the two snapshots (v5
+    // added one more file's worth of references)
+    assert(at4.map(_.getAs[Long]("refs_num")).sum <
+      at5.map(_.getAs[Long]("refs_num")).sum)
+    // the LAST batch's handle observed exactly its own batch's events:
+    // one vacuum removal (v3), no compaction (no policy configured)
+    val stats = handle.maintenanceStats()
+    assert(stats.getOrElse(graft.ext.MaintenanceEvents.VacuumRemoved, 0L)
+      == 1L, s"stats=$stats")
+    assert(stats.getOrElse(graft.ext.MaintenanceEvents.CompactFire, 0L)
+      == 0L)
+    assert(handle.maintainedDirs == Seq(s"$work/catalog"))
+    // recovery still byte-equal through the retained catalog
+    val engine = new graft.api.Deduplicator(spark, work)
+    val name = cat.files().orderBy("file_id").collect()
+      .last.getAs[String]("filename")
+    engine.recoverFile(name, s"$dir/rec.bin")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$dir/rec.bin")), data))
+  }
+
   test("dedupWithinWatermark drops in-stream duplicate keys") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
