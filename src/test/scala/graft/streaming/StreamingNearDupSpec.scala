@@ -98,10 +98,17 @@ class StreamingNearDupSpec extends SparkFunSuite {
           java.nio.file.attribute.FileTime.fromMillis(
             1700000000000L + i * 60000L))
       }
-      StreamingNearDup.start(spark, inDir, work, 7, 10,
+      val handle = StreamingNearDup.start(spark, inDir, work, 7, 10,
         bands = 8, rows = 4, sigBuckets = 4,
         maxFilesPerTrigger = Some(1), compactEvery = compactEvery)
-        .awaitTermination()
+      handle.awaitTermination()
+      // the index stream's handle reports ITS maintenance events since
+      // start: 3 batches at compactEvery=2 fire once; no policy, never
+      val fires = handle.maintenanceStats()
+        .getOrElse(graft.ext.MaintenanceEvents.CompactFire, 0L)
+      assert(fires == compactEvery.map(_ => 1L).getOrElse(0L),
+        s"handle stats: expected fire count for $compactEvery, got $fires")
+      assert(handle.maintainedDirs == Seq(s"$work/index"))
       (spark.read.parquet(s"$work/matches").select("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
         s"$work/index")
