@@ -5938,12 +5938,18 @@ object SparkEntry {
     //      bounded-retention variant) driven through a real
     //      MemoryStream, with its kept-set predicted EXACTLY by the
     //      DuckDB oracle. The fixture is three "episodes" of the same
-    //      10 keys: within an episode each key fires 5 times across
-    //      TWO micro-batches (offsets k, k+10 … k+40 over 50 ids), all
+    //      10 keys: within an episode each key fires TWICE, once per
+    //      occurrence-WAVE micro-batch (offsets k and k+10), both
     //      inside the 100 s watermark delay, so only the first
     //      occurrence (offset == key ⇔ doc_id % 50 < 10) survives —
-    //      including the cross-batch duplicates, which only the state
-    //      store can drop. Episodes sit 10 000 s apart, and two
+    //      the duplicate arriving in a LATER batch, which only the
+    //      state store can drop. One wave per batch means each key
+    //      appears at most once per batch, so the kept row never
+    //      depends on intra-batch processing order (the operator keeps
+    //      the first row PROCESSED per key, and row order inside a
+    //      batch is not guaranteed across the shuffle into the state
+    //      store — the r15 advisor's flakiness flag); cross-BATCH
+    //      first-wins IS the state store's contract. Episodes sit 10 000 s apart, and two
     //      sentinel batches between episodes push the watermark past
     //      the previous episode's state expiry (eviction applies the
     //      PREVIOUS batch's max event time, hence two), so every key
@@ -5980,15 +5986,13 @@ object SparkEntry {
         graft.Instr.timed("q246.stream") {
           (0 until 3).foreach { ep =>
             val epIds = ids.filter(id => id / 50 == ep)
-            // one occurrence WAVE per micro-batch (offset k, k+10, …
-            // each in its own feed): within any single batch each key
-            // then appears at most once, so the kept row can never
-            // depend on intra-batch processing order — the operator
-            // keeps the first row PROCESSED per key, and row order
-            // inside a batch is not guaranteed across the shuffle into
-            // the state store (r15 advisor). Cross-BATCH first-wins IS
-            // the state store's contract: wave 0 emits, waves 1–4 drop.
-            (0 until 5).foreach { w =>
+            // two waves: wave 0 (offsets 0–9) emits, wave 1 (offsets
+            // 10–19) duplicates every key cross-batch and drops; the
+            // unused offsets 20–49 are not fed (more duplicate waves
+            // would re-test the same drop at ~0.4 s of state-store
+            // commit floor per extra batch — the r15-advisor fix is
+            // the one-key-per-batch shape, not more duplicates)
+            (0 until 2).foreach { w =>
               val wave = epIds.filter(id => (id % 50) / 10 == w)
               if (wave.nonEmpty) feed(wave.map(ev).toSeq)
             }
