@@ -11,20 +11,21 @@ import graft.ext.MaintenanceEvents
   * plus a queryable window onto the maintenance events of the
   * directories this stream owns.
   *
-  * [[maintenanceStats]] returns event → count SINCE THIS HANDLE WAS
-  * CREATED (the [[MaintenanceEvents]] registry is JVM-lifetime; the
-  * baseline snapshot taken at construction turns it into "since stream
-  * start"), keyed by the [[MaintenanceEvents]] event names — lock
+  * [[maintenanceStats]] returns event → count SINCE STREAM START (the
+  * [[MaintenanceEvents]] registry is JVM-lifetime; the stream's
+  * `start` snapshots the baseline BEFORE the query starts — snapshot
+  * at handle construction would race an `AvailableNow` first batch
+  * that fires before the constructor runs and silently undercount),
+  * keyed by the [[MaintenanceEvents]] event names — lock
   * conflicts, stale/lease takeovers, swap heals, compaction
   * skips/fires, retention vacuums. Zero-valued events are included
   * only if they were ever recorded against these directories in this
   * JVM, so `getOrElse(event, 0L)` is the read idiom.
   */
 final class MaintainedStream(val query: StreamingQuery,
-                             val maintainedDirs: Seq[String])
+                             val maintainedDirs: Seq[String],
+                             baseline: Map[String, Long])
     extends StreamingQuery {
-
-  private val baseline = MaintenanceEvents.countsFor(maintainedDirs)
 
   /** Maintenance-event counts against this stream's directories since
     * the stream started.

@@ -55,6 +55,9 @@ object StreamingCdcDup {
       .schema(StructType(Seq(StructField("id", LongType),
         StructField("blob", BinaryType))))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // events baseline BEFORE the query starts: an AvailableNow first
+    // batch can fire before start() returns
+    val baseline = graft.ext.MaintenanceEvents.countsFor(Seq(indexPath))
     val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
@@ -89,6 +92,6 @@ object StreamingCdcDup {
         ()
       }
       .start()
-    new MaintainedStream(q, Seq(indexPath))
+    new MaintainedStream(q, Seq(indexPath), baseline)
   }
 }

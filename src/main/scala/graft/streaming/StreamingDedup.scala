@@ -91,6 +91,9 @@ object StreamingDedup {
     // keeps a huge backlog from becoming one huge first batch.
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
+    // events baseline BEFORE the query starts: an AvailableNow first
+    // batch can fire before start() returns
+    val baseline = graft.ext.MaintenanceEvents.countsFor(Seq(catalogDir))
     val q = reader
       .load(inputDir)
       .writeStream
@@ -138,7 +141,7 @@ object StreamingDedup {
         ()
       }
       .start()
-    new MaintainedStream(q, Seq(catalogDir))
+    new MaintainedStream(q, Seq(catalogDir), baseline)
   }
 
   private def nameFor(path: String, batchId: Long): String = {

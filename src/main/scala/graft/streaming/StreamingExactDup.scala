@@ -54,6 +54,9 @@ object StreamingExactDup {
       .schema(StructType(Seq(StructField("id", LongType),
         StructField("text", StringType))))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // events baseline BEFORE the query starts: an AvailableNow first
+    // batch can fire before start() returns
+    val baseline = graft.ext.MaintenanceEvents.countsFor(Seq(indexPath))
     val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
@@ -89,6 +92,6 @@ object StreamingExactDup {
         ()
       }
       .start()
-    new MaintainedStream(q, Seq(indexPath))
+    new MaintainedStream(q, Seq(indexPath), baseline)
   }
 }

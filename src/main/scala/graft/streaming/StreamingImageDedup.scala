@@ -50,6 +50,9 @@ object StreamingImageDedup {
         StructField("blob", BinaryType))))
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n))
+    // events baseline BEFORE the query starts: an AvailableNow first
+    // batch can fire before start() returns
+    val baseline = graft.ext.MaintenanceEvents.countsFor(Seq(indexPath))
     val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
@@ -85,6 +88,6 @@ object StreamingImageDedup {
         ()
       }
       .start()
-    new MaintainedStream(q, Seq(indexPath))
+    new MaintainedStream(q, Seq(indexPath), baseline)
   }
 }

@@ -73,6 +73,9 @@ object StreamingNearDup {
         StructField("text", StringType))))
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n))
+    // events baseline BEFORE the query starts: an AvailableNow first
+    // batch can fire before start() returns
+    val baseline = graft.ext.MaintenanceEvents.countsFor(Seq(indexPath))
     val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
@@ -128,6 +131,6 @@ object StreamingNearDup {
         ()
       }
       .start()
-    new MaintainedStream(q, Seq(indexPath))
+    new MaintainedStream(q, Seq(indexPath), baseline)
   }
 }

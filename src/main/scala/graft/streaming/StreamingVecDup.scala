@@ -51,6 +51,9 @@ object StreamingVecDup {
       .schema(StructType(Seq(StructField("id", LongType),
         StructField("vec", ArrayType(FloatType)))))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // events baseline BEFORE the query starts: an AvailableNow first
+    // batch can fire before start() returns
+    val baseline = graft.ext.MaintenanceEvents.countsFor(Seq(indexPath))
     val q = reader.parquet(inputDir)
       .writeStream
       .trigger(trigger)
@@ -99,6 +102,6 @@ object StreamingVecDup {
         ()
       }
       .start()
-    new MaintainedStream(q, Seq(indexPath))
+    new MaintainedStream(q, Seq(indexPath), baseline)
   }
 }
