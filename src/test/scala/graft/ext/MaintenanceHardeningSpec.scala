@@ -330,6 +330,46 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     assert(!WriterLock.isLocked(spark, idx))
   }
 
+  test("lease failover END-TO-END: a stream restarted over a dead " +
+    "foreign holder's leased sentinel takes over unattended inside its " +
+    "first maintenance mutation and reports it on the handle") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("mhs-lease-e2e")
+    val inDir = s"$dir/in"; val work = s"$dir/work"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def feed(name: String, lo: Int, hi: Int): Unit = {
+      val stage = s"$dir/stage-$name"
+      docs(lo, hi).repartition(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    // batch 0 builds the index; the stream then stops (AvailableNow)
+    feed("b0", 0, 20)
+    graft.streaming.StreamingNearDup.start(spark, inDir, work, 7, 10,
+      bands = 4, rows = 2, sigBuckets = 4).awaitTermination()
+    // the node dies mid-maintenance: its leased sentinel survives, the
+    // restart lands on "another machine" (foreign boot id, pid
+    // unknowable), no beats ever come
+    plantSentinel(s"$work/index", "op=crashed host=node-gone pid=1 " +
+      "boot=deadbeef-0000-1111-2222-333333333333 token=e2eTok " +
+      "lease_ms=50 stale_ms=400 thread=x acquired_ms=0")
+    // unattended restart: batch 1's fold append observes the declared
+    // window, wins the sentinel, and the stream completes normally
+    feed("b1", 100, 110)
+    val handle = graft.streaming.StreamingNearDup.start(spark, inDir,
+      work, 7, 10, bands = 4, rows = 2, sigBuckets = 4)
+    handle.awaitTermination()
+    assert(handle.maintenanceStats()
+      .getOrElse(MaintenanceEvents.LeaseTakeover, 0L) == 1L)
+    assert(!WriterLock.isLocked(spark, s"$work/index"))
+    // and the takeover wrote real work: batch 1's docs are indexed
+    assert(spark.read.parquet(s"$work/index")
+      .where(col("id") >= 100L).count() > 0)
+  }
+
   test("maintenance observability: a forced conflict + heal + " +
     "compaction fire sequence lands in the MaintenanceEvents counters " +
     "(and only against the touched directory)") {
