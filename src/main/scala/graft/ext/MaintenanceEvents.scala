@@ -44,6 +44,13 @@ object MaintenanceEvents {
   val CompactSkip = "compact_skip"
   /** Retention vacuum removed at least one catalog version. */
   val VacuumRemoved = "vacuum_removed"
+  /** The catalog's capacity-pinned bloom sidecar is saturated: its
+    * measured expected-FPP exceeds 10x the design FPP, so the
+    * skip-the-join prefilter is passing mostly-useless candidates
+    * (still CORRECT — no false negatives — just no longer cheap).
+    * The remediation is a new catalog with a larger `bloomItems`.
+    */
+  val BloomSaturated = "bloom_saturated"
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.maintenance")
 
@@ -69,7 +76,7 @@ object MaintenanceEvents {
     counters.computeIfAbsent(key(dir, event), _ => new AtomicLong())
       .addAndGet(n)
     val warn = event == LockConflict || event == StaleTakeover ||
-      event == LeaseTakeover
+      event == LeaseTakeover || event == BloomSaturated
     if (warn && log.isWarnEnabled() || !warn && log.isInfoEnabled()) {
       val d = detail
       val line = s"event=$event dir=${norm(dir)} n=$n" +

@@ -146,6 +146,20 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     */
   def seenBloom(): Option[Array[Byte]] = readBloom(currentVersion)
 
+  /** Operational health of the bloom sidecar: (measured expected
+    * false-positive rate, distinct-item cardinality estimate, pinned
+    * capacity). None when the bloom is disabled/absent. Reads the
+    * current sidecar once; the commit path warns through
+    * [[graft.ext.MaintenanceEvents.BloomSaturated]] when the measured
+    * FPP drifts 10x past design — this is the pull-side twin for a
+    * live session or a capacity-planning pass.
+    */
+  def bloomHealth(): Option[(Double, Long, Long)] =
+    seenBloom().map { bytes =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+      (bf.expectedFpp(), bf.cardinality(), bloomCapacity)
+    }
+
   private def bucketOf(hash: String): String = hash.substring(0, bucketWidth)
   private def bucketCol(hash: org.apache.spark.sql.Column) =
     substring(hash, 1, bucketWidth)
@@ -412,6 +426,20 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
             // empty filter so the sidecar exists from version 1 on
             case (None, None) => BloomFilter.create(bloomCapacity, bloomNumBits)
           }
+          // Saturation watch (r16, free — the filter is already in
+          // memory): a capacity-pinned filter fed past its design point
+          // stays CORRECT (no false negatives) but stops being a useful
+          // prefilter — the measured expected-FPP drifting an order of
+          // magnitude past design is the operator's signal to size the
+          // next catalog's bloomItems up. Warned per commit while
+          // saturated, so an alerting scrape sees a sustained rate.
+          val fpp = merged.expectedFpp()
+          if (fpp > BloomFpp * 10)
+            graft.ext.MaintenanceEvents.record(dir,
+              graft.ext.MaintenanceEvents.BloomSaturated,
+              f"expected_fpp=$fpp%.4f design_fpp=$BloomFpp " +
+                f"cardinality=${merged.cardinality()} " +
+                f"capacity=$bloomCapacity")
           val bos = new java.io.ByteArrayOutputStream()
           merged.writeTo(bos)
           Some(bos.toByteArray)

@@ -153,6 +153,39 @@ class CatalogSpec extends SparkFunSuite {
     assert(!new java.io.File(s"$dir/off/v_000001/BLOOM").exists())
   }
 
+  test("bloom saturation watch: a filter fed past its pinned capacity " +
+    "warns through MaintenanceEvents and reads saturated in " +
+    "bloomHealth(); a healthy filter stays silent") {
+    val s = spark; import s.implicits._
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    val dir = tempDir("cat-bloomsat")
+    val ev = graft.ext.MaintenanceEvents.BloomSaturated
+    // healthy: capacity 10k, 64 items — no warning, sane health
+    val ok = new Catalog(spark, s"$dir/ok", bloomItems = 10000L)
+    ok.commitRun("f1", 64, "sha",
+      (0 until 64).map(i => (f"$i%04x", i.toLong, 1L))
+        .toDF("hash", "line", "refs_num"), none)
+    assert(graft.ext.MaintenanceEvents.count(s"$dir/ok", ev) == 0)
+    val Some((fppOk, cardOk, capOk)) = ok.bloomHealth()
+    assert(fppOk < 0.01 * 10 && cardOk > 0 && capOk == 10000L)
+    // saturated: capacity 8, 512 distinct hashes — measured FPP blows
+    // past 10x design, the commit warns, health reads it back
+    val sat = new Catalog(spark, s"$dir/sat", bloomItems = 8L)
+    sat.commitRun("f1", 64, "sha",
+      (0 until 512).map(i => (f"$i%04x", i.toLong, 1L))
+        .toDF("hash", "line", "refs_num"), none)
+    assert(graft.ext.MaintenanceEvents.count(s"$dir/sat", ev) == 1)
+    val Some((fppSat, _, capSat)) = sat.bloomHealth()
+    assert(fppSat > 0.1 && capSat == 8L, s"fpp=$fppSat")
+    // no false negatives even saturated (the correctness half)
+    import org.apache.spark.sql.functions.col
+    val b = sat.seenBloom().get
+    val hits = Seq("0001", "01ff").toDF("h")
+      .select(graft.functions.BloomMembership.mightContain(b, col("h")))
+      .collect()
+    assert(hits.forall(_.getBoolean(0)))
+  }
+
   test("vacuum deletes only unreferenced versions, keeps live buckets") {
     val s = spark; import s.implicits._
     val dir = tempDir("cat-vacuum")
