@@ -262,7 +262,7 @@ object WriterLock {
       catch { case _: NumberFormatException => false }
     }
     if (!dead) return false
-    val won = renameTakeover(fs, lock, f.get("token"))
+    val won = renameTakeover(fs, lock, holderInfo, f.get("token"))
     if (won) {
       graft.Instr.record("writerLock.stale_taken_over", 1.0)
       MaintenanceEvents.record(dir, MaintenanceEvents.StaleTakeover,
@@ -311,7 +311,7 @@ object WriterLock {
     // Final verification AFTER the window: if the OBSERVER was paused
     // mid-loop, beats that landed during the pause are caught here.
     if (changed()) return !fs.exists(lock)
-    val won = renameTakeover(fs, lock, Some(token))
+    val won = renameTakeover(fs, lock, info0, Some(token))
     if (won) {
       graft.Instr.record("writerLock.lease_taken_over", 1.0)
       MaintenanceEvents.record(dir, MaintenanceEvents.LeaseTakeover,
@@ -320,24 +320,46 @@ object WriterLock {
     won
   }
 
-  /** The shared CAS both tiers funnel into: rename the observed
-    * sentinel to a unique tombstone. Exactly one of racing healers
-    * wins; the loser falls back to the loud conflict path. The winner
-    * sweeps the tombstone and the dead holder's beat file.
+  /** The shared CAS both tiers funnel into: rename the sentinel to a
+    * unique tombstone, then VERIFY the tombstone still carries the
+    * content the takeover decision was made about. Rename alone keys
+    * on the PATH — between a racing loser's last observation and its
+    * rename, the true winner can have installed its own fresh lock at
+    * that path, and an unverified rename would steal it (a double-win
+    * this spec's racing-healers test actually caught on a loaded run).
+    * Content mismatch → put the stolen fresh lock straight back and
+    * lose; the victim never notices (it only touches its sentinel
+    * again at release). The restore can itself fail only if a THIRD
+    * contender create-raced into the microsecond gap — fail LOUDLY
+    * with both paths named rather than leave two writers live.
+    * Exactly one healer can read its own observed content out of the
+    * tombstone (the sentinel's token + acquired_ms make every
+    * acquisition's content unique), so exactly one wins; every other
+    * racer falls back to the loud conflict path.
     */
-  private def renameTakeover(fs: FileSystem, lock: Path,
-                             token: Option[String]): Boolean = {
+  private[ext] def renameTakeover(fs: FileSystem, lock: Path,
+                                  expected: String,
+                                  token: Option[String]): Boolean = {
     val tomb = new Path(lock.getParent,
       s"${lock.getName}.stale_${ProcessHandle.current().pid()}_" +
         s"${System.nanoTime()}")
-    val won =
+    val renamed =
       try fs.rename(lock, tomb)
       catch { case _: java.io.IOException => false }
-    if (won) {
+    if (!renamed) return false
+    if (readQuietly(fs, tomb).contains(expected)) {
       fs.delete(tomb, false)
       token.foreach(t => fs.delete(beatPath(lock, t), false))
+      true
+    } else {
+      if (!fs.rename(tomb, lock))
+        throw new IllegalStateException(
+          s"takeover race on $lock: renamed a fresh holder's lock and " +
+            s"could not restore it (a third contender recreated the " +
+            s"path) — the displaced sentinel is at $tomb; restore it " +
+            "by hand before any writer proceeds")
+      false
     }
-    won
   }
 
   /** Remove a stale sentinel left by a crashed writer (beat file

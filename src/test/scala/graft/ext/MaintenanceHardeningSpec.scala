@@ -370,6 +370,31 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
       .where(col("id") >= 100L).count() > 0)
   }
 
+  test("takeover CAS is content-verified: renaming a sentinel that no " +
+    "longer carries the observed content restores it untouched and " +
+    "loses — a stale healer can never steal a fresh winner's lock") {
+    val dir = tempDir("mhs-cas-verify")
+    val fs = fsOf(dir)
+    val lock = WriterLock.lockPath(new Path(s"$dir/index"))
+    val fresh = "op=winner host=vm pid=42 token=freshTok lease_ms=1000 " +
+      "stale_ms=60000 acquired_ms=123"
+    val out = fs.create(lock, false)
+    try out.write(fresh.getBytes("UTF-8")) finally out.close()
+    // the stale healer observed the PREVIOUS (dead) holder's content;
+    // by rename time the winner's fresh lock sits at the path
+    assert(!WriterLock.renameTakeover(fs, lock,
+      "op=dead host=node-0 pid=1 token=goneTok lease_ms=50 stale_ms=200",
+      Some("goneTok")))
+    // the fresh lock is back, byte-identical — the victim never notices
+    val in = fs.open(lock)
+    val back = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(back == fresh)
+    // and a healer whose observation IS current takes over cleanly
+    assert(WriterLock.renameTakeover(fs, lock, fresh, Some("freshTok")))
+    assert(!fs.exists(lock))
+  }
+
   test("maintenance observability: a forced conflict + heal + " +
     "compaction fire sequence lands in the MaintenanceEvents counters " +
     "(and only against the touched directory)") {
