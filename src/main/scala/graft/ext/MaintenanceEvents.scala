@@ -51,6 +51,28 @@ object MaintenanceEvents {
     * The remediation is a new catalog with a larger `bloomItems`.
     */
   val BloomSaturated = "bloom_saturated"
+  /** A holder's heartbeat writes are persistently failing: the lease
+    * looks silent from the outside and a contender may take it over
+    * while the holder is still mutating. Recorded with escalating
+    * detail as consecutive failures approach the declared stale
+    * window — the holder-side mirror of [[LeaseTakeover]].
+    */
+  val BeatFailure = "beat_failure"
+  /** Release found the sentinel no longer carrying this acquisition's
+    * token — the lock was lease-stolen while this (wedged, then
+    * resumed) holder still ran. The sentinel now belongs to the new
+    * holder and is left untouched; only this holder's own beat file
+    * is removed.
+    */
+  val ReleaseSkipped = "release_skipped"
+  /** Aged maintenance residue (`.stale_*` tombstones, interrupted-swap
+    * temporaries) swept by the age-gated sweeper.
+    */
+  val ResidueSwept = "residue_swept"
+  /** The bloom sidecar was rebuilt during compaction at a capacity
+    * rescaled to the measured cardinality (saturation self-healing).
+    */
+  val BloomRebuilt = "bloom_rebuilt"
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.maintenance")
 
@@ -76,7 +98,8 @@ object MaintenanceEvents {
     counters.computeIfAbsent(key(dir, event), _ => new AtomicLong())
       .addAndGet(n)
     val warn = event == LockConflict || event == StaleTakeover ||
-      event == LeaseTakeover || event == BloomSaturated
+      event == LeaseTakeover || event == BloomSaturated ||
+      event == BeatFailure || event == ReleaseSkipped
     if (warn && log.isWarnEnabled() || !warn && log.isInfoEnabled()) {
       val d = detail
       val line = s"event=$event dir=${norm(dir)} n=$n" +

@@ -151,7 +151,25 @@ object WriterLock {
       // sentinel without beats — exactly the lease-recoverable shape —
       // where the reverse order would orphan beat files forever
       fs.delete(hb.path, false)
-      fs.delete(lock, false)
+      // Release only OUR sentinel (r16 advisor, medium): a
+      // wedged-then-resumed holder whose lease was taken over must not
+      // delete the NEW holder's lock — that would admit a third writer
+      // while the new holder still mutates. Read-compare-delete is
+      // sound here without a rename CAS: a takeover needs a full stale
+      // window of observed silence, so it cannot complete inside the
+      // microseconds between this read and the delete while we are
+      // alive; and disturbing a live new holder's sentinel with a
+      // rename would itself reopen the lock-absent window. Unreadable
+      // (or already gone) is conservative-skip, matching acquire's
+      // IOException-means-held stance: a skipped OWN sentinel has no
+      // beat file left, so the lease tier reclaims it unattended after
+      // one stale window.
+      val now = readQuietly(fs, lock)
+      val owned = now.exists(i => fields(i).get("token").contains(hb.token))
+      if (owned) fs.delete(lock, false)
+      else if (now.isDefined)
+        MaintenanceEvents.record(dir, MaintenanceEvents.ReleaseSkipped,
+          s"op=$op our_token=${hb.token} holder_now=[${now.get}]")
     }
   }
 
@@ -164,21 +182,55 @@ object WriterLock {
     * SYNCHRONOUS first beat during acquire, so a sentinel without a
     * beat file is itself proof the holder died inside acquire).
     * Content change — not any timestamp — is what observers watch.
+    *
+    * A failed beat write is NOT silent (r16 advisor, medium): a holder
+    * whose FS writes persistently fail looks lease-expired from the
+    * outside and can be taken over mid-mutation without ever learning
+    * its lease lapsed. Consecutive failures escalate — a WARN +
+    * [[MaintenanceEvents.BeatFailure]] counter at the first few
+    * misses, and again at half the declared stale window with the
+    * takeover risk spelled out — giving the holder side the same
+    * observability the contender side has. [[leaseJeopardized]] is the
+    * pull-side accessor a long mutation can poll to abort itself
+    * before a contender's window elapses.
     */
-  private final class Heartbeat(fs: FileSystem, val path: Path,
-                                token: String, beatMs: Long)
+  private[ext] final class Heartbeat(fs: FileSystem, val path: Path,
+                                     val token: String, beatMs: Long,
+                                     staleBeats: Int, dir: String)
     extends Thread(s"graft-writer-lock-heartbeat-${path.getName}") {
     setDaemon(true)
     @volatile private var stopped = false
+    @volatile private var consecutiveFailures = 0
     private var n = 0L
+    // escalation thresholds: early warning well under the window, and
+    // a louder one at half the window (still before takeover is legal)
+    private val earlyWarnAt = 3
+    private val jeopardyAt = math.max(earlyWarnAt + 1, staleBeats / 2)
     def beat(): Unit = {
       n += 1
       try {
         val out = fs.create(path, true)
         try out.write(s"token=$token beat=$n".getBytes("UTF-8"))
         finally out.close()
-      } catch { case _: java.io.IOException => () /* next beat retries */ }
+        consecutiveFailures = 0
+      } catch {
+        case e: java.io.IOException =>
+          consecutiveFailures += 1
+          if (consecutiveFailures == earlyWarnAt ||
+              consecutiveFailures == jeopardyAt)
+            MaintenanceEvents.record(dir, MaintenanceEvents.BeatFailure,
+              s"lock=$path consecutive=$consecutiveFailures " +
+                s"stale_beats=$staleBeats " +
+                s"jeopardy=${consecutiveFailures >= jeopardyAt} " +
+                s"error=${e.getClass.getSimpleName}")
+      }
     }
+    /** True once beat failures have run half the declared stale
+      * window — the lease may be observed-silent by a contender; a
+      * cooperating long mutation should abort rather than race the
+      * takeover.
+      */
+    def leaseJeopardized: Boolean = consecutiveFailures >= jeopardyAt
     override def run(): Unit =
       while (!stopped) {
         try Thread.sleep(beatMs)
@@ -235,7 +287,8 @@ object WriterLock {
           "any swap residue it left).")
     }
     try out.write(info.getBytes("UTF-8")) finally out.close()
-    val hb = new Heartbeat(fs, beatPath(lock, token), token, lease.beatMs)
+    val hb = new Heartbeat(fs, beatPath(lock, token), token, lease.beatMs,
+      lease.staleBeats, dir)
     hb.beat() // synchronous first beat: sentinel ⇒ beat file exists
     hb.start()
     hb
@@ -283,9 +336,16 @@ object WriterLock {
                                      dir: String): Boolean = {
     val info0 = readQuietly(fs, lock).getOrElse(return true) // vanished
     val f = fields(info0)
+    // Clamp the DECLARED window to 7 days (r16 advisor, low): an absurd
+    // stale_ms would overflow `staleMs * 1000000L` into a negative
+    // deadline, skipping the observation loop and permitting an
+    // IMMEDIATE takeover — the one malformed-sentinel shape that would
+    // resolve non-conservatively. The cap also bounds how long a
+    // crashed holder's declaration can block a contender inside acquire.
+    val maxStaleMs = 7L * 24 * 3600 * 1000
     val staleMs: Long = f.get("stale_ms").flatMap(_.toLongOption)
       .orElse(f.get("lease_ms").flatMap(_.toLongOption).map(_ * 60L))
-      .filter(_ >= 1L)
+      .filter(_ >= 1L).map(math.min(_, maxStaleMs))
       .getOrElse(return false) // no lease declared: manual only
     val token = f.getOrElse("token", return false)
     val hb = beatPath(lock, token)
@@ -339,7 +399,16 @@ object WriterLock {
     */
   private[ext] def renameTakeover(fs: FileSystem, lock: Path,
                                   expected: String,
-                                  token: Option[String]): Boolean = {
+                                  token: Option[String],
+                                  precheck: Boolean = true): Boolean = {
+    // Cheap pre-check (r16 advisor, low): a loser that can already SEE
+    // mismatched content never renames at all, shrinking the window in
+    // which the fresh winner's lock is absent from the path (between a
+    // blind rename and its restore a third contender's create-if-absent
+    // would succeed). The post-rename verify below still guards the
+    // true race where the content flips after this read (`precheck =
+    // false` exists only so the spec can pin that path deterministically).
+    if (precheck && !readQuietly(fs, lock).contains(expected)) return false
     val tomb = new Path(lock.getParent,
       s"${lock.getName}.stale_${ProcessHandle.current().pid()}_" +
         s"${System.nanoTime()}")

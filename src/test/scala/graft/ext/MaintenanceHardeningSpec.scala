@@ -380,19 +380,137 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
       "stale_ms=60000 acquired_ms=123"
     val out = fs.create(lock, false)
     try out.write(fresh.getBytes("UTF-8")) finally out.close()
-    // the stale healer observed the PREVIOUS (dead) holder's content;
-    // by rename time the winner's fresh lock sits at the path
-    assert(!WriterLock.renameTakeover(fs, lock,
-      "op=dead host=node-0 pid=1 token=goneTok lease_ms=50 stale_ms=200",
+    val staleExpectation =
+      "op=dead host=node-0 pid=1 token=goneTok lease_ms=50 stale_ms=200"
+    def residue(): Seq[String] =
+      fs.listStatus(lock.getParent).map(_.getPath.getName).toSeq
+        .filter(_.contains(".stale_"))
+    // the r16 pre-check path: a healer that can already SEE mismatched
+    // content loses WITHOUT ever renaming — the fresh lock is never
+    // absent from the path, so no tombstone is ever created
+    assert(!WriterLock.renameTakeover(fs, lock, staleExpectation,
       Some("goneTok")))
-    // the fresh lock is back, byte-identical — the victim never notices
+    assert(residue().isEmpty)
+    // the post-rename verify path (content flips AFTER the pre-check
+    // read — pinned via precheck = false): the stale healer renames the
+    // winner's fresh lock, the verify catches it, the restore puts it
+    // back byte-identical — the victim never notices
+    assert(!WriterLock.renameTakeover(fs, lock, staleExpectation,
+      Some("goneTok"), precheck = false))
     val in = fs.open(lock)
     val back = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     assert(back == fresh)
+    assert(residue().isEmpty)
     // and a healer whose observation IS current takes over cleanly
     assert(WriterLock.renameTakeover(fs, lock, fresh, Some("freshTok")))
     assert(!fs.exists(lock))
+  }
+
+  test("release verifies ownership: a wedged-then-resumed holder whose " +
+    "lease was taken over does NOT delete the new holder's lock — the " +
+    "third-writer admission is closed and the skip is observable") {
+    val (idx, _, _) = freshIndex("mhs-release-verify")
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    val usurper = "op=newHolder host=node-5 pid=7 token=usurpTok " +
+      "lease_ms=50 stale_ms=400 thread=x acquired_ms=0"
+    val c0 = MaintenanceEvents.count(idx, MaintenanceEvents.ReleaseSkipped)
+    WriterLock.withLock(spark, idx, "zombie") {
+      // the zombie wedges; a contender observes its whole stale window
+      // and takes over (simulated directly: the sentinel now carries
+      // the NEW holder's acquisition)
+      assert(fs.delete(lock, false))
+      val out = fs.create(lock, false)
+      try out.write(usurper.getBytes("UTF-8")) finally out.close()
+    }
+    // the zombie's release SKIPPED the delete: the new holder's lock
+    // survives byte-identical, and the skip landed in the counters
+    val in = fs.open(lock)
+    val now = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(now == usurper, "the zombie's release deleted the new " +
+      "holder's lock")
+    assert(MaintenanceEvents.count(idx,
+      MaintenanceEvents.ReleaseSkipped) == c0 + 1)
+    // the zombie's own beat file is still cleaned up (keyed by ITS token)
+    assert(!fs.listStatus(lock.getParent).map(_.getPath.getName)
+      .exists(n => n.contains(".hb_") && !n.contains("usurpTok")))
+    assert(WriterLock.breakLock(spark, idx))
+    // and a NORMAL hold still releases its own sentinel as before
+    WriterLock.withLock(spark, idx, "normal") { () }
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
+  test("holder-side beat failures escalate: persistently failing beat " +
+    "writes land in the BeatFailure counter well before the stale " +
+    "window, instead of a silent lease lapse") {
+    val (idx, _, _) = freshIndex("mhs-beat-fail")
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    val c0 = MaintenanceEvents.count(idx, MaintenanceEvents.BeatFailure)
+    WriterLock.withLock(spark, idx, "beatFail",
+      WriterLock.Lease(beatMs = 25, staleBeats = 60)) {
+      // break the beat path: replace the beat FILE with a DIRECTORY so
+      // every subsequent refresh write throws IOException
+      val hb = fs.listStatus(lock.getParent).map(_.getPath)
+        .find(_.getName.contains(".hb_")).get
+      // delete+mkdirs races the 25 ms heartbeat re-creating the file;
+      // retry until the directory sticks
+      var planted = false
+      while (!planted) {
+        fs.delete(hb, false)
+        planted = try fs.mkdirs(hb) && fs.getFileStatus(hb).isDirectory
+          catch { case _: java.io.IOException => false }
+      }
+      // the early-warning threshold is 3 consecutive failures (75 ms
+      // here) — poll until the counter moves, bounded
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (MaintenanceEvents.count(idx, MaintenanceEvents.BeatFailure)
+        == c0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(fs.delete(hb, false)) // restore releasability
+    }
+    assert(MaintenanceEvents.count(idx,
+      MaintenanceEvents.BeatFailure) > c0,
+      "no BeatFailure event despite persistently failing beat writes")
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
+  test("lease window clamp: an absurd declared stale_ms (the Long-" +
+    "overflow shape) does NOT permit an immediate takeover — the " +
+    "contender still observes, conservatively") {
+    val (idx, _, rows) = freshIndex("mhs-lease-overflow")
+    val fs = fsOf(idx)
+    // stale_ms * 1e6 overflows Long (9.3e12 * 1e6 > 9.22e18): pre-clamp
+    // this produced a NEGATIVE deadline, skipped the observation loop,
+    // and took over a possibly-live holder instantly
+    val absurd = "op=absurd host=node-x pid=1 " +
+      "boot=fefefefe-0000-1111-2222-333333333333 token=absurdTok " +
+      "lease_ms=50 stale_ms=9300000000000 thread=x acquired_ms=0"
+    plantSentinel(idx, absurd)
+    val outcome = new java.util.concurrent.atomic.AtomicReference[String]
+    val t = new Thread(() =>
+      try {
+        DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx)
+        outcome.set("took-over")
+      } catch {
+        case _: WriterLock.ConcurrentWriterException =>
+          outcome.set("conflict")
+        case e: Exception => outcome.set(s"unexpected: $e")
+      })
+    t.start()
+    Thread.sleep(1500) // far longer than any instant-takeover path
+    assert(outcome.get() == null, s"resolved early: ${outcome.get()}")
+    val in = fs.open(WriterLock.lockPath(new Path(idx)))
+    val still = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(still == absurd, "the sentinel was taken over instantly")
+    assert(spark.read.parquet(idx).count() == rows)
+    // interrupting the observer resolves it as a loud conflict
+    t.interrupt()
+    t.join(30000)
+    assert(outcome.get() == "conflict")
+    assert(WriterLock.breakLock(spark, idx))
   }
 
   test("maintenance observability: a forced conflict + heal + " +
