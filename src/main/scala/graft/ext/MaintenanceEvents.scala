@@ -48,7 +48,9 @@ object MaintenanceEvents {
     * measured expected-FPP exceeds 10x the design FPP, so the
     * skip-the-join prefilter is passing mostly-useless candidates
     * (still CORRECT — no false negatives — just no longer cheap).
-    * The remediation is a new catalog with a larger `bloomItems`.
+    * Self-heals at the next compaction fire, which rebuilds the
+    * sidecar at a capacity rescaled to measured cardinality
+    * ([[BloomRebuilt]]).
     */
   val BloomSaturated = "bloom_saturated"
   /** A holder's heartbeat writes are persistently failing: the lease

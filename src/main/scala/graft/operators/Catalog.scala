@@ -51,14 +51,19 @@ import java.nio.charset.StandardCharsets
   * forward, so the constructor argument only applies to an EMPTY dir.
   *
   * Each version additionally carries a BLOOM sidecar — a rolling bloom
-  * filter over every hash ever committed (capacity `bloomItems`, pinned
-  * in the meta like the bucket width; 0 disables). Commits extend it
-  * with a distributed delta sketch over just their new hashes (cost ∝
-  * run), and [[seenBloom]] hands it to the dedup probe as the skip-the-
-  * join prefilter ([[graft.functions.BloomMembership]]): certainly-novel
-  * chunks — the common case in a growing store — never pay the links
-  * join. Correct at any fill level (no false negatives); past capacity
-  * it only degrades toward the plain join-everything path.
+  * filter over every hash ever committed (creation capacity
+  * `bloomItems`, pinned in the meta like the bucket width; 0 disables).
+  * Commits extend it with a distributed delta sketch over just their
+  * new hashes (cost ∝ run), and [[seenBloom]] hands it to the dedup
+  * probe as the skip-the-join prefilter
+  * ([[graft.functions.BloomMembership]]): certainly-novel chunks — the
+  * common case in a growing store — never pay the links join. Correct
+  * at any fill level (no false negatives); past capacity it only
+  * degrades toward the plain join-everything path — and saturation
+  * SELF-HEALS: [[compact]] rebuilds the sidecar at a capacity rescaled
+  * to measured cardinality (the rescaled sizing rides a per-version
+  * BLOOM_META next to the filter), so the prefilter's cheapness is
+  * restored by routine maintenance, not a new-catalog migration.
   */
 class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
               bloomItems: Long = 1000000L) {
@@ -101,11 +106,12 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
         else bucketChars
     }
 
-  /** Effective bloom capacity: the persisted value on reopen (a missing
+  /** CREATION bloom capacity: the persisted value on reopen (a missing
     * line or a pre-meta catalog → 0 = bloom disabled), else the
-    * constructor's. Immutable like the bucket width — every commit's
-    * delta sketch must stay bit-compatible with the carried filter, and
-    * (capacity, numBits) IS that compatibility contract.
+    * constructor's. Immutable like the bucket width; the EFFECTIVE
+    * sizing of a given version is [[bloomParamsAt]] — a compact-time
+    * saturation rebuild rescales it through a per-version BLOOM_META
+    * without touching this creation default.
     */
   private lazy val bloomCapacity: Long =
     readMetaText() match {
@@ -119,6 +125,45 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
 
   private def bloomNumBits: Long = org.apache.spark.util.sketch
     .BloomFilter.optimalNumOfBits(bloomCapacity, BloomFpp)
+
+  /** Effective (capacity, numBits) of version `v`'s bloom sidecar. The
+    * root meta's `bloom_items` is the CREATION sizing; a saturated
+    * filter rebuilt by [[compact]] carries its rescaled sizing in a
+    * per-version `BLOOM_META` (staged atomically with the BLOOM it
+    * describes), and every later commit's delta sketch must match the
+    * CARRIED filter's sizing — (capacity, numBits) is that
+    * bit-compatibility contract, so it is resolved per version, newest
+    * sidecar winning, root meta as the pre-rebuild fallback.
+    */
+  private def bloomParamsAt(v: Long): (Long, Long) = {
+    val p = new Path(versionDir(v), "BLOOM_META")
+    val fromSidecar: Option[(Long, Long)] =
+      if (v <= 0 || !fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = text.linesIterator.filter(_.contains('='))
+          .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1).trim }
+          .toMap
+        for (c <- kv.get("capacity").flatMap(_.toLongOption);
+             b <- kv.get("num_bits").flatMap(_.toLongOption)) yield (c, b)
+      }
+    fromSidecar.getOrElse((bloomCapacity,
+      if (bloomCapacity > 0) bloomNumBits else 0L))
+  }
+
+  /** Distributed serialized-bloom sketch of `df.hash` at the given
+    * sizing (None for an empty input — the agg returns null rather
+    * than an empty filter).
+    */
+  private def sketchHashes(df: DataFrame, cap: Long,
+                           bits: Long): Option[Array[Byte]] = {
+    graft.functions.VecExpressions.register(spark)
+    Option(df.select(call_function("graft_bloom_agg",
+        xxhash64(col("hash")), lit(cap), lit(bits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
+  }
 
   private def readBloom(v: Long): Option[Array[Byte]] = {
     val p = new Path(versionDir(v), "BLOOM")
@@ -147,8 +192,10 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
   def seenBloom(): Option[Array[Byte]] = readBloom(currentVersion)
 
   /** Operational health of the bloom sidecar: (measured expected
-    * false-positive rate, distinct-item cardinality estimate, pinned
-    * capacity). None when the bloom is disabled/absent. Reads the
+    * false-positive rate, set-bit count of the underlying filter —
+    * Spark's `BloomFilter.cardinality()` counts BITS, not items —
+    * effective capacity after any compact-time rebuild). None when the
+    * bloom is disabled/absent. Reads the
     * current sidecar once; the commit path warns through
     * [[graft.ext.MaintenanceEvents.BloomSaturated]] when the measured
     * FPP drifts 10x past design — this is the pull-side twin for a
@@ -157,7 +204,7 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
   def bloomHealth(): Option[(Double, Long, Long)] =
     seenBloom().map { bytes =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
-      (bf.expectedFpp(), bf.cardinality(), bloomCapacity)
+      (bf.expectedFpp(), bf.cardinality(), bloomParamsAt(currentVersion)._1)
     }
 
   private def bucketOf(hash: String): String = hash.substring(0, bucketWidth)
@@ -408,15 +455,12 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
       // hashes), OR-merged into the carried filter. (capacity, numBits)
       // come from the pinned meta, so every delta is bit-compatible
       // with every predecessor by construction.
+      val (bCap, bBits) = bloomParamsAt(v)
       val newBloom: Option[Array[Byte]] =
-        if (bloomCapacity <= 0L) None
+        if (bCap <= 0L) None
         else {
           import org.apache.spark.util.sketch.BloomFilter
-          graft.functions.VecExpressions.register(spark)
-          val deltaBytes = Option(
-            allNew.select(call_function("graft_bloom_agg",
-                xxhash64(col("hash")), lit(bloomCapacity), lit(bloomNumBits))
-              .as("bf")).head().getAs[Array[Byte]]("bf"))
+          val deltaBytes = sketchHashes(allNew, bCap, bBits)
           val merged = (readBloom(v).map(BloomFilter.readFrom),
               deltaBytes.map(BloomFilter.readFrom)) match {
             case (Some(o), Some(d)) => o.mergeInPlace(d)
@@ -424,22 +468,22 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
             case (None, Some(d))    => d
             // bloom-enabled catalog, empty first commit: write the
             // empty filter so the sidecar exists from version 1 on
-            case (None, None) => BloomFilter.create(bloomCapacity, bloomNumBits)
+            case (None, None) => BloomFilter.create(bCap, bBits)
           }
           // Saturation watch (r16, free — the filter is already in
           // memory): a capacity-pinned filter fed past its design point
           // stays CORRECT (no false negatives) but stops being a useful
-          // prefilter — the measured expected-FPP drifting an order of
-          // magnitude past design is the operator's signal to size the
-          // next catalog's bloomItems up. Warned per commit while
-          // saturated, so an alerting scrape sees a sustained rate.
+          // prefilter. Warned per commit while saturated, so an
+          // alerting scrape sees a sustained rate; the next
+          // [[compact]] fire self-heals it by rebuilding the sidecar
+          // at a capacity rescaled to the measured cardinality.
           val fpp = merged.expectedFpp()
           if (fpp > BloomFpp * 10)
             graft.ext.MaintenanceEvents.record(dir,
               graft.ext.MaintenanceEvents.BloomSaturated,
               f"expected_fpp=$fpp%.4f design_fpp=$BloomFpp " +
                 f"cardinality=${merged.cardinality()} " +
-                f"capacity=$bloomCapacity")
+                f"capacity=$bCap")
           val bos = new java.io.ByteArrayOutputStream()
           merged.writeTo(bos)
           Some(bos.toByteArray)
@@ -451,8 +495,9 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
         .unionByName(allDeltas.select(bucketCol(col("hash")).as("b")))
         .distinct().collect().map(_.getString(0)).toSet
 
+      val bParams = if (bCap > 0L) Some((bCap, bBits)) else None
       if (touched.isEmpty) {
-        writeVersion(v + 1, newFiles, None, oldManifest, newBloom)
+        writeVersion(v + 1, newFiles, None, oldManifest, newBloom, bParams)
       } else {
         val oldTouched = oldLinks
           .where(bucketCol(col("hash")).isin(touched.toSeq: _*))
@@ -460,7 +505,8 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
           .join(allDeltas, Seq("hash"), "left")
           .withColumn("refs_num", col("refs_num") + coalesce(col("delta"), lit(0L)))
           .drop("delta")
-        writeVersion(v + 1, newFiles, Some(mergedData), oldManifest, newBloom)
+        writeVersion(v + 1, newFiles, Some(mergedData), oldManifest,
+          newBloom, bParams)
       }
     } finally cpPinned.foreach(_.unpersist(false))
   }
@@ -534,7 +580,8 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
         .distinct().collect().map(_.getString(0)).toSet
       val newFiles = files().where(col("file_id") =!= fid)
       if (touched.isEmpty) // zero-chunk file: files-table change only
-        writeVersion(v + 1, newFiles, None, oldManifest, readBloom(v))
+        writeVersion(v + 1, newFiles, None, oldManifest, readBloom(v),
+          Some(bloomParamsAt(v)))
       else {
         val merged = oldLinks
           .where(bucketCol(col("hash")).isin(touched.toSeq: _*))
@@ -544,7 +591,7 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
           .drop("occ")
           .where(col("refs_num") > 0)
         writeVersion(v + 1, newFiles, Some(merged), oldManifest,
-          readBloom(v), dropBuckets = touched)
+          readBloom(v), Some(bloomParamsAt(v)), dropBuckets = touched)
       }
       v + 1
     } finally cpPinned.foreach(_.unpersist(false))
@@ -689,9 +736,53 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     val v = currentVersion
     if (v == 0) return 0L
     val allLinks = links().repartition(bucketCol(col("hash")))
-    // the bloom is append-only truth (links are never deleted), so the
-    // compacted version carries the current filter forward unchanged
-    writeVersion(v + 1, files(), Some(allLinks), Map.empty, readBloom(v))
+    // The bloom is normally carried forward unchanged. But compact is
+    // also the saturation self-heal point (r16 verdict): it already
+    // rewrites every live link, so when the carried filter's measured
+    // expected-FPP has drifted 10x past design, rebuilding the sidecar
+    // from the SAME full scan at a capacity rescaled to the measured
+    // cardinality costs one extra pass over data compact reads anyway —
+    // saturation heals at the next compaction fire instead of forcing a
+    // new-catalog migration. The rescaled sizing rides a per-version
+    // BLOOM_META so later delta sketches stay bit-compatible
+    // ([[bloomParamsAt]]). Rebuilding from LIVE links is exact: the
+    // prefilter's no-false-negatives contract is over currently
+    // cataloged hashes, so a hash dropRun purged correctly reads
+    // "certainly novel" again — the join it skips would find nothing.
+    import org.apache.spark.util.sketch.BloomFilter
+    val (cap0, bits0) = bloomParamsAt(v)
+    val (bloomOut, paramsOut) = readBloom(v) match {
+      case None => (None, None)
+      case Some(bytes) =>
+        val bf = BloomFilter.readFrom(bytes)
+        val fpp = bf.expectedFpp()
+        if (fpp <= BloomFpp * 10) (Some(bytes), Some((cap0, bits0)))
+        else {
+          // Size from the EXACT live-hash count (hash is unique per
+          // link, so links.count() IS the cardinality): a deeply
+          // saturated filter's own cardinality() estimate is biased
+          // far low (its bits are near-all-set), and sizing from it
+          // would rebuild a still-saturated filter. One extra count
+          // scan, paid only on the rare saturated-compact.
+          val card = math.max(allLinks.count(), 1L)
+          val newCap = math.max(cap0, 2L * card)
+          val newBits = BloomFilter.optimalNumOfBits(newCap, BloomFpp)
+          val rebuilt = sketchHashes(allLinks, newCap, newBits)
+            .getOrElse {
+              val empty = BloomFilter.create(newCap, newBits)
+              val bos = new java.io.ByteArrayOutputStream()
+              empty.writeTo(bos)
+              bos.toByteArray
+            }
+          graft.ext.MaintenanceEvents.record(dir,
+            graft.ext.MaintenanceEvents.BloomRebuilt,
+            f"expected_fpp=$fpp%.4f design_fpp=$BloomFpp " +
+              f"cardinality=$card old_capacity=$cap0 new_capacity=$newCap")
+          (Some(rebuilt), Some((newCap, newBits)))
+        }
+    }
+    writeVersion(v + 1, files(), Some(allLinks), Map.empty, bloomOut,
+      paramsOut)
     vacuum(retainLast, retainMs)
     v + 1
   }
@@ -710,6 +801,7 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
                            changedLinks: Option[DataFrame],
                            oldManifest: Map[String, Long],
                            bloom: Option[Array[Byte]],
+                           bloomParams: Option[(Long, Long)] = None,
                            dropBuckets: Set[String] = Set.empty): Unit = {
     // Pin the layout knobs before the first version becomes visible; an
     // existing meta is never rewritten (width and bloom sizing of a
@@ -777,6 +869,16 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     bloom.foreach { bytes =>
       val bOut = fs.create(new Path(tmp, "BLOOM"), true)
       try bOut.write(bytes) finally bOut.close()
+      // The filter's effective sizing travels WITH the filter (atomic
+      // under the same version rename), so a compact-time rebuild's
+      // rescaled capacity survives reopen and later commits' delta
+      // sketches stay bit-compatible with the carried filter.
+      bloomParams.foreach { case (c, b) =>
+        val mOut2 = fs.create(new Path(tmp, "BLOOM_META"), true)
+        try mOut2.write(s"capacity=$c\nnum_bits=$b\n"
+          .getBytes(StandardCharsets.UTF_8))
+        finally mOut2.close()
+      }
     }
     val cOut = fs.create(new Path(tmp, "COMMIT"), false)
     cOut.close()

@@ -143,7 +143,7 @@ class CatalogSpec extends SparkFunSuite {
       Seq(("dd44", 0L, 1L)).toDF("hash", "line", "refs_num"), none)
     val b4 = reopened.seenBloom().get
     val f4 = Seq("aa11", "dd44").toDF("h")
-      .select(BloomMembership.mightContain(b4, col("h"))).collect()
+      .select(graft.functions.BloomMembership.mightContain(b4, col("h"))).collect()
     assert(f4.forall(_.getBoolean(0)))
     // bloomItems = 0 disables the sidecar entirely
     val off = new Catalog(spark, s"$dir/off", bloomItems = 0L)
@@ -184,6 +184,60 @@ class CatalogSpec extends SparkFunSuite {
       .select(graft.functions.BloomMembership.mightContain(b, col("h")))
       .collect()
     assert(hits.forall(_.getBoolean(0)))
+  }
+
+  test("bloom saturation self-heals on compact: the sidecar is rebuilt " +
+    "at a capacity rescaled to measured cardinality, the prefilter " +
+    "stays exact, and post-rebuild commits stay bit-compatible") {
+    val s = spark; import s.implicits._
+    val none = Seq.empty[(String, Long)].toDF("hash", "delta")
+    val dir = tempDir("cat-bloomheal")
+    val sat = graft.ext.MaintenanceEvents.BloomSaturated
+    val reb = graft.ext.MaintenanceEvents.BloomRebuilt
+    // capacity 8, 512 distinct hashes: saturated after one commit
+    val cat = new Catalog(spark, s"$dir/catalog", bloomItems = 8L)
+    val hashes = (0 until 512).map(i => f"$i%04x")
+    cat.commitRun("f1", 64, "sha",
+      hashes.map(h => (h, 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    assert(graft.ext.MaintenanceEvents.count(s"$dir/catalog", sat) >= 1)
+    val Some((fpp0, _, cap0)) = cat.bloomHealth()
+    assert(fpp0 > 0.01 * 10 && cap0 == 8L)
+    // compact: the rebuild fires, health returns under design FPP, and
+    // the effective capacity is rescaled to >= 2x measured cardinality
+    cat.compact()
+    assert(graft.ext.MaintenanceEvents.count(s"$dir/catalog", reb) == 1)
+    val Some((fpp1, _, cap1)) = cat.bloomHealth()
+    assert(fpp1 <= 0.01, s"still saturated after rebuild: fpp=$fpp1")
+    // rescaled to 2x the exact live-hash count (512 links)
+    assert(cap1 == 2L * 512, s"capacity not rescaled: cap=$cap1")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      f"$dir/catalog/v_${cat.currentVersion}%06d/BLOOM_META")))
+    // the prefilter's no-false-negatives contract holds over every
+    // cataloged hash after the rebuild
+    import org.apache.spark.sql.functions.col
+    val b1 = cat.seenBloom().get
+    assert(hashes.toDF("h")
+      .select(graft.functions.BloomMembership.mightContain(b1, col("h"))).collect()
+      .forall(_.getBoolean(0)))
+    // a REOPENED catalog adopts the rescaled sizing: the next commit's
+    // delta sketch merges bit-compatibly and stays healthy + exact
+    val reopened = new Catalog(spark, s"$dir/catalog")
+    val more = (512 until 600).map(i => f"$i%04x")
+    reopened.commitRun("f2", 64, "sha",
+      more.map(h => (h, 0L, 1L)).toDF("hash", "line", "refs_num"), none)
+    val Some((fpp2, _, cap2)) = reopened.bloomHealth()
+    assert(cap2 == cap1 && fpp2 <= 0.01, s"post-rebuild commit " +
+      s"regressed: fpp=$fpp2 cap=$cap2")
+    val b2 = reopened.seenBloom().get
+    assert((hashes ++ more).toDF("h")
+      .select(graft.functions.BloomMembership.mightContain(b2, col("h"))).collect()
+      .forall(_.getBoolean(0)))
+    // a HEALTHY filter compacts carried-forward: no rebuild event, and
+    // the rescaled sizing survives the carry (BLOOM_META travels)
+    reopened.compact()
+    assert(graft.ext.MaintenanceEvents.count(s"$dir/catalog", reb) == 1)
+    val Some((fpp3, _, cap3)) = reopened.bloomHealth()
+    assert(cap3 == cap1 && fpp3 <= 0.01)
   }
 
   test("vacuum deletes only unreferenced versions, keeps live buckets") {
