@@ -99,6 +99,9 @@ object MaintenanceEvents {
              n: Long = 1L): Unit = {
     counters.computeIfAbsent(key(dir, event), _ => new AtomicLong())
       .addAndGet(n)
+    // first-record gauge registration only; the gauges read these
+    // counters live, so recording itself never touches dropwizard
+    MaintenanceMetrics.ensureGauges(dir, event)
     val warn = event == LockConflict || event == StaleTakeover ||
       event == LeaseTakeover || event == BloomSaturated ||
       event == BeatFailure || event == ReleaseSkipped
@@ -114,6 +117,16 @@ object MaintenanceEvents {
   def count(dir: String, event: String): Long = {
     val c = counters.get(key(dir, event))
     if (c == null) 0L else c.get()
+  }
+
+  /** Lifetime count of `event` summed across every directory in this
+    * JVM — the fleet-level gauge [[MaintenanceMetrics]] exposes.
+    */
+  def totalCount(event: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val suffix = "\u0000" + event
+    counters.asScala.iterator
+      .collect { case (k, v) if k.endsWith(suffix) => v.get() }.sum
   }
 
   /** All event counts against any of `dirs`, summed per event name —

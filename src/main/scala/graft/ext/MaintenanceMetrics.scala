@@ -1,0 +1,103 @@
+package graft.ext
+
+import com.codahale.metrics.{Gauge, MetricRegistry}
+
+/** Bridge from [[MaintenanceEvents]] into Spark's metrics system (r16
+  * verdict ask #2): the structured log + in-process counters cover a
+  * single operator reading logs, but a fleet dashboard (Prometheus /
+  * Graphite / JMX — whatever `metrics.properties` sinks are wired)
+  * needs the counters in the driver's `MetricsSystem`. This registers
+  * ONE dropwizard [[org.apache.spark.metrics.source.Source]] named
+  * `graft.maintenance` whose gauges read the live counters directly —
+  * no copies, no per-event work on the maintenance paths (recording
+  * stays two map ops; the gauge reads happen at the sink's poll
+  * cadence).
+  *
+  * Gauge namespace, stable for dashboards:
+  *  - `<event>.total` — the event's count summed across every
+  *    maintained directory in this JVM (the fleet-level rate signal:
+  *    lock conflicts, takeovers, compaction fires);
+  *  - `<dirTag>.<event>` — the per-directory count, where `dirTag` is
+  *    the directory's final path segment plus a short stable hash of
+  *    the full path (readable AND collision-free when two indexes
+  *    share a leaf name).
+  *
+  * Gauges are registered lazily, the first time a (dir, event) pair
+  * records — a gauge for a counter that never fires would just be
+  * dashboard noise. Registration with the Spark metrics system happens
+  * once per JVM on [[register]], which every stream start invokes;
+  * re-registration is a no-op. Counters are JVM-lifetime monotone
+  * (gauge-as-counter, the standard dropwizard idiom for externally
+  * owned monotone values).
+  */
+object MaintenanceMetrics {
+
+  /** The dropwizard registry Spark's sinks poll (wrapped by the
+    * [[org.apache.spark.metrics.source.GraftMaintenanceSource]] shim —
+    * Spark's Source trait is `private[spark]`).
+    */
+  private val registry = new MetricRegistry
+  @volatile private var registered = false
+
+  /** Expose this JVM's maintenance counters through the Spark metrics
+    * system. Idempotent and cheap — every stream `start()` calls it so
+    * any session that runs maintained streams is dashboard-visible
+    * without extra wiring. No-op when no SparkEnv exists yet (pure
+    * unit-test contexts that never start a session).
+    */
+  def register(): Unit = {
+    if (registered) return
+    synchronized {
+      if (registered) return
+      registered = org.apache.spark.metrics.source.GraftMaintenanceSource
+        .register("graft.maintenance", registry)
+    }
+  }
+
+  /** Short stable per-directory tag: leaf name + 8-hex fingerprint of
+    * the full normalized path (two indexes named `index` under
+    * different work dirs must not share a gauge).
+    */
+  private[ext] def dirTag(dir: String): String = {
+    val norm = new org.apache.hadoop.fs.Path(dir).toString
+    val leaf = norm.substring(norm.lastIndexOf('/') + 1)
+      .replaceAll("[^A-Za-z0-9_-]", "_")
+    f"${leaf}_${norm.hashCode}%08x"
+  }
+
+  // Registered gauge names — computeIfAbsent-guarded so the hot
+  // record() path pays one map hit once a gauge exists.
+  private val known = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  private def gaugeFor(name: String)(read: => Long): Unit =
+    if (known.add(name)) {
+      // another thread can race the registry itself; dropwizard throws
+      // on duplicate names, which only means the gauge already exists
+      try registry.register(name,
+        new Gauge[Long] { override def getValue: Long = read })
+      catch { case _: IllegalArgumentException => () }
+    }
+
+  /** Called by [[MaintenanceEvents.record]]: make sure the gauges that
+    * cover this (dir, event) exist. The gauges READ the live counters;
+    * nothing is written here beyond first-time registration.
+    */
+  private[ext] def ensureGauges(dir: String, event: String): Unit = {
+    gaugeFor(s"$event.total")(MaintenanceEvents.totalCount(event))
+    gaugeFor(s"${dirTag(dir)}.$event")(MaintenanceEvents.count(dir, event))
+  }
+
+  /** The live gauge values, for specs and ad-hoc inspection. */
+  def snapshot(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    registry.getGauges.asScala.toMap.map {
+      case (k, g) => k -> g.getValue.asInstanceOf[Long]
+    }
+  }
+
+  /** Whether the source has been registered with a live SparkEnv's
+    * metrics system (spec hook; also useful from a REPL).
+    */
+  def isRegistered: Boolean = registered
+}

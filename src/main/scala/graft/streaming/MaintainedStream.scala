@@ -27,6 +27,11 @@ final class MaintainedStream(val query: StreamingQuery,
                              baseline: Map[String, Long])
     extends StreamingQuery {
 
+  // Any session running maintained streams is fleet-dashboard-visible
+  // without extra wiring: expose the maintenance counters through the
+  // Spark metrics system (idempotent, once per JVM).
+  graft.ext.MaintenanceMetrics.register()
+
   /** Maintenance-event counts against this stream's directories since
     * the stream started.
     */

@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** r16 verdict ask #2: the maintenance counters must be visible to a
+  * fleet scrape WITHOUT log parsing — i.e. through the Spark metrics
+  * system the configured sinks (Prometheus/Graphite/JMX) poll. This
+  * spec forces a conflict + compaction-fire sequence and asserts the
+  * deltas are readable from the registered `graft.maintenance` source's
+  * gauges, that registration landed in the LIVE SparkEnv metrics system
+  * (not a local flag), and that per-directory gauges stay isolated.
+  */
+class MaintenanceMetricsSpec extends SparkFunSuite {
+
+  private def docs(lo: Int, hi: Int): DataFrame = {
+    val s = spark; import s.implicits._
+    (lo until hi).map(i =>
+      (i.toLong, s"metric document $i topic ${i % 5} token$i end"))
+      .toDF("id", "text")
+  }
+
+  test("maintenance metrics bridge: a forced conflict + compaction fire " +
+    "lands in the Spark-registered source's gauges (total + per-dir), " +
+    "isolated per directory") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("mms")
+    val idx = s"$dir/index"
+    DocDedup.buildMinHashIndex(docs(0, 40), "id", "text", idx,
+      bands = 4, rows = 2, sigBuckets = 4)
+    val fs = new Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // start one real maintained stream: the start path registers the
+    // source with the live metrics system (idempotent across suites)
+    val inDir = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val stage = s"$dir/stage"
+    docs(0, 10).repartition(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$inDir/b0.parquet"))
+    graft.streaming.StreamingNearDup.start(spark, inDir, s"$dir/work",
+      7, 10, bands = 4, rows = 2, sigBuckets = 4).awaitTermination()
+    assert(org.apache.spark.metrics.source.GraftMaintenanceSource
+      .isRegisteredWithSpark("graft.maintenance"),
+      "the maintenance source is not in the SparkEnv metrics system")
+    assert(MaintenanceMetrics.isRegistered)
+
+    val ev = MaintenanceEvents.LockConflict
+    val fire = MaintenanceEvents.CompactFire
+    def gauge(name: String): Long =
+      MaintenanceMetrics.snapshot().getOrElse(name, 0L)
+    val tag = MaintenanceMetrics.dirTag(idx)
+    val conflictTotal0 = gauge(s"$ev.total")
+    val conflictDir0 = gauge(s"$tag.$ev")
+    val fireDir0 = gauge(s"$tag.$fire")
+
+    // forced conflict: an opaque foreign sentinel makes an append lose
+    fs.create(WriterLock.lockPath(new Path(idx)), false).close()
+    intercept[WriterLock.ConcurrentWriterException](
+      DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx))
+    WriterLock.breakLock(spark, idx)
+    // compaction fire through the maintenance window
+    IndexMaintenance.maybeCompact(
+      IndexMaintenance.CompactPolicy(maxDataFiles = Some(1L)), 0L,
+      "mms", idx, IndexMaintenance.dataFileCount(spark, idx))(
+      DocDedup.compactMinHashIndex(spark, idx))
+
+    // the gauges read the live counters: deltas visible without logs,
+    // per-dir gauge equal to the registry count for that dir
+    assert(gauge(s"$ev.total") == conflictTotal0 + 1)
+    assert(gauge(s"$tag.$ev") == conflictDir0 + 1)
+    assert(gauge(s"$tag.$ev") == MaintenanceEvents.count(idx, ev))
+    assert(gauge(s"$tag.$fire") == fireDir0 + 1)
+    // per-directory isolation: a sibling index's gauges are untouched
+    val otherTag = MaintenanceMetrics.dirTag(s"$dir/other-index")
+    assert(gauge(s"$otherTag.$ev") == 0L)
+    // two leaf-named "index" dirs under different roots get distinct tags
+    assert(MaintenanceMetrics.dirTag(idx) !=
+      MaintenanceMetrics.dirTag(s"$dir/elsewhere/index"))
+  }
+}
