@@ -251,7 +251,64 @@ object IndexMaintenance {
             s"at $old; restore it by hand before retrying")
     }
     fs.delete(old, true)
+    // lock-residue sweep rides the same maintenance window (r16 verdict
+    // ask #6): one extra parent listing per compaction fire, never per
+    // batch or per probe
+    sweepAgedLockResidue(spark, path)
     CompactStats(filesBefore, dataFileCount(spark, path), rows)
+  }
+
+  /** Age-gated sweep of LOCK residue next to the index at `path` (r16
+    * verdict ask #6): `.stale_*` takeover tombstones (left by a healer
+    * that crashed between its rename and verify, or parked by the loud
+    * restore-failure path) and orphaned `.hb_*` beat files (a holder
+    * that died after its sentinel was broken by hand). The heal path
+    * sweeps `.compact_tmp/old_*` layout residue on the next open of
+    * the SAME index; lock residue had no sweeper at all — it accretes
+    * one tiny file per crash event, forever.
+    *
+    * Age gate (default 7 days, matching the lease-window clamp): a
+    * FRESH tombstone can be a takeover in flight microseconds from its
+    * verify, and a fresh parked sentinel is evidence an operator may
+    * still want for a by-hand restore — both are kept. A fresh beat
+    * file belongs to a LIVE holder (beats rewrite it every `beatMs`).
+    * The live sentinel itself is never touched at any age. Uses FS
+    * modification times against the local clock — fine at a
+    * 7-day-class threshold, where clock skew is noise.
+    *
+    * Runs under the writer lock (reentrant from the compaction window
+    * it is wired into). Returns the number of residue files removed;
+    * records [[MaintenanceEvents.ResidueSwept]] when nonzero.
+    */
+  def sweepAgedLockResidue(spark: SparkSession, path: String,
+                           olderThanMs: Long = 7L * 24 * 3600 * 1000)
+                          : Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    WriterLock.withLock(spark, path, "sweepAgedLockResidue") {
+      val parent = root.getParent
+      if (parent == null || !fs.exists(parent)) 0L
+      else {
+        val lockName = WriterLock.lockPath(root).getName
+        val cutoff = System.currentTimeMillis() - olderThanMs
+        val aged = fs.listStatus(parent).filter { st =>
+          val n = st.getPath.getName
+          n != lockName &&
+            (n.startsWith(s"$lockName.stale_") ||
+              n.startsWith(s"$lockName.hb_") ||
+              n.startsWith(s"$lockName.heal_claim")) &&
+            st.getModificationTime < cutoff
+        }
+        var swept = 0L
+        aged.foreach { st =>
+          if (fs.delete(st.getPath, false)) swept += 1
+        }
+        if (swept > 0)
+          MaintenanceEvents.record(path, MaintenanceEvents.ResidueSwept,
+            s"files=$swept older_than_ms=$olderThanMs")
+        swept
+      }
+    }
   }
 
   /** Open-time guard every probe/append path calls: when the index

@@ -12,10 +12,17 @@ import org.apache.spark.sql.SparkSession
   * directory `compactIndex` swaps out). This sentinel makes the loser
   * FAIL LOUDLY instead.
   *
-  * Mechanism: an atomic create-if-absent lock file (`fs.create(path,
-  * overwrite = false)` — the primitive HDFS/local/object-store FS
-  * contracts make atomic) held only for the DURATION of one mutation and
-  * deleted in `finally`. The sentinel lives as a SIBLING of the guarded
+  * Mechanism: an atomic create-if-absent lock file, held only for the
+  * DURATION of one mutation and deleted in `finally`. The atomicity of
+  * the create is FS-specific and matters ([[createExclusive]]): HDFS
+  * makes `create(overwrite = false)` a namenode CAS, but Hadoop's
+  * LOCAL filesystem implements it as exists()-then-open — a
+  * check-then-act race two contenders can both win (the r17 fuzz
+  * reproduced exactly that double-writer with zero fault injection) —
+  * so the local scheme goes through a real O_EXCL open instead.
+  * Object stores without atomic create-if-absent should front a real
+  * lock service; this sentinel targets local/HDFS-class filesystems.
+  * The sentinel lives as a SIBLING of the guarded
   * directory, never inside it, because `compactIndex` renames the
   * directory itself during the swap.
   *
@@ -58,9 +65,13 @@ import org.apache.spark.sql.SparkSession
   *     pause or VM suspension of the OBSERVER).
   *
   * Both tiers funnel into the same atomic-rename CAS of the exact
-  * sentinel observed: racing healers rename the same file, exactly one
-  * wins, the loser re-enters the normal conflict path against the
-  * winner's fresh lock. Everything still undecidable — holder alive,
+  * sentinel observed, and takeovers are additionally serialized
+  * through a create-if-absent heal CLAIM ([[withHealClaim]]): of
+  * racing healers exactly one ever renames anything; every loser
+  * re-enters the normal conflict path without touching the sentinel —
+  * so a stale healer can never displace the fresh winner's lock and
+  * open a third contender's admission window (the hazard the r17 fuzz
+  * reached under contention). Everything still undecidable — holder alive,
   * no lease declared and boot undecidable, unreadable info — fails
   * loudly with the holder's identity and the manual remediation
   * ([[breakLock]] after confirming death). A fixed TTL (compare the
@@ -105,6 +116,38 @@ object WriterLock {
   def lockPath(root: Path): Path =
     new Path(root.getParent, s"._graft_writer_lock_${root.getName}")
 
+  // Per-directory lease policy (r16 verdict ask #4): the lease is a
+  // property of the guarded DIRECTORY — its failover SLO — not of the
+  // dozen append/compact call sites that mutate it, so the stream
+  // APIs declare it once per owned directory and every withLock on
+  // that directory resolves it. JVM-lifetime, like the directory
+  // ownership it describes.
+  private val dirLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, Lease]()
+
+  private def normDir(dir: String): String = new Path(dir).toString
+
+  /** Declare `dir`'s lease policy: every subsequent [[withLock]] on
+    * `dir` that does not pass an explicit lease heartbeats at
+    * `lease.beatMs` and declares `lease.staleMs` as its takeover
+    * window. The tradeoff this knob moves: a SHORTER window means a
+    * restarted stream over a dead holder waits less before its first
+    * batch (takeover observes the holder's whole declared window), but
+    * narrows the no-steal margin — a live holder must never be silent
+    * (no beat landed) for the full window, so size `staleBeats` well
+    * above the worst FS-metadata latency divided by `beatMs`. Slow
+    * object stores want a LONGER beat (fewer metadata writes) with the
+    * same multiple.
+    */
+  def setLease(dir: String, lease: Lease): Unit =
+    dirLeases.put(normDir(dir), lease)
+
+  /** The lease [[withLock]] will use for `dir` absent an explicit
+    * argument: the declared per-directory policy, else the default.
+    */
+  def leaseFor(dir: String): Lease =
+    dirLeases.getOrDefault(normDir(dir), Lease())
+
   private def beatPath(lock: Path, token: String): Path =
     new Path(lock.getParent, s"${lock.getName}.hb_$token")
 
@@ -133,15 +176,21 @@ object WriterLock {
     * throw [[ConcurrentWriterException]] if another writer holds it and
     * neither recovery tier applies), heartbeat while held, release on
     * every exit path. Reentrant within the owning thread.
+    *
+    * Lease resolution: an explicit argument wins; otherwise the
+    * per-directory policy declared through [[setLease]] (the stream
+    * APIs' `lease` parameter lands there); otherwise the default
+    * (1 s beat, 60x window).
     */
   def withLock[T](spark: SparkSession, dir: String, op: String,
-                  lease: Lease = Lease())(body: => T): T = {
+                  lease: Lease = null)(body: => T): T = {
+    val effLease = if (lease != null) lease else leaseFor(dir)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = lockPath(root)
     val key = fs.makeQualified(lock).toString
     if (held.get().contains(key)) return body
-    val hb = acquire(fs, lock, op, dir, lease)
+    val hb = acquire(fs, lock, op, dir, effLease)
     held.set(held.get() + (key -> hb))
     try body
     finally {
@@ -240,6 +289,45 @@ object WriterLock {
     def shutdown(): Unit = { stopped = true; interrupt(); join(5000) }
   }
 
+  /** TRULY atomic create-if-absent with content (r17: the fuzz caught
+    * two contenders both "winning" `fs.create(path, overwrite=false)`
+    * on the LOCAL filesystem — Hadoop's RawLocalFileSystem implements
+    * it as an exists() check followed by a plain FileOutputStream open
+    * (O_CREAT without O_EXCL), i.e. check-then-act, NOT the atomic
+    * primitive the HDFS contract provides via the namenode. Two
+    * racers through that window both believe they hold the sentinel —
+    * the exact double-writer this whole file exists to prevent, and
+    * the true root cause of the double-holder the seeded fuzz kept
+    * reproducing with zero injection). On the `file` scheme this uses
+    * NIO `CREATE_NEW` — a real O_EXCL open, atomic at the syscall —
+    * and writes the content through the same exclusively-created
+    * channel; everywhere else it trusts the FS's create-if-absent
+    * (atomic on HDFS; object-store callers should front a real lock
+    * service anyway, per the class scaladoc). Returns false when the
+    * path already exists or on any IO failure — conservative, like
+    * every other failure in this file.
+    */
+  private def createExclusive(fs: FileSystem, p: Path,
+                              content: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(
+        fs.makeQualified(p).toUri.getPath)
+      try {
+        val ch = java.nio.file.Files.newByteChannel(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(content))
+        finally ch.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
   private def readQuietly(fs: FileSystem, p: Path): Option[String] =
     try {
       val in = fs.open(p)
@@ -261,21 +349,23 @@ object WriterLock {
         s"token=$token lease_ms=${lease.beatMs} stale_ms=${lease.staleMs} " +
         s"thread=${Thread.currentThread().getName} " +
         s"acquired_ms=${System.currentTimeMillis()}"
-    // Atomic create-if-absent: the CAS. Any IOException reads as "lock
-    // held" — deliberately conservative: a transient FS error therefore
-    // surfaces as a conflict whose message shows the real holder info
-    // (or "unreadable"), never as a second writer proceeding.
-    def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
-      try Some(fs.create(lock, false))
-      catch { case _: java.io.IOException => None }
-    val out = tryCreate().orElse {
+    // Atomic create-if-absent WITH the content: the CAS
+    // ([[createExclusive]] — O_EXCL on the local scheme, where
+    // Hadoop's create(overwrite=false) is only check-then-act). Any
+    // failure reads as "lock held" — deliberately conservative: a
+    // transient FS error therefore surfaces as a conflict whose
+    // message shows the real holder info (or "unreadable"), never as
+    // a second writer proceeding.
+    val infoBytes = info.getBytes("UTF-8")
+    def tryCreate(): Boolean = createExclusive(fs, lock, infoBytes)
+    val created = tryCreate() || {
       // one takeover attempt (fast path, then lease observation), then
       // one re-create attempt — never a loop (a live contender winning
       // the re-create must lose us)
-      if (takeOverIfProvablyDead(fs, lock, dir) ||
-          takeOverIfLeaseExpired(fs, lock, dir)) tryCreate()
-      else None
-    }.getOrElse {
+      (takeOverIfProvablyDead(fs, lock, dir) ||
+        takeOverIfLeaseExpired(fs, lock, dir)) && tryCreate()
+    }
+    if (!created) {
       val holder = readQuietly(fs, lock).getOrElse("(holder unreadable)")
       MaintenanceEvents.record(dir, MaintenanceEvents.LockConflict,
         s"op=$op holder=[$holder]")
@@ -286,12 +376,63 @@ object WriterLock {
           "and re-run (IndexMaintenance.recoverInterruptedSwap heals " +
           "any swap residue it left).")
     }
-    try out.write(info.getBytes("UTF-8")) finally out.close()
     val hb = new Heartbeat(fs, beatPath(lock, token), token, lease.beatMs,
       lease.staleBeats, dir)
     hb.beat() // synchronous first beat: sentinel ⇒ beat file exists
     hb.start()
     hb
+  }
+
+  /** How long an abandoned heal claim blocks takeover before a new
+    * healer sweeps it. Heal actions are sub-second (a rename, a read,
+    * a delete — no Spark jobs), so any claim this old belongs to a
+    * healer that crashed mid-heal.
+    */
+  private val HealClaimTtlMs = 10L * 60 * 1000
+
+  /** Serialize TAKEOVERS through an atomic create-if-absent claim
+    * file, so only ONE healer may ever rename the sentinel (r17: the
+    * fuzz reached the r16 advisor's third-contender hazard under
+    * thread contention — healer B pre-checks the expired sentinel,
+    * healer A completes its takeover and installs a fresh lock, B's
+    * stale rename then displaces A's FRESH lock, and during B's
+    * rename→restore window a third contender's create-if-absent
+    * admits a second live writer. The pre-check and the verify-restore
+    * only SHRINK that window; under preemption it is milliseconds.
+    * With the claim, a losing healer never renames anything, so a
+    * racing healer can never displace a fresh winner's lock at all).
+    *
+    * A healer that crashes while holding the claim must not block
+    * takeover forever: a claim older than [[HealClaimTtlMs]] is swept
+    * — rename-arbitrated (rename the old claim aside, exactly one
+    * sweeper wins; a path-keyed delete could kill a FRESH claim
+    * created just after a racer's sweep) — before the create attempt.
+    *
+    * Residual hazard after this change: the claim winner's
+    * re-read→rename gap can still displace a fresh lock, but reaching
+    * it now requires the WEDGED HOLDER ITSELF to wake and release
+    * inside that microsecond gap AND a new writer to acquire within
+    * the same gap — a triple coincidence requiring the dead to rise on
+    * cue, not merely two healers racing. The verify-restore then still
+    * repairs it unless the process additionally crashes mid-repair.
+    */
+  private def withHealClaim(fs: FileSystem, lock: Path)
+                           (body: => Boolean): Boolean = {
+    val claim = new Path(lock.getParent, s"${lock.getName}.heal_claim")
+    try {
+      val st = fs.getFileStatus(claim)
+      if (System.currentTimeMillis() - st.getModificationTime >
+          HealClaimTtlMs) {
+        val trash = new Path(claim.getParent,
+          s"${claim.getName}.swept_${ProcessHandle.current().pid()}_" +
+            s"${System.nanoTime()}")
+        if (fs.rename(claim, trash)) fs.delete(trash, false)
+      }
+    } catch { case _: java.io.IOException => () } // absent: nothing to sweep
+    val won = createExclusive(fs, claim,
+      s"healer_pid=${ProcessHandle.current().pid()}".getBytes("UTF-8"))
+    if (!won) false
+    else try body finally fs.delete(claim, false)
   }
 
   /** Tier-1 recovery: true iff the sentinel named a holder from THIS
@@ -315,7 +456,8 @@ object WriterLock {
       catch { case _: NumberFormatException => false }
     }
     if (!dead) return false
-    val won = renameTakeover(fs, lock, holderInfo, f.get("token"))
+    val won = withHealClaim(fs, lock)(
+      renameTakeover(fs, lock, holderInfo, f.get("token")))
     if (won) {
       graft.Instr.record("writerLock.stale_taken_over", 1.0)
       MaintenanceEvents.record(dir, MaintenanceEvents.StaleTakeover,
@@ -371,7 +513,8 @@ object WriterLock {
     // Final verification AFTER the window: if the OBSERVER was paused
     // mid-loop, beats that landed during the pause are caught here.
     if (changed()) return !fs.exists(lock)
-    val won = renameTakeover(fs, lock, info0, Some(token))
+    val won = withHealClaim(fs, lock)(
+      renameTakeover(fs, lock, info0, Some(token)))
     if (won) {
       graft.Instr.record("writerLock.lease_taken_over", 1.0)
       MaintenanceEvents.record(dir, MaintenanceEvents.LeaseTakeover,

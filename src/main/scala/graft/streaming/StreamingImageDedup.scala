@@ -37,11 +37,17 @@ object StreamingImageDedup {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
             compactEvery: Option[Int] = None,
-            compactMaxFiles: Option[Long] = None): MaintainedStream = {
+            compactMaxFiles: Option[Long] = None,
+            lease: graft.ext.WriterLock.Lease =
+              graft.ext.WriterLock.Lease()): MaintainedStream = {
     // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
     val policy = graft.ext.IndexMaintenance.CompactPolicy(
       every = compactEvery, maxDataFiles = compactMaxFiles)
     val indexPath = s"$workDir/index"
+    // the index's failover SLO: every lock the stream takes on it
+    // heartbeats/observes at this lease (WriterLock.setLease doc has
+    // the failover-latency vs no-steal-margin tradeoff)
+    graft.ext.WriterLock.setLease(indexPath, lease)
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -57,13 +57,19 @@ object StreamingNearDup {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
             compactEvery: Option[Int] = None,
-            compactMaxFiles: Option[Long] = None): MaintainedStream = {
+            compactMaxFiles: Option[Long] = None,
+            lease: graft.ext.WriterLock.Lease =
+              graft.ext.WriterLock.Lease()): MaintainedStream = {
     // cadence and/or cost trigger — see IndexMaintenance.CompactPolicy
     // (compactMaxFiles fires on the index's measured data-file count,
     // the probe-cost signal, instead of a fixed batch cadence)
     val policy = graft.ext.IndexMaintenance.CompactPolicy(
       every = compactEvery, maxDataFiles = compactMaxFiles)
     val indexPath = s"$workDir/index"
+    // the index's failover SLO: every lock the stream takes on it
+    // heartbeats/observes at this lease (WriterLock.setLease doc has
+    // the failover-latency vs no-steal-margin tradeoff)
+    graft.ext.WriterLock.setLease(indexPath, lease)
     val corpusPath = s"$workDir/corpus"
     val matchesPath = s"$workDir/matches"
     val fs = new org.apache.hadoop.fs.Path(workDir)

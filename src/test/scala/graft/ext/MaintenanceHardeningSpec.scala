@@ -513,6 +513,229 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     assert(WriterLock.breakLock(spark, idx))
   }
 
+  test("lease knob on the stream APIs: a stream started with a " +
+    "non-default lease declares it in every sentinel taken on its " +
+    "index; explicit withLock leases still win over the policy") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("mhs-lease-knob")
+    val inDir = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val stage = s"$dir/stage"
+    docs(0, 10).repartition(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$inDir/b0.parquet"))
+    // an operator with a tighter failover SLO: 100 ms beats, 10x window
+    graft.streaming.StreamingNearDup.start(spark, inDir, s"$dir/work",
+      7, 10, bands = 4, rows = 2, sigBuckets = 4,
+      lease = WriterLock.Lease(beatMs = 100, staleBeats = 10))
+      .awaitTermination()
+    val idx = s"$dir/work/index"
+    val lock = WriterLock.lockPath(new Path(idx))
+    val fs = fsOf(idx)
+    def sentinelFields(): Map[String, String] = {
+      val in = fs.open(lock)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\\s+").iterator.filter(_.contains('='))
+        .map { kv => val i = kv.indexOf('=')
+          kv.take(i) -> kv.drop(i + 1) }.toMap
+    }
+    // the stream's own lock takes (the fold append above) resolve the
+    // same per-directory policy this probe does — assert the declared
+    // fields on a registry-resolved hold
+    WriterLock.withLock(spark, idx, "knobProbe") {
+      val f = sentinelFields()
+      assert(f("lease_ms") == "100" && f("stale_ms") == "1000",
+        s"policy lease not declared: $f")
+    }
+    // an explicit lease at a call site still wins over the policy
+    WriterLock.withLock(spark, idx, "explicitProbe",
+      WriterLock.Lease(beatMs = 200, staleBeats = 5)) {
+      val f = sentinelFields()
+      assert(f("lease_ms") == "200" && f("stale_ms") == "1000",
+        s"explicit lease did not win: $f")
+    }
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
+  test("heal claim: a live claim blocks takeover loudly (one healer at " +
+    "a time); an abandoned claim past its TTL is swept and takeover " +
+    "proceeds unattended") {
+    val (idx, _, rows) = freshIndex("mhs-claim")
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    val claim = new Path(lock.getParent, s"${lock.getName}.heal_claim")
+    // an expired foreign-lease sentinel — takeover WOULD fire...
+    plantSentinel(idx, "op=dead host=node-c pid=1 " +
+      "boot=cccccccc-0000-1111-2222-333333333333 token=claimTok " +
+      "lease_ms=50 stale_ms=300 thread=x acquired_ms=0")
+    // ...but another healer holds a FRESH claim: this contender must
+    // lose loudly instead of racing it
+    fs.create(claim, false).close()
+    intercept[WriterLock.ConcurrentWriterException](
+      DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx))
+    assert(fs.exists(claim) && WriterLock.isLocked(spark, idx))
+    assert(spark.read.parquet(idx).count() == rows)
+    // the claim's holder crashed: once the claim ages past its TTL the
+    // next healer sweeps it and completes the takeover unattended
+    fs.setTimes(claim, System.currentTimeMillis() - 11L * 60 * 1000, -1)
+    DocDedup.appendToMinHashIndex(docs(40, 50), "id", "text", idx)
+    assert(spark.read.parquet(idx).count() > rows)
+    assert(!fs.exists(claim), "winning healer must release its claim")
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
+  test("takeover state-machine fuzz: randomized healer schedules with " +
+    "injected crashes around renameTakeover — never two concurrent " +
+    "holders, never a lock lost forever (seeded, runtime-bounded)") {
+    val dir = tempDir("mhs-fuzz")
+    val idx = s"$dir/index" // withLock needs only the path, no data
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def readLock(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      // reset to the canonical crash shape: a dead foreign holder's
+      // leased sentinel, no beats ever
+      WriterLock.breakLock(spark, idx)
+      val planted = s"op=dead host=node-f pid=1 " +
+        s"boot=00000000-fuzz-0000-0000-00000000000$seed token=fz$seed " +
+        s"lease_ms=50 stale_ms=${200 + rnd.nextInt(200)} thread=x " +
+        s"acquired_ms=0"
+      plantSentinel(idx, planted)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      // AT MOST one crashy healer per schedule, and it follows the
+      // REAL protocol to its kill point — including the heal CLAIM. A
+      // claim-free crashy is a dishonest simulation: its read→rename
+      // gap is stretchable to milliseconds by thread preemption, so it
+      // can displace a legitimate claim-winner's fresh lock with the
+      // verify dead by construction — a hazard the real protocol's
+      // claim makes unreachable (the first two fuzz failures were
+      // exactly this simulation artifact, first via two concurrent
+      // crashies, then via one preempted one — both manufactured a
+      // bug the real state machine does not have; the SECOND of those
+      // chases found the real third-contender hole the claim now
+      // closes, see withHealClaim's scaladoc).
+      val crashySlot = rnd.nextInt(8) // 1-4 = that thread, 5-8 = none
+      val threads = (1 to 4).map { i =>
+        val delayMs = rnd.nextInt(150)
+        val holdMs = rnd.nextInt(30)
+        val crashy = crashySlot == i
+        // kill point: 0 = die holding only the claim; 1 = die after
+        // the rename (claim + tombstone + free path); 2 = die after
+        // verify/cleanup but before the claim release
+        val killPoint = rnd.nextInt(3)
+        new Thread(() => {
+          Thread.sleep(delayMs)
+          if (crashy) {
+            val claim = new Path(lock.getParent,
+              s"${lock.getName}.heal_claim")
+            val claimed =
+              try { fs.create(claim, false).close(); true }
+              catch { case _: java.io.IOException => false }
+            if (!claimed) outcomes.add("crash-claim-lost")
+            else if (killPoint == 0) outcomes.add("crashed-holding-claim")
+            else {
+              val now = readLock()
+              if (now.contains(planted)) {
+                val tomb = new Path(lock.getParent,
+                  s"${lock.getName}.stale_fuzz_${seed}_$i")
+                if (fs.rename(lock, tomb)) {
+                  if (killPoint == 2) fs.delete(tomb, false)
+                  outcomes.add("crashed-mid-takeover")
+                } else outcomes.add("crash-lost-rename")
+              } else outcomes.add("crash-precheck-miss")
+            }
+          } else {
+            try WriterLock.withLock(spark, idx, s"fuzz-$seed-$i") {
+              val a = active.incrementAndGet()
+              try {
+                if (a != 1) // recorded, not thrown: thread asserts vanish
+                  violations.add(s"TWO CONCURRENT HOLDERS seed=$seed: $a")
+                Thread.sleep(holdMs)
+              } finally active.decrementAndGet()
+              outcomes.add("held")
+            } catch {
+              case _: WriterLock.ConcurrentWriterException =>
+                outcomes.add("lost")
+              case e: Exception =>
+                violations.add(s"unexpected seed=$seed: $e")
+            }
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      assert(threads.forall(!_.isAlive), s"seed=$seed: thread wedged")
+      assert(violations.isEmpty, s"invariant violated: $violations")
+      // no lock lost forever: whatever the schedule left behind (a
+      // tombstone + free path, the planted sentinel still in place, a
+      // crashed healer's claim, or a clean release), ONE more
+      // unattended acquire always succeeds within a bounded wait — at
+      // worst one declared stale window plus the claim TTL, the latter
+      // simulated by aging any leftover claim so the sweep path runs
+      // inside the test's time budget
+      val claimLeft = new Path(lock.getParent,
+        s"${lock.getName}.heal_claim")
+      if (fs.exists(claimLeft))
+        fs.setTimes(claimLeft,
+          System.currentTimeMillis() - 11L * 60 * 1000, -1)
+      WriterLock.withLock(spark, idx, s"fuzz-final-$seed") {
+        val a = active.incrementAndGet()
+        try assert(a == 1) finally active.decrementAndGet()
+      }
+      assert(!WriterLock.isLocked(spark, idx), s"seed=$seed: not released")
+    }
+  }
+
+  test("aged lock residue is swept in the maintenance window: old " +
+    ".stale_ tombstones and orphan beat files go, fresh residue and " +
+    "the live sentinel stay") {
+    val (idx, pre, _) = freshIndex("mhs-residue")
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    val lockName = lock.getName
+    def plant(name: String, ageMs: Long): Path = {
+      val p = new Path(lock.getParent, name)
+      val out = fs.create(p, true)
+      try out.write("residue".getBytes("UTF-8")) finally out.close()
+      fs.setTimes(p, System.currentTimeMillis() - ageMs, -1)
+      p
+    }
+    // aged: a crashed healer's tombstone + an orphaned beat file
+    val agedTomb = plant(s"$lockName.stale_1_123", 8L * 24 * 3600 * 1000)
+    val agedBeat = plant(s"$lockName.hb_deadTok", 8L * 24 * 3600 * 1000)
+    // fresh: a tombstone microseconds old (takeover in flight / parked
+    // evidence) must be kept
+    val freshTomb = plant(s"$lockName.stale_2_456", 0L)
+    val c0 = MaintenanceEvents.count(idx, MaintenanceEvents.ResidueSwept)
+    // the sweep is wired into the compaction window
+    DocDedup.compactMinHashIndex(spark, idx)
+    assert(!fs.exists(agedTomb), "aged tombstone survived the sweep")
+    assert(!fs.exists(agedBeat), "aged orphan beat file survived")
+    assert(fs.exists(freshTomb), "fresh tombstone was swept")
+    assert(MaintenanceEvents.count(idx,
+      MaintenanceEvents.ResidueSwept) == c0 + 1)
+    assert(probe(idx) == pre) // the index itself is untouched
+    // standalone call: the fresh tombstone ages out and goes too; the
+    // sweep never touches a live sentinel
+    fs.setTimes(freshTomb, System.currentTimeMillis() - 8L * 24 * 3600 * 1000, -1)
+    assert(IndexMaintenance.sweepAgedLockResidue(spark, idx) == 1L)
+    assert(!fs.exists(freshTomb))
+    assert(IndexMaintenance.sweepAgedLockResidue(spark, idx) == 0L)
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
   test("maintenance observability: a forced conflict + heal + " +
     "compaction fire sequence lands in the MaintenanceEvents counters " +
     "(and only against the touched directory)") {
