@@ -307,12 +307,16 @@ object WriterLock {
     * path already exists or on any IO failure — conservative, like
     * every other failure in this file.
     */
-  private def createExclusive(fs: FileSystem, p: Path,
-                              content: Array[Byte]): Boolean =
+  private[graft] def createExclusive(fs: FileSystem, p: Path,
+                                     content: Array[Byte]): Boolean =
     if (fs.getScheme == "file") {
       val local = java.nio.file.Paths.get(
         fs.makeQualified(p).toUri.getPath)
       try {
+        // fs.create auto-creates parents; NIO does not — match that
+        // (idempotent, does not weaken the exclusive file create)
+        val parent = local.getParent
+        if (parent != null) java.nio.file.Files.createDirectories(parent)
         val ch = java.nio.file.Files.newByteChannel(local,
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)

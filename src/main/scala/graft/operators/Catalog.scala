@@ -807,26 +807,28 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
     // existing meta is never rewritten (width and bloom sizing of a
     // catalog are immutable — see the class scaladoc).
     if (!fs.exists(metaPath)) {
-      try {
-        val out = fs.create(metaPath, false)
-        try out.write(
-          s"bucket_chars=$bucketWidth\nbloom_items=$bloomCapacity\n"
-            .getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-      } catch {
+      // Exclusive create: this pin ARBITRATES concurrent first
+      // committers' layout knobs, so it needs the truly atomic
+      // create-if-absent (on the local FS, Hadoop's
+      // create(overwrite=false) is check-then-act — two racers could
+      // both "win" and the knob comparison below would never run;
+      // see WriterLock.createExclusive).
+      val won = graft.ext.WriterLock.createExclusive(fs, metaPath,
+        s"bucket_chars=$bucketWidth\nbloom_items=$bloomCapacity\n"
+          .getBytes(StandardCharsets.UTF_8))
+      if (!won) {
         // Lost the meta race to a concurrent first committer. Safe iff
         // it pinned the SAME knobs this commit's data was staged with;
         // otherwise fail before publishing mixed-layout data.
-        case _: java.io.IOException =>
-          val other = new Catalog(spark, dir)
-          require(other.bucketWidth == bucketWidth,
-            s"concurrent catalog creation with different bucket widths: " +
-              s"this commit staged width $bucketWidth, meta pinned " +
-              s"${other.bucketWidth}")
-          require(other.bloomCapacity == bloomCapacity,
-            s"concurrent catalog creation with different bloom sizing: " +
-              s"this commit staged $bloomCapacity, meta pinned " +
-              s"${other.bloomCapacity}")
+        val other = new Catalog(spark, dir)
+        require(other.bucketWidth == bucketWidth,
+          s"concurrent catalog creation with different bucket widths: " +
+            s"this commit staged width $bucketWidth, meta pinned " +
+            s"${other.bucketWidth}")
+        require(other.bloomCapacity == bloomCapacity,
+          s"concurrent catalog creation with different bloom sizing: " +
+            s"this commit staged $bloomCapacity, meta pinned " +
+            s"${other.bloomCapacity}")
       }
     }
     val vd = versionDir(v)
