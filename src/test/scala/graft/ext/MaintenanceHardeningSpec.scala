@@ -561,6 +561,35 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     assert(!WriterLock.isLocked(spark, idx))
   }
 
+  test("createExclusive is truly atomic on the local scheme: of N " +
+    "threads racing one path, exactly one wins — the primitive " +
+    "Hadoop's local create(overwrite=false) only pretends to be") {
+    val dir = tempDir("mhs-excl")
+    val fs = fsOf(dir)
+    for (round <- 1 to 20) {
+      val p = new Path(s"$dir/contested_$round")
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ts = (1 to 16).map { i =>
+        new Thread(() => {
+          gate.await()
+          if (WriterLock.createExclusive(fs, p, s"winner=$i".getBytes("UTF-8")))
+            wins.incrementAndGet()
+        })
+      }
+      ts.foreach(_.start())
+      gate.countDown() // release all 16 at once — maximal contention
+      ts.foreach(_.join(30000))
+      assert(wins.get() == 1,
+        s"round $round: ${wins.get()} winners of one exclusive create")
+      // and the winner's content is intact (no torn interleaved writes)
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(content.matches("winner=\\d+"), s"torn content: $content")
+    }
+  }
+
   test("heal claim: a live claim blocks takeover loudly (one healer at " +
     "a time); an abandoned claim past its TTL is swept and takeover " +
     "proceeds unattended") {
