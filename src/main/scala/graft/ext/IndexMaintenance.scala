@@ -228,6 +228,21 @@ object IndexMaintenance {
         val out = fs.create(new Path(tmp, s.getPath.getName), true)
         try out.write(bytes) finally out.close()
       }
+    // Point of no return: refuse to SWAP under a lease in jeopardy
+    // (r16 advisor / r17: heartbeat writes failing for half the stale
+    // window mean a contender may be observing silence and could
+    // legally take the lock — publishing the swap then would race the
+    // new writer's view of the layout). The staged rewrite is
+    // discarded; the fragmented-but-correct index is untouched, and
+    // the abort is loud so the operator sees the FS trouble the beat
+    // failures already WARNed about.
+    if (WriterLock.leaseJeopardized(spark, path)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactIndex: this holder's lease on $path is in jeopardy " +
+          "(heartbeat writes failing toward the declared stale " +
+          "window) — aborting before the swap; index unchanged")
+    }
     // swap: old layout aside, new layout in, old layout gone
     val old = new Path(root.getParent, s".compact_old_${root.getName}-$uuid")
     if (!fs.rename(root, old)) {

@@ -592,6 +592,22 @@ object WriterLock {
     fs.delete(lock, false)
   }
 
+  /** Whether THIS thread holds `dir`'s lock with its lease in
+    * jeopardy — heartbeat writes have failed for at least half the
+    * declared stale window, so a contender may be observing silence
+    * and could legally take over soon. A cooperating long mutation
+    * polls this before its point of no return (e.g. the compaction
+    * swap) and aborts rather than publish under a possibly-lapsed
+    * lease. False when this thread does not hold the lock (including
+    * reentrant frames whose OUTER acquisition is healthy).
+    */
+  def leaseJeopardized(spark: SparkSession, dir: String): Boolean = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(lockPath(root)).toString
+    held.get().get(key).exists(_.leaseJeopardized)
+  }
+
   /** Whether a writer currently holds `dir`'s sentinel. */
   def isLocked(spark: SparkSession, dir: String): Boolean = {
     val root = new Path(dir)

@@ -476,6 +476,46 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     assert(!WriterLock.isLocked(spark, idx))
   }
 
+  test("compaction refuses its swap under a lease in jeopardy: the " +
+    "staged rewrite is discarded, the live index is untouched, and " +
+    "the abort is loud") {
+    val (idx, pre, rows) = freshIndex("mhs-jeopardy")
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    WriterLock.withLock(spark, idx, "jeopardyHold",
+      WriterLock.Lease(beatMs = 25, staleBeats = 8)) {
+      // break the beat path → consecutive failures reach half the
+      // stale window (4 beats, ~100 ms)
+      val hb = fs.listStatus(lock.getParent).map(_.getPath)
+        .find(_.getName.contains(".hb_")).get
+      var planted = false
+      while (!planted) {
+        fs.delete(hb, false)
+        planted = try fs.mkdirs(hb) && fs.getFileStatus(hb).isDirectory
+          catch { case _: java.io.IOException => false }
+      }
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (!WriterLock.leaseJeopardized(spark, idx) &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      assert(WriterLock.leaseJeopardized(spark, idx))
+      // the compaction (reentrant under OUR jeopardized hold) must
+      // refuse its point of no return
+      val e = intercept[IllegalStateException](
+        DocDedup.compactMinHashIndex(spark, idx))
+      assert(e.getMessage.contains("jeopardy"))
+      assert(fs.delete(hb, false)) // restore releasability
+    }
+    // live index untouched, no staged residue left behind
+    assert(spark.read.parquet(idx).count() == rows)
+    assert(probe(idx) == pre)
+    assert(!fsOf(idx).listStatus(new Path(idx).getParent)
+      .exists(_.getPath.getName.startsWith(".compact_tmp_")))
+    // and a HEALTHY hold still compacts (the guard is jeopardy-gated)
+    DocDedup.compactMinHashIndex(spark, idx)
+    assert(probe(idx) == pre)
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
   test("lease window clamp: an absurd declared stale_ms (the Long-" +
     "overflow shape) does NOT permit an immediate takeover — the " +
     "contender still observes, conservatively") {
