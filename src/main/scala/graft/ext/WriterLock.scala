@@ -312,24 +312,40 @@ object WriterLock {
     if (fs.getScheme == "file") {
       val local = java.nio.file.Paths.get(
         fs.makeQualified(p).toUri.getPath)
+      // fs.create auto-creates parents; NIO does not — match that
+      // (idempotent, does not weaken the exclusive file create)
       try {
-        // fs.create auto-creates parents; NIO does not — match that
-        // (idempotent, does not weaken the exclusive file create)
         val parent = local.getParent
         if (parent != null) java.nio.file.Files.createDirectories(parent)
-        val ch = java.nio.file.Files.newByteChannel(local,
+      } catch { case _: java.io.IOException => return false }
+      val ch =
+        try java.nio.file.Files.newByteChannel(local,
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
-        try ch.write(java.nio.ByteBuffer.wrap(content))
-        finally ch.close()
-        true
-      } catch { case _: java.io.IOException => false }
+        catch { case _: java.io.IOException => return false } // lost race
+      try { ch.write(java.nio.ByteBuffer.wrap(content)); ch.close(); true }
+      catch {
+        case _: java.io.IOException =>
+          // we WON the create but could not write the content: remove
+          // our partial file rather than leave an empty sentinel no
+          // recovery tier can parse (no lease fields → manual-only)
+          try ch.close() catch { case _: java.io.IOException => () }
+          try java.nio.file.Files.deleteIfExists(local)
+          catch { case _: java.io.IOException => () }
+          false
+      }
     } else {
-      try {
-        val out = fs.create(p, false)
-        try out.write(content) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      val out =
+        try fs.create(p, false)
+        catch { case _: java.io.IOException => return false } // lost race
+      try { out.write(content); out.close(); true }
+      catch {
+        case _: java.io.IOException =>
+          try out.close() catch { case _: java.io.IOException => () }
+          try fs.delete(p, false) // OUR partial create, same reasoning
+          catch { case _: java.io.IOException => () }
+          false
+      }
     }
 
   private def readQuietly(fs: FileSystem, p: Path): Option[String] =
