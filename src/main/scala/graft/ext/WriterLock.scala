@@ -584,7 +584,17 @@ object WriterLock {
       token.foreach(t => fs.delete(beatPath(lock, t), false))
       true
     } else {
-      if (!fs.rename(tomb, lock))
+      // Restore — but NEVER by renaming onto an occupied path: POSIX
+      // rename silently REPLACES an existing destination FILE on the
+      // local filesystem (File.renameTo → rename(2)), so a blind
+      // restore here would overwrite a third contender's fresh
+      // sentinel and turn this documented loud failure into a silent
+      // second-writer admission. The exists pre-check is not atomic
+      // with the rename, but every step of this path already sits
+      // behind the heal claim and a content flip that requires the
+      // wedged holder to wake on cue — the check turns the one
+      // remaining silent shape loud.
+      if (fs.exists(lock) || !fs.rename(tomb, lock))
         throw new IllegalStateException(
           s"takeover race on $lock: renamed a fresh holder's lock and " +
             s"could not restore it (a third contender recreated the " +
