@@ -306,12 +306,21 @@ object IndexMaintenance {
       else {
         val lockName = WriterLock.lockPath(root).getName
         val cutoff = System.currentTimeMillis() - olderThanMs
+        // `.heal_claim` itself is DELIBERATELY excluded (r17 verdict
+        // ask #4): a path-keyed delete of a claim is exactly the shape
+        // WriterLock.sweepAgedHealClaim's rename arbitration exists to
+        // avoid — between this sweep's listing and its delete a FRESH
+        // claim could land at the same path and be killed. Aged claims
+        // are reclaimed solely by that rename-arbitrated TTL sweep;
+        // only its `.heal_claim.swept_*` trash (a failed post-rename
+        // delete) is aged out here, where the unique trash name makes
+        // a path-keyed delete safe.
         val aged = fs.listStatus(parent).filter { st =>
           val n = st.getPath.getName
           n != lockName &&
             (n.startsWith(s"$lockName.stale_") ||
               n.startsWith(s"$lockName.hb_") ||
-              n.startsWith(s"$lockName.heal_claim")) &&
+              n.startsWith(s"$lockName.heal_claim.swept_")) &&
             st.getModificationTime < cutoff
         }
         var swept = 0L

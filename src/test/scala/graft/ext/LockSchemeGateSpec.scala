@@ -1,0 +1,136 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.hadoop.fs.{FileSystem, Path, RawLocalFileSystem}
+
+/** r17 verdict ask #1: the atomic-create requirement is ENFORCED per
+  * filesystem scheme, not documented. `createExclusive` trusts
+  * `fs.create(p, overwrite = false)` on non-`file` schemes, but on
+  * object stores that call is exists-then-put — the SAME check-then-act
+  * double-writer race r17 proved is real on the local scheme. So
+  * `withLock` must refuse, loudly and at the FIRST acquire, any scheme
+  * outside the allowlist (`file` via O_EXCL, HDFS family via the
+  * namenode CAS) unless the operator explicitly opted in.
+  *
+  * The simulated store here is the honest shape of the hazard: a
+  * RawLocalFileSystem re-registered under a foreign scheme — Hadoop's
+  * local `create(overwrite=false)` IS exists-then-open (the r17 find),
+  * so this wrapper is literally a non-atomic-create filesystem, not a
+  * mock of one.
+  */
+class LockSchemeGateSpec extends SparkFunSuite {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def registerScheme(scheme: String, impl: Class[_]): Unit = {
+    conf.setClass(s"fs.$scheme.impl", impl, classOf[FileSystem])
+    // the per-JVM FileSystem cache may hold a stale instance from an
+    // earlier suite run — not in practice for these unique schemes,
+    // but make the spec self-contained
+    conf.setBoolean(s"fs.$scheme.impl.disable.cache", true)
+  }
+
+  test("withLock refuses a scheme without atomic create-if-absent at " +
+    "the first acquire — loudly, before any sentinel is created") {
+    registerScheme("mocknonatomic", classOf[NonAtomicStoreFs])
+    val dir = tempDir("lsg-refuse")
+    val uri = s"mocknonatomic://host$dir/index"
+    val ex = intercept[WriterLock.UnsafeLockSchemeException](
+      WriterLock.withLock(spark, uri, "appendProbe") {
+        fail("the body must never run on an untrusted non-atomic scheme")
+      })
+    assert(ex.getMessage.contains("mocknonatomic"))
+    assert(ex.getMessage.contains("trustSchemeAtomicCreate"))
+    // refused BEFORE the first create: no sentinel residue at all
+    val fs = new Path(uri).getFileSystem(conf)
+    assert(!fs.exists(WriterLock.lockPath(new Path(uri))))
+  }
+
+  test("the explicit operator override lets the same scheme proceed, " +
+    "and the full hold/release cycle works through the generic branch") {
+    registerScheme("mocktrusted", classOf[TrustedStoreFs])
+    val dir = tempDir("lsg-trust")
+    val uri = s"mocktrusted://host$dir/index"
+    // without the override: refused (per-scheme, not global)
+    intercept[WriterLock.UnsafeLockSchemeException](
+      WriterLock.withLock(spark, uri, "pre") { () })
+    WriterLock.trustSchemeAtomicCreate("mocktrusted")
+    val got = WriterLock.withLock(spark, uri, "post") {
+      assert(WriterLock.isLocked(spark, uri))
+      42
+    }
+    assert(got == 42)
+    assert(!WriterLock.isLocked(spark, uri))
+    // and a second writer still loses loudly while a lock is held
+    WriterLock.withLock(spark, uri, "holder") {
+      val loser = new Thread(() =>
+        try WriterLock.withLock(spark, uri, "loser") { fail("won") }
+        catch { case _: WriterLock.ConcurrentWriterException => () })
+      loser.start(); loser.join(30000)
+      assert(!loser.isAlive)
+    }
+  }
+
+  test("a filesystem whose getScheme THROWS (the FileSystem base " +
+    "implementation) resolves through the URI instead of crashing — " +
+    "the refusal stays loud and typed, never an " +
+    "UnsupportedOperationException escaping acquire") {
+    registerScheme("mockthrowing", classOf[SchemeThrowingFs])
+    val dir = tempDir("lsg-throw")
+    val uri = s"mockthrowing://host$dir/index"
+    val fs = new Path(uri).getFileSystem(conf)
+    // the probe itself is total
+    assert(WriterLock.schemeOf(fs).contains("mockthrowing"))
+    val ex = intercept[WriterLock.UnsafeLockSchemeException](
+      WriterLock.withLock(spark, uri, "schemeProbe") { () })
+    assert(ex.getMessage.contains("mockthrowing"))
+  }
+
+  test("the local and HDFS-family schemes are allowlisted; unknown " +
+    "spellings are refused case-insensitively") {
+    // local: every other suite exercises this daily — pin it anyway
+    val dir = tempDir("lsg-local")
+    WriterLock.withLock(spark, dir, "localOk") { () }
+    assert(!WriterLock.isLocked(spark, dir))
+    // trust registration is case-insensitive
+    registerScheme("mockcased", classOf[CasedStoreFs])
+    val uri = s"mockcased://host$dir/index2"
+    intercept[WriterLock.UnsafeLockSchemeException](
+      WriterLock.withLock(spark, uri, "cased") { () })
+    WriterLock.trustSchemeAtomicCreate("MOCKCASED")
+    WriterLock.withLock(spark, uri, "casedOk") { () }
+    assert(!WriterLock.isLocked(spark, uri))
+  }
+}
+
+/** A real filesystem whose `create(overwrite=false)` is exists-then-open
+  * — RawLocalFileSystem verbatim, under a scheme the allowlist doesn't
+  * know. (`getUri` must carry the foreign scheme or path qualification
+  * would rewrite the paths back to `file:`.)
+  */
+class NonAtomicStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "mocknonatomic"
+  override def getUri: java.net.URI = java.net.URI.create("mocknonatomic://host/")
+}
+
+class TrustedStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "mocktrusted"
+  override def getUri: java.net.URI = java.net.URI.create("mocktrusted://host/")
+}
+
+class CasedStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "mockcased"
+  override def getUri: java.net.URI = java.net.URI.create("mockcased://host/")
+}
+
+/** The r17 advisor's crash shape: a filesystem that does NOT override
+  * `getScheme` (the FileSystem base implementation throws
+  * UnsupportedOperationException) — the scheme must resolve through
+  * `getUri` instead.
+  */
+class SchemeThrowingFs extends RawLocalFileSystem {
+  override def getScheme: String =
+    throw new UnsupportedOperationException("not implemented, like the " +
+      "FileSystem base class")
+  override def getUri: java.net.URI = java.net.URI.create("mockthrowing://host/")
+}

@@ -805,6 +805,97 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     assert(!WriterLock.isLocked(spark, idx))
   }
 
+  test("jeopardy threshold sits STRICTLY below the stale window for " +
+    "every legal lease — the swap guard must trip while takeover is " +
+    "still illegal, including the short-lease configs where takeover " +
+    "is fastest") {
+    // r17 advisor (medium): unclamped max(4, staleBeats/2) gave
+    // jeopardyAt=4 for any staleBeats <= 8 — AT or PAST the window for
+    // staleBeats <= 4, so the guard fired only after takeover was
+    // already legal
+    (2 to 200).foreach { sb =>
+      val j = WriterLock.jeopardyThresholdFor(sb)
+      assert(j >= 1 && j < sb, s"staleBeats=$sb: jeopardyAt=$j not in [1, $sb)")
+    }
+    assert(WriterLock.jeopardyThresholdFor(60) == 30) // half-window, unchanged
+    assert(WriterLock.jeopardyThresholdFor(8) == 4)
+    assert(WriterLock.jeopardyThresholdFor(3) == 2)
+    assert(WriterLock.jeopardyThresholdFor(2) == 1)
+  }
+
+  test("heal-claim sweep is rename-arbitrated: an AGED claim is swept " +
+    "exactly once under racing sweepers; a FRESH claim is never " +
+    "touched — and the path-keyed residue sweep no longer deletes " +
+    "claims at any age") {
+    val dir = tempDir("mhs-claim-sweep")
+    val idx = s"$dir/index"
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    val claim = WriterLock.healClaimPath(lock)
+    def plantClaim(ageMs: Long): Unit = {
+      val out = fs.create(claim, true)
+      try out.write("healer_pid=1".getBytes("UTF-8")) finally out.close()
+      fs.setTimes(claim, System.currentTimeMillis() - ageMs, -1)
+    }
+    // 1. racing sweepers of one AGED claim: exactly one wins the rename
+    for (round <- 1 to 10) {
+      plantClaim(11L * 60 * 1000)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ts = (1 to 8).map(_ => new Thread(() => {
+        gate.await()
+        if (WriterLock.sweepAgedHealClaim(fs, lock)) wins.incrementAndGet()
+      }))
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join(30000))
+      assert(wins.get() == 1,
+        s"round $round: ${wins.get()} sweepers claimed the one aged claim")
+      assert(!fs.exists(claim))
+    }
+    // 2. a fresh claim survives the claim sweep untouched
+    plantClaim(0L)
+    assert(!WriterLock.sweepAgedHealClaim(fs, lock))
+    assert(fs.exists(claim), "fresh claim was swept")
+    // 3. ...and survives the PATH-KEYED aged-residue sweep even when
+    // its mtime is ancient (r17 verdict ask #4: a path-keyed delete
+    // could kill a FRESH claim landing at the same path between the
+    // sweep's listing and its delete — so claims are excluded there
+    // wholesale and owned solely by the rename-arbitrated TTL sweep)
+    fs.setTimes(claim, System.currentTimeMillis() - 8L * 24 * 3600 * 1000, -1)
+    assert(IndexMaintenance.sweepAgedLockResidue(spark, idx) == 0L)
+    assert(fs.exists(claim),
+      "sweepAgedLockResidue path-deleted a heal claim")
+    // the TTL sweep still reclaims it (it IS aged past the claim TTL)
+    assert(WriterLock.sweepAgedHealClaim(fs, lock))
+    assert(!fs.exists(claim))
+    // 4. the TTL sweep's own trash (a failed post-rename delete) IS
+    // aged residue: unique-named, so the path-keyed sweep is safe there
+    val trash = new Path(lock.getParent, s"${lock.getName}.heal_claim.swept_1_2")
+    val out = fs.create(trash, true)
+    try out.write("trash".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(trash, System.currentTimeMillis() - 8L * 24 * 3600 * 1000, -1)
+    assert(IndexMaintenance.sweepAgedLockResidue(spark, idx) == 1L)
+    assert(!fs.exists(trash))
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
+  test("release is a content-verified rename CAS: a takeover that " +
+    "lands in the read->release gap keeps the usurper's sentinel " +
+    "intact (the r17 advisor's failing-beats third-writer shape)") {
+    val dir = tempDir("mhs-release-cas")
+    val idx = s"$dir/index"
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    // a normal hold still releases cleanly through the CAS
+    WriterLock.withLock(spark, idx, "casNormal") {
+      assert(fs.exists(lock))
+    }
+    assert(!fs.exists(lock))
+    // no tombstone residue from the CAS release
+    assert(!fs.listStatus(lock.getParent).exists(
+      _.getPath.getName.contains(".stale_")),
+      "release CAS left tombstone residue")
+  }
+
   test("maintenance observability: a forced conflict + heal + " +
     "compaction fire sequence lands in the MaintenanceEvents counters " +
     "(and only against the touched directory)") {

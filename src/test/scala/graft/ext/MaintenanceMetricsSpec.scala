@@ -83,4 +83,45 @@ class MaintenanceMetricsSpec extends SparkFunSuite {
     assert(MaintenanceMetrics.dirTag(idx) !=
       MaintenanceMetrics.dirTag(s"$dir/elsewhere/index"))
   }
+
+  test("lease-jeopardy gauge (r17 ask #5): forced beat failures flip " +
+    "the per-directory gauge to 1 BEFORE any takeover event exists, " +
+    "and release drops it back to 0") {
+    val dir = tempDir("mms-jeopardy")
+    val idx = s"$dir/index"
+    val fs = new Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = WriterLock.lockPath(new Path(idx))
+    def gauge(name: String): Long =
+      MaintenanceMetrics.snapshot().getOrElse(name, 0L)
+    val tag = MaintenanceMetrics.dirTag(idx)
+    WriterLock.withLock(spark, idx, "jeopardyGauge",
+      WriterLock.Lease(beatMs = 25, staleBeats = 8)) {
+      // healthy hold: gauge registered and reading 0
+      assert(gauge(s"$tag.lease_jeopardized") == 0L)
+      // break the beat path: replace the beat file with a DIRECTORY so
+      // every refresh write fails (same recipe as the hardening spec)
+      val hb = fs.listStatus(lock.getParent).map(_.getPath)
+        .find(_.getName.contains(".hb_")).get
+      var planted = false
+      while (!planted) {
+        fs.delete(hb, false)
+        planted = try fs.mkdirs(hb) && fs.getFileStatus(hb).isDirectory
+          catch { case _: java.io.IOException => false }
+      }
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (gauge(s"$tag.lease_jeopardized") == 0L &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      // the pre-takeover window is dashboard-visible: per-dir 1,
+      // fleet count >= 1 — with zero takeover events recorded
+      assert(gauge(s"$tag.lease_jeopardized") == 1L,
+        "jeopardy gauge never flipped despite persistent beat failures")
+      assert(gauge("lease_jeopardized.total") >= 1L)
+      assert(WriterLock.leaseJeopardized(spark, idx)) // agrees with the poll API
+      assert(fs.delete(hb, false)) // restore releasability
+    }
+    // released: no live holder, gauge reads 0 again
+    assert(gauge(s"$tag.lease_jeopardized") == 0L)
+    assert(!WriterLock.isLocked(spark, idx))
+  }
 }
