@@ -1,15 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Reference epoch speed: the calibration workload's wall-time in a
-    * healthy epoch on this VM (r13/r14 mirrors sampled 0.79–1.0 s warm;
-    * the stalled epochs that motivated normalization read 1.6–3 s). A
-    * FIXED constant — not this run's min — so `queries_norm` values are
-    * comparable ACROSS rounds: each round's normalized number is "what
-    * the query would cost at reference speed", whatever epoch the
-    * mirror happened to land in.
+  /** Reference epoch speed of the CPU-bound calibration workload: its
+    * wall-time in a healthy epoch on this VM (r13/r14 mirrors sampled
+    * 0.79–1.0 s warm; the stalled epochs that motivated normalization
+    * read 1.6–3 s). A FIXED constant — not this run's min — so
+    * `queries_norm` values are comparable ACROSS rounds: each round's
+    * normalized number is "what the query would cost at reference
+    * speed", whatever epoch the mirror happened to land in.
     */
-  private val CalRef = 0.8
+  private val CpuRef = 0.8
+
+  /** Reference epoch speed of the I/O-bound calibration workload (a
+    * fixed parquet write+read — commit renames + footer reads, the
+    * FS-metadata costs the real queries pay). Second dimension since
+    * r18 (r17 verdict ask #3): the CPU-only normalizer over-corrected
+    * ~2.2x in r17 and under-corrected in r15/r16 because CPU and I/O
+    * epochs diverge — a run whose CPU probe stalls while the page
+    * cache stays warm (or vice versa) gets a factor that matches
+    * NEITHER dimension of the actual queries. Value measured warm on
+    * this VM in the same epoch class as CpuRef.
+    */
+  private val IoRef = 0.55
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,6 +66,7 @@ object Bench {
     // the epoch, not JIT state (cold-vs-warm measured 5.4 s vs 0.5 s
     // for the same workload).
     calibrate(spark)
+    calibrateIo(spark)
     // Local-iteration subset (the driver never sets this): run only the
     // named queries, e.g. SPARK_GRAFT_BENCH_ONLY=q55_neardup_index_planted
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -65,14 +78,21 @@ object Bench {
     // shift to the queries it actually inflated, so two rounds were
     // spent relitigating environment noise. One sample every ~1/8th of
     // the run (~8 s total overhead) gives each query a nearby epoch
-    // reading; `queries_norm` below divides the raw time by the
-    // interpolated local epoch factor (cal_local / CalRef), so a reader
-    // compares normalized numbers across rounds and only a NORMALIZED
-    // drift needs plan-level attribution.
+    // reading. TWO-dimensional since r18 (r17 verdict ask #3): each
+    // point samples BOTH the CPU-bound and the I/O-bound workload, and
+    // `queries_norm` divides the raw time by the GEOMETRIC MEAN of the
+    // two per-dimension factors (cpu_local/CpuRef, io_local/IoRef) —
+    // when the dimensions agree this is exactly the old normalizer;
+    // when they diverge (the r15–r17 flap pattern) the blend halves
+    // the log-error of trusting either dimension alone, and both raw
+    // tracks land in the artifact so a reader can re-normalize
+    // per-query by the dimension matching its class.
     val calStep = math.max(1, (allQueries.size + 7) / 8)
-    val calSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val calSamples =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     val results = allQueries.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % calStep == 0) calSamples += ((i, calibrate(spark)))
+      if (i % calStep == 0)
+        calSamples += ((i, calibrate(spark), calibrateIo(spark)))
       def once(): (Double, Option[Throwable]) = {
         val t0 = System.nanoTime()
         val err =
@@ -109,32 +129,49 @@ object Bench {
     val flaky = results.collect { case (k, _, None, true) => jsonStr(k) }
       .mkString("[", ",", "]")
     val dedup = dedupPipelineStats(spark)
-    calSamples += ((allQueries.size, calibrate(spark)))
+    calSamples += ((allQueries.size, calibrate(spark), calibrateIo(spark)))
     // Piecewise-linear epoch estimate at query position p (queries run
-    // between the samples that bracket them).
-    def calAt(p: Double): Double = {
+    // between the samples that bracket them), per dimension.
+    def calAt(p: Double, dim: ((Int, Double, Double)) => Double): Double = {
       val s = calSamples.toIndexedSeq
-      if (p <= s.head._1) s.head._2
-      else if (p >= s.last._1) s.last._2
+      if (p <= s.head._1) dim(s.head)
+      else if (p >= s.last._1) dim(s.last)
       else {
         val j = s.lastIndexWhere(_._1 <= p)
-        val (x0, y0) = s(j); val (x1, y1) = s(j + 1)
+        val (x0, y0) = (s(j)._1, dim(s(j)))
+        val (x1, y1) = (s(j + 1)._1, dim(s(j + 1)))
         y0 + (y1 - y0) * (p - x0) / (x1 - x0)
       }
     }
-    val calStart = calSamples.head._2
-    val calEnd = calSamples.last._2
-    val calMid = calAt(allQueries.size / 2.0)
-    val samplesJson = calSamples
-      .map { case (i, v) => f"[$i,$v%.3f]" }.mkString("[", ",", "]")
-    val cal = f"""{"workload":"in-memory 2M-row hash/groupBy/sort, constant size, no I/O","start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f,"ref":$CalRef%.3f,"samples":$samplesJson,"unit":"sec"}"""
-    // Epoch-normalized per-query seconds: raw * (CalRef / local epoch).
+    def track(dim: ((Int, Double, Double)) => Double, ref: Double,
+              workload: String): String = {
+      val start = dim(calSamples.head)
+      val end = dim(calSamples.last)
+      val mid = calAt(allQueries.size / 2.0, dim)
+      val samplesJson = calSamples
+        .map(s => f"[${s._1},${dim(s)}%.3f]").mkString("[", ",", "]")
+      f"""{"workload":${jsonStr(workload)},"start":$start%.3f,"mid":$mid%.3f,"end":$end%.3f,"ref":$ref%.3f,"samples":$samplesJson,"unit":"sec"}"""
+    }
+    val cal =
+      s"""{"cpu":${track(_._2, CpuRef,
+        "in-memory 2M-row hash/groupBy/sort, constant size, no I/O")},""" +
+        s""""io":${track(_._3, IoRef,
+          "fixed 250k-row parquet write+read to bench tmp, constant size")},""" +
+        s""""normalizer":"geomean(cpu_local/cpu_ref, io_local/io_ref)"}"""
+    // Blended epoch factor at query position p: geometric mean of the
+    // two per-dimension slowdowns. Healthy epoch → both ≈ 1 → norm ==
+    // raw; a one-dimension stall is discounted by sqrt instead of
+    // charged (or ignored) wholesale.
+    def epochAt(p: Double): Double = math.sqrt(
+      math.max(1e-9, calAt(p, _._2) / CpuRef) *
+        math.max(1e-9, calAt(p, _._3) / IoRef))
+    // Epoch-normalized per-query seconds: raw / blended epoch factor.
     // In a healthy epoch this equals the raw number; in a stalled one it
     // reports what the query would have cost at reference speed. Errors
     // are already visible in `queries`; they are omitted here.
     val qsNorm = results.zipWithIndex.collect {
       case ((k, v, None, _), i) =>
-        s"${jsonStr(k)}:${f"${v * CalRef / math.max(1e-9, calAt(i + 0.5))}%.3f"}"
+        s"${jsonStr(k)}:${f"${v / epochAt(i + 0.5)}%.3f"}"
     }.mkString("{", ",", "}")
     // Per-stage samples from the index gates (graft.Instr): each key
     // lists one sample per invocation — two bench runs → two samples
@@ -145,7 +182,7 @@ object Bench {
     val stages = Instr.snapshot().map { case (k, vs) =>
       s"${jsonStr(k)}:${vs.map(v => f"$v%.3f").mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-sink, min of 2 runs per query (the fresh-state evidence gates q97/q103/q106 rebuild their state in BOTH runs — their min is the JIT-warmed build+probe cost, not a cached-state probe); calibration samples are single raw runs interleaved every $calStep queries; queries_norm = raw * (calibration.ref / interpolated local calibration)","calibration":$cal,"gate_stages":$stages,"queries":$qs,"queries_norm":$qsNorm,"errors":$nErr,"flaky":$flaky,"dedup":$dedup,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-sink, min of 2 runs per query (the fresh-state evidence gates q97/q103/q106 rebuild their state in BOTH runs — their min is the JIT-warmed build+probe cost, not a cached-state probe); calibration samples are single raw runs of a CPU-bound and an I/O-bound workload interleaved every $calStep queries; queries_norm = raw / geomean(cpu_local/cpu_ref, io_local/io_ref) at the query's interpolated position — both raw tracks are in calibration.cpu/io.samples","calibration":$cal,"gate_stages":$stages,"queries":$qs,"queries_norm":$qsNorm,"errors":$nErr,"flaky":$flaky,"dedup":$dedup,"sf":"$sfDir"}"""
     // Print the JSON line and flush BEFORE any shutdown/footer noise,
     // and keep a file copy: BENCH_r07.json's stdout tail was truncated
     // mid-JSON, losing the headline total (round-7 verdict, "What's
@@ -169,10 +206,10 @@ object Bench {
   }
 
   /** One raw timing of a fixed, in-memory, I/O-free workload — the
-    * artifact's epoch normalizer. Kept deliberately small (~1-2 s in a
-    * healthy epoch) so three samples cost little, but wide enough
-    * (hash + shuffle + sort across all cores) to feel the same VM
-    * stalls the real queries do.
+    * CPU dimension of the epoch normalizer. Kept deliberately small
+    * (~1-2 s in a healthy epoch) so the interleaved samples cost
+    * little, but wide enough (hash + shuffle + sort across all cores)
+    * to feel the same VM stalls the real queries do.
     */
   private def calibrate(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
@@ -280,6 +317,37 @@ object Bench {
       s"""{"err":${jsonStr(String.valueOf(e.getMessage).take(300))}}"""
     }
     s"""{"w64":${one(64)},"w4096":${one(4096)}}"""
+  }
+
+  // One fixed directory for every I/O calibration sample: the sample
+  // must measure the EPOCH's filesystem speed, not directory churn.
+  private lazy val ioCalDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("bench-cal-io")
+    d.toFile.deleteOnExit()
+    s"$d/cal_io.parquet"
+  }
+
+  /** One raw timing of a fixed, I/O-bound workload — the second
+    * dimension of the epoch normalizer (r17 verdict ask #3). A 250k-row
+    * parquet overwrite (8 task files: create + write + commit renames)
+    * plus a full read-back through the noop sink: FS metadata and page
+    * cache costs, deliberately the costs the CPU workload has none of.
+    * Sized ~0.5 s warm so interleaving both dimensions stays cheap
+    * (~1-2 s per calibration point).
+    */
+  private def calibrateIo(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0, 250000L, 1, 8)
+      .select(col("id"),
+        ((col("id") * 2654435761L) % 1000003L).as("k"),
+        concat(lit("io-calibration-payload-row-"), col("id")).as("s"))
+      .write.mode("overwrite").parquet(ioCalDir)
+    spark.read.parquet(ioCalDir)
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    resetSessionState(spark)
+    sec
   }
 
   /** Reset session state between measurements — ONE definition for the
