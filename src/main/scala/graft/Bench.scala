@@ -8,8 +8,16 @@ object Bench {
     * `queries_norm` values are comparable ACROSS rounds: each round's
     * normalized number is "what the query would cost at reference
     * speed", whatever epoch the mirror happened to land in.
+    *
+    * Re-anchored in r18, with the floor's norm track rebuilt to match
+    * (NOTES_r18): the 0.8 constant dated from the r13/r14 host class;
+    * r17/r18 clean epochs sample 0.38–0.96 with full-bench-context
+    * medians ~0.5–0.67, so against 0.8 a CLEAN epoch normalized to
+    * ~0.75x raw and the "norm ≈ raw when healthy" invariant never
+    * held. 0.62 is the midpoint of the observed clean bench-context
+    * medians.
     */
-  private val CpuRef = 0.8
+  private val CpuRef = 0.62
 
   /** Reference epoch speed of the I/O-bound calibration workload (a
     * fixed parquet write+read — commit renames + footer reads, the
@@ -19,9 +27,10 @@ object Bench {
     * epochs diverge — a run whose CPU probe stalls while the page
     * cache stays warm (or vice versa) gets a factor that matches
     * NEITHER dimension of the actual queries. Value measured warm on
-    * this VM in the same epoch class as CpuRef.
+    * this VM in the same epoch class as CpuRef (r18 full-bench-context
+    * samples 0.37–0.65, median 0.43).
     */
-  private val IoRef = 0.55
+  private val IoRef = 0.42
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
