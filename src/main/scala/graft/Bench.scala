@@ -330,9 +330,16 @@ object Bench {
 
   // One fixed directory for every I/O calibration sample: the sample
   // must measure the EPOCH's filesystem speed, not directory churn.
+  // Cleaned by a recursive shutdown hook — deleteOnExit cannot remove
+  // a directory once the parquet samples land inside it.
   private lazy val ioCalDir: String = {
     val d = java.nio.file.Files.createTempDirectory("bench-cal-io")
-    d.toFile.deleteOnExit()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
     s"$d/cal_io.parquet"
   }
 

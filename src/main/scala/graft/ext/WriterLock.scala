@@ -301,9 +301,11 @@ object WriterLock {
     val lock = lockPath(root)
     val key = fs.makeQualified(lock).toString
     if (held.get().contains(key)) return body
-    val effLease =
-      if (lease != null) lease
-      else dirLeases.getOrDefault(fs.makeQualified(root).toString, Lease())
+    // Resolve the policy through the SAME normDir path setLease keys
+    // by — resolving via this call's `conf` instead would re-open the
+    // spelling-mismatch bug for callers whose conf qualifies
+    // differently than the declaration site's did.
+    val effLease = if (lease != null) lease else leaseFor(dir)
     val hb = acquire(fs, lock, op, dir, effLease)
     held.set(held.get() + (key -> hb))
     // Jeopardy observability (r17 verdict ask #5): the boolean "this
@@ -320,8 +322,13 @@ object WriterLock {
       hb.shutdown()
       // beat file FIRST: a crash between the two deletes leaves a
       // sentinel without beats — exactly the lease-recoverable shape —
-      // where the reverse order would orphan beat files forever
-      fs.delete(hb.path, false)
+      // where the reverse order would orphan beat files forever.
+      // Guarded: a transient failure here must not abort the sentinel
+      // release below (the aged-residue sweep reclaims a leftover beat
+      // file; an unreleased SENTINEL costs the next writer a stale
+      // window).
+      try fs.delete(hb.path, false)
+      catch { case _: java.io.IOException => () }
       // Release only OUR sentinel (r16 advisor, medium), through the
       // same content-verified rename CAS the takeover tiers use (r17
       // advisor, low): with beats failing, a contender's stale window
@@ -783,7 +790,21 @@ object WriterLock {
       try fs.rename(lock, tomb)
       catch { case _: java.io.IOException => false }
     if (!renamed) return false
-    if (readQuietly(fs, tomb).contains(expected)) {
+    // The tombstone is OURS (unique name, just renamed): an unreadable
+    // read here is a transient IO failure, never a contender's write.
+    // Retry briefly before concluding anything — treating a transient
+    // read error as a mismatch would "restore" the caller's own
+    // sentinel on a clean RELEASE (beat file already gone), costing
+    // the next writer a full stale window for nothing.
+    var verify = readQuietly(fs, tomb)
+    var retries = 0
+    while (verify.isEmpty && retries < 3) {
+      try Thread.sleep(50) catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt() }
+      verify = readQuietly(fs, tomb)
+      retries += 1
+    }
+    if (verify.contains(expected)) {
       fs.delete(tomb, false)
       token.foreach(t => fs.delete(beatPath(lock, t), false))
       true
