@@ -896,6 +896,64 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
       "release CAS left tombstone residue")
   }
 
+  test("zombie release after a REAL lease takeover: a wedged holder " +
+    "whose beats fail is taken over end-to-end through the live " +
+    "protocol, and its resumed release leaves the usurper's sentinel " +
+    "untouched (no synthesized sentinels anywhere)") {
+    val dir = tempDir("mhs-zombie-e2e")
+    val idx = s"$dir/index"
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    val skipped0 = MaintenanceEvents.count(idx, MaintenanceEvents.ReleaseSkipped)
+    val taken0 = MaintenanceEvents.count(idx, MaintenanceEvents.LeaseTakeover)
+    val wedged = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val zombie = new Thread(() =>
+      WriterLock.withLock(spark, idx, "zombie",
+        WriterLock.Lease(beatMs = 25, staleBeats = 8)) {
+        // the holder wedges AND its beat path breaks (beat file
+        // replaced by a directory): from outside, a silent lease
+        val hb = fs.listStatus(lock.getParent).map(_.getPath)
+          .find(_.getName.contains(".hb_")).get
+        var planted = false
+        while (!planted) {
+          fs.delete(hb, false)
+          planted = try fs.mkdirs(hb) && fs.getFileStatus(hb).isDirectory
+            catch { case _: java.io.IOException => false }
+        }
+        wedged.countDown()
+        resume.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      })
+    zombie.start()
+    assert(wedged.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // the contender runs the REAL tier-2: observes the zombie's whole
+    // declared window of silence (200 ms), wins the rename CAS, holds
+    var sentinelDuringZombieRelease: Option[String] = None
+    WriterLock.withLock(spark, idx, "usurper") {
+      assert(MaintenanceEvents.count(idx,
+        MaintenanceEvents.LeaseTakeover) == taken0 + 1)
+      // wake the zombie WHILE the usurper holds; its release must
+      // read-verify, skip, and never touch the usurper's sentinel
+      resume.countDown()
+      zombie.join(30000)
+      assert(!zombie.isAlive)
+      val in = fs.open(lock)
+      sentinelDuringZombieRelease =
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+    }
+    assert(sentinelDuringZombieRelease.exists(_.contains("op=usurper")),
+      s"zombie release disturbed the usurper's sentinel: " +
+        s"$sentinelDuringZombieRelease")
+    assert(MaintenanceEvents.count(idx,
+      MaintenanceEvents.ReleaseSkipped) == skipped0 + 1)
+    assert(!WriterLock.isLocked(spark, idx)) // usurper released normally
+    // no tombstone residue from either release path
+    assert(!fs.listStatus(lock.getParent).exists(
+      _.getPath.getName.contains(".stale_")))
+  }
+
   test("maintenance observability: a forced conflict + heal + " +
     "compaction fire sequence lands in the MaintenanceEvents counters " +
     "(and only against the touched directory)") {
