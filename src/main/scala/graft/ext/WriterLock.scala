@@ -315,8 +315,15 @@ object WriterLock {
     // the qualified lock path (one live holder per lock per JVM).
     activeHolders.put(key, hb)
     MaintenanceMetrics.ensureJeopardyGauges(dir, key)
+    // Body failures must never be MASKED by a release failure (a
+    // plain try/finally would let the release's own throw replace the
+    // mutation's exception — losing the error that actually matters):
+    // a release throw with a live body exception rides along as
+    // suppressed; with a clean body it propagates loudly as before.
+    var bodyErr: Throwable = null
     try body
-    finally {
+    catch { case t: Throwable => bodyErr = t; throw t }
+    finally try {
       held.set(held.get() - key)
       activeHolders.remove(key, hb)
       hb.shutdown()
@@ -349,6 +356,9 @@ object WriterLock {
         MaintenanceEvents.record(dir, MaintenanceEvents.ReleaseSkipped,
           s"op=$op our_token=${hb.token} " +
             s"holder_now=[${readQuietly(fs, lock).getOrElse("(gone)")}]")
+    } catch {
+      case t: Throwable =>
+        if (bodyErr == null) throw t else bodyErr.addSuppressed(t)
     }
   }
 
