@@ -896,6 +896,28 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
       "release CAS left tombstone residue")
   }
 
+  test("Configuration-based withLock resolves the declared " +
+    "per-directory lease policy — the sidecar entry point honors the " +
+    "same failover SLO the stream declared") {
+    val idx = tempDir("mhs-conf-lease") + "/index"
+    WriterLock.setLease(idx, WriterLock.Lease(beatMs = 125, staleBeats = 9))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(idx)
+    val lock = WriterLock.lockPath(new Path(idx))
+    WriterLock.withLock(conf, idx, "confProbe", null) {
+      val in = fs.open(lock)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val f = txt.split("\\s+").iterator.filter(_.contains('='))
+        .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+        .toMap
+      assert(f("lease_ms") == "125" && f("stale_ms") == "1125",
+        s"declared policy not resolved by the conf overload: $f")
+    }
+    assert(!WriterLock.isLocked(spark, idx))
+  }
+
   test("zombie release after a REAL lease takeover: a wedged holder " +
     "whose beats fail is taken over end-to-end through the live " +
     "protocol, and its resumed release leaves the usurper's sentinel " +
