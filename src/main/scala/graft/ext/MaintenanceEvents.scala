@@ -81,6 +81,17 @@ object MaintenanceEvents {
     * rescaled to the measured cardinality (saturation self-healing).
     */
   val BloomRebuilt = "bloom_rebuilt"
+  /** Registering the post-acquire jeopardy gauges failed; the lock
+    * proceeds without them (the failure must never leak the sentinel
+    * by skipping release — observability degrades, the lock does not).
+    */
+  val GaugeRegistrationFailed = "gauge_registration_failed"
+  /** A release failure could not ride along as a suppressed exception
+    * because the body exited via a suppression-disabled throwable
+    * (Scala control flow, e.g. a `return` inside the locked closure) —
+    * recorded here so the swallowed failure stays visible.
+    */
+  val ReleaseFailureSwallowed = "release_failure_swallowed"
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.maintenance")
 

@@ -95,12 +95,16 @@ object MaintenanceMetrics {
     * fires. `<dirTag>.lease_jeopardized` reads 0/1 off the live holder
     * registry (0 when nobody holds the lock);
     * `lease_jeopardized.total` counts this JVM's holders currently in
-    * jeopardy. Registered at first acquire per directory.
+    * jeopardy. Registered at first acquire per directory. The gauge
+    * closure resolves the CURRENT holder through the dir's tag at
+    * every read (r18 advisor, low: capturing the first acquire's
+    * qualified holder key froze the gauge — a later acquire of the
+    * same directory under a differently-qualified spelling, e.g. a
+    * different conf/default FS, silently read 0 while in jeopardy).
     */
-  private[ext] def ensureJeopardyGauges(dir: String,
-                                        holderKey: String): Unit = {
-    gaugeFor(s"${dirTag(dir)}.lease_jeopardized")(
-      WriterLock.jeopardyGaugeValue(holderKey))
+  private[ext] def ensureJeopardyGauges(dir: String): Unit = {
+    val tag = dirTag(dir)
+    gaugeFor(s"$tag.lease_jeopardized")(WriterLock.jeopardyGaugeValue(tag))
     gaugeFor("lease_jeopardized.total")(WriterLock.jeopardizedHolderCount)
   }
 

@@ -24,7 +24,10 @@ import org.apache.spark.sql.SparkSession
   * lock service — and since r18 that requirement is ENFORCED, not
   * documented: acquire refuses any scheme outside the atomic-create
   * allowlist (`file` via O_EXCL, the HDFS family via the namenode
-  * CAS) unless the operator explicitly opted in with
+  * CAS) unless the operator explicitly opted in — per STORE
+  * ([[trustStoreAtomicCreate]] with `scheme://authority`, or a
+  * [[TrustedStoresKey]] entry in the job's Configuration), or per
+  * scheme via the explicit all-authorities spelling
   * [[trustSchemeAtomicCreate]]. The sentinel lives as a SIBLING of the guarded
   * directory, never inside it, because `compactIndex` renames the
   * directory itself during the swap.
@@ -123,17 +126,67 @@ object WriterLock {
     */
   private val AtomicCreateSchemes = Set("hdfs", "webhdfs", "swebhdfs")
 
-  private val trustedSchemes =
+  // Trust keys: a bare scheme ("s3a" — EVERY authority on that scheme)
+  // or scheme+authority ("s3a://bucket-a" — that one store). Scoping
+  // matters (r18 verdict ask #1): conditional-write support is a
+  // per-bucket/per-store property, not a per-scheme one, so a
+  // JVM-global per-scheme trust would let one library's legitimate
+  // opt-in for its own fronted bucket silently re-admit the
+  // double-writer on every other tenant's bucket in the same app.
+  private val trustedStores =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-job Configuration spelling of the same opt-in: a
+    * comma-separated list of trust entries (`s3a://bucket-a` per-store,
+    * or a bare `s3a` for all authorities on the scheme), read from the
+    * Configuration each [[withLock]] call resolves its FileSystem
+    * through. Use this instead of the JVM-global calls when trust
+    * should travel WITH a job's conf rather than leak across tenants
+    * sharing the JVM.
+    */
+  val TrustedStoresKey = "graft.lock.trustedStores"
+
+  /** Normalize one trust entry to its registry key: lowercase, and for
+    * the `scheme://authority` form exactly `scheme://authority` with
+    * any trailing path dropped. A bare scheme stays a bare scheme —
+    * the explicit all-authorities spelling.
+    */
+  private def normTrustEntry(entry: String): String = {
+    val e = entry.trim.toLowerCase(java.util.Locale.ROOT)
+    val i = e.indexOf("://")
+    if (i < 0) e
+    else {
+      val rest = e.substring(i + 3)
+      val slash = rest.indexOf('/')
+      val auth = if (slash < 0) rest else rest.substring(0, slash)
+      s"${e.substring(0, i)}://$auth"
+    }
+  }
 
   /** Operator opt-in for a scheme outside the built-in allowlist: "I
     * know this store's create-if-absent is atomic (conditional writes
     * are enabled / an external lock service fronts every writer)".
     * Without it, [[withLock]] on that scheme throws
     * [[UnsafeLockSchemeException]] at the first acquire.
+    *
+    * This bare-scheme form is the explicit ALL-AUTHORITIES spelling —
+    * every bucket/cluster the JVM ever touches on that scheme. Since
+    * that is almost never what "my bucket has conditional writes
+    * enabled" means, prefer [[trustStoreAtomicCreate]] with the
+    * `scheme://authority` form, which trusts exactly one store.
     */
   def trustSchemeAtomicCreate(scheme: String): Unit =
-    trustedSchemes.add(scheme.toLowerCase(java.util.Locale.ROOT))
+    trustedStores.add(normTrustEntry(scheme))
+
+  /** Per-store opt-in: trust exactly the store named by
+    * `scheme://authority` (e.g. `s3a://bucket-a`). Other authorities on
+    * the same scheme stay refused — the scoping that keeps one
+    * tenant's opt-in from re-admitting the double-writer on every
+    * other store in the JVM. A bare-scheme argument degrades to the
+    * [[trustSchemeAtomicCreate]] all-authorities spelling.
+    */
+  def trustStoreAtomicCreate(store: String): Unit =
+    trustedStores.add(normTrustEntry(store))
 
   /** The filesystem's scheme, probed without trusting `getScheme` (its
     * FileSystem base implementation THROWS UnsupportedOperationException
@@ -153,23 +206,53 @@ object WriterLock {
     probed.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
   }
 
+  /** The filesystem's authority (the store identity within a scheme —
+    * an s3a bucket, an HDFS nameservice), from the FS instance's URI.
+    * None when the FS has no authority (the local scheme) or the URI
+    * is unreadable.
+    */
+  private[ext] def authorityOf(fs: FileSystem): Option[String] =
+    (try Option(fs.getUri) catch { case _: Exception => None })
+      .flatMap(u => Option(u.getAuthority))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+
   /** The r17-round gate, ENFORCED rather than documented: refuse to
     * even attempt the sentinel protocol on a filesystem without a true
     * atomic create-if-absent. Allowed: `file` (O_EXCL via
     * [[createExclusive]]), the HDFS family (namenode CAS), and any
-    * scheme the operator explicitly trusted. An UNKNOWN scheme is
-    * refused too — undecidable resolves conservative, like every other
+    * STORE the operator explicitly trusted — per scheme+authority
+    * ([[trustStoreAtomicCreate]] or the [[TrustedStoresKey]] entries
+    * in this call's Configuration), or per scheme when the bare
+    * all-authorities spelling was used. An UNKNOWN scheme is refused
+    * too — undecidable resolves conservative, like every other
     * decision in this file.
     */
-  private def requireAtomicCreateScheme(fs: FileSystem, dir: String,
-                                        op: String): Unit = {
+  private def requireAtomicCreateScheme(
+      fs: FileSystem, dir: String, op: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     val scheme = schemeOf(fs)
-    val ok = scheme.exists(s =>
-      s == "file" || AtomicCreateSchemes(s) || trustedSchemes.contains(s))
+    val authority = authorityOf(fs)
+    val ok = scheme.exists { s =>
+      if (s == "file" || AtomicCreateSchemes(s)) true
+      else {
+        // the keys that would admit THIS store: its bare scheme
+        // (all-authorities opt-in) or its exact scheme://authority
+        val keys = s +: authority.map(a => s"$s://$a").toSeq
+        keys.exists(trustedStores.contains) || {
+          val fromConf =
+            if (conf == null) Array.empty[String]
+            else conf.getTrimmedStrings(TrustedStoresKey)
+          fromConf.iterator.map(normTrustEntry).exists(keys.contains)
+        }
+      }
+    }
     if (!ok)
       throw new UnsafeLockSchemeException(
         s"$op on $dir: filesystem scheme " +
-          s"'${scheme.getOrElse("(unknown)")}' has no trusted atomic " +
+          s"'${scheme.getOrElse("(unknown)")}'" +
+          authority.map(a => s" (store '${scheme.getOrElse("?")}://$a')")
+            .getOrElse("") +
+          " has no trusted atomic " +
           "create-if-absent, so the single-writer sentinel cannot hold " +
           "there: create(overwrite=false) on object stores is " +
           "exists-then-put — a check-then-act race two writers can both " +
@@ -177,8 +260,13 @@ object WriterLock {
           "failure mode reproduced on the local scheme under plain " +
           "contention). Front every writer with a real lock service or " +
           "enable the store's conditional-write support, then opt in " +
-          "with WriterLock.trustSchemeAtomicCreate(\"" +
-          s"${scheme.getOrElse("<scheme>")}\").")
+          "for THIS store with WriterLock.trustStoreAtomicCreate(\"" +
+          s"${scheme.getOrElse("<scheme>")}" +
+          authority.map(a => s"://$a").getOrElse("://<authority>") +
+          "\") or a '" + TrustedStoresKey + "' entry in the job's " +
+          "Hadoop configuration (WriterLock.trustSchemeAtomicCreate(\"" +
+          s"${scheme.getOrElse("<scheme>")}\") is the explicit " +
+          "all-authorities spelling).")
   }
 
   /** The holder's heartbeat promise, written into the sentinel.
@@ -306,26 +394,43 @@ object WriterLock {
     // spelling-mismatch bug for callers whose conf qualifies
     // differently than the declaration site's did.
     val effLease = if (lease != null) lease else leaseFor(dir)
-    val hb = acquire(fs, lock, op, dir, effLease)
-    held.set(held.get() + (key -> hb))
-    // Jeopardy observability (r17 verdict ask #5): the boolean "this
-    // holder's lease is currently in jeopardy" was poll-only; a gauge
-    // per guarded dir makes the pre-takeover window dashboard-visible
-    // BEFORE any takeover event fires. The holder registry is keyed by
-    // the qualified lock path (one live holder per lock per JVM).
-    activeHolders.put(key, hb)
-    MaintenanceMetrics.ensureJeopardyGauges(dir, key)
+    val hb = acquire(fs, lock, op, dir, effLease, conf)
     // Body failures must never be MASKED by a release failure (a
     // plain try/finally would let the release's own throw replace the
     // mutation's exception — losing the error that actually matters):
     // a release throw with a live body exception rides along as
     // suppressed; with a clean body it propagates loudly as before.
     var bodyErr: Throwable = null
-    try body
+    try {
+      held.set(held.get() + (key -> hb))
+      // Jeopardy observability (r17 verdict ask #5): the boolean "this
+      // holder's lease is currently in jeopardy" was poll-only; a gauge
+      // per guarded dir makes the pre-takeover window dashboard-visible
+      // BEFORE any takeover event fires. The holder registry is keyed
+      // by the directory's gauge tag, so the gauge always reads the
+      // CURRENT holder even when later acquires qualify the lock path
+      // differently (r18 advisor, low: a frozen first-acquire key read
+      // 0 for any differently-qualified re-acquire in jeopardy).
+      // Registration sits INSIDE the try and behind a non-fatal guard
+      // (r18 advisor, low): a registry failure here must degrade to
+      // missing gauges, never skip the finally and leak a sentinel
+      // with a live heartbeat until JVM exit.
+      try {
+        activeHolders.put(MaintenanceMetrics.dirTag(dir), hb)
+        MaintenanceMetrics.ensureJeopardyGauges(dir)
+      } catch {
+        case scala.util.control.NonFatal(t) =>
+          try MaintenanceEvents.record(dir,
+            MaintenanceEvents.GaugeRegistrationFailed,
+            s"op=$op error=${t.getClass.getSimpleName}")
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+      body
+    }
     catch { case t: Throwable => bodyErr = t; throw t }
     finally try {
       held.set(held.get() - key)
-      activeHolders.remove(key, hb)
+      activeHolders.remove(MaintenanceMetrics.dirTag(dir), hb)
       hb.shutdown()
       // beat file FIRST: a crash between the two deletes leaves a
       // sentinel without beats — exactly the lease-recoverable shape —
@@ -351,29 +456,50 @@ object WriterLock {
       // one stale window.
       val now = readQuietly(fs, lock)
       val owned = now.exists(i => fields(i).get("token").contains(hb.token))
-      val released = owned && renameTakeover(fs, lock, now.get, None)
+      val released =
+        owned && renameTakeover(fs, lock, now.get, None, releasing = true)
       if (!released && now.isDefined)
         MaintenanceEvents.record(dir, MaintenanceEvents.ReleaseSkipped,
           s"op=$op our_token=${hb.token} " +
             s"holder_now=[${readQuietly(fs, lock).getOrElse("(gone)")}]")
     } catch {
       case t: Throwable =>
-        if (bodyErr == null) throw t else bodyErr.addSuppressed(t)
+        if (bodyErr == null) throw t
+        else {
+          bodyErr.addSuppressed(t)
+          // Suppression can be DISABLED on the body's throwable (Scala
+          // control-flow throwables — NonLocalReturnControl from a
+          // `return` inside the closure — construct with suppression
+          // off): addSuppressed is then a silent no-op and the release
+          // failure would vanish without a trace (r18 advisor, low).
+          // Detect the no-op and record the swallowed failure instead.
+          if (!bodyErr.getSuppressed.exists(_ eq t))
+            try MaintenanceEvents.record(dir,
+              MaintenanceEvents.ReleaseFailureSwallowed,
+              s"op=$op body=${bodyErr.getClass.getSimpleName} " +
+                s"release_error=${t.getClass.getSimpleName}: " +
+                String.valueOf(t.getMessage).take(200))
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
     }
   }
 
-  // Live holders in this JVM, keyed by qualified lock path — at most
-  // one per lock (a second same-JVM writer loses at acquire). Backs
-  // the per-directory jeopardy gauges; remove(key, hb) so a stale
-  // frame can never evict a newer holder's entry.
-  private val activeHolders =
+  // Live holders in this JVM, keyed by the directory's gauge tag
+  // ([[MaintenanceMetrics.dirTag]]) — at most one per lock (a second
+  // same-JVM writer loses at acquire). Backs the per-directory
+  // jeopardy gauges: tag-keying means the gauge registered at the
+  // first acquire keeps reading the CURRENT holder even when a later
+  // acquire's conf qualifies the lock path differently (r18 advisor).
+  // remove(tag, hb) so a stale frame can never evict a newer holder's
+  // entry.
+  private[ext] val activeHolders =
     new java.util.concurrent.ConcurrentHashMap[String, Heartbeat]()
 
-  /** 1 when the live holder of the lock keyed `holderKey` is in
-    * jeopardy, else 0 — the per-directory gauge's read.
+  /** 1 when the live holder of the lock on the directory tagged
+    * `dirTag` is in jeopardy, else 0 — the per-directory gauge's read.
     */
-  private[ext] def jeopardyGaugeValue(holderKey: String): Long = {
-    val hb = activeHolders.get(holderKey)
+  private[ext] def jeopardyGaugeValue(dirTag: String): Long = {
+    val hb = activeHolders.get(dirTag)
     if (hb != null && hb.leaseJeopardized) 1L else 0L
   }
 
@@ -540,13 +666,15 @@ object WriterLock {
       .toMap
 
   private def acquire(fs: FileSystem, lock: Path, op: String, dir: String,
-                      lease: Lease): Heartbeat = {
+                      lease: Lease,
+                      conf: org.apache.hadoop.conf.Configuration): Heartbeat = {
     // Refuse BEFORE the first create attempt: on a scheme without a
     // true atomic create-if-absent, "winning" the sentinel proves
     // nothing, and proceeding would re-open the silent double-writer
     // the r17 fuzz caught on the local scheme (enforced allowlist —
-    // r17 verdict ask #1).
-    requireAtomicCreateScheme(fs, dir, op)
+    // r17 verdict ask #1; trust scoped per store since r19, with the
+    // per-job conf spelling resolved through THIS call's conf).
+    requireAtomicCreateScheme(fs, dir, op, conf)
     val token = java.util.UUID.randomUUID().toString.take(13)
     val info =
       s"op=$op host=$localHost pid=${ProcessHandle.current().pid()} " +
@@ -784,7 +912,8 @@ object WriterLock {
   private[ext] def renameTakeover(fs: FileSystem, lock: Path,
                                   expected: String,
                                   token: Option[String],
-                                  precheck: Boolean = true): Boolean = {
+                                  precheck: Boolean = true,
+                                  releasing: Boolean = false): Boolean = {
     // Cheap pre-check (r16 advisor, low): a loser that can already SEE
     // mismatched content never renames at all, shrinking the window in
     // which the fresh winner's lock is absent from the path (between a
@@ -818,6 +947,23 @@ object WriterLock {
       fs.delete(tomb, false)
       token.foreach(t => fs.delete(beatPath(lock, t), false))
       true
+    } else if (releasing && verify.isEmpty) {
+      // RELEASE path, tombstone unreadable through every retry (r18
+      // advisor, low): the caller verified ownership just before this
+      // call and the sentinel is now OFF the path — effectively
+      // released. The takeover-style restore below would be WRONG
+      // here: if a contender re-created the lock during the
+      // rename-aside window, restoring the tombstone (almost certainly
+      // this releaser's own beat-less sentinel) would displace the
+      // legitimate new holder, and after its stale window could
+      // readmit a second writer. Degrade instead: leave the tombstone
+      // for the aged-residue sweep and report not-released — the
+      // caller records ReleaseSkipped, and if the tombstone WAS a
+      // usurper's (requires a takeover inside the owned-check→rename
+      // microsecond gap AND three failed reads of a just-renamed local
+      // file), that usurper's next beat/release finds its sentinel
+      // gone and fails loudly rather than silently sharing the lock.
+      false
     } else {
       // Restore — but NEVER by renaming onto an occupied path: POSIX
       // rename silently REPLACES an existing destination FILE on the
@@ -829,12 +975,20 @@ object WriterLock {
       // behind the heal claim and a content flip that requires the
       // wedged holder to wake on cue — the check turns the one
       // remaining silent shape loud.
-      if (fs.exists(lock) || !fs.rename(tomb, lock))
+      if (fs.exists(lock) || !fs.rename(tomb, lock)) {
+        val ctx =
+          if (releasing)
+            "release found another holder's content in the renamed-aside " +
+              "sentinel (the lock was taken over between this releaser's " +
+              "ownership check and its rename) and could not restore it " +
+              "(a third contender recreated the path)"
+          else
+            "renamed a fresh holder's lock and could not restore it (a " +
+              "third contender recreated the path)"
         throw new IllegalStateException(
-          s"takeover race on $lock: renamed a fresh holder's lock and " +
-            s"could not restore it (a third contender recreated the " +
-            s"path) — the displaced sentinel is at $tomb; restore it " +
-            "by hand before any writer proceeds")
+          s"takeover race on $lock: $ctx — the displaced sentinel is " +
+            s"at $tomb; restore it by hand before any writer proceeds")
+      }
       false
     }
   }

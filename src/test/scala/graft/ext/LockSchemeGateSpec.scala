@@ -86,6 +86,67 @@ class LockSchemeGateSpec extends SparkFunSuite {
     assert(ex.getMessage.contains("mockthrowing"))
   }
 
+  test("per-store trust (r18 verdict ask #1): trusting authority A does " +
+    "not admit authority B on the same scheme") {
+    registerScheme("mockauthed", classOf[AuthedStoreFs])
+    val dir = tempDir("lsg-authed")
+    val a = s"mockauthed://bucket-a$dir/index-a"
+    val b = s"mockauthed://bucket-b$dir/index-b"
+    // untrusted: both stores refused
+    intercept[WriterLock.UnsafeLockSchemeException](
+      WriterLock.withLock(spark, a, "preA") { fail("ran untrusted") })
+    WriterLock.trustStoreAtomicCreate("mockauthed://bucket-a")
+    // the trusted store proceeds through the full hold/release cycle
+    val got = WriterLock.withLock(spark, a, "postA") {
+      assert(WriterLock.isLocked(spark, a))
+      7
+    }
+    assert(got == 7)
+    assert(!WriterLock.isLocked(spark, a))
+    // authority B on the SAME scheme stays refused — the opt-in is
+    // scoped to the store, not JVM-global per scheme (the exact
+    // cross-tenant re-admission shape the r18 verdict flagged)
+    val ex = intercept[WriterLock.UnsafeLockSchemeException](
+      WriterLock.withLock(spark, b, "postB") {
+        fail("authority A's opt-in admitted authority B")
+      })
+    assert(ex.getMessage.contains("mockauthed://bucket-b"))
+    assert(ex.getMessage.contains("trustStoreAtomicCreate"))
+    // refused before any sentinel was created on B
+    val fsB = new Path(b).getFileSystem(conf)
+    assert(!fsB.exists(WriterLock.lockPath(new Path(b))))
+  }
+
+  test("per-job Configuration trust: a graft.lock.trustedStores entry " +
+    "admits exactly that store through the Configuration-based " +
+    "withLock, without leaking into the JVM-global registry") {
+    registerScheme("mockconfed", classOf[ConfedStoreFs])
+    val dir = tempDir("lsg-conf")
+    val uriC = s"mockconfed://bucket-c$dir/index-c"
+    val uriD = s"mockconfed://bucket-d$dir/index-d"
+    // session conf carries no trust: refused
+    intercept[WriterLock.UnsafeLockSchemeException](
+      WriterLock.withLock(spark, uriC, "pre") { fail("ran untrusted") })
+    // a per-job conf carrying the key admits exactly that store
+    val jobConf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    jobConf.set(WriterLock.TrustedStoresKey,
+      " mockconfed://bucket-c , otherscheme://x ")
+    var ran = false
+    WriterLock.withLock(jobConf, uriC, "confTrusted", null) { ran = true }
+    assert(ran)
+    assert(!WriterLock.isLocked(spark, uriC))
+    // a different authority under the SAME job conf stays refused
+    intercept[WriterLock.UnsafeLockSchemeException](
+      WriterLock.withLock(jobConf, uriD, "otherAuth", null) {
+        fail("conf trust for bucket-c admitted bucket-d")
+      })
+    // and the conf-scoped trust did not leak JVM-globally: the same
+    // store through a trustless conf is refused again
+    intercept[WriterLock.UnsafeLockSchemeException](
+      WriterLock.withLock(spark, uriC, "post") { fail("trust leaked") })
+  }
+
   test("the local and HDFS-family schemes are allowlisted; unknown " +
     "spellings are refused case-insensitively") {
     // local: every other suite exercises this daily — pin it anyway
@@ -122,6 +183,32 @@ class CasedStoreFs extends RawLocalFileSystem {
   override def getScheme: String = "mockcased"
   override def getUri: java.net.URI = java.net.URI.create("mockcased://host/")
 }
+
+/** Like the other mocks but the AUTHORITY follows the initialized URI
+  * instead of being hardcoded — so two paths `scheme://bucket-a/...`
+  * and `scheme://bucket-b/...` resolve (cache disabled) to two
+  * instances reporting different stores on one scheme, the shape the
+  * per-store trust scoping is about.
+  */
+abstract class AuthorityCapturingFs(scheme: String) extends RawLocalFileSystem {
+  private var myUri: java.net.URI = null
+  override def initialize(uri: java.net.URI,
+                          conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(uri, conf)
+    myUri = java.net.URI.create(
+      s"$scheme://${Option(uri.getAuthority).getOrElse("")}/")
+  }
+  override def getScheme: String = scheme
+  // null-safe on BOTH fields: the RawLocalFileSystem constructor calls
+  // getUri (via getInitialWorkingDirectory) before this subclass's
+  // constructor params/fields are assigned
+  override def getUri: java.net.URI =
+    if (myUri != null) myUri
+    else java.net.URI.create(
+      s"${if (scheme != null) scheme else "file"}:///")
+}
+class AuthedStoreFs extends AuthorityCapturingFs("mockauthed")
+class ConfedStoreFs extends AuthorityCapturingFs("mockconfed")
 
 /** The r17 advisor's crash shape: a filesystem that does NOT override
   * `getScheme` (the FileSystem base implementation throws

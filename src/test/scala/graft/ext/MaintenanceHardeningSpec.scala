@@ -407,6 +407,50 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     assert(!fs.exists(lock))
   }
 
+  test("release degrades to skip when the tombstone verify is " +
+    "unreadable through every retry (r18 advice): the sentinel is " +
+    "already off the path — no manual-restore error, no blind restore " +
+    "that could displace a legitimate new holder; the TAKEOVER path " +
+    "with the same failure still restores") {
+    val dir = tempDir("mhs-release-degrade")
+    val fs = new TombstoneUnreadableFs
+    fs.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val lock = WriterLock.lockPath(new Path(s"$dir/index"))
+    val own = "op=me host=vm pid=7 token=mine lease_ms=1000 " +
+      "stale_ms=60000 acquired_ms=5"
+    def plant(): Unit = {
+      val out = fs.create(lock, true)
+      try out.write(own.getBytes("UTF-8")) finally out.close()
+    }
+    def residue(): Seq[Path] =
+      fs.listStatus(lock.getParent).map(_.getPath).toSeq
+        .filter(_.getName.contains(".stale_"))
+    plant()
+    // RELEASE: rename succeeds, every tombstone read fails → degrade.
+    // No IllegalStateException, the sentinel stays off the path
+    // (effectively released — the caller records ReleaseSkipped), the
+    // tombstone is left for the aged-residue sweep.
+    assert(!WriterLock.renameTakeover(fs, lock, own, None,
+      releasing = true))
+    assert(!fs.exists(lock),
+      "a degraded release must leave the sentinel off the path")
+    assert(residue().nonEmpty, "the unverifiable tombstone is residue " +
+      "for the sweep, not silently deleted")
+    residue().foreach(p => fs.delete(p, false))
+    // TAKEOVER with the same injected failure: conservative the other
+    // way — the healer cannot prove the tombstone is what it observed,
+    // so it restores the sentinel byte-identical and loses
+    plant()
+    assert(!WriterLock.renameTakeover(fs, lock, own, None))
+    assert(fs.exists(lock),
+      "an unverifiable takeover must restore the sentinel")
+    val in = fs.open(lock)
+    val back = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(back == own)
+  }
+
   test("release verifies ownership: a wedged-then-resumed holder whose " +
     "lease was taken over does NOT delete the new holder's lock — the " +
     "third-writer admission is closed and the skip is observable") {
@@ -1114,4 +1158,16 @@ class MaintenanceHardeningSpec extends SparkFunSuite {
     assert(cat.currentVersion == 2L)
     assert(cat.links().where(col("hash") === "bb00").count() == 1L)
   }
+}
+
+/** A real local filesystem whose reads FAIL on takeover tombstones —
+  * the injected shape for the release-degrade pin: rename works, the
+  * post-rename verify read does not.
+  */
+class TombstoneUnreadableFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream =
+    if (f.getName.contains(".stale_"))
+      throw new java.io.IOException("injected tombstone read failure")
+    else super.open(f, bufferSize)
 }

@@ -124,4 +124,57 @@ class MaintenanceMetricsSpec extends SparkFunSuite {
     assert(gauge(s"$tag.lease_jeopardized") == 0L)
     assert(!WriterLock.isLocked(spark, idx))
   }
+
+  test("the jeopardy gauge follows the CURRENT holder when a later " +
+    "acquire qualifies the same directory differently (r18 advice: the " +
+    "gauge must not freeze the first acquire's qualified holder key)") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setClass("fs.mockgauge.impl", classOf[GaugeStoreFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    hconf.setBoolean("fs.mockgauge.impl.disable.cache", true)
+    val dir = tempDir("mms-rekey")
+    val idx = s"$dir/index" // one UNQUALIFIED spelling → one dirTag
+    val tag = MaintenanceMetrics.dirTag(idx)
+    def gauge(name: String): Long =
+      MaintenanceMetrics.snapshot().getOrElse(name, 0L)
+    // acquire #1 (session conf, file: qualification) registers the gauge
+    WriterLock.withLock(spark, idx, "registerGauge") {
+      assert(gauge(s"$tag.lease_jeopardized") == 0L)
+    }
+    // acquire #2: the SAME dir string through a conf whose default FS
+    // is a different store — the qualified lock key changes, the
+    // dirTag (and so the registered gauge) does not
+    val conf2 = new org.apache.hadoop.conf.Configuration(hconf)
+    conf2.set("fs.defaultFS", "mockgauge://store-a/")
+    conf2.set(WriterLock.TrustedStoresKey, "mockgauge://store-a")
+    val fs2 = new Path(idx).getFileSystem(conf2)
+    val lock = WriterLock.lockPath(new Path(idx))
+    assert(fs2.makeQualified(lock).toString.startsWith("mockgauge://"),
+      "the re-acquire did not actually re-qualify the lock path")
+    WriterLock.withLock(conf2, idx, "requalifiedHold",
+      WriterLock.Lease(beatMs = 25, staleBeats = 8)) {
+      // force beat failures on THIS holder (directory planted on the
+      // beat path, the hardening-spec recipe)
+      val hb = fs2.listStatus(lock.getParent).map(_.getPath)
+        .find(_.getName.contains(".hb_")).get
+      var planted = false
+      while (!planted) {
+        fs2.delete(hb, false)
+        planted = try fs2.mkdirs(hb) && fs2.getFileStatus(hb).isDirectory
+          catch { case _: java.io.IOException => false }
+      }
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (gauge(s"$tag.lease_jeopardized") == 0L &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      // the gauge registered under the file:-qualified first acquire
+      // reads the mockgauge-qualified holder's jeopardy — the frozen
+      // first-acquire key read 0 here
+      assert(gauge(s"$tag.lease_jeopardized") == 1L,
+        "gauge still frozen on the first acquire's holder key")
+      assert(fs2.delete(hb, false)) // restore releasability
+    }
+    assert(gauge(s"$tag.lease_jeopardized") == 0L)
+  }
 }
+
+class GaugeStoreFs extends AuthorityCapturingFs("mockgauge")
