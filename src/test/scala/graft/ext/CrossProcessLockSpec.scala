@@ -75,6 +75,16 @@ class CrossProcessLockSpec extends SparkFunSuite {
       process.destroyForcibly() // SIGKILL on Linux: no hooks, no release
       assert(process.waitFor(30, TimeUnit.SECONDS), "child did not die")
     }
+
+    /** SIGSTOP / SIGCONT via /usr/bin/kill — ProcessHandle has no
+      * signal API. STOP freezes every thread in the child (beats
+      * included) while the pid stays alive: the wedged-holder shape.
+      */
+    def signal(sig: String): Unit = {
+      val rc = new ProcessBuilder("kill", s"-$sig",
+        process.pid().toString).start().waitFor()
+      assert(rc == 0, s"kill -$sig ${process.pid()} failed (rc=$rc)")
+    }
   }
 
   test("cross-process crash recovery: a LIVE child JVM's lock conflicts " +
@@ -147,6 +157,93 @@ class CrossProcessLockSpec extends SparkFunSuite {
         .exists(_.getPath.getName.contains(".hb_")))
     } finally {
       if (child.process.isAlive) child.kill9()
+    }
+  }
+
+  test("cross-process wedged-holder takeover (tier 2): kill -STOP " +
+    "freezes a live child's beats → the parent takes over unattended " +
+    "through the clock-free lease tier; kill -CONT resumes the zombie, " +
+    "whose release loses loudly and leaves the usurper's sentinel " +
+    "byte-intact") {
+    val dir = tempDir("xproc-wedge")
+    val idx = s"$dir/index"
+    val lock = WriterLock.lockPath(new Path(idx))
+    val fs = new Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def sentinel(): String = {
+      val in = fs.open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val lease0 = graft.Instr.totalCount("writerLock.lease_taken_over")
+    val stale0 = graft.Instr.totalCount("writerLock.stale_taken_over")
+    val ev0 = MaintenanceEvents.count(idx, MaintenanceEvents.LeaseTakeover)
+    val releaseGo = s"$dir/release_go"
+    // 100 ms beat × 15 = 1.5 s declared window: long enough that the
+    // child's live beats (12+ per window) make the pre-STOP probe
+    // deterministic, short enough to keep the test runtime-bounded
+    val child = new Child(Seq("wedge", idx, releaseGo, "100", "15"))
+    try {
+      val held = child.await("CHILD_HELD")
+      val childPid = held.split("pid=")(1).trim.toLong
+      assert(childPid == child.process.pid())
+
+      // alive AND beating: the parent still loses loudly (tier-1 sees
+      // a live pid; tier-2 observes real cross-process beats advancing
+      // and aborts) — the discriminator the STOP below flips
+      intercept[WriterLock.ConcurrentWriterException](
+        WriterLock.withLock(spark, idx, "parent-live-probe") {
+          fail("stole a live, beating child's lock")
+        })
+      assert(child.process.isAlive)
+
+      // alive but FROZEN: every child thread (heartbeat included)
+      // stops; the pid stays alive so tier-1 must refuse and recovery
+      // must ride the lease tier alone
+      child.signal("STOP")
+      val t0 = System.nanoTime()
+      WriterLock.withLock(spark, idx, "parent-usurp") {
+        val tookMs = (System.nanoTime() - t0) / 1000000L
+        // tier-2, not tier-1: the window was genuinely observed
+        assert(tookMs >= 1500, s"takeover after ${tookMs}ms — shorter " +
+          "than the holder's declared stale window")
+        assert(graft.Instr.totalCount("writerLock.lease_taken_over") ==
+          lease0 + 1)
+        assert(graft.Instr.totalCount("writerLock.stale_taken_over") ==
+          stale0, "the frozen-but-alive holder tripped the dead-pid path")
+        assert(MaintenanceEvents.count(idx,
+          MaintenanceEvents.LeaseTakeover) == ev0 + 1)
+        // scrape-visible while the takeover is in effect
+        val tag = MaintenanceMetrics.dirTag(idx)
+        assert(MaintenanceMetrics.snapshot().getOrElse(
+          s"$tag.${MaintenanceEvents.LeaseTakeover}", 0L) == ev0 + 1)
+        val usurperInfo = sentinel()
+        assert(!usurperInfo.contains(s"pid=$childPid"),
+          "the sentinel still names the wedged holder after takeover")
+
+        // wake the zombie while the usurper still holds: its resumed
+        // beat/release must LOSE — ReleaseSkipped in the child, the
+        // usurper's sentinel untouched
+        child.signal("CONT")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(releaseGo), Array.emptyByteArray)
+        val rel = child.await("CHILD_RELEASED")
+        assert(rel.split("skipped=")(1).trim.toLong >= 1,
+          s"the zombie's release did not record ReleaseSkipped: $rel")
+        assert(sentinel() == usurperInfo,
+          "the zombie's resumed release modified the usurper's sentinel")
+      }
+      // clean release by the usurper; the child exited normally after
+      // its lost release (no crash, no second writer ever admitted)
+      assert(!WriterLock.isLocked(spark, idx))
+      assert(child.process.waitFor(30, TimeUnit.SECONDS),
+        "child did not exit after its lost release")
+      assert(child.process.exitValue() == 0)
+    } finally {
+      if (child.process.isAlive) {
+        try child.signal("CONT") catch { case _: Throwable => () }
+        child.kill9()
+      }
     }
   }
 

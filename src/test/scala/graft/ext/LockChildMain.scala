@@ -20,6 +20,13 @@ import org.apache.hadoop.fs.Path
   *    each round, spin until the parent drops the go file, then race
   *    the parent's own `createExclusive` on the contested path; print
   *    WIN/LOSE per round.
+  *  - `wedge <dir> <releaseGoPath> <beatMs> <staleBeats>`: acquire,
+  *    print HELD, then poll for the release-go file. The parent
+  *    `kill -STOP`s this process mid-hold (alive pid, beats frozen —
+  *    the tier-2 wedged-holder shape), takes over through the lease
+  *    tier, `kill -CONT`s it, and drops the go file; the resumed
+  *    zombie's release must LOSE loudly (sentinel now the usurper's →
+  *    ReleaseSkipped), which this main reports in its RELEASED marker.
   *
   * Markers go to stdout prefixed `CHILD_` so the parent can pick them
   * out of any logging noise on the merged stream.
@@ -36,6 +43,24 @@ object LockChildMain {
         System.out.flush()
         Thread.sleep(10L * 60 * 1000) // until killed (spec-bounded)
       }
+
+    case "wedge" =>
+      val dir = args(1)
+      val releaseGo = new java.io.File(args(2))
+      WriterLock.withLock(new Configuration(), dir, "child-wedge",
+        WriterLock.Lease(beatMs = args(3).toLong,
+          staleBeats = args(4).toInt)) {
+        println(s"CHILD_HELD pid=${ProcessHandle.current().pid()}")
+        System.out.flush()
+        val deadline = System.nanoTime() + 10L * 60 * 1000000000L
+        while (!releaseGo.exists() && System.nanoTime() < deadline)
+          Thread.sleep(20)
+      }
+      // the body returned → withLock's finally ran the release path;
+      // report what it did (a usurped release records ReleaseSkipped)
+      println("CHILD_RELEASED skipped=" + MaintenanceEvents.count(dir,
+        MaintenanceEvents.ReleaseSkipped))
+      System.out.flush()
 
     case "race" =>
       val fs = new Path(args(1)).getFileSystem(new Configuration())
