@@ -220,7 +220,7 @@ object Bench {
     * little, but wide enough (hash + shuffle + sort across all cores)
     * to feel the same VM stalls the real queries do.
     */
-  private def calibrate(spark: SparkSession): Double = {
+  private[graft] def calibrate(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
     spark.range(0, 2000000L, 1, 32)
@@ -351,7 +351,7 @@ object Bench {
     * Sized ~0.5 s warm so interleaving both dimensions stays cheap
     * (~1-2 s per calibration point).
     */
-  private def calibrateIo(spark: SparkSession): Double = {
+  private[graft] def calibrateIo(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
     spark.range(0, 250000L, 1, 8)
@@ -375,7 +375,7 @@ object Bench {
     * dedup width). BLOCKING unpersist + explicit GC so cleanup lands
     * between measurements, not inside the next one.
     */
-  private def resetSessionState(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private[graft] def resetSessionState(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     spark.catalog.clearCache()
     System.gc()
