@@ -35,13 +35,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Local-iteration A/B hook (the driver never sets this): extra session
+    // confs as `key=value;key=value`, so a config hypothesis can be
+    // measured against the SAME binary without a rebuild.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(';')
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A broken query must be VISIBLE as an error entry, never disguised
     // as a timing (round-1 verdict item, "What's wrong" #4).

@@ -262,7 +262,8 @@ object Cdc {
     val ss = corpus.sparkSession
     chunkIdentities(corpus, idCol, binCol, minSize, avgBits, maxSize)
       .withColumn("hb", pmod(col("chash"), lit(hashBuckets.toLong)).cast("int"))
-      .repartition(col("hb"))
+      // pinned reducer count: see DocDedup.buildMinHashIndex
+      .repartition(ss.sessionState.conf.numShufflePartitions, col("hb"))
       .write.mode("overwrite").partitionBy("hb").parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
@@ -295,7 +296,9 @@ object Cdc {
       val (mn, ab, mx, hb) = readCdcMeta(newDocs, path)
       chunkIdentities(newDocs, idCol, binCol, mn, ab, mx)
         .withColumn("hb", pmod(col("chash"), lit(hb.toLong)).cast("int"))
-        .repartition(col("hb"))
+        // pinned reducer count: see DocDedup.buildMinHashIndex
+        .repartition(newDocs.sparkSession.sessionState.conf
+          .numShufflePartitions, col("hb"))
         .write.mode("append").partitionBy("hb").parquet(path)
     }
 
@@ -393,7 +396,9 @@ object Cdc {
       s"cdc: hashBuckets must be in [1,4096], got $hbuckets")
     val pChunks = chunkIdentities(batch, idCol, binCol, mn, ab, mx)
       .withColumn("hb", pmod(col("chash"), lit(hbuckets.toLong)).cast("int"))
-      .repartition(col("hb")).persist()
+      // pinned reducer count: see DocDedup.foldMinHashBatch
+      .repartition(batch.sparkSession.sessionState.conf
+        .numShufflePartitions, col("hb")).persist()
     try {
       // action 1: pruning buckets + row count, materializing the cache
       val bucketCounts = graft.Instr.timed("foldCdc.buckets")(

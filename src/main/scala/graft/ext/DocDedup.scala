@@ -126,7 +126,7 @@ object DocDedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.VecExpressions.register(df.sparkSession)
-    spread(df).select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         explode(TextAnalysis.wordBigrams(col(textCol))).as("shingle"))
       .distinct()
   }
@@ -500,8 +500,14 @@ object DocDedup {
     graft.functions.VecExpressions.register(ss)
     bandedSignatures(corpus, idCol, textCol, bands, rows, sigBuckets)
       // cluster by partition cols before the partitioned write: files ≈
-      // max(bands·sigBuckets, shuffle partitions), not tasks × dirs
-      .repartition(col("band"), col("sb"))
+      // max(bands·sigBuckets, shuffle partitions), not tasks × dirs.
+      // The reducer count is pinned (not left to AQE): coalescing a
+      // small build to ONE reducer serializes the write of every
+      // (band, sb) directory through a single task — the file count is
+      // identical either way (each dir's rows hash to one reducer), so
+      // the pin only buys back write parallelism.
+      .repartition(corpus.sparkSession.sessionState.conf
+        .numShufflePartitions, col("band"), col("sb"))
       .write.mode("overwrite").partitionBy("band", "sb").parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
@@ -549,7 +555,9 @@ object DocDedup {
       IndexMaintenance.ensureReadable(ss, path)
       val (bands, rows, sigBuckets) = readMinHashMeta(ss, path)
       bandedSignatures(newDocs, idCol, textCol, bands, rows, sigBuckets)
-        .repartition(col("band"), col("sb"))
+        // pinned reducer count: see buildMinHashIndex
+        .repartition(ss.sessionState.conf.numShufflePartitions,
+          col("band"), col("sb"))
         .write.mode("append").partitionBy("band", "sb").parquet(path)
     }
   }
@@ -682,7 +690,10 @@ object DocDedup {
             .where(lit(den) * col("common") >=
               lit(num) * (col("na") + col("nb") - col("common")))
             .select("id_a", "id_b", "common", "na", "nb")
-            .orderBy("id_a", "id_b")
+            // no determinism orderBy here (guide §2.4): every caller
+            // joins/aggregates the pair set or re-orders its own final
+            // output, so the range exchange + sampling pass it cost per
+            // probe bought nothing
             .localCheckpoint()) // materialize while the caches are alive
       } finally sh.unpersist()
     } finally cand.unpersist()
@@ -750,7 +761,11 @@ object DocDedup {
     // touched partition dir, the small-files discipline of the builds
     val banded = bandedSignatures(batch, idCol, textCol,
       eBands, eRows, eSigBuckets)
-      .repartition(col("band"), col("sb")).persist()
+      // pinned reducer count (see buildMinHashIndex): the cache feeds
+      // the append write below, so an AQE-coalesced single partition
+      // would serialize every touched dir's file write through one task
+      .repartition(ss.sessionState.conf.numShufflePartitions,
+        col("band"), col("sb")).persist()
     try {
       // action 1: pruning coordinates + banded row count (row-guard),
       // materializing the banded cache as a side effect
@@ -1038,7 +1053,8 @@ object DocDedup {
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
         .where(col("hamming") <= maxDist)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+        // unordered by design (guide §2.4): both gate consumers either
+        // aggregate the pair set or sort on a unique key themselves
         .localCheckpoint() // materialize while `sig` is still cached
     } finally { sig.unpersist() }
   }
@@ -1094,7 +1110,9 @@ object DocDedup {
           shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*))
           .as(Seq("q", "qv")))
       .withColumn("qb", pmod(col("qv"), lit(qBuckets.toLong)).cast("int"))
-      .repartition(col("q"), col("qb"))
+      // pinned reducer count: see buildMinHashIndex
+      .repartition(ss.sessionState.conf.numShufflePartitions,
+        col("q"), col("qb"))
       .write.mode("overwrite").partitionBy("q", "qb").parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
@@ -1161,7 +1179,9 @@ object DocDedup {
             shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*))
             .as(Seq("q", "qv")))
         .withColumn("qb", pmod(col("qv"), lit(qBuckets.toLong)).cast("int"))
-        .repartition(col("q"), col("qb"))
+        // pinned reducer count: see buildMinHashIndex
+        .repartition(sig.sparkSession.sessionState.conf
+          .numShufflePartitions, col("q"), col("qb"))
         .write.mode("append").partitionBy("q", "qb").parquet(path)
     }
 
@@ -1205,7 +1225,9 @@ object DocDedup {
           shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*))
           .as(Seq("q", "qv")))
       .withColumn("qb", pmod(col("qv"), lit(eQBuckets.toLong)).cast("int"))
-      .repartition(col("q"), col("qb")).persist()
+      // pinned reducer count: see foldMinHashBatch
+      .repartition(ss.sessionState.conf.numShufflePartitions,
+        col("q"), col("qb")).persist()
     try {
       // action 1: pruning coordinates + row count, materializing the
       // cache (one image decode / signature pass total)

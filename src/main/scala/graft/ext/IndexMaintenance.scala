@@ -196,8 +196,11 @@ object IndexMaintenance {
     val clustered =
       if (partitionCols.nonEmpty)
         // all rows of one partition value land in one task → one file
-        // per partition dir, the builds' own write discipline
-        df.repartition(partitionCols.map(col): _*)
+        // per partition dir, the builds' own write discipline (reducer
+        // count pinned so AQE cannot serialize the whole rewrite
+        // through one task — file count is identical either way)
+        df.repartition(spark.sessionState.conf.numShufflePartitions,
+          partitionCols.map(col): _*)
           .write.mode("overwrite").partitionBy(partitionCols: _*)
       else {
         // right-size by bytes, not by shuffle-partition count: a tiny

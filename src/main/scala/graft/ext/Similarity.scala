@@ -108,7 +108,9 @@ object Similarity {
     pre.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
-      .orderBy("query_id", "rank")
+    // no determinism orderBy (guide §2.4): rank already totally orders
+    // within a query, and every consumer re-orders or aggregates — the
+    // global range exchange + sampling pass per top-k call bought nothing
   }
 
   /** `bits`-bit random-hyperplane signature of a vector column for LSH
@@ -208,7 +210,10 @@ object Similarity {
       // up to tasks × tables·2^bits tiny files (the classic partitioned-
       // write small-files explosion). After it, each bucket is written
       // by one task: total files ≈ max(buckets, shuffle partitions).
-      .repartition(col("tbl"), col("sig"))
+      // Reducer count pinned (not left to AQE): a coalesced single
+      // reducer would serialize every bucket file through one task.
+      .repartition(ss.sessionState.conf.numShufflePartitions,
+        col("tbl"), col("sig"))
       .write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
     // Underscore-prefixed sidecar: invisible to parquet file discovery.
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -426,7 +431,9 @@ object Similarity {
         .agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
       c.join(cells, "id")
         .select("cid", "id", "vec")
-        .repartition(col("cid"))
+        // pinned reducer count: see buildLshIndex
+        .repartition(ss.sessionState.conf.numShufflePartitions,
+          col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(path)
       // Underscore-prefixed sidecar: nlist + bit-exact centroids,
       // invisible to parquet file discovery.
@@ -474,7 +481,8 @@ object Similarity {
       .agg(expr("max_by(cid, struct(csim, -cid))").as("cid"))
     c.join(cells, "id")
       .select("cid", "id", "vec")
-      .repartition(col("cid"))
+      // pinned reducer count: see buildLshIndex
+      .repartition(ss.sessionState.conf.numShufflePartitions, col("cid"))
       .write.mode("append").partitionBy("cid").parquet(path)
     }
   }
@@ -961,7 +969,9 @@ object Similarity {
         pqEncode(c, codewordsDf(ss, sample, m, dsub), dsub)
           .join(cells, "id")
           .select("cid", "id", "s", "code")
-          .repartition(col("cid"))
+          // pinned reducer count: see buildLshIndex
+          .repartition(ss.sessionState.conf.numShufflePartitions,
+            col("cid"))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
       }
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1125,7 +1135,9 @@ object Similarity {
       pqEncode(c, codewordsDf(ss, sample, m, dsub), dsub)
         .join(cells, "id")
         .select("cid", "id", "s", "code")
-        .repartition(col("cid"))
+        // pinned reducer count: see buildLshIndex
+        .repartition(ss.sessionState.conf.numShufflePartitions,
+          col("cid"))
         .write.mode("append").partitionBy("cid").parquet(path)
     } finally c.unpersist()
     }

@@ -191,7 +191,8 @@ object Winnow {
     val ss = corpus.sparkSession
     fingerprintsWithGrams(corpus, idCol, textCol, k, w)
       .withColumn("fb", pmod(col("fp"), lit(fpBuckets.toLong)).cast("int"))
-      .repartition(col("fb"))
+      // pinned reducer count: see DocDedup.buildMinHashIndex
+      .repartition(ss.sessionState.conf.numShufflePartitions, col("fb"))
       .write.mode("overwrite").partitionBy("fb").parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
@@ -224,7 +225,9 @@ object Winnow {
       val (k, w, fpBuckets) = readWinnowMeta(newDocs, path)
       fingerprintsWithGrams(newDocs, idCol, textCol, k, w)
         .withColumn("fb", pmod(col("fp"), lit(fpBuckets.toLong)).cast("int"))
-        .repartition(col("fb"))
+        // pinned reducer count: see DocDedup.buildMinHashIndex
+        .repartition(newDocs.sparkSession.sessionState.conf
+          .numShufflePartitions, col("fb"))
         .write.mode("append").partitionBy("fb").parquet(path)
     }
 
@@ -274,7 +277,9 @@ object Winnow {
       s"fpBuckets must be in [1,4096], got $eBuckets")
     val pFps = fingerprintsWithGrams(batch, idCol, textCol, ek, ew)
       .withColumn("fb", pmod(col("fp"), lit(eBuckets.toLong)).cast("int"))
-      .repartition(col("fb")).persist()
+      // pinned reducer count: see DocDedup.foldMinHashBatch
+      .repartition(batch.sparkSession.sessionState.conf
+        .numShufflePartitions, col("fb")).persist()
     try {
       // action 1: pruning buckets + row count, materializing the cache
       val bucketCounts = graft.Instr.timed("foldWinnow.buckets")(

@@ -735,7 +735,8 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
   def compact(retainLast: Int = 1, retainMs: Long = 0L): Long = {
     val v = currentVersion
     if (v == 0) return 0L
-    val allLinks = links().repartition(bucketCol(col("hash")))
+    val allLinks = links().repartition(
+      spark.sessionState.conf.numShufflePartitions, bucketCol(col("hash")))
     // The bloom is normally carried forward unchanged. But compact is
     // also the saturation self-heal point (r16 verdict): it already
     // rewrites every live link, so when the carried filter's measured
@@ -845,7 +846,10 @@ class Catalog(spark: SparkSession, dir: String, bucketChars: Int = 2,
           // it sees — tasks × touched-buckets tiny files PER COMMIT,
           // the fragmentation compact() exists to clean up. After it a
           // bucket is written by one task: files ≈ touched buckets.
-          .repartition(col("bucket"))
+          // Reducer count pinned so AQE cannot coalesce a small
+          // commit to ONE task that writes every bucket file serially.
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(new Path(tmp, "hash_links").toString)
         // The buckets actually written (a touched bucket could have been

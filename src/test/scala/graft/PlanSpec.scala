@@ -92,12 +92,24 @@ class PlanSpec extends SparkFunSuite {
       s"banding must be the native expression:\n$plan")
     assert(!plan.contains("partial_min"),
       "the 128-wide min-aggregate formulation must be gone")
-    // the single-file corpus must be spread before the shingle explode
+    // The CPU-dense BANDING projection is what needs cluster spread on a
+    // degenerate one-file scan; the cheap shingle explode must NOT pay a
+    // round-robin pre-shuffle of its own (r19 optimization): its distinct
+    // already redistributes through a hash exchange, so a spread there
+    // only inflated every downstream stage's task count.
+    val bandPlan = graft.ext.DocDedup.bandedSignatures(
+        docs, "doc_id", "text", 16, 8, 8)
+      .queryExecution.executedPlan.toString
+    assert(bandPlan.contains("Exchange RoundRobinPartitioning") ||
+      bandPlan.contains("REPARTITION"),
+      s"a one-partition scan must be spread before the banding:\n$bandPlan")
     val shPlan = graft.ext.DocDedup.shingles(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(shPlan.contains("Exchange RoundRobinPartitioning") ||
-      shPlan.contains("REPARTITION"),
-      s"a one-partition scan must be spread across the cluster:\n$shPlan")
+    assert(!shPlan.contains("Exchange RoundRobinPartitioning"),
+      s"the shingle explode must not pay its own pre-shuffle (the " +
+        s"distinct's hash exchange is its redistribution):\n$shPlan")
+    assert(shPlan.contains("Exchange hashpartitioning"),
+      s"shingles must still deduplicate through a hash exchange:\n$shPlan")
   }
 
   test("ANN scoring tail is a two-level top-k: partial group-limit " +
