@@ -627,9 +627,14 @@ object DocDedup {
     // 6 jobs), not compute. Stages below are folded to 3 actions:
     // one groupBy-collect (coords AND row count), one cache-warming
     // count over the UNION of both shingle sides, the final checkpoint.
+    // Persisted: the banded rows feed BOTH the coords collect and the
+    // candidate join's probe side — unpersisted, the (spread + banding)
+    // pass ran twice per probe. Freed in the finally below.
     val pBanded = bandedSignatures(probes, idCol, textCol,
-      bands, rows, sigBuckets).withColumnRenamed("id", "id_a")
-    // one action: distinct (band, sb) coordinates + exploded row count
+      bands, rows, sigBuckets).withColumnRenamed("id", "id_a").persist()
+    try {
+    // one action: distinct (band, sb) coordinates + exploded row count —
+    // materializes the banded cache as a side effect
     val coordCounts = graft.Instr.timed("probeMinHash.coords")(
       pBanded.groupBy("band", "sb").agg(count(lit(1)).as("n")).collect())
     val nProbeRows = coordCounts.map(_.getLong(2)).sum
@@ -697,6 +702,7 @@ object DocDedup {
             .localCheckpoint()) // materialize while the caches are alive
       } finally sh.unpersist()
     } finally cand.unpersist()
+    } finally pBanded.unpersist()
   }
 
   /** The streaming micro-batch kernel behind
@@ -1465,8 +1471,18 @@ object DocDedup {
         val over = broadcast(
           oversizedPrefixBlocks(rem, textCol, len, maxBlock)
             .select(col("pfx").as("__opfx")))
+        // localCheckpoint at the level boundary: each prefixBlockVerify
+        // references its input FOUR times (hot/cold × two join sides),
+        // so without truncation level l's plan embeds level l-1's whole
+        // tree 4x — measured ~6 s of driver planning/AQE re-optimization
+        // per q150 run against ~3.5 s of actual job time. The overflow
+        // set is the boilerplate share of the corpus (this operator's
+        // documented contract), so materializing it also stops every
+        // deeper level from re-scanning the full corpus through the
+        // level-0 lineage. Row-identical by construction.
         rem = rem.join(over,
           substring(col(textCol), 1, len) === col("__opfx"), "left_semi")
+          .localCheckpoint()
         len *= 2
       }
       lvl += 1

@@ -191,8 +191,14 @@ object IndexMaintenance {
 
     val uuid = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(root.getParent, s".compact_tmp_${root.getName}-$uuid")
+    // Row count observed DURING the rewrite job instead of a separate
+    // count() pass — one full index read per compaction, not two. The
+    // observed metric counts exactly the rows that flowed into the
+    // staged write, which is what the row-preservation check compares.
+    val obs = new org.apache.spark.sql.Observation()
     val df = spark.read.parquet(path)
-    val rows = df.count()
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     val clustered =
       if (partitionCols.nonEmpty)
         // all rows of one partition value land in one task → one file
@@ -212,6 +218,7 @@ object IndexMaintenance {
         df.repartition(target.toInt).write.mode("overwrite")
       }
     clustered.parquet(tmp.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
     // row-preservation check BEFORE anything becomes visible: a lost
     // or duplicated row aborts with the fragmented-but-correct index
     // untouched. Parquet count() is footer-metadata cheap.
