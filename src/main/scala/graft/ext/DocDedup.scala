@@ -686,10 +686,17 @@ object DocDedup {
           .join(cand, "id_a")
           .join(shB.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-        val na = shA.groupBy("id").agg(count(lit(1)).as("na"))
-          .toDF("id_a", "na")
-        val nb = shB.groupBy("id").agg(count(lit(1)).as("nb"))
-          .toDF("id_b", "nb")
+        // ONE (side, id) aggregation feeds both count sides: the two
+        // per-side groupBys had non-identical children (different side
+        // filters below the exchange), so each paid its own scan +
+        // exchange over the shingle cache; keyed (side, id) the subtree
+        // is identical and the second branch is a ReusedExchange.
+        val counts = sh.groupBy("side", "id")
+          .agg(count(lit(1)).as("n"))
+        val na = counts.where(col("side") === "a")
+          .select(col("id").as("id_a"), col("n").as("na"))
+        val nb = counts.where(col("side") === "b")
+          .select(col("id").as("id_b"), col("n").as("nb"))
         graft.Instr.timed("probeMinHash.verify")(
           common.join(na, "id_a").join(nb, "id_b")
             .where(lit(den) * col("common") >=
@@ -837,9 +844,16 @@ object DocDedup {
             .join(cand, "id_a")
             .join(shAll.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
             .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-          val na = shA.groupBy("id").agg(count(lit(1)).as("na"))
-            .toDF("id_a", "na")
-          val nb = shAll.groupBy("id").agg(count(lit(1)).as("nb"))
+          // ONE (side, id) aggregation feeds both count sides (see
+          // probeMinHashIndex). nb must count per id over BOTH sides
+          // (within-batch id_b values are batch docs); batch and corpus
+          // ids are disjoint by this function's contract, but the
+          // side-sum below is exact even if they were not.
+          val counts = sh.groupBy("side", "id")
+            .agg(count(lit(1)).as("n"))
+          val na = counts.where(col("side") === "a")
+            .select(col("id").as("id_a"), col("n").as("na"))
+          val nb = counts.groupBy("id").agg(sum("n").as("nb"))
             .toDF("id_b", "nb")
           // action 3: the matches write IS the verify materialization
           graft.Instr.timed("foldMinHash.matches")(
