@@ -603,7 +603,19 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double,
-                         bits: Int = 8, tables: Int = 6): DataFrame = {
+                         bits: Int = 8, tables: Int = 6): DataFrame =
+    cosineNearDupPairs(df, idCol, vecCol, threshold, bits, tables,
+      ordered = true)
+
+  /** `ordered = false` drops the determinism orderBy (guide §2.4) for
+    * callers that write or aggregate the pair set — the per-batch
+    * streaming fold pays a range exchange + sampling pass per
+    * micro-batch otherwise. The public overload stays ordered: q41
+    * returns this operator's rows as its final gate output.
+    */
+  private[graft] def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bits: Int, tables: Int, ordered: Boolean): DataFrame = {
     graft.functions.VecExpressions.register(df.sparkSession)
     // Slim signatures (id, tbl, sig) are computed ONCE and cached: the
     // signature expression (tables × bits aggregates over the vector)
@@ -620,13 +632,13 @@ object Similarity {
         .where(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
       val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      cand
+      val pairs = cand
         .join(vecs.toDF("id_a", "va"), "id_a")
         .join(vecs.toDF("id_b", "vb"), "id_b")
         .select(col("id_a"), col("id_b"),
           cosine(col("va"), col("vb")).as("sim"))
         .where(col("sim") >= threshold)
-        .orderBy("id_a", "id_b")
+      (if (ordered) pairs.orderBy("id_a", "id_b") else pairs)
         .localCheckpoint() // materialize while `signed` is still cached
     } finally { signed.unpersist() }
   }

@@ -85,8 +85,12 @@ object StreamingVecDup {
                 lit(0.0).as("sim")).where(lit(false))
           // 2. within-batch: LSH-blocked exact-verified pairs on the
           //    small batch (a twin arriving twice in ONE batch)
+          // unordered variant: the matches parquet write needs no row
+          // order, and the ordered form paid a range exchange +
+          // sampling pass per micro-batch
           val within = Similarity
-            .cosineNearDupPairs(b, "id", "vec", threshold)
+            .cosineNearDupPairs(b, "id", "vec", threshold,
+              bits = 8, tables = 6, ordered = false)
             .select(col("id_a"), col("id_b"), col("sim"))
           cross.unionByName(within)
             .write.mode("overwrite")
